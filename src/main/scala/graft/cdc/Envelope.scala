@@ -93,12 +93,30 @@ object Envelope {
 
   /** The JSON text of the Debezium `schema` block for a record — embedded in
     * generated events so the inference path has something real to read.
+    * Serialized with Jackson so field names containing quotes/backslashes
+    * stay well-formed JSON.
     */
   def schemaBlockJson(fields: Seq[FieldInfo]): String = {
-    def fj(f: FieldInfo) =
-      s"""{"field":"${f.name}","type":"${f.dbzType}","optional":${f.optional}}"""
-    val rec = fields.map(fj).mkString("[", ",", "]")
-    s"""{"type":"struct","fields":[{"field":"before","type":"struct","optional":true,"fields":$rec},{"field":"after","type":"struct","optional":true,"fields":$rec}]}"""
+    val m = new ObjectMapper()
+    def fj(f: FieldInfo) = {
+      val n = m.createObjectNode()
+      n.put("field", f.name); n.put("type", f.dbzType); n.put("optional", f.optional)
+      n
+    }
+    val rec = m.createArrayNode()
+    fields.foreach(f => rec.add(fj(f)))
+    def block(name: String) = {
+      val n = m.createObjectNode()
+      n.put("field", name); n.put("type", "struct"); n.put("optional", true)
+      n.set[com.fasterxml.jackson.databind.node.ObjectNode]("fields", rec)
+      n
+    }
+    val root = m.createObjectNode()
+    root.put("type", "struct")
+    val fs = m.createArrayNode()
+    fs.add(block("before")); fs.add(block("after"))
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("fields", fs)
+    m.writeValueAsString(root)
   }
 
   /** Infer the source-record field list from ONE raw event's embedded
@@ -126,10 +144,14 @@ object Envelope {
   def saveCache(dir: String, fields: Seq[FieldInfo]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val json = fields.map(f =>
-      s"""{"name":"${f.name}","dbzType":"${f.dbzType}","optional":${f.optional}}""")
-      .mkString("[", ",", "]")
-    atomicWrite(d.resolve("field_info.json"), json)
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    fields.foreach { f =>
+      val n = m.createObjectNode()
+      n.put("name", f.name); n.put("dbzType", f.dbzType); n.put("optional", f.optional)
+      arr.add(n)
+    }
+    atomicWrite(d.resolve("field_info.json"), m.writeValueAsString(arr))
     atomicWrite(d.resolve("schema.json"), envelopeSchema(recordSchema(fields)).json)
   }
 

@@ -1,7 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Keyed MERGE semantics (upsert + delete) without Delta Lake.
   *
@@ -9,18 +10,25 @@ import org.apache.spark.sql.functions._
   * ref: cdc_stream.py:664-671, delete-matched :686-689). Re-expressed with
   * core Spark relational algebra:
   *
-  *   kept    = snapshot ANTI JOIN touched-keys        (rows not in the batch)
-  *   applied = after-images of net upserts (ts-guarded against regressions)
-  *   result  = kept UNION ALL applied
+  *   curTs   = last_ts of the touched keys only (snapshot scan #1,
+  *             semi-reduced by broadcasting the batch keys)
+  *   live    = net events that survive the ts guard (stale ones are dropped —
+  *             both upserts AND deletes, so neither can regress state)
+  *   kept    = snapshot ANTI JOIN live-keys                (snapshot scan #2)
+  *   result  = kept UNION ALL after-images of live upserts
   *
   * Scale notes: the net-change side of a micro-batch is small relative to the
-  * snapshot, so both the anti-join and the ts-guard join broadcast the batch
-  * side (hinted explicitly; AQE would also pick it). The snapshot is never
-  * shuffled — each of its partitions streams through a broadcast hash join.
+  * snapshot, so both snapshot passes are broadcast hash joins with the batch
+  * side broadcast — the snapshot is never shuffled, each of its partitions
+  * streams through. `net` and `curTs` are batch-sized and persisted so the
+  * branch derivations don't re-evaluate the parse/dedup lineage (or rescan
+  * the snapshot) once per branch.
+  *
   * Deliberate semantic fixes over the reference (SURVEY §4):
   *   - `r` (snapshot read) events upsert like `c` (ref drops them),
-  *   - stale cross-batch events cannot regress state (ts guard,
-  *     `source.ts >= target.ts`; ref updates unconditionally).
+  *   - stale cross-batch events — updates AND deletes — cannot regress
+  *     state (ts guard `source.ts >= target.last_ts`; the ref applies both
+  *     unconditionally on key match).
   */
 object Merge {
   val LastTsCol = "last_ts"
@@ -35,31 +43,31 @@ object Merge {
       if (snapshot.columns.contains(LastTsCol)) snapshot
       else snapshot.withColumn(LastTsCol, lit(null).cast("long"))
 
-    // upserts: c, u and r all materialize the after image (fix: ref drops 'r')
-    val upserts = Changelog.afterImage(net.filter(col(Changelog.OpCol) =!= "d"), fields)
+    // Batch-sized: pin it so the two consumers below share one evaluation of
+    // the (JSON parse + dedup shuffle) lineage.
+    val netP = net.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val applied =
+    val live =
       if (tsGuard) {
-        // Current ts of the touched keys only: semi-reduce the (huge) snapshot
-        // by broadcasting the (small) batch keys — the snapshot side streams,
-        // nothing big shuffles, and the result is at most batch-sized.
+        // Current ts of the touched keys only: semi-reduce the (huge)
+        // snapshot by broadcasting the (small) batch keys — the snapshot
+        // side streams, nothing big shuffles, result is at most batch-sized.
         val curTs = snap
-          .join(broadcast(upserts.select(col(keyField))), Seq(keyField), "left_semi")
+          .join(broadcast(netP.select(col(Changelog.KeyCol))),
+            snap(keyField) === col(Changelog.KeyCol), "left_semi")
           .select(col(keyField).as("_k"), col(LastTsCol).as("_cur_ts"))
-        upserts.join(broadcast(curTs), upserts(keyField) === col("_k"), "left")
-          .filter(col("_cur_ts").isNull || col(LastTsCol) >= col("_cur_ts"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        netP.join(broadcast(curTs), netP(Changelog.KeyCol) === col("_k"), "left")
+          .filter(col("_cur_ts").isNull || col(Changelog.TsCol) >= col("_cur_ts"))
           .drop("_k", "_cur_ts")
-      } else upserts
+      } else netP
 
-    // every key the batch touches leaves the snapshot; guarded upserts re-enter
-    val touched =
-      if (tsGuard) {
-        val stale = upserts.select(col(keyField)).exceptAll(applied.select(col(keyField)))
-        net.select(col(Changelog.KeyCol).as(keyField)).exceptAll(stale)
-      } else net.select(col(Changelog.KeyCol).as(keyField))
+    // every key with a surviving event leaves the snapshot; upserts re-enter
+    val touched = live.select(col(Changelog.KeyCol).as(keyField))
+    val upserts = Changelog.afterImage(live.filter(col(Changelog.OpCol) =!= "d"), fields)
 
     val kept = snap.join(broadcast(touched), Seq(keyField), "left_anti")
-    kept.unionByName(applied.select(kept.columns.map(col).toSeq: _*))
+    kept.unionByName(upserts.select(kept.columns.map(col).toSeq: _*))
   }
 
   /** K5: idempotent insert-only merge (ref: archive/...stable_v3.py:343-346)

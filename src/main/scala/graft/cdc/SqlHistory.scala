@@ -37,7 +37,10 @@ object SqlHistory {
     val colList = fields.map(_.name).mkString(", ")
     val values = fields.map(f => sqlLiteral(col(s"after_${f.name}"), f.dbzType))
     val valueList = values.flatMap(v => Seq(lit(", "), v)).drop(1)
-    val keyLit = col(KeyCol).cast("string")
+    // Key renders as a typed SQL literal — a string key must be quoted
+    // (ref format_sql_value: streaming_from_kafka_to_minio.py:209-226).
+    val keyDbz = fields.find(_.name == keyField).map(_.dbzType).getOrElse("string")
+    val keyLit = sqlLiteral(col(KeyCol), keyDbz)
     val insert = concat(Seq(lit(s"INSERT INTO $table ($colList) VALUES (")) ++ valueList ++ Seq(lit(");")): _*)
     val update = concat(Seq(lit(s"UPDATE $table SET ")) ++ setParts(fields, keyField) ++
       Seq(lit(s" WHERE $keyField = "), keyLit, lit(";")): _*)

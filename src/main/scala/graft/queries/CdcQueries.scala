@@ -48,10 +48,12 @@ object CdcQueries {
     "cdc_mongo_normalize" -> ((s, dir) => {
       // Mongo path: synthesize extended-JSON docs from `events`, then
       // normalize BSON wrappers with the Catalyst-native typed extraction.
+      // (`ts` reads as LongType nanos under the nanosAsLong flag.)
       val ev = s.read.parquet(s"$dir/events.parquet")
+      val tsMs = expr("ts DIV 1000000")
       val doc = concat(
         lit("{\"_id\": {\"$oid\": \""), md5(col("event_id").cast("string")),
-        lit("\"}, \"ts\": {\"$date\": "), unix_millis(col("ts")).cast("string"),
+        lit("\"}, \"ts\": {\"$date\": "), tsMs.cast("string"),
         lit("}, \"user\": {\"$numberLong\": \""), col("user_id").cast("string"),
         lit("\"}, \"etype\": \""), col("event_type"), lit("\"}"))
       val docSchema = StructType(Seq(
@@ -65,6 +67,37 @@ object CdcQueries {
         parsed.getField("ts").getField("$date").as("ts_ms"),
         parsed.getField("user").getField("$numberLong").cast("long").as("user_id"),
         parsed.getField("etype").as("event_type"))
+    }),
+
+    "cdc_mongo_doc_map" -> ((s, dir) => {
+      // Schema-less first-contact path: the recursive extended-JSON walker
+      // (normalizeUdf, ref: cdc_stream.py:427-497) over synthesized docs with
+      // nested documents, arrays, and $number wrappers.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val doc = concat(
+        lit("{\"_id\": {\"$oid\": \""), md5(col("event_id").cast("string")),
+        lit("\"}, \"n\": {\"$numberLong\": \""), col("user_id").cast("string"),
+        lit("\"}, \"nested\": {\"a\": \""), col("event_type"),
+        lit("\", \"b\": {\"$numberInt\": \""), (col("event_id") % 100).cast("string"),
+        lit("\"}}, \"tags\": [\"x\", {\"$numberLong\": \"5\"}]}"))
+      val m = MongoChangelog.normalizeUdf(doc)
+      ev.select(
+        col("event_id"),
+        element_at(m, "_id").as("oid"),
+        element_at(m, "n").cast("long").as("n"),
+        element_at(m, "nested").as("nested_json"),
+        element_at(m, "tags").as("tags_json"))
+    }),
+
+    "cdc_window_tumbling" -> ((s, dir) => {
+      // W1/W2: tumbling event-time windows over the events stream table
+      // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.withColumn("t", timestamp_millis(expr("ts DIV 1000000")))
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
     }))
 
   private val fl = ChangelogGen.flattenedSql
@@ -108,5 +141,16 @@ object CdcQueries {
     "cdc_mongo_normalize" ->
       """SELECT md5(CAST(event_id AS VARCHAR)) AS oid, epoch_ms(ts) AS ts_ms,
         |       user_id, event_type
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    "cdc_mongo_doc_map" ->
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS oid, user_id AS n,
+        |       '{"a":"' || event_type || '","b":"' || (event_id % 100) || '"}' AS nested_json,
+        |       '["x","5"]' AS tags_json
+        |FROM events""".stripMargin,
+
+    "cdc_window_tumbling" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }
