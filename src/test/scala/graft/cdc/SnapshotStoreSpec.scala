@@ -1,0 +1,39 @@
+package graft.cdc
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store() =
+    new SnapshotStore(Files.createTempDirectory("snap").toString, spark)
+
+  test("commit writes a version and read returns it") {
+    val st = store()
+    assert(!st.exists && st.read().isEmpty)
+    assert(st.commit(Seq((1L, "a")).toDF("id", "v"), batchId = 0))
+    assert(st.current.contains((0L, 0L)))
+    assert(st.read().get.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("replaying an already-committed batch is a no-op (exactly-once)") {
+    val st = store()
+    assert(st.commit(Seq((1L, "a")).toDF("id", "v"), batchId = 7))
+    assert(!st.commit(Seq((2L, "b")).toDF("id", "v"), batchId = 7))
+    assert(!st.commit(Seq((2L, "b")).toDF("id", "v"), batchId = 3))
+    assert(st.read().get.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("versions advance and the previous version survives the swap") {
+    val st = store()
+    st.commit(Seq((1L, "a")).toDF("id", "v"), 0)
+    st.commit(Seq((1L, "b")).toDF("id", "v"), 1)
+    st.commit(Seq((1L, "c")).toDF("id", "v"), 2)
+    assert(st.current.contains((2L, 2L)))
+    assert(st.read().get.collect().map(_.getString(1)).toSeq == Seq("c"))
+    // v_1 retained for in-flight readers of the pre-swap manifest
+    assert(Files.exists(java.nio.file.Paths.get(st.root, "v_2")))
+    assert(Files.exists(java.nio.file.Paths.get(st.root, "v_1")))
+  }
+}
