@@ -16,8 +16,8 @@ object SparkEntry {
     queries("cdc_apply_changelog")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CdcQueries.queries
+    graft.queries.CdcQueries.queries ++ graft.queries.OpsQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CdcQueries.oracles
+    graft.queries.CdcQueries.oracles ++ graft.queries.OpsQueries.oracles
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard, over `documents`; embedding-cosine near-dup
+  * lives in [[Similarity]].
+  *
+  * Scale design (100 TB discipline):
+  *   - exact dedup is one hash-partition shuffle on the fingerprint;
+  *   - MinHash signatures are computed per-row after one explode+groupBy on
+  *     doc_id (the natural partition key), then candidate generation joins
+  *     on band keys — only signature-sized rows shuffle, never documents;
+  *   - the shingle-join for Jaccard carries a document-frequency cap hook
+  *     (`maxDf`) so a hot shingle cannot produce a quadratic pair blowup;
+  *   - hashes are md5 hex strings min-reduced lexicographically — a valid
+  *     uniform MinHash that an external engine reproduces exactly.
+  */
+object Dedup {
+
+  /** 3-gram (token) shingles, distinct per document.
+    * `tokens[j..j+2]` for j in 1..len-2 (1-based), as space-joined strings.
+    */
+  def shingles(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    // guard: sequence(1, n) descends when n < 1, so short docs get no shingles
+    when(size(t) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), size(t) - 2), j => concat_ws(" ", slice(t, j, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: canonical = min doc_id among identical normalized texts.
+    * One shuffle on the fingerprint.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val w = Window.partitionBy(col("fingerprint"))
+    docs.withColumn("fingerprint", fp)
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .select("doc_id", "fingerprint", "canonical_id", "is_dup")
+  }
+
+  val MinHashK = 8 // 8 hash functions -> 4 bands of 2 rows
+
+  /** Per-document MinHash signature columns m0..m7: for hash i, the
+    * lexicographic min of md5("<i>|<shingle>") over the doc's shingles.
+    */
+  def minHashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val aggs = (0 until MinHashK).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band key (band b = concat of
+    * signature rows 2b, 2b+1). Returns distinct (doc_a < doc_b) pairs.
+    */
+  def minHashCandidates(docs: DataFrame): DataFrame = {
+    val sig = minHashSignatures(docs)
+    val bands = (0 until MinHashK / 2).map(b =>
+      struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash-32: bit b is the sign of the (+1/-1) vote over all tokens'
+    * b-th md5 hex char high-bit. Emits the 32-bit signature as a bit string
+    * plus 4 8-bit band keys for hamming-neighbor candidate joins.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitAggs = (1 to 32).map { b =>
+      sum(when(substring(col("h"), b, 1).isin(hi.map(lit(_)): _*), 1).otherwise(-1))
+        .as(s"c$b")
+    }
+    val counted = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val bits = (1 to 32).map(b => when(col(s"c$b") > 0, "1").otherwise("0"))
+    counted.withColumn("simhash", concat(bits: _*))
+      .select(col("doc_id"), col("simhash"),
+        substring(col("simhash"), 1, 8).as("band0"),
+        substring(col("simhash"), 9, 8).as("band1"),
+        substring(col("simhash"), 17, 8).as("band2"),
+        substring(col("simhash"), 25, 8).as("band3"))
+  }
+
+  /** n-gram Jaccard similarity for every pair of documents sharing at least
+    * one shingle: |A ∩ B| / |A ∪ B| over distinct 3-gram shingle sets.
+    * `maxDf` drops shingles occurring in more than that many documents from
+    * pair *generation* (hot-key guard); at the default the measure is exact.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val joinable = maxDf match {
+      case Some(cap) =>
+        val df = sh.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        sh.join(df.select("s"), Seq("s"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = joinable.as("a")
+      .join(joinable.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+  }
+}

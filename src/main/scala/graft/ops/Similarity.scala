@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, an IVF-style
+  * cluster-probed variant as the scale path, and cosine near-duplicate
+  * pairs with cluster blocking.
+  *
+  * Numeric contract: every reduction is a *sequential in-array fold over
+  * doubles* (`aggregate(zip_with(...))`), so the result is a fixed IEEE
+  * expression tree — bit-identical across engines (the DuckDB oracle uses
+  * `list_reduce` the same way), which is what makes exact score compare
+  * possible. At scale the fold is a per-row O(d) projection that pipelines
+  * with the scan; top-k is a per-query-partition window after a broadcast
+  * of the (small) query set — the corpus never shuffles.
+  */
+object Similarity {
+
+  /** Sequential double fold of elementwise products — deterministic dot. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine for a (small, broadcast) query set.
+    * Returns (query_id, vec_id, rank, cos).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
+  /** The centroid table as ONE literal array<struct<cid, cv>> column.
+    * Centroids are small by construction (they fit a driver list the same
+    * way they'd fit an executor broadcast), so inlining them turns cluster
+    * assignment into a pure per-row expression.
+    */
+  def centroidArray(cents: Seq[(Long, Array[Float])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(x => lit(x.toDouble)): _*).as("cv"))
+    }: _*)
+
+  /** IVF assignment: nearest centroid (by cosine, ties -> lower centroid id)
+    * for every corpus vector — a narrow per-row argmax over the inlined
+    * centroid array. NO join, NO shuffle, NO window: the corpus streams
+    * through one codegen'd projection. This is the 100 TB path.
+    */
+  def assignToCentroids(corpus: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val scored = transform(centroidArray(cents), c =>
+      struct(cosine(c.getField("cv"), col("embedding")).as("ccos"),
+        (-c.getField("cid")).as("neg_cid")))
+    // lexicographic struct max: highest cosine, then lowest centroid id
+    val best = array_max(scored)
+    corpus.withColumn("ccos", best.getField("ccos"))
+      .withColumn("centroid_id", -best.getField("neg_cid"))
+  }
+
+  /** IVF-probed approximate top-k: queries probe their `nprobe` nearest
+    * clusters and rank only those clusters' members by exact cosine.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val assigned = assignToCentroids(corpus, cents)
+    val c = broadcast(centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("c_emb")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(c)
+      .withColumn("pcos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val cands = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs with blocking: only pairs inside
+    * the same block (here: a cluster/label id) are compared — the standard
+    * way to keep near-dup detection sub-quadratic at corpus scale.
+    */
+  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(blockCol).as("blk"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col(blockCol).as("blk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("blk")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything is a narrow per-row projection (no shuffle except where a
+  * groupBy is the operator's semantics), built from codegen'd built-ins —
+  * at 100 TB these pipeline with the parquet scan and scale linearly.
+  * Float-valued scores are defined as fixed IEEE expression trees so an
+  * external SQL engine (the DuckDB oracle) reproduces them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword segmentation count: runs of letters, digits, or other
+    * non-space symbols, each with an optional leading space (the GPT-2
+    * pre-tokenizer shape, reduced to ASCII classes).
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column = regexp_count(lower(text), lit(BpePattern))
+
+  /** Small per-language stopword marker lists for the n-gram-free language-ID
+    * heuristic. Deliberately tiny: language ID at scale is a lookup join or
+    * model scoring; the operator shape (tokenize -> score -> argmax) is what
+    * matters and is identical at any list size.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du", "est", "dans"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID scoring: stopword hits per language, argmax with a fixed
+    * preference order (en > es > fr) on ties.
+    */
+  def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val t = tokens(text)
+    val en = countIn(t, Stopwords("en"))
+    val es = countIn(t, Stopwords("es"))
+    val fr = countIn(t, Stopwords("fr"))
+    df.withColumn("score_en", en.cast("long"))
+      .withColumn("score_es", es.cast("long"))
+      .withColumn("score_fr", fr.cast("long"))
+      .withColumn("lang_pred",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_fr"), "en")
+          .when(col("score_es") >= col("score_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  /** Token statistics: whitespace-token count, BPE-ish subword count,
+    * character count.
+    */
+  def tokenStats(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("n_tokens", size(tokens(text)).cast("long"))
+      .withColumn("n_bpe", bpeTokenCount(text).cast("long"))
+      .withColumn("n_chars_calc", length(text).cast("long"))
+
+  /** Quality scoring: length/punctuation/stopword ratio features combined
+    * into one [0,1] score. The expression tree is written once here and
+    * mirrored verbatim in the oracle SQL — every op (int/int division,
+    * multiply-add order, least) is deterministic IEEE double math.
+    */
+  def qualityScore(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val lowered = lower(text)
+    val t = tokens(text)
+    val nTok = size(t)
+    val nChars = length(text)
+    val nClean = length(regexp_replace(lowered, "[^a-z0-9\\s]", ""))
+    val punctRatio = (nChars - nClean) / nChars
+    val stopRatio = countIn(t, Stopwords("en")) / nTok
+    val score =
+      lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.4) * least(stopRatio * lit(5.0), lit(1.0))
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("quality", score)
+  }
+
+  /** Canonical normalized form + content fingerprint (md5 of the normalized
+    * text) — the exact-dedup key and audit fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalized(text))
+
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as driver-contract queries + DuckDB
+  * oracles, over `documents` and `embeddings`.
+  *
+  * Oracle discipline: every float-valued result is a fixed IEEE expression
+  * tree mirrored verbatim between the Column code and the SQL (sequential
+  * double folds for vector math, identical operation order for scores), so
+  * value hashes match exactly — no tolerance-based comparison exists in the
+  * driver.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val JaccardThreshold = 0.2
+  val NearDupThreshold = 0.2
+  val TopK = 10
+  val NProbe = 2
+  val NCentroids = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir))
+        .select("doc_id", "n_tokens", "n_bpe", "n_chars_calc")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir))
+        .select("doc_id", "score_en", "score_es", "score_fr", "lang_pred")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.normalized(col("text")).as("norm_text"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashCandidates(docs(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simHash(docs(s, dir))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), TopK)
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NCentroids),
+        e.filter(col("vec_id") % 100 === 0), TopK, NProbe)
+    }),
+
+    "emb_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
+
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.assetsFromDocuments(docs(s, dir))).toDF()),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs(s, dir)), 256)))
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared CTE: whitespace tokens of lowered text. */
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+      |)""".stripMargin
+
+  /** Shared CTE: distinct 3-gram shingles per doc (docs with >= 3 tokens). */
+  private val shinglesCte =
+    s"""$toksCte, sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct([array_to_string(t[j:j+2], ' ')
+       |                               for j in range(1, len(t) - 1)])) AS s
+       |  FROM toks WHERE len(t) >= 3
+       |)""".stripMargin
+
+  private val enList = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+  private val esList = TextAnalysis.Stopwords("es").map(w => s"'$w'").mkString(", ")
+  private val frList = TextAnalysis.Stopwords("fr").map(w => s"'$w'").mkString(", ")
+
+  private val hiHex = "('8','9','a','b','c','d','e','f')"
+  private val simhashCols = (1 to 32)
+    .map(b => s"sum(CASE WHEN substr(h, $b, 1) IN $hiHex THEN 1 ELSE -1 END) AS c$b")
+    .mkString(",\n         ")
+  private val simhashBits = (1 to 32)
+    .map(b => s"(CASE WHEN c$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  private val minhashMins = (0 until Dedup.MinHashK)
+    .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+  private val bandSelects = (0 until Dedup.MinHashK / 2)
+    .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  /** list_reduce sequential double fold — mirrors [[Similarity.dot]]
+    * (Spark folds from 0.0; list_reduce folds from the first element —
+    * identical because 0.0 + x == x).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_zip($a, $b).apply(p -> p[1] * p[2]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private val embCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id, len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe,
+        |       len(text) AS n_chars_calc
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""$toksCte
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  (len(text) - len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))) / len(text) AS punct_ratio,
+         |  len(list_filter(t, x -> x IN ($enList))) / len(t) AS stop_ratio,
+         |  0.3 * least(len(t) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - (len(text) - len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))) / len(text))
+         |    + 0.4 * least((len(list_filter(t, x -> x IN ($enList))) / len(t)) * 5.0, 1.0) AS quality
+         |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+
+    "text_langid" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  len(list_filter(t, x -> x IN ($enList))) AS score_en,
+         |  len(list_filter(t, x -> x IN ($esList))) AS score_es,
+         |  len(list_filter(t, x -> x IN ($frList))) AS score_fr,
+         |  CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM toks""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint,
+        |       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |       CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
+        |FROM fp""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$shinglesCte, sig AS (
+         |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$toksCte, tk AS (
+         |  SELECT doc_id, md5(unnest(t)) AS h FROM toks
+         |), c AS (
+         |  SELECT doc_id,
+         |         $simhashCols
+         |  FROM tk GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, $simhashBits AS simhash FROM c
+         |)
+         |SELECT doc_id, simhash,
+         |       substr(simhash, 1, 8) AS band0, substr(simhash, 9, 8) AS band1,
+         |       substr(simhash, 17, 8) AS band2, substr(simhash, 25, 8) AS band3
+         |FROM sig""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shinglesCte, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+         |       shared / (na.n + nb.n - shared) AS jaccard
+         |FROM pairs
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""$embCte
+         |SELECT q.vec_id AS query_id, c.vec_id,
+         |       row_number() OVER (PARTITION BY q.vec_id
+         |                          ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank,
+         |       ${cosSql("q.v", "c.v")} AS cos
+         |FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |WHERE q.vec_id % 100 = 0
+         |QUALIFY rank <= ${TopK}""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""$embCte, cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < ${NCentroids}
+         |), assign AS (
+         |  SELECT vec_id, v, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN cent
+         |  QUALIFY crank = 1
+         |), probes AS (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, centroid_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${cosSql("q.v", "cv")} DESC, centroid_id ASC) AS prank
+         |  FROM e q CROSS JOIN cent WHERE q.vec_id % 100 = 0
+         |  QUALIFY prank <= ${NProbe}
+         |)
+         |SELECT query_id, a.vec_id,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) AS rank,
+         |       ${cosSql("qv", "a.v")} AS cos
+         |FROM probes p JOIN assign a USING (centroid_id)
+         |WHERE a.vec_id <> p.query_id
+         |QUALIFY rank <= ${TopK}""".stripMargin,
+
+    "emb_near_dup" ->
+      s"""$embCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       octet_length(encode(text)) AS byte_len,
+        |       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |       CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames,
+        |       md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |       unnest(range(0, octet_length(encode(text)), 256)) AS frame_offset
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("exact dedup canonicalizes normalized-identical docs to min doc_id") {
+    val out = Dedup.exact(docsOf("The cat!", "the   cat", "a dog"))
+      .orderBy("doc_id")
+      .select("canonical_id", "is_dup").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 0), (0L, 1), (2L, 0)))
+  }
+
+  test("shingles are distinct 3-grams; short docs yield none") {
+    val sh = docsOf("a b c d", "x y")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .orderBy("doc_id").collect()
+    assert(sh(0).getSeq[String](1).toSet == Set("a b c", "b c d"))
+    assert(sh(1).getSeq[String](1).isEmpty)
+  }
+
+  test("minhash LSH finds identical docs as candidates, not unrelated ones") {
+    val out = Dedup.minHashCandidates(docsOf(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "completely unrelated text with different shingle content entirely"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("simhash: identical docs share a signature; signature is 32 bits") {
+    val out = Dedup.simHash(docsOf("alpha beta gamma", "alpha beta gamma", "zzz qqq"))
+      .orderBy("doc_id").select("simhash").as[String].collect()
+    assert(out(0) == out(1))
+    assert(out(0).length == 32 && out(0).forall(c => c == '0' || c == '1'))
+    assert(out(0) != out(2))
+  }
+
+  test("ngram jaccard: identical docs score 1.0; disjoint docs absent") {
+    val out = Dedup.ngramJaccard(docsOf(
+      "a b c d e", "a b c d e", "q w e r t y"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("ngram jaccard maxDf cap suppresses hot-shingle pair generation") {
+    // shingle "a b c" appears in all 3 docs; cap df<=2 kills all pairs
+    val docs = docsOf("a b c x", "a b c y", "a b c z")
+    assert(Dedup.ngramJaccard(docs, 0.0, maxDf = Some(2)).count() == 0)
+    assert(Dedup.ngramJaccard(docs, 0.0).count() == 3)
+  }
+}

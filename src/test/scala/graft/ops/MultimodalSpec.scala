@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "hello world"), (1L, "abc"), (2L, "a longer text payload here"))
+    .toDF("doc_id", "text")
+
+  test("assets carry opaque bytes with a modality tag cycling image/audio/video") {
+    val a = Multimodal.assetsFromDocuments(docs).orderBy("asset_id").collect()
+    assert(a.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
+    assert(new String(a(0).getAs[Array[Byte]](2), "UTF-8") == "hello world")
+  }
+
+  test("decodeMeta derives deterministic metadata via partition-batched decode") {
+    val m = Multimodal.decodeMeta(spark, Multimodal.assetsFromDocuments(docs))
+      .orderBy("asset_id").collect()
+    val len = "hello world".length.toLong
+    assert(m(0).byte_len == len)
+    assert(m(0).width == (64 + len % 577).toInt)
+    assert(m(0).height == (64 + (len * 31) % 353).toInt)
+    assert(m(0).n_frames == (1 + len % 24).toInt)
+    assert(m(0).checksum == // md5("hello world")
+      "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("frame sampling emits stride-spaced offsets within the payload") {
+    val f = Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(docs.filter(col("doc_id") === 2)), stride = 10)
+      .select("frame_offset").as[Long].collect().toSeq
+    assert(f == Seq(0L, 10L, 20L)) // 26-byte payload
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embsOf(vs: (Long, Seq[Float])*) =
+    vs.map { case (id, v) => (id, v, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical vectors -> 1.0, orthogonal -> 0.0, opposite -> -1.0") {
+    val df = embsOf(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f),
+      3L -> Seq(-1f, 0f))
+    val c = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") === 0)
+      .orderBy(col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].collect()
+    assert(c(0) == 1.0 && c(1) == 1.0 && c(2) == 0.0 && c(3) == -1.0)
+  }
+
+  test("brute-force top-k ranks by cosine desc with vec_id tie-break, excludes self") {
+    val corpus = embsOf(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f),
+      3L -> Seq(1f, 0f)) // exact match of query
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // 3: cos=1, then 1
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+  }
+
+  test("centroid assignment picks nearest centroid, lower id on ties") {
+    val corpus = embsOf(10L -> Seq(1f, 0.1f), 11L -> Seq(0.1f, 1f), 12L -> Seq(1f, 1f))
+    val cents = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+    val out = Similarity.assignToCentroids(corpus, cents)
+      .orderBy("vec_id").select("centroid_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L, 0L)) // (1,1) ties -> lower centroid id 0
+  }
+
+  test("ivf top-k returns ranked neighbors from probed clusters only") {
+    val corpus = embsOf(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),          // centroids
+      10L -> Seq(1f, 0.1f), 11L -> Seq(1f, 0.2f),    // cluster 0
+      12L -> Seq(0.1f, 1f))                          // cluster 1
+    val out = Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 2),
+      corpus.filter(col("vec_id") === 10), k = 3, nprobe = 1)
+      .orderBy("rank").collect()
+    // nprobe=1 -> only cluster 0 members (0, 10, 11); self excluded
+    assert(out.map(_.getLong(1)).toSeq == Seq(11L, 0L))
+  }
+
+  test("near-dup pairs stay within blocks and above threshold") {
+    val corpus = embsOf(
+      0L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f),  // label 0: near-dups
+      1L -> Seq(1f, 0f), 3L -> Seq(0f, 1f))     // label 1: orthogonal
+    val out = Similarity.nearDupPairs(corpus, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 2L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("token stats count whitespace tokens and BPE-ish pieces") {
+    val out = TextAnalysis.tokenStats(docsOf("Hello world, 42 cats!"))
+      .select("n_tokens", "n_bpe", "n_chars_calc").head()
+    assert(out.getLong(0) == 4)
+    // "hello", " world", ",", " 42", " cats", "!"
+    assert(out.getLong(1) == 6)
+    assert(out.getLong(2) == 21)
+  }
+
+  test("language id picks the dominant stopword language; en wins ties") {
+    val out = TextAnalysis.langId(docsOf(
+      "el perro de la casa es un animal",  // es markers
+      "the dog of the house is an animal", // en markers
+      "word salad without markers"))       // tie (0,0,0) -> en
+      .select("lang_pred").as[String].collect().toSeq
+    assert(out == Seq("es", "en", "en"))
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-rich prose") {
+    val out = TextAnalysis.qualityScore(docsOf(
+      "the cat is on the mat and that is that",
+      "!!! ??? ###"))
+      .select("quality").as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint is invariant to case, punctuation, and extra whitespace") {
+    val fps = docsOf("Hello,   World!", "hello world", "different text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}

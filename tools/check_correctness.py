@@ -24,19 +24,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); fails += 1; continue
         files = glob.glob(f"{spark_dir}/*.parquet")
         try:
-            sp = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
-            od = con.execute(sql).df()
+            rel_sp = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            sp_cols = [d[0] for d in rel_sp.description]; sp = rel_sp.fetchall()
+            rel_od = con.execute(sql)
+            od_cols = [d[0] for d in rel_od.description]; od = rel_od.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); fails += 1; continue
-        sp_cols, od_cols = sorted(sp.columns), sorted(od.columns)
-        if sp_cols != od_cols:
-            print(f"FAIL {name}: schema {sp_cols} vs {od_cols}"); fails += 1; continue
-        sp = sp[sp_cols]; od = od[od_cols]
+        if sorted(sp_cols) != sorted(od_cols):
+            print(f"FAIL {name}: schema {sorted(sp_cols)} vs {sorted(od_cols)}"); fails += 1; continue
         if len(sp) != len(od):
             print(f"FAIL {name}: rows {len(sp)} vs {len(od)}"); fails += 1; continue
-        # multiset compare on stringified values (exact; floats via repr)
-        key = lambda df: sorted(map(repr, df.itertuples(index=False, name=None)))
-        a, b = key(sp), key(od)
+        # multiset compare on name-sorted columns (exact; floats via repr)
+        spi = [sp_cols.index(c) for c in sorted(sp_cols)]
+        odi = [od_cols.index(c) for c in sorted(od_cols)]
+        key = lambda rows, idx: sorted(repr(tuple(r[i] for i in idx)) for r in rows)
+        a, b = key(sp, spi), key(od, odi)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: values differ, e.g. {diff}"); fails += 1; continue
