@@ -1,0 +1,114 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import java.nio.file.{Files, Paths}
+
+/** Hot-reloading engine config (ref: spark_client/src/config_manager.py —
+  * load :78-105, validation :107-128, defaults :130-175, per-batch re-read
+  * of process_time cdc_stream.py:698-701).
+  *
+  * JSON shape mirrors the reference's sections; everything has a default so
+  * a partial file is valid.
+  */
+final case class CdcConfig(
+    keyColumn: String,
+    processTime: String,
+    batchSize: Int,
+    columnsToSave: Option[Seq[String]],
+    failOnDataLoss: Boolean,
+    maxFilesPerTrigger: Option[Int],
+    outputPath: String,
+    checkpointDir: String,
+    schemaCacheDir: String,
+    databaseType: String)
+
+object CdcConfig {
+  val Default: CdcConfig = CdcConfig(
+    keyColumn = "id",
+    processTime = "1 minute",         // ref default config_manager.py:160
+    batchSize = 1000,
+    columnsToSave = None,
+    failOnDataLoss = false,
+    maxFilesPerTrigger = None,
+    outputPath = "out/table",
+    checkpointDir = "out/_checkpoint",
+    schemaCacheDir = "out/_schema",
+    databaseType = "postgres")
+}
+
+final class ConfigManager(path: String) {
+  @volatile private var lastMtime: Long = -1L
+  @volatile private var cached: CdcConfig = CdcConfig.Default
+
+  /** Current config; re-parses only when the file's mtime changed. */
+  def config: CdcConfig = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val m = Files.getLastModifiedTime(p).toMillis
+      if (m != lastMtime) { cached = parse(Files.readString(p)); lastMtime = m }
+    }
+    cached
+  }
+
+  /** True when the file changed since the previous `config` call — the
+    * query-restart signal (ref: cdc_stream.py:954-966 restart flag).
+    */
+  def changed(): Boolean = {
+    val p = Paths.get(path)
+    Files.exists(p) && Files.getLastModifiedTime(p).toMillis != lastMtime
+  }
+
+  private[streaming] def parse(json: String): CdcConfig = {
+    val root = new ObjectMapper().readTree(json)
+    def str(sect: String, field: String, dflt: String): String = {
+      val v = root.path(sect).path(field)
+      if (v.isMissingNode || v.isNull) dflt else v.asText()
+    }
+    val d = CdcConfig.Default
+    val cols = {
+      val v = root.path("database_config").path("columns_to_save")
+      if (v.isMissingNode || v.isNull || v.asText().isEmpty) None
+      else Some(v.asText().split(",").map(_.trim).toSeq)   // ref config.json:29
+    }
+    val mft = {
+      val v = root.path("kafka_config").path("max_files_per_trigger")
+      if (v.isMissingNode) None else Some(v.asInt())
+    }
+    CdcConfig(
+      keyColumn = str("processing_config", "key_column", d.keyColumn),
+      processTime = str("processing_config", "process_time", d.processTime),
+      batchSize = root.path("processing_config").path("batch_size").asInt(d.batchSize),
+      columnsToSave = cols,
+      failOnDataLoss = root.path("kafka_config").path("fail_on_data_loss")
+        .asBoolean(d.failOnDataLoss),
+      maxFilesPerTrigger = mft,
+      outputPath = str("delta_config", "output_path", d.outputPath),
+      checkpointDir = str("delta_config", "checkpoint_dir", d.checkpointDir),
+      schemaCacheDir = str("cache_config", "schema_path", d.schemaCacheDir),
+      databaseType = str("database_config", "type", d.databaseType))
+  }
+}
+
+/** T5: cron-aligned trigger periods (ref: archive croniter variants,
+  * e.g. streaming_from_kafka_to_minio copy 2.py:244-293 — trigger interval
+  * = cron period with a 0.8 safety margin). Supports the subset the
+  * reference actually used: every-N-minutes cron expressions.
+  */
+object CronTrigger {
+  /** "*\/5 * * * *" -> 5 minutes; "0 * * * *" -> 1 hour; "* * * * *" -> 1m. */
+  def periodSeconds(cron: String): Long = cron.trim.split("\\s+").toList match {
+    case minute :: _ :: _ :: _ :: _ :: Nil => minute match {
+      case "*"                          => 60L
+      case m if m.startsWith("*/")      => m.stripPrefix("*/").toLong * 60L
+      case m if m.forall(_.isDigit)     => 3600L // fixed minute -> hourly
+      case other =>
+        throw new IllegalArgumentException(s"unsupported cron minute field: $other")
+    }
+    case _ => throw new IllegalArgumentException(s"not a 5-field cron: $cron")
+  }
+
+  /** Trigger interval with the reference's 0.8 margin. */
+  def triggerMillis(cron: String, margin: Double = 0.8): Long =
+    (periodSeconds(cron) * 1000 * margin).toLong
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  val fields = Seq(
+    Envelope.FieldInfo("id", "int64", optional = false),
+    Envelope.FieldInfo("name", "string"))
+
+  private def event(op: String, id: Long, name: String, ts: Long): String = {
+    val img = s"""{"id":$id,"name":"$name"}"""
+    val before = if (op == "u" || op == "d") img else "null"
+    val after = if (op == "d") "null" else img
+    s"""{"schema":${Envelope.schemaBlockJson(fields)},"payload":{"before":$before,"after":$after,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+  }
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("memory-stream end to end: batches merge into the snapshot store") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, ms.toDF(), store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      ms.addData(event("c", 1, "a", 100), event("c", 2, "b", 100))
+      q.processAllAvailable()
+      assert(store.read().get.select("id", "name").collect().toSet ==
+        Set(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")))
+
+      // second batch: update 1, delete 2, stale update of 1 must not regress
+      ms.addData(event("u", 1, "a2", 200), event("d", 2, "b", 150),
+        event("u", 1, "stale", 50))
+      q.processAllAvailable()
+      val rows = store.read().get.select("id", "name").collect().toSet
+      assert(rows == Set(org.apache.spark.sql.Row(1L, "a2")))
+    } finally stream.stopGracefully(q)
+  }
+
+  test("file source end to end with AvailableNow trigger") {
+    val inDir = tmp("in")
+    Files.writeString(java.nio.file.Paths.get(inDir, "b0.json"),
+      Seq(event("c", 10, "x", 100), event("u", 10, "y", 200)).mkString("\n"))
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, CdcStream.fileSource(spark, inDir),
+      store, "id", cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"))
+    val q = stream.start()
+    q.awaitTermination(60000)
+    assert(store.read().get.select("name").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("schema cache survives restart: second stream skips inference") {
+    val cacheDir = tmp("cache")
+    Envelope.saveCache(cacheDir, fields)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, ms.toDF(), store, "id",
+      cacheDir = cacheDir, checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      // an event with NO schema block — inference would throw, cache must win
+      val noSchema = event("c", 5, "cached", 100).replaceFirst(
+        """\{"schema":.*?,"payload"""", """{"payload"""")
+      ms.addData(noSchema)
+      q.processAllAvailable()
+      assert(store.read().get.select("name").as[String].collect().toSeq == Seq("cached"))
+    } finally stream.stopGracefully(q)
+  }
+
+  test("replaying a batch id is a no-op (foreachBatch replay safety)") {
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"))
+    val b1 = Seq((event("c", 1, "a", 100), 0L)).toDF("value", Changelog.SeqCol)
+    stream.processBatch(b1, 0)
+    val v1 = store.current
+    // same batch id again with different payload: must not apply
+    val b2 = Seq((event("u", 1, "clobber", 900), 1L)).toDF("value", Changelog.SeqCol)
+    stream.processBatch(b2, 0)
+    assert(store.current == v1)
+    assert(store.read().get.select("name").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("columnsToSave prunes the materialized table but keeps the key") {
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      columnsToSave = Some(Seq("name")))
+    stream.processBatch(
+      Seq((event("c", 1, "a", 100), 0L)).toDF("value", Changelog.SeqCol), 0)
+    assert(store.read().get.columns.toSeq == Seq("id", "name", Merge.LastTsCol))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class ConfigManagerSpec extends AnyFunSuite {
+
+  test("defaults apply for a partial config file") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    assert(cm.config == CdcConfig.Default)
+    val parsed = cm.parse("""{"processing_config": {"key_column": "customerId"}}""")
+    assert(parsed.keyColumn == "customerId")
+    assert(parsed.processTime == "1 minute")
+    assert(parsed.columnsToSave.isEmpty)
+  }
+
+  test("full config parses the reference's sections (config.json shape)") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    val parsed = cm.parse(
+      """{"processing_config": {"key_column": "customerId", "process_time": "30 seconds", "batch_size": 500},
+        |"database_config": {"type": "mongodb", "columns_to_save": "customerId,customerFName"},
+        |"kafka_config": {"fail_on_data_loss": true, "max_files_per_trigger": 7},
+        |"delta_config": {"output_path": "/data/out", "checkpoint_dir": "/data/ck"},
+        |"cache_config": {"schema_path": "/data/schema"}}""".stripMargin)
+    assert(parsed.processTime == "30 seconds")
+    assert(parsed.batchSize == 500)
+    assert(parsed.columnsToSave.contains(Seq("customerId", "customerFName")))
+    assert(parsed.failOnDataLoss && parsed.maxFilesPerTrigger.contains(7))
+    assert(parsed.outputPath == "/data/out" && parsed.databaseType == "mongodb")
+  }
+
+  test("hot reload: config re-parses only when mtime changes") {
+    val dir = Files.createTempDirectory("cfg")
+    val p = Paths.get(dir.toString, "config.json")
+    Files.writeString(p, """{"processing_config": {"process_time": "10 seconds"}}""")
+    val cm = new ConfigManager(p.toString)
+    assert(cm.config.processTime == "10 seconds")
+    assert(!cm.changed())
+    Files.writeString(p, """{"processing_config": {"process_time": "20 seconds"}}""")
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(cm.changed())
+    assert(cm.config.processTime == "20 seconds")
+    assert(!cm.changed())
+  }
+
+  test("cron trigger periods: the reference's every-N-minute shapes") {
+    assert(CronTrigger.periodSeconds("* * * * *") == 60)
+    assert(CronTrigger.periodSeconds("*/5 * * * *") == 300)
+    assert(CronTrigger.periodSeconds("0 * * * *") == 3600)
+    assert(CronTrigger.triggerMillis("*/5 * * * *") == 240000) // x0.8 margin
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("bad"))
+  }
+}
