@@ -82,6 +82,15 @@ object Changelog {
       .select(col(KeyCol) +: dataCols.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
+  /** T8 dead-letter side output (claimed in ref README.md:122-127 but never
+    * implemented — errors just log+raise, cdc_stream.py:703-705): events
+    * whose envelope fails to parse (malformed JSON, missing payload/op).
+    */
+  def deadLetters(raw: DataFrame, envelope: StructType): DataFrame = {
+    val parsed = from_json(col("value").cast("string"), envelope)
+    raw.filter(col("value").isNotNull && parsed.getField("payload").getField("op").isNull)
+  }
+
   /** Full per-batch pipeline: parse -> flatten -> key -> dedup. */
   def netChanges(raw: DataFrame, fields: Seq[Envelope.FieldInfo], keyField: String,
                  columnsToSave: Option[Seq[String]] = None): DataFrame = {

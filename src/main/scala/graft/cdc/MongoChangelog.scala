@@ -90,10 +90,11 @@ object MongoChangelog {
     */
   def extractEnvelope(raw: DataFrame): DataFrame = {
     val v = col("value").cast("string")
-    raw.select(
+    val passThrough = raw.columns.filter(_ != "value").map(col).toSeq
+    raw.select(passThrough ++ Seq(
       get_json_object(v, "$.payload.op").as(Changelog.OpCol),
       get_json_object(v, "$.payload.ts_ms").cast("long").as(Changelog.TsCol),
       get_json_object(v, "$.payload.before").as("before_doc"),
-      get_json_object(v, "$.payload.after").as("after_doc"))
+      get_json_object(v, "$.payload.after").as("after_doc")): _*)
   }
 }

@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete MongoDB CDC path (ref: cdc_stream.py process_mongodb_batch
+  * :710-904): extended-JSON envelope extraction, BSON normalization into
+  * map<string,string> documents, keyed dedup, field discovery, and
+  * materialization into a columnar table that conforms to the existing
+  * target schema ("first writer wins", ref :852-861).
+  *
+  * Scale deltas vs the reference (SURVEY §3.2):
+  *   - normalization is a JVM UDF, not a per-row Python worker round-trip;
+  *   - field discovery aggregates map keys distributed-side and collects
+  *     only the O(#fields) name list — the reference collects per batch
+  *     (:808-812); we do it once at table create;
+  *   - dedup/merge reuse the Postgres-path operators (one key shuffle, two
+  *     broadcast snapshot passes).
+  */
+object MongoPipeline {
+
+  /** Raw envelope -> deduped net changes with map-typed before/after docs.
+    * Key = after-doc key, before-doc key for deletes (ref :764-768).
+    */
+  def netChanges(raw: DataFrame, keyField: String): DataFrame = {
+    val env = MongoChangelog.extractEnvelope(raw) // passes _seq through if present
+      .withColumn("before_doc", MongoChangelog.normalizeUdf(col("before_doc")))
+      .withColumn("after_doc", MongoChangelog.normalizeUdf(col("after_doc")))
+      .filter(col(Changelog.OpCol).isNotNull)
+      .withColumn(Changelog.KeyCol,
+        when(col(Changelog.OpCol) === "d", element_at(col("before_doc"), keyField))
+          .otherwise(element_at(col("after_doc"), keyField)))
+    Changelog.dedupLatest(env)
+  }
+
+  /** Distinct document field names, discovered distributed-side (explode ->
+    * distinct runs as a shuffle; only the tiny name list reaches the
+    * driver). Key first, then sorted — a deterministic column order the
+    * reference gets implicitly from first-doc iteration.
+    */
+  def discoverFields(net: DataFrame, keyField: String): Seq[String] = {
+    val names = net.select(explode(map_keys(col("after_doc"))).as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    keyField +: names.filter(_ != keyField).sorted
+  }
+
+  /** Map-typed net changes -> flattened after_* columns in the shape
+    * [[Merge.applyChanges]] consumes (all values string-typed, like the
+    * reference's map<string,string> materialization :829-834).
+    */
+  def materialize(net: DataFrame, fields: Seq[String]): DataFrame = {
+    val cols = Seq(col(Changelog.KeyCol), col(Changelog.OpCol), col(Changelog.TsCol)) ++
+      fields.map(f => element_at(col("after_doc"), f).as(s"after_$f"))
+    net.select(cols: _*)
+  }
+
+  /** Columns a new batch must conform to, given an existing target table
+    * ("first writer wins" schema evolution, ref :852-861): fields absent in
+    * the table are dropped; fields absent in the batch materialize as null.
+    */
+  def conformFields(snapshot: DataFrame, keyField: String): Seq[String] =
+    snapshot.columns.filter(c => c != Merge.LastTsCol).toSeq
+
+  /** One micro-batch against a snapshot store: discover-or-conform fields,
+    * materialize, merge. Returns the merged frame (caller commits).
+    */
+  def applyBatch(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
+                 keyField: String, columnsToSave: Option[Seq[String]] = None,
+                 tsGuard: Boolean = true): DataFrame = {
+    val net = netChanges(raw, keyField)
+    val fields = store.read() match {
+      case Some(snap) => conformFields(snap, keyField)
+      case None =>
+        val discovered = discoverFields(net, keyField)
+        columnsToSave match {
+          // key force-included (ref :822-823)
+          case Some(saved) => discovered.filter(f => saved.contains(f) || f == keyField)
+          case None        => discovered
+        }
+    }
+    val flat = materialize(net, fields)
+    val snapshot = store.read().getOrElse {
+      val selects = fields.map(f => lit(null).cast("string").as(f)) :+
+        lit(null).cast("long").as(Merge.LastTsCol)
+      spark.emptyDataFrame.select(selects: _*).limit(0)
+    }
+    Merge.applyChanges(snapshot, flat, keyField, fields, tsGuard)
+  }
+}

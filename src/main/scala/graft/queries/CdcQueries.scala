@@ -89,6 +89,33 @@ object CdcQueries {
         element_at(m, "tags").as("tags_json"))
     }),
 
+    "cdc_mongo_pipeline" -> ((s, dir) => {
+      // Full Mongo path: synthesized extended-JSON envelopes (before/after
+      // as embedded JSON strings) -> netChanges (normalizeUdf + keyed dedup)
+      // -> materialize to columns. Unique keys per event, so the oracle is
+      // a pure per-row recompute.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val opCode = when(col("event_id") % 10 === 0, "d")
+        .when(col("event_id") % 10 <= 3, "u").otherwise("c")
+      val tsMs = expr("ts DIV 1000000")
+      val oid = md5(col("event_id").cast("string"))
+      val docJson = concat(
+        lit("{\\\"_id\\\": {\\\"$oid\\\": \\\""), oid,
+        lit("\\\"}, \\\"etype\\\": \\\""), col("event_type"),
+        lit("\\\", \\\"user\\\": {\\\"$numberLong\\\": \\\""),
+        col("user_id").cast("string"), lit("\\\"}}"))
+      val after = when(opCode === "d", lit("null"))
+        .otherwise(concat(lit("\""), docJson, lit("\"")))
+      val before = when(opCode === "d", concat(lit("\""), docJson, lit("\"")))
+        .otherwise(lit("null"))
+      val value = concat(
+        lit("{\"payload\":{\"before\":"), before, lit(",\"after\":"), after,
+        lit(",\"source\":{\"connector\":\"mongodb\"},\"op\":\""), opCode,
+        lit("\",\"ts_ms\":"), tsMs.cast("string"), lit("}}"))
+      val net = MongoPipeline.netChanges(ev.select(value.as("value")), "_id")
+      MongoPipeline.materialize(net, Seq("_id", "etype", "user"))
+    }),
+
     "cdc_window_tumbling" -> ((s, dir) => {
       // W1/W2: tumbling event-time windows over the events stream table
       // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183).
@@ -147,6 +174,18 @@ object CdcQueries {
       """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS oid, user_id AS n,
         |       '{"a":"' || event_type || '","b":"' || (event_id % 100) || '"}' AS nested_json,
         |       '["x","5"]' AS tags_json
+        |FROM events""".stripMargin,
+
+    "cdc_mongo_pipeline" ->
+      """SELECT md5(CAST(event_id AS VARCHAR)) AS key_value,
+        |  CASE WHEN event_id % 10 = 0 THEN 'd'
+        |       WHEN event_id % 10 <= 3 THEN 'u' ELSE 'c' END AS operation,
+        |  epoch_ms(ts) AS "timestamp",
+        |  CASE WHEN event_id % 10 = 0 THEN NULL
+        |       ELSE md5(CAST(event_id AS VARCHAR)) END AS after__id,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS after_etype,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS after_user
         |FROM events""".stripMargin,
 
     "cdc_window_tumbling" ->
