@@ -64,8 +64,11 @@ object Dedup {
     val sig = minHashSignatures(docs)
     val bands = (0 until MinHashK / 2).map(b =>
       struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
+    // signature-sized (4 rows/doc); pinned so the self-join evaluates the
+    // shingle+md5 lineage once, not once per side
     val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -103,7 +106,10 @@ object Dedup {
     * pair *generation* (hot-key guard); at the default the measure is exact.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    // shingle-exploded rows feed the self-join (twice) and the size agg —
+    // pin them so the tokenize+shingle lineage runs once
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinable = maxDf match {
       case Some(cap) =>
         val df = sh.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)

@@ -17,12 +17,24 @@ object CdcQueries {
   private val fields = ChangelogGen.customerFields
   private val names  = ChangelogGen.customerFieldNames
 
+  /** See OpsQueries.scanParallel: split-starved local scans serialize the
+    * JSON-heavy per-row work; repartition up to core count only when the
+    * scan under-splits.
+    */
+  private def scanParallel(df: DataFrame, s: SparkSession): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    scanParallel(s.read.parquet(s"$dir/events.parquet"), s)
+
   /** parse -> flatten -> key over the generated changelog, with the dynamic
     * schema-inference path engaged (infer from first event, ref:
     * cdc_stream.py:573-577).
     */
   private def flattened(s: SparkSession, dir: String): DataFrame = {
-    val raw = ChangelogGen.customerChangelog(s, dir)
+    val raw = scanParallel(ChangelogGen.customerChangelog(s, dir), s)
     val inferred = Envelope.inferFieldInfo(raw.select("value").head().getString(0))
     val env = Envelope.envelopeSchema(Envelope.recordSchema(inferred))
     Changelog.withKey(
@@ -49,7 +61,7 @@ object CdcQueries {
       // Mongo path: synthesize extended-JSON docs from `events`, then
       // normalize BSON wrappers with the Catalyst-native typed extraction.
       // (`ts` reads as LongType nanos under the nanosAsLong flag.)
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = events(s, dir)
       val tsMs = expr("ts DIV 1000000")
       val doc = concat(
         lit("{\"_id\": {\"$oid\": \""), md5(col("event_id").cast("string")),
@@ -73,7 +85,7 @@ object CdcQueries {
       // Schema-less first-contact path: the recursive extended-JSON walker
       // (normalizeUdf, ref: cdc_stream.py:427-497) over synthesized docs with
       // nested documents, arrays, and $number wrappers.
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = events(s, dir)
       val doc = concat(
         lit("{\"_id\": {\"$oid\": \""), md5(col("event_id").cast("string")),
         lit("\"}, \"n\": {\"$numberLong\": \""), col("user_id").cast("string"),
@@ -94,7 +106,7 @@ object CdcQueries {
       // as embedded JSON strings) -> netChanges (normalizeUdf + keyed dedup)
       // -> materialize to columns. Unique keys per event, so the oracle is
       // a pure per-row recompute.
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = events(s, dir)
       val opCode = when(col("event_id") % 10 === 0, "d")
         .when(col("event_id") % 10 <= 3, "u").otherwise("c")
       val tsMs = expr("ts DIV 1000000")
@@ -119,7 +131,7 @@ object CdcQueries {
     "cdc_window_tumbling" -> ((s, dir) => {
       // W1/W2: tumbling event-time windows over the events stream table
       // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183).
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = events(s, dir)
       ev.withColumn("t", timestamp_millis(expr("ts DIV 1000000")))
         .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
