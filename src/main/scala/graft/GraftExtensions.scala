@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.{BsonNormalize, CosineSimilarity}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering the engine's native expressions in the
+  * FunctionRegistry, so they work from both the Column API
+  * (`call_function("cosine_sim", ...)`) and plain SQL.
+  *
+  * Install via `spark.sql.extensions=graft.GraftExtensions`
+  * (done by [[Verify.session]] and the test harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      children => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bson_normalize"),
+      new ExpressionInfo(classOf[BsonNormalize].getName, "bson_normalize"),
+      children => BsonNormalize(children.head)))
+  }
+}

@@ -24,8 +24,10 @@ object MongoPipeline {
     */
   def netChanges(raw: DataFrame, keyField: String): DataFrame = {
     val env = MongoChangelog.extractEnvelope(raw) // passes _seq through if present
-      .withColumn("before_doc", MongoChangelog.normalizeUdf(col("before_doc")))
-      .withColumn("after_doc", MongoChangelog.normalizeUdf(col("after_doc")))
+      // native expression (no ScalaUDF conversion layer); registered by
+      // GraftExtensions — graft.functions.BsonNormalize
+      .withColumn("before_doc", call_function("bson_normalize", col("before_doc")))
+      .withColumn("after_doc", call_function("bson_normalize", col("after_doc")))
       .filter(col(Changelog.OpCol).isNotNull)
       .withColumn(Changelog.KeyCol,
         when(col(Changelog.OpCol) === "d", element_at(col("before_doc"), keyField))

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Fused cosine similarity over two numeric arrays — a native Catalyst
+  * expression with whole-stage codegen: one loop accumulates dot product and
+  * both norms, no intermediate arrays (the composed
+  * `aggregate(zip_with(...))` form allocates a product array per row and
+  * runs three folds).
+  *
+  * Numeric contract (matches [[graft.ops.Similarity.dot]] exactly, so the
+  * DuckDB oracles keep hash-matching): elements widen to double, products
+  * accumulate sequentially in index order, result = dot / (sqrt(na) *
+  * sqrt(nb)). Null result when either array is null, lengths differ, or any
+  * element is null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType  => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _          => throw new IllegalStateException(s"unexpected element type $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xe = get(x, i, lt); val ye = get(y, i, rt)
+      dot += xe * ye; na += xe * xe; nb += ye * ye
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(arr: String, i: String, t: DataType) = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xe = ctx.freshName("xe")
+      val ye = ctx.freshName("ye")
+      val broke = ctx.freshName("broke")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $broke = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $broke = true; break; }
+         |    final double $xe = ${getter(a, i, elemType(left))};
+         |    final double $ye = ${getter(b, i, elemType(right))};
+         |    $dot += $xe * $ye; $na += $xe * $xe; $nb += $ye * $ye;
+         |  }
+         |  if ($broke) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}

@@ -26,7 +26,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed-builtin cosine (portable: needs no session extension). */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused native cosine ([[graft.functions.CosineSimilarity]], registered
+    * by GraftExtensions): one codegen'd loop, no intermediate arrays, same
+    * IEEE result as [[cosineFold]] bit for bit.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Brute-force exact top-k by cosine for a (small, broadcast) query set.
     * Returns (query_id, vec_id, rank, cos).
