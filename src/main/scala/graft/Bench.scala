@@ -27,8 +27,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // teardown outside the timed span
+        elapsed
       }
       name -> times.min
     }

@@ -38,7 +38,17 @@ object Merge {
     * result columns: `fields` :+ `last_ts`.
     */
   def applyChanges(snapshot: DataFrame, net: DataFrame, keyField: String,
-                   fields: Seq[String], tsGuard: Boolean = true): DataFrame = {
+                   fields: Seq[String], tsGuard: Boolean = true): DataFrame =
+    applyChangesWithCleanup(snapshot, net, keyField, fields, tsGuard)._1
+
+  /** As [[applyChanges]], plus a cleanup thunk releasing the pinned
+    * batch-sized intermediates — call it once the result is materialized
+    * (a long-running stream that never unpersists would otherwise leak a
+    * cache entry per micro-batch).
+    */
+  def applyChangesWithCleanup(snapshot: DataFrame, net: DataFrame, keyField: String,
+                              fields: Seq[String], tsGuard: Boolean = true)
+      : (DataFrame, () => Unit) = {
     val snap =
       if (snapshot.columns.contains(LastTsCol)) snapshot
       else snapshot.withColumn(LastTsCol, lit(null).cast("long"))
@@ -46,6 +56,7 @@ object Merge {
     // Batch-sized: pin it so the two consumers below share one evaluation of
     // the (JSON parse + dedup shuffle) lineage.
     val netP = net.persist(StorageLevel.MEMORY_AND_DISK)
+    var curTsP: Option[DataFrame] = None
 
     val live =
       if (tsGuard) {
@@ -57,6 +68,7 @@ object Merge {
             snap(keyField) === col(Changelog.KeyCol), "left_semi")
           .select(col(keyField).as("_k"), col(LastTsCol).as("_cur_ts"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        curTsP = Some(curTs)
         netP.join(broadcast(curTs), netP(Changelog.KeyCol) === col("_k"), "left")
           .filter(col("_cur_ts").isNull || col(Changelog.TsCol) >= col("_cur_ts"))
           .drop("_k", "_cur_ts")
@@ -67,7 +79,8 @@ object Merge {
     val upserts = Changelog.afterImage(live.filter(col(Changelog.OpCol) =!= "d"), fields)
 
     val kept = snap.join(broadcast(touched), Seq(keyField), "left_anti")
-    kept.unionByName(upserts.select(kept.columns.map(col).toSeq: _*))
+    val result = kept.unionByName(upserts.select(kept.columns.map(col).toSeq: _*))
+    (result, () => { netP.unpersist(); curTsP.foreach(_.unpersist()) })
   }
 
   /** K5: idempotent insert-only merge (ref: archive/...stable_v3.py:343-346)

@@ -51,8 +51,8 @@ object MongoChangelog {
           // {"$binary": {"base64": ...}} (v2) or {"$binary": "..."} (v1)
           val b = node.get(k)
           if (b.isObject && b.has("base64")) b.get("base64") else b
-        case Some(k) if k == "$regex" => node.get(k)
-        case Some(k)                  => node.get(k)
+        case Some(k) => node.get(k) // incl. $regex -> pattern
+
         case None =>
           val obj = mapper.createObjectNode()
           node.properties().asScala.foreach(e => obj.set[JsonNode](e.getKey, unwrap(e.getValue, mapper)))

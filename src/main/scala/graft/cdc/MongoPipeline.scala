@@ -69,8 +69,12 @@ object MongoPipeline {
   def applyBatch(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
                  keyField: String, columnsToSave: Option[Seq[String]] = None,
                  tsGuard: Boolean = true): DataFrame = {
+    // pinned: on first contact both discoverFields (a collect) and the merge
+    // consume `net` — without this the UDF walk + dedup shuffle run twice
     val net = netChanges(raw, keyField)
-    val fields = store.read() match {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snapOpt = store.read()
+    val fields = snapOpt match {
       case Some(snap) => conformFields(snap, keyField)
       case None =>
         val discovered = discoverFields(net, keyField)
@@ -81,10 +85,10 @@ object MongoPipeline {
         }
     }
     val flat = materialize(net, fields)
-    val snapshot = store.read().getOrElse {
+    val snapshot = snapOpt.getOrElse {
       val selects = fields.map(f => lit(null).cast("string").as(f)) :+
         lit(null).cast("long").as(Merge.LastTsCol)
-      spark.emptyDataFrame.select(selects: _*).limit(0)
+      spark.emptyDataFrame.select(selects: _*)
     }
     Merge.applyChanges(snapshot, flat, keyField, fields, tsGuard)
   }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   * Numeric contract (matches [[graft.ops.Similarity.dot]] exactly, so the
   * DuckDB oracles keep hash-matching): elements widen to double, products
   * accumulate sequentially in index order, result = dot / (sqrt(na) *
-  * sqrt(nb)). Null result when either array is null, lengths differ, or any
-  * element is null.
+  * sqrt(nb)). Null result when either array is null, lengths differ, any
+  * element is null, or a vector has zero norm (the composed fold would
+  * throw ANSI divide-by-zero there).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -58,7 +59,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xe * ye; na += xe * xe; nb += ye * ye
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm -> null, matching Spark's Divide-by-zero (and cosineFold)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -88,7 +91,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $ye = ${getter(b, i, elemType(right))};
          |    $dot += $xe * $ye; $na += $xe * $xe; $nb += $ye * $ye;
          |  }
-         |  if ($broke) {
+         |  if ($broke || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

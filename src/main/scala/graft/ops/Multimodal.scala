@@ -69,8 +69,12 @@ object Multimodal {
   /** Frame sampling plan: byte offsets of every `stride`-th fake frame —
     * the explode-shaped half of a video pipeline (rows multiply, stay narrow).
     */
-  def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
-    assets.select(col("asset_id"),
-      explode(sequence(lit(0L), (length(col("bytes")) - 1).cast("long"), lit(stride.toLong)))
-        .as("frame_offset"))
+  def sampleFrames(assets: DataFrame, stride: Int): DataFrame = {
+    val len = length(col("bytes"))
+    // guard: sequence(0, -1, +stride) throws on empty payloads
+    val offsets = when(len > 0,
+      sequence(lit(0L), (len - 1).cast("long"), lit(stride.toLong)))
+      .otherwise(array().cast("array<bigint>"))
+    assets.select(col("asset_id"), explode(offsets).as("frame_offset"))
+  }
 }

@@ -17,14 +17,7 @@ object CdcQueries {
   private val fields = ChangelogGen.customerFields
   private val names  = ChangelogGen.customerFieldNames
 
-  /** See OpsQueries.scanParallel: split-starved local scans serialize the
-    * JSON-heavy per-row work; repartition up to core count only when the
-    * scan under-splits.
-    */
-  private def scanParallel(df: DataFrame, s: SparkSession): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  import QueryUtil.scanParallel
 
   private def events(s: SparkSession, dir: String): DataFrame =
     scanParallel(s.read.parquet(s"$dir/events.parquet"), s)

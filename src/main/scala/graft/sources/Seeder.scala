@@ -34,6 +34,6 @@ object Seeder {
     */
   def withBatchId(df: DataFrame, batchSize: Int, orderCol: String): DataFrame =
     df.withColumn("_batch_id",
-      floor((dense_rank().over(
+      floor((row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))).cast("long") - 1) / batchSize))
 }

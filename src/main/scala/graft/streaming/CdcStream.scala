@@ -66,8 +66,10 @@ final class CdcStream(
         columnsToSave.map(_ :+ keyField))
       val names = savedFieldNames(fields)
       val snapshot = store.read().getOrElse(emptySnapshot(fields, names))
-      val merged = Merge.applyChanges(snapshot, net, keyField, names, tsGuard)
-      store.commit(merged, batchId)
+      val (merged, cleanup) =
+        Merge.applyChangesWithCleanup(snapshot, net, keyField, names, tsGuard)
+      try store.commit(merged, batchId)
+      finally cleanup() // release per-batch pinned intermediates
     } finally batchInProgress = false
   }
 

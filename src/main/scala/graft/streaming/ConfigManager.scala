@@ -3,6 +3,7 @@ package graft.streaming
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Hot-reloading engine config (ref: spark_client/src/config_manager.py —
   * load :78-105, validation :107-128, defaults :130-175, per-batch re-read
@@ -68,7 +69,9 @@ final class ConfigManager(path: String) {
     val d = CdcConfig.Default
     val cols = {
       val v = root.path("database_config").path("columns_to_save")
-      if (v.isMissingNode || v.isNull || v.asText().isEmpty) None
+      if (v.isArray)                      // natural JSON-array form
+        Some(v.elements().asScala.map(_.asText()).toSeq).filter(_.nonEmpty)
+      else if (v.isMissingNode || v.isNull || v.asText().isEmpty) None
       else Some(v.asText().split(",").map(_.trim).toSeq)   // ref config.json:29
     }
     val mft = {
@@ -96,16 +99,20 @@ final class ConfigManager(path: String) {
   * reference actually used: every-N-minutes cron expressions.
   */
 object CronTrigger {
-  /** "*\/5 * * * *" -> 5 minutes; "0 * * * *" -> 1 hour; "* * * * *" -> 1m. */
+  /** "*\/5 * * * *" -> 5 minutes; "0 * * * *" -> 1 hour; "* * * * *" -> 1m.
+    * Anything outside the reference's every-N-minutes/hourly shapes (e.g. a
+    * fixed hour field = daily) is rejected rather than misread.
+    */
   def periodSeconds(cron: String): Long = cron.trim.split("\\s+").toList match {
-    case minute :: _ :: _ :: _ :: _ :: Nil => minute match {
-      case "*"                          => 60L
-      case m if m.startsWith("*/")      => m.stripPrefix("*/").toLong * 60L
-      case m if m.forall(_.isDigit)     => 3600L // fixed minute -> hourly
-      case other =>
-        throw new IllegalArgumentException(s"unsupported cron minute field: $other")
+    case minute :: hour :: "*" :: "*" :: "*" :: Nil => minute match {
+      case "*" if hour == "*"           => 60L
+      case m if m.startsWith("*/") && hour == "*" =>
+        m.stripPrefix("*/").toLong * 60L
+      case m if m.forall(_.isDigit) && hour == "*" => 3600L // fixed minute -> hourly
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported cron shape: $cron")
     }
-    case _ => throw new IllegalArgumentException(s"not a 5-field cron: $cron")
+    case _ => throw new IllegalArgumentException(s"not a supported 5-field cron: $cron")
   }
 
   /** Trigger interval with the reference's 0.8 margin. */

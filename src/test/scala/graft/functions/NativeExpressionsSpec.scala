@@ -43,6 +43,19 @@ class NativeExpressionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT cosine_sim(1, 2)").collect())
   }
 
+  test("cosine_sim zero-norm vectors -> NULL (fold form throws under ANSI)") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+      .head()
+    assert(r.isNullAt(0))
+    // the composed-builtin fold hits ANSI divide-by-zero instead — the
+    // native expression is strictly more robust on degenerate vectors
+    intercept[Exception] {
+      spark.sql("SELECT array(CAST(0.0 AS FLOAT)) AS za, array(CAST(1.0 AS FLOAT)) AS b")
+        .select(Similarity.cosineFold(col("za"), col("b"))).collect()
+    }
+  }
+
   test("bson_normalize matches the UDF walker on wrapper-rich documents") {
     val docs = Seq(
       """{"_id":{"$oid":"abc"},"n":{"$numberLong":"42"},"nested":{"b":{"$numberInt":"5"}},"tags":["x",{"$numberLong":"5"}],"z":null}""",

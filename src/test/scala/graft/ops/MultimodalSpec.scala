@@ -34,4 +34,10 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_offset").as[Long].collect().toSeq
     assert(f == Seq(0L, 10L, 20L)) // 26-byte payload
   }
+
+  test("frame sampling survives empty payloads (no rows, no crash)") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(empty), stride = 10).count() == 0)
+  }
 }

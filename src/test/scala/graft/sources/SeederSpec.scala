@@ -32,4 +32,12 @@ class SeederSpec extends SparkSpec {
       .orderBy("_batch_id").select("count").as[Long].collect().toSeq
     assert(sizes == Seq(4L, 4L, 2L)) // full batches except the tail
   }
+
+  test("batch sizing holds under duplicate order-column values") {
+    val df = (1 to 12).map(i => (i % 3, s"r$i")).toDF("k", "v") // 3 distinct keys
+    val sizes = Seeder.withBatchId(df, batchSize = 5, orderCol = "k")
+      .groupBy("_batch_id").count()
+      .orderBy("_batch_id").select("count").as[Long].collect().toSeq
+    assert(sizes == Seq(5L, 5L, 2L)) // row_number, not dense_rank
+  }
 }

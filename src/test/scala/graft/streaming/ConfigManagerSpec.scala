@@ -50,5 +50,17 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(CronTrigger.periodSeconds("0 * * * *") == 3600)
     assert(CronTrigger.triggerMillis("*/5 * * * *") == 240000) // x0.8 margin
     intercept[IllegalArgumentException](CronTrigger.periodSeconds("bad"))
+    // daily/fixed-hour crons must be rejected, not silently read as hourly
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("0 0 * * *"))
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("*/5 2 * * *"))
+  }
+
+  test("columns_to_save accepts the JSON-array form too") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    val parsed = cm.parse(
+      """{"database_config": {"columns_to_save": ["a", "b"]}}""")
+    assert(parsed.columnsToSave.contains(Seq("a", "b")))
+    assert(cm.parse("""{"database_config": {"columns_to_save": []}}""")
+      .columnsToSave.isEmpty)
   }
 }
