@@ -18,9 +18,9 @@ object ThroughputBench {
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
 
-    // ~5x the sf's changelog by unioning key-shifted copies
+    // ~20x the sf's changelog by unioning key-shifted copies
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
-    val copies = (0 until 5).map { i =>
+    val copies = (0 until 20).map { i =>
       ChangelogGen.fromCustomerDf(
         customer.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
     }
@@ -46,6 +46,41 @@ object ThroughputBench {
 
     val snapRows = store.read().map(_.count()).getOrElse(0L)
     println(f"""{"events":$nEvents,"cold_sec":$coldSec%.2f,"steady_sec":$steadySec%.2f,"cold_ev_per_sec":${nEvents / coldSec}%.0f,"steady_ev_per_sec":${nEvents / steadySec}%.0f,"snapshot_rows":$snapRows}""")
+
+    // --- selective-bucket merge: small batch against the big snapshot ---
+    // the realistic steady-state shape: a trigger's worth of changes is tiny
+    // relative to the table, so commit cost should track the batch, not the
+    // table. Compare a ~1% batch through the flat store (full rewrite) vs
+    // the bucketed store (touched buckets only).
+    val fields = ChangelogGen.customerFields
+    val fieldTypes = fields.map(f => f.name -> Envelope.sparkType(f.dbzType))
+    val smallBatch = ChangelogGen.fromCustomerDf(
+      customer.filter(col("c_custkey") % 97 === 0)).persist()
+    val nSmall = smallBatch.count()
+    def netOf(b: org.apache.spark.sql.DataFrame) =
+      Changelog.netChanges(b, fields, "c_custkey")
+
+    // bucket count sized so a trigger's key set touches a small fraction —
+    // the 100 TB deployment shape (buckets ~ file-sized, >> batch keys)
+    val bStore = new BucketedSnapshotStore(
+      java.nio.file.Files.createTempDirectory("tp_bstore").toString, spark, 512)
+    BucketedMerge.applyBatch(spark, bStore, netOf(batch), "c_custkey", fieldTypes, 0)
+
+    val tf = System.nanoTime()
+    stream.processBatch(smallBatch, 2) // flat: rewrites the whole snapshot
+    val flatSmallSec = (System.nanoTime() - tf) / 1e9
+    val tb = System.nanoTime()
+    BucketedMerge.applyBatch(spark, bStore, netOf(smallBatch), "c_custkey", fieldTypes, 1)
+    val bucketSmallSec = (System.nanoTime() - tb) / 1e9
+    val m = bStore.current.get
+    val latest = m.buckets.values.max
+    val touchedBuckets = m.buckets.filter(_._2 == latest).keys.toSeq
+    // commit I/O selectivity: rows rewritten by the small batch.
+    // (wall-clock at this table size is fixed-job-overhead-bound; rows
+    // written is the measure that scales — flat rewrites the whole table.)
+    val flatRowsWritten = store.read().get.count()
+    val bucketRowsWritten = bStore.readBuckets(touchedBuckets).get.count()
+    println(f"""{"small_batch_events":$nSmall,"flat_small_sec":$flatSmallSec%.2f,"bucketed_small_sec":$bucketSmallSec%.2f,"buckets":512,"touched_buckets":${touchedBuckets.size},"flat_rows_rewritten":$flatRowsWritten,"bucketed_rows_rewritten":$bucketRowsWritten,"bucketed_rows":${bStore.read().get.count()}}""")
     spark.stop()
   }
 }
