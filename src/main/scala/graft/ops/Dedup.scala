@@ -100,6 +100,59 @@ object Dedup {
         substring(col("simhash"), 25, 8).as("band3"))
   }
 
+  /** SimHash near-dup candidate pairs: docs sharing any 8-bit band, kept
+    * when the full 32-bit hamming distance <= `maxHamming`. With 4 bands,
+    * any pair at hamming <= 3 is guaranteed a colliding band (pigeonhole) —
+    * recall is exact at that threshold. The band join shuffles only
+    * (doc_id, 8-char key) rows; pairs are deduped BEFORE the 32-position
+    * hamming expression so it evaluates once per unique pair, not once per
+    * band collision.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simHash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"band$b").as("key")))
+    val exploded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    val hamming = (1 to 32).map(i =>
+      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs.select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The production two-stage fuzzy dedup: MinHash-LSH candidate generation
+    * followed by exact Jaccard verification of ONLY the candidates — the
+    * O(n^2) measure runs on the (tiny) candidate set, never on the corpus.
+    */
+  def minHashVerified(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = minHashCandidates(docs)
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("_doc_b"), col("s").as("_sb"))
+    val shared = cands
+      .join(shA, Seq("doc_a"))
+      .join(shB, col("doc_b") === col("_doc_b") && col("s") === col("_sb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** n-gram Jaccard similarity for every pair of documents sharing at least
     * one shingle: |A ∩ B| / |A ∪ B| over distinct 3-gram shingle sets.
     * `maxDf` drops shingles occurring in more than that many documents from

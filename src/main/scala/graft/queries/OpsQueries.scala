@@ -55,6 +55,13 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
 
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      // hamming <= 3 is the pigeonhole-complete threshold for 4 bands
+      Dedup.simHashPairs(docs(s, dir), maxHamming = 3)),
+
+    "dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.minHashVerified(docs(s, dir), JaccardThreshold)),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), TopK)
@@ -107,6 +114,13 @@ object OpsQueries {
   private val bandSelects = (0 until Dedup.MinHashK / 2)
     .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM sig")
     .mkString("\n  UNION ALL ")
+
+  private val simBandSelects = (0 until 4)
+    .map(b => s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${8 * b + 1}, 8) AS key FROM sig")
+    .mkString("\n  UNION ALL ")
+  private val hammingSql = (1 to 32)
+    .map(i => s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+    .mkString(" + ")
 
   /** list_reduce sequential double fold — mirrors [[Similarity.dot]]
     * (Spark folds from 0.0; list_reduce folds from the first element —
@@ -190,6 +204,51 @@ object OpsQueries {
          |       substr(simhash, 1, 8) AS band0, substr(simhash, 9, 8) AS band1,
          |       substr(simhash, 17, 8) AS band2, substr(simhash, 25, 8) AS band3
          |FROM sig""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""$toksCte, tk AS (
+         |  SELECT doc_id, md5(unnest(t)) AS h FROM toks
+         |), c AS (
+         |  SELECT doc_id,
+         |         $simhashCols
+         |  FROM tk GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, $simhashBits AS simhash FROM c
+         |), bands AS (
+         |  $simBandSelects
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST($hammingSql AS BIGINT) AS hamming
+         |FROM pairs
+         |WHERE $hammingSql <= 3""".stripMargin,
+
+    "dedup_minhash_verified" ->
+      s"""$shinglesCte, sig AS (
+         |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, shared / (na.n + nb.n - shared) AS jaccard
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$shinglesCte, sizes AS (

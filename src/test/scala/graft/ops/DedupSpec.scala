@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("simhash pairs: identical docs at hamming 0; unrelated pairs filtered") {
+    val out = Dedup.simHashPairs(docsOf(
+      "alpha beta gamma delta", "alpha beta gamma delta",
+      "qq ww ee rr tt yy uu ii"), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0L)))
+  }
+
+  test("minhash-verified: candidates confirmed by exact jaccard") {
+    val out = Dedup.minHashVerified(docsOf(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "something else entirely different here okay"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
   test("ngram jaccard maxDf cap suppresses hot-shingle pair generation") {
     // shingle "a b c" appears in all 3 docs; cap df<=2 kills all pairs
     val docs = docsOf("a b c x", "a b c y", "a b c z")
