@@ -68,7 +68,16 @@ object MongoPipeline {
     */
   def applyBatch(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
                  keyField: String, columnsToSave: Option[Seq[String]] = None,
-                 tsGuard: Boolean = true): DataFrame = {
+                 tsGuard: Boolean = true): DataFrame =
+    applyBatchWithCleanup(spark, store, raw, keyField, columnsToSave, tsGuard)._1
+
+  /** As [[applyBatch]] plus a cleanup thunk for the pinned intermediates —
+    * streaming callers must invoke it after materialization or they leak a
+    * cache entry per micro-batch.
+    */
+  def applyBatchWithCleanup(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
+                            keyField: String, columnsToSave: Option[Seq[String]] = None,
+                            tsGuard: Boolean = true): (DataFrame, () => Unit) = {
     // pinned: on first contact both discoverFields (a collect) and the merge
     // consume `net` — without this the UDF walk + dedup shuffle run twice
     val net = netChanges(raw, keyField)
@@ -90,6 +99,8 @@ object MongoPipeline {
         lit(null).cast("long").as(Merge.LastTsCol)
       spark.emptyDataFrame.select(selects: _*)
     }
-    Merge.applyChanges(snapshot, flat, keyField, fields, tsGuard)
+    val (merged, mergeCleanup) =
+      Merge.applyChangesWithCleanup(snapshot, flat, keyField, fields, tsGuard)
+    (merged, () => { mergeCleanup(); net.unpersist() })
   }
 }

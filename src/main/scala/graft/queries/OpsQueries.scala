@@ -80,7 +80,29 @@ object OpsQueries {
       Multimodal.decodeMeta(s, Multimodal.assetsFromDocuments(docs(s, dir))).toDF()),
 
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs(s, dir)), 256)))
+      Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs(s, dir)), 256)),
+
+    "text_ngram_topk" -> ((s, dir) => {
+      // corpus-wide top-k 3-grams: explode -> count (map-side partial agg)
+      // -> global top-k. Deterministic order: count desc, ngram asc.
+      val sh = docs(s, dir).select(explode(Dedup.shingles(col("text"))).as("ngram"))
+      sh.groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(50)
+    }),
+
+    "pipeline_quality_filter" -> ((s, dir) => {
+      // end-to-end curation pipeline: quality-score + language-ID +
+      // exact-dedup composed into one selection — the operators are
+      // narrow projections over one scan plus the dedup's single shuffle,
+      // so Catalyst fuses the whole filter chain.
+      val d = docs(s, dir)
+      val scored = TextAnalysis.langId(TextAnalysis.qualityScore(d))
+      val deduped = Dedup.exact(d).select("doc_id", "is_dup")
+      scored.join(deduped, "doc_id")
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en" && col("is_dup") === 0)
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+    }))
 
   // ------------------------------------------------------------- oracles
 
@@ -318,5 +340,35 @@ object OpsQueries {
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |       unnest(range(0, octet_length(encode(text)), 256)) AS frame_offset
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "text_ngram_topk" ->
+      s"""$shinglesCte
+         |SELECT s AS ngram, count(*) AS n FROM sh
+         |GROUP BY s ORDER BY n DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    "pipeline_quality_filter" ->
+      s"""$toksCte, scored AS (
+         |  SELECT doc_id,
+         |    0.3 * least(len(t) / 100.0, 1.0)
+         |      + 0.3 * (1.0 - (len(text) - len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))) / len(text))
+         |      + 0.4 * least((len(list_filter(t, x -> x IN ($enList))) / len(t)) * 5.0, 1.0) AS quality,
+         |    len(list_filter(t, x -> x IN ($enList))) AS s_en,
+         |    len(list_filter(t, x -> x IN ($esList))) AS s_es,
+         |    len(list_filter(t, x -> x IN ($frList))) AS s_fr
+         |  FROM toks JOIN documents USING (doc_id)
+         |), lp AS (
+         |  SELECT doc_id, quality,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |  FROM scored
+         |), dup AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id <> min(doc_id) OVER (PARTITION BY
+         |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS INT) AS is_dup
+         |  FROM documents
+         |)
+         |SELECT doc_id, quality, lang_pred
+         |FROM lp JOIN dup USING (doc_id)
+         |WHERE quality >= 0.5 AND lang_pred = 'en' AND is_dup = 0""".stripMargin)
 }
