@@ -16,8 +16,10 @@ object SparkEntry {
     queries("cdc_apply_changelog")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CdcQueries.queries ++ graft.queries.OpsQueries.queries
+    graft.queries.CdcQueries.queries ++ graft.queries.OpsQueries.queries ++
+      graft.queries.RelQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CdcQueries.oracles ++ graft.queries.OpsQueries.oracles
+    graft.queries.CdcQueries.oracles ++ graft.queries.OpsQueries.oracles ++
+      graft.queries.RelQueries.oracles
 }

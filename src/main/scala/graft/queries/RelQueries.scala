@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic relational queries over the larger TPC-H-ish tables — the
+  * scan/filter/broadcast-join/aggregate fundamentals (SURVEY §2.3-2.5,
+  * §2.7) exercised at the sf's largest table (lineitem).
+  *
+  * `l_shipdate`/`o_orderdate` are micros-precision TIMESTAMP_NTZ (unlike
+  * `events.ts`, which is NANOS); both engines compare against the same
+  * timestamp literal.
+  */
+object RelQueries {
+  import QueryUtil.scanParallel
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary" -> ((s, dir) =>
+      // Q1-shape: one big scan, predicate pushed to parquet, partial+final
+      // hash aggregation on a low-cardinality key
+      scanParallel(t(s, dir, "lineitem"), s)
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "rel_top_customers" -> ((s, dir) => {
+      // Q3-shape: big fact joined to two smaller tables (Catalyst/AQE picks
+      // broadcast for the dimension side), revenue top-10
+      val li = scanParallel(t(s, dir, "lineitem"), s)
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    "rel_region_supplier_stats" -> ((s, dir) =>
+      // star-join over broadcastable dims: supplier -> nation -> region
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_acctbal"))))
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "rel_region_supplier_stats" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |       round(sum(s_acctbal), 2) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin)
+}
