@@ -46,14 +46,21 @@ object Dedup {
 
   val MinHashK = 8 // 8 hash functions -> 4 bands of 2 rows
 
-  /** Per-document MinHash signature columns m0..m7: for hash i, the
-    * lexicographic min of md5("<i>|<shingle>") over the doc's shingles.
+  /** Per-document MinHash signature columns m0..m7. The 8 hash functions
+    * are 8-hex-char chunks of TWO md5s (md5(s), md5("x"+s)) — one 128-bit
+    * hash split into four 32-bit pieces is the standard way to buy k
+    * minhashes for k/4 hash evaluations; each chunk-min is a valid uniform
+    * minhash (lexicographic min over hex = min over the 32-bit value).
     */
   def minHashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val aggs = (0 until MinHashK).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
+      .withColumn("_h1", md5(col("s")))
+      .withColumn("_h2", md5(concat(lit("x"), col("s"))))
+    val aggs = (0 until MinHashK).map { i =>
+      val src = if (i < 4) col("_h1") else col("_h2")
+      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"m$i")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

@@ -131,8 +131,10 @@ object OpsQueries {
     .mkString(",\n         ")
   private val simhashBits = (1 to 32)
     .map(b => s"(CASE WHEN c$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")
-  private val minhashMins = (0 until Dedup.MinHashK)
-    .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+  private val minhashMins = (0 until Dedup.MinHashK).map { i =>
+    val src = if (i < 4) "md5(s)" else "md5('x' || s)"
+    s"min(substr($src, ${(i % 4) * 8 + 1}, 8)) AS m$i"
+  }.mkString(", ")
   private val bandSelects = (0 until Dedup.MinHashK / 2)
     .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM sig")
     .mkString("\n  UNION ALL ")
