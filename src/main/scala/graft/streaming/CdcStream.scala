@@ -31,7 +31,14 @@ final class CdcStream(
     checkpointDir: String,
     columnsToSave: Option[Seq[String]] = None,
     tsGuard: Boolean = true,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    /** K6/K8: when set, every batch appends replay-SQL statements (one per
+      * raw event, pre-dedup) as CSV under this dir — the reference's
+      * SQL-history audit sink (archive/streaming_from_kafka_to_minio_2.py
+      * :126-131) as a streaming side output.
+      */
+    sqlAuditDir: Option[String] = None,
+    auditTable: String = "target") {
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -62,6 +69,14 @@ final class CdcStream(
       val withSeq =
         if (batch.columns.contains(Changelog.SeqCol)) batch
         else batch.withColumn(Changelog.SeqCol, monotonically_increasing_id())
+      sqlAuditDir.foreach { dir =>
+        val env = Envelope.envelopeSchema(Envelope.recordSchema(fields))
+        val fl = Changelog.withKey(
+          Changelog.flatten(Changelog.parse(withSeq, env), fields.map(_.name)), keyField)
+        SqlHistory.fromFlattened(fl, auditTable, fields, keyField)
+          .select("sql_text")
+          .write.mode("append").text(s"$dir/batch_$batchId")
+      }
       val net = Changelog.netChanges(withSeq, fields, keyField,
         columnsToSave.map(_ :+ keyField))
       val names = savedFieldNames(fields)

@@ -91,6 +91,22 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read().get.select("name").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("sql audit side output records replay statements per batch") {
+    val store = new SnapshotStore(tmp("st"), spark)
+    val auditDir = tmp("audit")
+    val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      sqlAuditDir = Some(auditDir), auditTable = "t")
+    stream.processBatch(
+      Seq((event("c", 1, "a", 100), 0L), (event("d", 1, "a", 200), 1L))
+        .toDF("value", Changelog.SeqCol), 0)
+    val lines = spark.read.text(s"$auditDir/batch_0")
+      .collect().map(_.getString(0)).sorted
+    assert(lines.length == 2) // pre-dedup: both events logged
+    assert(lines.exists(_.startsWith("INSERT INTO t")))
+    assert(lines.contains("DELETE FROM t WHERE id = 1;"))
+  }
+
   test("columnsToSave prunes the materialized table but keeps the key") {
     val store = new SnapshotStore(tmp("st"), spark)
     val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
