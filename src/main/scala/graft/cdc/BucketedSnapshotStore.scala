@@ -33,7 +33,7 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
   /** Bucket id expression for a key column (consistent hash, non-negative). */
   def bucketOf(key: Column): Column = pmod(hash(key), lit(numBuckets))
 
-  final case class Manifest(batchId: Long, buckets: Map[Int, Long])
+  final case class Manifest(batchId: Long, streamId: String, buckets: Map[Int, Long])
 
   def current: Option[Manifest] =
     if (!Files.exists(manifestFile)) None
@@ -41,7 +41,8 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
       val rootNode = mapper.readTree(Files.readString(manifestFile))
       val buckets = rootNode.path("buckets").properties().asScala
         .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
-      Some(Manifest(rootNode.path("batchId").asLong(), buckets))
+      Some(Manifest(rootNode.path("batchId").asLong(),
+        rootNode.path("streamId").asText("default"), buckets))
     }
 
   def exists: Boolean = current.isDefined
@@ -69,9 +70,10 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
     * false (no-op) when batchId was already applied.
     */
   def commit(df: DataFrame, keyField: String, touched: Seq[Int],
-             batchId: Long): Boolean = {
+             batchId: Long, streamId: String = "default"): Boolean = {
     val cur = current
-    if (cur.exists(_.batchId >= batchId)) return false
+    // replay no-op only within the same stream lineage (see SnapshotStore)
+    if (cur.exists(c => c.streamId == streamId && c.batchId >= batchId)) return false
     val prevBuckets = cur.map(_.buckets).getOrElse(Map.empty)
     val nextVersion = (prevBuckets.values ++ Seq(-1L)).max + 1
 
@@ -110,6 +112,7 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
     val newBuckets = prevBuckets ++ touched.map(_ -> nextVersion)
     val node = mapper.createObjectNode()
     node.put("batchId", batchId)
+    node.put("streamId", streamId)
     val bn = mapper.createObjectNode()
     newBuckets.toSeq.sortBy(_._1).foreach { case (b, v) => bn.put(b.toString, v) }
     node.set[com.fasterxml.jackson.databind.node.ObjectNode]("buckets", bn)

@@ -29,13 +29,21 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 final class SnapshotStore(val root: String, spark: SparkSession) {
   private val currentFile = Paths.get(root, "_CURRENT")
 
-  /** (version, lastBatchId) from the manifest, if the table exists. */
-  def current: Option[(Long, Long)] =
+  /** (version, lastBatchId, streamId) from the manifest, if the table
+    * exists. The streamId scopes batch-replay detection to one checkpoint
+    * lineage (Delta's txnAppId+txnVersion idea): a stream restarted with a
+    * FRESH checkpoint gets fresh batch ids, which must not be mistaken for
+    * replays of the old lineage.
+    */
+  def currentFull: Option[(Long, Long, String)] =
     if (!Files.exists(currentFile)) None
-    else Files.readString(currentFile).trim.split(",") match {
-      case Array(v, b) => Some((v.toLong, b.toLong))
-      case _           => None
+    else Files.readString(currentFile).trim.split(",", 3) match {
+      case Array(v, b, sid) => Some((v.toLong, b.toLong, sid))
+      case Array(v, b)      => Some((v.toLong, b.toLong, "default"))
+      case _                => None
     }
+
+  def current: Option[(Long, Long)] = currentFull.map(c => (c._1, c._2))
 
   def exists: Boolean = current.isDefined
 
@@ -43,16 +51,17 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     current.map { case (v, _) => spark.read.parquet(s"$root/v_$v") }
 
   /** Write `df` as the next snapshot version and swap `_CURRENT` atomically.
-    * Returns false (no-op) if `batchId` was already applied.
+    * Returns false (no-op) if `batchId` was already applied BY THE SAME
+    * stream lineage (`streamId`).
     */
-  def commit(df: DataFrame, batchId: Long): Boolean = {
-    val cur = current
-    if (cur.exists(_._2 >= batchId)) return false
+  def commit(df: DataFrame, batchId: Long, streamId: String = "default"): Boolean = {
+    val cur = currentFull
+    if (cur.exists(c => c._3 == streamId && c._2 >= batchId)) return false
     val next = cur.map(_._1 + 1).getOrElse(0L)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, "_CURRENT.tmp")
-    Files.write(tmp, s"$next,$batchId".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // retain previous version for concurrent readers; reap older ones

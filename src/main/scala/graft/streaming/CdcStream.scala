@@ -43,6 +43,9 @@ final class CdcStream(
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
   @volatile private var batchInProgress = false
+  // replay detection is scoped to this checkpoint lineage (fresh checkpoint
+  // -> fresh batch ids -> must not be mistaken for replays)
+  private val streamId = Integer.toHexString(checkpointDir.hashCode)
 
   private def savedFieldNames(fields: Seq[Envelope.FieldInfo]): Seq[String] = {
     val names = fields.map(_.name)
@@ -54,17 +57,42 @@ final class CdcStream(
     }
   }
 
-  /** One micro-batch: infer-or-load schema, dedup to net changes, merge. */
+  /** One micro-batch: infer-or-load schema (with drift detection), dedup to
+    * net changes, merge.
+    *
+    * Schema drift (SURVEY §4 hazard 6 — the reference's cache never
+    * invalidates, so source DDL changes are silently ignored): every batch
+    * re-reads ONE event's embedded schema block (a single-row head + a
+    * driver-side JSON parse); new columns are appended to the cached field
+    * list and the snapshot grows them as nulls. Removed columns stay (their
+    * values go null in new events) — additive evolution, no data loss.
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     batchInProgress = true
     try {
       if (batch.isEmpty) return
-      val fields = fieldsCache.getOrElse {
-        val inferred = Envelope.inferFieldInfo(
-          batch.select("value").head().getString(0))
-        Envelope.saveCache(cacheDir, inferred)
-        fieldsCache = Some(inferred)
-        inferred
+      // events without an embedded schema block fall back to the cache
+      val inferredOpt = scala.util.Try(Envelope.inferFieldInfo(
+        batch.select("value").head().getString(0))).toOption
+      val fields = (fieldsCache, inferredOpt) match {
+        case (None, Some(inferred)) =>
+          Envelope.saveCache(cacheDir, inferred)
+          fieldsCache = Some(inferred)
+          inferred
+        case (Some(cached), None) => cached
+        case (None, None) =>
+          throw new IllegalStateException(
+            "no cached schema and the first event carries no schema block")
+        case (Some(cached), Some(inferred)) =>
+          val known = cached.map(_.name).toSet
+          val added = inferred.filterNot(f => known.contains(f.name))
+          if (added.isEmpty) cached
+          else {
+            val evolved = cached ++ added
+            Envelope.saveCache(cacheDir, evolved)
+            fieldsCache = Some(evolved)
+            evolved
+          }
       }
       val withSeq =
         if (batch.columns.contains(Changelog.SeqCol)) batch
@@ -80,10 +108,16 @@ final class CdcStream(
       val net = Changelog.netChanges(withSeq, fields, keyField,
         columnsToSave.map(_ :+ keyField))
       val names = savedFieldNames(fields)
-      val snapshot = store.read().getOrElse(emptySnapshot(fields, names))
+      val byName = fields.map(f => f.name -> f).toMap
+      val snapshot0 = store.read().getOrElse(emptySnapshot(fields, names))
+      // snapshot grows drift-added columns as nulls before the merge
+      val snapshot = names.foldLeft(snapshot0) { (df, n) =>
+        if (df.columns.contains(n)) df
+        else df.withColumn(n, lit(null).cast(Envelope.sparkType(byName(n).dbzType)))
+      }
       val (merged, cleanup) =
         Merge.applyChangesWithCleanup(snapshot, net, keyField, names, tsGuard)
-      try store.commit(merged, batchId)
+      try store.commit(merged, batchId, streamId)
       finally cleanup() // release per-batch pinned intermediates
     } finally batchInProgress = false
   }

@@ -21,6 +21,7 @@ final class MongoCdcStream(
     trigger: Trigger = Trigger.AvailableNow()) {
 
   @volatile private var batchInProgress = false
+  private val streamId = Integer.toHexString(checkpointDir.hashCode)
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     batchInProgress = true
@@ -28,7 +29,7 @@ final class MongoCdcStream(
       if (batch.isEmpty) return
       val (merged, cleanup) = MongoPipeline.applyBatchWithCleanup(
         spark, store, batch, keyField, columnsToSave, tsGuard)
-      try store.commit(merged, batchId)
+      try store.commit(merged, batchId, streamId)
       finally cleanup()
     } finally batchInProgress = false
   }

@@ -91,6 +91,26 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read().get.select("name").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("schema drift: a new source column appears mid-stream and the snapshot grows it") {
+    val store = new SnapshotStore(tmp("st"), spark)
+    val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"))
+    stream.processBatch(
+      Seq((event("c", 1, "a", 100), 0L)).toDF("value", Changelog.SeqCol), 0)
+    assert(store.read().get.columns.toSeq == Seq("id", "name", Merge.LastTsCol))
+
+    // batch 2: events now carry an extra `age` column (source DDL change)
+    val evolvedFields = fields :+ Envelope.FieldInfo("age", "int32")
+    val ev2 =
+      s"""{"schema":${Envelope.schemaBlockJson(evolvedFields)},"payload":{"before":null,"after":{"id":2,"name":"b","age":7},"source":{"connector":"postgresql","table":"t","ts_ms":200},"op":"c","ts_ms":200,"transaction":null}}"""
+    stream.processBatch(Seq((ev2, 0L)).toDF("value", Changelog.SeqCol), 1)
+    val snap = store.read().get
+    assert(snap.columns.contains("age"))
+    val rows = snap.select("id", "name", "age").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(rows == Set((1L, "a", -1), (2L, "b", 7))) // old row: null age
+  }
+
   test("sql audit side output records replay statements per batch") {
     val store = new SnapshotStore(tmp("st"), spark)
     val auditDir = tmp("audit")
