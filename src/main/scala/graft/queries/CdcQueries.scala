@@ -121,6 +121,14 @@ object CdcQueries {
       MongoPipeline.materialize(net, Seq("_id", "etype", "user"))
     }),
 
+    "cdc_props_extract" -> ((s, dir) => {
+      // F2 on real data: JSON-path extraction from the events props column
+      // + a grouped count over the extracted value
+      val ev = events(s, dir)
+      ev.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+    }),
+
     "cdc_window_tumbling" -> ((s, dir) => {
       // W1/W2: tumbling event-time windows over the events stream table
       // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183).
@@ -192,6 +200,11 @@ object CdcQueries {
         |  CASE WHEN event_id % 10 = 0 THEN NULL
         |       ELSE CAST(user_id AS VARCHAR) END AS after_user
         |FROM events""".stripMargin,
+
+    "cdc_props_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "cdc_window_tumbling" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
