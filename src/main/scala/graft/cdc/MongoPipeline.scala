@@ -19,19 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object MongoPipeline {
 
-  /** Raw envelope -> deduped net changes with map-typed before/after docs.
-    * Key = after-doc key, before-doc key for deletes (ref :764-768).
+  /** Raw envelope -> deduped net changes: key, op, ts and the normalized
+    * after-doc map. Key = after-doc key; for deletes the before-doc is
+    * normalized ON DEMAND just to extract the key (`when` short-circuits
+    * per row, so the recursive walk runs only for the delete fraction —
+    * the reference normalizes every before image unconditionally,
+    * cdc_stream.py:757-761).
     */
   def netChanges(raw: DataFrame, keyField: String): DataFrame = {
     val env = MongoChangelog.extractEnvelope(raw) // passes _seq through if present
       // native expression (no ScalaUDF conversion layer); registered by
       // GraftExtensions — graft.functions.BsonNormalize
-      .withColumn("before_doc", call_function("bson_normalize", col("before_doc")))
       .withColumn("after_doc", call_function("bson_normalize", col("after_doc")))
-      .filter(col(Changelog.OpCol).isNotNull)
       .withColumn(Changelog.KeyCol,
-        when(col(Changelog.OpCol) === "d", element_at(col("before_doc"), keyField))
+        when(col(Changelog.OpCol) === "d",
+          element_at(call_function("bson_normalize", col("before_doc")), keyField))
           .otherwise(element_at(col("after_doc"), keyField)))
+      .drop("before_doc")
+      .filter(col(Changelog.OpCol).isNotNull)
     Changelog.dedupLatest(env)
   }
 

@@ -70,10 +70,13 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, text: Column = col("text")): DataFrame = {
     val lowered = lower(text)
     val t = tokens(text)
-    val nTok = size(t)
+    val nTok = size(t) // >= 1 even for empty text (split yields [""])
     val nChars = length(text)
     val nClean = length(regexp_replace(lowered, "[^a-z0-9\\s]", ""))
-    val punctRatio = (nChars - nClean) / nChars
+    // ANSI guard: empty text would divide by zero; identical to the
+    // unguarded expression for any non-empty input (the oracle's domain)
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise((nChars - nClean) / nChars)
     val stopRatio = countIn(t, Stopwords("en")) / nTok
     val score =
       lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
