@@ -103,6 +103,23 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** L2-normalize an embedding (unit vector, double precision) — the
+    * standard pre-step that turns cosine search into dot-product search.
+    * Zero vectors pass through as zeros (no ANSI divide-by-zero).
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, transform(a, _ => lit(0.0)))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization of a unit vector: floor(x*127 + 0.5)
+    * (identical literal arithmetic in the oracle; `round` differs between
+    * engines at exact .5 boundaries, floor(+0.5) does not).
+    */
+  def quantizeInt8(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("int"))
+
   /** Embedding-cosine near-duplicate pairs with blocking: only pairs inside
     * the same block (here: a cluster/label id) are compared — the standard
     * way to keep near-dup detection sub-quadratic at corpus scale.

@@ -121,6 +121,25 @@ object CdcQueries {
       MongoPipeline.materialize(net, Seq("_id", "etype", "user"))
     }),
 
+    "events_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: a session break is a >30min silence per
+      // user; session id = running count of breaks (analytic window pair:
+      // lag + cumulative sum). One shuffle on user_id.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val isBreak = when(
+        col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0)
+      ev.withColumn("brk", isBreak)
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) DIV 1000000").as("start_ms"),
+          expr("max(ts) DIV 1000000").as("end_ms"))
+    }),
+
     "cdc_props_extract" -> ((s, dir) => {
       // F2 on real data: JSON-path extraction from the events props column
       // + a grouped count over the extracted value
@@ -200,6 +219,23 @@ object CdcQueries {
         |  CASE WHEN event_id % 10 = 0 THEN NULL
         |       ELSE CAST(user_id AS VARCHAR) END AS after_user
         |FROM events""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM t
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "cdc_props_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -76,6 +76,11 @@ object OpsQueries {
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
 
+    "emb_normalize_quantize" -> ((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("unit"),
+        Similarity.quantizeInt8(Similarity.l2Normalize(col("embedding"))).as("q8"))),
+
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.assetsFromDocuments(docs(s, dir))).toDF()),
 
@@ -328,6 +333,16 @@ object OpsQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
+
+    "emb_normalize_quantize" ->
+      s"""$embCte
+         |SELECT vec_id,
+         |  CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0 THEN [0.0 FOR x IN v]
+         |       ELSE [x / sqrt(${dotSql("v", "v")}) FOR x IN v] END AS unit,
+         |  [CAST(floor(u * 127.0 + 0.5) AS INT)
+         |   FOR u IN (CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0 THEN [0.0 FOR x IN v]
+         |                  ELSE [x / sqrt(${dotSql("v", "v")}) FOR x IN v] END)] AS q8
+         |FROM e""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id AS asset_id,
