@@ -88,6 +88,39 @@ object TextAnalysis {
       .withColumn("quality", score)
   }
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * search-scoring half of a retrieval pipeline. Corpus statistics
+    * (N, avgdl, per-term df) are two tiny aggregates broadcast back over
+    * the scan; per-doc work is a narrow projection.
+    *
+    * Scores are rounded to 6 decimals BEFORE ranking: `ln` may differ by an
+    * ulp across engines, and ranking on the rounded value keeps the oracle
+    * deterministic.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val t = tokens(col("text"))
+    val withTf = terms.zipWithIndex.foldLeft(
+      docs.withColumn("dl", size(t).cast("double"))) { case (df, (term, i)) =>
+      df.withColumn(s"tf$i", size(filter(t, x => x === term)).cast("double"))
+    }
+    val statAggs = Seq(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("score", round(score, 6))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Canonical normalized form + content fingerprint (md5 of the normalized
     * text) — the exact-dedup key and audit fingerprint.
     */

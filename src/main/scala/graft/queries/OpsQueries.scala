@@ -96,6 +96,9 @@ object OpsQueries {
         .limit(50)
     }),
 
+    "text_bm25_search" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Seq("spark", "join", "table"))),
+
     "pipeline_quality_filter" -> ((s, dir) => {
       // end-to-end curation pipeline: quality-score + language-ID +
       // exact-dedup composed into one selection — the operators are
@@ -363,6 +366,29 @@ object OpsQueries {
       s"""$shinglesCte
          |SELECT s AS ngram, count(*) AS n FROM sh
          |GROUP BY s ORDER BY n DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    "text_bm25_search" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         |    CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1,
+         |    CAST(len(list_filter(t, x -> x = 'table')) AS DOUBLE) AS tf2
+         |  FROM toks
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         sum(dl) / count(*) AS avgdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM tf
+         |), scored AS (
+         |  SELECT doc_id, round(
+         |      ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+         |  FROM tf CROSS JOIN stats
+         |)
+         |SELECT doc_id, score FROM scored WHERE score > 0.0""".stripMargin,
 
     "pipeline_quality_filter" ->
       s"""$toksCte, scored AS (

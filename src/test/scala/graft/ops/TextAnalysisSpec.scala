@@ -36,6 +36,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("bm25: docs with more query-term hits score higher; no-hit docs drop out") {
+    val out = TextAnalysis.bm25(docsOf(
+      "spark join table spark spark",  // heavy hits
+      "spark runs somewhere else now", // one hit
+      "nothing relevant in here at"),  // zero hits -> filtered
+      Seq("spark", "join", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) > out(1L) && out(1L) > 0.0)
+  }
+
   test("fingerprint is invariant to case, punctuation, and extra whitespace") {
     val fps = docsOf("Hello,   World!", "hello world", "different text")
       .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
