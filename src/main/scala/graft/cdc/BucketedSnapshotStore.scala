@@ -90,6 +90,9 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
       val dst = Paths.get(bucketPath(b, nextVersion))
       if (Files.isDirectory(src)) {
         Files.createDirectories(dst.getParent)
+        // a crashed prior attempt (moved dirs, manifest never swapped) may
+        // have left an unreferenced dst — clear it so replay can commit
+        deleteRecursively(dst)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
         true
       } else {
@@ -121,6 +124,20 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
     Files.write(tmpManifest, mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // reap superseded versions of the touched buckets, retaining the one
+    // just replaced for in-flight readers of the pre-swap manifest
+    touched.foreach { b =>
+      prevBuckets.get(b).foreach { prevV =>
+        val bdir = Paths.get(root, s"b_$b")
+        if (Files.isDirectory(bdir)) {
+          val vs = Files.list(bdir)
+          try vs.filter(_.getFileName.toString.startsWith("v_"))
+            .filter(_.getFileName.toString.stripPrefix("v_").toLong < prevV)
+            .forEach(deleteRecursively)
+          finally vs.close()
+        }
+      }
+    }
     true
   }
 

@@ -47,8 +47,14 @@ object Merge {
     * cache entry per micro-batch).
     */
   def applyChangesWithCleanup(snapshot: DataFrame, net: DataFrame, keyField: String,
-                              fields: Seq[String], tsGuard: Boolean = true)
+                              fields: Seq[String], tsGuard: Boolean = true,
+                              hintBroadcast: Boolean = true)
       : (DataFrame, () => Unit) = {
+    // A trigger's batch is normally tiny vs the snapshot -> broadcast hints.
+    // For bulk backfills that outgrow broadcast limits, pass
+    // hintBroadcast=false and let AQE pick the join strategy from runtime
+    // sizes (same semantics, shuffle-based plan).
+    def side(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val snap =
       if (snapshot.columns.contains(LastTsCol)) snapshot
       else snapshot.withColumn(LastTsCol, lit(null).cast("long"))
@@ -64,12 +70,12 @@ object Merge {
         // snapshot by broadcasting the (small) batch keys — the snapshot
         // side streams, nothing big shuffles, result is at most batch-sized.
         val curTs = snap
-          .join(broadcast(netP.select(col(Changelog.KeyCol))),
+          .join(side(netP.select(col(Changelog.KeyCol))),
             snap(keyField) === col(Changelog.KeyCol), "left_semi")
           .select(col(keyField).as("_k"), col(LastTsCol).as("_cur_ts"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         curTsP = Some(curTs)
-        netP.join(broadcast(curTs), netP(Changelog.KeyCol) === col("_k"), "left")
+        netP.join(side(curTs), netP(Changelog.KeyCol) === col("_k"), "left")
           .filter(col("_cur_ts").isNull || col(Changelog.TsCol) >= col("_cur_ts"))
           .drop("_k", "_cur_ts")
       } else netP
@@ -78,7 +84,7 @@ object Merge {
     val touched = live.select(col(Changelog.KeyCol).as(keyField))
     val upserts = Changelog.afterImage(live.filter(col(Changelog.OpCol) =!= "d"), fields)
 
-    val kept = snap.join(broadcast(touched), Seq(keyField), "left_anti")
+    val kept = snap.join(side(touched), Seq(keyField), "left_anti")
     val result = kept.unionByName(upserts.select(kept.columns.map(col).toSeq: _*))
     (result, () => { netP.unpersist(); curTsP.foreach(_.unpersist()) })
   }

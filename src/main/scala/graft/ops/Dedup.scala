@@ -66,8 +66,13 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band key (band b = concat of
     * signature rows 2b, 2b+1). Returns distinct (doc_a < doc_b) pairs.
+    * One-shot convenience; long-lived sessions should use
+    * [[minHashCandidatesWithCleanup]] and release the pinned signatures.
     */
-  def minHashCandidates(docs: DataFrame): DataFrame = {
+  def minHashCandidates(docs: DataFrame): DataFrame =
+    minHashCandidatesWithCleanup(docs)._1
+
+  def minHashCandidatesWithCleanup(docs: DataFrame): (DataFrame, () => Unit) = {
     val sig = minHashSignatures(docs)
     val bands = (0 until MinHashK / 2).map(b =>
       struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
@@ -78,10 +83,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val pairs = a.join(b,
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (pairs, () => { exploded.unpersist(); () })
   }
 
   /** SimHash-32: bit b is the sign of the (+1/-1) vote over all tokens'
@@ -115,7 +122,10 @@ object Dedup {
     * hamming expression so it evaluates once per unique pair, not once per
     * band collision.
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simHashPairsWithCleanup(docs, maxHamming)._1
+
+  def simHashPairsWithCleanup(docs: DataFrame, maxHamming: Int): (DataFrame, () => Unit) = {
     val sig = simHash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until 4).map(b =>
@@ -133,16 +143,22 @@ object Dedup {
     val hamming = (1 to 32).map(i =>
       when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)
-    pairs.select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+    val out = pairs
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    (out, () => { sig.unpersist(); () })
   }
 
   /** The production two-stage fuzzy dedup: MinHash-LSH candidate generation
     * followed by exact Jaccard verification of ONLY the candidates — the
     * O(n^2) measure runs on the (tiny) candidate set, never on the corpus.
     */
-  def minHashVerified(docs: DataFrame, threshold: Double): DataFrame = {
-    val cands = minHashCandidates(docs)
+  def minHashVerified(docs: DataFrame, threshold: Double): DataFrame =
+    minHashVerifiedWithCleanup(docs, threshold)._1
+
+  def minHashVerifiedWithCleanup(docs: DataFrame, threshold: Double)
+      : (DataFrame, () => Unit) = {
+    val (cands, candCleanup) = minHashCandidatesWithCleanup(docs)
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -152,12 +168,13 @@ object Dedup {
       .join(shA, Seq("doc_a"))
       .join(shB, col("doc_b") === col("_doc_b") && col("s") === col("_sb"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    (out, () => { candCleanup(); sh.unpersist(); () })
   }
 
   /** n-gram Jaccard similarity for every pair of documents sharing at least
@@ -165,7 +182,11 @@ object Dedup {
     * `maxDf` drops shingles occurring in more than that many documents from
     * pair *generation* (hot-key guard); at the default the measure is exact.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Option[Int] = None): DataFrame =
+    ngramJaccardWithCleanup(docs, threshold, maxDf)._1
+
+  def ngramJaccardWithCleanup(docs: DataFrame, threshold: Double,
+                              maxDf: Option[Int] = None): (DataFrame, () => Unit) = {
     // shingle-exploded rows feed the self-join (twice) and the size agg —
     // pin them so the tokenize+shingle lineage runs once
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
@@ -182,11 +203,12 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+    (out, () => { sh.unpersist(); () })
   }
 }

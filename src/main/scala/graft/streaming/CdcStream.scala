@@ -43,9 +43,10 @@ final class CdcStream(
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
   @volatile private var batchInProgress = false
-  // replay detection is scoped to this checkpoint lineage (fresh checkpoint
-  // -> fresh batch ids -> must not be mistaken for replays)
-  private val streamId = Integer.toHexString(checkpointDir.hashCode)
+  // replay detection is scoped to this checkpoint lineage: the id lives IN
+  // the checkpoint dir, so wiping the checkpoint (even recreated at the
+  // same path) starts a new lineage with fresh batch ids
+  private lazy val streamId = CdcStream.lineageId(checkpointDir)
 
   private def savedFieldNames(fields: Seq[Envelope.FieldInfo]): Seq[String] = {
     val names = fields.map(_.name)
@@ -71,9 +72,29 @@ final class CdcStream(
     batchInProgress = true
     try {
       if (batch.isEmpty) return
-      // events without an embedded schema block fall back to the cache
-      val inferredOpt = scala.util.Try(Envelope.inferFieldInfo(
-        batch.select("value").head().getString(0))).toOption
+      // Inference reads every DISTINCT schema block in the batch (the
+      // groupBy collapses distributed-side; only one exemplar string per
+      // variant reaches the driver), so a column added by DDL mid-batch is
+      // seen even when the first event predates it. Events without a
+      // schema block fall back to the cache.
+      val blocks = batch
+        .select(get_json_object(col("value").cast("string"), "$.schema").as("s"))
+        .filter(col("s").isNotNull)
+        .groupBy(md5(col("s"))).agg(first(col("s")).as("s"))
+        .select("s").collect().map(_.getString(0))
+      val variants = blocks.toSeq.flatMap(b =>
+        scala.util.Try(Envelope.inferFieldInfo(s"""{"schema":$b}""")).toOption)
+      val inferredOpt =
+        if (variants.isEmpty) None
+        else Some {
+          // deterministic merge independent of collect order: widest block
+          // is the base, remaining new fields append sorted by name
+          val base = variants.maxBy(v => (v.length, v.map(_.name).mkString(",")))
+          val known = base.map(_.name).toSet
+          base ++ variants.flatten
+            .filterNot(f => known.contains(f.name))
+            .distinctBy(_.name).sortBy(_.name)
+        }
       val fields = (fieldsCache, inferredOpt) match {
         case (None, Some(inferred)) =>
           Envelope.saveCache(cacheDir, inferred)
@@ -97,14 +118,6 @@ final class CdcStream(
       val withSeq =
         if (batch.columns.contains(Changelog.SeqCol)) batch
         else batch.withColumn(Changelog.SeqCol, monotonically_increasing_id())
-      sqlAuditDir.foreach { dir =>
-        val env = Envelope.envelopeSchema(Envelope.recordSchema(fields))
-        val fl = Changelog.withKey(
-          Changelog.flatten(Changelog.parse(withSeq, env), fields.map(_.name)), keyField)
-        SqlHistory.fromFlattened(fl, auditTable, fields, keyField)
-          .select("sql_text")
-          .write.mode("append").text(s"$dir/batch_$batchId")
-      }
       val net = Changelog.netChanges(withSeq, fields, keyField,
         columnsToSave.map(_ :+ keyField))
       val names = savedFieldNames(fields)
@@ -117,8 +130,20 @@ final class CdcStream(
       }
       val (merged, cleanup) =
         Merge.applyChangesWithCleanup(snapshot, net, keyField, names, tsGuard)
-      try store.commit(merged, batchId, streamId)
-      finally cleanup() // release per-batch pinned intermediates
+      val committed =
+        try store.commit(merged, batchId, streamId)
+        finally cleanup() // release per-batch pinned intermediates
+      // audit AFTER a successful commit, overwriting the batch's dir: a
+      // foreachBatch replay neither duplicates statements (overwrite) nor
+      // records statements for a batch that never applied (gated)
+      if (committed) sqlAuditDir.foreach { dir =>
+        val env = Envelope.envelopeSchema(Envelope.recordSchema(fields))
+        val fl = Changelog.withKey(
+          Changelog.flatten(Changelog.parse(withSeq, env), fields.map(_.name)), keyField)
+        SqlHistory.fromFlattened(fl, auditTable, fields, keyField)
+          .select("sql_text")
+          .write.mode("overwrite").text(s"$dir/batch_$batchId")
+      }
     } finally batchInProgress = false
   }
 
@@ -149,6 +174,30 @@ final class CdcStream(
 }
 
 object CdcStream {
+  /** Stable id of one checkpoint lineage: a uuid file inside the checkpoint
+    * dir, created on first use. Deleting the checkpoint deletes the id —
+    * the restart is a new lineage and its batch ids must not be mistaken
+    * for replays of the old one.
+    */
+  def lineageId(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "_stream_id")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+    else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val id = java.util.UUID.randomUUID().toString
+      val tmp = p.resolveSibling("_stream_id.tmp")
+      java.nio.file.Files.writeString(tmp, id)
+      try {
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        id
+      } catch { // lost a race with a concurrent creator: use theirs
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.readString(p).trim
+      }
+    }
+  }
+
   /** S1/S2 equivalent in the jar-less env: a JSON-lines file stream with the
     * same `value: string` shape as the Kafka source (rate cap via
     * maxFilesPerTrigger mirrors maxOffsetsPerTrigger).

@@ -21,7 +21,7 @@ final class MongoCdcStream(
     trigger: Trigger = Trigger.AvailableNow()) {
 
   @volatile private var batchInProgress = false
-  private val streamId = Integer.toHexString(checkpointDir.hashCode)
+  private lazy val streamId = CdcStream.lineageId(checkpointDir)
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     batchInProgress = true

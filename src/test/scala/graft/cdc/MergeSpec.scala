@@ -55,6 +55,17 @@ class MergeSpec extends SparkSpec {
     assert(unguarded.select("name").as[String].collect().toSeq == Seq("stale"))
   }
 
+  test("hintBroadcast=false keeps semantics (AQE-chosen joins)") {
+    val snap = snapDf(Seq((1L, "old", Some(10L)), (2L, "gone", Some(5L))))
+    val net = netDf(Seq((1L, "u", Some("new"), 20L), (2L, "d", None, 20L),
+      (3L, "c", Some("ins"), 20L)))
+    val (hinted, c1) = Merge.applyChangesWithCleanup(snap, net, "id", fields)
+    val (unhinted, c2) = Merge.applyChangesWithCleanup(snap, net, "id", fields,
+      hintBroadcast = false)
+    assert(hinted.collect().toSet == unhinted.collect().toSet)
+    c1(); c2()
+  }
+
   test("re-applying the same batch is a no-op (idempotence / exactly-once)") {
     val snap = snapDf(Seq((1L, "a", Some(10L))))
     val net = netDf(Seq((1L, "u", Some("b"), 20L), (2L, "c", Some("c"), 20L)))
