@@ -75,6 +75,35 @@ class BucketedStoreSpec extends SparkSpec {
     assert(st.read().get.select("name").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("replaying a crashed commit succeeds despite orphaned version dirs") {
+    val st = store(n = 4)
+    BucketedMerge.applyBatch(spark, st, netDf((1L, "c", "a", 100)), "id", fieldTypes, 0)
+    // simulate a crash mid-commit of batch 1: orphaned v_1 dirs exist for
+    // the touched bucket but the manifest never advanced
+    val bucket = spark.range(1).select(st.bucketOf(lit(1L))).head().getInt(0)
+    val orphan = Paths.get(st.root, s"b_$bucket", "v_1", "garbage.txt")
+    Files.createDirectories(orphan.getParent)
+    Files.writeString(orphan, "leftover from crashed attempt")
+    // replay of batch 1 must clear the orphan and commit cleanly
+    assert(BucketedMerge.applyBatch(spark, st, netDf((1L, "u", "b", 200)),
+      "id", fieldTypes, 1))
+    assert(st.read().get.select("name").collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(!Files.exists(orphan))
+  }
+
+  test("superseded bucket versions are reaped (previous retained)") {
+    val st = store(n = 2)
+    BucketedMerge.applyBatch(spark, st, netDf((1L, "c", "a", 100)), "id", fieldTypes, 0)
+    BucketedMerge.applyBatch(spark, st, netDf((1L, "u", "b", 200)), "id", fieldTypes, 1)
+    BucketedMerge.applyBatch(spark, st, netDf((1L, "u", "c", 300)), "id", fieldTypes, 2)
+    val bucket = spark.range(1).select(st.bucketOf(lit(1L))).head().getInt(0)
+    val versions = Files.list(Paths.get(st.root, s"b_$bucket")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(versions)
+      .asScala.map(_.getFileName.toString).toList.sorted
+    assert(names == List("v_1", "v_2")) // v_0 reaped, previous + current kept
+    assert(st.read().get.select("name").collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("matches the flat-store merge result on a random changelog") {
     val rnd = new scala.util.Random(7)
     val ops = (1 to 120).map { i =>
