@@ -19,6 +19,7 @@ final case class CdcConfig(
     columnsToSave: Option[Seq[String]],
     failOnDataLoss: Boolean,
     maxFilesPerTrigger: Option[Int],
+    sourceDir: String,
     outputPath: String,
     checkpointDir: String,
     schemaCacheDir: String,
@@ -32,6 +33,7 @@ object CdcConfig {
     columnsToSave = None,
     failOnDataLoss = false,
     maxFilesPerTrigger = None,
+    sourceDir = "in",
     outputPath = "out/table",
     checkpointDir = "out/_checkpoint",
     schemaCacheDir = "out/_schema",
@@ -86,6 +88,8 @@ final class ConfigManager(path: String) {
       failOnDataLoss = root.path("kafka_config").path("fail_on_data_loss")
         .asBoolean(d.failOnDataLoss),
       maxFilesPerTrigger = mft,
+      // file-based stand-in for kafka_config.topic (SURVEY §7.0)
+      sourceDir = str("kafka_config", "source_dir", d.sourceDir),
       outputPath = str("delta_config", "output_path", d.outputPath),
       checkpointDir = str("delta_config", "checkpoint_dir", d.checkpointDir),
       schemaCacheDir = str("cache_config", "schema_path", d.schemaCacheDir),
