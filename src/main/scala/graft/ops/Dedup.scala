@@ -130,20 +130,27 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("key")))
-    val exploded = sig.select(col("doc_id"), col("simhash"),
-      explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    // the collision join and pair-dedup carry only (doc ids, band key);
+    // signatures re-attach afterwards from the (small, broadcast) signature
+    // table, keeping the 32-char strings out of the heavy shuffle
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sigs = sig.select(col("doc_id"), col("simhash"))
+    val withSig = pairs
+      .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("simhash", "sa")), Seq("doc_a"))
+      .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("simhash", "sb")), Seq("doc_b"))
     val hamming = (1 to 32).map(i =>
       when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)
-    val out = pairs
+    val out = withSig
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
     (out, () => { sig.unpersist(); () })
