@@ -20,14 +20,18 @@ object RelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary" -> ((s, dir) =>
       // Q1-shape: one big scan, predicate pushed to parquet, partial+final
-      // hash aggregation on a low-cardinality key
+      // hash aggregation on a low-cardinality key. Money sums run in EXACT
+      // decimal (order-independent — double sums of 1e9-magnitude groups
+      // drift wider than any rounding boundary) and surface as double.
       scanParallel(t(s, dir, "lineitem"), s)
         .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sum_base_price"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
@@ -40,7 +44,8 @@ object RelQueries {
       li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(10)
@@ -58,9 +63,9 @@ object RelQueries {
   val oracles: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -68,7 +73,7 @@ object RelQueries {
 
     "rel_top_customers" ->
       """SELECT c_custkey, c_name,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
