@@ -73,6 +73,20 @@ object OpsQueries {
         e.filter(col("vec_id") % 100 === 0), TopK, NProbe)
     }),
 
+    "ann_ivf_recall" -> ((s, dir) => {
+      // index-quality evaluation: recall@k of the IVF probe against the
+      // exact brute force, per query
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val bf = Similarity.bruteForceTopK(e, queries, TopK)
+      val ivf = Similarity.ivfTopK(e, e.filter(col("vec_id") < NCentroids),
+        queries, TopK, NProbe)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      bf.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
+    }),
+
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
 
@@ -336,6 +350,42 @@ object OpsQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
+
+    "ann_ivf_recall" ->
+      s"""$embCte, bf AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |  QUALIFY rank <= ${TopK}
+         |), cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < ${NCentroids}
+         |), assign AS (
+         |  SELECT vec_id, v, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN cent
+         |  QUALIFY crank = 1
+         |), probes AS (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, centroid_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${cosSql("q.v", "cv")} DESC, centroid_id ASC) AS prank
+         |  FROM e q CROSS JOIN cent WHERE q.vec_id % 100 = 0
+         |  QUALIFY prank <= ${NProbe}
+         |), ivf AS (
+         |  SELECT query_id, a.vec_id, 1 AS hit,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE a.vec_id <> p.query_id
+         |  QUALIFY rank <= ${TopK}
+         |)
+         |SELECT bf.query_id,
+         |       coalesce(sum(ivf.hit), 0) / ${TopK}.0 AS recall
+         |FROM bf LEFT JOIN ivf
+         |  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "emb_normalize_quantize" ->
       s"""$embCte
