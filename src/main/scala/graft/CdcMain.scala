@@ -12,25 +12,34 @@ import org.apache.spark.sql.streaming.Trigger
   *   runMain graft.CdcMain <config.json> [--once]
   *
   * Dispatches on `database_config.type` (postgres envelope path vs mongodb
-  * extended-JSON path), wires the file-based changelog source, snapshot
-  * store, schema cache and checkpoint from the config, and supervises the
-  * query: when the config file changes on disk (T3 hot reload) the query is
-  * stopped and recreated with the new settings. `--once` processes the
-  * available backlog (Trigger.AvailableNow) and exits — the testable mode;
-  * without it the stream runs on the configured processing-time trigger
-  * until interrupted (shutdown hook drains the in-flight batch, T4).
+  * extended-JSON path; anything else is rejected, ref validation
+  * config_manager.py:107-128), wires the file-based changelog source,
+  * snapshot store, schema cache and checkpoint from the config, and
+  * supervises the query: config changes restart it with the new settings
+  * (a torn/bad config file is skipped and the stream keeps running — ref
+  * keeps the previous config on a bad reload), and a failed or terminated
+  * query is recreated. `--once` processes the available backlog
+  * (Trigger.AvailableNow) and exits. The shutdown hook drains the
+  * in-flight batch (T4).
+  *
+  * Parity notes: `processing_config.batch_size` is accepted but unused —
+  * the reference declares it and never reads it (config.json:25);
+  * `kafka_config.fail_on_data_loss` has no analogue on the file source
+  * stand-in (no offsets can be lost).
   */
 object CdcMain {
   def main(args: Array[String]): Unit = {
-    val configPath = args.headOption.getOrElse(
+    val configPath = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       sys.error("usage: CdcMain <config.json> [--once]"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(configPath)))
+      sys.error(s"config not found: $configPath")
     val once = args.contains("--once")
     val cm = new ConfigManager(configPath)
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var running = true
-    var active: Option[(AnyRef, org.apache.spark.sql.streaming.StreamingQuery)] = None
+    @volatile var active: Option[(AnyRef, org.apache.spark.sql.streaming.StreamingQuery)] = None
 
     def makeStream(cfg: CdcConfig): (AnyRef, org.apache.spark.sql.streaming.StreamingQuery) = {
       val store = new SnapshotStore(cfg.outputPath, spark)
@@ -39,15 +48,18 @@ object CdcMain {
         else Trigger.ProcessingTime(cfg.processTime)
       val source = CdcStream.fileSource(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
       cfg.databaseType match {
-        case "mongodb" =>
+        case "mongodb" | "mongo" =>
           val s = new MongoCdcStream(spark, source, store, cfg.keyColumn,
             cfg.checkpointDir, cfg.columnsToSave, trigger = trigger)
           (s, s.start())
-        case _ =>
+        case "postgres" | "postgresql" =>
           val s = new CdcStream(spark, source, store, cfg.keyColumn,
             cfg.schemaCacheDir, cfg.checkpointDir, cfg.columnsToSave,
             trigger = trigger)
           (s, s.start())
+        case other =>
+          sys.error(s"unsupported database_config.type: '$other' " +
+            "(expected postgres or mongodb)")
       }
     }
 
@@ -59,17 +71,37 @@ object CdcMain {
 
     sys.addShutdownHook { running = false; stopActive() }
 
-    active = Some(makeStream(cm.config))
+    var currentCfg = cm.config // validated before first start; may throw: fine
+    active = Some(makeStream(currentCfg))
     if (once) {
       active.foreach(_._2.awaitTermination())
     } else {
-      // supervision loop: poll for termination and config changes
+      // supervision loop: survive query failures, recreate terminated
+      // queries, restart on (valid) config changes
       while (running) {
-        active.foreach(_._2.awaitTermination(2000))
+        try active.foreach(_._2.awaitTermination(2000))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[cdc-main] query failed: ${e.getMessage}; restarting")
+        }
+        if (running && active.exists(!_._2.isActive)) {
+          Thread.sleep(1000) // backoff so a crash-looping query can't spin hot
+          scala.util.Try(makeStream(currentCfg)) match {
+            case scala.util.Success(s) => active = Some(s)
+            case scala.util.Failure(e) =>
+              System.err.println(s"[cdc-main] restart failed: ${e.getMessage}")
+          }
+        }
         if (running && cm.changed()) {
-          println(s"[cdc-main] config changed; restarting query")
-          stopActive()
-          active = Some(makeStream(cm.config))
+          // ConfigManager keeps the previous config on a torn/bad file;
+          // only a config that actually parsed differently restarts the query
+          val cfg = cm.config
+          if (cfg != currentCfg) {
+            println("[cdc-main] config changed; restarting query")
+            stopActive()
+            currentCfg = cfg
+            active = Some(makeStream(cfg))
+          }
         }
       }
     }

@@ -131,8 +131,9 @@ object Dedup {
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("key")))
     // the collision join and pair-dedup carry only (doc ids, band key);
-    // signatures re-attach afterwards from the (small, broadcast) signature
-    // table, keeping the 32-char strings out of the heavy shuffle
+    // signatures re-attach afterwards from the signature table — no
+    // broadcast hint: sig is corpus-sized (one row per doc), so AQE picks
+    // broadcast only while it actually fits, shuffled hash join beyond
     val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val pairs = exploded.as("a")
@@ -143,10 +144,10 @@ object Dedup {
       .distinct()
     val sigs = sig.select(col("doc_id"), col("simhash"))
     val withSig = pairs
-      .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("simhash", "sa")), Seq("doc_a"))
-      .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("simhash", "sb")), Seq("doc_b"))
+      .join(sigs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("simhash", "sa"), Seq("doc_a"))
+      .join(sigs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("simhash", "sb"), Seq("doc_b"))
     val hamming = (1 to 32).map(i =>
       when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)

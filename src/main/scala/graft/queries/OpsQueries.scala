@@ -182,6 +182,27 @@ object OpsQueries {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** Shared IVF structure (centroids, assignment, query probes) — used by
+    * both the top-k oracle and the recall oracle so the index definition
+    * can never drift between them.
+    */
+  private lazy val ivfCtes =
+    s""", cent AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < ${NCentroids}
+       |), assign AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS crank
+       |  FROM e CROSS JOIN cent
+       |  QUALIFY crank = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, centroid_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY ${cosSql("q.v", "cv")} DESC, centroid_id ASC) AS prank
+       |  FROM e q CROSS JOIN cent WHERE q.vec_id % 100 = 0
+       |  QUALIFY prank <= ${NProbe}
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_token_stats" ->
       """SELECT doc_id, len(string_split_regex(lower(text), '\s+')) AS n_tokens,
@@ -322,21 +343,7 @@ object OpsQueries {
          |QUALIFY rank <= ${TopK}""".stripMargin,
 
     "ann_ivf_topk" ->
-      s"""$embCte, cent AS (
-         |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < ${NCentroids}
-         |), assign AS (
-         |  SELECT vec_id, v, centroid_id,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS crank
-         |  FROM e CROSS JOIN cent
-         |  QUALIFY crank = 1
-         |), probes AS (
-         |  SELECT q.vec_id AS query_id, q.v AS qv, centroid_id,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY ${cosSql("q.v", "cv")} DESC, centroid_id ASC) AS prank
-         |  FROM e q CROSS JOIN cent WHERE q.vec_id % 100 = 0
-         |  QUALIFY prank <= ${NProbe}
-         |)
+      s"""$embCte$ivfCtes
          |SELECT query_id, a.vec_id,
          |       row_number() OVER (PARTITION BY query_id
          |                          ORDER BY ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) AS rank,
@@ -352,27 +359,13 @@ object OpsQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
 
     "ann_ivf_recall" ->
-      s"""$embCte, bf AS (
+      s"""$embCte$ivfCtes, bf AS (
          |  SELECT q.vec_id AS query_id, c.vec_id,
          |         row_number() OVER (PARTITION BY q.vec_id
          |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
          |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0
          |  QUALIFY rank <= ${TopK}
-         |), cent AS (
-         |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < ${NCentroids}
-         |), assign AS (
-         |  SELECT vec_id, v, centroid_id,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS crank
-         |  FROM e CROSS JOIN cent
-         |  QUALIFY crank = 1
-         |), probes AS (
-         |  SELECT q.vec_id AS query_id, q.v AS qv, centroid_id,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY ${cosSql("q.v", "cv")} DESC, centroid_id ASC) AS prank
-         |  FROM e q CROSS JOIN cent WHERE q.vec_id % 100 = 0
-         |  QUALIFY prank <= ${NProbe}
          |), ivf AS (
          |  SELECT query_id, a.vec_id, 1 AS hit,
          |         row_number() OVER (PARTITION BY query_id

@@ -44,12 +44,22 @@ final class ConfigManager(path: String) {
   @volatile private var lastMtime: Long = -1L
   @volatile private var cached: CdcConfig = CdcConfig.Default
 
-  /** Current config; re-parses only when the file's mtime changed. */
+  /** Current config; re-parses only when the file's mtime changed. A file
+    * that fails to parse (torn write, bad JSON) is skipped and the previous
+    * config stays in effect (ref: config_manager.py keeps the prior config
+    * on a bad reload).
+    */
   def config: CdcConfig = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
       val m = Files.getLastModifiedTime(p).toMillis
-      if (m != lastMtime) { cached = parse(Files.readString(p)); lastMtime = m }
+      if (m != lastMtime) {
+        try cached = parse(Files.readString(p))
+        catch { case e: Exception =>
+          System.err.println(s"[config] ignoring unparseable $path: ${e.getMessage}")
+        }
+        lastMtime = m // bad version is skipped either way
+      }
     }
     cached
   }

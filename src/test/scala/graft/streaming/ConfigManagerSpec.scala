@@ -44,6 +44,19 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(!cm.changed())
   }
 
+  test("a torn/bad config file keeps the previous config in effect") {
+    val dir = Files.createTempDirectory("cfgbad")
+    val p = Paths.get(dir.toString, "config.json")
+    Files.writeString(p, """{"processing_config": {"process_time": "10 seconds"}}""")
+    val cm = new ConfigManager(p.toString)
+    assert(cm.config.processTime == "10 seconds")
+    Files.writeString(p, """{"processing_config": {"proc""") // torn write
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(cm.config.processTime == "10 seconds") // previous kept
+    assert(!cm.changed()) // bad version consumed, no restart storm
+  }
+
   test("cron trigger periods: the reference's every-N-minute shapes") {
     assert(CronTrigger.periodSeconds("* * * * *") == 60)
     assert(CronTrigger.periodSeconds("*/5 * * * *") == 300)
