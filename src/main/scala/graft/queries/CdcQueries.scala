@@ -150,12 +150,15 @@ object CdcQueries {
 
     "cdc_window_tumbling" -> ((s, dir) => {
       // W1/W2: tumbling event-time windows over the events stream table
-      // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183).
+      // (ref: archive/streaming_from_kafka_to_minio_2.py:177-183), through
+      // the same Windows operator the streaming path uses.
       val ev = events(s, dir)
-      ev.withColumn("t", timestamp_millis(expr("ts DIV 1000000")))
-        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(unix_millis(col("w.start")).as("window_start"),
+      graft.streaming.Windows.tumblingAgg(ev,
+        eventTime = timestamp_millis(expr("ts DIV 1000000")),
+        windowLength = "1 hour", watermarkDelay = None,
+        groupCols = Seq(col("event_type")),
+        aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
     }))
 
