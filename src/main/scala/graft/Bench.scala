@@ -23,15 +23,18 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // teardown outside the timed span
-        elapsed
+        if (ok) elapsed else -1.0 // sentinel: a failed run must not read as fast
       }
-      name -> times.min
+      val good = times.filter(_ >= 0.0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,6 +28,8 @@ import org.apache.spark.sql.streaming.Trigger
   * stand-in (no offsets can be lost).
   */
 object CdcMain {
+  private val ValidDbTypes = Set("mongodb", "mongo", "postgres", "postgresql")
+
   def main(args: Array[String]): Unit = {
     val configPath = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       sys.error("usage: CdcMain <config.json> [--once]"))
@@ -97,10 +99,27 @@ object CdcMain {
           // only a config that actually parsed differently restarts the query
           val cfg = cm.config
           if (cfg != currentCfg) {
-            println("[cdc-main] config changed; restarting query")
-            stopActive()
-            currentCfg = cfg
-            active = Some(makeStream(cfg))
+            // a config that parses but is semantically invalid must not take
+            // down the running stream (ref keeps prior config on bad reload)
+            if (!ValidDbTypes.contains(cfg.databaseType)) {
+              System.err.println("[cdc-main] ignoring config change: " +
+                s"unsupported database_config.type '${cfg.databaseType}'")
+            } else {
+              println("[cdc-main] config changed; restarting query")
+              stopActive()
+              scala.util.Try(makeStream(cfg)) match {
+                case scala.util.Success(s) =>
+                  currentCfg = cfg
+                  active = Some(s)
+                case scala.util.Failure(e) =>
+                  System.err.println("[cdc-main] new config failed to start: " +
+                    s"${e.getMessage}; reverting to previous config")
+                  // currentCfg untouched; if the revert fails too the
+                  // supervision loop above keeps retrying it with backoff
+                  scala.util.Try(makeStream(currentCfg))
+                    .foreach(s => active = Some(s))
+              }
+            }
           }
         }
       }

@@ -30,10 +30,24 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
   private val manifestFile = Paths.get(root, "manifest.json")
   private val mapper = new ObjectMapper()
 
-  /** Bucket id expression for a key column (consistent hash, non-negative). */
-  def bucketOf(key: Column): Column = pmod(hash(key), lit(numBuckets))
+  /** Bucket count actually in effect: an existing store's manifest wins over
+    * the constructor argument — reopening with a different count would hash
+    * keys into the wrong buckets and merge against the wrong files.
+    */
+  lazy val effectiveBuckets: Int = current.map(_.numBuckets) match {
+    case Some(stored) =>
+      if (stored != numBuckets)
+        System.err.println(s"[bucketed-store] $root was created with $stored " +
+          s"buckets; adopting it (constructor asked for $numBuckets)")
+      stored
+    case None => numBuckets
+  }
 
-  final case class Manifest(batchId: Long, streamId: String, buckets: Map[Int, Long])
+  /** Bucket id expression for a key column (consistent hash, non-negative). */
+  def bucketOf(key: Column): Column = pmod(hash(key), lit(effectiveBuckets))
+
+  final case class Manifest(batchId: Long, streamId: String, buckets: Map[Int, Long],
+                            numBuckets: Int)
 
   def current: Option[Manifest] =
     if (!Files.exists(manifestFile)) None
@@ -42,7 +56,9 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
       val buckets = rootNode.path("buckets").properties().asScala
         .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
       Some(Manifest(rootNode.path("batchId").asLong(),
-        rootNode.path("streamId").asText("default"), buckets))
+        rootNode.path("streamId").asText("default"), buckets,
+        // manifests written before numBuckets was recorded: trust the caller
+        rootNode.path("numBuckets").asInt(numBuckets)))
     }
 
   def exists: Boolean = current.isDefined
@@ -116,6 +132,7 @@ final class BucketedSnapshotStore(val root: String, spark: SparkSession,
     val node = mapper.createObjectNode()
     node.put("batchId", batchId)
     node.put("streamId", streamId)
+    node.put("numBuckets", effectiveBuckets)
     val bn = mapper.createObjectNode()
     newBuckets.toSeq.sortBy(_._1).foreach { case (b, v) => bn.put(b.toString, v) }
     node.set[com.fasterxml.jackson.databind.node.ObjectNode]("buckets", bn)

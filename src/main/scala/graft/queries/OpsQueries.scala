@@ -91,9 +91,15 @@ object OpsQueries {
       Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
 
     "emb_normalize_quantize" -> ((s, dir) =>
-      embs(s, dir).select(col("vec_id"),
-        Similarity.l2Normalize(col("embedding")).as("unit"),
-        Similarity.quantizeInt8(Similarity.l2Normalize(col("embedding"))).as("q8"))),
+      // scalar-per-row shape (vec_id, idx, unit_val, q8_val): the driver's
+      // pandas-based compare can't hash array cells, so the unit vector is
+      // exploded; q8 is recomputed per element with the same floor(x*127+.5)
+      // arithmetic as Similarity.quantizeInt8.
+      embs(s, dir)
+        .select(col("vec_id"), Similarity.l2Normalize(col("embedding")).as("unit"))
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("idx", "unit_val")))
+        .select(col("vec_id"), col("idx").cast("long").as("idx"), col("unit_val"),
+          floor(col("unit_val") * lit(127.0) + lit(0.5)).cast("long").as("q8_val"))),
 
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.assetsFromDocuments(docs(s, dir))).toDF()),
@@ -381,14 +387,17 @@ object OpsQueries {
          |GROUP BY 1""".stripMargin,
 
     "emb_normalize_quantize" ->
-      s"""$embCte
-         |SELECT vec_id,
-         |  CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0 THEN [0.0 FOR x IN v]
-         |       ELSE [x / sqrt(${dotSql("v", "v")}) FOR x IN v] END AS unit,
-         |  [CAST(floor(u * 127.0 + 0.5) AS INT)
-         |   FOR u IN (CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0 THEN [0.0 FOR x IN v]
-         |                  ELSE [x / sqrt(${dotSql("v", "v")}) FOR x IN v] END)] AS q8
-         |FROM e""".stripMargin,
+      s"""$embCte, unit AS (
+         |  SELECT vec_id,
+         |    CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0 THEN [0.0 FOR x IN v]
+         |         ELSE [x / sqrt(${dotSql("v", "v")}) FOR x IN v] END AS u
+         |  FROM e
+         |), ex AS (
+         |  SELECT vec_id, u, unnest(range(len(u))) AS idx FROM unit
+         |)
+         |SELECT vec_id, idx, u[idx + 1] AS unit_val,
+         |       CAST(floor(u[idx + 1] * 127.0 + 0.5) AS BIGINT) AS q8_val
+         |FROM ex""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id AS asset_id,

@@ -41,36 +41,50 @@ object CdcConfig {
 }
 
 final class ConfigManager(path: String) {
-  @volatile private var lastMtime: Long = -1L
+  // Content-hash change detection: mtime alone misses a second write landing
+  // in the same millisecond (or a tool preserving mtime), and a failed parse
+  // must not mask a later distinct write.
+  @volatile private var lastParsedHash: String = ""
+  @volatile private var lastFailedHash: String = ""
   @volatile private var cached: CdcConfig = CdcConfig.Default
 
-  /** Current config; re-parses only when the file's mtime changed. A file
+  private def readWithHash(): Option[(String, String)] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else {
+      val content = Files.readString(p)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      Some((content, hash))
+    }
+  }
+
+  /** Current config; re-parses only when the file's content changed. A file
     * that fails to parse (torn write, bad JSON) is skipped and the previous
     * config stays in effect (ref: config_manager.py keeps the prior config
     * on a bad reload).
     */
   def config: CdcConfig = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      val m = Files.getLastModifiedTime(p).toMillis
-      if (m != lastMtime) {
-        try cached = parse(Files.readString(p))
+    readWithHash().foreach { case (content, hash) =>
+      if (hash != lastParsedHash && hash != lastFailedHash) {
+        try { cached = parse(content); lastParsedHash = hash; lastFailedHash = "" }
         catch { case e: Exception =>
           System.err.println(s"[config] ignoring unparseable $path: ${e.getMessage}")
+          lastFailedHash = hash // remember the bad content so a fixed rewrite registers
         }
-        lastMtime = m // bad version is skipped either way
       }
     }
     cached
   }
 
-  /** True when the file changed since the previous `config` call — the
+  /** True when the file holds content not yet seen by `config` — the
     * query-restart signal (ref: cdc_stream.py:954-966 restart flag).
     */
-  def changed(): Boolean = {
-    val p = Paths.get(path)
-    Files.exists(p) && Files.getLastModifiedTime(p).toMillis != lastMtime
-  }
+  def changed(): Boolean =
+    readWithHash().exists { case (_, hash) =>
+      hash != lastParsedHash && hash != lastFailedHash
+    }
 
   private[streaming] def parse(json: String): CdcConfig = {
     val root = new ObjectMapper().readTree(json)

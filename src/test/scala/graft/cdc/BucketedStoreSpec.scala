@@ -104,6 +104,24 @@ class BucketedStoreSpec extends SparkSpec {
     assert(st.read().get.select("name").collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
+  test("reopening with a different bucket count adopts the stored one") {
+    val root = Files.createTempDirectory("bstnb").toString
+    val st = new BucketedSnapshotStore(root, spark, 8)
+    BucketedMerge.applyBatch(spark, st,
+      netDf((0 until 16).map(i => (i.toLong, "c", s"v$i", 100L)): _*),
+      "id", fieldTypes, 0)
+    assert(st.current.get.numBuckets == 8)
+    // reopen claiming 4 buckets: manifest must win, or selective merges
+    // would hash keys into the wrong buckets
+    val reopened = new BucketedSnapshotStore(root, spark, 4)
+    assert(reopened.effectiveBuckets == 8)
+    BucketedMerge.applyBatch(spark, reopened, netDf((7L, "u", "v7b", 200)),
+      "id", fieldTypes, 1)
+    assert(reopened.current.get.numBuckets == 8)
+    val rows = reopened.read().get.select("id", "name").collect().toSet
+    assert(rows.size == 16 && rows.contains(Row(7L, "v7b")))
+  }
+
   test("matches the flat-store merge result on a random changelog") {
     val rnd = new scala.util.Random(7)
     val ops = (1 to 120).map { i =>

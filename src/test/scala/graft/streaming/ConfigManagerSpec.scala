@@ -29,7 +29,7 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(parsed.outputPath == "/data/out" && parsed.databaseType == "mongodb")
   }
 
-  test("hot reload: config re-parses only when mtime changes") {
+  test("hot reload: config re-parses when the content changes") {
     val dir = Files.createTempDirectory("cfg")
     val p = Paths.get(dir.toString, "config.json")
     Files.writeString(p, """{"processing_config": {"process_time": "10 seconds"}}""")
@@ -42,6 +42,36 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(cm.changed())
     assert(cm.config.processTime == "20 seconds")
     assert(!cm.changed())
+  }
+
+  test("hot reload: a rewrite that preserves mtime is still detected") {
+    val dir = Files.createTempDirectory("cfgmt")
+    val p = Paths.get(dir.toString, "config.json")
+    Files.writeString(p, """{"processing_config": {"process_time": "10 seconds"}}""")
+    val cm = new ConfigManager(p.toString)
+    assert(cm.config.processTime == "10 seconds")
+    val mtime = Files.getLastModifiedTime(p)
+    Files.writeString(p, """{"processing_config": {"process_time": "20 seconds"}}""")
+    Files.setLastModifiedTime(p, mtime) // same-millisecond second write
+    assert(cm.changed())
+    assert(cm.config.processTime == "20 seconds")
+  }
+
+  test("hot reload: a fixed rewrite after a torn write registers") {
+    val dir = Files.createTempDirectory("cfgfix")
+    val p = Paths.get(dir.toString, "config.json")
+    Files.writeString(p, """{"processing_config": {"process_time": "10 seconds"}}""")
+    val cm = new ConfigManager(p.toString)
+    assert(cm.config.processTime == "10 seconds")
+    val mtime = Files.getLastModifiedTime(p)
+    Files.writeString(p, """{"processing_config": {"proc""") // torn write
+    Files.setLastModifiedTime(p, mtime)
+    assert(cm.config.processTime == "10 seconds") // previous kept
+    assert(!cm.changed()) // bad content consumed, no restart storm
+    Files.writeString(p, """{"processing_config": {"process_time": "30 seconds"}}""")
+    Files.setLastModifiedTime(p, mtime) // repaired in the same millisecond
+    assert(cm.changed())
+    assert(cm.config.processTime == "30 seconds")
   }
 
   test("a torn/bad config file keeps the previous config in effect") {
