@@ -9,19 +9,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style warmup at the smallest SF: pays JVM/codegen JIT cost once so
-    // the timed runs measure the query plans, not classloading.
-    val warmDir = "/root/testdata/sf0.001"
+    // JMH-style warmup at a smaller SF: pays JVM/codegen JIT cost once so
+    // the timed runs measure the query plans, not classloading. sf0.01 (not
+    // sf0.001) so hot loops actually reach C2 compilation thresholds.
+    val warmDir = "/root/testdata/sf0.01"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
     spark.catalog.clearCache() // timed runs build their own state
-    // best-of-2 per query: the first timed run still pays residual JIT for
-    // sf-specific plan shapes, and this VM shows run-to-run noise
+    // best-of-3 per query: the first timed run still pays residual JIT for
+    // sf-specific plan shapes, and this VM shows heavy run-to-run noise
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
