@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training pipelines: deterministic
+  * train/val/test splits and token-budget sequence packing. Both are pure
+  * per-row / per-shard-window transforms — no global coordination, no
+  * driver state — so they hold their shape at 100 TB.
+  */
+object Pipeline {
+
+  /** Deterministic hash split on an id column: first hex char of md5(id)
+    * routes 'c','d' -> val (2/16), 'e','f' -> test (2/16), rest -> train
+    * (12/16 = 75%). Stable across runs, engines, and partitionings — the
+    * property a split must have so later pipeline stages can recompute
+    * membership instead of persisting it.
+    */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    df.withColumn("split",
+      when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train"))
+  }
+
+  /** Token-budget sequence packing: shard = id mod `nShards`; within a
+    * shard, docs pack in id order into bins of `budget` tokens (bin id =
+    * tokens-before-this-doc DIV budget — contiguous greedy packing). The
+    * per-shard running sum is one window over a `nShards`-way hash
+    * partition; shard count scales the parallelism independently of data
+    * size, exactly how distributed LLM-data packing is sharded in practice.
+    */
+  def packSequences(docs: DataFrame, nShards: Int, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("bin_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget)).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "bin_id")
+  }
+}

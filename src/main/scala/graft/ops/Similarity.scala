@@ -103,6 +103,54 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** Random-hyperplane LSH signature: bit i = (dot(emb, plane_i) >= 0),
+    * rendered as a bit string. With planes drawn from the corpus itself the
+    * signature is fully deterministic and reproducible by an external engine.
+    */
+  def rhpSignature(emb: Column, planes: Seq[Array[Float]]): Column =
+    concat(planes.map { p =>
+      val pl = array(p.map(x => lit(x.toDouble)): _*)
+      when(dot(emb, pl) >= 0.0, "1").otherwise("0")
+    }: _*)
+
+  /** Random-hyperplane LSH approximate top-k — the second scale path next to
+    * IVF: corpus and queries get `planes.size`-bit signatures (a pure per-row
+    * projection, no shuffle), candidates are pairs sharing any
+    * `bandBits`-bit signature band, and only candidates are exactly reranked.
+    * The band join shuffles (id, band key) rows; embeddings re-attach to the
+    * deduped candidate ids afterwards, so vectors never ride the collision
+    * shuffle.
+    */
+  def rhpTopK(corpus: DataFrame, planes: Seq[Array[Float]], queries: DataFrame,
+              k: Int, bandBits: Int = 4): DataFrame = {
+    val nBands = planes.size / bandBits
+    def bandArr = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("sig"), b * bandBits + 1, bandBits).as("key"))): _*)
+    val cBands = corpus
+      .withColumn("sig", rhpSignature(col("embedding"), planes))
+      .select(col("vec_id"), explode(bandArr).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val qBands = queries
+      .withColumn("sig", rhpSignature(col("embedding"), planes))
+      .select(col("vec_id").as("query_id"), explode(bandArr).as("bk"))
+      .select(col("query_id"), col("bk.band"), col("bk.key"))
+    val candIds = cBands.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val cands = candIds
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
   /** L2-normalize an embedding (unit vector, double precision) — the
     * standard pre-step that turns cosine search into dot-product search.
     * Zero vectors pass through as zeros (no ANSI divide-by-zero).

@@ -121,6 +121,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Per-document top-k TF-IDF terms: tf = term count in doc, idf =
+    * ln(n_docs / df). Two keyed aggregations (doc-term tf, term df) and one
+    * per-doc top-k window — the standard keyword-extraction shape. Scores
+    * round to 6 decimals BEFORE ranking (same `ln` cross-engine rule as
+    * [[bm25]]).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
+
   /** Canonical normalized form + content fingerprint (md5 of the normalized
     * text) — the exact-dedup key and audit fingerprint.
     */

@@ -140,6 +140,21 @@ object CdcQueries {
           expr("max(ts) DIV 1000000").as("end_ms"))
     }),
 
+    "events_asof_join" -> ((s, dir) => {
+      // as-of join (backward): each click event picks up the user's most
+      // recent prior-or-equal purchase value. Right side pre-deduped to
+      // (user_id, ts) -> max(value) for deterministic ties.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("last_purchase_value"))
+      graft.ops.AsofJoin.backward(clicks, purchases,
+          Seq("user_id"), "ts", Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000000").as("ts_ms"), col("last_purchase_value"))
+    }),
+
     "cdc_props_extract" -> ((s, dir) => {
       // F2 on real data: JSON-path extraction from the events props column
       // + a grouped count over the extracted value
@@ -239,6 +254,18 @@ object CdcQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+        |       p.last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "cdc_props_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -27,6 +27,11 @@ object OpsQueries {
   val TopK = 10
   val NProbe = 2
   val NCentroids = 8
+  val PlaneBase = 8   // RHP-LSH hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes)
+  val NPlanes = 16
+  val PackShards = 32
+  val PackBudget = 256
+  val TfidfK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
@@ -86,6 +91,26 @@ object OpsQueries {
         .groupBy("query_id")
         .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
     }),
+
+    "ann_rhp_topk" -> ((s, dir) => {
+      // random-hyperplane LSH: second ANN scale path (signature projection +
+      // band-collision candidates + exact rerank)
+      val e = embs(s, dir)
+      val planes = e.filter(col("vec_id") >= PlaneBase &&
+          col("vec_id") < PlaneBase + NPlanes)
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+      Similarity.rhpTopK(e, planes, e.filter(col("vec_id") % 100 === 0), TopK)
+    }),
+
+    "pipeline_split" -> ((s, dir) =>
+      Pipeline.hashSplit(docs(s, dir), "doc_id").select("doc_id", "split")),
+
+    "pipeline_pack" -> ((s, dir) =>
+      Pipeline.packSequences(docs(s, dir), PackShards, PackBudget)),
+
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), TfidfK)),
 
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
@@ -357,6 +382,66 @@ object OpsQueries {
          |FROM probes p JOIN assign a USING (centroid_id)
          |WHERE a.vec_id <> p.query_id
          |QUALIFY rank <= ${TopK}""".stripMargin,
+
+    "ann_rhp_topk" ->
+      s"""$embCte, planes AS (
+         |  SELECT vec_id - ${PlaneBase} AS pid, v AS pv FROM e
+         |  WHERE vec_id >= ${PlaneBase} AND vec_id < ${PlaneBase + NPlanes}
+         |), sig AS (
+         |  SELECT e.vec_id,
+         |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
+         |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
+         |  FROM e CROSS JOIN planes GROUP BY e.vec_id
+         |), bands AS (
+         |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM bands q JOIN bands c
+         |    ON q.band = c.band AND q.key = c.key AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |)
+         |SELECT query_id, cand.vec_id,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY ${cosSql("qe.v", "ce.v")} DESC, cand.vec_id ASC) AS rank,
+         |       ${cosSql("qe.v", "ce.v")} AS cos
+         |FROM cand
+         |JOIN e qe ON qe.vec_id = cand.query_id
+         |JOIN e ce ON ce.vec_id = cand.vec_id
+         |QUALIFY rank <= ${TopK}""".stripMargin,
+
+    "pipeline_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "pipeline_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % ${PackShards} AS shard,
+         |         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n_tokens) / ${PackBudget})
+         |            AS BIGINT) AS bin_id
+         |FROM t""".stripMargin,
+
+    "text_tfidf_topk" ->
+      s"""$toksCte, tt AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tt WHERE term <> '' GROUP BY 1, 2
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, round(tf * ln(n_docs / df), 6) AS score,
+         |       row_number() OVER (PARTITION BY doc_id
+         |                          ORDER BY round(tf * ln(n_docs / df), 6) DESC, term ASC) AS rank
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |QUALIFY rank <= ${TfidfK}""".stripMargin,
 
     "emb_near_dup" ->
       s"""$embCte

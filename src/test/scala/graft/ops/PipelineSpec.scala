@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split is deterministic, total, and roughly 75/12.5/12.5") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Pipeline.hashSplit(docs, "doc_id")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 650 && counts("train") < 850)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // deterministic: recompute matches
+    val again = Pipeline.hashSplit(docs, "doc_id")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("sequence packing: bins respect the running token budget per shard") {
+    val docs = (0L until 64L).map(i => (i, Seq.fill(10)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pipeline.packSequences(docs, nShards = 4, budget = 25)
+    // every doc has 10 tokens; shard = doc_id % 4 -> 16 docs/shard;
+    // bin boundaries at cumulative-before DIV 25: docs 0,1,2 -> bins 0,0,0
+    // (0,10,20), doc 3 -> bin 1 (30), ...
+    val byShard = out.collect().groupBy(_.getLong(1))
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L))
+    byShard.values.foreach { rows =>
+      val bins = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(bins == Seq(0, 0, 0, 1, 1, 2, 2, 2, 3, 3, 4, 4, 4, 5, 5, 6))
+    }
+    // n_tokens is exact
+    assert(out.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(10L))
+  }
+
+  test("tfidf top-k ranks rare terms above common ones") {
+    val docs = Seq(
+      (0L, "apple banana banana common"),
+      (1L, "apple common common zebra"),
+      (2L, "common plain words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, 2)
+    // doc 0: banana (tf=2, df=1) must outrank common (df=3, idf=0)
+    val doc0 = out.filter(col("doc_id") === 0).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    assert(doc0.head == "banana")
+    assert(!doc0.contains("common")) // idf 0 -> score 0 ranks last
+    // every doc gets at most k rows, ranks start at 1
+    val perDoc = out.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(_ <= 2))
+    assert(out.filter(col("rank") === 1).count() == 3)
+  }
+
+  test("rhp lsh top-k finds the exact duplicate of a query") {
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f), // the 4 planes
+      100L -> Seq(0.9f, 0.1f, 0f, 0f), 101L -> Seq(0.9f, 0.1f, 0f, 0f),
+      102L -> Seq(-0.9f, 0.2f, 0f, 0f))
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val planes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val out = Similarity.rhpTopK(vecs, planes,
+      vecs.filter(col("vec_id") === 100), k = 3, bandBits = 1)
+    val top = out.orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 101L) // identical vector ranks first
+    assert(!top.contains(100L)) // self excluded
+  }
+}
