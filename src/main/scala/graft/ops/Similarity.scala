@@ -168,6 +168,39 @@ object Similarity {
   def quantizeInt8(a: Column): Column =
     transform(a, x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("int"))
 
+  /** Label-free near-duplicate pairs via RHP-LSH blocking: pairs sharing any
+    * signature band are exactly verified by cosine. No labels, no clustering
+    * pre-pass — the blocking structure comes from the data itself, which is
+    * the realistic unsupervised setting at corpus scale. Recall covers any
+    * pair differing in fewer than `nBands` sign bits (pigeonhole); precision
+    * is exact (candidates are verified).
+    */
+  def nearDupPairsLsh(corpus: DataFrame, planes: Seq[Array[Float]],
+                      threshold: Double, bandBits: Int = 4): DataFrame = {
+    val nBands = planes.size / bandBits
+    def bandArr = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("sig"), b * bandBits + 1, bandBits).as("key"))): _*)
+    val bands = corpus
+      .withColumn("sig", rhpSignature(col("embedding"), planes))
+      .select(col("vec_id"), explode(bandArr).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    // ids-only collision join + pair dedup; embeddings re-attach after
+    val candIds = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    candIds
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs with blocking: only pairs inside
     * the same block (here: a cluster/label id) are compared — the standard
     * way to keep near-dup detection sub-quadratic at corpus scale.

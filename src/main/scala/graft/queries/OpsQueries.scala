@@ -29,6 +29,7 @@ object OpsQueries {
   val NCentroids = 8
   val PlaneBase = 8   // RHP-LSH hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes)
   val NPlanes = 16
+  val NearDupLshThreshold = 0.3 // higher bar than label blocking: LSH candidates skew similar
   val PackShards = 32
   val PackBudget = 256
   val TfidfK = 5
@@ -114,6 +115,16 @@ object OpsQueries {
 
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "label", NearDupThreshold)),
+
+    "emb_near_dup_lsh" -> ((s, dir) => {
+      // unsupervised variant: blocking from RHP-LSH bands instead of labels
+      val e = embs(s, dir)
+      val planes = e.filter(col("vec_id") >= PlaneBase &&
+          col("vec_id") < PlaneBase + NPlanes)
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+      Similarity.nearDupPairsLsh(e, planes, NearDupLshThreshold)
+    }),
 
     "emb_normalize_quantize" -> ((s, dir) =>
       // scalar-per-row shape (vec_id, idx, unit_val, q8_val): the driver's
@@ -448,6 +459,29 @@ object OpsQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
+
+    "emb_near_dup_lsh" ->
+      s"""$embCte, planes AS (
+         |  SELECT vec_id - ${PlaneBase} AS pid, v AS pv FROM e
+         |  WHERE vec_id >= ${PlaneBase} AND vec_id < ${PlaneBase + NPlanes}
+         |), sig AS (
+         |  SELECT e.vec_id,
+         |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
+         |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
+         |  FROM e CROSS JOIN planes GROUP BY e.vec_id
+         |), bands AS (
+         |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE ${cosSql("ea.v", "eb.v")} >= ${NearDupLshThreshold}""".stripMargin,
 
     "ann_ivf_recall" ->
       s"""$embCte$ivfCtes, bf AS (

@@ -53,6 +53,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("rank") === 1).count() == 3)
   }
 
+  test("lsh near-dup pairs: identical vectors found without labels, ordered a<b") {
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f),
+      100L -> Seq(0.9f, 0.1f, 0f, 0f), 101L -> Seq(0.9f, 0.1f, 0f, 0f),
+      102L -> Seq(0f, 0f, -1f, -1f))
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val planes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val out = Similarity.nearDupPairsLsh(vecs, planes, 0.99, bandBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((100L, 101L)))
+    assert(out.forall { case (a, b) => a < b })
+  }
+
   test("rhp lsh top-k finds the exact duplicate of a query") {
     val vecs = Seq(
       0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
