@@ -140,6 +140,21 @@ object CdcQueries {
           expr("max(ts) DIV 1000000").as("end_ms"))
     }),
 
+    "events_session_window" -> ((s, dir) => {
+      // built-in session_window form of sessionization (the streaming-native
+      // operator; Windows.sessionAgg is the same code path used in
+      // streaming). Merge rule pinned by WindowsSpec: diff <= gap merges.
+      val ev = events(s, dir)
+      graft.streaming.Windows.sessionAgg(ev,
+        eventTime = timestamp_millis(expr("ts DIV 1000000")),
+        gap = "30 minutes", watermarkDelay = None,
+        groupCols = Seq(col("user_id")),
+        aggs = Seq(count(lit(1)).as("n_events")))
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start"),
+          unix_millis(col("session_end")).as("session_end"), col("n_events"))
+    }),
+
     "events_asof_join" -> ((s, dir) => {
       // as-of join (backward): each click event picks up the user's most
       // recent prior-or-equal purchase value. Right side pre-deduped to
@@ -254,6 +269,23 @@ object CdcQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS tsm,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tsm,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM t
+        |)
+        |SELECT user_id, min(tsm) AS session_start,
+        |       max(tsm) + 1800000 AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (

@@ -34,4 +34,27 @@ object Windows {
       .withColumn("window_end", col("window.end"))
       .drop("window")
   }
+
+  /** Gap-based session windows via the built-in `session_window`: events of
+    * one group closer than `gap` merge into one session; the window closes
+    * (and, in streaming, its state evicts) once the watermark passes
+    * last-event-time + gap. The streaming-native form of sessionization —
+    * same semantics as the batch lag+running-sum formulation, but with
+    * incremental merge-on-arrival state instead of a full re-sort.
+    */
+  def sessionAgg(df: DataFrame, eventTime: Column, gap: String,
+                 watermarkDelay: Option[String], groupCols: Seq[Column],
+                 aggs: Seq[Column]): DataFrame = {
+    val withTime = df.withColumn("_event_time", eventTime)
+    val marked = watermarkDelay match {
+      case Some(d) => withTime.withWatermark("_event_time", d)
+      case None    => withTime
+    }
+    marked
+      .groupBy(session_window(col("_event_time"), gap) +: groupCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
 }

@@ -59,6 +59,28 @@ class OpsPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: as-of join matches the naive range-join + argmax") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 20L); v <- Gen.choose(0, 99)
+    } yield (k, ts, v.toDouble)
+    run(Prop.forAll(Gen.listOfN(12, rowGen), Gen.listOfN(8, rowGen)) { (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, ts, _), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      // right side unique per (k, ts): keep max v (the operator contract)
+      val rMap = rs.groupBy(t => (t._1, t._2)).map { case ((k, ts), g) =>
+        (k, ts, g.map(_._3).max) }.toSeq
+      val r = rMap.toDF("k", "ts", "v")
+      val got = AsofJoin.backward(l, r, Seq("k"), "ts", Seq("v"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+      val expected = ls.zipWithIndex.map { case ((k, ts, _), i) =>
+        val matches = rMap.filter(t => t._1 == k && t._2 <= ts)
+        i.toLong -> (if (matches.isEmpty) None
+                     else Some(matches.maxBy(_._2)._3.asInstanceOf[Any]))
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: minhash-verified output is a subset of the candidate set") {
     run(Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
