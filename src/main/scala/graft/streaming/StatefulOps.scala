@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via `flatMapGroupsWithState` — the escape hatch
+  * for per-key semantics no built-in operator expresses (SURVEY §2.10 has
+  * none in the reference; this is the Structured-Streaming-native tool the
+  * brief's streaming contract calls for).
+  *
+  * `dropStale` performs cross-batch stale-event suppression: per key, only
+  * events whose timestamp is >= the maximum already emitted pass (the same
+  * inclusive rule as the merge ts-guard T7, so a same-ts update still wins).
+  * The sink-side guard makes stale events harmless *at the sink*; this
+  * operator removes them mid-stream so every downstream stage sees a clean
+  * monotone-per-key feed.
+  *
+  * Scale: state is one Long per live key, partitioned by the group key in
+  * the state store (spillable, checkpointed); event-time timeout evicts
+  * keys idle past the watermark delay, bounding state size by the active
+  * key set, not the historical one. A late event arriving after its key's
+  * eviction passes through — and the sink ts-guard remains the backstop.
+  */
+object StatefulOps {
+
+  /** One keyed changelog event; `ts` is the event time (watermark column). */
+  final case class KeyedEvent(key: Long, ts: java.sql.Timestamp, payload: String)
+
+  def dropStale(events: Dataset[KeyedEvent], watermarkDelay: String): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: evict; sink ts-guard backstops late data
+            Iterator.empty
+          } else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = it.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+              if (e.ts.getTime >= last) { last = e.ts.getTime; Some(e) }
+              else None
+            }
+            state.update(last)
+            // evict once the watermark passes last-event + delay; in batch
+            // execution there is no watermark and the call throws — state
+            // dies with the job there, so eviction is moot
+            scala.util.Try(state.setTimeoutTimestamp(last, watermarkDelay))
+            out.iterator
+          }
+      }
+  }
+}

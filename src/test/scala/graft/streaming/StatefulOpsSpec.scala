@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulOps.KeyedEvent
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropStale suppresses cross-batch regressions, keeps same-ts updates") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val out = StatefulOps.dropStale(ms.toDS(), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("stale_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "v1"),
+        KeyedEvent(2L, ts("2024-01-01 00:05:00"), "w1"))
+      q.processAllAvailable()
+      ms.addData(
+        KeyedEvent(1L, ts("2024-01-01 00:01:00"), "stale"),   // < state: dropped
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "v1b"),     // == state: kept
+        KeyedEvent(1L, ts("2024-01-01 00:20:00"), "v2"),      // > state: kept
+        KeyedEvent(2L, ts("2024-01-01 00:04:00"), "stale2"))  // < state: dropped
+      q.processAllAvailable()
+      val got = spark.table("stale_test").as[KeyedEvent].collect()
+        .map(e => (e.key, e.payload)).toSet
+      assert(got == Set((1L, "v1"), (2L, "w1"), (1L, "v1b"), (1L, "v2")))
+    } finally q.stop()
+  }
+
+  test("dropStale orders within a batch: out-of-order arrivals don't drop the max") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val out = StatefulOps.dropStale(ms.toDS(), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("stale_order_test")
+      .outputMode("append").start()
+    try {
+      // arrival order 20, 10: the 10 is stale relative to the batch max only
+      // AFTER in-batch sorting; both pass because 10 sorts first
+      ms.addData(
+        KeyedEvent(1L, ts("2024-01-01 00:20:00"), "later"),
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "earlier"))
+      q.processAllAvailable()
+      val got = spark.table("stale_order_test").as[KeyedEvent].collect()
+        .map(_.payload).toSet
+      assert(got == Set("earlier", "later"))
+      // a following batch below the max is suppressed
+      ms.addData(KeyedEvent(1L, ts("2024-01-01 00:15:00"), "regress"))
+      q.processAllAvailable()
+      assert(!spark.table("stale_order_test").as[KeyedEvent].collect()
+        .map(_.payload).contains("regress"))
+    } finally q.stop()
+  }
+}
