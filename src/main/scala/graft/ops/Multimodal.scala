@@ -66,6 +66,50 @@ object Multimodal {
       }
   }
 
+  final case class AssetFeatures(asset_id: Long, features: Seq[Double])
+
+  /** Batched "feature extraction": the model-inference shape — one "model"
+    * handle per partition, rows streaming through, a dense feature vector
+    * out (which then feeds the [[Similarity]] ANN/near-dup operators).
+    *
+    * ======= STUB MODEL =======
+    * A real deployment loads an ONNX/JNI model per partition and runs
+    * batched inference. None exists in this container, so the fake derives
+    * `dims` doubles in [-1, 1] from md5 chunks of the payload — again, only
+    * the arithmetic is fake; the partition-batched dataflow is real.
+    */
+  def extractFeatures(spark: SparkSession, assets: DataFrame,
+                      dims: Int = 8): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    require(dims <= 8, "stub derives at most 8 dims from one md5")
+    assets.select("asset_id", "modality", "bytes").as[Asset]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition "model"
+        it.map { a =>
+          md.reset()
+          val hex = md.digest(a.bytes).map("%02x".format(_)).mkString
+          val fs = (0 until dims).map { i =>
+            val v = Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16)
+            (v / 65535.0 - 0.5) * 2.0
+          }
+          AssetFeatures(a.asset_id, fs)
+        }
+      }
+  }
+
+  /** Resize planning: fit (width, height) into a `box` x `box` square
+    * preserving aspect ratio — the metadata half of an image-resize stage
+    * (the pixel work belongs in the stubbed decode). Pure column arithmetic,
+    * pipelined with the scan.
+    */
+  def resizePlan(meta: DataFrame, box: Int): DataFrame = {
+    val scale = least(lit(box) / col("width"), lit(box) / col("height"))
+    meta.select(col("asset_id"), col("width"), col("height"),
+      greatest(lit(1L), floor(col("width") * scale)).as("out_w"),
+      greatest(lit(1L), floor(col("height") * scale)).as("out_h"),
+      scale.as("scale"))
+  }
+
   /** Frame sampling plan: byte offsets of every `stride`-th fake frame —
     * the explode-shaped half of a video pipeline (rows multiply, stay narrow).
     */

@@ -143,6 +143,18 @@ object OpsQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs(s, dir)), 256)),
 
+    "mm_feature_extract" -> ((s, dir) =>
+      // exploded to scalar rows (driver comparator can't hash arrays)
+      Multimodal.extractFeatures(s, Multimodal.assetsFromDocuments(docs(s, dir)))
+        .toDF()
+        .select(col("asset_id"), posexplode(col("features")).as(Seq("dim", "fval")))
+        .select(col("asset_id"), col("dim").cast("long").as("dim"), col("fval"))),
+
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(s, Multimodal.assetsFromDocuments(docs(s, dir)))
+          .toDF(), box = 256)),
+
     "text_ngram_topk" -> ((s, dir) => {
       // corpus-wide top-k 3-grams: explode -> count (map-side partial agg)
       // -> global top-k. Deterministic order: count desc, ngram asc.
@@ -532,6 +544,30 @@ object OpsQueries {
       """SELECT doc_id AS asset_id,
         |       unnest(range(0, octet_length(encode(text)), 256)) AS frame_offset
         |FROM documents""".stripMargin,
+
+    "mm_feature_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+        |), d AS (
+        |  SELECT asset_id, hx, unnest(range(8)) AS dim FROM h
+        |)
+        |SELECT asset_id, dim,
+        |       (CAST('0x' || substr(hx, CAST(dim * 4 + 1 AS INT), 4) AS INT)
+        |        / 65535.0 - 0.5) * 2.0 AS fval
+        |FROM d""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |         CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS height
+        |  FROM documents
+        |)
+        |SELECT asset_id, width, height,
+        |       greatest(1, CAST(floor(width * least(256 / width, 256 / height)) AS BIGINT)) AS out_w,
+        |       greatest(1, CAST(floor(height * least(256 / width, 256 / height)) AS BIGINT)) AS out_h,
+        |       least(256 / width, 256 / height) AS scale
+        |FROM m""".stripMargin,
 
     "text_ngram_topk" ->
       s"""$shinglesCte
