@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.Trigger
   * stand-in (no offsets can be lost).
   */
 object CdcMain {
-  private val ValidDbTypes = Set("mongodb", "mongo", "postgres", "postgresql")
+  private val ValidDbTypes =
+    Set("mongodb", "mongo", "postgres", "postgresql", "auto")
 
   def main(args: Array[String]): Unit = {
     val configPath = args.filterNot(_.startsWith("--")).headOption.getOrElse(
@@ -49,7 +50,15 @@ object CdcMain {
         if (once) Trigger.AvailableNow()
         else Trigger.ProcessingTime(cfg.processTime)
       val source = CdcStream.fileSource(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
-      cfg.databaseType match {
+      // 'auto': classify from the backlog's first events (ref planned this
+      // in docs/keynotetochange.txt but never merged it)
+      val dbType =
+        if (cfg.databaseType == "auto")
+          graft.cdc.SourceDetect.detectFromDir(spark, cfg.sourceDir).getOrElse(
+            sys.error(s"database_config.type=auto but no classifiable event " +
+              s"found in ${cfg.sourceDir}"))
+        else cfg.databaseType
+      dbType match {
         case "mongodb" | "mongo" =>
           val s = new MongoCdcStream(spark, source, store, cfg.keyColumn,
             cfg.checkpointDir, cfg.columnsToSave, trigger = trigger)
