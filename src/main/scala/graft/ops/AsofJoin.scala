@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * equal (key, ts) on both sides match inclusively (right sorts first); the
   * right side should be unique per (key, ts) for deterministic output; a
   * null in a right value column is transparent (the older value carries
-  * forward).
+  * forward). NB: unlike an equi-join, null keys group together here (window
+  * partitioning, not join matching) — pre-filter null-keyed rows if SQL
+  * join semantics are required.
   */
 object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
