@@ -148,9 +148,12 @@ object Dedup {
         .withColumnRenamed("simhash", "sa"), Seq("doc_a"))
       .join(sigs.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("simhash", "sb"), Seq("doc_b"))
-    val hamming = (1 to 32).map(i =>
-      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // popcount of the XOR of the integer signatures — one codegen'd op per
+    // pair instead of 32 substring compares (oracle mirrors via
+    // bit_count(xor(CAST('0b'||sig AS BIGINT), ...)))
+    val hamming = bit_count(
+      conv(col("sa"), 2, 10).cast("long").bitwiseXOR(
+        conv(col("sb"), 2, 10).cast("long")))
     val out = withSig
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

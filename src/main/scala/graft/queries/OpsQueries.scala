@@ -218,9 +218,8 @@ object OpsQueries {
   private val simBandSelects = (0 until 4)
     .map(b => s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${8 * b + 1}, 8) AS key FROM sig")
     .mkString("\n  UNION ALL ")
-  private val hammingSql = (1 to 32)
-    .map(i => s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
-    .mkString(" + ")
+  private val hammingSql =
+    "bit_count(xor(CAST('0b' || sa AS BIGINT), CAST('0b' || sb AS BIGINT)))"
 
   /** list_reduce sequential double fold — mirrors [[Similarity.dot]]
     * (Spark folds from 0.0; list_reduce folds from the first element —
