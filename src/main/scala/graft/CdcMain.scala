@@ -28,6 +28,8 @@ import org.apache.spark.sql.streaming.Trigger
   * stand-in (no offsets can be lost).
   */
 object CdcMain {
+  // reload-time validation guard; keep in sync with the dispatch match in
+  // makeStream below (plus "auto", resolved before dispatch)
   private val ValidDbTypes =
     Set("mongodb", "mongo", "postgres", "postgresql", "auto")
 
@@ -44,20 +46,28 @@ object CdcMain {
     @volatile var running = true
     @volatile var active: Option[(AnyRef, org.apache.spark.sql.streaming.StreamingQuery)] = None
 
+    // 'auto' (ref planned it in docs/keynotetochange.txt, never merged):
+    // classify from the backlog's first events, ONCE — the resolved type is
+    // pinned for the process so supervision restarts can never flip the
+    // engine type against the same checkpoint/output lineage
+    @volatile var pinnedAutoType: Option[String] = None
+    def resolveType(cfg: CdcConfig): Option[String] =
+      if (cfg.databaseType != "auto") Some(cfg.databaseType)
+      else pinnedAutoType.orElse {
+        val t = graft.cdc.SourceDetect.detectFromDir(spark, cfg.sourceDir)
+        pinnedAutoType = t
+        t
+      }
+
     def makeStream(cfg: CdcConfig): (AnyRef, org.apache.spark.sql.streaming.StreamingQuery) = {
       val store = new SnapshotStore(cfg.outputPath, spark)
       val trigger =
         if (once) Trigger.AvailableNow()
         else Trigger.ProcessingTime(cfg.processTime)
       val source = CdcStream.fileSource(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
-      // 'auto': classify from the backlog's first events (ref planned this
-      // in docs/keynotetochange.txt but never merged it)
-      val dbType =
-        if (cfg.databaseType == "auto")
-          graft.cdc.SourceDetect.detectFromDir(spark, cfg.sourceDir).getOrElse(
-            sys.error(s"database_config.type=auto but no classifiable event " +
-              s"found in ${cfg.sourceDir}"))
-        else cfg.databaseType
+      val dbType = resolveType(cfg).getOrElse(
+        sys.error(s"database_config.type=auto but no classifiable event " +
+          s"found in ${cfg.sourceDir}"))
       dbType match {
         case "mongodb" | "mongo" =>
           val s = new MongoCdcStream(spark, source, store, cfg.keyColumn,
@@ -83,7 +93,21 @@ object CdcMain {
     sys.addShutdownHook { running = false; stopActive() }
 
     var currentCfg = cm.config // validated before first start; may throw: fine
-    active = Some(makeStream(currentCfg))
+    // auto + empty backlog is a normal CDC cold start (producer not up yet):
+    // wait for the first classifiable event instead of crashing; --once with
+    // nothing to classify has nothing to process and fails fast
+    if (!once && currentCfg.databaseType == "auto") {
+      var announced = false
+      while (running && resolveType(currentCfg).isEmpty) {
+        if (!announced) {
+          println(s"[cdc-main] type=auto: waiting for a classifiable event " +
+            s"in ${currentCfg.sourceDir}")
+          announced = true
+        }
+        Thread.sleep(2000)
+      }
+    }
+    if (running) active = Some(makeStream(currentCfg))
     if (once) {
       active.foreach(_._2.awaitTermination())
     } else {
@@ -103,9 +127,11 @@ object CdcMain {
               System.err.println(s"[cdc-main] restart failed: ${e.getMessage}")
           }
         }
-        if (running && cm.changed()) {
-          // ConfigManager keeps the previous config on a torn/bad file;
-          // only a config that actually parsed differently restarts the query
+        if (running) {
+          // ConfigManager keeps the previous config on a torn/bad file; ONE
+          // read per poll (changed()+config would read and hash the file
+          // twice with a writer race between them), and only a config that
+          // actually parsed differently restarts the query
           val cfg = cm.config
           if (cfg != currentCfg) {
             // a config that parses but is semantically invalid must not take

@@ -27,15 +27,19 @@ object SourceDetect {
     }
 
   /** Peek at the source directory's backlog (first events of the stream) and
-    * classify. A driver-side one-time config decision: reads at most
-    * `sample` lines, not the backlog.
+    * classify. A driver-side one-time config decision: samples at most
+    * `sample` envelope-shaped lines (json-object prefix — preamble/junk
+    * lines don't consume the budget), not the backlog. None when the dir is
+    * missing/empty/unclassifiable — callers treat that as "no data yet".
     */
   def detectFromDir(spark: SparkSession, dir: String, sample: Int = 20): Option[String] =
-    spark.read.text(dir)
-      .filter(length(trim(col("value"))) > 0)
-      .limit(sample)
-      .collect()
-      .iterator
-      .map(r => detectType(r.getString(0)))
-      .collectFirst { case Some(t) => t }
+    scala.util.Try {
+      spark.read.text(dir)
+        .filter(substring(ltrim(col("value")), 1, 1) === "{")
+        .limit(sample)
+        .collect()
+        .iterator
+        .map(r => detectType(r.getString(0)))
+        .collectFirst { case Some(t) => t }
+    }.toOption.flatten
 }

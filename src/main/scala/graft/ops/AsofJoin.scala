@@ -31,6 +31,10 @@ object AsofJoin {
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.intersect(left.columns.toSeq).isEmpty,
       s"valueCols ${valueCols.mkString(",")} collide with left columns")
+    require(valueCols.intersect(keyCols :+ tsCol).isEmpty,
+      s"valueCols ${valueCols.mkString(",")} collide with key/ts columns")
+    require(!left.columns.contains("_side") && !valueCols.contains("_side"),
+      "'_side' is reserved by the as-of implementation")
     val l = left.withColumn("_side", lit(1))
     val r = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
       .withColumn("_side", lit(0))

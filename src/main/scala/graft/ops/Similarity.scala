@@ -113,6 +113,21 @@ object Similarity {
       when(dot(emb, pl) >= 0.0, "1").otherwise("0")
     }: _*)
 
+  /** Shared banding step of both LSH paths (top-k and near-dup): signature
+    * as a pure projection, then (id, band, key) rows — the only thing that
+    * rides the collision shuffle.
+    */
+  private def explodedBands(df: DataFrame, outId: String,
+                            planes: Seq[Array[Float]], bandBits: Int): DataFrame = {
+    val nBands = planes.size / bandBits
+    val bandArr = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("sig"), b * bandBits + 1, bandBits).as("key"))): _*)
+    df.withColumn("sig", rhpSignature(col("embedding"), planes))
+      .select(col("vec_id").as(outId), explode(bandArr).as("bk"))
+      .select(col(outId), col("bk.band"), col("bk.key"))
+  }
+
   /** Random-hyperplane LSH approximate top-k — the second scale path next to
     * IVF: corpus and queries get `planes.size`-bit signatures (a pure per-row
     * projection, no shuffle), candidates are pairs sharing any
@@ -123,18 +138,8 @@ object Similarity {
     */
   def rhpTopK(corpus: DataFrame, planes: Seq[Array[Float]], queries: DataFrame,
               k: Int, bandBits: Int = 4): DataFrame = {
-    val nBands = planes.size / bandBits
-    def bandArr = array((0 until nBands).map(b =>
-      struct(lit(b).as("band"),
-        substring(col("sig"), b * bandBits + 1, bandBits).as("key"))): _*)
-    val cBands = corpus
-      .withColumn("sig", rhpSignature(col("embedding"), planes))
-      .select(col("vec_id"), explode(bandArr).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
-    val qBands = queries
-      .withColumn("sig", rhpSignature(col("embedding"), planes))
-      .select(col("vec_id").as("query_id"), explode(bandArr).as("bk"))
-      .select(col("query_id"), col("bk.band"), col("bk.key"))
+    val cBands = explodedBands(corpus, "vec_id", planes, bandBits)
+    val qBands = explodedBands(queries, "query_id", planes, bandBits)
     val candIds = cBands.join(broadcast(qBands), Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
@@ -177,14 +182,7 @@ object Similarity {
     */
   def nearDupPairsLsh(corpus: DataFrame, planes: Seq[Array[Float]],
                       threshold: Double, bandBits: Int = 4): DataFrame = {
-    val nBands = planes.size / bandBits
-    def bandArr = array((0 until nBands).map(b =>
-      struct(lit(b).as("band"),
-        substring(col("sig"), b * bandBits + 1, bandBits).as("key"))): _*)
-    val bands = corpus
-      .withColumn("sig", rhpSignature(col("embedding"), planes))
-      .select(col("vec_id"), explode(bandArr).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val bands = explodedBands(corpus, "vec_id", planes, bandBits)
     // ids-only collision join + pair dedup; embeddings re-attach after
     val candIds = bands.as("a")
       .join(bands.as("b"),

@@ -235,6 +235,25 @@ object OpsQueries {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** Shared RHP-LSH structure (planes, bit signatures, band keys) — used by
+    * both the ann_rhp_topk and emb_near_dup_lsh oracles so the index
+    * definition can never drift between them (mirror of
+    * [[Similarity.rhpSignature]] + its banding).
+    */
+  private lazy val rhpCtes =
+    s""", planes AS (
+       |  SELECT vec_id - ${PlaneBase} AS pid, v AS pv FROM e
+       |  WHERE vec_id >= ${PlaneBase} AND vec_id < ${PlaneBase + NPlanes}
+       |), sig AS (
+       |  SELECT e.vec_id,
+       |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
+       |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
+       |  FROM e CROSS JOIN planes GROUP BY e.vec_id
+       |), bands AS (
+       |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
+       |)""".stripMargin
+
   /** Shared IVF structure (centroids, assignment, query probes) — used by
     * both the top-k oracle and the recall oracle so the index definition
     * can never drift between them.
@@ -406,18 +425,7 @@ object OpsQueries {
          |QUALIFY rank <= ${TopK}""".stripMargin,
 
     "ann_rhp_topk" ->
-      s"""$embCte, planes AS (
-         |  SELECT vec_id - ${PlaneBase} AS pid, v AS pv FROM e
-         |  WHERE vec_id >= ${PlaneBase} AND vec_id < ${PlaneBase + NPlanes}
-         |), sig AS (
-         |  SELECT e.vec_id,
-         |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
-         |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
-         |  FROM e CROSS JOIN planes GROUP BY e.vec_id
-         |), bands AS (
-         |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
-         |), cand AS (
+      s"""$embCte$rhpCtes, cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
          |  FROM bands q JOIN bands c
          |    ON q.band = c.band AND q.key = c.key AND c.vec_id <> q.vec_id
@@ -472,18 +480,7 @@ object OpsQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
 
     "emb_near_dup_lsh" ->
-      s"""$embCte, planes AS (
-         |  SELECT vec_id - ${PlaneBase} AS pid, v AS pv FROM e
-         |  WHERE vec_id >= ${PlaneBase} AND vec_id < ${PlaneBase + NPlanes}
-         |), sig AS (
-         |  SELECT e.vec_id,
-         |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
-         |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
-         |  FROM e CROSS JOIN planes GROUP BY e.vec_id
-         |), bands AS (
-         |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
-         |), cand AS (
+      s"""$embCte$rhpCtes, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id

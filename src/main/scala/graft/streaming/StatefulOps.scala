@@ -38,10 +38,21 @@ object StatefulOps {
             state.remove() // idle key: evict; sink ts-guard backstops late data
             Iterator.empty
           } else {
-            var last = state.getOption.getOrElse(Long.MinValue)
-            val out = it.toSeq.sortBy(_.ts.getTime).flatMap { e =>
-              if (e.ts.getTime >= last) { last = e.ts.getTime; Some(e) }
-              else None
+            // emitted set = events with ts >= the ENTERING max (processing
+            // in ts order can only raise the bar with values later events
+            // already clear), so one unsorted pass suffices — no O(n log n)
+            // sort, and only emitted events buffer (state must be updated
+            // before the iterator is returned, so full laziness is off the
+            // table anyway)
+            val enteringMax = state.getOption.getOrElse(Long.MinValue)
+            var last = enteringMax
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+            it.foreach { e =>
+              val t = e.ts.getTime
+              if (t >= enteringMax) {
+                out += e
+                if (t > last) last = t
+              }
             }
             state.update(last)
             // evict once the watermark passes last-event + delay; in batch
