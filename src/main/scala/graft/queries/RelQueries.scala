@@ -58,7 +58,18 @@ object RelQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_suppliers"),
-          round(sum(col("s_acctbal")), 2).as("total_acctbal"))))
+          round(sum(col("s_acctbal")), 2).as("total_acctbal"))),
+
+    "rel_rollup_pricing" -> ((s, dir) =>
+      // multi-level summary via ROLLUP: per (flag, status), per flag, and
+      // grand total in ONE aggregation pass (Catalyst expands the grouping
+      // sets; exact decimal sums as in rel_pricing_summary)
+      scanParallel(t(s, dir, "lineitem"), s)
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          count(lit(1)).as("count_order"))))
 
   val oracles: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -87,5 +98,13 @@ object RelQueries {
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "rel_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }
