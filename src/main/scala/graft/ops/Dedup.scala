@@ -188,6 +188,51 @@ object Dedup {
     (out, () => { candCleanup(); sh.unpersist(); () })
   }
 
+  /** Connected components of a duplicate-pair graph by iterative min-label
+    * propagation: every doc in a component converges to the component's
+    * minimum doc_id as `cluster_id` — the canonicalization step that turns
+    * pairwise near-dup hits into dedup groups.
+    *
+    * O(component diameter) rounds of (join + min-aggregate); dup components
+    * are shallow in practice, so the loop runs 2-4 rounds. Per round the
+    * only data moved is (id, label) pairs — the classic scalable CC
+    * formulation (GraphX/Pregel does the same joins under the hood). The
+    * driver loop carries iteration COUNT only, never row data.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    dedupClustersWithCleanup(pairs, maxIters)._1
+
+  def dedupClustersWithCleanup(pairs: DataFrame, maxIters: Int = 25)
+      : (DataFrame, () => Unit) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist(mem)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(mem)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(mem)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    edges.unpersist()
+    val finalLabels = labels
+    (out, () => { finalLabels.unpersist(); () })
+  }
+
   /** n-gram Jaccard similarity for every pair of documents sharing at least
     * one shingle: |A ∩ B| / |A ∪ B| over distinct 3-gram shingle sets.
     * `maxDf` drops shingles occurring in more than that many documents from

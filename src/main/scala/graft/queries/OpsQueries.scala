@@ -68,6 +68,10 @@ object OpsQueries {
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minHashVerified(docs(s, dir), JaccardThreshold)),
 
+    "dedup_clusters" -> ((s, dir) =>
+      // pairwise hits -> canonical dedup groups (connected components)
+      Dedup.dedupClusters(Dedup.minHashVerified(docs(s, dir), JaccardThreshold))),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), TopK)
@@ -235,6 +239,35 @@ object OpsQueries {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** Shared MinHash-verified-pairs structure (appended after [[shinglesCte]])
+    * — used by the verified-dedup oracle and the cluster oracle so the pair
+    * definition can never drift between them.
+    */
+  private lazy val verifiedCtes =
+    s""", sig AS (
+       |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY 1, 2
+       |), verified AS (
+       |  SELECT doc_a, doc_b, shared / (na.n + nb.n - shared) AS jaccard
+       |  FROM shared
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}
+       |)""".stripMargin
+
   /** Shared RHP-LSH structure (planes, bit signatures, band keys) — used by
     * both the ann_rhp_topk and emb_near_dup_lsh oracles so the index
     * definition can never drift between them (mirror of
@@ -366,28 +399,19 @@ object OpsQueries {
          |WHERE $hammingSql <= 3""".stripMargin,
 
     "dedup_minhash_verified" ->
-      s"""$shinglesCte, sig AS (
-         |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-         |), shared AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
-         |  GROUP BY 1, 2
+      s"""$shinglesCte$verifiedCtes
+         |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$verifiedCtes, edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
          |)
-         |SELECT doc_a, doc_b, shared / (na.n + nb.n - shared) AS jaccard
-         |FROM shared
-         |JOIN sizes na ON na.doc_id = doc_a
-         |JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$shinglesCte, sizes AS (

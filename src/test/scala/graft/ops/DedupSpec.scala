@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("dedup clusters: chains merge into one component, min id wins") {
+    import spark.implicits._
+    // components: {1,2,3} via 1-2, 2-3 (a chain, not a clique) and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedup clusters: a long path converges (diameter > 2)") {
+    import spark.implicits._
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(1)).distinct.toSeq
+    assert(out == Seq(1L)) // all 8 nodes in one component labeled 1
+  }
+
   test("ngram jaccard maxDf cap suppresses hot-shingle pair generation") {
     // shingle "a b c" appears in all 3 docs; cap df<=2 kills all pairs
     val docs = docsOf("a b c x", "a b c y", "a b c z")
