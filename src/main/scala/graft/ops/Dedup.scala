@@ -205,32 +205,41 @@ object Dedup {
   def dedupClustersWithCleanup(pairs: DataFrame, maxIters: Int = 25)
       : (DataFrame, () => Unit) = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // pin the pair pipeline FIRST: the symmetric union below reads it twice,
+    // which would otherwise run the (expensive) candidate generation twice
+    val p = pairs.select("doc_a", "doc_b").persist(mem)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist(mem)
+    // each round ends in an EAGER localCheckpoint: iterative plans otherwise
+    // nest one round inside the next and grow without bound (plan
+    // stringification alone OOMs after ~8 rounds); checkpointing pins the
+    // round's rows and resets the plan to a leaf, the standard lineage
+    // discipline for iterative Spark algorithms
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(mem)
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlbl")).as("nlbl"))
+      // one join per round: carry the previous label alongside so the
+      // convergence check needs no second join against the old frame
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(mem)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
       iters += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     edges.unpersist()
-    val finalLabels = labels
-    (out, () => { finalLabels.unpersist(); () })
+    p.unpersist()
+    // checkpointed round RDDs are reclaimed by the ContextCleaner once
+    // unreferenced; nothing further to release
+    (out, () => ())
   }
 
   /** n-gram Jaccard similarity for every pair of documents sharing at least
