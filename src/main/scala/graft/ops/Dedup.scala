@@ -64,25 +64,46 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Hot-band guard shared by every banded-LSH candidate join: drops
+    * (band, key) groups whose member count exceeds `cap` BEFORE the
+    * self-join, so one degenerate band key (all empty docs hashing alike,
+    * an all-zero signature band) cannot make the pair join quadratic in
+    * that key's row count. Same shape as the `maxDf` shingle guard in
+    * [[ngramJaccard]]; `None` keeps the measure exact.
+    */
+  private[ops] def capBands(bands: DataFrame, idCol: String,
+                            cap: Option[Int]): DataFrame = cap match {
+    case Some(c) =>
+      val keep = bands.groupBy("band", "key")
+        .agg(count(lit(1)).as("_bdf")).filter(col("_bdf") <= c)
+      bands.join(keep.select("band", "key"), Seq("band", "key"), "left_semi")
+        .select(col(idCol), col("band"), col("key"))
+    case None => bands
+  }
+
   /** LSH candidate pairs: docs sharing any band key (band b = concat of
     * signature rows 2b, 2b+1). Returns distinct (doc_a < doc_b) pairs.
+    * `maxBandDf` drops band keys shared by more than that many docs from
+    * pair generation (hot-band guard, see [[capBands]]).
     * One-shot convenience; long-lived sessions should use
     * [[minHashCandidatesWithCleanup]] and release the pinned signatures.
     */
-  def minHashCandidates(docs: DataFrame): DataFrame =
-    minHashCandidatesWithCleanup(docs)._1
+  def minHashCandidates(docs: DataFrame, maxBandDf: Option[Int] = None): DataFrame =
+    minHashCandidatesWithCleanup(docs, maxBandDf)._1
 
-  def minHashCandidatesWithCleanup(docs: DataFrame): (DataFrame, () => Unit) = {
+  def minHashCandidatesWithCleanup(docs: DataFrame, maxBandDf: Option[Int] = None)
+      : (DataFrame, () => Unit) = {
     val sig = minHashSignatures(docs)
     val bands = (0 until MinHashK / 2).map(b =>
       struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
-    // signature-sized (4 rows/doc); pinned so the self-join evaluates the
-    // shingle+md5 lineage once, not once per side
+    // signature-sized (4 rows/doc); pinned so the band-frequency pass and
+    // the self-join evaluate the shingle+md5 lineage once, not once per use
     val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    val joinable = capBands(exploded, "doc_id", maxBandDf)
+    val a = joinable.as("a")
+    val b = joinable.as("b")
     val pairs = a.join(b,
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -122,10 +143,12 @@ object Dedup {
     * hamming expression so it evaluates once per unique pair, not once per
     * band collision.
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
-    simHashPairsWithCleanup(docs, maxHamming)._1
+  def simHashPairs(docs: DataFrame, maxHamming: Int,
+                   maxBandDf: Option[Int] = None): DataFrame =
+    simHashPairsWithCleanup(docs, maxHamming, maxBandDf)._1
 
-  def simHashPairsWithCleanup(docs: DataFrame, maxHamming: Int): (DataFrame, () => Unit) = {
+  def simHashPairsWithCleanup(docs: DataFrame, maxHamming: Int,
+                              maxBandDf: Option[Int] = None): (DataFrame, () => Unit) = {
     val sig = simHash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until 4).map(b =>
@@ -134,8 +157,10 @@ object Dedup {
     // signatures re-attach afterwards from the signature table — no
     // broadcast hint: sig is corpus-sized (one row per doc), so AQE picks
     // broadcast only while it actually fits, shuffled hash join beyond
-    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val exploded = capBands(
+      sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key")),
+      "doc_id", maxBandDf)
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -164,12 +189,14 @@ object Dedup {
     * followed by exact Jaccard verification of ONLY the candidates — the
     * O(n^2) measure runs on the (tiny) candidate set, never on the corpus.
     */
-  def minHashVerified(docs: DataFrame, threshold: Double): DataFrame =
-    minHashVerifiedWithCleanup(docs, threshold)._1
+  def minHashVerified(docs: DataFrame, threshold: Double,
+                      maxBandDf: Option[Int] = None): DataFrame =
+    minHashVerifiedWithCleanup(docs, threshold, maxBandDf)._1
 
-  def minHashVerifiedWithCleanup(docs: DataFrame, threshold: Double)
+  def minHashVerifiedWithCleanup(docs: DataFrame, threshold: Double,
+                                 maxBandDf: Option[Int] = None)
       : (DataFrame, () => Unit) = {
-    val (cands, candCleanup) = minHashCandidatesWithCleanup(docs)
+    val (cands, candCleanup) = minHashCandidatesWithCleanup(docs, maxBandDf)
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

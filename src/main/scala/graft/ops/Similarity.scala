@@ -181,8 +181,13 @@ object Similarity {
     * is exact (candidates are verified).
     */
   def nearDupPairsLsh(corpus: DataFrame, planes: Seq[Array[Float]],
-                      threshold: Double, bandBits: Int = 4): DataFrame = {
-    val bands = explodedBands(corpus, "vec_id", planes, bandBits)
+                      threshold: Double, bandBits: Int = 4,
+                      maxBandDf: Option[Int] = None): DataFrame = {
+    // hot-band guard (same shape as Dedup.capBands): a degenerate band key
+    // (e.g. every near-zero vector signing identically) would otherwise make
+    // the collision self-join quadratic in that key's member count
+    val bands = Dedup.capBands(
+      explodedBands(corpus, "vec_id", planes, bandBits), "vec_id", maxBandDf)
     // ids-only collision join + pair dedup; embeddings re-attach after
     val candIds = bands.as("a")
       .join(bands.as("b"),
@@ -200,15 +205,28 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs with blocking: only pairs inside
-    * the same block (here: a cluster/label id) are compared — the standard
-    * way to keep near-dup detection sub-quadratic at corpus scale.
+    * the same block (here: a cluster/label id) are compared.
+    *
+    * Scale caveat: with a FIXED label set, block size grows linearly with
+    * the corpus and within-block pairs quadratically — label blocking is the
+    * bounded-block-only variant; [[nearDupPairsLsh]] is the unsupervised
+    * scale path (block count grows with the data). `maxBlockSize` enforces
+    * the bound: blocks larger than the cap are excluded from pair
+    * generation (same drop-the-hot-key semantics as the LSH band caps).
     */
-  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double,
+                   maxBlockSize: Option[Int] = None): DataFrame = {
     val a = corpus.select(col(blockCol).as("blk"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
+    val blocked = maxBlockSize match {
+      case Some(cap) =>
+        val keep = a.groupBy("blk").agg(count(lit(1)).as("_bs")).filter(col("_bs") <= cap)
+        a.join(keep.select("blk"), Seq("blk"), "left_semi")
+      case None => a
+    }
     val b = corpus.select(col(blockCol).as("blk"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"))
-    a.join(b, Seq("blk")).filter(col("vec_a") < col("vec_b"))
+    blocked.join(b, Seq("blk")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -24,6 +24,17 @@ object OpsQueries {
 
   val JaccardThreshold = 0.2
   val NearDupThreshold = 0.2
+  // Hot-band caps (Dedup.capBands): chosen from measured band-df
+  // distributions so they guard degenerate corpora without biting normal
+  // data — minhash max band df is 8 at sf0.1, RHP max 185, simhash max 343
+  // at sf0.01 (simhash bands DO run hot: 3253 at sf0.1, where the cap
+  // correctly bounds the collision join). SimHashBiteCap deliberately bites
+  // at sf0.01 so the capped-variant query proves the guard's semantics
+  // against the mirrored oracle.
+  val MinHashMaxBandDf = 64
+  val SimHashMaxBandDf = 512
+  val SimHashBiteCap = 64
+  val RhpMaxBandDf = 400
   val TopK = 10
   val NProbe = 2
   val NCentroids = 8
@@ -54,7 +65,8 @@ object OpsQueries {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashCandidates(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(docs(s, dir), Some(MinHashMaxBandDf))),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(docs(s, dir))),
 
@@ -63,14 +75,21 @@ object OpsQueries {
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       // hamming <= 3 is the pigeonhole-complete threshold for 4 bands
-      Dedup.simHashPairs(docs(s, dir), maxHamming = 3)),
+      Dedup.simHashPairs(docs(s, dir), maxHamming = 3, Some(SimHashMaxBandDf))),
+
+    "dedup_simhash_pairs_capped" -> ((s, dir) =>
+      // tight-cap variant: the cap bites on real data here (simhash band df
+      // reaches 343 at sf0.01), proving the hot-band guard's drop semantics
+      // match the oracle's where it matters
+      Dedup.simHashPairs(docs(s, dir), maxHamming = 3, Some(SimHashBiteCap))),
 
     "dedup_minhash_verified" -> ((s, dir) =>
-      Dedup.minHashVerified(docs(s, dir), JaccardThreshold)),
+      Dedup.minHashVerified(docs(s, dir), JaccardThreshold, Some(MinHashMaxBandDf))),
 
     "dedup_clusters" -> ((s, dir) =>
       // pairwise hits -> canonical dedup groups (connected components)
-      Dedup.dedupClusters(Dedup.minHashVerified(docs(s, dir), JaccardThreshold))),
+      Dedup.dedupClusters(
+        Dedup.minHashVerified(docs(s, dir), JaccardThreshold, Some(MinHashMaxBandDf)))),
 
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -127,7 +146,8 @@ object OpsQueries {
           col("vec_id") < PlaneBase + NPlanes)
         .orderBy("vec_id").select("embedding")
         .collect().map(_.getSeq[Float](0).toArray).toSeq
-      Similarity.nearDupPairsLsh(e, planes, NearDupLshThreshold)
+      Similarity.nearDupPairsLsh(e, planes, NearDupLshThreshold,
+        maxBandDf = Some(RhpMaxBandDf))
     }),
 
     "emb_normalize_quantize" -> ((s, dir) =>
@@ -219,6 +239,17 @@ object OpsQueries {
     .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM sig")
     .mkString("\n  UNION ALL ")
 
+  /** Hot-band cap mirror of [[Dedup.capBands]]: keep only (band, key)
+    * groups with at most `cap` members. Appended after a `bands0` CTE,
+    * yields the filtered `bands`.
+    */
+  private def bandCapCtes(cap: Int) =
+    s""", bkeep AS (
+       |  SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $cap
+       |), bands AS (
+       |  SELECT bands0.* FROM bands0 JOIN bkeep USING (band, key)
+       |)""".stripMargin
+
   private val simBandSelects = (0 until 4)
     .map(b => s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${8 * b + 1}, 8) AS key FROM sig")
     .mkString("\n  UNION ALL ")
@@ -239,6 +270,31 @@ object OpsQueries {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** SimHash near-dup pairs oracle, parameterized by the hot-band cap —
+    * the headline query uses a no-bite cap, the `_capped` variant a cap
+    * that drops real hot bands (mirror of [[Dedup.simHashPairs]]).
+    */
+  private def simHashPairsSql(cap: Int) =
+    s"""$toksCte, tk AS (
+       |  SELECT doc_id, md5(unnest(t)) AS h FROM toks
+       |), c AS (
+       |  SELECT doc_id,
+       |         $simhashCols
+       |  FROM tk GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $simhashBits AS simhash FROM c
+       |), bands0 AS (
+       |  $simBandSelects
+       |)${bandCapCtes(cap)}, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST($hammingSql AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE $hammingSql <= 3""".stripMargin
+
   /** Shared MinHash-verified-pairs structure (appended after [[shinglesCte]])
     * — used by the verified-dedup oracle and the cluster oracle so the pair
     * definition can never drift between them.
@@ -246,9 +302,9 @@ object OpsQueries {
   private lazy val verifiedCtes =
     s""", sig AS (
        |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
-       |), bands AS (
+       |), bands0 AS (
        |  $bandSelects
-       |), cand AS (
+       |)${bandCapCtes(MinHashMaxBandDf)}, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -355,9 +411,9 @@ object OpsQueries {
     "dedup_minhash_lsh" ->
       s"""$shinglesCte, sig AS (
          |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
-         |), bands AS (
+         |), bands0 AS (
          |  $bandSelects
-         |)
+         |)${bandCapCtes(MinHashMaxBandDf)}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
@@ -377,26 +433,9 @@ object OpsQueries {
          |       substr(simhash, 17, 8) AS band2, substr(simhash, 25, 8) AS band3
          |FROM sig""".stripMargin,
 
-    "dedup_simhash_pairs" ->
-      s"""$toksCte, tk AS (
-         |  SELECT doc_id, md5(unnest(t)) AS h FROM toks
-         |), c AS (
-         |  SELECT doc_id,
-         |         $simhashCols
-         |  FROM tk GROUP BY doc_id
-         |), sig AS (
-         |  SELECT doc_id, $simhashBits AS simhash FROM c
-         |), bands AS (
-         |  $simBandSelects
-         |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.simhash AS sa, b.simhash AS sb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |)
-         |SELECT doc_a, doc_b, CAST($hammingSql AS BIGINT) AS hamming
-         |FROM pairs
-         |WHERE $hammingSql <= 3""".stripMargin,
+    "dedup_simhash_pairs" -> simHashPairsSql(SimHashMaxBandDf),
+
+    "dedup_simhash_pairs_capped" -> simHashPairsSql(SimHashBiteCap),
 
     "dedup_minhash_verified" ->
       s"""$shinglesCte$verifiedCtes
@@ -504,9 +543,14 @@ object OpsQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
 
     "emb_near_dup_lsh" ->
-      s"""$embCte$rhpCtes, cand AS (
+      s"""$embCte$rhpCtes, ekeep AS (
+         |  SELECT band, key FROM bands GROUP BY band, key
+         |  HAVING count(*) <= ${RhpMaxBandDf}
+         |), cbands AS (
+         |  SELECT bands.* FROM bands JOIN ekeep USING (band, key)
+         |), cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
+         |  FROM cbands a JOIN cbands b
          |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
          |)
          |SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos

@@ -89,4 +89,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(docs, 0.0, maxDf = Some(2)).count() == 0)
     assert(Dedup.ngramJaccard(docs, 0.0).count() == 3)
   }
+
+  // degenerate corpus for the hot-band guards: 40 identical docs (every
+  // band key has df 40 -> the collision join alone is 40*39/2 pairs per
+  // band) plus one genuine near-dup pair with cold band keys
+  private def degenerate = {
+    val hot = Seq.fill(40)("spam spam spam spam spam")
+    val cold = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog tonight")
+    docsOf(hot ++ cold: _*)
+  }
+
+  test("minhash band cap bounds a degenerate corpus; keeps cold-band pairs") {
+    val uncapped = Dedup.minHashCandidates(degenerate).count()
+    assert(uncapped >= 40L * 39 / 2) // quadratic in the hot key without the cap
+    val capped = Dedup.minHashCandidates(degenerate, maxBandDf = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((40L, 41L))) // hot bands dropped, genuine pair kept
+  }
+
+  test("simhash band cap bounds a degenerate corpus; keeps cold-band pairs") {
+    val uncapped = Dedup.simHashPairs(degenerate, maxHamming = 3).count()
+    assert(uncapped >= 40L * 39 / 2)
+    val capped = Dedup.simHashPairs(degenerate, maxHamming = 3, maxBandDf = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((40L, 41L)))
+  }
+
+  test("minhash-verified passes the band cap through to candidate generation") {
+    val capped = Dedup.minHashVerified(degenerate, threshold = 0.2,
+      maxBandDf = Some(8)).count()
+    assert(capped == 1L)
+  }
 }

@@ -59,4 +59,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 2L)))
   }
+
+  test("near-dup maxBlockSize drops oversized blocks, keeps bounded ones") {
+    // label 0 gets 12 members (ids even), label 1 gets 2 (ids 1, 3)
+    val big = (0 until 12).map(i => (i * 2).toLong -> Seq(1f, 0f))
+    val corpus = embsOf(big ++ Seq(1L -> Seq(1f, 0f), 3L -> Seq(1f, 0.01f)): _*)
+    val uncapped = Similarity.nearDupPairs(corpus, "label", 0.9).count()
+    assert(uncapped == 12L * 11 / 2 + 1) // quadratic in the big block
+    val capped = Similarity.nearDupPairs(corpus, "label", 0.9, maxBlockSize = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L)))
+  }
+
+  test("LSH near-dup band cap bounds a degenerate (all-identical) corpus") {
+    // 30 identical vectors -> every band key has df 30; one cold near-dup
+    // pair points the opposite way so its band keys are its own
+    val hot = (0 until 30).map(i => i.toLong -> Seq(1f, 0.5f))
+    val cold = Seq(100L -> Seq(-1f, -0.5f), 101L -> Seq(-1f, -0.51f))
+    val corpus = embsOf(hot ++ cold: _*)
+    val planes = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f), Array(1f, -1f))
+    val uncapped = Similarity.nearDupPairsLsh(corpus, planes, 0.9, bandBits = 2)
+    assert(uncapped.count() >= 30L * 29 / 2)
+    val capped = Similarity.nearDupPairsLsh(corpus, planes, 0.9, bandBits = 2,
+      maxBandDf = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
 }
