@@ -190,6 +190,25 @@ object CdcQueries {
         aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
         .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "cdc_validate_drift" -> ((s, dir) => {
+      // In-engine consistency validator (ref: test/validate_cdc_data.py):
+      // seed deterministic drift into a copy of the customer snapshot —
+      // dropped keys, injected keys, mutated cells, one dropped + one added
+      // column — and diff it back against the source. The drift recipe is
+      // mirrored verbatim in the oracle's target CTE.
+      val src = s.read.parquet(s"$dir/customer.parquet")
+      val base = src.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 101 === 0, col("c_acctbal") + 1)
+            .otherwise(col("c_acctbal")))
+      val injected = src.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+      val target = base.unionByName(injected)
+        .drop("c_mktsegment")
+        .withColumn("t_loaded", lit("batch-0"))
+      Validate.diff(src, target, "c_custkey")
     }))
 
   private val fl = ChangelogGen.flattenedSql
@@ -307,5 +326,50 @@ object CdcQueries {
     "cdc_window_tumbling" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // mirror of Validate.diff over the seeded-drift target: same drift
+    // recipe, same full-outer key diff, same first-differing-column order
+    // (c_name, c_nationkey, c_acctbal), same null-safe equality
+    "cdc_validate_drift" ->
+      """WITH tbase AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 1
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |), tinj AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal
+        |  FROM customer WHERE c_custkey % 89 = 0
+        |), target AS (
+        |  SELECT * FROM tbase UNION ALL SELECT * FROM tinj
+        |), j AS (
+        |  SELECT s.c_custkey AS sk, t.c_custkey AS tk,
+        |         s.c_name AS sn, t.c_name AS tn,
+        |         s.c_nationkey AS snk, t.c_nationkey AS tnk,
+        |         s.c_acctbal AS sab, t.c_acctbal AS tab
+        |  FROM customer s FULL OUTER JOIN target t ON s.c_custkey = t.c_custkey
+        |)
+        |SELECT 'missing' AS kind, sk AS c_custkey, CAST(NULL AS VARCHAR) AS col_name,
+        |       CAST(NULL AS VARCHAR) AS source_val, CAST(NULL AS VARCHAR) AS target_val
+        |FROM j WHERE tk IS NULL
+        |UNION ALL
+        |SELECT 'extra', tk, NULL, NULL, NULL FROM j WHERE sk IS NULL
+        |UNION ALL
+        |SELECT 'mismatch', sk,
+        |  CASE WHEN sn IS DISTINCT FROM tn THEN 'c_name'
+        |       WHEN snk IS DISTINCT FROM tnk THEN 'c_nationkey'
+        |       ELSE 'c_acctbal' END,
+        |  CASE WHEN sn IS DISTINCT FROM tn THEN CAST(sn AS VARCHAR)
+        |       WHEN snk IS DISTINCT FROM tnk THEN CAST(snk AS VARCHAR)
+        |       ELSE CAST(sab AS VARCHAR) END,
+        |  CASE WHEN sn IS DISTINCT FROM tn THEN CAST(tn AS VARCHAR)
+        |       WHEN snk IS DISTINCT FROM tnk THEN CAST(tnk AS VARCHAR)
+        |       ELSE CAST(tab AS VARCHAR) END
+        |FROM j WHERE sk IS NOT NULL AND tk IS NOT NULL
+        |  AND (sn IS DISTINCT FROM tn OR snk IS DISTINCT FROM tnk
+        |       OR sab IS DISTINCT FROM tab)
+        |UNION ALL
+        |SELECT 'column_missing', CAST(NULL AS BIGINT), 'c_mktsegment', NULL, NULL
+        |UNION ALL
+        |SELECT 'column_extra', CAST(NULL AS BIGINT), 't_loaded', NULL, NULL""".stripMargin)
 }
