@@ -123,25 +123,108 @@ final class ConfigManager(path: String) {
 
 /** T5: cron-aligned trigger periods (ref: archive croniter variants,
   * e.g. streaming_from_kafka_to_minio copy 2.py:244-293 — trigger interval
-  * = cron period with a 0.8 safety margin). Supports the subset the
-  * reference actually used: every-N-minutes cron expressions.
+  * = cron period with a 0.8 safety margin). Full 5-field cron
+  * (minute hour day-of-month month day-of-week) with the standard term
+  * grammar — `*`, fixed, `a-b` ranges, `*\/n` + `a-b/n` steps, comma
+  * lists — and the standard OR rule when both day fields are restricted.
+  * All computation is UTC and deterministic.
   */
 object CronTrigger {
-  /** "*\/5 * * * *" -> 5 minutes; "0 * * * *" -> 1 hour; "* * * * *" -> 1m.
-    * Anything outside the reference's every-N-minutes/hourly shapes (e.g. a
-    * fixed hour field = daily) is rejected rather than misread.
-    */
-  def periodSeconds(cron: String): Long = cron.trim.split("\\s+").toList match {
-    case minute :: hour :: "*" :: "*" :: "*" :: Nil => minute match {
-      case "*" if hour == "*"           => 60L
-      case m if m.startsWith("*/") && hour == "*" =>
-        m.stripPrefix("*/").toLong * 60L
-      case m if m.forall(_.isDigit) && hour == "*" => 3600L // fixed minute -> hourly
-      case _ =>
-        throw new IllegalArgumentException(s"unsupported cron shape: $cron")
+
+  private final case class Spec(minutes: Set[Int], hours: Set[Int],
+                                doms: Set[Int], months: Set[Int], dows: Set[Int],
+                                domStar: Boolean, dowStar: Boolean)
+
+  /** One field: comma list of `*`, `a`, `a-b`, `*\/n`, `a/n`, `a-b/n`. */
+  private def parseField(f: String, lo: Int, hi: Int, cron: String): (Set[Int], Boolean) = {
+    def bad() = throw new IllegalArgumentException(s"unsupported cron field '$f' in: $cron")
+    val isStar = f == "*"
+    val vals = f.split(",").toSeq.flatMap { term =>
+      val (rangePart, step) = term.split("/") match {
+        case Array(r)    => (r, 1)
+        case Array(r, s) if s.nonEmpty && s.forall(_.isDigit) && s.toInt > 0 => (r, s.toInt)
+        case _           => bad()
+      }
+      val (a, b) = rangePart match {
+        case "*" => (lo, hi)
+        case r if r.forall(_.isDigit) =>
+          // bare value with a step ("2/5") means "from 2 to max"
+          if (step > 1) (r.toInt, hi) else (r.toInt, r.toInt)
+        case r => r.split("-") match {
+          case Array(x, y) if x.forall(_.isDigit) && y.forall(_.isDigit) => (x.toInt, y.toInt)
+          case _ => bad()
+        }
+      }
+      if (a < lo || b > hi || a > b) bad()
+      a.to(b, step)
     }
-    case _ => throw new IllegalArgumentException(s"not a supported 5-field cron: $cron")
+    (vals.toSet, isStar)
   }
+
+  private def parse(cron: String): Spec = cron.trim.split("\\s+") match {
+    case Array(m, h, dom, mon, dow) =>
+      val (minutes, _)       = parseField(m, 0, 59, cron)
+      val (hours, _)         = parseField(h, 0, 23, cron)
+      val (doms, domStar)    = parseField(dom, 1, 31, cron)
+      val (mons, _)          = parseField(mon, 1, 12, cron)
+      val (dows0, dowStar)   = parseField(dow, 0, 7, cron)
+      val dows = dows0.map(d => if (d == 7) 0 else d) // 7 == Sunday == 0
+      Spec(minutes, hours, doms, mons, dows, domStar, dowStar)
+    case _ => throw new IllegalArgumentException(s"not a 5-field cron: $cron")
+  }
+
+  import java.time.{LocalDateTime, ZoneOffset}
+
+  /** First fire time strictly after `afterEpochSec`, as epoch seconds.
+    * Skips day-by-day / hour-by-hour rather than minute-scanning, so even
+    * a rare shape (Feb 29) resolves in bounded steps.
+    */
+  def nextFire(cron: String, afterEpochSec: Long): Long = {
+    val spec = parse(cron)
+    // standard cron rule: with both day fields restricted, a day matches
+    // when EITHER matches; otherwise the restricted one decides
+    def dayOk(t: LocalDateTime): Boolean = {
+      val domOk = spec.doms.contains(t.getDayOfMonth)
+      val dowOk = spec.dows.contains(t.getDayOfWeek.getValue % 7) // java MON=1..SUN=7 -> SUN=0
+      (spec.domStar, spec.dowStar) match {
+        case (true, true)   => true
+        case (false, true)  => domOk
+        case (true, false)  => dowOk
+        case (false, false) => domOk || dowOk
+      }
+    }
+    var t = LocalDateTime.ofEpochSecond(afterEpochSec - afterEpochSec % 60, 0, ZoneOffset.UTC)
+      .plusMinutes(1)
+    val limit = t.plusYears(8) // > max gap of any satisfiable shape (Feb 29)
+    while (t.isBefore(limit)) {
+      if (!spec.months.contains(t.getMonthValue))
+        t = t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0)
+      else if (!dayOk(t))
+        t = t.plusDays(1).withHour(0).withMinute(0)
+      else if (!spec.hours.contains(t.getHour))
+        t = t.plusHours(1).withMinute(0)
+      else if (!spec.minutes.contains(t.getMinute))
+        t = t.plusMinutes(1)
+      else
+        return t.toEpochSecond(ZoneOffset.UTC)
+    }
+    throw new IllegalArgumentException(s"cron never fires: $cron")
+  }
+
+  /** Gap between the next two fires after `fromEpochSec` — the local period
+    * of a possibly time-varying schedule (a daily shape yields 86400).
+    */
+  def periodSeconds(cron: String, fromEpochSec: Long): Long = {
+    val first = nextFire(cron, fromEpochSec)
+    nextFire(cron, first) - first
+  }
+
+  /** Deterministic single-arg form: period measured from a fixed epoch
+    * (2026-01-01T00:00Z), preserving the original every-N-minutes/hourly
+    * behavior while accepting any 5-field expression.
+    */
+  def periodSeconds(cron: String): Long =
+    periodSeconds(cron, 1767225600L)
 
   /** Trigger interval with the reference's 0.8 margin. */
   def triggerMillis(cron: String, margin: Double = 0.8): Long =

@@ -93,9 +93,33 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(CronTrigger.periodSeconds("0 * * * *") == 3600)
     assert(CronTrigger.triggerMillis("*/5 * * * *") == 240000) // x0.8 margin
     intercept[IllegalArgumentException](CronTrigger.periodSeconds("bad"))
-    // daily/fixed-hour crons must be rejected, not silently read as hourly
-    intercept[IllegalArgumentException](CronTrigger.periodSeconds("0 0 * * *"))
-    intercept[IllegalArgumentException](CronTrigger.periodSeconds("*/5 2 * * *"))
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("61 * * * *"))
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("* * * * * *"))
+  }
+
+  test("cron trigger periods: full 5-field shapes (daily, lists, ranges, dow)") {
+    assert(CronTrigger.periodSeconds("0 0 * * *") == 86400)    // daily midnight
+    assert(CronTrigger.periodSeconds("30 2 * * *") == 86400)   // daily 02:30
+    assert(CronTrigger.periodSeconds("*/5 2 * * *") == 300)    // within the 2am window
+    assert(CronTrigger.periodSeconds("0 9-17 * * *") == 3600)  // business hours
+    assert(CronTrigger.periodSeconds("0,30 * * * *") == 1800)  // half-hourly list
+    assert(CronTrigger.periodSeconds("0 0 * * 1") == 7 * 86400) // weekly Monday
+  }
+
+  test("cron nextFire: epoch arithmetic, dom/dow OR rule, month rollover") {
+    val jan1 = 1767225600L // 2026-01-01T00:00:00Z, a Thursday
+    assert(CronTrigger.nextFire("30 2 * * *", jan1) == jan1 + 2 * 3600 + 30 * 60)
+    // strictly after: a fire exactly at `after` is skipped
+    val at0230 = jan1 + 2 * 3600 + 30 * 60
+    assert(CronTrigger.nextFire("30 2 * * *", at0230) == at0230 + 86400)
+    // dom/dow both restricted -> OR: fires Jan 2 (dom=2) before Monday Jan 5
+    assert(CronTrigger.nextFire("0 0 2 * 1", jan1) == jan1 + 86400)
+    // month field: next fire in March rolls over Jan + Feb
+    assert(CronTrigger.nextFire("0 0 1 3 *", jan1) ==
+      jan1 + (31 + 28) * 86400L)
+    // sunday as 7 == sunday as 0 (Jan 4 2026 is a Sunday)
+    assert(CronTrigger.nextFire("0 0 * * 7", jan1) ==
+      CronTrigger.nextFire("0 0 * * 0", jan1))
   }
 
   test("columns_to_save accepts the JSON-array form too") {
