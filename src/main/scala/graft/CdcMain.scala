@@ -93,6 +93,7 @@ object CdcMain {
     sys.addShutdownHook { running = false; stopActive() }
 
     var currentCfg = cm.config // validated before first start; may throw: fine
+    var lastRejectedCfg: CdcConfig = null // last hot-reload rejected (log once)
     // auto + empty backlog is a normal CDC cold start (producer not up yet):
     // wait for the first classifiable event instead of crashing; --once with
     // nothing to classify has nothing to process and fails fast
@@ -133,14 +134,21 @@ object CdcMain {
           // twice with a writer race between them), and only a config that
           // actually parsed differently restarts the query
           val cfg = cm.config
-          if (cfg != currentCfg) {
+          if (cfg != currentCfg && cfg != lastRejectedCfg) {
             // a config that parses but is semantically invalid must not take
-            // down the running stream (ref keeps prior config on bad reload)
+            // down the running stream (ref keeps prior config on bad reload);
+            // remember it so the ~2s poll doesn't re-log the same rejection
+            // forever (currentCfg never advances on rejection)
             if (!ValidDbTypes.contains(cfg.databaseType)) {
               System.err.println("[cdc-main] ignoring config change: " +
                 s"unsupported database_config.type '${cfg.databaseType}'")
+              lastRejectedCfg = cfg
             } else {
               println("[cdc-main] config changed; restarting query")
+              lastRejectedCfg = null
+              // a new source dir is a new lineage: the type pinned from the
+              // OLD dir's events must not classify the new one
+              if (cfg.sourceDir != currentCfg.sourceDir) pinnedAutoType = None
               stopActive()
               scala.util.Try(makeStream(cfg)) match {
                 case scala.util.Success(s) =>

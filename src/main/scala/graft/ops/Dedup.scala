@@ -220,8 +220,12 @@ object Dedup {
     * minimum doc_id as `cluster_id` — the canonicalization step that turns
     * pairwise near-dup hits into dedup groups.
     *
-    * O(component diameter) rounds of (join + min-aggregate); dup components
-    * are shallow in practice, so the loop runs 2-4 rounds. Per round the
+    * Each round does a neighbor-min propagation (join + min-aggregate)
+    * followed by a pointer-doubling hop (`lbl := label_of(lbl)` — valid
+    * because labels are themselves node ids), so convergence needs
+    * O(log diameter) rounds, not O(diameter): maxIters = 25 covers any
+    * component a physical corpus can produce, and exhausting it without
+    * convergence is an error, never a silently-wrong result. Per round the
     * only data moved is (id, label) pairs — the classic scalable CC
     * formulation (GraphX/Pregel does the same joins under the hood). The
     * driver loop carries iteration COUNT only, never row data.
@@ -251,16 +255,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlbl")).as("nlbl"))
-      // one join per round: carry the previous label alongside so the
-      // convergence check needs no second join against the old frame
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // carry the previous label alongside so the convergence check needs
+      // no second join against the old frame
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer-doubling hop: adopt the label OF my label when smaller —
+      // labels are node ids, so the lookup is a self-join on the same frame
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("y"),
+          Seq("lbl"), "left")
+        .select(col("id"), col("old"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
       iters += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters rounds ($changed labels " +
+          "still moving) — result would silently disagree with the transitive closure")
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     edges.unpersist()
     p.unpersist()

@@ -26,6 +26,10 @@ object SkewUtil {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  tiebreaker: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // reserved-name guard (mirrors AsofJoin's _side check): withColumn would
+    // silently overwrite a caller's _salt and drop it from the output
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the column name '_salt'")
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(col(tiebreaker)), lit(salts)))
     val explodedDim = dim.withColumn("_salt",

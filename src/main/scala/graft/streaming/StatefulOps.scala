@@ -11,9 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `dropStale` performs cross-batch stale-event suppression: per key, only
   * events whose timestamp is >= the maximum already emitted pass (the same
   * inclusive rule as the merge ts-guard T7, so a same-ts update still wins).
-  * The sink-side guard makes stale events harmless *at the sink*; this
-  * operator removes them mid-stream so every downstream stage sees a clean
-  * monotone-per-key feed.
+  * The bar is monotone ACROSS batches: within one micro-batch, any event
+  * clearing the entering bar is emitted, so fresh events may still arrive
+  * out of order intra-batch (behavior pinned by spec) — downstream sinks
+  * keep their own ts-guard as the per-row backstop.
   *
   * Scale: state is one Long per live key, partitioned by the group key in
   * the state store (spillable, checkpointed); event-time timeout evicts
@@ -56,9 +57,12 @@ object StatefulOps {
             }
             state.update(last)
             // evict once the watermark passes last-event + delay; in batch
-            // execution there is no watermark and the call throws — state
-            // dies with the job there, so eviction is moot
-            scala.util.Try(state.setTimeoutTimestamp(last, watermarkDelay))
+            // execution there is no watermark and the call throws
+            // UnsupportedOperationException — state dies with the job there,
+            // so eviction is moot. Only that error is swallowed: a real
+            // streaming-side timeout failure must surface.
+            try state.setTimeoutTimestamp(last, watermarkDelay)
+            catch { case _: UnsupportedOperationException => () }
             out.iterator
           }
       }

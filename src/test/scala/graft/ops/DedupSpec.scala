@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(1L)) // all 8 nodes in one component labeled 1
   }
 
+  test("dedup clusters: pointer doubling converges a 64-deep chain in O(log d)") {
+    import spark.implicits._
+    // diameter 63 >> the 10-round budget: only the doubling hop gets there
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs, maxIters = 10)
+      .collect().map(r => r.getLong(1)).distinct.toSeq
+    assert(out == Seq(1L))
+  }
+
   test("ngram jaccard maxDf cap suppresses hot-shingle pair generation") {
     // shingle "a b c" appears in all 3 docs; cap df<=2 kills all pairs
     val docs = docsOf("a b c x", "a b c y", "a b c z")
