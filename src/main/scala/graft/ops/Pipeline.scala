@@ -42,4 +42,27 @@ object Pipeline {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget)).cast("long"))
       .select("doc_id", "shard", "n_tokens", "bin_id")
   }
+
+  /** Shard count sized to the data: ceil(rows / targetDocsPerShard),
+    * clamped to [1, 2^20]. One count scan up front buys a per-shard window
+    * whose state stays O(targetDocsPerShard) however large the corpus —
+    * the packing's parallelism grows WITH the data instead of being a
+    * constant a 100x scale-up would overload.
+    *
+    * Skew bound: shard = doc_id mod nShards, so shard sizes are uniform to
+    * within the id distribution's residue balance — exact for dense ids
+    * (the synthetic corpus), and any residue imbalance shifts shard sizes
+    * by the same factor, never the bin-budget invariant (each bin's
+    * pre-doc token sum stays < budget regardless of shard population).
+    */
+  def adaptiveShards(docs: DataFrame, targetDocsPerShard: Long = 100000L): Int = {
+    require(targetDocsPerShard > 0, "targetDocsPerShard must be positive")
+    val n = docs.count()
+    math.max(1L, math.min(1L << 20, (n + targetDocsPerShard - 1) / targetDocsPerShard)).toInt
+  }
+
+  /** [[packSequences]] with the shard count derived from the input size. */
+  def packSequencesAuto(docs: DataFrame, budget: Int,
+                        targetDocsPerShard: Long = 100000L): DataFrame =
+    packSequences(docs, adaptiveShards(docs, targetDocsPerShard), budget)
 }

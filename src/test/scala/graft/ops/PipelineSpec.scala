@@ -36,6 +36,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("packing budget invariant holds at any shard count, incl. derived") {
+    // variable-length docs: doc i has (i % 7) + 1 tokens
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 16
+    // invariant: within every (shard, bin), the tokens BEFORE the last doc
+    // (relative to the bin's start) stay under the budget — i.e. a doc only
+    // opens a new bin when the current one cannot take it
+    def checkInvariant(nShards: Int): Unit = {
+      val rows = Pipeline.packSequences(docs, nShards, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.groupBy(_._2).values.foreach { shard =>
+        var before = 0L
+        shard.sortBy(_._1).foreach { case (_, _, n, bin) =>
+          assert(bin == before / budget) // greedy contiguous assignment
+          before += n
+        }
+      }
+      // shard routing is doc_id mod nShards, total rows preserved
+      assert(rows.length == 200)
+      assert(rows.forall { case (id, s, _, _) => s == id % nShards })
+    }
+    checkInvariant(4)
+    checkInvariant(8)  // doubling shards preserves the per-bin invariant
+    val derived = Pipeline.adaptiveShards(docs, targetDocsPerShard = 50)
+    assert(derived == 4) // 200 docs / 50 per shard
+    checkInvariant(derived)
+    // auto variant routes through the same invariant-preserving pack
+    assert(Pipeline.packSequencesAuto(docs, budget, 50).count() == 200)
+  }
+
   test("tfidf top-k ranks rare terms above common ones") {
     val docs = Seq(
       (0L, "apple banana banana common"),
