@@ -73,37 +73,53 @@ object MongoPipeline {
     */
   def applyBatch(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
                  keyField: String, columnsToSave: Option[Seq[String]] = None,
-                 tsGuard: Boolean = true): DataFrame =
-    applyBatchWithCleanup(spark, store, raw, keyField, columnsToSave, tsGuard)._1
+                 tsGuard: Boolean = true, evolveSchema: Boolean = true): DataFrame =
+    applyBatchWithCleanup(spark, store, raw, keyField, columnsToSave, tsGuard,
+      evolveSchema)._1
 
   /** As [[applyBatch]] plus a cleanup thunk for the pinned intermediates —
     * streaming callers must invoke it after materialization or they leak a
     * cache entry per micro-batch.
+    *
+    * Schema evolution: with `evolveSchema` (default), fields first seen in
+    * a later batch are APPENDED to the table — existing rows read null for
+    * them — matching the Postgres path's additive drift handling; the
+    * per-batch cost is the same distributed key-discovery aggregate the
+    * reference pays every batch (:808-812). `evolveSchema = false` keeps
+    * the reference's first-writer-wins behavior (:852-861): unknown fields
+    * are dropped. `columnsToSave` bounds discovery in both modes.
     */
   def applyBatchWithCleanup(spark: SparkSession, store: SnapshotStore, raw: DataFrame,
                             keyField: String, columnsToSave: Option[Seq[String]] = None,
-                            tsGuard: Boolean = true): (DataFrame, () => Unit) = {
+                            tsGuard: Boolean = true, evolveSchema: Boolean = true)
+      : (DataFrame, () => Unit) = {
     // pinned: on first contact both discoverFields (a collect) and the merge
     // consume `net` — without this the UDF walk + dedup shuffle run twice
     val net = netChanges(raw, keyField)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val snapOpt = store.read()
-    val fields = snapOpt match {
-      case Some(snap) => conformFields(snap, keyField)
-      case None =>
-        val discovered = discoverFields(net, keyField)
-        columnsToSave match {
-          // key force-included (ref :822-823)
-          case Some(saved) => discovered.filter(f => saved.contains(f) || f == keyField)
-          case None        => discovered
-        }
+    def allowed(discovered: Seq[String]): Seq[String] = columnsToSave match {
+      // key force-included (ref :822-823)
+      case Some(saved) => discovered.filter(f => saved.contains(f) || f == keyField)
+      case None        => discovered
     }
-    val flat = materialize(net, fields)
-    val snapshot = snapOpt.getOrElse {
+    val fields = snapOpt match {
+      case Some(snap) =>
+        val existing = conformFields(snap, keyField)
+        if (!evolveSchema) existing
+        else existing ++ allowed(discoverFields(net, keyField)).filterNot(existing.contains)
+      case None => allowed(discoverFields(net, keyField))
+    }
+    val snapshot = snapOpt.map { snap =>
+      // net-new fields appear as null columns on the existing rows
+      fields.filterNot(snap.columns.contains)
+        .foldLeft(snap)((df, f) => df.withColumn(f, lit(null).cast("string")))
+    }.getOrElse {
       val selects = fields.map(f => lit(null).cast("string").as(f)) :+
         lit(null).cast("long").as(Merge.LastTsCol)
       spark.emptyDataFrame.select(selects: _*)
     }
+    val flat = materialize(net, fields)
     val (merged, mergeCleanup) =
       Merge.applyChangesWithCleanup(snapshot, flat, keyField, fields, tsGuard)
     (merged, () => { mergeCleanup(); net.unpersist() })

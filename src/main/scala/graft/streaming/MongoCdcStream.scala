@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Streaming entry for the MongoDB CDC path (ref: run_mongodb_stream,
   * cdc_stream.py:1008-1093): same foreachBatch scaffold as [[CdcStream]],
   * with [[MongoPipeline.applyBatch]] as the per-batch body (extended-JSON
-  * normalization, field discovery at table create, first-writer-wins
-  * conformance afterwards).
+  * normalization, field discovery at table create, then additive schema
+  * evolution — or the reference's first-writer-wins conformance with
+  * `evolveSchema = false`).
   */
 final class MongoCdcStream(
     spark: SparkSession,
@@ -18,7 +19,8 @@ final class MongoCdcStream(
     checkpointDir: String,
     columnsToSave: Option[Seq[String]] = None,
     tsGuard: Boolean = true,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    evolveSchema: Boolean = true) {
 
   @volatile private var batchInProgress = false
   private lazy val streamId = CdcStream.lineageId(checkpointDir)
@@ -28,7 +30,7 @@ final class MongoCdcStream(
     try {
       if (batch.isEmpty) return
       val (merged, cleanup) = MongoPipeline.applyBatchWithCleanup(
-        spark, store, batch, keyField, columnsToSave, tsGuard)
+        spark, store, batch, keyField, columnsToSave, tsGuard, evolveSchema)
       try store.commit(merged, batchId, streamId)
       finally cleanup()
     } finally batchInProgress = false

@@ -44,12 +44,13 @@ class MongoPipelineSpec extends SparkSpec {
     assert(MongoPipeline.discoverFields(net, "_id") == Seq("_id", "aa", "name", "zz"))
   }
 
-  test("applyBatch creates the table, then conforms later batches to it") {
+  test("applyBatch first-writer-wins mode conforms later batches (ref parity)") {
     val store = new SnapshotStore(tmp(), spark)
     val b0 = Seq(
       (event("c", "k1", doc("k1"), 100), 0L),
       (event("c", "k2", doc("k2"), 100), 1L)).toDF("value", Changelog.SeqCol)
-    store.commit(MongoPipeline.applyBatch(spark, store, b0, "_id"), 0)
+    store.commit(MongoPipeline.applyBatch(spark, store, b0, "_id",
+      evolveSchema = false), 0)
     assert(store.read().get.columns.toSeq == Seq("_id", "name", "last_ts"))
 
     // batch 2: new field "extra" must be dropped (first writer wins);
@@ -58,10 +59,31 @@ class MongoPipelineSpec extends SparkSpec {
       (event("u", "k1", doc("k1", """, "extra": "x""""), 200), 0L),
       (event("d", "k2", "", 200, beforeDoc = doc("k2")), 1L))
       .toDF("value", Changelog.SeqCol)
-    store.commit(MongoPipeline.applyBatch(spark, store, b1, "_id"), 1)
+    store.commit(MongoPipeline.applyBatch(spark, store, b1, "_id",
+      evolveSchema = false), 1)
     val rows = store.read().get.select("_id", "name").collect().toSet
     assert(rows == Set(Row("k1", "n_k1")))
     assert(store.read().get.columns.toSeq == Seq("_id", "name", "last_ts"))
+  }
+
+  test("applyBatch default evolves additively: new fields append as nulls") {
+    val store = new SnapshotStore(tmp(), spark)
+    val b0 = Seq(
+      (event("c", "k1", doc("k1"), 100), 0L),
+      (event("c", "k2", doc("k2"), 100), 1L)).toDF("value", Changelog.SeqCol)
+    store.commit(MongoPipeline.applyBatch(spark, store, b0, "_id"), 0)
+    assert(store.read().get.columns.toSeq == Seq("_id", "name", "last_ts"))
+
+    // batch 2 drifts: k1 gains "extra" -> column appends; untouched k2
+    // reads null for it (Postgres-path parity)
+    val b1 = Seq((event("u", "k1", doc("k1", """, "extra": "x""""), 200), 0L))
+      .toDF("value", Changelog.SeqCol)
+    store.commit(MongoPipeline.applyBatch(spark, store, b1, "_id"), 1)
+    val snap = store.read().get
+    assert(snap.columns.contains("extra"))
+    val byId = snap.select("_id", "extra").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map("k1" -> Some("x"), "k2" -> None))
   }
 
   test("columnsToSave prunes at table create but always keeps the key") {

@@ -34,11 +34,12 @@ class MongoCdcStreamSpec extends SparkSpec {
       assert(store.read().get.columns.toSeq == Seq("_id", "name", "last_ts"))
 
       ms.addData(
-        event("u", "a1", """, \"name\": \"ada2\", \"new_col\": \"dropped\"""", 200),
+        event("u", "a1", """, \"name\": \"ada2\", \"new_col\": \"added\"""", 200),
         event("d", "b2", """, \"name\": \"bob\"""", 200))
       q.processAllAvailable()
-      val rows = store.read().get.select("_id", "name").collect().toSet
-      assert(rows == Set(Row("a1", "ada2")))
+      // default mode evolves additively: the drifted field appends
+      val rows = store.read().get.select("_id", "name", "new_col").collect().toSet
+      assert(rows == Set(Row("a1", "ada2", "added")))
     } finally stream.stopGracefully(q)
   }
 }
