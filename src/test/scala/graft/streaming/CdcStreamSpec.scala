@@ -127,6 +127,59 @@ class CdcStreamSpec extends SparkSpec {
     assert(lines.contains("DELETE FROM t WHERE id = 1;"))
   }
 
+  test("crash between sink and checkpoint commit: restart replays the batch " +
+      "and the snapshot converges (at-least-once + idempotent merge)") {
+    val inDir = tmp("in"); val ckpt = tmp("ckpt"); val cache = tmp("cache")
+    val store = new SnapshotStore(tmp("st"), spark)
+    // two files + maxFilesPerTrigger=1 -> two deterministic micro-batches,
+    // the replayed unit being a recorded file set exactly as a Kafka replay
+    // is a recorded offset range
+    val f0 = java.nio.file.Paths.get(inDir, "b0.json")
+    val f1 = java.nio.file.Paths.get(inDir, "b1.json")
+    Files.writeString(f0,
+      Seq(event("c", 1, "a", 100), event("c", 2, "b", 100)).mkString("\n"))
+    Files.writeString(f1,
+      Seq(event("u", 1, "a2", 200), event("d", 2, "b", 200)).mkString("\n"))
+    // the file source orders batches by modification time — pin distinct
+    // times or both files land in an arbitrary order
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(now - 60000))
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(now))
+    def run(): Unit = {
+      val s = new CdcStream(spark, CdcStream.fileSource(spark, inDir, Some(1)),
+        store, "id", cacheDir = cache, checkpointDir = ckpt)
+      val q = s.start()
+      q.awaitTermination(60000)
+      q.stop()
+      // the next restart may not begin until this run fully deregisters
+      // from the shared session's active-query registry
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    run()
+    val v1 = store.current
+    val expected = store.read().get.select("id", "name").collect().toSet
+    assert(expected == Set(org.apache.spark.sql.Row(1L, "a2")))
+
+    // the crash window: the batch reached the store but the checkpoint lost
+    // its commit record -> on restart Spark re-delivers the SAME batch id
+    // with the SAME file set (at-least-once)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val latest = commits.maxBy(_.getName.toInt)
+    // the checksum FS keeps a .N.crc sidecar; leaving it behind makes the
+    // replay's commit rename collide
+    new java.io.File(latest.getParentFile, s".${latest.getName}.crc").delete()
+    assert(latest.delete())
+    run()
+    // the replay must be a no-op: same snapshot version, same rows
+    assert(store.current == v1)
+    assert(store.read().get.select("id", "name").collect().toSet == expected)
+
+    // a clean restart (checkpoint intact) processes nothing new either
+    run()
+    assert(store.current == v1)
+  }
+
   test("columnsToSave prunes the materialized table but keeps the key") {
     val store = new SnapshotStore(tmp("st"), spark)
     val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
