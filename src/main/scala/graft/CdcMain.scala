@@ -63,7 +63,7 @@ object CdcMain {
       val store = new SnapshotStore(cfg.outputPath, spark)
       val trigger =
         if (once) Trigger.AvailableNow()
-        else Trigger.ProcessingTime(cfg.processTime)
+        else CronTrigger.resolveTrigger(cfg.processTime) // duration OR cron
       val source = CdcStream.fileSource(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
       val dbType = resolveType(cfg).getOrElse(
         sys.error(s"database_config.type=auto but no classifiable event " +

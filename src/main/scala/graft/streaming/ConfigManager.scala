@@ -229,4 +229,20 @@ object CronTrigger {
   /** Trigger interval with the reference's 0.8 margin. */
   def triggerMillis(cron: String, margin: Double = 0.8): Long =
     (periodSeconds(cron) * 1000 * margin).toLong
+
+  /** True when the string parses as a 5-field cron (a Spark duration like
+    * "1 minute" never has 5 fields).
+    */
+  def isCron(s: String): Boolean =
+    scala.util.Try(parse(s)).isSuccess
+
+  /** A config `process_time` is either a Spark duration or a cron
+    * expression (ref accepts both via croniter); crons resolve through
+    * [[triggerMillis]] with the 0.8 margin.
+    */
+  def resolveTrigger(processTime: String): org.apache.spark.sql.streaming.Trigger =
+    if (isCron(processTime))
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMillis(processTime))
+    else
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(processTime)
 }

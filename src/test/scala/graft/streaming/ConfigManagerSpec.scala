@@ -106,6 +106,15 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(CronTrigger.periodSeconds("0 0 * * 1") == 7 * 86400) // weekly Monday
   }
 
+  test("resolveTrigger: durations pass through, crons get the margined period") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(CronTrigger.resolveTrigger("10 seconds") == Trigger.ProcessingTime("10 seconds"))
+    assert(CronTrigger.resolveTrigger("*/5 * * * *") == Trigger.ProcessingTime(240000L))
+    assert(CronTrigger.resolveTrigger("30 2 * * *") ==
+      Trigger.ProcessingTime((86400000L * 8) / 10))
+    assert(!CronTrigger.isCron("1 minute") && CronTrigger.isCron("0 0 * * *"))
+  }
+
   test("cron nextFire: epoch arithmetic, dom/dow OR rule, month rollover") {
     val jan1 = 1767225600L // 2026-01-01T00:00:00Z, a Thursday
     assert(CronTrigger.nextFire("30 2 * * *", jan1) == jan1 + 2 * 3600 + 30 * 60)
