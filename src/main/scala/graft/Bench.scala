@@ -53,8 +53,12 @@ object Bench {
     // whose best exceeds 5x a warmup-derived estimate is re-timed in a
     // second pass at the end, when the session has settled, and the min of
     // both passes is reported.
+    // no warmup measurement (warmDir == sfDir, or the query failed warmup)
+    // means no estimate — such queries are never flagged, or the 2.5s
+    // fallback would re-bench most of the suite
     def estimate(name: String): Double =
-      5.0 * math.max(0.5, warmTime.getOrElse(name, 0.1) * 3.0)
+      warmTime.get(name).map(w => 5.0 * math.max(0.5, w * 3.0))
+        .getOrElse(Double.MaxValue)
     val suspects = firstPass.filter { case (n, t) => t > estimate(n) }.keys.toSeq
     val results = firstPass ++ suspects.map { n =>
       val rerun = bestOf3(n, SparkEntry.queries(n))

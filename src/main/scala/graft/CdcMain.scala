@@ -147,7 +147,11 @@ object CdcMain {
               println("[cdc-main] config changed; restarting query")
               lastRejectedCfg = null
               // a new source dir is a new lineage: the type pinned from the
-              // OLD dir's events must not classify the new one
+              // OLD dir's events must not classify the new one. Save the
+              // old pin so a failed start can restore it — the revert runs
+              // the OLD lineage and must not inherit a type detected from
+              // the NEW dir's events.
+              val savedPin = pinnedAutoType
               if (cfg.sourceDir != currentCfg.sourceDir) pinnedAutoType = None
               stopActive()
               scala.util.Try(makeStream(cfg)) match {
@@ -157,6 +161,11 @@ object CdcMain {
                 case scala.util.Failure(e) =>
                   System.err.println("[cdc-main] new config failed to start: " +
                     s"${e.getMessage}; reverting to previous config")
+                  // remember the failing config too, or the poll would stop
+                  // and restart the healthy reverted stream every ~2s while
+                  // the bad file sits on disk
+                  lastRejectedCfg = cfg
+                  pinnedAutoType = savedPin
                   // currentCfg untouched; if the revert fails too the
                   // supervision loop above keeps retrying it with backoff
                   scala.util.Try(makeStream(currentCfg))

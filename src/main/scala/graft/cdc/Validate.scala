@@ -50,6 +50,15 @@ object Validate {
            ignore: Set[String] = Set.empty): DataFrame = {
     require(source.columns.contains(key) && target.columns.contains(key),
       s"key column '$key' must exist in both source and target")
+    // reserved-name guard (same policy as SkewUtil's _salt): the diff output
+    // and the join-side rename own these names; a colliding input column
+    // would silently corrupt the comparison
+    val reserved = Set("kind", "col_name", "source_val", "target_val")
+    (source.columns ++ target.columns).filterNot(ignore).foreach { c =>
+      require(!reserved.contains(c) && !c.startsWith("_t_"),
+        s"Validate.diff reserves column name '$c' (kind/col_name/source_val/" +
+          "target_val and the _t_ prefix); rename or add it to `ignore`")
+    }
     val cd = columnDiff(source, target, ignore + key)
     val common = cd.common
     val s = source.select((key +: common).map(col): _*)
@@ -60,16 +69,23 @@ object Validate {
     val sk = col(key)
     val tk = col(s"_t_$key")
     // per-row array of (differs, name, source, target); the first element
-    // whose `differs` is set names the mismatch — one codegen'd projection
-    val cells = array(common.map { c =>
-      struct((!(col(c) <=> col(s"_t_$c"))).as("differs"),
-        lit(c).as("name"),
-        col(c).cast("string").as("s"),
-        col(s"_t_$c").cast("string").as("t"))
-    }: _*)
-    // try_element_at: ANSI mode makes plain element_at throw on the empty
-    // (all-equal) array; null here simply means "no mismatch"
-    val firstDiff = try_element_at(filter(cells, _.getField("differs")), lit(1))
+    // whose `differs` is set names the mismatch — one codegen'd projection.
+    // With NO common columns (disjoint schemas) there is nothing to
+    // mismatch, and an empty array() literal would be untyped anyway.
+    val firstDiff =
+      if (common.isEmpty)
+        lit(null).cast("struct<differs:boolean,name:string,s:string,t:string>")
+      else {
+        val cells = array(common.map { c =>
+          struct((!(col(c) <=> col(s"_t_$c"))).as("differs"),
+            lit(c).as("name"),
+            col(c).cast("string").as("s"),
+            col(s"_t_$c").cast("string").as("t"))
+        }: _*)
+        // try_element_at: ANSI mode makes plain element_at throw on the
+        // empty (all-equal) array; null simply means "no mismatch"
+        try_element_at(filter(cells, _.getField("differs")), lit(1))
+      }
 
     val rowKind = when(tk.isNull, "missing")
       .when(sk.isNull, "extra")
@@ -94,13 +110,18 @@ object Validate {
     rows.unionByName(colRows)
   }
 
-  /** Roll the long-format diff up to the ref's summary counts. */
+  /** Roll the long-format diff up to the ref's summary counts.
+    * `is_consistent` mirrors [[diff]]'s contract exactly: true only when
+    * the diff is EMPTY — schema drift counts as inconsistency too (a
+    * dropped column loses every value in it).
+    */
   def summary(diffRows: DataFrame): DataFrame = {
     // coalesce: sum over an empty (fully consistent) diff is null, not 0
     val counts = Seq("missing", "extra", "mismatch", "column_missing", "column_extra")
       .map(k => coalesce(sum(when(col("kind") === k, 1L).otherwise(0L)), lit(0L)).as(s"n_$k"))
     diffRows.agg(counts.head, counts.tail: _*)
       .withColumn("is_consistent",
-        (col("n_missing") + col("n_extra") + col("n_mismatch")) === 0)
+        (col("n_missing") + col("n_extra") + col("n_mismatch") +
+          col("n_column_missing") + col("n_column_extra")) === 0)
   }
 }

@@ -182,12 +182,22 @@ object Similarity {
     */
   def nearDupPairsLsh(corpus: DataFrame, planes: Seq[Array[Float]],
                       threshold: Double, bandBits: Int = 4,
-                      maxBandDf: Option[Int] = None): DataFrame = {
+                      maxBandDf: Option[Int] = None): DataFrame =
+    nearDupPairsLshWithCleanup(corpus, planes, threshold, bandBits, maxBandDf)._1
+
+  def nearDupPairsLshWithCleanup(corpus: DataFrame, planes: Seq[Array[Float]],
+                                 threshold: Double, bandBits: Int = 4,
+                                 maxBandDf: Option[Int] = None)
+      : (DataFrame, () => Unit) = {
+    // pinned: the band-frequency pass (capBands) and BOTH self-join sides
+    // read this frame — persisting evaluates the full-corpus signature
+    // projection once, not three times (same discipline as the Dedup paths)
+    val exploded = explodedBands(corpus, "vec_id", planes, bandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-band guard (same shape as Dedup.capBands): a degenerate band key
     // (e.g. every near-zero vector signing identically) would otherwise make
     // the collision self-join quadratic in that key's member count
-    val bands = Dedup.capBands(
-      explodedBands(corpus, "vec_id", planes, bandBits), "vec_id", maxBandDf)
+    val bands = Dedup.capBands(exploded, "vec_id", maxBandDf)
     // ids-only collision join + pair dedup; embeddings re-attach after
     val candIds = bands.as("a")
       .join(bands.as("b"),
@@ -196,12 +206,13 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val e = corpus.select(col("vec_id"), col("embedding"))
-    candIds
+    val out = candIds
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+    (out, () => { exploded.unpersist(); () })
   }
 
   /** Embedding-cosine near-duplicate pairs with blocking: only pairs inside

@@ -338,7 +338,7 @@ object OpsQueries {
        |         string_agg(CASE WHEN ${dotSql("v", "pv")} >= 0.0
        |                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS sg
        |  FROM e CROSS JOIN planes GROUP BY e.vec_id
-       |), bands AS (
+       |), bands0 AS (
        |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
        |)""".stripMargin
@@ -490,7 +490,7 @@ object OpsQueries {
     "ann_rhp_topk" ->
       s"""$embCte$rhpCtes, cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-         |  FROM bands q JOIN bands c
+         |  FROM bands0 q JOIN bands0 c
          |    ON q.band = c.band AND q.key = c.key AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0
          |)
@@ -543,14 +543,9 @@ object OpsQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
 
     "emb_near_dup_lsh" ->
-      s"""$embCte$rhpCtes, ekeep AS (
-         |  SELECT band, key FROM bands GROUP BY band, key
-         |  HAVING count(*) <= ${RhpMaxBandDf}
-         |), cbands AS (
-         |  SELECT bands.* FROM bands JOIN ekeep USING (band, key)
-         |), cand AS (
+      s"""$embCte$rhpCtes${bandCapCtes(RhpMaxBandDf)}, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM cbands a JOIN cbands b
+         |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
          |)
          |SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos

@@ -138,21 +138,26 @@ object CronTrigger {
   /** One field: comma list of `*`, `a`, `a-b`, `*\/n`, `a/n`, `a-b/n`. */
   private def parseField(f: String, lo: Int, hi: Int, cron: String): (Set[Int], Boolean) = {
     def bad() = throw new IllegalArgumentException(s"unsupported cron field '$f' in: $cron")
+    // every numeric term routes through here: an empty term ("1,,2") or an
+    // oversized digit string must fail as an unsupported-field diagnostic,
+    // not a NumberFormatException escaping isCron's intent
+    def num(s: String): Int =
+      if (s.nonEmpty && s.length <= 4 && s.forall(_.isDigit)) s.toInt else bad()
     val isStar = f == "*"
-    val vals = f.split(",").toSeq.flatMap { term =>
-      val (rangePart, step) = term.split("/") match {
+    val vals = f.split(",", -1).toSeq.flatMap { term =>
+      val (rangePart, step) = term.split("/", -1) match {
         case Array(r)    => (r, 1)
-        case Array(r, s) if s.nonEmpty && s.forall(_.isDigit) && s.toInt > 0 => (r, s.toInt)
+        case Array(r, s) => (r, { val n = num(s); if (n > 0) n else bad() })
         case _           => bad()
       }
       val (a, b) = rangePart match {
         case "*" => (lo, hi)
-        case r if r.forall(_.isDigit) =>
+        case r if r.nonEmpty && r.forall(_.isDigit) =>
           // bare value with a step ("2/5") means "from 2 to max"
-          if (step > 1) (r.toInt, hi) else (r.toInt, r.toInt)
-        case r => r.split("-") match {
-          case Array(x, y) if x.forall(_.isDigit) && y.forall(_.isDigit) => (x.toInt, y.toInt)
-          case _ => bad()
+          if (step > 1) (num(r), hi) else { val v = num(r); (v, v) }
+        case r => r.split("-", -1) match {
+          case Array(x, y) => (num(x), num(y))
+          case _           => bad()
         }
       }
       if (a < lo || b > hi || a > b) bad()

@@ -50,6 +50,24 @@ class ValidateSpec extends SparkSpec {
     assert(out == Set(("column_missing", "seg")))
   }
 
+  test("reserved output names are rejected unless ignored") {
+    val src = Seq((1L, "a")).toDF("id", "kind")
+    val tgt = Seq((1L, "a")).toDF("id", "kind")
+    intercept[IllegalArgumentException](Validate.diff(src, tgt, "id"))
+    // ignoring the colliding column makes the diff legal again
+    assert(Validate.diff(src, tgt, "id", ignore = Set("kind")).count() == 0)
+    val pfx = Seq((1L, "a")).toDF("id", "_t_x")
+    intercept[IllegalArgumentException](Validate.diff(pfx, pfx, "id"))
+  }
+
+  test("summary counts schema drift as inconsistency") {
+    val src = Seq((1L, "a", "s")).toDF("id", "name", "seg")
+    val tgt = Seq((1L, "a")).toDF("id", "name")
+    val s = Validate.summary(Validate.diff(src, tgt, "id")).collect().head
+    assert(s.getLong(s.fieldIndex("n_column_missing")) == 1L)
+    assert(!s.getBoolean(s.fieldIndex("is_consistent")))
+  }
+
   test("summary rolls counts up and reports consistency") {
     val src = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     val same = Validate.summary(Validate.diff(src, src, "id")).collect().head

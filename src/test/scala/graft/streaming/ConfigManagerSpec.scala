@@ -95,6 +95,11 @@ class ConfigManagerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CronTrigger.periodSeconds("bad"))
     intercept[IllegalArgumentException](CronTrigger.periodSeconds("61 * * * *"))
     intercept[IllegalArgumentException](CronTrigger.periodSeconds("* * * * * *"))
+    // malformed terms fail as cron diagnostics, never NumberFormatException
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds(",5 * * * *"))
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("1,,2 * * * *"))
+    intercept[IllegalArgumentException](CronTrigger.periodSeconds("99999999999 * * * *"))
+    assert(!CronTrigger.isCron(",5 * * * *"))
   }
 
   test("cron trigger periods: full 5-field shapes (daily, lists, ranges, dow)") {
