@@ -192,6 +192,23 @@ object CdcQueries {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    "jdbc_roundtrip" -> ((s, dir) => {
+      // S7/K7 under the correctness gate: bulk-write the customer table
+      // through the JDBC sink (embedded Derby — Spark's own jars) and read
+      // it back with a partitioned range scan; the oracle reads the
+      // original parquet, so the JDBC round-trip must be lossless.
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val url = "jdbc:derby:" +
+        java.nio.file.Files.createTempDirectory("graft_jdbc") + "/db;create=true"
+      graft.sources.Jdbc.write(customer, url, "customer_rt", mode = "overwrite")
+      val back = graft.sources.Jdbc.readPartitioned(s, url, "customer_rt",
+        partitionColumn = "c_custkey", lowerBound = 1, upperBound = 200000,
+        numPartitions = 8)
+      // canonical column case: Derby uppercases identifiers; re-alias to the
+      // parquet names (Spark resolution is case-insensitive)
+      back.select(customer.columns.map(n => col(n).as(n)).toSeq: _*)
+    }),
+
     "cdc_validate_drift" -> ((s, dir) => {
       // In-engine consistency validator (ref: test/validate_cdc_data.py):
       // seed deterministic drift into a copy of the customer snapshot —
@@ -327,6 +344,9 @@ object CdcQueries {
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "jdbc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 
     // mirror of Validate.diff over the seeded-drift target: same drift
     // recipe, same full-outer key diff, same first-differing-column order
