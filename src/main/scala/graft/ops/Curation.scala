@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * benchmark decontamination, repetition filtering (Gopher-style), hash
+  * stratified sampling, domain mixing to target weights, and per-stratum
+  * length quantiles. Extends the dedup/quality family in [[Dedup]] /
+  * [[TextAnalysis]] with the selection half of a data pipeline — which
+  * documents make the training set, not just which are duplicates.
+  *
+  * Scale design (100 TB discipline):
+  *   - decontamination joins the corpus' n-grams against the EVAL set's
+  *     n-grams — the eval side is the small one by construction (benchmarks
+  *     are thousands of docs, the corpus is billions), so it broadcasts and
+  *     the corpus never shuffles;
+  *   - repetition stats are pure per-row expressions (no shuffle at all);
+  *     per-row work is O(tokens * distinct n-grams), fine for documents,
+  *     and the whole operator pipelines with the parquet scan;
+  *   - stratified sampling is a scan-only hash-threshold filter — zero
+  *     shuffle, membership recomputable by any engine from the id alone
+  *     (same property as [[Pipeline.hashSplit]]);
+  *   - domain mixing needs exact per-domain counts, so it pays one window
+  *     over a domain-partitioned shuffle — the minimum any exact-quota
+  *     sampler can pay; the quota arithmetic itself is driver-side O(#domains).
+  */
+object Curation {
+
+  /** Distinct word n-grams per document (space-joined), empty for docs
+    * shorter than n tokens. Generalizes [[Dedup.shingles]] (n = 3).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val t = TextAnalysis.tokens(text)
+    // guard: sequence(1, k) descends when k < 1, so short docs get no grams
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          j => concat_ws(" ", slice(t, j, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: for every non-eval document, count how many
+    * of its distinct word n-grams also appear in the eval split, and flag
+    * any overlap. `isEval` selects the held-out split (a benchmark table in
+    * production; a deterministic id predicate here). Overlapping documents
+    * are what a pipeline drops before training so benchmark numbers stay
+    * honest (the GPT-3 appendix-C / PaLM 13-gram procedure, reduced to the
+    * engine-shaped core: gram extraction + semi-join + per-doc count).
+    *
+    * The eval gram set is broadcast — the corpus side never shuffles; the
+    * only aggregation is keyed by doc_id, the scan's natural key.
+    */
+  def decontaminate(docs: DataFrame, isEval: Column, n: Int = 4): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("text"), isEval.as("_eval"))
+      .select(col("doc_id"), col("_eval"), explode(wordNgrams(col("text"), n)).as("g"))
+    val evalGrams = grams.filter(col("_eval")).select("g").distinct()
+    val hits = grams.filter(!col("_eval"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    docs.filter(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** Gopher-style repetition statistics, as pure per-row expressions:
+    *   - top_bigram_frac: occurrences of the most frequent bigram / total
+    *     bigrams (Gopher's "top 2-gram fraction", over counts);
+    *   - dup_trigram_frac: 1 - distinct/total trigrams (Gopher's
+    *     "duplicate 3-gram fraction");
+    *   - is_repetitive: either fraction over its threshold.
+    *
+    * The bigram mode is computed inside the row (max over
+    * count-of-each-distinct) — O(distinct * total) per document, which
+    * beats an explode + two shuffles for document-sized inputs and keeps
+    * the operator scan-parallel with zero exchanges. For book-length rows
+    * switch to the explode + groupBy(doc_id) formulation.
+    */
+  def repetitionStats(docs: DataFrame, topBigramMax: Double = 0.10,
+                      dupTrigramMax: Double = 0.02): DataFrame = {
+    val bi = wordNgramsAll(col("text"), 2)
+    val tri = wordNgramsAll(col("text"), 3)
+    val topBigram = when(size(bi) > 0,
+      array_max(transform(array_distinct(bi),
+        x => size(filter(bi, y => y === x)))) / size(bi))
+      .otherwise(lit(0.0))
+    val dupTrigram = when(size(tri) > 0,
+      lit(1.0) - size(array_distinct(tri)) / size(tri))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id"),
+        topBigram.as("top_bigram_frac"),
+        dupTrigram.as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        (col("top_bigram_frac") > topBigramMax ||
+          col("dup_trigram_frac") > dupTrigramMax).cast("int"))
+  }
+
+  /** Word n-grams per document WITH multiplicity (repetition analysis needs
+    * the counts that [[wordNgrams]]' distinct throws away).
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        j => concat_ws(" ", slice(t, j, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-stratum Bernoulli sampling by hash threshold: a row is kept when
+    * the first 4 hex chars of md5("samp:" + id) fall below its stratum's
+    * threshold (fraction * 0x10000, as zero-padded hex — string comparison
+    * IS the numeric comparison for fixed-width hex). Scan-only: no shuffle,
+    * no state, membership recomputable from the id by any engine — the
+    * property that lets later pipeline stages (or the oracle) re-derive the
+    * sample instead of persisting it. Fraction granularity is 1/65536.
+    *
+    * Strata missing from `fractions` keep nothing (explicit opt-in, so a
+    * new surprise stratum cannot silently flood the sample).
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val key = substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 4)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      acc || (stratum === s && key < hexThreshold(f))
+    }
+    df.filter(keep)
+  }
+
+  /** fraction -> 4-hex-digit threshold string (fraction of the 16-bit key
+    * space). Shared with the oracle-SQL builder so both engines compare
+    * against byte-identical constants.
+    */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min(65536L, math.floor(fraction * 65536).toLong)}%04x"
+
+  /** Domain mixing: resample the corpus to target per-domain quotas.
+    * quota(d) = floor(budgetFrac * N * weight(d) / totalWeight); within a
+    * domain, rows rank by (md5("mix:" + id), id) — a deterministic uniform
+    * order — and the first quota(d) survive. This is how a training mix is
+    * rebalanced ("20% code, 40% web, ...") when domain sizes are wildly
+    * uneven.
+    *
+    * One count() scan (a number to the driver, like
+    * [[Pipeline.adaptiveShards]]) + one window over a domain-partitioned
+    * shuffle. Domains absent from `weights` get quota 0. Ties are
+    * impossible: ids are distinct and the id is in the sort key.
+    */
+  def domainMix(df: DataFrame, domain: Column, weights: Map[String, Double],
+                budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0, "budgetFrac must be in (0, 1]")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val total = df.count()
+    val sumW = weights.values.sum
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(domain === d,
+        lit(math.floor(budgetFrac * total * w / sumW).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(domain)
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+  }
+
+  /** Discrete per-stratum quantiles of a numeric column: the value at rank
+    * ceil(p * n) in ascending (value, id) order — an explicit formulation
+    * both engines reproduce bit-for-bit (interpolating quantiles differ in
+    * float details across engines; rank selection cannot). One window + one
+    * aggregation, both keyed by the stratum.
+    */
+  def quantilesByStratum(df: DataFrame, stratum: String, value: String,
+                         idCol: String, ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(col(value), col(idCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(stratum))))
+    val aggs = max(col("_cnt")).as("n_rows") +:
+      ps.map(p => max(when(col("_rn") === ceil(lit(p) * col("_cnt")), col(value)))
+        .as(s"p${(p * 100).round}_$value"))
+    ranked.groupBy(stratum).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // doc 0 is "eval" (id % 2 == 0 in these tests); doc 1 copies a 4-gram
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    (1L, "one two alpha beta gamma delta three"),
+    (2L, "totally different words here now okay"),
+    (3L, "spam spam spam spam spam ham eggs"),
+    (4L, "all tokens unique in this doc")
+  ).toDF("doc_id", "text")
+
+  test("wordNgrams: distinct n-grams, empty under n tokens") {
+    val df = corpus.select(col("doc_id"), Curation.wordNgrams(col("text"), 4).as("g"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(0L).contains("alpha beta gamma delta"))
+    assert(m(3L).contains("spam spam spam spam"))
+    // repeated 4-gram appears once (distinct)
+    assert(m(3L).count(_ == "spam spam spam spam") == 1)
+    val short = Seq((9L, "one two three")).toDF("doc_id", "text")
+      .select(Curation.wordNgrams(col("text"), 4).as("g")).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("decontaminate flags exactly the overlapping non-eval doc") {
+    val out = Curation.decontaminate(corpus, pmod(col("doc_id"), lit(2)) === 0, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(1L, 3L)) // only non-eval docs, all of them
+    assert(out(1L) == (1L, 1)) // shares "alpha beta gamma delta" with doc 0
+    assert(out(3L) == (0L, 0))
+  }
+
+  test("repetitionStats: fractions and flag") {
+    val out = Curation.repetitionStats(corpus, topBigramMax = 0.5, dupTrigramMax = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    // doc 3: bigrams = [spam spam]x4, [spam ham], [ham eggs] -> top 4/6
+    assert(math.abs(out(3L)._1 - 4.0 / 6.0) < 1e-15)
+    // trigrams: [spam spam spam]x3 [spam spam ham] [spam ham eggs] -> dup 2/5
+    assert(math.abs(out(3L)._2 - 2.0 / 5.0) < 1e-15)
+    assert(out(3L)._3 == 1)
+    assert(out(4L)._1 == 1.0 / 5.0 && out(4L)._2 == 0.0 && out(4L)._3 == 0)
+  }
+
+  test("stratifiedSample: threshold math, opt-in strata, determinism") {
+    assert(Curation.hexThreshold(0.5) == "8000")
+    assert(Curation.hexThreshold(0.25) == "4000")
+    assert(Curation.hexThreshold(1.0) == "10000") // 5 hex chars: keeps all
+    assert(Curation.hexThreshold(0.0) == "0000")  // keeps none
+    val df = (0L until 2000L).toDF("doc_id")
+      .withColumn("stratum", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val kept = Curation.stratifiedSample(df, col("stratum"), Map("a" -> 0.5))
+    val counts = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("b"))                   // absent stratum keeps nothing
+    assert(counts("a") > 350 && counts("a") < 650)  // ~0.5 of 1000
+    // deterministic: same rows on re-run
+    val again = Curation.stratifiedSample(df, col("stratum"), Map("a" -> 0.5))
+    assert(kept.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("domainMix: exact quotas, deterministic membership") {
+    val df = (0L until 300L).toDF("doc_id")
+      .withColumn("domain", when(col("doc_id") < 200, "big").otherwise("small"))
+    // budget 0.5 * 300 = 150; weights big=3, small=1 -> quotas 112, 37
+    val out = Curation.domainMix(df, col("domain"), Map("big" -> 3.0, "small" -> 1.0), 0.5)
+    val counts = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") == math.floor(0.5 * 300 * 3.0 / 4.0).toLong)
+    assert(counts("small") == math.floor(0.5 * 300 * 1.0 / 4.0).toLong)
+    // rank column: contiguous 1..quota within each domain
+    val ranks = out.filter(col("domain") === "small").select("rank")
+      .collect().map(_.getLong(0)).sorted
+    assert(ranks.sameElements(1L to counts("small")))
+    // a domain with no weight contributes nothing
+    val none = Curation.domainMix(df, col("domain"), Map("big" -> 1.0), 0.5)
+    assert(none.filter(col("domain") === "small").count() == 0)
+  }
+
+  test("quantilesByStratum: rank-selection values") {
+    val df = Seq.tabulate(100)(i => (i.toLong, "x", (i + 1).toLong))
+      .toDF("id", "s", "v")
+    val out = Curation.quantilesByStratum(df, "s", "v", "id", Seq(0.5, 0.9, 0.99))
+      .head
+    assert(out.getAs[Long]("n_rows") == 100L)
+    assert(out.getAs[Long]("p50_v") == 50L)  // ceil(0.5*100) = 50th smallest
+    assert(out.getAs[Long]("p90_v") == 90L)
+    assert(out.getAs[Long]("p99_v") == 99L)
+  }
+}
