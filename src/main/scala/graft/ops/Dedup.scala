@@ -81,10 +81,21 @@ object Dedup {
     case None => bands
   }
 
-  /** LSH candidate pairs: docs sharing any band key (band b = concat of
-    * signature rows 2b, 2b+1). Returns distinct (doc_a < doc_b) pairs.
-    * `maxBandDf` drops band keys shared by more than that many docs from
-    * pair generation (hot-band guard, see [[capBands]]).
+  /** (doc_id, band, key) rows: MinHash band keys (band b = concat of
+    * signature rows 2b, 2b+1) — the LSH index rows every candidate join and
+    * the incremental path share.
+    */
+  def minHashBands(docs: DataFrame): DataFrame = {
+    val bands = (0 until MinHashK / 2).map(b =>
+      struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
+    minHashSignatures(docs)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band key. Returns distinct
+    * (doc_a < doc_b) pairs. `maxBandDf` drops band keys shared by more than
+    * that many docs from pair generation (hot-band guard, see [[capBands]]).
     * One-shot convenience; long-lived sessions should use
     * [[minHashCandidatesWithCleanup]] and release the pinned signatures.
     */
@@ -93,13 +104,9 @@ object Dedup {
 
   def minHashCandidatesWithCleanup(docs: DataFrame, maxBandDf: Option[Int] = None)
       : (DataFrame, () => Unit) = {
-    val sig = minHashSignatures(docs)
-    val bands = (0 until MinHashK / 2).map(b =>
-      struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
     // signature-sized (4 rows/doc); pinned so the band-frequency pass and
     // the self-join evaluate the shingle+md5 lineage once, not once per use
-    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val exploded = minHashBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinable = capBands(exploded, "doc_id", maxBandDf)
     val a = joinable.as("a")
@@ -317,5 +324,90 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
     (out, () => { sh.unpersist(); () })
+  }
+
+  /** Cross-document repeated-span statistics: for each document, how many of
+    * its distinct word n-grams also occur in at least `minDf` documents
+    * corpus-wide (itself included) — the sub-document dedup signal used to
+    * strip boilerplate and templated spans (the C4 line-dedup / RefinedWeb
+    * repeated-span procedure, at n-gram granularity since granularity below
+    * the document is what "line" really means).
+    *
+    * Two shuffles, both linear: one window over the span-partitioned explode
+    * (the document frequency), one groupBy back on doc_id. No self-join
+    * exists anywhere, so a hot span costs linear skew (AQE splits it), never
+    * a quadratic pair blowup — this is the shape that distinguishes span
+    * *counting* from pair *generation*.
+    */
+  def spanStats(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val grams = docs.select(col("doc_id"),
+      explode(Curation.wordNgrams(col("text"), n)).as("g"))
+    val df_ = grams.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val agg = df_.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      count(when(col("_df") >= minDf, 1)).as("n_dup_spans"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          coalesce(col("n_dup_spans"), lit(0L)) / col("n_spans"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
+
+  /** Incremental near-dup detection of a new batch against an existing
+    * corpus: MinHash band keys on both sides, a Bloom-filter prefilter built
+    * from the history's band keys, then exact verification of only the
+    * surviving batch bands. Returns one row per batch document with the
+    * number of colliding bands and a near-dup flag.
+    *
+    * This is the arriving-data half of dedup at 100 TB: the history is
+    * scanned once to build the Bloom (O(`expectedBands` * ln(1/`fpp`)) bits
+    * of driver/executor state — a config-sized broadcast, not data-sized)
+    * and once for the verify join, where it joins against the *broadcast*
+    * post-Bloom candidate set — the history never shuffles, and batch rows
+    * that match nothing (the common case for fresh data) are dropped at the
+    * scan by the Bloom. False positives cannot leak: the verify join is
+    * exact, so the Bloom only ever costs extra verification, never a wrong
+    * answer. In a long-lived pipeline the history band index would persist
+    * in a bucketed store ([[graft.cdc.BucketedSnapshotStore]]) instead of
+    * being recomputed per batch.
+    *
+    * `maxBandDf` caps hot band keys on the HISTORY side (same degenerate-band
+    * guard as every LSH join here, see [[capBands]]).
+    */
+  def incrementalNearDups(history: DataFrame, batch: DataFrame,
+                          maxBandDf: Option[Int] = None,
+                          expectedBands: Long = 1 << 20,
+                          fpp: Double = 0.01): DataFrame =
+    incrementalNearDupsWithCleanup(history, batch, maxBandDf, expectedBands, fpp)._1
+
+  def incrementalNearDupsWithCleanup(history: DataFrame, batch: DataFrame,
+                                     maxBandDf: Option[Int] = None,
+                                     expectedBands: Long = 1 << 20,
+                                     fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    // history band keys feed the Bloom build AND the verify join — pinned so
+    // the shingle+md5 lineage runs once, not once per use
+    val hist = capBands(minHashBands(history), "doc_id", maxBandDf)
+      .select(concat(col("band"), lit(":"), col("key")).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = hist.stat.bloomFilter("bk", expectedBands, fpp)
+    val mightContain = udf((bk: String) => bloom.mightContain(bk))
+    val cand = minHashBands(batch)
+      .withColumn("bk", concat(col("band"), lit(":"), col("key")))
+      .filter(mightContain(col("bk")))
+    // verify: history streams past the broadcast candidates; distinct on
+    // (batch doc, band) because one band key can match many history rows
+    val hits = hist
+      .join(broadcast(cand.select(col("doc_id").as("b_doc"), col("band"), col("bk"))), Seq("bk"))
+      .select("b_doc", "band").distinct()
+      .groupBy(col("b_doc").as("doc_id")).agg(count(lit(1)).as("n_hit_bands"))
+    val out = batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        (coalesce(col("n_hit_bands"), lit(0L)) > 0).cast("int").as("is_near_dup"))
+    (out, () => { hist.unpersist(); () })
   }
 }

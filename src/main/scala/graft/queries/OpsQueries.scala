@@ -44,6 +44,13 @@ object OpsQueries {
   val PackShards = 32
   val PackBudget = 256
   val TfidfK = 5
+  // Cross-doc span dedup: 5-gram spans, duplicated = appears in >= 2 docs.
+  val SpanN = 5
+  val SpanMinDf = 2
+  // Incremental dedup split: history = docs whose md5("inc:"+id) first hex
+  // char < 'd' (~13/16 of the corpus), batch = the rest — a deterministic
+  // stand-in for "corpus so far" vs "today's arriving shard".
+  val IncSplitHex = "d"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
@@ -85,6 +92,17 @@ object OpsQueries {
 
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minHashVerified(docs(s, dir), JaccardThreshold, Some(MinHashMaxBandDf))),
+
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanStats(docs(s, dir), SpanN, SpanMinDf)),
+
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val split = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+      Dedup.incrementalNearDups(
+        d.filter(split < IncSplitHex), d.filter(split >= IncSplitHex),
+        Some(MinHashMaxBandDf))
+    }),
 
     "dedup_clusters" -> ((s, dir) =>
       // pairwise hits -> canonical dedup groups (connected components)
@@ -440,6 +458,53 @@ object OpsQueries {
     "dedup_minhash_verified" ->
       s"""$shinglesCte$verifiedCtes
          |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+
+    "dedup_spans" ->
+      s"""$toksCte, g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct([array_to_string(t[j:j+${SpanN - 1}], ' ')
+         |                               for j in range(1, len(t) - ${SpanN - 2})])) AS g
+         |  FROM toks WHERE len(t) >= $SpanN
+         |), d AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM g
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |         CAST(sum(CASE WHEN df >= $SpanMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM d GROUP BY doc_id
+         |)
+         |SELECT doc.doc_id,
+         |       coalesce(n_spans, 0) AS n_spans,
+         |       coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |       CASE WHEN coalesce(n_spans, 0) > 0
+         |            THEN coalesce(n_dup_spans, 0) / n_spans ELSE 0.0 END AS dup_span_frac
+         |FROM documents doc LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""$shinglesCte, sig AS (
+         |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
+         |), bands0 AS (
+         |  $bandSelects
+         |), hist0 AS (
+         |  SELECT * FROM bands0
+         |  WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 1) < '$IncSplitHex'
+         |), hkeep AS (
+         |  SELECT band, key FROM hist0 GROUP BY band, key HAVING count(*) <= $MinHashMaxBandDf
+         |), hist AS (
+         |  SELECT hist0.* FROM hist0 JOIN hkeep USING (band, key)
+         |), bcand AS (
+         |  SELECT * FROM bands0
+         |  WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 1) >= '$IncSplitHex'
+         |), hits AS (
+         |  SELECT DISTINCT b.doc_id, b.band
+         |  FROM bcand b JOIN hist h ON b.band = h.band AND b.key = h.key
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_hit_bands FROM hits GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(n_hit_bands, 0) AS n_hit_bands,
+         |       CAST(coalesce(n_hit_bands, 0) > 0 AS INT) AS is_near_dup
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |WHERE substr(md5('inc:' || d.doc_id::VARCHAR), 1, 1) >= '$IncSplitHex'""".stripMargin,
 
     "dedup_clusters" ->
       s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$verifiedCtes, edges AS (

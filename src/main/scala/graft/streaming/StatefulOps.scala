@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state via `flatMapGroupsWithState` — the escape hatch
@@ -26,6 +26,21 @@ object StatefulOps {
 
   /** One keyed changelog event; `ts` is the event time (watermark column). */
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp, payload: String)
+
+  /** At-least-once -> effectively-once: drop redelivered events whose
+    * identity columns repeat within the watermark window, via the built-in
+    * state-store dedup (`dropDuplicatesWithinWatermark`). State holds one
+    * entry per distinct identity seen within the delay and is evicted as
+    * the watermark passes — bounded by arrival rate x delay, not by stream
+    * history. Real delivery-retry windows (source redelivery, file
+    * re-listing) are minutes, well inside any sane delay; duplicates
+    * arriving later than the delay are the merge ts-guard's job (T7),
+    * which stays the per-row backstop downstream.
+    */
+  def dedupRedelivered(df: DataFrame, eventTimeCol: String, watermarkDelay: String,
+                       idCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
 
   def dropStale(events: Dataset[KeyedEvent], watermarkDelay: String): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._

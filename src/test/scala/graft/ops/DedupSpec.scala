@@ -131,4 +131,45 @@ class DedupSpec extends SparkSpec {
       maxBandDf = Some(8)).count()
     assert(capped == 1L)
   }
+
+  test("span stats: cross-doc repeated spans counted; short docs zero") {
+    val out = Dedup.spanStats(docsOf(
+      "a b c d e f", "a b c d e zz", "q w r t y u i", "x y"), n = 5, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 3L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
+  test("span stats: minDf above corpus duplication flags nothing") {
+    val out = Dedup.spanStats(docsOf("a b c d e f", "a b c d e zz"), n = 5, minDf = 3)
+    assert(out.filter(col("n_dup_spans") > 0).count() == 0)
+  }
+
+  test("incremental near-dups: batch doc matching history flagged; fresh not") {
+    val all = docsOf(
+      "the quick brown fox jumps over the lazy dog",        // 0 history
+      "some other document entirely about cooking pasta",   // 1 history
+      "the quick brown fox jumps over the lazy dog",        // 2 batch, dup of 0
+      "fresh unseen content talking about mountains today") // 3 batch, new
+    val out = Dedup.incrementalNearDups(
+      all.filter(col("doc_id") < 2), all.filter(col("doc_id") >= 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((2L, 4L, 1), (3L, 0L, 0)))
+  }
+
+  test("incremental near-dups: history hot-band cap suppresses degenerate matches") {
+    // 40 identical spam docs in history: with cap 8 their band keys drop, so
+    // a spam batch doc is NOT flagged, while a cold-band genuine dup still is
+    val all = docsOf(Seq.fill(40)("spam spam spam spam spam") ++ Seq(
+      "the quick brown fox jumps over the lazy dog",        // 40 history, cold
+      "spam spam spam spam spam",                           // 41 batch
+      "the quick brown fox jumps over the lazy dog"): _*)   // 42 batch
+    val out = Dedup.incrementalNearDups(
+      all.filter(col("doc_id") <= 40), all.filter(col("doc_id") >= 41),
+      maxBandDf = Some(8))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq == Seq((41L, 0), (42L, 1)))
+  }
 }

@@ -56,4 +56,27 @@ class StatefulOpsSpec extends SparkSpec {
         .map(_.payload).contains("regress"))
     } finally q.stop()
   }
+
+  test("dedupRedelivered suppresses cross-batch redelivery within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val out = StatefulOps.dedupRedelivered(
+      ms.toDS().toDF(), "ts", "1 hour", Seq("key", "ts"))
+    val q = out.writeStream.format("memory").queryName("redeliver_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "a"),
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "a-dup-same-batch"),
+        KeyedEvent(2L, ts("2024-01-01 00:05:00"), "b"))
+      q.processAllAvailable()
+      ms.addData(
+        KeyedEvent(1L, ts("2024-01-01 00:10:00"), "a-retry"), // redelivery: dropped
+        KeyedEvent(1L, ts("2024-01-01 00:20:00"), "c"))       // new identity: kept
+      q.processAllAvailable()
+      val got = spark.table("redeliver_test").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (1L, "c")))
+    } finally q.stop()
+  }
 }
