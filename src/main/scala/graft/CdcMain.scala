@@ -93,7 +93,16 @@ object CdcMain {
     sys.addShutdownHook { running = false; stopActive() }
 
     var currentCfg = cm.config // validated before first start; may throw: fine
-    var lastRejectedCfg: CdcConfig = null // last hot-reload rejected (log once)
+    // Two kinds of rejected hot-reload, remembered so the ~2s poll doesn't
+    // re-log (or stop/restart the healthy reverted stream) every cycle:
+    // a semantically invalid config can never succeed -> suppressed until
+    // the file changes again; a config that merely FAILED TO START may be a
+    // transient (source dir not populated yet, target briefly down) -> retry
+    // it after a backoff instead of stalling on the old config forever.
+    var lastInvalidCfg: CdcConfig = null
+    var lastFailedCfg: CdcConfig = null
+    var failedCfgPolls = 0
+    val FailedRetryPolls = 15 // ~30s at the 2s poll cadence
     // auto + empty backlog is a normal CDC cold start (producer not up yet):
     // wait for the first classifiable event instead of crashing; --once with
     // nothing to classify has nothing to process and fails fast
@@ -134,18 +143,24 @@ object CdcMain {
           // twice with a writer race between them), and only a config that
           // actually parsed differently restarts the query
           val cfg = cm.config
-          if (cfg != currentCfg && cfg != lastRejectedCfg) {
+          if (cfg == lastFailedCfg && cfg != currentCfg) {
+            failedCfgPolls += 1
+            if (failedCfgPolls >= FailedRetryPolls) {
+              lastFailedCfg = null // forget the failure: next poll retries it
+              failedCfgPolls = 0
+            }
+          }
+          if (cfg != currentCfg && cfg != lastInvalidCfg && cfg != lastFailedCfg) {
             // a config that parses but is semantically invalid must not take
-            // down the running stream (ref keeps prior config on bad reload);
-            // remember it so the ~2s poll doesn't re-log the same rejection
-            // forever (currentCfg never advances on rejection)
+            // down the running stream (ref keeps prior config on bad reload)
             if (!ValidDbTypes.contains(cfg.databaseType)) {
               System.err.println("[cdc-main] ignoring config change: " +
                 s"unsupported database_config.type '${cfg.databaseType}'")
-              lastRejectedCfg = cfg
+              lastInvalidCfg = cfg
             } else {
               println("[cdc-main] config changed; restarting query")
-              lastRejectedCfg = null
+              lastInvalidCfg = null
+              lastFailedCfg = null
               // a new source dir is a new lineage: the type pinned from the
               // OLD dir's events must not classify the new one. Save the
               // old pin so a failed start can restore it — the revert runs
@@ -160,11 +175,14 @@ object CdcMain {
                   active = Some(s)
                 case scala.util.Failure(e) =>
                   System.err.println("[cdc-main] new config failed to start: " +
-                    s"${e.getMessage}; reverting to previous config")
-                  // remember the failing config too, or the poll would stop
-                  // and restart the healthy reverted stream every ~2s while
-                  // the bad file sits on disk
-                  lastRejectedCfg = cfg
+                    s"${e.getMessage}; reverting to previous config " +
+                    s"(will retry in ~${FailedRetryPolls * 2}s)")
+                  // remember the failing config, or the poll would stop and
+                  // restart the healthy reverted stream every ~2s while the
+                  // bad file sits on disk; the backoff counter above retries
+                  // it in case the failure was transient (cold source dir)
+                  lastFailedCfg = cfg
+                  failedCfgPolls = 0
                   pinnedAutoType = savedPin
                   // currentCfg untouched; if the revert fails too the
                   // supervision loop above keeps retrying it with backoff

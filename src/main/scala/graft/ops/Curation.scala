@@ -29,18 +29,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Distinct word n-grams per document (space-joined), empty for docs
-    * shorter than n tokens. Generalizes [[Dedup.shingles]] (n = 3).
+    * shorter than n tokens. [[Dedup.shingles]] is this at n = 3; the
+    * multiplicity-keeping [[wordNgramsAll]] is the single definition of the
+    * gram expression, so the three call sites cannot drift apart.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    require(n >= 1, "n-gram size must be >= 1")
-    val t = TextAnalysis.tokens(text)
-    // guard: sequence(1, k) descends when k < 1, so short docs get no grams
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          j => concat_ws(" ", slice(t, j, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    array_distinct(wordNgramsAll(text, n))
 
   /** Benchmark decontamination: for every non-eval document, count how many
     * of its distinct word n-grams also appear in the eval split, and flag
@@ -114,6 +108,7 @@ object Curation {
   def wordNgramsAll(text: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
     val t = TextAnalysis.tokens(text)
+    // guard: sequence(1, k) descends when k < 1, so short docs get no grams
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         j => concat_ws(" ", slice(t, j, lit(n)))))
@@ -142,12 +137,16 @@ object Curation {
     df.filter(keep)
   }
 
-  /** fraction -> 4-hex-digit threshold string (fraction of the 16-bit key
-    * space). Shared with the oracle-SQL builder so both engines compare
-    * against byte-identical constants.
+  /** fraction -> threshold string for the fixed-width-hex comparison
+    * (fraction of the 16-bit key space). Shared with the oracle-SQL builder
+    * so both engines compare against byte-identical constants. Fraction 1.0
+    * cannot be "10000" — five chars breaks the fixed-width invariant
+    * ("abcd" < "10000" is false lexicographically) — so it maps to "g",
+    * which sorts after every 4-hex-digit key in both engines.
     */
   def hexThreshold(fraction: Double): String =
-    f"${math.min(65536L, math.floor(fraction * 65536).toLong)}%04x"
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * 65536).toLong}%04x"
 
   /** Domain mixing: resample the corpus to target per-domain quotas.
     * quota(d) = floor(budgetFrac * N * weight(d) / totalWeight); within a
@@ -165,6 +164,8 @@ object Curation {
                 budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0.0 && budgetFrac <= 1.0, "budgetFrac must be in (0, 1]")
     require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    require(!df.columns.contains("rank"),
+      "domainMix reserves the output column name 'rank'")
     val total = df.count()
     val sumW = weights.values.sum
     val quota = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
@@ -185,6 +186,8 @@ object Curation {
     */
   def quantilesByStratum(df: DataFrame, stratum: String, value: String,
                          idCol: String, ps: Seq[Double]): DataFrame = {
+    require(!df.columns.contains("_rn") && !df.columns.contains("_cnt"),
+      "quantilesByStratum reserves the column names '_rn' and '_cnt'")
     val w = Window.partitionBy(col(stratum)).orderBy(col(value), col(idCol))
     val ranked = df
       .withColumn("_rn", row_number().over(w).cast("long"))

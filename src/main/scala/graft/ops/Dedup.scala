@@ -22,15 +22,10 @@ object Dedup {
 
   /** 3-gram (token) shingles, distinct per document.
     * `tokens[j..j+2]` for j in 1..len-2 (1-based), as space-joined strings.
+    * Delegates to [[Curation.wordNgrams]] — one gram expression, three call
+    * sites, so the oracle-mirrored definition cannot drift.
     */
-  def shingles(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    // guard: sequence(1, n) descends when n < 1, so short docs get no shingles
-    when(size(t) >= 3,
-      array_distinct(
-        transform(sequence(lit(1), size(t) - 2), j => concat_ws(" ", slice(t, j, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column): Column = Curation.wordNgrams(text, 3)
 
   /** Exact dedup: canonical = min doc_id among identical normalized texts.
     * One shuffle on the fingerprint.
@@ -279,10 +274,13 @@ object Dedup {
       labels = next.select("id", "lbl")
       iters += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      edges.unpersist() // release pins on the failure path too, or a caller
+      p.unpersist()     // retrying with higher maxIters leaks both frames
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxIters rounds ($changed labels " +
           "still moving) — result would silently disagree with the transitive closure")
+    }
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     edges.unpersist()
     p.unpersist()

@@ -178,7 +178,10 @@ object Similarity {
     * pre-pass — the blocking structure comes from the data itself, which is
     * the realistic unsupervised setting at corpus scale. Recall covers any
     * pair differing in fewer than `nBands` sign bits (pigeonhole); precision
-    * is exact (candidates are verified).
+    * is exact (candidates are verified). One-shot convenience that leaves
+    * the banded signatures pinned; long-lived sessions should use
+    * [[nearDupPairsLshWithCleanup]] and release them (same contract as the
+    * [[Dedup]] one-shots).
     */
   def nearDupPairsLsh(corpus: DataFrame, planes: Seq[Array[Float]],
                       threshold: Double, bandBits: Int = 4,

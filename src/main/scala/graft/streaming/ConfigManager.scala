@@ -145,16 +145,18 @@ object CronTrigger {
       if (s.nonEmpty && s.length <= 4 && s.forall(_.isDigit)) s.toInt else bad()
     val isStar = f == "*"
     val vals = f.split(",", -1).toSeq.flatMap { term =>
-      val (rangePart, step) = term.split("/", -1) match {
-        case Array(r)    => (r, 1)
-        case Array(r, s) => (r, { val n = num(s); if (n > 0) n else bad() })
+      val (rangePart, step, hasStep) = term.split("/", -1) match {
+        case Array(r)    => (r, 1, false)
+        case Array(r, s) => (r, { val n = num(s); if (n > 0) n else bad() }, true)
         case _           => bad()
       }
       val (a, b) = rangePart match {
         case "*" => (lo, hi)
         case r if r.nonEmpty && r.forall(_.isDigit) =>
-          // bare value with a step ("2/5") means "from 2 to max"
-          if (step > 1) (num(r), hi) else { val v = num(r); (v, v) }
+          // bare value with an explicit step ("2/5", and also "2/1" — vixie
+          // and croniter expand a/n to a..max even at n = 1) means
+          // "from a to max"; a bare value without a slash is just {a}
+          if (hasStep) (num(r), hi) else { val v = num(r); (v, v) }
         case r => r.split("-", -1) match {
           case Array(x, y) => (num(x), num(y))
           case _           => bad()

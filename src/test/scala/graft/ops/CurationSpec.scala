@@ -49,8 +49,10 @@ class CurationSpec extends SparkSpec {
   test("stratifiedSample: threshold math, opt-in strata, determinism") {
     assert(Curation.hexThreshold(0.5) == "8000")
     assert(Curation.hexThreshold(0.25) == "4000")
-    assert(Curation.hexThreshold(1.0) == "10000") // 5 hex chars: keeps all
-    assert(Curation.hexThreshold(0.0) == "0000")  // keeps none
+    // 1.0 must NOT be "10000": 5 chars breaks the fixed-width compare
+    // ("abcd" < "10000" is false), silently keeping only ~6% of rows
+    assert(Curation.hexThreshold(1.0) == "g")    // sorts after every hex key
+    assert(Curation.hexThreshold(0.0) == "0000") // keeps none
     val df = (0L until 2000L).toDF("doc_id")
       .withColumn("stratum", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
     val kept = Curation.stratifiedSample(df, col("stratum"), Map("a" -> 0.5))
@@ -62,6 +64,11 @@ class CurationSpec extends SparkSpec {
     val again = Curation.stratifiedSample(df, col("stratum"), Map("a" -> 0.5))
     assert(kept.collect().map(_.getLong(0)).sorted
       .sameElements(again.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("stratifiedSample: fraction 1.0 keeps the whole stratum") {
+    val df = (0L until 500L).toDF("doc_id").withColumn("stratum", lit("a"))
+    assert(Curation.stratifiedSample(df, col("stratum"), Map("a" -> 1.0)).count() == 500L)
   }
 
   test("domainMix: exact quotas, deterministic membership") {

@@ -106,6 +106,10 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(CronTrigger.periodSeconds("0 0 * * *") == 86400)    // daily midnight
     assert(CronTrigger.periodSeconds("30 2 * * *") == 86400)   // daily 02:30
     assert(CronTrigger.periodSeconds("*/5 2 * * *") == 300)    // within the 2am window
+    // vixie/croniter expand a/n to a..max even at n = 1: "2/1" fires every
+    // minute from minute 2, not hourly at minute 2
+    assert(CronTrigger.periodSeconds("2/1 * * * *") == 60)
+    assert(CronTrigger.periodSeconds("10/15 * * * *") == 900)  // 10,25,40,55
     assert(CronTrigger.periodSeconds("0 9-17 * * *") == 3600)  // business hours
     assert(CronTrigger.periodSeconds("0,30 * * * *") == 1800)  // half-hourly list
     assert(CronTrigger.periodSeconds("0 0 * * 1") == 7 * 86400) // weekly Monday
