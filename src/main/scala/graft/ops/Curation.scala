@@ -197,4 +197,60 @@ object Curation {
         .as(s"p${(p * 100).round}_$value"))
     ranked.groupBy(stratum).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** PII patterns, ASCII-only by design: the same pattern text must compile
+    * identically under Java regex (Spark) and RE2 (DuckDB oracle), which
+    * rules out lookarounds and Unicode classes. Real pipelines extend the
+    * pattern set (IBANs, SSNs, keys); the engine shape — count + ordered
+    * redaction as per-row expressions — is what carries to 100 TB.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction: per-document counts of emails / phone
+    * numbers / IPv4 addresses and a redacted copy with each replaced by a
+    * typed placeholder. Replacement order is fixed (email, then IP, then
+    * phone) so the passes cannot interfere: emails consume their dotted
+    * domains before the IP pass, and phones share no characters with
+    * either. Pure per-row expressions — zero shuffle, pipelines with the
+    * scan; this is the shape PII scrubbing must have at corpus scale, where
+    * any keyed operation would dwarf the regex cost.
+    */
+  def piiRedact(df: DataFrame, text: Column): DataFrame = {
+    def nMatches(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    df.withColumn("n_emails", nMatches(text, EmailRe))
+      .withColumn("n_phones", nMatches(text, PhoneRe))
+      .withColumn("n_ips", nMatches(text, Ipv4Re))
+      .withColumn("redacted", redacted)
+  }
+
+  /** URL curation: extract the host from a URL column, drop blocklisted
+    * domains, and cap survivors per domain at `maxPerDomain` in a
+    * deterministic uniform order (md5 of the id) — the Common-Crawl-style
+    * guard against any one site dominating the training mix.
+    *
+    * Scale shape: host extraction is per-row (`parse_url` is a codegen'd
+    * built-in); the blocklist — millions of domains in production — joins
+    * as a broadcast ANTI join so the corpus never shuffles for it; the only
+    * shuffle is the per-domain window, keyed by the thing being capped.
+    * Output keeps (doc_id, domain, rank).
+    */
+  def urlDomainCap(df: DataFrame, url: Column, blocklist: DataFrame,
+                   maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    val withDomain = df.withColumn("domain", parse_url(url, lit("HOST")))
+    val kept = withDomain.join(broadcast(blocklist), Seq("domain"), "left_anti")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(md5(concat(lit("url:"), col("doc_id").cast("string"))), col("doc_id"))
+    kept.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= maxPerDomain)
+  }
 }

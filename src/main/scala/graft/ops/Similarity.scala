@@ -56,8 +56,15 @@ object Similarity {
     * assignment into a pure per-row expression.
     */
   def centroidArray(cents: Seq[(Long, Array[Float])]): Column =
+    centroidArrayD(cents.map { case (id, v) => (id, v.map(_.toDouble)) })
+
+  /** Double-precision variant: k-means iterations produce double centroids
+    * (decimal-exact means), which must NOT round-trip through float or the
+    * oracle diverges.
+    */
+  def centroidArrayD(cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (id, v) =>
-      struct(lit(id).as("cid"), array(v.map(x => lit(x.toDouble)): _*).as("cv"))
+      struct(lit(id).as("cid"), array(v.map(lit(_)): _*).as("cv"))
     }: _*)
 
   /** IVF assignment: nearest centroid (by cosine, ties -> lower centroid id)
@@ -65,8 +72,11 @@ object Similarity {
     * centroid array. NO join, NO shuffle, NO window: the corpus streams
     * through one codegen'd projection. This is the 100 TB path.
     */
-  def assignToCentroids(corpus: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
-    val scored = transform(centroidArray(cents), c =>
+  def assignToCentroids(corpus: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame =
+    assignToCentroidsD(corpus, cents.map { case (id, v) => (id, v.map(_.toDouble)) })
+
+  def assignToCentroidsD(corpus: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val scored = transform(centroidArrayD(cents), c =>
       struct(cosine(c.getField("cv"), col("embedding")).as("ccos"),
         (-c.getField("cid")).as("neg_cid")))
     // lexicographic struct max: highest cosine, then lowest centroid id
@@ -160,6 +170,55 @@ object Similarity {
     * standard pre-step that turns cosine search into dot-product search.
     * Zero vectors pass through as zeros (no ANSI divide-by-zero).
     */
+  /** K-means over the embedding corpus (cosine assignment, Lloyd updates),
+    * `iters` fixed iterations from a deterministic seed — the clustering
+    * half of SemDeDup-style semantic curation, and the trainer for the IVF
+    * index [[ivfTopK]] probes.
+    *
+    * Determinism discipline (the oracle recomputes every iteration
+    * independently): centroid means use exact DECIMAL sums — order-free, so
+    * Spark's reduction order cannot perturb them — divided once in double
+    * and rounded to 4, which absorbs any sub-ulp cast residue; the cosine
+    * itself is the sequential-fold [[cosine]] both engines reproduce bit
+    * for bit. Seeds are the k lowest vec_ids (a fixed sample, as a
+    * production seeded-rng init would be). Empty clusters keep their
+    * centroid.
+    *
+    * Scale shape per iteration: assignment is a narrow per-row argmax over
+    * the inlined centroid array (no join/shuffle — the
+    * [[assignToCentroidsD]] path); the update is one (centroid, dim)
+    * aggregation with map-side partials whose result is k*dim rows —
+    * O(config), collected like a broadcast-variable refresh, never
+    * O(data). Lloyd's is inherently iterative; k*dim driver rows per round
+    * is the minimum coordination any implementation pays.
+    */
+  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents: Seq[(Long, Array[Double])] = corpus
+      .filter(col("vec_id") < k).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"no seed vectors with vec_id < $k")
+    for (_ <- 1 to iters) {
+      val means = assignToCentroidsD(corpus, cents)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i")
+        .agg(sum(col("x").cast(DecimalType(27, 9))).as("sx"), count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("i"),
+          round(col("sx").cast("double") / col("n"), 4).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    assignToCentroidsD(corpus, cents)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
+        round(col("ccos"), 6).as("cos_to_centroid"))
+  }
+
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
     when(n === 0.0, transform(a, _ => lit(0.0)))

@@ -147,6 +147,48 @@ object TextAnalysis {
   /** Canonical normalized form + content fingerprint (md5 of the normalized
     * text) — the exact-dedup key and audit fingerprint.
     */
+  /** Unigram language-model scoring (the CCNet/CC-100 quality-filter shape
+    * with the KenLM swapped for the model an engine can train in-flight):
+    * fit a unigram LM on the corpus itself — p(w) = count(w) / total
+    * tokens — and score every document by its average negative log
+    * likelihood and perplexity. High-perplexity documents are the ones a
+    * quality pipeline drops (gibberish under the corpus distribution);
+    * unusually LOW perplexity flags boilerplate.
+    *
+    * Determinism discipline: all model statistics are integer counts
+    * (exact, order-free); the per-document float work is a SEQUENTIAL fold
+    * over the document's distinct terms in word order — `aggregate` over a
+    * `sort_array`ed collected list here, `list_reduce` over an
+    * `ORDER BY`ed list in the oracle — so the sum has one defined
+    * evaluation order in both engines. nll is rounded to 6 before the
+    * (engine-identical) exp, so perplexity cannot amplify a sub-round
+    * residue.
+    *
+    * Scale shape: two keyed integer aggregations ((doc, word) tf, then the
+    * vocab count — both with map-side partial agg), one join keyed by word
+    * (the vocab is corpus-sized at 100 TB: a plain shuffle join, NOT a
+    * broadcast), one per-doc collect_list bounded by the doc's distinct
+    * term count. The 2-row totals frame broadcasts. No driver state.
+    */
+  def unigramLmScore(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(text)).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("word").agg(sum(col("tf")).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("total"))
+    val terms = tf.join(vocab, "word").crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        struct(col("word"), (col("tf") * log(col("c") / col("total"))).as("ll"))
+          .as("term"))
+    terms.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("ll")) / col("n_tokens"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
   def fingerprint(text: Column): Column =
     md5(normalized(text))
 

@@ -47,7 +47,62 @@ object CurationQueries {
 
   val QuantilePs = Seq(0.5, 0.9, 0.99)
 
+  /** Per-domain survivor cap for `pipeline_url_filter`: 3 keeps the cap
+    * biting at every SF (sf0.01 has ~5 docs per synthesized domain).
+    */
+  val MaxPerDomain = 3
+  /** Blocklisted domains: the "-0" variant of every source — a fixed
+    * literal list in both engines, standing in for a production blocklist
+    * table.
+    */
+  val BlockedDomains: Seq[String] =
+    (0 until 20).map(i => s"src$i-0.example.com")
+
+  /** Deterministic PII-bearing text: the corpus has no real PII, so the
+    * query plants an email on every doc, a phone on every 3rd, an IPv4 on
+    * every 4th — all derived from doc_id, so the oracle rebuilds the same
+    * string and both engines run the SAME detection regexes over it.
+    */
+  private def piiText: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      lit(" contact user"), id.cast("string"), lit("@mail.example.com"),
+      when(id % 3 === 0,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((id * 7) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+          ((id * 3) % 256).cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** Deterministic URL per document (sources fan out into 5 subdomains so
+    * the per-domain cap has something to cap).
+    */
+  private val urlCol =
+    concat(lit("https://"), col("source"), lit("-"),
+      (col("doc_id") % 5).cast("string"), lit(".example.com/p/"),
+      col("doc_id").cast("string"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> ((s, dir) =>
+      Curation.piiRedact(
+        docs(s, dir).select(col("doc_id"), piiText.as("text")), col("text"))
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")),
+
+    "pipeline_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val blocklist = BlockedDomains.toDF("domain")
+      Curation.urlDomainCap(
+        docs(s, dir).select(col("doc_id"), urlCol.as("url")),
+        col("url"), blocklist, MaxPerDomain)
+        .select("doc_id", "domain", "rank")
+    }),
+
+    "text_perplexity" -> ((s, dir) =>
+      graft.ops.TextAnalysis.unigramLmScore(docs(s, dir))),
+
     "text_decontaminate" -> ((s, dir) =>
       Curation.decontaminate(docs(s, dir),
         pmod(col("doc_id"), lit(EvalMod)) === 0, DecontamN)),
@@ -80,7 +135,79 @@ object CurationQueries {
   private val mixWeightRows =
     MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
 
+  /** Regex literals for the oracle: same pattern text as [[Curation]]'s
+    * (Java regex there, RE2 here — the patterns are written to the common
+    * subset), single-backslash because DuckDB standard strings don't
+    * process escapes.
+    */
+  private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneSql = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  // single-line ON PURPOSE: this interpolates into stripMargin'ed oracle
+  // strings, where a continuation line starting with "||" would lose a pipe
+  private val piiTextSql =
+    "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') " +
+      "|| '-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR " +
+      "|| '.0.' || ((doc_id * 3) % 256)::VARCHAR ELSE '' END"
+
+  private val blockedInList =
+    BlockedDomains.map(d => s"'$d'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $piiTextSql AS t FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '$emailSql')) AS n_emails,
+         |       len(regexp_extract_all(t, '$phoneSql')) AS n_phones,
+         |       len(regexp_extract_all(t, '$ipSql')) AS n_ips,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '$emailSql', '<EMAIL>', 'g'),
+         |         '$ipSql', '<IP>', 'g'),
+         |         '$phoneSql', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin,
+
+    "pipeline_url_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://' || source || '-' || (doc_id % 5)::VARCHAR
+         |           || '.example.com/p/' || doc_id::VARCHAR AS url
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM u
+         |), ranked AS (
+         |  SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain
+         |             ORDER BY md5('url:' || doc_id::VARCHAR), doc_id) AS rank
+         |  FROM d WHERE domain NOT IN ($blockedInList)
+         |)
+         |SELECT doc_id, domain, rank FROM ranked WHERE rank <= $MaxPerDomain""".stripMargin,
+
+    "text_perplexity" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+         |  GROUP BY doc_id, word
+         |), vocab AS (
+         |  SELECT word, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY word
+         |), n AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+         |), terms AS (
+         |  SELECT doc_id, word, tf, tf * ln(c / total) AS ll
+         |  FROM tf JOIN vocab USING (word) CROSS JOIN n
+         |), folded AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         round(-list_reduce(list(ll ORDER BY word), (x, y) -> x + y)
+         |               / CAST(sum(tf) AS BIGINT), 6) AS avg_nll
+         |  FROM terms GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl
+         |FROM folded""".stripMargin,
+
     "text_decontaminate" ->
       s"""$toksCte, g AS (
          |  SELECT doc_id,

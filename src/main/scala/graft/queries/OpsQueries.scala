@@ -38,6 +38,8 @@ object OpsQueries {
   val TopK = 10
   val NProbe = 2
   val NCentroids = 8
+  val KmIters = 2   // fixed Lloyd iterations for emb_kmeans (oracle mirrors each)
+  val EmbDim = 64   // embedding width, constant across SFs (TESTDATA.md)
   val PlaneBase = 8   // RHP-LSH hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes)
   val NPlanes = 16
   val NearDupLshThreshold = 0.3 // higher bar than label blocking: LSH candidates skew similar
@@ -119,6 +121,9 @@ object OpsQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NCentroids),
         e.filter(col("vec_id") % 100 === 0), TopK, NProbe)
     }),
+
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(embs(s, dir), NCentroids, KmIters)),
 
     "ann_ivf_recall" -> ((s, dir) => {
       // index-quality evaluation: recall@k of the IVF probe against the
@@ -382,7 +387,46 @@ object OpsQueries {
        |  QUALIFY prank <= ${NProbe}
        |)""".stripMargin
 
+  /** K-means oracle: one (assign, update, rebuild) CTE triple per Lloyd
+    * iteration, mirroring [[Similarity.kMeans]] — decimal-exact dimension
+    * sums, mean rounded to 4, empty clusters keep their previous centroid.
+    */
+  private lazy val kmCtes: String = {
+    def step(i: Int, prevC: String) =
+      s""", a$i AS (
+         |  SELECT vec_id, v, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS r
+         |  FROM e CROSS JOIN $prevC QUALIFY r = 1
+         |), u$i AS (
+         |  SELECT centroid_id, i,
+         |         round(CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS m
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS i) dims
+         |  GROUP BY centroid_id, i
+         |), c$i AS (
+         |  SELECT $prevC.centroid_id,
+         |         CASE WHEN count(u$i.m) = 0 THEN any_value($prevC.cv)
+         |              ELSE list(u$i.m ORDER BY u$i.i) END AS cv
+         |  FROM $prevC LEFT JOIN u$i USING (centroid_id)
+         |  GROUP BY $prevC.centroid_id
+         |)""".stripMargin
+    s""", c0 AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $NCentroids
+       |)""".stripMargin +
+      (1 to KmIters).map(i => step(i, s"c${i - 1}")).mkString
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" ->
+      s"""$embCte$kmCtes, af AS (
+         |  SELECT vec_id, centroid_id, ${cosSql("v", "cv")} AS cos,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS r
+         |  FROM e CROSS JOIN c$KmIters QUALIFY r = 1
+         |)
+         |SELECT vec_id, centroid_id AS cluster_id, round(cos, 6) AS cos_to_centroid
+         |FROM af""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id, len(string_split_regex(lower(text), '\s+')) AS n_tokens,
         |       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe,

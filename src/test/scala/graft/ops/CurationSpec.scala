@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("piiRedact: counts and ordered redaction") {
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.org then call 555-123-4567 from 10.2.0.9 end"),
+      (1L, "no pii in this text at all"),
+      (2L, "two mails a@b.co and c.d@e.f.org one ip 192.168.1.255")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiRedact(df, col("text"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 1 && out(0L).getLong(2) == 1 && out(0L).getLong(3) == 1)
+    assert(out(0L).getString(4) ==
+      "mail <EMAIL> then call <PHONE> from <IP> end")
+    assert(out(1L).getLong(1) == 0 && out(1L).getString(4) == "no pii in this text at all")
+    assert(out(2L).getLong(1) == 2 && out(2L).getLong(3) == 1)
+    // email pass runs first, so its dotted domain never half-matches as an IP
+    assert(out(2L).getString(4) == "two mails <EMAIL> and <EMAIL> one ip <IP>")
+  }
+
+  test("urlDomainCap: blocklist drops, per-domain cap bites deterministically") {
+    val docs = (0L until 20L).map(i =>
+      (i, s"https://site${i % 2}.example.com/p/$i")).toDF("doc_id", "url")
+    val blocked = Seq("site1.example.com").toDF("domain")
+    val out = Curation.urlDomainCap(docs, col("url"), blocked, 3)
+      .select("doc_id", "domain", "rank").collect()
+    assert(out.forall(_.getString(1) == "site0.example.com"))
+    assert(out.length == 3 && out.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // determinism: same input, same survivors
+    val again = Curation.urlDomainCap(docs, col("url"), blocked, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
   private val corpus = Seq(
     // doc 0 is "eval" (id % 2 == 0 in these tests); doc 1 copies a 4-gram
     (0L, "alpha beta gamma delta epsilon zeta"),

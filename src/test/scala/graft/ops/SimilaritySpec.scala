@@ -10,6 +10,32 @@ class SimilaritySpec extends SparkSpec {
     vs.map { case (id, v) => (id, v, (id % 2).toInt) }
       .toDF("vec_id", "embedding", "label")
 
+  test("kMeans: separates two tight blobs, labels follow the seeds") {
+    // vec 0 seeds cluster 0 near +x, vec 1 seeds cluster 1 near +y
+    val df = embsOf(
+      0L -> Seq(1f, 0.05f), 1L -> Seq(0.05f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f),
+      4L -> Seq(0.95f, 0f), 5L -> Seq(0f, 0.95f))
+    val out = Similarity.kMeans(df, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 2L, 4L).forall(out(_) == 0L))
+    assert(Seq(1L, 3L, 5L).forall(out(_) == 1L))
+    // fixed iterations from fixed seeds: rerun is identical
+    val again = Similarity.kMeans(df, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("kMeans: a cluster that captures nothing keeps its seed centroid") {
+    // both non-seed points sit on +x; seed 1 (+y) ends round 1 empty
+    val df = embsOf(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(1f, 0.01f), 3L -> Seq(1f, -0.01f))
+    val out = Similarity.kMeans(df, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vec 1 still claims its own (carried) centroid; x-axis points go to 0
+    assert(out(1L) == 1L && out(0L) == 0L && out(2L) == 0L && out(3L) == 0L)
+  }
+
   test("cosine: identical vectors -> 1.0, orthogonal -> 0.0, opposite -> -1.0") {
     val df = embsOf(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f),
       3L -> Seq(-1f, 0f))

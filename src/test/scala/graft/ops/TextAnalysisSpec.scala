@@ -9,6 +9,25 @@ class TextAnalysisSpec extends SparkSpec {
   private def docsOf(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("unigramLmScore: hand-computed avg NLL on a 2-doc corpus") {
+    // corpus: "a a b" + "b c" -> total 5 tokens; c(a)=2, c(b)=2, c(c)=1
+    val out = TextAnalysis.unigramLmScore(docsOf("a a b", "b c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: -(2*ln(2/5) + 1*ln(2/5)) / 3 = -ln(0.4)
+    assert(out(0L).getLong(1) == 3L)
+    assert(math.abs(out(0L).getDouble(2) - (-math.log(0.4))) < 1e-6)
+    // doc 1: -(ln(2/5) + ln(1/5)) / 2
+    assert(out(1L).getLong(1) == 2L)
+    val nll1 = -(math.log(0.4) + math.log(0.2)) / 2
+    assert(math.abs(out(1L).getDouble(2) - nll1) < 1e-6)
+    // perplexity = exp of the ROUNDED nll (the cross-engine contract)
+    val expected = BigDecimal(math.exp(out(1L).getDouble(2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getDouble(3) == expected)
+    // gibberish under the corpus distribution scores higher than typical text
+    assert(out(1L).getDouble(3) > out(0L).getDouble(3))
+  }
+
   test("token stats count whitespace tokens and BPE-ish pieces") {
     val out = TextAnalysis.tokenStats(docsOf("Hello world, 42 cats!"))
       .select("n_tokens", "n_bpe", "n_chars_calc").head()
