@@ -222,20 +222,63 @@ object Dedup {
     * minimum doc_id as `cluster_id` — the canonicalization step that turns
     * pairwise near-dup hits into dedup groups.
     *
-    * Each round does a neighbor-min propagation (join + min-aggregate)
-    * followed by a pointer-doubling hop (`lbl := label_of(lbl)` — valid
-    * because labels are themselves node ids), so convergence needs
-    * O(log diameter) rounds, not O(diameter): maxIters = 25 covers any
-    * component a physical corpus can produce, and exhausting it without
-    * convergence is an error, never a silently-wrong result. Per round the
-    * only data moved is (id, label) pairs — the classic scalable CC
-    * formulation (GraphX/Pregel does the same joins under the hood). The
-    * driver loop carries iteration COUNT only, never row data.
+    * Two regimes, chosen from the MEASURED edge count (the persist has to
+    * materialize the pairs anyway, so the count is free):
+    *   - at or under `localEdgeThreshold` edges, the whole graph fits one
+    *     executor task: a single-partition union-find (one stage, no
+    *     iteration) replaces a join loop whose per-round cost would be pure
+    *     stage-scheduling overhead. This is an executor `mapPartitions`,
+    *     NOT a driver collect — the driver still only sees row counts.
+    *   - above it, each round does a neighbor-min propagation (join +
+    *     min-aggregate) followed by a pointer-doubling hop
+    *     (`lbl := label_of(lbl)` — valid because labels are node ids), so
+    *     convergence needs O(log diameter) rounds: maxIters = 25 covers any
+    *     component a physical corpus can produce, and exhausting it without
+    *     convergence is an error, never a silently-wrong result. Per round
+    *     the only data moved is (id, label) pairs — the classic scalable CC
+    *     formulation (GraphX/Pregel does the same joins under the hood).
+    *
+    * The threshold mirrors a broadcast-join cutoff: 5M edges ≈ 80 MB of
+    * longs in one task — comfortable; a 100 TB corpus whose near-dup graph
+    * exceeds it takes the distributed loop. Both regimes produce identical
+    * output (spec-pinned).
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
-    dedupClustersWithCleanup(pairs, maxIters)._1
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25,
+                    localEdgeThreshold: Long = 5000000L): DataFrame =
+    dedupClustersWithCleanup(pairs, maxIters, localEdgeThreshold)._1
 
-  def dedupClustersWithCleanup(pairs: DataFrame, maxIters: Int = 25)
+  /** Single-partition union-find over an already-symmetrized edge frame.
+    * Path-halving find; label = min node id of the component.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p) // path halving
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // union-by-min above makes every root the component minimum already
+        parent.keysIterator.map(id => (id, find(id))).toSeq.iterator
+      }
+      .toDF("doc_id", "cluster_id")
+  }
+
+  def dedupClustersWithCleanup(pairs: DataFrame, maxIters: Int = 25,
+                               localEdgeThreshold: Long = 5000000L)
       : (DataFrame, () => Unit) = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pin the pair pipeline FIRST: the symmetric union below reads it twice,
@@ -244,6 +287,13 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist(mem)
+    val nEdges = edges.count() // materializes both pins; regime decision input
+    if (nEdges <= localEdgeThreshold) {
+      val out = localComponents(edges).localCheckpoint(true)
+      edges.unpersist()
+      p.unpersist()
+      return (out, () => ())
+    }
     // each round ends in an EAGER localCheckpoint: iterative plans otherwise
     // nest one round inside the next and grow without bound (plan
     // stringification alone OOMs after ~8 rounds); checkpointing pins the

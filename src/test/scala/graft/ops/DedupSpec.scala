@@ -66,13 +66,18 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))
   }
 
-  test("dedup clusters: chains merge into one component, min id wins") {
+  test("dedup clusters: chains merge into one component, min id wins (both regimes)") {
     import spark.implicits._
     // components: {1,2,3} via 1-2, 2-3 (a chain, not a clique) and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val out = Dedup.dedupClusters(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val local = Dedup.dedupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(local == expect)
+    // threshold 0 forces the distributed join loop: identical output
+    val dist = Dedup.dedupClusters(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
   test("dedup clusters: a long path converges (diameter > 2)") {
@@ -85,9 +90,10 @@ class DedupSpec extends SparkSpec {
 
   test("dedup clusters: pointer doubling converges a 64-deep chain in O(log d)") {
     import spark.implicits._
-    // diameter 63 >> the 10-round budget: only the doubling hop gets there
+    // diameter 63 >> the 10-round budget: only the doubling hop gets there;
+    // threshold 0 pins the distributed loop (the local regime has no rounds)
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.dedupClusters(pairs, maxIters = 10)
+    val out = Dedup.dedupClusters(pairs, maxIters = 10, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(1)).distinct.toSeq
     assert(out == Seq(1L))
   }
