@@ -232,6 +232,40 @@ object Curation {
       .withColumn("redacted", redacted)
   }
 
+  /** Epoch-weighted upsampling: repeat each document `weight(domain)` times
+    * — the "2.5 epochs of Wikipedia, 0.5 of Common Crawl" mixing move. The
+    * integer part repeats every doc; the fractional part keeps a
+    * deterministic hash-threshold subset (same mechanism as
+    * [[stratifiedSample]]) for one extra epoch, so a 2.5-weight domain
+    * emits every doc twice and half its docs a third time. Domains absent
+    * from `weights` emit nothing (the explicit-opt-in contract). Output
+    * rows carry `epoch` (0-based) so downstream shuffling/packing can keep
+    * epochs distinguishable.
+    *
+    * Pure per-row generation — a `sequence` explode, zero shuffle; the
+    * expansion factor is the weight itself, exactly the cost any epoch
+    * materialization pays (at 100 TB one usually virtualizes epochs at the
+    * loader instead; when a pipeline DOES materialize, this is the shape).
+    */
+  def upsampleByWeight(df: DataFrame, domain: Column,
+                       weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      "epoch weights must be in [0, 100]")
+    val nEpochs = weights.foldLeft(lit(0L)) { case (acc, (d, wt)) =>
+      val full = math.floor(wt).toLong
+      val frac = wt - math.floor(wt)
+      val extra =
+        if (frac == 0.0) lit(0L)
+        else when(substring(md5(concat(lit("up:"), col("doc_id").cast("string"))),
+          1, 4) < lit(hexThreshold(frac)), 1L).otherwise(0L)
+      when(domain === d, lit(full) + extra).otherwise(acc)
+    }
+    df.withColumn("n_epochs", nEpochs)
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_epochs") - 1)))
+      .drop("n_epochs")
+  }
+
   /** URL curation: extract the host from a URL column, drop blocklisted
     * domains, and cap survivors per domain at `maxPerDomain` in a
     * deterministic uniform order (md5 of the id) — the Common-Crawl-style

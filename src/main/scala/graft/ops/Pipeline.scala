@@ -25,6 +25,27 @@ object Pipeline {
         .otherwise("train"))
   }
 
+  /** Leakage-safe split: assign train/val/test by DEDUP CLUSTER, not by
+    * document, so near-duplicates can never straddle the train/test
+    * boundary (the eval-contamination hole a per-doc split leaves open —
+    * same motivation as benchmark decontamination, applied to the corpus'
+    * own held-out split). `clusters` is a (doc_id, cluster_id) frame from
+    * [[Dedup.dedupClusters]]; docs without a near-dup pair are singleton
+    * clusters of themselves. The split key is the cluster representative,
+    * routed through the same [[hashSplit]] hash.
+    *
+    * Scale shape: one left join keyed by doc_id — the clusters side holds
+    * only docs that HAVE near-dups (a small fraction of any curated
+    * corpus), so AQE broadcasts it when small and shuffles both sides
+    * otherwise; the split itself stays a per-row expression.
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame): DataFrame = {
+    val rep = df.join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .drop("cluster_id")
+    hashSplit(rep, "rep")
+  }
+
   /** Token-budget sequence packing: shard = id mod `nShards`; within a
     * shard, docs pack in id order into bins of `budget` tokens (bin id =
     * tokens-before-this-doc DIV budget — contiguous greedy packing). The

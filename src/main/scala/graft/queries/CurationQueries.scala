@@ -85,7 +85,18 @@ object CurationQueries {
       (col("doc_id") % 5).cast("string"), lit(".example.com/p/"),
       col("doc_id").cast("string"))
 
+  /** Epoch weights for `pipeline_upsample`: integer, fractional, and
+    * sub-one weights all exercised; sources past src14 deliberately absent
+    * (absent domains emit nothing).
+    */
+  val UpWeights: Seq[(String, Double)] =
+    (0 until 15).map(i => s"src$i" -> (if (i < 5) 2.5 else if (i < 10) 1.0 else 0.25))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_upsample" -> ((s, dir) =>
+      Curation.upsampleByWeight(docs(s, dir), col("source"), UpWeights.toMap)
+        .select("doc_id", "source", "epoch")),
+
     "text_pii_redact" -> ((s, dir) =>
       Curation.piiRedact(
         docs(s, dir).select(col("doc_id"), piiText.as("text")), col("text"))
@@ -156,7 +167,31 @@ object CurationQueries {
   private val blockedInList =
     BlockedDomains.map(d => s"'$d'").mkString(", ")
 
+  /** Per-domain epoch-count CASE, generated from the SAME Scala constants
+    * as the Column code (floor + fractional hash threshold).
+    */
+  private val upsampleCase = {
+    val whens = UpWeights.map { case (d, wt) =>
+      val full = math.floor(wt).toLong
+      val frac = wt - math.floor(wt)
+      val expr =
+        if (frac == 0.0) s"$full"
+        else s"$full + CASE WHEN substr(md5('up:' || doc_id::VARCHAR), 1, 4) " +
+          s"< '${Curation.hexThreshold(frac)}' THEN 1 ELSE 0 END"
+      s"WHEN '$d' THEN $expr"
+    }.mkString(" ")
+    s"CASE source $whens ELSE 0 END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_upsample" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source, CAST($upsampleCase AS BIGINT) AS n_ep
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, unnest(range(0, n_ep)) AS epoch
+         |FROM n WHERE n_ep > 0""".stripMargin,
+
     "text_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, $piiTextSql AS t FROM documents

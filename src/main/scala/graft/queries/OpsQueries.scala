@@ -153,6 +153,15 @@ object OpsQueries {
     "pipeline_split" -> ((s, dir) =>
       Pipeline.hashSplit(docs(s, dir), "doc_id").select("doc_id", "split")),
 
+    "pipeline_leakage_split" -> ((s, dir) => {
+      // near-dups must share a split: route the hash through the dedup
+      // cluster representative instead of the doc id
+      val d = docs(s, dir)
+      val clusters = Dedup.dedupClusters(
+        Dedup.minHashVerified(d, JaccardThreshold, Some(MinHashMaxBandDf)))
+      Pipeline.leakageSafeSplit(d, clusters).select("doc_id", "rep", "split")
+    }),
+
     "pipeline_pack" -> ((s, dir) =>
       Pipeline.packSequences(docs(s, dir), PackShards, PackBudget)),
 
@@ -560,6 +569,25 @@ object OpsQueries {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    "pipeline_leakage_split" ->
+      s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$verifiedCtes, edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), clus AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep,
+         |  CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+         |            IN ('c','d') THEN 'val'
+         |       WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+         |            IN ('e','f') THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN clus c USING (doc_id)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$shinglesCte, sizes AS (

@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("upsampleByWeight: integer part repeats, fraction keeps a hash subset") {
+    val df = (0L until 200L).map(i => (i, if (i < 100) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Curation.upsampleByWeight(df, col("source"),
+      Map("a" -> 2.5, "b" -> 1.0))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"),
+        min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val aCounts = out.filter(_._2 == "a").map(_._3)
+    assert(aCounts.forall(n => n == 2 || n == 3))
+    // ~half of "a" docs get the extra epoch — deterministic hash, wide net
+    val extras = aCounts.count(_ == 3)
+    assert(extras > 20 && extras < 80, s"extras=$extras")
+    assert(out.filter(_._2 == "b").forall(_._3 == 1))
+    // epochs are a dense 0..n-1 range
+    assert(out.forall { case (_, _, n, lo, hi) => lo == 0 && hi == n - 1 })
+    // an absent domain emits nothing
+    assert(Curation.upsampleByWeight(df, col("source"), Map("a" -> 1.0))
+      .filter(col("source") === "b").count() == 0)
+  }
+
   test("piiRedact: counts and ordered redaction") {
     val df = Seq(
       (0L, "mail bob.smith+x@corp.example.org then call 555-123-4567 from 10.2.0.9 end"),

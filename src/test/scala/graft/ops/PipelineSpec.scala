@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageSafeSplit: cluster members share a split, singletons route by id") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters: {3,17,42} labeled 3 and {5,9} labeled 5
+    val clusters = Seq((3L, 3L), (17L, 3L), (42L, 3L), (5L, 5L), (9L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Pipeline.leakageSafeSplit(docs, clusters)
+      .select("doc_id", "rep", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(Seq(3L, 17L, 42L).map(out(_)).distinct.size == 1)
+    assert(Seq(5L, 9L).map(out(_)).distinct.size == 1)
+    assert(out(7L)._1 == 7L) // singleton: rep is itself
+    // singleton routing matches the plain hash split bit-for-bit
+    val plain = Pipeline.hashSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.filterNot(kv => Seq(3L, 17L, 42L, 5L, 9L).contains(kv._1))
+      .forall { case (id, (_, s)) => s == plain(id) })
+    assert(out.size == 100)
+  }
+
   test("hash split is deterministic, total, and roughly 75/12.5/12.5") {
     val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Pipeline.hashSplit(docs, "doc_id")
