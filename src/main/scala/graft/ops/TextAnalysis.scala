@@ -170,23 +170,33 @@ object TextAnalysis {
     * broadcast), one per-doc collect_list bounded by the doc's distinct
     * term count. The 2-row totals frame broadcasts. No driver state.
     */
-  def unigramLmScore(docs: DataFrame, text: Column = col("text")): DataFrame = {
+  def unigramLmScore(docs: DataFrame, text: Column = col("text")): DataFrame =
+    unigramLmScoreWithCleanup(docs, text)._1
+
+  def unigramLmScoreWithCleanup(docs: DataFrame, text: Column = col("text"))
+      : (DataFrame, () => Unit) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // tf feeds three consumers (the term join, the vocab agg, and — through
+    // vocab — the totals agg); pinned, the corpus is tokenized and
+    // (doc, word)-aggregated ONCE instead of three scans of the raw text
     val tf = docs
       .select(col("doc_id"), explode(tokens(text)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("word").agg(sum(col("tf")).as("c"))
+      .persist(mem)
+    val vocab = tf.groupBy("word").agg(sum(col("tf")).as("c")).persist(mem)
     val totals = vocab.agg(sum(col("c")).as("total"))
     val terms = tf.join(vocab, "word").crossJoin(broadcast(totals))
       .select(col("doc_id"), col("tf"),
         struct(col("word"), (col("tf") * log(col("c") / col("total"))).as("ll"))
           .as("term"))
-    terms.groupBy("doc_id")
+    val out = terms.groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         sort_array(collect_list(col("term"))).as("terms"))
       .select(col("doc_id"), col("n_tokens"),
         round(-aggregate(col("terms"), lit(0.0),
           (acc, t) => acc + t.getField("ll")) / col("n_tokens"), 6).as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    (out, () => { tf.unpersist(); vocab.unpersist(); () })
   }
 
   def fingerprint(text: Column): Column =
