@@ -211,24 +211,23 @@ object Curation {
   /** PII detection + redaction: per-document counts of emails / phone
     * numbers / IPv4 addresses and a redacted copy with each replaced by a
     * typed placeholder. Replacement order is fixed (email, then IP, then
-    * phone) so the passes cannot interfere: emails consume their dotted
-    * domains before the IP pass, and phones share no characters with
-    * either. Pure per-row expressions — zero shuffle, pipelines with the
-    * scan; this is the shape PII scrubbing must have at corpus scale, where
-    * any keyed operation would dwarf the regex cost.
+    * phone), and each count is measured on the text AS THAT PASS SEES IT —
+    * so when patterns overlap (an email whose local part looks like a phone
+    * number), the count always equals the number of placeholders the
+    * redacted copy carries; no impossible count/placeholder mismatch. Pure
+    * per-row expressions — zero shuffle, pipelines with the scan; this is
+    * the shape PII scrubbing must have at corpus scale, where any keyed
+    * operation would dwarf the regex cost.
     */
   def piiRedact(df: DataFrame, text: Column): DataFrame = {
     def nMatches(c: Column, re: String) =
       size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val redacted = regexp_replace(afterIp, PhoneRe, "<PHONE>")
     df.withColumn("n_emails", nMatches(text, EmailRe))
-      .withColumn("n_phones", nMatches(text, PhoneRe))
-      .withColumn("n_ips", nMatches(text, Ipv4Re))
+      .withColumn("n_phones", nMatches(afterIp, PhoneRe))
+      .withColumn("n_ips", nMatches(afterEmail, Ipv4Re))
       .withColumn("redacted", redacted)
   }
 
@@ -280,7 +279,12 @@ object Curation {
   def urlDomainCap(df: DataFrame, url: Column, blocklist: DataFrame,
                    maxPerDomain: Int): DataFrame = {
     require(maxPerDomain > 0, "maxPerDomain must be positive")
-    val withDomain = df.withColumn("domain", parse_url(url, lit("HOST")))
+    // unparseable URLs (null/empty host) are quarantined, not capped: a
+    // NULL key would slip through the anti join (NULL matches nothing) and
+    // pool every malformed URL into one fake "domain" window. try_parse_url,
+    // not parse_url — ANSI mode makes the latter THROW on a malformed URL.
+    val withDomain = df.withColumn("domain", try_parse_url(url, lit("HOST")))
+      .filter(col("domain").isNotNull && col("domain") =!= "")
     val kept = withDomain.join(broadcast(blocklist), Seq("domain"), "left_anti")
     val w = Window.partitionBy(col("domain"))
       .orderBy(md5(concat(lit("url:"), col("doc_id").cast("string"))), col("doc_id"))

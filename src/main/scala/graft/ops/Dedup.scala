@@ -271,8 +271,12 @@ object Dedup {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        // union-by-min above makes every root the component minimum already
-        parent.keysIterator.map(id => (id, find(id))).toSeq.iterator
+        // union-by-min above makes every root the component minimum already.
+        // Lazy map — NOT .toSeq: a strict copy would hold millions of boxed
+        // tuples next to the LongMap in this one task. find() only rewrites
+        // values of existing keys (path halving), never inserts, so
+        // iterating keys while resolving them is safe.
+        parent.keysIterator.map(id => (id, find(id)))
       }
       .toDF("doc_id", "cluster_id")
   }

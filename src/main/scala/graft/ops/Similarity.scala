@@ -166,10 +166,6 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
-  /** L2-normalize an embedding (unit vector, double precision) — the
-    * standard pre-step that turns cosine search into dot-product search.
-    * Zero vectors pass through as zeros (no ANSI divide-by-zero).
-    */
   /** K-means over the embedding corpus (cosine assignment, Lloyd updates),
     * `iters` fixed iterations from a deterministic seed — the clustering
     * half of SemDeDup-style semantic curation, and the trainer for the IVF
@@ -219,6 +215,10 @@ object Similarity {
         round(col("ccos"), 6).as("cos_to_centroid"))
   }
 
+  /** L2-normalize an embedding (unit vector, double precision) — the
+    * standard pre-step that turns cosine search into dot-product search.
+    * Zero vectors pass through as zeros (no ANSI divide-by-zero).
+    */
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
     when(n === 0.0, transform(a, _ => lit(0.0)))

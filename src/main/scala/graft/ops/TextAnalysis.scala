@@ -144,9 +144,6 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "score", "rank")
   }
 
-  /** Canonical normalized form + content fingerprint (md5 of the normalized
-    * text) — the exact-dedup key and audit fingerprint.
-    */
   /** Unigram language-model scoring (the CCNet/CC-100 quality-filter shape
     * with the KenLM swapped for the model an engine can train in-flight):
     * fit a unigram LM on the corpus itself — p(w) = count(w) / total
@@ -199,6 +196,9 @@ object TextAnalysis {
     (out, () => { tf.unpersist(); vocab.unpersist(); () })
   }
 
+  /** Canonical normalized form + content fingerprint (md5 of the normalized
+    * text) — the exact-dedup key and audit fingerprint.
+    */
   def fingerprint(text: Column): Column =
     md5(normalized(text))
 

@@ -195,16 +195,17 @@ object CurationQueries {
     "text_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, $piiTextSql AS t FROM documents
+         |), r1 AS (
+         |  SELECT doc_id, t, regexp_replace(t, '$emailSql', '<EMAIL>', 'g') AS t1 FROM p
+         |), r2 AS (
+         |  SELECT doc_id, t, t1, regexp_replace(t1, '$ipSql', '<IP>', 'g') AS t2 FROM r1
          |)
          |SELECT doc_id,
          |       len(regexp_extract_all(t, '$emailSql')) AS n_emails,
-         |       len(regexp_extract_all(t, '$phoneSql')) AS n_phones,
-         |       len(regexp_extract_all(t, '$ipSql')) AS n_ips,
-         |       regexp_replace(regexp_replace(regexp_replace(t,
-         |         '$emailSql', '<EMAIL>', 'g'),
-         |         '$ipSql', '<IP>', 'g'),
-         |         '$phoneSql', '<PHONE>', 'g') AS redacted
-         |FROM p""".stripMargin,
+         |       len(regexp_extract_all(t2, '$phoneSql')) AS n_phones,
+         |       len(regexp_extract_all(t1, '$ipSql')) AS n_ips,
+         |       regexp_replace(t2, '$phoneSql', '<PHONE>', 'g') AS redacted
+         |FROM r2""".stripMargin,
 
     "pipeline_url_filter" ->
       s"""WITH u AS (
@@ -218,7 +219,10 @@ object CurationQueries {
          |  SELECT doc_id, domain,
          |         row_number() OVER (PARTITION BY domain
          |             ORDER BY md5('url:' || doc_id::VARCHAR), doc_id) AS rank
-         |  FROM d WHERE domain NOT IN ($blockedInList)
+         |  -- unparseable hosts quarantined (DuckDB regexp_extract yields ''
+         |  -- on no-match where Spark parse_url yields NULL — both dropped)
+         |  FROM d WHERE domain IS NOT NULL AND domain <> ''
+         |    AND domain NOT IN ($blockedInList)
          |)
          |SELECT doc_id, domain, rank FROM ranked WHERE rank <= $MaxPerDomain""".stripMargin,
 

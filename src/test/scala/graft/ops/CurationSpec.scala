@@ -46,6 +46,24 @@ class CurationSpec extends SparkSpec {
     assert(out(2L).getString(4) == "two mails <EMAIL> and <EMAIL> one ip <IP>")
   }
 
+  test("piiRedact: counts always equal placeholders when patterns overlap") {
+    // the email local part swallows the phone-shaped token; counts are
+    // measured per pass, so n_phones must be 0, matching the redacted copy
+    val df = Seq((0L, "reach 555-123-4567@x.co now")).toDF("doc_id", "text")
+    val r = Curation.piiRedact(df, col("text"))
+      .select("n_emails", "n_phones", "n_ips", "redacted").head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 0 && r.getLong(2) == 0)
+    assert(r.getString(3) == "reach <EMAIL> now")
+  }
+
+  test("urlDomainCap: malformed URLs are quarantined, not pooled into one window") {
+    val docs = Seq((0L, "https://ok.example.com/p/0"), (1L, "notaurl"),
+      (2L, "also not a url")).toDF("doc_id", "url")
+    val out = Curation.urlDomainCap(docs, col("url"),
+      Seq.empty[String].toDF("domain"), 5).select("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L))
+  }
+
   test("urlDomainCap: blocklist drops, per-domain cap bites deterministically") {
     val docs = (0L until 20L).map(i =>
       (i, s"https://site${i % 2}.example.com/p/$i")).toDF("doc_id", "url")

@@ -83,7 +83,9 @@ class DedupSpec extends SparkSpec {
   test("dedup clusters: a long path converges (diameter > 2)") {
     import spark.implicits._
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.dedupClusters(pairs)
+    // threshold 0 pins the distributed loop — this test exists to cover
+    // multi-round convergence, which the local regime never exercises
+    val out = Dedup.dedupClusters(pairs, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(1)).distinct.toSeq
     assert(out == Seq(1L)) // all 8 nodes in one component labeled 1
   }
