@@ -209,6 +209,25 @@ object CdcQueries {
       back.select(customer.columns.map(n => col(n).as(n)).toSeq: _*)
     }),
 
+    "source_format_roundtrip" -> ((s, dir) => {
+      // Batch source/sink format surface under the correctness gate: part
+      // flows parquet -> JSON lines -> ORC -> CSV(+header) and back, each
+      // leg through Spark's native reader/writer; the oracle reads the
+      // ORIGINAL parquet, so every leg must be lossless. CSV re-reads with
+      // the explicit schema (type inference is not part of the contract);
+      // doubles survive because Spark writes shortest-round-trip decimal
+      // strings.
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      part.write.mode("overwrite").json(s"$tmp/j")
+      val fromJson = s.read.schema(part.schema).json(s"$tmp/j")
+      fromJson.write.mode("overwrite").orc(s"$tmp/o")
+      val fromOrc = s.read.orc(s"$tmp/o")
+      fromOrc.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+      s.read.schema(part.schema).option("header", "true").csv(s"$tmp/c")
+        .select(part.columns.map(col).toSeq: _*)
+    }),
+
     "cdc_validate_drift" -> ((s, dir) => {
       // In-engine consistency validator (ref: test/validate_cdc_data.py):
       // seed deterministic drift into a copy of the customer snapshot —
@@ -347,6 +366,9 @@ object CdcQueries {
 
     "jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "source_format_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
 
     // mirror of Validate.diff over the seeded-drift target: same drift
     // recipe, same full-outer key diff, same first-differing-column order
