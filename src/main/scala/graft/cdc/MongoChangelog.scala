@@ -29,13 +29,17 @@ object MongoChangelog {
     "$oid", "$date", "$numberLong", "$numberInt", "$numberDouble",
     "$numberDecimal", "$binary", "$regex")
 
+  // ObjectMapper is thread-safe once configured and expensive to construct;
+  // one shared instance serves every row on every executor thread.
+  private val sharedMapper = new ObjectMapper()
+
   /** Recursive extended-JSON normalization (ref: cdc_stream.py:427-497):
     * unwrap BSON wrapper objects to their scalar value; JSON-serialize any
     * remaining nested document/array.
     */
   def normalizeDocument(json: String): Map[String, String] = {
     if (json == null) return null
-    val mapper = new ObjectMapper()
+    val mapper = sharedMapper
     val root = mapper.readTree(json)
     if (!root.isObject) return Map.empty
     root.properties().asScala.map { e =>
