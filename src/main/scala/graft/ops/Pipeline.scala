@@ -86,4 +86,63 @@ object Pipeline {
   def packSequencesAuto(docs: DataFrame, budget: Int,
                         targetDocsPerShard: Long = 100000L): DataFrame =
     packSequences(docs, adaptiveShards(docs, targetDocsPerShard), budget)
+
+  /** Fixed-size overlapping character chunks (context-window chunking):
+    * chunk i covers characters [i*step, i*step + size) with
+    * step = size - overlap; every doc yields at least one chunk, and the
+    * last chunk may run short. Membership and text are recomputable from
+    * (doc_id, chunk_id) alone — the property that lets a downstream stage
+    * re-derive chunks instead of persisting them.
+    *
+    * Scale shape: chunk count is a per-row expression and the expansion is
+    * one `explode` — scan-linear in output size, zero shuffle.
+    */
+  def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got ($size, $overlap)")
+    val step = size - overlap
+    val nChunks = greatest(lit(1L),
+      ceil((length(col("text")) - lit(overlap)).cast("double") / step).cast("long"))
+    docs
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_text",
+        expr(s"substring(text, CAST(chunk_id * $step + 1 AS INT), $size)"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+  }
+
+  /** Deterministic global shuffle with a CONTIGUOUS global index — the
+    * epoch-ordering primitive (shuffle the corpus once per epoch, then cut
+    * it into training shards by position). Order = (md5(seed:id), id), so
+    * the permutation is seeded and recomputable by any engine.
+    *
+    * This is the two-pass scalable formulation: a single global ROW_NUMBER
+    * window would serialize the corpus through ONE partition. Instead the
+    * hash's first `bucketChars` hex chars give 16^bucketChars DATA-DERIVED
+    * buckets; rows rank inside their bucket (one keyed window — the only
+    * corpus shuffle), bucket totals cumulate into offsets (O(#buckets) rows,
+    * reusing the window's shuffle output), and the offsets broadcast-join
+    * back: pos = bucket offset + local rank - 1. Everything is keyed by the
+    * data, never by task/partition ids — a TaskContext-based counter breaks
+    * under a downstream `coalesce`, which re-runs the closure per parent
+    * partition inside one task.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String,
+                    bucketChars: Int = 3): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8, s"bucketChars in [1,8], got $bucketChars")
+    val keyed = df
+      .withColumn("_h", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("_b", substring(col("_h"), 1, bucketChars))
+    val wRank = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    val ranked = keyed.withColumn("_r", row_number().over(wRank).cast("long"))
+    // bucket offsets: totals per bucket, cumulated in hex order. The
+    // cumulative window runs over 16^bucketChars rows — O(config), like an
+    // inlined-centroid table — and the result broadcasts back.
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
+      .select(col("_b"), col("_off"))
+    ranked.join(broadcast(offsets), Seq("_b"))
+      .withColumn("pos", col("_off") + col("_r") - 1)
+      .drop("_h", "_b", "_r", "_off")
+  }
 }

@@ -188,7 +188,16 @@ object Similarity {
     * O(data). Lloyd's is inherently iterative; k*dim driver rows per round
     * is the minimum coordination any implementation pays.
     */
-  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    assignToCentroidsD(corpus, kMeansCentroids(corpus, k, iters))
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
+        round(col("ccos"), 6).as("cos_to_centroid"))
+
+  /** The Lloyd loop itself, exposed so downstream operators ([[semDeDup]],
+    * an IVF build) can reuse the trained centroids without re-joining the
+    * assignment frame back to the corpus.
+    */
+  def kMeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
     import org.apache.spark.sql.types.DecimalType
     var cents: Seq[(Long, Array[Double])] = corpus
       .filter(col("vec_id") < k).select(col("vec_id"), col("embedding"))
@@ -210,9 +219,52 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    assignToCentroidsD(corpus, cents)
-      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
+    cents
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the corpus, then inside each cluster
+    * drop every vector that has a kept near-duplicate (cosine >= threshold).
+    * Keep priority follows the paper — the member LEAST similar to its
+    * centroid survives (maximizes retained diversity); ties break to the
+    * lower vec_id. The rule is per-pair (drop b iff some higher-priority a
+    * in the cluster is a near-dup of b), so membership is recomputable
+    * row-locally by an external oracle — no transitive closure.
+    *
+    * Scale shape: assignment is the inlined-centroid per-row argmax (no
+    * shuffle); the only shuffle is the cluster-keyed self-join. Within-block
+    * pairs are quadratic in block size N/k — k is the scale knob (the paper
+    * runs k ~ sqrt(N); keep k growing with the corpus so blocks stay
+    * bounded), and `maxBlockSize` hard-caps degenerate clusters the same way
+    * the LSH band caps do (oversized clusters pass through undeduped rather
+    * than detonating the join).
+    */
+  def semDeDup(corpus: DataFrame, k: Int, iters: Int, threshold: Double,
+               maxBlockSize: Option[Int] = None): DataFrame = {
+    val cents = kMeansCentroids(corpus, k, iters)
+    val assigned = assignToCentroidsD(corpus, cents)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cluster_id"),
         round(col("ccos"), 6).as("cos_to_centroid"))
+    val blocked = maxBlockSize match {
+      case Some(cap) =>
+        val keep = assigned.groupBy("cluster_id")
+          .agg(count(lit(1)).as("_bs")).filter(col("_bs") <= cap)
+        assigned.join(keep.select("cluster_id"), Seq("cluster_id"), "left_semi")
+      case None => assigned
+    }
+    val a = blocked.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("cos_to_centroid").as("cc_a"))
+    val b = blocked.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("cos_to_centroid").as("cc_b"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("cc_a") < col("cc_b") ||
+        (col("cc_a") === col("cc_b") && col("vec_a") < col("vec_b")))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cluster_id", "cos_to_centroid")
   }
 
   /** L2-normalize an embedding (unit vector, double precision) — the

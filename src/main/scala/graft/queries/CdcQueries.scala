@@ -228,6 +228,35 @@ object CdcQueries {
         .select(part.columns.map(col).toSeq: _*)
     }),
 
+    "source_partition_prune" -> ((s, dir) => {
+      // Hive-style partitioned layout under the correctness gate: write
+      // events partitioned by event_type, read ONE partition back. The
+      // equality filter resolves to PartitionFilters at planning time
+      // (PLANS.md) — on a 100 TB table the scan touches only the requested
+      // partition's files, never the other partitions' footers.
+      val ev = events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000000").as("ts_ms"), col("event_type"))
+    }),
+
+    "sketch_profile" -> ((s, dir) => {
+      // Sketch-based profiling — the fixed-size-state statistics toolkit a
+      // 100 TB profile pass needs: HLL++ distinct users and approximate
+      // value quantiles per event type; sketch state is O(sketch config)
+      // per group however large the input. No DuckDB oracle (sketch
+      // estimates are engine-specific) -> driver records a rows-only check;
+      // error bounds vs exact answers are pinned by SketchSpec.
+      val ev = events(s, dir)
+      ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("value_quantiles"))
+    }),
+
     "cdc_validate_drift" -> ((s, dir) => {
       // In-engine consistency validator (ref: test/validate_cdc_data.py):
       // seed deterministic drift into a copy of the customer snapshot —
@@ -366,6 +395,10 @@ object CdcQueries {
 
     "jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "source_partition_prune" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "source_format_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",

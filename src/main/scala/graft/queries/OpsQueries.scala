@@ -53,6 +53,12 @@ object OpsQueries {
   // char < 'd' (~13/16 of the corpus), batch = the rest — a deterministic
   // stand-in for "corpus so far" vs "today's arriving shard".
   val IncSplitHex = "d"
+  // Context-window chunking: 400-char chunks, 50-char overlap (step 350).
+  val ChunkSize = 400
+  val ChunkOverlap = 50
+  // Epoch shuffle: seeded permutation cut into 8 training shards.
+  val ShuffleSeed = "ep0"
+  val ShuffleShards = 8L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
@@ -124,6 +130,21 @@ object OpsQueries {
 
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(embs(s, dir), NCentroids, KmIters)),
+
+    "emb_semdedup" -> ((s, dir) =>
+      // SemDeDup: k-means clustering + within-cluster cosine dedup; keeps
+      // the member least similar to its centroid (paper's diversity rule)
+      Similarity.semDeDup(embs(s, dir), NCentroids, KmIters, NearDupThreshold)),
+
+    "pipeline_chunk" -> ((s, dir) =>
+      Pipeline.chunk(docs(s, dir), ChunkSize, ChunkOverlap)),
+
+    "pipeline_shuffle" -> ((s, dir) =>
+      // seeded epoch shuffle with a contiguous global position (two-pass
+      // scalable indexing — no single-partition window) cut into shards
+      Pipeline.globalShuffle(docs(s, dir).select("doc_id"), "doc_id", ShuffleSeed)
+        .withColumn("shard", pmod(col("pos"), lit(ShuffleShards)))
+        .select("doc_id", "pos", "shard")),
 
     "ann_ivf_recall" -> ((s, dir) => {
       // index-quality evaluation: recall@k of the IVF probe against the
@@ -435,6 +456,39 @@ object OpsQueries {
          |)
          |SELECT vec_id, centroid_id AS cluster_id, round(cos, 6) AS cos_to_centroid
          |FROM af""".stripMargin,
+
+    "emb_semdedup" ->
+      s"""$embCte$kmCtes, af AS (
+         |  SELECT vec_id, v, centroid_id, round(${cosSql("v", "cv")}, 6) AS cc,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS r
+         |  FROM e CROSS JOIN c$KmIters QUALIFY r = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.centroid_id = b.centroid_id
+         |    AND (a.cc < b.cc OR (a.cc = b.cc AND a.vec_id < b.vec_id))
+         |  WHERE ${cosSql("a.v", "b.v")} >= $NearDupThreshold
+         |)
+         |SELECT vec_id, centroid_id AS cluster_id, cc AS cos_to_centroid
+         |FROM af WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    "pipeline_chunk" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(CAST(greatest(1, ceil((len(text) - $ChunkOverlap) / ${ChunkSize - ChunkOverlap}.0)) AS BIGINT))) AS chunk_id
+         |  FROM documents
+         |)
+         |SELECT doc_id, chunk_id,
+         |       substring(text, CAST(chunk_id * ${ChunkSize - ChunkOverlap} + 1 AS INT), $ChunkSize) AS chunk_text
+         |FROM ch""".stripMargin,
+
+    "pipeline_shuffle" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY md5('$ShuffleSeed:' || doc_id), doc_id) - 1 AS BIGINT) AS pos
+         |  FROM documents
+         |)
+         |SELECT doc_id, pos, pos % $ShuffleShards AS shard FROM p""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id, len(string_split_regex(lower(text), '\s+')) AS n_tokens,

@@ -69,7 +69,30 @@ object RelQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
-          count(lit(1)).as("count_order"))))
+          count(lit(1)).as("count_order"))),
+
+    "rel_nation_top_suppliers" -> ((s, dir) => {
+      // per-group top-k via ranking window: fact scan -> broadcast dim join
+      // -> supplier-grain aggregate (map-side partials) -> a window over the
+      // ALREADY-AGGREGATED supplier rows. The window input is |suppliers|,
+      // not |lineitem| — ranking after aggregation is what keeps the sort
+      // state bounded at 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      val li = scanParallel(t(s, dir, "lineitem"), s)
+      val rev = li.join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+          .as("revenue"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey").asc)
+      rev.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"),
+          col("revenue"), col("rnk"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -106,5 +129,18 @@ object RelQueries {
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_nation_top_suppliers" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey, s_name,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT n_name, s_suppkey, s_name, revenue,
+        |       CAST(row_number() OVER (PARTITION BY s_nationkey
+        |                               ORDER BY revenue DESC, s_suppkey ASC) AS BIGINT) AS rnk
+        |FROM rev JOIN nation ON s_nationkey = n_nationkey
+        |QUALIFY rnk <= 3""".stripMargin)
 }

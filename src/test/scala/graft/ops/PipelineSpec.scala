@@ -87,6 +87,51 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.packSequencesAuto(docs, budget, 50).count() == 200)
   }
 
+  test("chunk: covers the text with the configured overlap, short docs yield one chunk") {
+    val docs = Seq(
+      (0L, "a" * 10),            // shorter than size -> 1 chunk
+      (1L, "x" * 400),           // exactly size -> 1 chunk
+      (2L, ("0123456789" * 75)), // 750 chars: chunks at 0 and 350 (350+400 covers 750)
+      (3L, "")).toDF("doc_id", "text")
+    val out = Pipeline.chunk(docs, size = 400, overlap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(0L) == Seq("a" * 10))
+    assert(byDoc(1L) == Seq("x" * 400))
+    assert(byDoc(3L) == Seq(""))
+    val c2 = byDoc(2L)
+    assert(c2.length == 2 && c2(0).length == 400 && c2(1).length == 400)
+    // consecutive chunks agree on the 50-char overlap, and stripping the
+    // overlap reconstructs the original text exactly
+    assert(c2(0).takeRight(50) == c2(1).take(50))
+    assert(c2(0) + c2(1).drop(50) == "0123456789" * 75)
+  }
+
+  test("globalShuffle: contiguous seeded permutation, immune to downstream coalesce") {
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Pipeline.globalShuffle(docs, "doc_id", "ep0")
+    val rows = out.select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // pos is a permutation of 0..n-1
+    assert(rows.map(_._2).sorted.toSeq == (0L until 300L).toSeq)
+    // matches the reference ordering: rank by (md5("ep0:"+id), id)
+    val expected = rows.map(_._1).sortBy { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ep0:$id".getBytes("UTF-8"))
+      (d.map("%02x".format(_)).mkString, id)
+    }.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(rows.forall { case (id, pos) => expected(id) == pos })
+    // regression: a downstream coalesce(1) must not perturb positions (a
+    // TaskContext-keyed counter silently restarts per parent partition)
+    val coalesced = out.coalesce(1).select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, pos) => coalesced(id) == pos })
+    // different seed -> different permutation (with overwhelming probability)
+    val other = Pipeline.globalShuffle(docs, "doc_id", "ep1")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, pos) => other(id) != pos })
+  }
+
   test("tfidf top-k ranks rare terms above common ones") {
     val docs = Seq(
       (0L, "apple banana banana common"),

@@ -97,6 +97,46 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == Set((1L, 3L)))
   }
 
+  test("semDeDup: keeps the member least similar to its centroid, drops its near-dups") {
+    // cluster 0 (+x): three near-identical vectors + one angled survivor;
+    // cluster 1 (+y): two orthogonal-ish members, no dups
+    val df = embsOf(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),            // seeds
+      10L -> Seq(1f, 0.01f), 11L -> Seq(1f, 0.011f),   // dups of each other & of 0
+      12L -> Seq(0.8f, 0.6f),                          // same cluster, not a dup at .995
+      13L -> Seq(0.3f, 1f))                            // cluster 1, cos(1,13)=.958 < .995
+    val out = Similarity.semDeDup(df, 2, 1, threshold = 0.995)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // within each cluster every kept pair must be below the threshold
+    val assigned = out.select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embMap = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (a <- kept; b <- kept if a < b && assigned(a) == assigned(b))
+      assert(cos(embMap(a), embMap(b)) < 0.995, s"kept near-dup pair ($a,$b)")
+    // the angled and cross-cluster members survive; the {0,10,11} dup group
+    // collapses to exactly one survivor
+    assert(kept.contains(12L) && kept.contains(13L) && kept.contains(1L))
+    assert(Seq(0L, 10L, 11L).count(kept) == 1)
+    // deterministic: rerun identical
+    assert(Similarity.semDeDup(df, 2, 1, threshold = 0.995)
+      .select("vec_id").as[Long].collect().toSet == kept)
+  }
+
+  test("semDeDup maxBlockSize: an oversized cluster passes through undeduped") {
+    // 10 identical +x vectors (cluster 0) and 2 identical +y (cluster 1)
+    val hot = (10L until 20L).map(i => i -> Seq(1f, 0f))
+    val df = embsOf(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 21L -> Seq(0f, 1f)) ++ hot: _*)
+    val capped = Similarity.semDeDup(df, 2, 1, threshold = 0.99, maxBlockSize = Some(5))
+    val kept = capped.select("vec_id").as[Long].collect().toSet
+    // cluster 0 (11 members > cap) is not deduped; cluster 1 (2 members) is
+    assert((hot.map(_._1).toSet + 0L).subsetOf(kept))
+    assert(Seq(1L, 21L).count(kept) == 1)
+  }
+
   test("LSH near-dup band cap bounds a degenerate (all-identical) corpus") {
     // 30 identical vectors -> every band key has df 30; one cold near-dup
     // pair points the opposite way so its band keys are its own
