@@ -228,6 +228,26 @@ object CdcQueries {
         .select(part.columns.map(col).toSeq: _*)
     }),
 
+    "events_interval_join" -> ((s, dir) => {
+      // the stream-stream interval join operator exercised in batch mode
+      // (watermarks no-op there — one code path, two execution modes): each
+      // click pairs with ALL same-user purchases in the preceding 30 min
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          timestamp_millis(expr("ts DIV 1000000")).as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          timestamp_millis(expr("ts DIV 1000000")).as("p_ts"),
+          col("value").as("p_value"))
+      graft.streaming.StreamJoin.intervalJoin(clicks, purchases,
+        "c_user", "p_user", "c_ts", "p_ts", "10 minutes", "10 minutes",
+        "30 MINUTES", "0 SECONDS")
+        .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+          unix_millis(col("c_ts")).as("c_ms"), unix_millis(col("p_ts")).as("p_ms"),
+          col("p_value"))
+    }),
+
     "source_partition_prune" -> ((s, dir) => {
       // Hive-style partitioned layout under the correctness gate: write
       // events partitioned by event_type, read ONE partition back. The
@@ -399,6 +419,15 @@ object CdcQueries {
     "source_partition_prune" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "events_interval_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+        |       epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) AS p_ms,
+        |       p.value AS p_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) - 1800000 AND epoch_ms(c.ts)""".stripMargin,
 
     "source_format_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
