@@ -198,6 +198,43 @@ object Curation {
     ranked.groupBy(stratum).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One rank-selection median per stratum (the p=0.5 case of
+    * [[quantilesByStratum]], reused by the MAD pipeline): value at rank
+    * ceil(n/2) in ascending (value, id) order.
+    */
+  private def medianByStratum(df: DataFrame, stratum: String, value: String,
+                              idCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(col(value), col(idCol))
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(stratum))))
+      .groupBy(stratum)
+      .agg(max(when(col("_rn") === ceil(lit(0.5) * col("_cnt")), col(value))).as(outCol))
+  }
+
+  /** Robust per-stratum outlier flagging: median/MAD gate on a numeric
+    * signal — the heavy-tail-safe alternative to mean/stddev z-scores (a
+    * handful of giant documents drag a mean arbitrarily; they cannot move
+    * the median). Outlier rule: |x - median| > k * MAD, where MAD =
+    * median(|x - median|), both medians the engine-exact rank-selection
+    * form (value at rank ceil(n/2), ties ordered by id) — for an integer
+    * signal the whole gate is integer arithmetic, so an external engine
+    * reproduces it exactly, no float tolerance anywhere.
+    *
+    * Shape: two stratum-keyed window+agg passes (MAD needs the median
+    * first — two passes is the minimum any exact formulation pays) and two
+    * joins of O(#strata) aggregates back, which AQE broadcasts.
+    */
+  def outlierFilter(df: DataFrame, stratum: String, value: String,
+                    idCol: String, k: Int): DataFrame = {
+    val med = medianByStratum(df, stratum, value, idCol, "med")
+    val withMed = df.join(med, Seq(stratum))
+      .withColumn("_adev", abs(col(value) - col("med")))
+    val mad = medianByStratum(withMed, stratum, "_adev", idCol, "mad")
+    withMed.join(mad, Seq(stratum))
+      .withColumn("is_outlier", (col("_adev") > lit(k) * col("mad")).cast("int"))
+      .drop("_adev")
+  }
+
   /** PII patterns, ASCII-only by design: the same pattern text must compile
     * identically under Java regex (Spark) and RE2 (DuckDB oracle), which
     * rules out lookarounds and Unicode classes. Real pipelines extend the

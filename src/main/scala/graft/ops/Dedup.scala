@@ -353,6 +353,44 @@ object Dedup {
 
   def ngramJaccardWithCleanup(docs: DataFrame, threshold: Double,
                               maxDf: Option[Int] = None): (DataFrame, () => Unit) = {
+    val (overlap, cleanup) = shingleOverlapWithCleanup(docs, maxDf)
+    val out = overlap
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+    (out, cleanup)
+  }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over the same
+    * shingle sets — the doc-in-doc measure. A short doc fully embedded in a
+    * long one scores Jaccard ~|A|/|B| (arbitrarily small) but containment
+    * 1.0, so Jaccard-threshold dedup never sees it; containment is how
+    * wrapped boilerplate and quoted-in-full duplication get caught.
+    * Candidate generation is the shingle join itself (band-based MinHash
+    * blocking keys on Jaccard and would miss exactly these pairs), with the
+    * same `maxDf` hot-shingle cap bounding the join.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       maxDf: Option[Int] = None): DataFrame =
+    containmentPairsWithCleanup(docs, threshold, maxDf)._1
+
+  def containmentPairsWithCleanup(docs: DataFrame, threshold: Double,
+                                  maxDf: Option[Int] = None): (DataFrame, () => Unit) = {
+    val (overlap, cleanup) = shingleOverlapWithCleanup(docs, maxDf)
+    val out = overlap
+      .withColumn("containment", col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "containment")
+    (out, cleanup)
+  }
+
+  /** Shared core of the set-overlap measures ([[ngramJaccard]],
+    * [[containmentPairs]]): df-capped shingle self-join ->
+    * (doc_a, doc_b, shared, n_a, n_b). One definition, every measure —
+    * the overlap arithmetic cannot drift between them.
+    */
+  private def shingleOverlapWithCleanup(docs: DataFrame, maxDf: Option[Int])
+      : (DataFrame, () => Unit) = {
     // shingle-exploded rows feed the self-join (twice) and the size agg —
     // pin them so the tokenize+shingle lineage runs once
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
@@ -372,9 +410,6 @@ object Dedup {
     val out = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
     (out, () => { sh.unpersist(); () })
   }
 

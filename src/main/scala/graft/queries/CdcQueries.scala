@@ -277,6 +277,26 @@ object CdcQueries {
           .as("value_quantiles"))
     }),
 
+    "sketch_incremental" -> ((s, dir) => {
+      // mergeable-sketch state: per-day DataSketches HLL sketches (the
+      // incremental-update granule a profiling table keeps) PLUS the
+      // all-days rollup computed by unioning the daily sketches — no
+      // second pass over raw history, the O(sketch)-cost re-aggregation a
+      // 100 TB rollup needs. Rows-only gate (sketch estimates are
+      // engine-specific); SketchSpec pins that union-of-parts ==
+      // sketch-of-whole and both land within HLL error of exact.
+      val ev = events(s, dir)
+      val daily = ev.groupBy(expr("ts DIV 86400000000000").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+      daily.select(col("day"), col("n_events"),
+          hll_sketch_estimate(col("sk")).as("distinct_users"))
+        .unionByName(daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"),
+          sum(col("n_events")).as("n_events"))
+          .withColumn("day", lit(-1L))
+          .select("day", "n_events", "distinct_users"))
+    }),
+
     "cdc_validate_drift" -> ((s, dir) => {
       // In-engine consistency validator (ref: test/validate_cdc_data.py):
       // seed deterministic drift into a copy of the customer snapshot —

@@ -46,6 +46,10 @@ object CurationQueries {
   val MixSumW: Double = MixWeights.map(_._2).sum
 
   val QuantilePs = Seq(0.5, 0.9, 0.99)
+  /** MAD multiplier for the robust length gate (≈ 4.45 sigma if the signal
+    * were normal — a deliberately loose fence; outliers should be rare).
+    */
+  val OutlierK = 3
 
   /** Per-domain survivor cap for `pipeline_url_filter`: 3 keeps the cap
     * biting at every SF (sf0.01 has ~5 docs per synthesized domain).
@@ -130,7 +134,13 @@ object CurationQueries {
         .select("doc_id", "source", "rank")),
 
     "text_length_quantiles" -> ((s, dir) =>
-      Curation.quantilesByStratum(docs(s, dir), "lang", "n_chars", "doc_id", QuantilePs)))
+      Curation.quantilesByStratum(docs(s, dir), "lang", "n_chars", "doc_id", QuantilePs)),
+
+    "pipeline_outlier_filter" -> ((s, dir) =>
+      // robust per-source length gate: median/MAD, all-integer arithmetic
+      Curation.outlierFilter(docs(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", OutlierK)
+        .select("doc_id", "source", "n_chars", "med", "mad", "is_outlier")))
 
   // ------------------------------------------------------------- oracles
 
@@ -313,5 +323,32 @@ object CurationQueries {
          |       ${QuantilePs.map(p =>
                    s"max(CASE WHEN rn = ceil($p * cnt) THEN n_chars END) AS p${(p * 100).round}_n_chars")
                    .mkString(",\n       ")}
-         |FROM r GROUP BY lang""".stripMargin)
+         |FROM r GROUP BY lang""".stripMargin,
+
+    // mirror of Curation.outlierFilter: rank-selection median and MAD per
+    // source (rank ceil(n/2), ties by doc_id), integer gate |x-med| > k*mad
+    "pipeline_outlier_filter" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM documents
+         |), med AS (
+         |  SELECT source, max(CASE WHEN rn = ceil(0.5 * cnt) THEN n_chars END) AS med
+         |  FROM r GROUP BY source
+         |), d AS (
+         |  SELECT doc_id, source, n_chars, med, abs(n_chars - med) AS adev
+         |  FROM documents JOIN med USING (source)
+         |), r2 AS (
+         |  SELECT doc_id, source, adev,
+         |         row_number() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rn2,
+         |         count(*) OVER (PARTITION BY source) AS cnt2
+         |  FROM d
+         |), mad AS (
+         |  SELECT source, max(CASE WHEN rn2 = ceil(0.5 * cnt2) THEN adev END) AS mad
+         |  FROM r2 GROUP BY source
+         |)
+         |SELECT doc_id, source, n_chars, med, mad,
+         |       CASE WHEN abs(n_chars - med) > $OutlierK * mad THEN 1 ELSE 0 END AS is_outlier
+         |FROM d JOIN mad USING (source)""".stripMargin)
 }

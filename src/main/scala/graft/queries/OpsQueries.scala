@@ -24,6 +24,9 @@ object OpsQueries {
 
   val JaccardThreshold = 0.2
   val NearDupThreshold = 0.2
+  // Containment (|A∩B|/min set size) runs higher than Jaccard on the same
+  // pair set — 0.5 keeps only genuine doc-in-doc / heavy-overlap pairs.
+  val ContainmentThreshold = 0.5
   // Hot-band caps (Dedup.capBands): chosen from measured band-df
   // distributions so they guard degenerate corpora without biting normal
   // data — minhash max band df is 8 at sf0.1, RHP max 185, simhash max 343
@@ -87,6 +90,11 @@ object OpsQueries {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
+
+    "dedup_containment" -> ((s, dir) =>
+      // doc-in-doc measure: |A∩B| / min(|A|,|B|) — catches full embeddings
+      // that Jaccard's symmetric denominator dilutes away
+      Dedup.containmentPairs(docs(s, dir), ContainmentThreshold)),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       // hamming <= 3 is the pigeonhole-complete threshold for 4 bands
@@ -657,6 +665,21 @@ object OpsQueries {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$shinglesCte, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+         |       shared / least(na.n, nb.n) AS containment
+         |FROM pairs
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE shared / least(na.n, nb.n) >= ${ContainmentThreshold}""".stripMargin,
 
     "ann_cosine_topk" ->
       s"""$embCte

@@ -87,6 +87,27 @@ class CurationSpec extends SparkSpec {
     (4L, "all tokens unique in this doc")
   ).toDF("doc_id", "text")
 
+  test("outlierFilter: median/MAD gate flags the far point, not the tail of a skew") {
+    import spark.implicits._
+    // stratum A: tight cluster around 100 with one far point; the mean
+    // would be dragged to ~190, a mean/stddev gate might keep 1000 in —
+    // the median (100) and MAD (2) cannot be moved by the single outlier
+    val a = Seq(98L, 99L, 100L, 101L, 102L, 103L, 104L, 105L, 106L, 1000L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, "A", v) }
+    val b = Seq(10L, 20L, 30L).zipWithIndex.map { case (v, i) => (100L + i, "B", v) }
+    val df = (a ++ b).toDF("doc_id", "source", "n_chars")
+    val out = Curation.outlierFilter(df, "source", "n_chars", "doc_id", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"), r.getAs[Int]("is_outlier")))).toMap
+    // A: n=10 -> median = 5th of sorted = 102; MAD = 5th of sorted |x-102|
+    assert(out(0L)._1 == 102L && out(0L)._2 == 2L)
+    assert(out(9L)._3 == 1)                        // the 1000 is flagged
+    assert((0L to 8L).forall(out(_)._3 == 0))      // the cluster is not
+    // B is its own stratum: median 20, MAD 10, nothing flagged
+    assert(out(100L) == ((20L, 10L, 0)))
+    assert(out(101L)._3 == 0 && out(102L)._3 == 0)
+  }
+
   test("wordNgrams: distinct n-grams, empty under n tokens") {
     val df = corpus.select(col("doc_id"), Curation.wordNgrams(col("text"), 4).as("g"))
     val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap

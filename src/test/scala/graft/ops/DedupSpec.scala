@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("containment catches doc-in-doc that jaccard dilutes away") {
+    // doc 1 is doc 0's text embedded in a much longer page: every shingle
+    // of 0 appears in 1, so containment = 1.0 while jaccard stays small
+    val short = "alpha beta gamma delta epsilon"
+    val wrapper = "nav home about " + short + " footer terms privacy contact " +
+      "copyright two thousand twenty four all rights reserved legal notice"
+    val out = Dedup.containmentPairs(docsOf(short, wrapper, "q w e r t y"),
+      threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))
+    // the same pair is invisible to jaccard at any comparable threshold
+    assert(Dedup.ngramJaccard(docsOf(short, wrapper, "q w e r t y"),
+      threshold = 0.5).count() == 0)
+  }
+
   test("simhash pairs: identical docs at hamming 0; unrelated pairs filtered") {
     val out = Dedup.simHashPairs(docsOf(
       "alpha beta gamma delta", "alpha beta gamma delta",

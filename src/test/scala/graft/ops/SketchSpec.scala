@@ -45,6 +45,24 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(rankOf(p95) - 0.95) < 0.01, s"p95=$p95 rank=${rankOf(p95)}")
   }
 
+  test("HLL sketches merge losslessly: union-of-parts == sketch-of-whole") {
+    // the mergeability contract behind sketch_incremental: building daily
+    // sketches and unioning them must give the SAME estimate as one sketch
+    // over the whole stream (HLL union is exact over register maxima)
+    val whole = events.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect()(0).getLong(0)
+    val merged = events
+      .groupBy(pmod(col("event_id"), lit(7L)).as("part"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == whole, s"union-of-parts $merged != sketch-of-whole $whole")
+    val exact = events.select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(math.abs(merged.toDouble - exact) / exact < 0.03,
+      s"HLL estimate $merged vs exact $exact")
+  }
+
   test("count-min sketch never undercounts and stays within eps*n of exact") {
     val cms = events.stat.countMinSketch(col("user_id"), eps = 0.001,
       confidence = 0.99, seed = 42)
