@@ -49,7 +49,23 @@ object PlanDump {
     "text_perplexity" ->
       "Unigram LM: tf and vocab are keyed integer aggregates with partial (map-side) halves; the tf-vocab join is keyed by word; the per-doc fold is one doc_id-keyed collect_list agg.",
     "pipeline_upsample" ->
-      "Epoch upsampling: weight lookup + sequence explode as per-row Generate — zero Exchange; output row count is the only cost.")
+      "Epoch upsampling: weight lookup + sequence explode as per-row Generate — zero Exchange; output row count is the only cost.",
+    "pipeline_shuffle" ->
+      "Epoch shuffle: ONE corpus Exchange on the hash-prefix bucket (window rank); offsets are an O(#buckets) aggregate BROADCAST back — no single-partition window over the corpus.",
+    "pipeline_chunk" ->
+      "Chunking: per-row count expression + Generate(explode) — zero Exchange; output size is the only cost.",
+    "emb_semdedup" ->
+      "SemDeDup: assignment is a pure projection (inlined centroids); the ONLY corpus shuffle is the cluster-keyed self-join; anti-join drops the dominated members.",
+    "events_interval_join" ->
+      "Interval join: key-equi join with the time-range as a join-side filter; in streaming the same plan gets watermark-bounded state.",
+    "source_partition_prune" ->
+      "Partitioned layout: the event_type filter must appear in PartitionFilters (planning-time pruning), NOT as a post-scan Filter.",
+    "dedup_containment" ->
+      "Containment: same df-capped shingle self-join core as ngram Jaccard; only the final measure differs — no extra shuffle.",
+    "pipeline_outlier_filter" ->
+      "Outlier gate: two stratum-keyed window+agg passes (median, then MAD), each O(#strata) result broadcast-joined back.",
+    "rel_nation_top_suppliers" ->
+      "Top-k per group: broadcast dim join -> supplier-grain partial+final agg -> ranking window over AGGREGATED rows only.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
