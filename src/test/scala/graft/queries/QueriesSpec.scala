@@ -5,11 +5,18 @@ import graft.SparkSpec
 /** Cross-cutting invariants of the registered driver-contract queries. */
 class QueriesSpec extends SparkSpec {
 
+  /** Queries deliberately registered WITHOUT an oracle (driver falls back
+    * to a rows-only check): sketch estimates are engine-specific, so their
+    * correctness is pinned by SketchSpec error bounds instead of DuckDB.
+    */
+  private val knownRowsOnly = Set("sketch_profile", "sketch_incremental")
+
   test("every query has a matching oracle (or is knowingly rows-only)") {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert(qs == os, s"queries without oracles: ${qs -- os}") // all have oracles
+    assert(qs -- os == knownRowsOnly,
+      s"unexpected rows-only queries: ${qs -- os -- knownRowsOnly}")
   }
 
   test("sessionize invariants at the smoke SF: events partitioned, gaps respected") {
