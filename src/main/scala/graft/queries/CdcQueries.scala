@@ -277,6 +277,16 @@ object CdcQueries {
           .as("value_quantiles"))
     }),
 
+    "events_value_histogram" -> ((s, dir) =>
+      // fixed-width histogram as one groupBy on a computed bin — the
+      // distributed histogram primitive (bin expression is pure per-row
+      // float arithmetic both engines evaluate identically; min/max carry
+      // no accumulation so they compare exactly)
+      events(s, dir)
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
+
     "sketch_incremental" -> ((s, dir) => {
       // mergeable-sketch state: per-day DataSketches HLL sketches (the
       // incremental-update granule a profiling table keeps) PLUS the
@@ -439,6 +449,11 @@ object CdcQueries {
     "source_partition_prune" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "events_value_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_interval_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,

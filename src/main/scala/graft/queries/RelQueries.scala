@@ -71,6 +71,34 @@ object RelQueries {
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
           count(lit(1)).as("count_order"))),
 
+    "rel_pivot" -> ((s, dir) =>
+      // wide reshaping in ONE aggregation pass: pivot with an explicit value
+      // list (no extra distinct-values job) compiles to a single
+      // partial+final agg with per-value filters — never a per-value scan.
+      // Absent cells surface as 0, matching the SQL FILTER formulation.
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_year"), coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    "rel_profile" -> ((s, dir) => {
+      // data-quality profile: per-column null and exact-distinct counts in
+      // one pass (Catalyst plans the multi-distinct via Expand — one scan,
+      // #cols-way row expansion; the approximate version of this profile is
+      // `sketch_profile`), unpivoted to a row per column via stack()
+      val c = t(s, dir, "customer")
+      val cols = c.columns.toSeq
+      val aggs = cols.flatMap(n => Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
+        countDistinct(col(n)).as(s"${n}_distinct")))
+      val one = c.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(n => s"'$n', ${n}_nulls, ${n}_distinct").mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+    }),
+
     "rel_nation_top_suppliers" -> ((s, dir) => {
       // per-group top-k via ranking window: fact scan -> broadcast dim join
       // -> supplier-grain aggregate (map-side partials) -> a window over the
@@ -130,6 +158,26 @@ object RelQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "rel_profile" ->
+      """SELECT 'c_custkey' AS col_name,
+        |       count(*) - count(c_custkey) AS n_nulls,
+        |       count(DISTINCT c_custkey) AS n_distinct FROM customer
+        |UNION ALL
+        |SELECT 'c_name', count(*) - count(c_name), count(DISTINCT c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*) - count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', count(*) - count(c_acctbal), count(DISTINCT c_acctbal) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer""".stripMargin,
 
     "rel_nation_top_suppliers" ->
       """WITH rev AS (
