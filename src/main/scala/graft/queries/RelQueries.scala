@@ -71,6 +71,24 @@ object RelQueries {
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
           count(lit(1)).as("count_order"))),
 
+    "rel_salted_join" -> ((s, dir) => {
+      // skew-mitigated join under the correctness gate: the salted
+      // replicate-and-spread scheme must be row-for-row equivalent to the
+      // plain join (the oracle IS the plain join) — salting changes the
+      // reducer layout, never the result. Tiebreaker = l_partkey (per-row
+      // variety), salts=8 spreads each hot order key across 8 reducers.
+      val li = scanParallel(t(s, dir, "lineitem"), s)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.ops.SkewUtil.saltedJoin(li, orders, "o_orderkey", "l_partkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"))
+    }),
+
     "rel_pivot" -> ((s, dir) =>
       // wide reshaping in ONE aggregation pass: pivot with an explicit value
       // list (no extra distinct-values job) compiles to a single
@@ -158,6 +176,12 @@ object RelQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "rel_pivot" ->
       """SELECT year(o_orderdate) AS o_year,

@@ -71,6 +71,28 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dim joins per micro-batch without state") {
+    implicit val ctx = spark.sqlContext
+    // stream-static joins are stateless (the static side re-resolves per
+    // micro-batch; no watermark needed) — the standard enrichment shape
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("d_user", "tier")
+    val clicks = MemoryStream[Click]
+    val joined = clicks.toDF()
+      .join(broadcast(dim), col("c_user") === col("d_user"), "left")
+      .select("c_id", "tier")
+    val q = joined.writeStream.format("memory").queryName("ss_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1L, ts("2024-01-01 01:00:00"), 100L),
+        Click(3L, ts("2024-01-01 01:00:00"), 300L)) // no dim row -> null tier
+      q.processAllAvailable()
+      val got = spark.table("ss_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(100L -> Some("gold"), 300L -> None))
+    } finally q.stop()
+  }
+
   test("disjoint-column contract is enforced") {
     val a = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("user", "ts")
     val b = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("user", "pts")
