@@ -147,6 +147,22 @@ object OpsQueries {
     "pipeline_chunk" -> ((s, dir) =>
       Pipeline.chunk(docs(s, dir), ChunkSize, ChunkOverlap)),
 
+    "pipeline_pack_concat" -> ((s, dir) => {
+      // bin materialization: the packed training rows themselves — docs of
+      // each (shard, bin) joined in id order with an EOS separator. One
+      // keyed join back to text + one (shard, bin) aggregation; ordering
+      // inside the bin is pinned by array_sort on (doc_id, text) structs so
+      // the concatenation is deterministic under any partitioning.
+      val d = docs(s, dir)
+      Pipeline.packSequences(d, PackShards, PackBudget)
+        .join(d.select("doc_id", "text"), Seq("doc_id"))
+        .groupBy("shard", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "<eos>").as("packed_text"))
+    }),
+
     "pipeline_shuffle" -> ((s, dir) =>
       // seeded epoch shuffle with a contiguous global position (two-pass
       // scalable indexing — no single-partition window) cut into shards
@@ -735,6 +751,22 @@ object OpsQueries {
          |                     ROWS UNBOUNDED PRECEDING) - n_tokens) / ${PackBudget})
          |            AS BIGINT) AS bin_id
          |FROM t""".stripMargin,
+
+    "pipeline_pack_concat" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, doc_id % ${PackShards} AS shard,
+         |         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, text, shard, n_tokens,
+         |         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                       ROWS UNBOUNDED PRECEDING) - n_tokens) / ${PackBudget})
+         |              AS BIGINT) AS bin_id
+         |  FROM t
+         |)
+         |SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+         |       string_agg(text, '<eos>' ORDER BY doc_id) AS packed_text
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "text_tfidf_topk" ->
       s"""$toksCte, tt AS (
