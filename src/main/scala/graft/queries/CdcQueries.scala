@@ -307,6 +307,21 @@ object CdcQueries {
           .select("day", "n_events", "distinct_users"))
     }),
 
+    "cdc_change_feed" -> ((s, dir) => {
+      // change data feed: derive the changelog BETWEEN two snapshot
+      // versions (inverse of the merge; Delta-CDF role). New version =
+      // the same seeded drift family as cdc_validate_drift: %97 keys
+      // deleted, %101 balances bumped, %89 keys re-inserted shifted.
+      val src = s.read.parquet(s"$dir/customer.parquet")
+      val newSnap = src.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 101 === 0, col("c_acctbal") + 1)
+            .otherwise(col("c_acctbal")))
+        .unionByName(src.filter(col("c_custkey") % 89 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      ChangeFeed.diff(src, newSnap, "c_custkey")
+    }),
+
     "cdc_validate_drift" -> ((s, dir) => {
       // In-engine consistency validator (ref: test/validate_cdc_data.py):
       // seed deterministic drift into a copy of the customer snapshot —
@@ -466,6 +481,42 @@ object CdcQueries {
 
     "source_format_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+
+    // mirror of ChangeFeed.diff: same drift recipe, full-outer key join,
+    // op from key presence + null-safe any-cell compare
+    "cdc_change_feed" ->
+      """WITH nw AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 1
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 89 = 0
+        |), j AS (
+        |  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+        |         o.c_name AS o_name, o.c_nationkey AS o_nat,
+        |         o.c_acctbal AS o_bal, o.c_mktsegment AS o_seg,
+        |         n.c_name AS n_name, n.c_nationkey AS n_nat,
+        |         n.c_acctbal AS n_bal, n.c_mktsegment AS n_seg
+        |  FROM customer o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey
+        |)
+        |SELECT CASE WHEN ok IS NULL THEN 'c' WHEN nk IS NULL THEN 'd'
+        |            ELSE 'u' END AS operation,
+        |       coalesce(nk, ok) AS c_custkey,
+        |       CASE WHEN ok IS NULL THEN NULL ELSE o_name END AS before_c_name,
+        |       CASE WHEN ok IS NULL THEN NULL ELSE o_nat END AS before_c_nationkey,
+        |       CASE WHEN ok IS NULL THEN NULL ELSE o_bal END AS before_c_acctbal,
+        |       CASE WHEN ok IS NULL THEN NULL ELSE o_seg END AS before_c_mktsegment,
+        |       CASE WHEN nk IS NULL THEN NULL ELSE n_name END AS after_c_name,
+        |       CASE WHEN nk IS NULL THEN NULL ELSE n_nat END AS after_c_nationkey,
+        |       CASE WHEN nk IS NULL THEN NULL ELSE n_bal END AS after_c_acctbal,
+        |       CASE WHEN nk IS NULL THEN NULL ELSE n_seg END AS after_c_mktsegment
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL
+        |   OR o_name IS DISTINCT FROM n_name OR o_nat IS DISTINCT FROM n_nat
+        |   OR o_bal IS DISTINCT FROM n_bal OR o_seg IS DISTINCT FROM n_seg""".stripMargin,
 
     // mirror of Validate.diff over the seeded-drift target: same drift
     // recipe, same full-outer key diff, same first-differing-column order

@@ -1,0 +1,48 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff emits c/d/u for the changed keys only, with correct images") {
+    val old = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val neu = Seq(
+      (1L, "a", 10.0),            // unchanged -> no row
+      (2L, "b", 25.0),            // updated
+      (4L, "D", 40.0),            // updated (string cell)
+      (5L, "e", 50.0))            // inserted; 3 deleted
+      .toDF("k", "name", "bal")
+    val out = ChangeFeed.diff(old, neu, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(out == Set(("u", 2L), ("d", 3L), ("u", 4L), ("c", 5L)))
+
+    val rows = ChangeFeed.diff(old, neu, "k").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    // update carries both images
+    assert(rows(2L).getAs[Double]("before_bal") == 20.0)
+    assert(rows(2L).getAs[Double]("after_bal") == 25.0)
+    // delete: after-image null; insert: before-image null
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("after_name")))
+    assert(rows(5L).isNullAt(rows(5L).fieldIndex("before_name")))
+    assert(rows(5L).getAs[String]("after_name") == "e")
+  }
+
+  test("diff of identical snapshots is empty; null cells compare null-safe") {
+    val a = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "name")
+    assert(ChangeFeed.diff(a, a, "k").count() == 0)
+    // null -> value and value -> null are updates, not no-ops
+    val b = Seq((1L, Some("y")), (2L, Option.empty[String])).toDF("k", "name")
+    val ops = ChangeFeed.diff(a, b, "k").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(ops == Map(1L -> "u", 2L -> "u"))
+  }
+
+  test("ignore set excludes bookkeeping columns from the comparison") {
+    val old = Seq((1L, "a", "batch-0")).toDF("k", "name", "loaded")
+    val neu = Seq((1L, "a", "batch-9")).toDF("k", "name", "loaded")
+    assert(ChangeFeed.diff(old, neu, "k", ignore = Set("loaded")).count() == 0)
+  }
+}
