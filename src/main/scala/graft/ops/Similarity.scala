@@ -267,6 +267,36 @@ object Similarity {
       .select("vec_id", "cluster_id", "cos_to_centroid")
   }
 
+  /** Product-quantization codes (spherical variant — cosine assignment,
+    * consistent with [[kMeans]]): the embedding splits into `m` contiguous
+    * subspaces of dim/m; each subspace trains its own k-means codebook
+    * ([[kMeansCentroids]] on the slice) and every vector's code is its
+    * per-subspace nearest-centroid id. This is the compression that makes
+    * billion-vector ANN indexes fit in memory: dim*4 bytes per vector
+    * become m codes (1 byte each at k<=256), reconstructable from the m
+    * codebooks (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search").
+    *
+    * Scale shape: codebook training is m small driver-coordinated Lloyd
+    * loops (k*subdim rows each — O(config)); code assignment is ONE
+    * projection pass over the corpus with all m inlined codebooks — no
+    * join, no shuffle, no window.
+    */
+  def pqCodes(corpus: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val codeCols = (0 until m).map { j =>
+      val sl = slice(col("embedding"), j * sub + 1, sub)
+      val cents = kMeansCentroids(
+        corpus.withColumn("embedding", sl), k, iters)
+      val scored = transform(centroidArrayD(cents), c =>
+        struct(cosine(c.getField("cv"), sl).as("ccos"),
+          (-c.getField("cid")).as("neg_cid")))
+      (-array_max(scored).getField("neg_cid")).as(s"code$j")
+    }
+    corpus.select(col("vec_id") +: codeCols: _*)
+  }
+
   /** L2-normalize an embedding (unit vector, double precision) — the
     * standard pre-step that turns cosine search into dot-product search.
     * Zero vectors pass through as zeros (no ANSI divide-by-zero).

@@ -62,6 +62,10 @@ object OpsQueries {
   // Epoch shuffle: seeded permutation cut into 8 training shards.
   val ShuffleSeed = "ep0"
   val ShuffleShards = 8L
+  // Product quantization: 4 subspaces of 16 dims, 8-centroid codebooks.
+  val PqM = 4
+  val PqSub: Int = EmbDim / PqM
+  val PqK = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
@@ -138,6 +142,11 @@ object OpsQueries {
 
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(embs(s, dir), NCentroids, KmIters)),
+
+    "emb_pq_codes" -> ((s, dir) =>
+      // product quantization: m per-subspace codebooks, one projection pass
+      // for code assignment (no shuffle — inlined codebooks)
+      Similarity.pqCodes(embs(s, dir), PqM, EmbDim, PqK, KmIters)),
 
     "emb_semdedup" -> ((s, dir) =>
       // SemDeDup: k-means clustering + within-cluster cosine dedup; keeps
@@ -441,34 +450,40 @@ object OpsQueries {
        |  QUALIFY prank <= ${NProbe}
        |)""".stripMargin
 
-  /** K-means oracle: one (assign, update, rebuild) CTE triple per Lloyd
-    * iteration, mirroring [[Similarity.kMeans]] — decimal-exact dimension
-    * sums, mean rounded to 4, empty clusters keep their previous centroid.
+  /** K-means Lloyd-iteration CTE generator, shared by every
+    * kmeans-family oracle (full-vector clustering AND the per-subspace PQ
+    * codebooks — one definition, no drift): CTEs `${p}c0..${p}c$iters`
+    * over the list expression `vExpr` (a slice of `e.v`, or `v` itself) —
+    * decimal-exact dimension sums, mean rounded to 4, empty clusters keep
+    * their previous centroid, mirroring [[Similarity.kMeansCentroids]].
     */
-  private lazy val kmCtes: String = {
+  private def kmCtesFor(p: String, vExpr: String, k: Int, iters: Int,
+                        dim: Int): String = {
     def step(i: Int, prevC: String) =
-      s""", a$i AS (
-         |  SELECT vec_id, v, centroid_id,
+      s""", ${p}a$i AS (
+         |  SELECT vec_id, $vExpr AS sv, centroid_id,
          |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY ${cosSql("v", "cv")} DESC, centroid_id ASC) AS r
+         |                            ORDER BY ${cosSql(vExpr, "cv")} DESC, centroid_id ASC) AS r
          |  FROM e CROSS JOIN $prevC QUALIFY r = 1
-         |), u$i AS (
+         |), ${p}u$i AS (
          |  SELECT centroid_id, i,
-         |         round(CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS m
-         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS i) dims
+         |         round(CAST(sum(CAST(sv[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS m
+         |  FROM ${p}a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) dims
          |  GROUP BY centroid_id, i
-         |), c$i AS (
+         |), ${p}c$i AS (
          |  SELECT $prevC.centroid_id,
-         |         CASE WHEN count(u$i.m) = 0 THEN any_value($prevC.cv)
-         |              ELSE list(u$i.m ORDER BY u$i.i) END AS cv
-         |  FROM $prevC LEFT JOIN u$i USING (centroid_id)
+         |         CASE WHEN count(${p}u$i.m) = 0 THEN any_value($prevC.cv)
+         |              ELSE list(${p}u$i.m ORDER BY ${p}u$i.i) END AS cv
+         |  FROM $prevC LEFT JOIN ${p}u$i USING (centroid_id)
          |  GROUP BY $prevC.centroid_id
          |)""".stripMargin
-    s""", c0 AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $NCentroids
+    s""", ${p}c0 AS (
+       |  SELECT vec_id AS centroid_id, $vExpr AS cv FROM e WHERE vec_id < $k
        |)""".stripMargin +
-      (1 to KmIters).map(i => step(i, s"c${i - 1}")).mkString
+      (1 to iters).map(i => step(i, s"${p}c${i - 1}")).mkString
   }
+
+  private lazy val kmCtes: String = kmCtesFor("", "v", NCentroids, KmIters, EmbDim)
 
   val oracles: Map[String, String] = Map(
     "emb_kmeans" ->
@@ -495,6 +510,25 @@ object OpsQueries {
          |)
          |SELECT vec_id, centroid_id AS cluster_id, cc AS cos_to_centroid
          |FROM af WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    "emb_pq_codes" -> {
+      val slices = (0 until PqM).map(j =>
+        j -> s"v[${j * PqSub + 1}:${(j + 1) * PqSub}]")
+      val codebooks = slices.map { case (j, sl) =>
+        kmCtesFor(s"s${j}_", sl, PqK, KmIters, PqSub)
+      }.mkString
+      val finals = slices.map { case (j, sl) =>
+        s""", f$j AS (
+           |  SELECT vec_id, centroid_id AS code$j,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY ${cosSql(sl, "cv")} DESC, centroid_id ASC) AS r
+           |  FROM e CROSS JOIN s${j}_c$KmIters QUALIFY r = 1
+           |)""".stripMargin
+      }.mkString
+      s"""$embCte$codebooks$finals
+         |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")}
+         |FROM f0 ${(1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")}""".stripMargin
+    },
 
     "pipeline_chunk" ->
       s"""WITH ch AS (

@@ -126,6 +126,29 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet == kept)
   }
 
+  test("pqCodes: per-subspace codes match per-slice kMeans assignments") {
+    // 4-dim vectors, 2 subspaces of 2: first half separates on x-vs-y,
+    // second half on +z-vs-+w, so the two code columns are independent
+    val df = embsOf(
+      0L -> Seq(1f, 0f, 1f, 0f), 1L -> Seq(0f, 1f, 0f, 1f),  // seeds
+      10L -> Seq(0.9f, 0.1f, 0.1f, 0.9f),  // sub0 -> 0, sub1 -> 1
+      11L -> Seq(0.1f, 0.9f, 0.9f, 0.1f))  // sub0 -> 1, sub1 -> 0
+    val out = Similarity.pqCodes(df, m = 2, dim = 4, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((0L, 1L)) && out(11L) == ((1L, 0L)))
+    // codes agree with running kMeans on each slice independently
+    import org.apache.spark.sql.functions.slice
+    (0 until 2).foreach { j =>
+      val sliced = df.withColumn("embedding", slice(col("embedding"), j * 2 + 1, 2))
+      val km = Similarity.kMeans(sliced, 2, 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.foreach { case (id, codes) =>
+        val code = if (j == 0) codes._1 else codes._2
+        assert(code == km(id), s"vec $id subspace $j: pq $code vs kmeans ${km(id)}")
+      }
+    }
+  }
+
   test("semDeDup maxBlockSize: an oversized cluster passes through undeduped") {
     // 10 identical +x vectors (cluster 0) and 2 identical +y (cluster 1)
     val hot = (10L until 20L).map(i => i -> Seq(1f, 0f))
