@@ -283,18 +283,70 @@ object Similarity {
     * join, no shuffle, no window.
     */
   def pqCodes(corpus: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val cbs = pqCodebooks(corpus, m, dim, k, iters)
     val sub = dim / m
     val codeCols = (0 until m).map { j =>
-      val sl = slice(col("embedding"), j * sub + 1, sub)
-      val cents = kMeansCentroids(
-        corpus.withColumn("embedding", sl), k, iters)
-      val scored = transform(centroidArrayD(cents), c =>
-        struct(cosine(c.getField("cv"), sl).as("ccos"),
-          (-c.getField("cid")).as("neg_cid")))
-      (-array_max(scored).getField("neg_cid")).as(s"code$j")
+      pqCodeExpr(cbs(j), slice(col("embedding"), j * sub + 1, sub)).as(s"code$j")
     }
     corpus.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** The m per-subspace codebooks (Lloyd on each embedding slice). */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, k: Int,
+                  iters: Int): Seq[Seq[(Long, Array[Double])]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kMeansCentroids(
+        corpus.withColumn("embedding", slice(col("embedding"), j * sub + 1, sub)),
+        k, iters)
+    }
+  }
+
+  /** Nearest-codebook-entry id for one subspace slice (shared by code
+    * assignment and ADC search).
+    */
+  private def pqCodeExpr(cents: Seq[(Long, Array[Double])], sl: Column): Column = {
+    val scored = transform(centroidArrayD(cents), c =>
+      struct(cosine(c.getField("cv"), sl).as("ccos"),
+        (-c.getField("cid")).as("neg_cid")))
+    -array_max(scored).getField("neg_cid")
+  }
+
+  /** PQ-ADC approximate top-k: queries score against the CODES table
+    * through codebook reconstructions — the original corpus vectors are
+    * never touched at search time, which is the whole point of a PQ index
+    * (the asymmetric distance computation of Jégou et al. 2011, here in
+    * its cosine form: dot(q, recon) decomposes into per-subspace dots
+    * against the coded centroid; |recon|² into per-subspace centroid
+    * norms). Scale shape: the codes frame (m small ints per vector) cross
+    * joins the broadcast query set in one projection — per row it is an
+    * O(m) codebook lookup + O(dim) fold, no shuffle of anything
+    * vector-sized.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, m: Int, dim: Int,
+             k: Int, iters: Int, topK: Int): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, dim, k, iters)
+    val sub = dim / m
+    val codes = corpus.select(col("vec_id") +: (0 until m).map { j =>
+      pqCodeExpr(cbs(j), slice(col("embedding"), j * sub + 1, sub)).as(s"code$j")
+    }: _*)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    def cvOf(j: Int): Column =
+      element_at(filter(centroidArrayD(cbs(j)),
+        c => c.getField("cid") === col(s"code$j")), 1).getField("cv")
+    val dots = (0 until m).map(j =>
+      dot(slice(col("q_emb"), j * sub + 1, sub), cvOf(j))).reduce(_ + _)
+    val reconNorm = sqrt((0 until m).map(j => dot(cvOf(j), cvOf(j))).reduce(_ + _))
+    val scored = codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dots / (norm(col("q_emb")) * reconNorm))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "rank", "cos")
   }
 
   /** L2-normalize an embedding (unit vector, double precision) — the

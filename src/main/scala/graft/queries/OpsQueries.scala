@@ -148,6 +148,14 @@ object OpsQueries {
       // for code assignment (no shuffle — inlined codebooks)
       Similarity.pqCodes(embs(s, dir), PqM, EmbDim, PqK, KmIters)),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // PQ-ADC search: queries rank the CODES table via codebook
+      // reconstruction — corpus vectors untouched at search time
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0),
+        PqM, EmbDim, PqK, KmIters, TopK)
+    }),
+
     "emb_semdedup" -> ((s, dir) =>
       // SemDeDup: k-means clustering + within-cluster cosine dedup; keeps
       // the member least similar to its centroid (paper's diversity rule)
@@ -528,6 +536,42 @@ object OpsQueries {
       s"""$embCte$codebooks$finals
          |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")}
          |FROM f0 ${(1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")}""".stripMargin
+    },
+
+    "ann_pq_topk" -> {
+      val slices = (0 until PqM).map(j =>
+        j -> s"v[${j * PqSub + 1}:${(j + 1) * PqSub}]")
+      val codebooks = slices.map { case (j, sl) =>
+        kmCtesFor(s"s${j}_", sl, PqK, KmIters, PqSub)
+      }.mkString
+      val finals = slices.map { case (j, sl) =>
+        s""", f$j AS (
+           |  SELECT vec_id, centroid_id AS code$j,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY ${cosSql(sl, "cv")} DESC, centroid_id ASC) AS r
+           |  FROM e CROSS JOIN s${j}_c$KmIters QUALIFY r = 1
+           |)""".stripMargin
+      }.mkString
+      val reconJoins = (0 until PqM).map(j =>
+        s"JOIN s${j}_c$KmIters c$j ON c$j.centroid_id = f$j.code$j").mkString("\n  ")
+      val codeJoins = (1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+      // same left-assoc reduction order as the Column code
+      val dots = slices.map { case (j, sl) => dotSql(s"q.$sl", s"r.cv$j") }
+        .mkString(" + ")
+      val norms = (0 until PqM).map(j => dotSql(s"r.cv$j", s"r.cv$j")).mkString(" + ")
+      val cosExpr = s"($dots) / (sqrt(${dotSql("q.v", "q.v")}) * sqrt($norms))"
+      s"""$embCte$codebooks$finals, recon AS (
+         |  SELECT f0.vec_id, ${(0 until PqM).map(j => s"c$j.cv AS cv$j").mkString(", ")}
+         |  FROM f0 $codeJoins
+         |  $reconJoins
+         |)
+         |SELECT query_id, vec_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, r.vec_id, $cosExpr AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cosExpr DESC, r.vec_id ASC) AS rank
+         |  FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |) WHERE rank <= $TopK""".stripMargin
     },
 
     "pipeline_chunk" ->

@@ -149,6 +149,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: ADC ranking finds the coded twin first, self excluded") {
+    // 10 and 11 share identical subspace patterns -> identical codes ->
+    // identical reconstructions -> each ranks the other at cos ~ recon-sim
+    val df = embsOf(
+      0L -> Seq(1f, 0f, 1f, 0f), 1L -> Seq(0f, 1f, 0f, 1f),
+      10L -> Seq(0.9f, 0.1f, 0.1f, 0.9f), 11L -> Seq(0.9f, 0.1f, 0.1f, 0.9f),
+      12L -> Seq(0.1f, 0.9f, 0.9f, 0.1f))
+    val out = Similarity.pqTopK(df, df.filter(col("vec_id") === 10),
+      m = 2, dim = 4, k = 2, iters = 1, topK = 4)
+      .orderBy("rank").collect()
+    assert(!out.map(_.getLong(1)).contains(10L)) // self excluded
+    assert(out.head.getLong(1) == 11L)           // the twin ranks first
+    // scores come from reconstructions: the twin's ADC cos < 1 unless the
+    // centroid equals the vector, but it must beat the opposite-coded 12
+    val cosOf = out.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(cosOf(11L) > cosOf(12L))
+  }
+
   test("semDeDup maxBlockSize: an oversized cluster passes through undeduped") {
     // 10 identical +x vectors (cluster 0) and 2 identical +y (cluster 1)
     val hot = (10L until 20L).map(i => i -> Seq(1f, 0f))
