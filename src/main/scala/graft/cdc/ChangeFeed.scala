@@ -31,13 +31,25 @@ object ChangeFeed {
     require(cols.forall(newSnap.columns.contains),
       s"snapshots must share the diffed columns; new side misses " +
         s"${cols.filterNot(newSnap.columns.contains).mkString(",")}")
-    val o = oldSnap.select((key +: cols).map(c => col(c).as(s"_o_$c")): _*)
-    val n = newSnap.select((key +: cols).map(c => col(c).as(s"_n_$c")): _*)
+    // columns that exist only in the NEW version would silently vanish from
+    // the comparison (their changes emit nothing) — additive schema drift
+    // must be opted into via `ignore`, never inferred away
+    val newOnly = newSnap.columns
+      .filterNot(c => c == key || ignore(c) || oldSnap.columns.contains(c))
+    require(newOnly.isEmpty,
+      s"new side has columns the old side lacks (${newOnly.mkString(",")}); " +
+        "add them to `ignore` to exclude them from the feed")
+    // presence markers, not key nullness, decide the op: a null-key row
+    // never joins, and keying the op off the null key would misread an
+    // old-side orphan as an insert with its before-image discarded
+    val o = oldSnap.select(lit(1).as("_o_m") +: (key +: cols).map(c => col(c).as(s"_o_$c")): _*)
+    val n = newSnap.select(lit(1).as("_n_m") +: (key +: cols).map(c => col(c).as(s"_n_$c")): _*)
     val joined = o.join(n, col(s"_o_$key") === col(s"_n_$key"), "full_outer")
+    // key-only snapshots degrade to a pure presence diff (no 'u' rows)
     val changed = cols.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
-      .reduce(_ || _)
-    val op = when(col(s"_o_$key").isNull, "c")
-      .when(col(s"_n_$key").isNull, "d")
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("_o_m").isNull, "c")
+      .when(col("_n_m").isNull, "d")
       .when(changed, "u")
     val out = joined
       .withColumn("operation", op)

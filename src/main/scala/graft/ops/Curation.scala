@@ -226,6 +226,9 @@ object Curation {
     */
   def outlierFilter(df: DataFrame, stratum: String, value: String,
                     idCol: String, k: Int): DataFrame = {
+    val reserved = Seq("med", "mad", "is_outlier", "_adev", "_rn", "_cnt")
+    require(!reserved.exists(df.columns.contains),
+      s"outlierFilter reserves the column names ${reserved.mkString(", ")}")
     val med = medianByStratum(df, stratum, value, idCol, "med")
     val withMed = df.join(med, Seq(stratum))
       .withColumn("_adev", abs(col(value) - col("med")))
@@ -287,6 +290,8 @@ object Curation {
                        weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
       "epoch weights must be in [0, 100]")
+    require(!df.columns.contains("n_epochs") && !df.columns.contains("epoch"),
+      "upsampleByWeight reserves the column names 'n_epochs' and 'epoch'")
     val nEpochs = weights.foldLeft(lit(0L)) { case (acc, (d, wt)) =>
       val full = math.floor(wt).toLong
       val frac = wt - math.floor(wt)
@@ -316,6 +321,8 @@ object Curation {
   def urlDomainCap(df: DataFrame, url: Column, blocklist: DataFrame,
                    maxPerDomain: Int): DataFrame = {
     require(maxPerDomain > 0, "maxPerDomain must be positive")
+    require(!df.columns.contains("domain") && !df.columns.contains("rank"),
+      "urlDomainCap reserves the column names 'domain' and 'rank'")
     // unparseable URLs (null/empty host) are quarantined, not capped: a
     // NULL key would slip through the anti join (NULL matches nothing) and
     // pool every malformed URL into one fake "domain" window. try_parse_url,

@@ -127,7 +127,13 @@ object Pipeline {
     */
   def globalShuffle(df: DataFrame, idCol: String, seed: String,
                     bucketChars: Int = 3): DataFrame = {
-    require(bucketChars >= 1 && bucketChars <= 8, s"bucketChars in [1,8], got $bucketChars")
+    // cap at 5 (16^5 = ~1M buckets): beyond that the offsets frame stops
+    // being the O(config) aggregate the single-partition cumulative window
+    // and the broadcast both depend on
+    require(bucketChars >= 1 && bucketChars <= 5, s"bucketChars in [1,5], got $bucketChars")
+    val reserved = Seq("_h", "_b", "_r", "_off", "pos")
+    require(!reserved.exists(df.columns.contains),
+      s"globalShuffle reserves the column names ${reserved.mkString(", ")}")
     val keyed = df
       .withColumn("_h", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
       .withColumn("_b", substring(col("_h"), 1, bucketChars))

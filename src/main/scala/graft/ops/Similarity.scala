@@ -199,12 +199,17 @@ object Similarity {
     */
   def kMeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
     import org.apache.spark.sql.types.DecimalType
+    // seeds = the k LOWEST vec_ids (as documented) — not `vec_id < k`,
+    // which silently under-seeds any corpus whose ids aren't dense from 0.
+    // For dense 0-based ids (the testdata, and the oracle's `vec_id < k`
+    // seed CTE) the two definitions coincide.
     var cents: Seq[(Long, Array[Double])] = corpus
-      .filter(col("vec_id") < k).select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"no seed vectors with vec_id < $k")
+    require(cents.nonEmpty, "empty corpus: no seed vectors")
     for (_ <- 1 to iters) {
       val means = assignToCentroidsD(corpus, cents)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -224,12 +229,14 @@ object Similarity {
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the corpus, then inside each cluster
-    * drop every vector that has a kept near-duplicate (cosine >= threshold).
-    * Keep priority follows the paper — the member LEAST similar to its
-    * centroid survives (maximizes retained diversity); ties break to the
-    * lower vec_id. The rule is per-pair (drop b iff some higher-priority a
-    * in the cluster is a near-dup of b), so membership is recomputable
-    * row-locally by an external oracle — no transitive closure.
+    * drop every vector DOMINATED by a higher-priority near-duplicate
+    * (cosine >= threshold), where priority = least similar to the centroid
+    * first (the paper's diversity rule), ties to the lower vec_id. The rule
+    * is strictly per-pair — the dominating vector may itself be dropped by
+    * a third (a dup-chain c>a>b with cos(c,b) < threshold keeps only c,
+    * where the paper's greedy scan would also keep b) — which is what makes
+    * membership recomputable row-locally by an external oracle, no
+    * transitive closure or sequential scan.
     *
     * Scale shape: assignment is the inlined-centroid per-row argmax (no
     * shuffle); the only shuffle is the cluster-keyed self-join. Within-block
@@ -282,10 +289,17 @@ object Similarity {
     * projection pass over the corpus with all m inlined codebooks — no
     * join, no shuffle, no window.
     */
-  def pqCodes(corpus: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
-    val cbs = pqCodebooks(corpus, m, dim, k, iters)
-    val sub = dim / m
-    val codeCols = (0 until m).map { j =>
+  def pqCodes(corpus: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame =
+    pqCodesFor(corpus, pqCodebooks(corpus, m, dim, k, iters), dim)
+
+  /** Code assignment for trained codebooks — ONE definition shared by the
+    * index build ([[pqCodes]]) and the search ([[pqTopK]]) so the two can
+    * never drift on what a code means.
+    */
+  private def pqCodesFor(corpus: DataFrame, cbs: Seq[Seq[(Long, Array[Double])]],
+                         dim: Int): DataFrame = {
+    val sub = dim / cbs.size
+    val codeCols = cbs.indices.map { j =>
       pqCodeExpr(cbs(j), slice(col("embedding"), j * sub + 1, sub)).as(s"code$j")
     }
     corpus.select(col("vec_id") +: codeCols: _*)
@@ -328,9 +342,7 @@ object Similarity {
              k: Int, iters: Int, topK: Int): DataFrame = {
     val cbs = pqCodebooks(corpus, m, dim, k, iters)
     val sub = dim / m
-    val codes = corpus.select(col("vec_id") +: (0 until m).map { j =>
-      pqCodeExpr(cbs(j), slice(col("embedding"), j * sub + 1, sub)).as(s"code$j")
-    }: _*)
+    val codes = pqCodesFor(corpus, cbs, dim)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
     def cvOf(j: Int): Column =

@@ -218,7 +218,10 @@ object CdcQueries {
       // doubles survive because Spark writes shortest-round-trip decimal
       // strings.
       val part = s.read.parquet(s"$dir/part.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      // fixed per-query dir (see source_partition_prune): every leg uses
+      // mode("overwrite"), so reruns rewrite in place instead of leaking
+      // three table copies per invocation
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt_rt").toString
       part.write.mode("overwrite").json(s"$tmp/j")
       val fromJson = s.read.schema(part.schema).json(s"$tmp/j")
       fromJson.write.mode("overwrite").orc(s"$tmp/o")
@@ -255,7 +258,10 @@ object CdcQueries {
       // (PLANS.md) — on a 100 TB table the scan touches only the requested
       // partition's files, never the other partitions' footers.
       val ev = events(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      // fixed per-query dir, overwritten each run: a fresh createTempDirectory
+      // would leak one full partitioned copy per invocation (smoke + verify +
+      // bench best-of-3 re-runs)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_part_rt").toString
       ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       s.read.parquet(tmp).filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),

@@ -493,6 +493,27 @@ object OpsQueries {
 
   private lazy val kmCtes: String = kmCtesFor("", "v", NCentroids, KmIters, EmbDim)
 
+  /** Shared PQ oracle structure (per-subspace slices, codebook CTEs, code
+    * CTEs, code joins) — used by BOTH emb_pq_codes and ann_pq_topk so the
+    * two oracles cannot drift on what a code is (mirror of the Scala-side
+    * `pqCodesFor` sharing).
+    */
+  private lazy val pqSlices: Seq[(Int, String)] =
+    (0 until PqM).map(j => j -> s"v[${j * PqSub + 1}:${(j + 1) * PqSub}]")
+  private lazy val pqCodebookCtes: String = pqSlices.map { case (j, sl) =>
+    kmCtesFor(s"s${j}_", sl, PqK, KmIters, PqSub)
+  }.mkString
+  private lazy val pqCodeCtes: String = pqSlices.map { case (j, sl) =>
+    s""", f$j AS (
+       |  SELECT vec_id, centroid_id AS code$j,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ${cosSql(sl, "cv")} DESC, centroid_id ASC) AS r
+       |  FROM e CROSS JOIN s${j}_c$KmIters QUALIFY r = 1
+       |)""".stripMargin
+  }.mkString
+  private lazy val pqCodeJoins: String =
+    (1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+
   val oracles: Map[String, String] = Map(
     "emb_kmeans" ->
       s"""$embCte$kmCtes, af AS (
@@ -519,50 +540,22 @@ object OpsQueries {
          |SELECT vec_id, centroid_id AS cluster_id, cc AS cos_to_centroid
          |FROM af WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
-    "emb_pq_codes" -> {
-      val slices = (0 until PqM).map(j =>
-        j -> s"v[${j * PqSub + 1}:${(j + 1) * PqSub}]")
-      val codebooks = slices.map { case (j, sl) =>
-        kmCtesFor(s"s${j}_", sl, PqK, KmIters, PqSub)
-      }.mkString
-      val finals = slices.map { case (j, sl) =>
-        s""", f$j AS (
-           |  SELECT vec_id, centroid_id AS code$j,
-           |         row_number() OVER (PARTITION BY vec_id
-           |                            ORDER BY ${cosSql(sl, "cv")} DESC, centroid_id ASC) AS r
-           |  FROM e CROSS JOIN s${j}_c$KmIters QUALIFY r = 1
-           |)""".stripMargin
-      }.mkString
-      s"""$embCte$codebooks$finals
+    "emb_pq_codes" ->
+      s"""$embCte$pqCodebookCtes$pqCodeCtes
          |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")}
-         |FROM f0 ${(1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")}""".stripMargin
-    },
+         |FROM f0 $pqCodeJoins""".stripMargin,
 
     "ann_pq_topk" -> {
-      val slices = (0 until PqM).map(j =>
-        j -> s"v[${j * PqSub + 1}:${(j + 1) * PqSub}]")
-      val codebooks = slices.map { case (j, sl) =>
-        kmCtesFor(s"s${j}_", sl, PqK, KmIters, PqSub)
-      }.mkString
-      val finals = slices.map { case (j, sl) =>
-        s""", f$j AS (
-           |  SELECT vec_id, centroid_id AS code$j,
-           |         row_number() OVER (PARTITION BY vec_id
-           |                            ORDER BY ${cosSql(sl, "cv")} DESC, centroid_id ASC) AS r
-           |  FROM e CROSS JOIN s${j}_c$KmIters QUALIFY r = 1
-           |)""".stripMargin
-      }.mkString
       val reconJoins = (0 until PqM).map(j =>
         s"JOIN s${j}_c$KmIters c$j ON c$j.centroid_id = f$j.code$j").mkString("\n  ")
-      val codeJoins = (1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
       // same left-assoc reduction order as the Column code
-      val dots = slices.map { case (j, sl) => dotSql(s"q.$sl", s"r.cv$j") }
+      val dots = pqSlices.map { case (j, sl) => dotSql(s"q.$sl", s"r.cv$j") }
         .mkString(" + ")
       val norms = (0 until PqM).map(j => dotSql(s"r.cv$j", s"r.cv$j")).mkString(" + ")
       val cosExpr = s"($dots) / (sqrt(${dotSql("q.v", "q.v")}) * sqrt($norms))"
-      s"""$embCte$codebooks$finals, recon AS (
+      s"""$embCte$pqCodebookCtes$pqCodeCtes, recon AS (
          |  SELECT f0.vec_id, ${(0 until PqM).map(j => s"c$j.cv AS cv$j").mkString(", ")}
-         |  FROM f0 $codeJoins
+         |  FROM f0 $pqCodeJoins
          |  $reconJoins
          |)
          |SELECT query_id, vec_id, rank, cos FROM (

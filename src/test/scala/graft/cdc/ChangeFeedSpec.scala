@@ -45,4 +45,22 @@ class ChangeFeedSpec extends SparkSpec {
     val neu = Seq((1L, "a", "batch-9")).toDF("k", "name", "loaded")
     assert(ChangeFeed.diff(old, neu, "k", ignore = Set("loaded")).count() == 0)
   }
+
+  test("columns only in the new version must be opted into ignore, not dropped") {
+    val old = Seq((1L, "a")).toDF("k", "name")
+    val neu = Seq((1L, "a", "fresh")).toDF("k", "name", "status")
+    val e = intercept[IllegalArgumentException](ChangeFeed.diff(old, neu, "k"))
+    assert(e.getMessage.contains("status"))
+    assert(ChangeFeed.diff(old, neu, "k", ignore = Set("status")).count() == 0)
+  }
+
+  test("key-only snapshots degrade to a presence diff; null keys keep their side") {
+    val old = Seq(Some(1L), Some(2L), None).toDF("k")
+    val neu = Seq(Some(2L), Some(3L)).toDF("k")
+    val ops = ChangeFeed.diff(old, neu, "k").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    // 1 deleted, 3 inserted, 2 unchanged; the null-key old row is a DELETE
+    // (presence marker, not key nullness, decides the op)
+    assert(ops == Set(("d", 1L), ("c", 3L), ("d", null)))
+  }
 }
