@@ -156,6 +156,19 @@ object OpsQueries {
         PqM, EmbDim, PqK, KmIters, TopK)
     }),
 
+    "ann_pq_recall" -> ((s, dir) => {
+      // index-quality evaluation: recall@k of the PQ-ADC ranking against
+      // the exact brute force, per query (same harness as ann_ivf_recall)
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val bf = Similarity.bruteForceTopK(e, queries, TopK)
+      val pq = Similarity.pqTopK(e, queries, PqM, EmbDim, PqK, KmIters, TopK)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      bf.join(pq, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
+    }),
+
     "emb_semdedup" -> ((s, dir) =>
       // SemDeDup: k-means clustering + within-cluster cosine dedup; keeps
       // the member least similar to its centroid (paper's diversity rule)
@@ -513,6 +526,24 @@ object OpsQueries {
   }.mkString
   private lazy val pqCodeJoins: String =
     (1 until PqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+  private lazy val pqReconCte: String = {
+    val reconJoins = (0 until PqM).map(j =>
+      s"JOIN s${j}_c$KmIters c$j ON c$j.centroid_id = f$j.code$j").mkString("\n  ")
+    s""", recon AS (
+       |  SELECT f0.vec_id, ${(0 until PqM).map(j => s"c$j.cv AS cv$j").mkString(", ")}
+       |  FROM f0 $pqCodeJoins
+       |  $reconJoins
+       |)""".stripMargin
+  }
+  /** ADC cosine of query q against reconstruction r — same left-assoc
+    * reduction order as the Column code in `Similarity.pqTopK`.
+    */
+  private lazy val pqCosExpr: String = {
+    val dots = pqSlices.map { case (j, sl) => dotSql(s"q.$sl", s"r.cv$j") }
+      .mkString(" + ")
+    val norms = (0 until PqM).map(j => dotSql(s"r.cv$j", s"r.cv$j")).mkString(" + ")
+    s"($dots) / (sqrt(${dotSql("q.v", "q.v")}) * sqrt($norms))"
+  }
 
   val oracles: Map[String, String] = Map(
     "emb_kmeans" ->
@@ -545,27 +576,37 @@ object OpsQueries {
          |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")}
          |FROM f0 $pqCodeJoins""".stripMargin,
 
-    "ann_pq_topk" -> {
-      val reconJoins = (0 until PqM).map(j =>
-        s"JOIN s${j}_c$KmIters c$j ON c$j.centroid_id = f$j.code$j").mkString("\n  ")
-      // same left-assoc reduction order as the Column code
-      val dots = pqSlices.map { case (j, sl) => dotSql(s"q.$sl", s"r.cv$j") }
-        .mkString(" + ")
-      val norms = (0 until PqM).map(j => dotSql(s"r.cv$j", s"r.cv$j")).mkString(" + ")
-      val cosExpr = s"($dots) / (sqrt(${dotSql("q.v", "q.v")}) * sqrt($norms))"
-      s"""$embCte$pqCodebookCtes$pqCodeCtes, recon AS (
-         |  SELECT f0.vec_id, ${(0 until PqM).map(j => s"c$j.cv AS cv$j").mkString(", ")}
-         |  FROM f0 $pqCodeJoins
-         |  $reconJoins
-         |)
+    "ann_pq_topk" ->
+      s"""$embCte$pqCodebookCtes$pqCodeCtes$pqReconCte
          |SELECT query_id, vec_id, rank, cos FROM (
-         |  SELECT q.vec_id AS query_id, r.vec_id, $cosExpr AS cos,
+         |  SELECT q.vec_id AS query_id, r.vec_id, $pqCosExpr AS cos,
          |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY $cosExpr DESC, r.vec_id ASC) AS rank
+         |                            ORDER BY $pqCosExpr DESC, r.vec_id ASC) AS rank
          |  FROM e q JOIN recon r ON r.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0
-         |) WHERE rank <= $TopK""".stripMargin
-    },
+         |) WHERE rank <= $TopK""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""$embCte$pqCodebookCtes$pqCodeCtes$pqReconCte, bf AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |  QUALIFY rank <= ${TopK}
+         |), pqk AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id, 1 AS hit,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $pqCosExpr DESC, r.vec_id ASC) AS rank
+         |  FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |  QUALIFY rank <= ${TopK}
+         |)
+         |SELECT bf.query_id,
+         |       coalesce(sum(pqk.hit), 0) / ${TopK}.0 AS recall
+         |FROM bf LEFT JOIN pqk
+         |  ON bf.query_id = pqk.query_id AND bf.vec_id = pqk.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "pipeline_chunk" ->
       s"""WITH ch AS (
