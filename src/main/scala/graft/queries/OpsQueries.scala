@@ -67,6 +67,16 @@ object OpsQueries {
   val PqSub: Int = EmbDim / PqM
   val PqK = 8
 
+  /** The RHP hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes),
+    * in id order — ONE definition for every RHP consumer (top-k, near-dup,
+    * clusters) so the index can never drift between them (the oracle-side
+    * mirror is `rhpCtes`).
+    */
+  private def rhpPlanes(e: DataFrame): Seq[Array[Float]] =
+    e.filter(col("vec_id") >= PlaneBase && col("vec_id") < PlaneBase + NPlanes)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir))
@@ -218,11 +228,7 @@ object OpsQueries {
       // random-hyperplane LSH: second ANN scale path (signature projection +
       // band-collision candidates + exact rerank)
       val e = embs(s, dir)
-      val planes = e.filter(col("vec_id") >= PlaneBase &&
-          col("vec_id") < PlaneBase + NPlanes)
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Float](0).toArray).toSeq
-      Similarity.rhpTopK(e, planes, e.filter(col("vec_id") % 100 === 0), TopK)
+      Similarity.rhpTopK(e, rhpPlanes(e), e.filter(col("vec_id") % 100 === 0), TopK)
     }),
 
     "pipeline_split" -> ((s, dir) =>
@@ -249,12 +255,19 @@ object OpsQueries {
     "emb_near_dup_lsh" -> ((s, dir) => {
       // unsupervised variant: blocking from RHP-LSH bands instead of labels
       val e = embs(s, dir)
-      val planes = e.filter(col("vec_id") >= PlaneBase &&
-          col("vec_id") < PlaneBase + NPlanes)
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Float](0).toArray).toSeq
-      Similarity.nearDupPairsLsh(e, planes, NearDupLshThreshold,
+      Similarity.nearDupPairsLsh(e, rhpPlanes(e), NearDupLshThreshold,
         maxBandDf = Some(RhpMaxBandDf))
+    }),
+
+    "emb_dedup_clusters" -> ((s, dir) => {
+      // cross-family composition: embedding LSH near-dup pairs canonicalize
+      // through the SAME connected-components operator the text path uses
+      val e = embs(s, dir)
+      val pairs = Similarity.nearDupPairsLsh(e, rhpPlanes(e), NearDupLshThreshold,
+          maxBandDf = Some(RhpMaxBandDf))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.dedupClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
     "emb_normalize_quantize" -> ((s, dir) =>
@@ -535,6 +548,24 @@ object OpsQueries {
        |  $reconJoins
        |)""".stripMargin
   }
+  /** RHP band-capped candidate pairs + exact-verified near-dup pairs —
+    * shared by the emb_near_dup_lsh and emb_dedup_clusters oracles (one
+    * pair definition, mirror of the Scala `nearDupPairsLsh` call both
+    * queries share).
+    */
+  private lazy val rhpPairCtes: String =
+    s"""${bandCapCtes(RhpMaxBandDf)}, cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |), epairs AS (
+       |  SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = vec_a
+       |  JOIN e eb ON eb.vec_id = vec_b
+       |  WHERE ${cosSql("ea.v", "eb.v")} >= ${NearDupLshThreshold}
+       |)""".stripMargin
+
   /** ADC cosine of query q against reconstruction r — same left-assoc
     * reduction order as the Column code in `Similarity.pqTopK`.
     */
@@ -901,16 +932,19 @@ object OpsQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= ${NearDupThreshold}""".stripMargin,
 
     "emb_near_dup_lsh" ->
-      s"""$embCte$rhpCtes${bandCapCtes(RhpMaxBandDf)}, cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+      s"""$embCte$rhpCtes$rhpPairCtes
+         |SELECT vec_a, vec_b, cos FROM epairs""".stripMargin,
+
+    "emb_dedup_clusters" ->
+      s"""${embCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$rhpCtes$rhpPairCtes, edges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM epairs
+         |  UNION SELECT vec_b, vec_a FROM epairs
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a
          |)
-         |SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos
-         |FROM cand
-         |JOIN e ea ON ea.vec_id = vec_a
-         |JOIN e eb ON eb.vec_id = vec_b
-         |WHERE ${cosSql("ea.v", "eb.v")} >= ${NearDupLshThreshold}""".stripMargin,
+         |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "ann_ivf_recall" ->
       s"""$embCte$ivfCtes, bf AS (
