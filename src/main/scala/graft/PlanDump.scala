@@ -65,7 +65,15 @@ object PlanDump {
     "pipeline_outlier_filter" ->
       "Outlier gate: two stratum-keyed window+agg passes (median, then MAD), each O(#strata) result broadcast-joined back.",
     "rel_nation_top_suppliers" ->
-      "Top-k per group: broadcast dim join -> supplier-grain partial+final agg -> ranking window over AGGREGATED rows only.")
+      "Top-k per group: broadcast dim join -> supplier-grain partial+final agg -> ranking window over AGGREGATED rows only.",
+    "cdc_change_feed" ->
+      "Change data feed: ONE key-keyed join of the two versions (AQE picks broadcast when a side is small); the cell comparison is a per-row expression, never per-column joins.",
+    "ann_pq_topk" ->
+      "PQ-ADC search: codes (m small ints per vector) cross join the broadcast query set; scoring is codebook lookups + folds — nothing vector-sized shuffles.",
+    "rel_salted_join" ->
+      "Salted join: dim side Generate(explode)-replicated per salt, fact keys spread across (key, salt) reducers; aggregation unchanged.",
+    "rel_pivot" ->
+      "Pivot: ONE partial+final HashAggregate with per-value filters — no distinct-values pre-job, no per-value scans.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
