@@ -305,16 +305,55 @@ object Similarity {
     corpus.select(col("vec_id") +: codeCols: _*)
   }
 
-  /** The m per-subspace codebooks (Lloyd on each embedding slice). */
+  /** The m per-subspace codebooks, trained JOINTLY: one corpus pass per
+    * Lloyd iteration assigns all m subspaces (m inlined-codebook argmax
+    * expressions) and one (subspace, centroid, dim) aggregation updates
+    * every codebook — m times fewer corpus scans than training each
+    * subspace separately, the number that matters when the corpus is the
+    * cost. Numerically identical to per-subspace training: decimal sums
+    * are order-free and the per-cell arithmetic is unchanged, so the
+    * per-subspace oracle CTEs verify this implementation bit for bit.
+    */
   def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, k: Int,
                   iters: Int): Seq[Seq[(Long, Array[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    import org.apache.spark.sql.types.DecimalType
     val sub = dim / m
-    (0 until m).map { j =>
-      kMeansCentroids(
-        corpus.withColumn("embedding", slice(col("embedding"), j * sub + 1, sub)),
-        k, iters)
+    val seedRows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k).collect()
+    require(seedRows.nonEmpty, "empty corpus: no seed vectors")
+    var cbs: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { j =>
+      seedRows.map { r =>
+        (r.getLong(0),
+          r.getSeq[Float](1).slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray)
+      }.sortBy(_._1).toSeq
     }
+    for (_ <- 1 to iters) {
+      val assignCols = (0 until m).map { j =>
+        pqCodeExpr(cbs(j), slice(col("embedding"), j * sub + 1, sub)).as(s"_c$j")
+      }
+      val assigned = corpus.select(col("embedding") +: assignCols: _*)
+      val cidOfDim = element_at(
+        array((0 until m).map(j => col(s"_c$j")): _*), (col("i") / sub).cast("int") + 1)
+      val means = assigned
+        .select(posexplode(col("embedding")).as(Seq("i", "x")) +:
+          (0 until m).map(j => col(s"_c$j")): _*)
+        .select((col("i") / sub).cast("int").as("j"), cidOfDim.as("cid"),
+          (col("i") % sub).as("di"), col("x"))
+        .groupBy("j", "cid", "di")
+        .agg(sum(col("x").cast(DecimalType(27, 9))).as("sx"), count(lit(1)).as("n"))
+        .select(col("j"), col("cid"), col("di"),
+          round(col("sx").cast("double") / col("n"), 4).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((j, cid), rows) =>
+          (j, cid) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cbs = cbs.zipWithIndex.map { case (cb, j) =>
+        cb.map { case (cid, old) => (cid, means.getOrElse((j, cid), old)) }
+      }
+    }
+    cbs
   }
 
   /** Nearest-codebook-entry id for one subspace slice (shared by code

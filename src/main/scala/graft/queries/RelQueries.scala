@@ -71,6 +71,18 @@ object RelQueries {
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
           count(lit(1)).as("count_order"))),
 
+    "rel_sql_correlated" -> ((s, dir) => {
+      // the SQL front door under the gate: a correlated scalar subquery,
+      // which Catalyst decorrelates into an aggregate + join — the plan a
+      // 100 TB run needs (a per-row subplan would be quadratic). Also
+      // exercises spark.sql + temp views as the user-facing API surface.
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""SELECT p_brand, p_partkey, p_retailprice FROM part
+              |WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+              |                       FROM part p2 WHERE p2.p_brand = part.p_brand)
+              |""".stripMargin)
+    }),
+
     "rel_salted_join" -> ((s, dir) => {
       // skew-mitigated join under the correctness gate: the salted
       // replicate-and-spread scheme must be row-for-row equivalent to the
@@ -176,6 +188,11 @@ object RelQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_sql_correlated" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_brand = part.p_brand)""".stripMargin,
 
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
