@@ -73,7 +73,9 @@ object PlanDump {
     "rel_salted_join" ->
       "Salted join: dim side Generate(explode)-replicated per salt, fact keys spread across (key, salt) reducers; aggregation unchanged.",
     "rel_pivot" ->
-      "Pivot: ONE partial+final HashAggregate with per-value filters — no distinct-values pre-job, no per-value scans.")
+      "Pivot: ONE partial+final HashAggregate with per-value filters — no distinct-values pre-job, no per-value scans.",
+    "rel_sql_correlated" ->
+      "Correlated scalar subquery DECORRELATED by Catalyst: one aggregate per brand + one join — no per-row subplan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

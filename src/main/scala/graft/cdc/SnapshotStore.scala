@@ -50,6 +50,16 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
   def read(): Option[DataFrame] =
     current.map { case (v, _) => spark.read.parquet(s"$root/v_$v") }
 
+  /** Read a specific RETAINED version — the commit keeps the current and
+    * previous versions (older ones are reaped for space), so the retained
+    * pair can feed [[ChangeFeed.diff]]: re-derive the changelog between
+    * two snapshot versions without the original stream history.
+    */
+  def readVersion(v: Long): Option[DataFrame] =
+    if (Files.isDirectory(Paths.get(s"$root/v_$v")))
+      Some(spark.read.parquet(s"$root/v_$v"))
+    else None
+
   /** Write `df` as the next snapshot version and swap `_CURRENT` atomically.
     * Returns false (no-op) if `batchId` was already applied BY THE SAME
     * stream lineage (`streamId`).
