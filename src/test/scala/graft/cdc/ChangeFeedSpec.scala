@@ -59,6 +59,27 @@ class ChangeFeedSpec extends SparkSpec {
     assert(store.readVersion(99).isEmpty)
   }
 
+  test("merge-then-diff inverse: the feed reproduces the effective changes") {
+    import org.apache.spark.sql.functions.col
+    // apply a changelog with Merge, then diff (before, after): the feed
+    // must surface exactly the changes that took effect — an update, an
+    // insert, a delete — and nothing for untouched keys
+    val snap = Seq((1L, "old", Some(10L)), (2L, "keep", Some(10L)),
+      (3L, "gone", Some(10L))).toDF("id", "name", Merge.LastTsCol)
+    val net = Seq(
+      (1L, "u", Some(1L), Some("new"), 20L),
+      (3L, "d", None, None, 20L),
+      (4L, "c", Some(4L), Some("ins"), 20L))
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+        Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+    val merged = Merge.applyChanges(snap, net, "id", Seq("id", "name"))
+    val feed = ChangeFeed.diff(
+      snap.drop(Merge.LastTsCol), merged.drop(Merge.LastTsCol), "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(feed == Set(("u", 1L), ("d", 3L), ("c", 4L)))
+  }
+
   test("columns only in the new version must be opted into ignore, not dropped") {
     val old = Seq((1L, "a")).toDF("k", "name")
     val neu = Seq((1L, "a", "fresh")).toDF("k", "name", "status")
