@@ -283,6 +283,56 @@ object CdcQueries {
           .as("value_quantiles"))
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // ordered-step funnel (view -> click -> purchase): each stage's
+      // earliest qualifying time chains off the previous stage's, computed
+      // as one user-keyed aggregate per stage + a join — every step stays
+      // keyed by user_id (shuffle reuse across stages), no event self-join,
+      // no per-user collect. Output: one row of stage counts.
+      val ev = events(s, dir)
+      def stage(prev: DataFrame, prevT: String, etype: String, outT: String) =
+        ev.join(prev, Seq("user_id"))
+          .filter(col("event_type") === etype && col("ts") >= col(prevT))
+          .groupBy("user_id").agg(min(col("ts")).as(outT))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = stage(t1, "t1", "click", "t2")
+      val t3 = stage(t2, "t2", "purchase", "t3")
+      val counts = Seq(
+        ev.agg(countDistinct(col("user_id")).as("n")).withColumn("k", lit("n_users")),
+        t1.agg(count(lit(1)).as("n")).withColumn("k", lit("n_view")),
+        t2.agg(count(lit(1)).as("n")).withColumn("k", lit("n_view_click")),
+        t3.agg(count(lit(1)).as("n")).withColumn("k", lit("n_funnel")))
+      counts.reduce(_ unionByName _)
+        .groupBy().pivot("k", Seq("n_users", "n_view", "n_view_click", "n_funnel"))
+        .agg(first(col("n")))
+        .select(col("n_users"), col("n_view"), col("n_view_click"), col("n_funnel"))
+    }),
+
+    "events_gap_fill" -> ((s, dir) => {
+      // time-series resample + forward fill: an hourly per-user grid from
+      // each user's first to last event hour (sequence explode — no driver
+      // loop, grid size proportional to real spans), left-joined to the
+      // hourly aggregate, gaps forward-filled by a last(ignoreNulls)
+      // window. Everything is keyed by user — no cross join, no global
+      // calendar table.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val hour = expr("ts DIV 3600000000000")
+      val hourly = ev.groupBy(col("user_id"), hour.as("h"))
+        .agg(round(sum(col("value")), 2).as("hour_value"))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(hour).as("h0"), max(hour).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("hour_value").isNull.cast("int"))
+        .select("user_id", "h", "filled_value", "is_gap")
+    }),
+
     "events_value_histogram" -> ((s, dir) =>
       // fixed-width histogram as one groupBy on a computed bin — the
       // distributed histogram primitive (bin expression is pure per-row
@@ -470,6 +520,42 @@ object CdcQueries {
     "source_partition_prune" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY 1
+        |)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |       (SELECT count(*) FROM t1) AS n_view,
+        |       (SELECT count(*) FROM t2) AS n_view_click,
+        |       (SELECT count(*) FROM t3) AS n_funnel""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+        |         round(sum(value), 2) AS hour_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS h0,
+        |         max(epoch_ns(ts) // 3600000000000) AS h1
+        |  FROM events GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span
+        |)
+        |SELECT g.user_id, g.h,
+        |       last_value(hv.hour_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |       CASE WHEN hv.hour_value IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM grid g LEFT JOIN hourly hv
+        |  ON g.user_id = hv.user_id AND g.h = hv.h""".stripMargin,
 
     "events_value_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
