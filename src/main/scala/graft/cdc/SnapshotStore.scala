@@ -54,11 +54,17 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     * previous versions (older ones are reaped for space), so the retained
     * pair can feed [[ChangeFeed.diff]]: re-derive the changelog between
     * two snapshot versions without the original stream history.
+    *
+    * Resolution goes through the `_CURRENT` manifest, same as [[read]]: a
+    * crash between the parquet write and the manifest swap leaves a
+    * dangling `v_<n+1>` dir, and a bare directory probe would serve that
+    * uncommitted (possibly half-written) data.
     */
-  def readVersion(v: Long): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(s"$root/v_$v")))
+  def readVersion(v: Long): Option[DataFrame] = current.flatMap { case (cur, _) =>
+    if ((v == cur || v == cur - 1) && Files.isDirectory(Paths.get(s"$root/v_$v")))
       Some(spark.read.parquet(s"$root/v_$v"))
     else None
+  }
 
   /** Write `df` as the next snapshot version and swap `_CURRENT` atomically.
     * Returns false (no-op) if `batchId` was already applied BY THE SAME

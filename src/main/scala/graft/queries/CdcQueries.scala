@@ -298,15 +298,12 @@ object CdcQueries {
         .groupBy("user_id").agg(min(col("ts")).as("t1"))
       val t2 = stage(t1, "t1", "click", "t2")
       val t3 = stage(t2, "t2", "purchase", "t3")
-      val counts = Seq(
-        ev.agg(countDistinct(col("user_id")).as("n")).withColumn("k", lit("n_users")),
-        t1.agg(count(lit(1)).as("n")).withColumn("k", lit("n_view")),
-        t2.agg(count(lit(1)).as("n")).withColumn("k", lit("n_view_click")),
-        t3.agg(count(lit(1)).as("n")).withColumn("k", lit("n_funnel")))
-      counts.reduce(_ unionByName _)
-        .groupBy().pivot("k", Seq("n_users", "n_view", "n_view_click", "n_funnel"))
-        .agg(first(col("n")))
-        .select(col("n_users"), col("n_view"), col("n_view_click"), col("n_funnel"))
+      // four one-row aggregates side by side: plain cross joins of already-
+      // aliased scalars (each side is exactly one row)
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+        .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_funnel")))
     }),
 
     "events_gap_fill" -> ((s, dir) => {
@@ -318,7 +315,10 @@ object CdcQueries {
       // calendar table.
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, dir)
-      val hour = expr("ts DIV 3600000000000")
+      // FLOOR division (subtract the non-negative pmod first): Spark's DIV
+      // truncates toward zero, which diverges from the oracle's flooring //
+      // for pre-epoch (negative) timestamps
+      val hour = expr("(ts - pmod(ts, 3600000000000)) DIV 3600000000000")
       val hourly = ev.groupBy(col("user_id"), hour.as("h"))
         .agg(round(sum(col("value")), 2).as("hour_value"))
       val span = ev.groupBy(col("user_id"))

@@ -77,6 +77,16 @@ object OpsQueries {
       .orderBy("vec_id").select("embedding")
       .collect().map(_.getSeq[Float](0).toArray).toSeq
 
+  /** recall@k of an approximate (query_id, vec_id) ranking against the
+    * exact brute force — ONE harness for every index evaluation
+    * (ann_ivf_recall, ann_pq_recall; oracle mirror is `recallSql`).
+    */
+  private def recallVsBf(bf: DataFrame, approx: DataFrame): DataFrame =
+    bf.join(approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir))
@@ -168,15 +178,11 @@ object OpsQueries {
 
     "ann_pq_recall" -> ((s, dir) => {
       // index-quality evaluation: recall@k of the PQ-ADC ranking against
-      // the exact brute force, per query (same harness as ann_ivf_recall)
+      // the exact brute force, per query (shared recallVsBf harness)
       val e = embs(s, dir)
       val queries = e.filter(col("vec_id") % 100 === 0)
-      val bf = Similarity.bruteForceTopK(e, queries, TopK)
-      val pq = Similarity.pqTopK(e, queries, PqM, EmbDim, PqK, KmIters, TopK)
-        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
-      bf.join(pq, Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
+      recallVsBf(Similarity.bruteForceTopK(e, queries, TopK),
+        Similarity.pqTopK(e, queries, PqM, EmbDim, PqK, KmIters, TopK))
     }),
 
     "emb_semdedup" -> ((s, dir) =>
@@ -212,16 +218,12 @@ object OpsQueries {
 
     "ann_ivf_recall" -> ((s, dir) => {
       // index-quality evaluation: recall@k of the IVF probe against the
-      // exact brute force, per query
+      // exact brute force, per query (shared recallVsBf harness)
       val e = embs(s, dir)
       val queries = e.filter(col("vec_id") % 100 === 0)
-      val bf = Similarity.bruteForceTopK(e, queries, TopK)
-      val ivf = Similarity.ivfTopK(e, e.filter(col("vec_id") < NCentroids),
-        queries, TopK, NProbe)
-        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
-      bf.join(ivf, Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg((coalesce(sum(col("hit")), lit(0)) / lit(TopK.toDouble)).as("recall"))
+      recallVsBf(Similarity.bruteForceTopK(e, queries, TopK),
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < NCentroids),
+          queries, TopK, NProbe))
     }),
 
     "ann_rhp_topk" -> ((s, dir) => {
@@ -566,6 +568,26 @@ object OpsQueries {
        |  WHERE ${cosSql("ea.v", "eb.v")} >= ${NearDupLshThreshold}
        |)""".stripMargin
 
+  /** Exact brute-force top-k CTE + the recall-vs-bf scaffold — shared by
+    * every index-evaluation oracle (mirror of the Scala `recallVsBf`).
+    */
+  private lazy val bfCte =
+    s""", bf AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0
+       |  QUALIFY rank <= ${TopK}
+       |)""".stripMargin
+
+  private def recallSql(approxCte: String): String =
+    s"""SELECT bf.query_id,
+       |       coalesce(sum($approxCte.hit), 0) / ${TopK}.0 AS recall
+       |FROM bf LEFT JOIN $approxCte
+       |  ON bf.query_id = $approxCte.query_id AND bf.vec_id = $approxCte.vec_id
+       |GROUP BY 1""".stripMargin
+
   /** ADC cosine of query q against reconstruction r — same left-assoc
     * reduction order as the Column code in `Similarity.pqTopK`.
     */
@@ -618,14 +640,7 @@ object OpsQueries {
          |) WHERE rank <= $TopK""".stripMargin,
 
     "ann_pq_recall" ->
-      s"""$embCte$pqCodebookCtes$pqCodeCtes$pqReconCte, bf AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
-         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 100 = 0
-         |  QUALIFY rank <= ${TopK}
-         |), pqk AS (
+      s"""$embCte$pqCodebookCtes$pqCodeCtes$pqReconCte$bfCte, pqk AS (
          |  SELECT q.vec_id AS query_id, r.vec_id, 1 AS hit,
          |         row_number() OVER (PARTITION BY q.vec_id
          |                            ORDER BY $pqCosExpr DESC, r.vec_id ASC) AS rank
@@ -633,11 +648,7 @@ object OpsQueries {
          |  WHERE q.vec_id % 100 = 0
          |  QUALIFY rank <= ${TopK}
          |)
-         |SELECT bf.query_id,
-         |       coalesce(sum(pqk.hit), 0) / ${TopK}.0 AS recall
-         |FROM bf LEFT JOIN pqk
-         |  ON bf.query_id = pqk.query_id AND bf.vec_id = pqk.vec_id
-         |GROUP BY 1""".stripMargin,
+         |${recallSql("pqk")}""".stripMargin,
 
     "pipeline_chunk" ->
       s"""WITH ch AS (
@@ -947,14 +958,7 @@ object OpsQueries {
          |FROM reach GROUP BY a""".stripMargin,
 
     "ann_ivf_recall" ->
-      s"""$embCte$ivfCtes, bf AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
-         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 100 = 0
-         |  QUALIFY rank <= ${TopK}
-         |), ivf AS (
+      s"""$embCte$ivfCtes$bfCte, ivf AS (
          |  SELECT query_id, a.vec_id, 1 AS hit,
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) AS rank
@@ -962,11 +966,7 @@ object OpsQueries {
          |  WHERE a.vec_id <> p.query_id
          |  QUALIFY rank <= ${TopK}
          |)
-         |SELECT bf.query_id,
-         |       coalesce(sum(ivf.hit), 0) / ${TopK}.0 AS recall
-         |FROM bf LEFT JOIN ivf
-         |  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
-         |GROUP BY 1""".stripMargin,
+         |${recallSql("ivf")}""".stripMargin,
 
     "emb_normalize_quantize" ->
       s"""$embCte, unit AS (
