@@ -306,6 +306,21 @@ object CdcQueries {
         .crossJoin(t3.agg(count(lit(1)).as("n_funnel")))
     }),
 
+    "events_retention" -> ((s, dir) => {
+      // cohort retention: users cohort by first-activity week (floor-div
+      // epoch weeks); each (cohort, week offset) counts the distinct users
+      // active that week. distinct() BEFORE the join collapses events to
+      // user-weeks, so the join and count run on activity-grain rows, not
+      // raw events — all stages keyed by user or (cohort, offset).
+      val ev = events(s, dir)
+      val week = expr("(ts - pmod(ts, 604800000000000)) DIV 604800000000000")
+      val firstW = ev.groupBy("user_id").agg(min(week).as("cohort_w"))
+      ev.select(col("user_id"), week.as("w")).distinct()
+        .join(firstW, Seq("user_id"))
+        .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "events_gap_fill" -> ((s, dir) => {
       // time-series resample + forward fill: an hourly per-user grid from
       // each user's first to last event hour (sequence explode — no driver
@@ -536,6 +551,18 @@ object CdcQueries {
         |       (SELECT count(*) FROM t1) AS n_view,
         |       (SELECT count(*) FROM t2) AS n_view_click,
         |       (SELECT count(*) FROM t3) AS n_funnel""".stripMargin,
+
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS w
+        |  FROM events
+        |), fw AS (
+        |  SELECT user_id, min(w) AS cohort_w FROM uw GROUP BY 1
+        |)
+        |SELECT fw.cohort_w, uw.w - fw.cohort_w AS week_offset,
+        |       count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_gap_fill" ->
       """WITH hourly AS (
