@@ -120,6 +120,25 @@ object OpsQueries {
       // that Jaccard's symmetric denominator dilutes away
       Dedup.containmentPairs(docs(s, dir), ContainmentThreshold)),
 
+    "dedup_minhash_est" -> ((s, dir) => {
+      // estimator-quality evaluation (the dedup analogue of the ANN recall
+      // queries): MinHash-estimated Jaccard (matching signature fraction)
+      // against the exact shingle Jaccard, per verified pair
+      val d = docs(s, dir)
+      val sigs = Dedup.minHashSignatures(d)
+      val k = Dedup.MinHashK
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until k).map(i => col(s"m$i").as(s"_a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until k).map(i => col(s"m$i").as(s"_b$i")): _*)
+      val est = (0 until k)
+        .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+        .reduce(_ + _) / lit(k.toDouble)
+      Dedup.minHashVerified(d, JaccardThreshold, Some(MinHashMaxBandDf))
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), est.as("est_jaccard"))
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       // hamming <= 3 is the pigeonhole-complete threshold for 4 bands
       Dedup.simHashPairs(docs(s, dir), maxHamming = 3, Some(SimHashMaxBandDf))),
@@ -835,6 +854,16 @@ object OpsQueries {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
+
+    "dedup_minhash_est" ->
+      s"""$shinglesCte$verifiedCtes
+         |SELECT v.doc_a, v.doc_b, v.jaccard,
+         |       (${(0 until Dedup.MinHashK)
+                    .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+                    .mkString(" + ")}) / ${Dedup.MinHashK}.0 AS est_jaccard
+         |FROM verified v
+         |JOIN sig a ON a.doc_id = v.doc_a
+         |JOIN sig b ON b.doc_id = v.doc_b""".stripMargin,
 
     "dedup_containment" ->
       s"""$shinglesCte, sizes AS (
