@@ -306,6 +306,26 @@ object CdcQueries {
         .crossJoin(t3.agg(count(lit(1)).as("n_funnel")))
     }),
 
+    "events_rolling" -> ((s, dir) => {
+      // trailing 24-hour rolling mean per user over SPARSE hourly sums —
+      // the RANGE window frame (value-based bounds on the hour index, not
+      // row counts), which none of the other queries exercise. Hourly sums
+      // accumulate in exact decimal so the rolling sum is order-free; the
+      // mean surfaces as a rounded double.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = events(s, dir)
+      val hour = expr("(ts - pmod(ts, 3600000000000)) DIV 3600000000000")
+      val hourly = ev.groupBy(col("user_id"), hour.as("h"))
+        .agg(sum(col("value").cast(DecimalType(20, 2))).as("sdec"))
+      val w = Window.partitionBy("user_id").orderBy("h").rangeBetween(-23, 0)
+      hourly.select(col("user_id"), col("h"),
+        round(col("sdec").cast("double"), 2).as("hour_sum"),
+        round(sum(col("sdec")).over(w).cast("double") / count(lit(1)).over(w), 4)
+          .as("mean_24h"),
+        count(lit(1)).over(w).cast("long").as("n_window"))
+    }),
+
     "events_retention" -> ((s, dir) => {
       // cohort retention: users cohort by first-activity week (floor-div
       // epoch weeks); each (cohort, week offset) counts the distinct users
@@ -551,6 +571,19 @@ object CdcQueries {
         |       (SELECT count(*) FROM t1) AS n_view,
         |       (SELECT count(*) FROM t2) AS n_view_click,
         |       (SELECT count(*) FROM t3) AS n_funnel""".stripMargin,
+
+    "events_rolling" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+        |         sum(CAST(value AS DECIMAL(20,2))) AS sdec
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, h, round(CAST(sdec AS DOUBLE), 2) AS hour_sum,
+        |       round(CAST(sum(sdec) OVER w AS DOUBLE) / (count(*) OVER w), 4) AS mean_24h,
+        |       count(*) OVER w AS n_window
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY user_id ORDER BY h
+        |             RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "events_retention" ->
       """WITH uw AS (
