@@ -319,11 +319,16 @@ object CdcQueries {
       val hourly = ev.groupBy(col("user_id"), hour.as("h"))
         .agg(sum(col("value").cast(DecimalType(20, 2))).as("sdec"))
       val w = Window.partitionBy("user_id").orderBy("h").rangeBetween(-23, 0)
+      // the mean surfaces FIXED-POINT (x10^4, floor-divided): round() of a
+      // double quotient sits on rounding boundaries that differ by 1 ulp
+      // between engines (caught by the sf0.1 stress run); integer floor
+      // division of the exact decimal sum cannot
       hourly.select(col("user_id"), col("h"),
         round(col("sdec").cast("double"), 2).as("hour_sum"),
-        round(sum(col("sdec")).over(w).cast("double") / count(lit(1)).over(w), 4)
-          .as("mean_24h"),
+        (sum(col("sdec")).over(w) * 10000).cast("long").as("_s4"),
         count(lit(1)).over(w).cast("long").as("n_window"))
+        .withColumn("mean_24h_e4", expr("_s4 DIV n_window"))
+        .select("user_id", "h", "hour_sum", "mean_24h_e4", "n_window")
     }),
 
     "events_retention" -> ((s, dir) => {
@@ -579,7 +584,7 @@ object CdcQueries {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT user_id, h, round(CAST(sdec AS DOUBLE), 2) AS hour_sum,
-        |       round(CAST(sum(sdec) OVER w AS DOUBLE) / (count(*) OVER w), 4) AS mean_24h,
+        |       CAST(sum(sdec) OVER w * 10000 AS BIGINT) // (count(*) OVER w) AS mean_24h_e4,
         |       count(*) OVER w AS n_window
         |FROM hourly
         |WINDOW w AS (PARTITION BY user_id ORDER BY h
