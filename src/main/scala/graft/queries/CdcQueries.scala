@@ -283,95 +283,29 @@ object CdcQueries {
           .as("value_quantiles"))
     }),
 
-    "events_funnel" -> ((s, dir) => {
-      // ordered-step funnel (view -> click -> purchase): each stage's
-      // earliest qualifying time chains off the previous stage's, computed
-      // as one user-keyed aggregate per stage + a join — every step stays
-      // keyed by user_id (shuffle reuse across stages), no event self-join,
-      // no per-user collect. Output: one row of stage counts.
-      val ev = events(s, dir)
-      def stage(prev: DataFrame, prevT: String, etype: String, outT: String) =
-        ev.join(prev, Seq("user_id"))
-          .filter(col("event_type") === etype && col("ts") >= col(prevT))
-          .groupBy("user_id").agg(min(col("ts")).as(outT))
-      val t1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val t2 = stage(t1, "t1", "click", "t2")
-      val t3 = stage(t2, "t2", "purchase", "t3")
-      // four one-row aggregates side by side: plain cross joins of already-
-      // aliased scalars (each side is exactly one row)
-      ev.agg(countDistinct(col("user_id")).as("n_users"))
-        .crossJoin(t1.agg(count(lit(1)).as("n_view")))
-        .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(t3.agg(count(lit(1)).as("n_funnel")))
-    }),
+    "events_funnel" -> ((s, dir) =>
+      // ordered-step funnel (view -> click -> purchase): see
+      // [[graft.ops.Analytics.funnel]] — one user-keyed agg+join per stage
+      graft.ops.Analytics.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view" -> "n_view", "click" -> "n_view_click",
+          "purchase" -> "n_funnel"))),
 
-    "events_rolling" -> ((s, dir) => {
-      // trailing 24-hour rolling mean per user over SPARSE hourly sums —
-      // the RANGE window frame (value-based bounds on the hour index, not
-      // row counts), which none of the other queries exercise. Hourly sums
-      // accumulate in exact decimal so the rolling sum is order-free; the
-      // mean surfaces as a rounded double.
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val ev = events(s, dir)
-      val hour = expr("(ts - pmod(ts, 3600000000000)) DIV 3600000000000")
-      val hourly = ev.groupBy(col("user_id"), hour.as("h"))
-        .agg(sum(col("value").cast(DecimalType(20, 2))).as("sdec"))
-      val w = Window.partitionBy("user_id").orderBy("h").rangeBetween(-23, 0)
-      // the mean surfaces FIXED-POINT (x10^4, floor-divided): round() of a
-      // double quotient sits on rounding boundaries that differ by 1 ulp
-      // between engines (caught by the sf0.1 stress run); integer floor
-      // division of the exact decimal sum cannot
-      hourly.select(col("user_id"), col("h"),
-        round(col("sdec").cast("double"), 2).as("hour_sum"),
-        (sum(col("sdec")).over(w) * 10000).cast("long").as("_s4"),
-        count(lit(1)).over(w).cast("long").as("n_window"))
-        .withColumn("mean_24h_e4", expr("_s4 DIV n_window"))
-        .select("user_id", "h", "hour_sum", "mean_24h_e4", "n_window")
-    }),
+    "events_rolling" -> ((s, dir) =>
+      // trailing 24h rolling mean over sparse hourly sums (RANGE frame,
+      // fixed-point mean): see [[graft.ops.Analytics.rollingMean]]
+      graft.ops.Analytics.rollingMean(events(s, dir), "user_id", "ts", "value",
+        periodLen = 3600000000000L, trailing = 23)),
 
-    "events_retention" -> ((s, dir) => {
-      // cohort retention: users cohort by first-activity week (floor-div
-      // epoch weeks); each (cohort, week offset) counts the distinct users
-      // active that week. distinct() BEFORE the join collapses events to
-      // user-weeks, so the join and count run on activity-grain rows, not
-      // raw events — all stages keyed by user or (cohort, offset).
-      val ev = events(s, dir)
-      val week = expr("(ts - pmod(ts, 604800000000000)) DIV 604800000000000")
-      val firstW = ev.groupBy("user_id").agg(min(week).as("cohort_w"))
-      ev.select(col("user_id"), week.as("w")).distinct()
-        .join(firstW, Seq("user_id"))
-        .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }),
+    "events_retention" -> ((s, dir) =>
+      // first-week cohort retention: see [[graft.ops.Analytics.retention]]
+      graft.ops.Analytics.retention(events(s, dir), "user_id", "ts",
+        periodLen = 604800000000000L)),
 
-    "events_gap_fill" -> ((s, dir) => {
-      // time-series resample + forward fill: an hourly per-user grid from
-      // each user's first to last event hour (sequence explode — no driver
-      // loop, grid size proportional to real spans), left-joined to the
-      // hourly aggregate, gaps forward-filled by a last(ignoreNulls)
-      // window. Everything is keyed by user — no cross join, no global
-      // calendar table.
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir)
-      // FLOOR division (subtract the non-negative pmod first): Spark's DIV
-      // truncates toward zero, which diverges from the oracle's flooring //
-      // for pre-epoch (negative) timestamps
-      val hour = expr("(ts - pmod(ts, 3600000000000)) DIV 3600000000000")
-      val hourly = ev.groupBy(col("user_id"), hour.as("h"))
-        .agg(round(sum(col("value")), 2).as("hour_value"))
-      val span = ev.groupBy(col("user_id"))
-        .agg(min(hour).as("h0"), max(hour).as("h1"))
-      val grid = span.select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"))).as("h"))
-      val w = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "h"), "left")
-        .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
-        .withColumn("is_gap", col("hour_value").isNull.cast("int"))
-        .select("user_id", "h", "filled_value", "is_gap")
-    }),
+    "events_gap_fill" -> ((s, dir) =>
+      // hourly resample + forward fill: see [[graft.ops.Analytics.gapFill]]
+      graft.ops.Analytics.gapFill(events(s, dir), "user_id", "ts",
+        periodLen = 3600000000000L,
+        periodAgg = round(sum(col("value")), 2))),
 
     "events_value_histogram" -> ((s, dir) =>
       // fixed-width histogram as one groupBy on a computed bin — the
