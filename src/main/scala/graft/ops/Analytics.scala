@@ -18,9 +18,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Analytics {
 
-  /** Floor-division period index of an epoch-long column. */
-  def periodOf(ts: Column, periodLen: Long): Column =
-    ((ts - pmod(ts, lit(periodLen))) / lit(periodLen)).cast("long")
+  /** Floor-division period index of an epoch-long column. The division
+    * runs in DECIMAL: Spark's `/` on longs is IEEE-double division, and an
+    * epoch-ns numerator (~1.7e18 > 2^53) is only double-exact when the
+    * period length carries a large power-of-two factor — decimal division
+    * of the exact multiple is unit-independent (the numerator is divisible
+    * by construction, so the quotient is an exact integer).
+    */
+  def periodOf(ts: Column, periodLen: Long): Column = {
+    val exactMultiple = (ts - pmod(ts, lit(periodLen))).cast(DecimalType(38, 0))
+    (exactMultiple / lit(periodLen).cast(DecimalType(20, 0))).cast("long")
+  }
 
   /** Ordered-step funnel: each stage's earliest qualifying time chains off
     * the previous stage's (min ts of `stepType` at-or-after the prior
@@ -32,6 +40,9 @@ object Analytics {
   def funnel(events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
              steps: Seq[(String, String)]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val reserved = steps.indices.map(i => s"_t$i") :+ "n_users"
+    require(!reserved.exists(events.columns.contains),
+      s"funnel reserves the column names ${reserved.mkString(", ")}")
     val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, ((etype, _), i)) =>
         val base = prev match {
@@ -58,6 +69,9 @@ object Analytics {
     */
   def retention(events: DataFrame, keyCol: String, tsCol: String,
                 periodLen: Long): DataFrame = {
+    val reserved = Seq("w", "cohort_w", "week_offset", "n_users")
+    require(!reserved.exists(events.columns.contains),
+      s"retention reserves the column names ${reserved.mkString(", ")}")
     val p = periodOf(col(tsCol), periodLen)
     val firstP = events.groupBy(keyCol).agg(min(p).as("cohort_w"))
     events.select(col(keyCol), p.as("w")).distinct()
@@ -74,6 +88,9 @@ object Analytics {
     */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               periodLen: Long, periodAgg: Column): DataFrame = {
+    val reserved = Seq("h", "h0", "h1", "hour_value", "filled_value", "is_gap")
+    require(!reserved.exists(events.columns.contains),
+      s"gapFill reserves the column names ${reserved.mkString(", ")}")
     val p = periodOf(col(tsCol), periodLen)
     val perPeriod = events.groupBy(col(keyCol), p.as("h"))
       .agg(periodAgg.as("hour_value"))
@@ -98,6 +115,9 @@ object Analytics {
     */
   def rollingMean(events: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, periodLen: Long, trailing: Int): DataFrame = {
+    val reserved = Seq("h", "sdec", "hour_sum", "mean_24h_e4", "n_window", "_s4")
+    require(!reserved.exists(events.columns.contains),
+      s"rollingMean reserves the column names ${reserved.mkString(", ")}")
     val p = periodOf(col(tsCol), periodLen)
     val perPeriod = events.groupBy(col(keyCol), p.as("h"))
       .agg(sum(col(valueCol).cast(DecimalType(20, 2))).as("sdec"))
@@ -106,7 +126,10 @@ object Analytics {
       round(col("sdec").cast("double"), 2).as("hour_sum"),
       (sum(col("sdec")).over(w) * 10000).cast("long").as("_s4"),
       count(lit(1)).over(w).cast("long").as("n_window"))
-      .withColumn("mean_24h_e4", expr("_s4 DIV n_window"))
+      // FLOOR division (subtract the non-negative pmod first): bare DIV
+      // truncates toward zero and diverges from the oracle's flooring //
+      // when the rolling sum is negative
+      .withColumn("mean_24h_e4", expr("(_s4 - pmod(_s4, n_window)) DIV n_window"))
       .select(col(keyCol), col("h"), col("hour_sum"), col("mean_24h_e4"),
         col("n_window"))
   }

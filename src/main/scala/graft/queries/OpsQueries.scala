@@ -125,7 +125,11 @@ object OpsQueries {
       // queries): MinHash-estimated Jaccard (matching signature fraction)
       // against the exact shingle Jaccard, per verified pair
       val d = docs(s, dir)
+      // pinned: both self-join sides read the signature frame (the shingle
+      // explode + two md5s per shingle) — same discipline as the Dedup
+      // one-shots
       val sigs = Dedup.minHashSignatures(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = Dedup.MinHashK
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until k).map(i => col(s"m$i").as(s"_a$i")): _*)

@@ -63,4 +63,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) == ((150000L, 2L)))  // mean(10, 20) = 15
     assert(out(5L) == ((400000L, 1L)))  // periods 0,1 outside the range frame
   }
+
+  test("rollingMean floors negative sums like the oracle's // (not toward zero)") {
+    // refund-style negatives: -0.01 over a single-row window -> -100 e4
+    val df = Seq((1L, 0L, -0.01), (1L, 25L, 5.0)).toDF("u", "ts", "v")
+    val out = Analytics.rollingMean(df, "u", "ts", "v",
+        periodLen = 10L, trailing = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(0L) == -100L)
+    // period 2's trailing-2 frame covers both present rows: (−0.01 + 5.00)
+    // = 4.99 -> 49900 over 2 rows = 24950 (positive sanity)
+    assert(out(2L) == 24950L)
+    // non-divisible negative quotient: window sum -0.01 over 3 present
+    // rows -> -100/3: floor = -34 (truncation toward zero would give -33,
+    // diverging from DuckDB's flooring //)
+    val df3 = Seq((2L, 0L, -0.01), (2L, 11L, 0.0), (2L, 22L, 0.0))
+      .toDF("u", "ts", "v")
+    val out3 = Analytics.rollingMean(df3, "u", "ts", "v",
+        periodLen = 10L, trailing = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out3(2L) == -34L, s"floor(-100/3) must be -34, got ${out3(2L)}")
+  }
 }
