@@ -198,6 +198,32 @@ object Curation {
     ranked.groupBy(stratum).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact GLOBAL quantiles of a discrete column at corpus scale: one
+    * map-side-combined count shuffle keyed by the VALUE, a cumulative sum
+    * over the O(#distinct values) count rows, and threshold p = the
+    * smallest value whose cumulative count reaches ceil(p * n). That is
+    * precisely the value at global rank ceil(p * n) in ascending order —
+    * the same convention as [[quantilesByStratum]] — but the corpus never
+    * flows through a rank window: a single-"stratum" call to
+    * quantilesByStratum would serialize every row through ONE window
+    * partition, which this formulation exists to avoid. The only
+    * single-partition window here runs over the distinct-value counts
+    * (document lengths, scores — thousands of values, not rows).
+    */
+  def globalQuantiles(df: DataFrame, value: String, ps: Seq[Double]): DataFrame = {
+    val counts = df.groupBy(col(value)).agg(count(lit(1)).as("_c"))
+    val wCum = Window.orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = ps.map(p =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(value)))
+        .as(s"p${(p * 100).round}_$value"))
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One rank-selection median per stratum (the p=0.5 case of
     * [[quantilesByStratum]], reused by the MAD pipeline): value at rank
     * ceil(n/2) in ascending (value, id) order.

@@ -140,7 +140,24 @@ object CurationQueries {
       // robust per-source length gate: median/MAD, all-integer arithmetic
       Curation.outlierFilter(docs(s, dir).select("doc_id", "source", "n_chars"),
           "source", "n_chars", "doc_id", OutlierK)
-        .select("doc_id", "source", "n_chars", "med", "mad", "is_outlier")))
+        .select("doc_id", "source", "n_chars", "med", "mad", "is_outlier")),
+
+    "pipeline_curriculum" -> ((s, dir) => {
+      // curriculum bucketing (short -> long): quartile thresholds come from
+      // the value-histogram quantile machinery (ONE output row — the
+      // corpus never flows through a rank window) and broadcast back as a
+      // cross join — the scalable alternative to a global ntile window.
+      // Thresholds are integers, so bucket assignment is exact.
+      val d = docs(s, dir).select("doc_id", "n_chars")
+      val q = Curation.globalQuantiles(d, "n_chars", Seq(0.25, 0.5, 0.75))
+      d.crossJoin(broadcast(q.select("p25_n_chars", "p50_n_chars", "p75_n_chars")))
+        .withColumn("bucket",
+          when(col("n_chars") <= col("p25_n_chars"), 0)
+            .when(col("n_chars") <= col("p50_n_chars"), 1)
+            .when(col("n_chars") <= col("p75_n_chars"), 2)
+            .otherwise(3))
+        .select("doc_id", "n_chars", "bucket")
+    }))
 
   // ------------------------------------------------------------- oracles
 
@@ -324,6 +341,27 @@ object CurationQueries {
                    s"max(CASE WHEN rn = ceil($p * cnt) THEN n_chars END) AS p${(p * 100).round}_n_chars")
                    .mkString(",\n       ")}
          |FROM r GROUP BY lang""".stripMargin,
+
+    // mirror of pipeline_curriculum: the same rank-selection thresholds
+    // (value at rank ceil(p*n), ties by doc_id) and integer comparisons
+    "pipeline_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER () AS cnt
+        |  FROM documents
+        |), q AS (
+        |  SELECT max(CASE WHEN rn = ceil(0.25 * cnt) THEN n_chars END) AS p25,
+        |         max(CASE WHEN rn = ceil(0.5 * cnt) THEN n_chars END) AS p50,
+        |         max(CASE WHEN rn = ceil(0.75 * cnt) THEN n_chars END) AS p75
+        |  FROM r
+        |)
+        |SELECT doc_id, n_chars,
+        |       CASE WHEN n_chars <= p25 THEN 0
+        |            WHEN n_chars <= p50 THEN 1
+        |            WHEN n_chars <= p75 THEN 2
+        |            ELSE 3 END AS bucket
+        |FROM documents CROSS JOIN q""".stripMargin,
 
     // mirror of Curation.outlierFilter: rank-selection median and MAD per
     // source (rank ceil(n/2), ties by doc_id), integer gate |x-med| > k*mad

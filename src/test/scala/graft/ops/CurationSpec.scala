@@ -87,6 +87,23 @@ class CurationSpec extends SparkSpec {
     (4L, "all tokens unique in this doc")
   ).toDF("doc_id", "text")
 
+  test("globalQuantiles: value at rank ceil(p*n), ties collapse correctly") {
+    import spark.implicits._
+    // 10 values with heavy ties: sorted = [1,1,1,2,2,3,3,3,3,9]
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 3L, 3L, 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
+    val out = Curation.globalQuantiles(df, "v", Seq(0.25, 0.5, 0.75, 1.0))
+      .collect()(0)
+    // ranks: ceil(.25*10)=3 -> 1, ceil(.5*10)=5 -> 2, ceil(.75*10)=8 -> 3,
+    // ceil(1*10)=10 -> 9
+    assert(out.getLong(0) == 1L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 3L && out.getLong(3) == 9L)
+    // matches the rank-window formulation (single stratum) exactly
+    val viaRank = Curation.quantilesByStratum(df.withColumn("_s", lit(1)),
+      "_s", "v", "doc_id", Seq(0.25, 0.5, 0.75, 1.0)).collect()(0)
+    assert((0 to 3).forall(i => out.getLong(i) == viaRank.getLong(i + 2)))
+  }
+
   test("outlierFilter: median/MAD gate flags the far point, not the tail of a skew") {
     import spark.implicits._
     // stratum A: tight cluster around 100 with one far point; the mean
