@@ -196,6 +196,47 @@ object TextAnalysis {
     (out, () => { tf.unpersist(); vocab.unpersist(); () })
   }
 
+  /** Held-out unigram-LM scoring — the CCNet shape proper: the LM trains
+    * on the TRAIN split only and scores the HELD-OUT documents, so a
+    * document can never lower its own perplexity (the leakage the
+    * in-corpus [[unigramLmScore]] accepts for simplicity). Add-one
+    * smoothing over the train counts keeps OOV log-probs finite:
+    * p(w) = (c_w + 1) / (total + |V|). Same scale shape as the in-corpus
+    * variant — the term join stays keyed by word (left join so OOV terms
+    * survive), the 1-row totals frame broadcasts.
+    */
+  def unigramLmHeldout(docs: DataFrame, isHeldout: Column,
+                       text: Column = col("text")): DataFrame =
+    unigramLmHeldoutWithCleanup(docs, isHeldout, text)._1
+
+  def unigramLmHeldoutWithCleanup(docs: DataFrame, isHeldout: Column,
+                                  text: Column = col("text"))
+      : (DataFrame, () => Unit) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tf = docs
+      .select(col("doc_id"), isHeldout.as("_ho"), explode(tokens(text)).as("word"))
+      .groupBy("doc_id", "_ho", "word").agg(count(lit(1)).as("tf"))
+      .persist(mem)
+    val trainCounts = tf.filter(!col("_ho"))
+      .groupBy("word").agg(sum(col("tf")).as("c")).persist(mem)
+    val totals = trainCounts.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+    val terms = tf.filter(col("_ho"))
+      .join(trainCounts, Seq("word"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        struct(col("word"),
+          (col("tf") * log((coalesce(col("c"), lit(0L)) + 1) /
+            (col("total") + col("v")))).as("ll")).as("term"))
+    val out = terms.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("ll")) / col("n_tokens"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    (out, () => { tf.unpersist(); trainCounts.unpersist(); () })
+  }
+
   /** Canonical normalized form + content fingerprint (md5 of the normalized
     * text) — the exact-dedup key and audit fingerprint.
     */

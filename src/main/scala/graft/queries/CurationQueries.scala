@@ -118,6 +118,12 @@ object CurationQueries {
     "text_perplexity" -> ((s, dir) =>
       graft.ops.TextAnalysis.unigramLmScore(docs(s, dir))),
 
+    "text_perplexity_heldout" -> ((s, dir) =>
+      // CCNet shape proper: LM trained on the other 80%, every 5th doc
+      // scored held-out with add-one smoothing (OOV stays finite)
+      graft.ops.TextAnalysis.unigramLmHeldout(docs(s, dir),
+        col("doc_id") % 5 === 0)),
+
     "text_decontaminate" -> ((s, dir) =>
       Curation.decontaminate(docs(s, dir),
         pmod(col("doc_id"), lit(EvalMod)) === 0, DecontamN)),
@@ -265,6 +271,29 @@ object CurationQueries {
          |), terms AS (
          |  SELECT doc_id, word, tf, tf * ln(c / total) AS ll
          |  FROM tf JOIN vocab USING (word) CROSS JOIN n
+         |), folded AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         round(-list_reduce(list(ll ORDER BY word), (x, y) -> x + y)
+         |               / CAST(sum(tf) AS BIGINT), 6) AS avg_nll
+         |  FROM terms GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl
+         |FROM folded""".stripMargin,
+
+    "text_perplexity_heldout" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, doc_id % 5 = 0 AS ho, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+         |  GROUP BY doc_id, 2, word
+         |), vocab AS (
+         |  SELECT word, CAST(sum(tf) AS BIGINT) AS c FROM tf WHERE NOT ho GROUP BY word
+         |), n AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM vocab
+         |), terms AS (
+         |  SELECT doc_id, word, tf,
+         |         tf * ln((coalesce(c, 0) + 1) / (total + v)) AS ll
+         |  FROM tf LEFT JOIN vocab USING (word) CROSS JOIN n
+         |  WHERE ho
          |), folded AS (
          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |         round(-list_reduce(list(ll ORDER BY word), (x, y) -> x + y)
