@@ -28,6 +28,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getDouble(3) > out(0L).getDouble(3))
   }
 
+  test("unigramLmHeldout: trains only on the train split, smooths OOV finitely") {
+    // doc 2 is held out; train corpus = "a a b" + "a b" -> c(a)=3, c(b)=2,
+    // total=5, |V|=2. Held-out doc "a z": p(a)=(3+1)/(5+2)=4/7,
+    // p(z OOV)=(0+1)/7=1/7 — finite, no -inf
+    val out = TextAnalysis.unigramLmHeldout(
+        docsOf("a a b", "a b", "a z"), isHeldout = col("doc_id") === 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L)) // only held-out docs are scored
+    val nll = -(math.log(4.0 / 7) + math.log(1.0 / 7)) / 2
+    assert(math.abs(out(2L).getDouble(2) - nll) < 1e-6)
+    // an all-OOV held-out doc scores strictly worse than an in-vocab one
+    val two = TextAnalysis.unigramLmHeldout(
+        docsOf("a a b", "a b", "a b", "z q"), isHeldout = col("doc_id") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(two(3L) > two(2L))
+  }
+
   test("token stats count whitespace tokens and BPE-ish pieces") {
     val out = TextAnalysis.tokenStats(docsOf("Hello world, 42 cats!"))
       .select("n_tokens", "n_bpe", "n_chars_calc").head()
