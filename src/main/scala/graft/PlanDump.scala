@@ -75,7 +75,11 @@ object PlanDump {
     "rel_pivot" ->
       "Pivot: ONE partial+final HashAggregate with per-value filters — no distinct-values pre-job, no per-value scans.",
     "rel_sql_correlated" ->
-      "Correlated scalar subquery DECORRELATED by Catalyst: one aggregate per brand + one join — no per-row subplan.")
+      "Correlated scalar subquery DECORRELATED by Catalyst: one aggregate per brand + one join — no per-row subplan.",
+    "pipeline_curriculum" ->
+      "Curriculum bucketing: quantile thresholds from the value-histogram (windows over distinct-value counts only) BROADCAST back — the corpus never enters a rank window.",
+    "text_perplexity_heldout" ->
+      "Held-out LM: train-split counts join the held-out terms BY WORD (left join keeps OOV); the 1-row totals broadcast.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
