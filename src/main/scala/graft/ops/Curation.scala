@@ -198,6 +198,20 @@ object Curation {
     ranked.groupBy(stratum).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** URL canonicalization for dedup: lowercase host + path with
+    * query/fragment and trailing slashes stripped — the normalization that
+    * collapses `https://Example.com/p/1?utm=x#top` and
+    * `https://example.com/p/1/` to one crawl identity. Pure per-row
+    * expression (`try_parse_url` is a codegen'd built-in; malformed URLs
+    * yield NULL and stay out of dedup groups).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val host = lower(try_parse_url(url, lit("HOST")))
+    val path = regexp_replace(coalesce(try_parse_url(url, lit("PATH")), lit("")),
+      "/+$", "")
+    when(host.isNotNull && host =!= "", concat(host, path))
+  }
+
   /** Exact GLOBAL quantiles of a discrete column at corpus scale: one
     * map-side-combined count shuffle keyed by the VALUE, a cumulative sum
     * over the O(#distinct values) count rows, and threshold p = the

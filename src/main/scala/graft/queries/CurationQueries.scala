@@ -115,6 +115,22 @@ object CurationQueries {
         .select("doc_id", "domain", "rank")
     }),
 
+    "pipeline_url_dedup" -> ((s, dir) => {
+      // canonical-URL dedup: synthesized URLs collide on (source, id%100)
+      // once the mixed-case host is lowercased and query/fragment junk is
+      // stripped; canonical id = min doc_id per canonical URL (same
+      // min-over-window shape as exact text dedup)
+      import org.apache.spark.sql.expressions.Window
+      val url = concat(lit("https://"), col("source"), lit(".Example.com/p/"),
+        (col("doc_id") % 100).cast("string"),
+        lit("?utm="), col("doc_id").cast("string"), lit("#frag"))
+      val w = Window.partitionBy(col("canonical"))
+      docs(s, dir).select(col("doc_id"), Curation.canonicalUrl(url).as("canonical"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+        .select("doc_id", "canonical", "canonical_id", "is_dup")
+    }),
+
     "text_perplexity" -> ((s, dir) =>
       graft.ops.TextAnalysis.unigramLmScore(docs(s, dir))),
 
@@ -279,6 +295,26 @@ object CurationQueries {
          |)
          |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl
          |FROM folded""".stripMargin,
+
+    // mirror of Curation.canonicalUrl over the synthesized colliding URLs:
+    // lowercase host + path, query/fragment/trailing slashes stripped
+    "pipeline_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || source || '.Example.com/p/' || (doc_id % 100)::VARCHAR
+        |           || '?utm=' || doc_id::VARCHAR || '#frag' AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |           || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS canonical
+        |  FROM u
+        |)
+        |SELECT doc_id, canonical,
+        |       min(doc_id) OVER (PARTITION BY canonical) AS canonical_id,
+        |       CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY canonical)
+        |            THEN 1 ELSE 0 END AS is_dup
+        |FROM c""".stripMargin,
 
     "text_perplexity_heldout" ->
       s"""$toksCte, tf AS (
