@@ -201,9 +201,12 @@ object Curation {
   /** URL canonicalization for dedup: lowercase host + path with
     * query/fragment and trailing slashes stripped — the normalization that
     * collapses `https://Example.com/p/1?utm=x#top` and
-    * `https://example.com/p/1/` to one crawl identity. Pure per-row
-    * expression (`try_parse_url` is a codegen'd built-in; malformed URLs
-    * yield NULL and stay out of dedup groups).
+    * `https://example.com/p/1/` to one crawl identity. The scheme is
+    * deliberately dropped (http:// and https:// variants of one page are
+    * one crawl identity), and `parse_url`'s HOST semantics strip userinfo
+    * and port (`user@host:8080` -> `host`) — mirrored verbatim in the
+    * oracle regex. Pure per-row expression (`try_parse_url` is a codegen'd
+    * built-in; malformed URLs yield NULL and stay out of dedup groups).
     */
   def canonicalUrl(url: Column): Column = {
     val host = lower(try_parse_url(url, lit("HOST")))

@@ -218,10 +218,10 @@ object CdcQueries {
       // doubles survive because Spark writes shortest-round-trip decimal
       // strings.
       val part = s.read.parquet(s"$dir/part.parquet")
-      // fixed per-query dir (see source_partition_prune): every leg uses
+      // per-JVM scratch dir (see QueryUtil.scratchDir): every leg uses
       // mode("overwrite"), so reruns rewrite in place instead of leaking
       // three table copies per invocation
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt_rt").toString
+      val tmp = QueryUtil.scratchDir("fmt_rt")
       part.write.mode("overwrite").json(s"$tmp/j")
       val fromJson = s.read.schema(part.schema).json(s"$tmp/j")
       fromJson.write.mode("overwrite").orc(s"$tmp/o")
@@ -258,10 +258,10 @@ object CdcQueries {
       // (PLANS.md) — on a 100 TB table the scan touches only the requested
       // partition's files, never the other partitions' footers.
       val ev = events(s, dir)
-      // fixed per-query dir, overwritten each run: a fresh createTempDirectory
-      // would leak one full partitioned copy per invocation (smoke + verify +
-      // bench best-of-3 re-runs)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_part_rt").toString
+      // per-JVM scratch dir, overwritten within a run: a fresh dir per
+      // invocation would leak one full partitioned copy each time (smoke +
+      // verify + bench best-of-3 re-runs)
+      val tmp = QueryUtil.scratchDir("part_rt")
       ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       s.read.parquet(tmp).filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),
@@ -276,11 +276,17 @@ object CdcQueries {
       // estimates are engine-specific) -> driver records a rows-only check;
       // error bounds vs exact answers are pinned by SketchSpec.
       val ev = events(s, dir)
+      // quantiles flattened to scalar columns: the driver's rows-only
+      // compare hashes cell values and cannot hash an array cell (same
+      // constraint emb_normalize_quantize documents)
       ev.groupBy("event_type").agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         count(lit(1)).as("n_events"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("value_quantiles"))
+          .as("q"))
+        .select(col("event_type"), col("approx_users"), col("n_events"),
+          element_at(col("q"), 1).as("p50_value"),
+          element_at(col("q"), 2).as("p95_value"))
     }),
 
     "events_funnel" -> ((s, dir) =>

@@ -297,7 +297,9 @@ object CurationQueries {
          |FROM folded""".stripMargin,
 
     // mirror of Curation.canonicalUrl over the synthesized colliding URLs:
-    // lowercase host + path, query/fragment/trailing slashes stripped
+    // lowercase host + path, query/fragment/trailing slashes stripped;
+    // host regex mirrors parse_url HOST semantics — optional userinfo
+    // (up to '@') dropped, host stops at ':' so the port is dropped too
     "pipeline_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -306,7 +308,7 @@ object CurationQueries {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id,
-        |         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |         lower(regexp_extract(url, '^[a-zA-Z]+://(?:[^/?#]*@)?([^/?#:]+)', 1))
         |           || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS canonical
         |  FROM u
         |)

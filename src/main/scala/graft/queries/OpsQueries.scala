@@ -537,7 +537,7 @@ object OpsQueries {
          |  GROUP BY $prevC.centroid_id
          |)""".stripMargin
     s""", ${p}c0 AS (
-       |  SELECT vec_id AS centroid_id, $vExpr AS cv FROM e WHERE vec_id < $k
+       |  SELECT vec_id AS centroid_id, $vExpr AS cv FROM e ORDER BY vec_id LIMIT $k
        |)""".stripMargin +
       (1 to iters).map(i => step(i, s"${p}c${i - 1}")).mkString
   }
@@ -951,7 +951,8 @@ object OpsQueries {
          |              AS BIGINT) AS bin_id
          |  FROM t
          |)
-         |SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+         |SELECT shard, bin_id, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
          |       string_agg(text, '<eos>' ORDER BY doc_id) AS packed_text
          |FROM p GROUP BY 1, 2""".stripMargin,
 

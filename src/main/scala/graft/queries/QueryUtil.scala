@@ -13,4 +13,28 @@ object QueryUtil {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Per-JVM scratch directory for round-trip queries. Stable within one
+    * JVM (smoke + verify + bench best-of-3 re-runs all overwrite in place,
+    * never leaking a copy per invocation) but unique per process and owner,
+    * so two concurrent suite runs can't race on one path and another local
+    * user can't pre-create it. Removed recursively at JVM exit.
+    */
+  def scratchDir(tag: String): String = {
+    val root = scratchRoot
+    new java.io.File(root, tag).toString
+  }
+
+  private lazy val scratchRoot: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(
+      s"graft_scratch_${sys.props.getOrElse("user.name", "u")}_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d
+  }
 }
