@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a grouped aggregate under a CDC changelog —
+  * the materialized-view half of the merge: instead of re-aggregating the
+  * whole table after every batch (O(table) per trigger), fold the batch's
+  * net effect into the existing aggregate in O(delta).
+  *
+  * The reference recomputes downstream aggregates by re-reading the merged
+  * snapshot (ref: test/validate_cdc_data.py:92-118 re-selects the full
+  * table per validation pass); at 100 TB a per-trigger re-aggregation is
+  * the dominant cost of keeping any rollup fresh. Classic incremental view
+  * maintenance: COUNT and SUM are self-maintainable under inserts, updates
+  * and deletes (AVG derives as sum/cnt); MIN/MAX are NOT (a deleted minimum
+  * needs a rescan to find its successor), so this operator deliberately
+  * maintains the self-maintainable set only.
+  *
+  * Old-value lookup comes from the snapshot, NOT from changelog
+  * before-images: real streams often lack trustworthy before-images (Mongo
+  * update events, Postgres `REPLICA IDENTITY DEFAULT`), and an
+  * event-by-event before/after fold double-counts whenever one batch holds
+  * several events per key. One broadcast semi-join pass streams the
+  * snapshot against the batch's keys — the snapshot is never shuffled —
+  * and everything downstream is batch-sized.
+  */
+object IncrementalAgg {
+  /** Grouped COUNT/SUM state of `snapshot` — the "materialized view" being
+    * maintained. Sums accumulate as DECIMAL(27,6) so maintained state and a
+    * from-scratch recompute are bit-identical (float sums would drift by
+    * summation order).
+    */
+  def aggState(snapshot: DataFrame, groupField: String, valueField: String): DataFrame =
+    snapshot.groupBy(col(groupField))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueField).cast("decimal(27,6)")).as("sum_val"))
+
+  /** Fold one batch of net per-key changes (output of
+    * [[Changelog.dedupLatest]], post any ts-guard the merge applies) into
+    * `state`. Result has the same shape as [[aggState]] over the MERGED
+    * snapshot — the equivalence the `cdc_incremental_agg` oracle proves by
+    * recomputing from scratch.
+    *
+    * Cost model: one streaming snapshot pass (broadcast semi-join on the
+    * batch's keys — at most batch-sized output), one batch-sized group
+    * shuffle for the delta, one O(#groups) outer join into the state.
+    * Nothing O(table) shuffles, so the maintenance cost tracks the batch,
+    * not the table.
+    */
+  def maintain(state: DataFrame, snapshot: DataFrame, net: DataFrame,
+               keyField: String, groupField: String, valueField: String): DataFrame = {
+    val touchedKeys = net.select(col(Changelog.KeyCol))
+    // contributions leaving the aggregate: current snapshot rows of every
+    // touched key (keys absent from the snapshot — fresh inserts —
+    // contribute nothing, exactly as the merge's anti-join treats them)
+    val removed = snapshot
+      .join(broadcast(touchedKeys), snapshot(keyField) === col(Changelog.KeyCol), "left_semi")
+      .select(col(groupField).as("_g"), col(valueField).as("_v"), lit(-1L).as("_w"))
+    // contributions entering: after-images of the surviving non-deletes
+    val added = net.filter(col(Changelog.OpCol) =!= "d")
+      .select(col(s"after_$groupField").as("_g"), col(s"after_$valueField").as("_v"),
+        lit(1L).as("_w"))
+    val delta = removed.unionByName(added)
+      .groupBy(col("_g"))
+      .agg(sum(col("_w")).as("_dcnt"),
+        sum(col("_w") * col("_v").cast("decimal(27,6)")).as("_dsum"))
+    state.join(delta, state(groupField) === col("_g"), "full_outer")
+      .select(
+        coalesce(state(groupField), col("_g")).as(groupField),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_val"), lit(0).cast("decimal(27,6)")) +
+          coalesce(col("_dsum"), lit(0).cast("decimal(27,6)")))
+          .cast("decimal(27,6)").as("sum_val"))
+      .filter(col("cnt") > 0)
+  }
+}

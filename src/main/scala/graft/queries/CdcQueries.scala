@@ -46,6 +46,20 @@ object CdcQueries {
       Merge.applyChanges(snapshot, net, "c_custkey", names)
     }),
 
+    "cdc_incremental_agg" -> ((s, dir) => {
+      // incremental view maintenance: fold the batch's net changes into a
+      // pre-existing grouped COUNT/SUM state in O(delta) — the oracle
+      // recomputes the aggregate from scratch over the merged snapshot, so
+      // the gate proves maintained state == full recompute
+      val snapshot = s.read.parquet(s"$dir/customer.parquet")
+      val net = Changelog.dedupLatest(flattened(s, dir))
+      IncrementalAgg.maintain(
+        IncrementalAgg.aggState(snapshot, "c_mktsegment", "c_acctbal"),
+        snapshot, net, "c_custkey", "c_mktsegment", "c_acctbal")
+        .select(col("c_mktsegment"), col("cnt").as("n_customers"),
+          round(col("sum_val").cast("double"), 2).as("acctbal_sum"))
+    }),
+
     "cdc_sql_history" -> ((s, dir) =>
       SqlHistory.fromFlattened(flattened(s, dir), "customer", fields, "c_custkey")
         .select("key_value", "timestamp", "sql_text")),
@@ -398,6 +412,20 @@ object CdcQueries {
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,
          |       after_c_acctbal, after_c_mktsegment, "timestamp"
          |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // from-scratch recompute over the merged state: the equivalence that
+    // makes the O(delta) maintained aggregate trustworthy
+    "cdc_incremental_agg" ->
+      s"""$fl$latestCte, merged AS (
+         |  SELECT c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_custkey NOT IN (SELECT key_value FROM latest)
+         |  UNION ALL
+         |  SELECT after_c_mktsegment, after_c_acctbal FROM latest
+         |  WHERE operation <> 'd'
+         |)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+         |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE), 2) AS acctbal_sum
+         |FROM merged GROUP BY 1""".stripMargin,
 
     "cdc_sql_history" ->
       s"""$fl SELECT key_value, "timestamp",
