@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BsonNormalize, CosineSimilarity}
+import graft.functions.{BsonNormalize, CosineSimilarity, MisraGries}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bson_normalize"),
       new ExpressionInfo(classOf[BsonNormalize].getName, "bson_normalize"),
       children => BsonNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      children => MisraGries(children(0), children(1)).toAggregateExpression()))
   }
 }

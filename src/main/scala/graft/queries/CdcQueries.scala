@@ -303,6 +303,21 @@ object CdcQueries {
           element_at(col("q"), 2).as("p95_value"))
     }),
 
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries frequent items (native TypedImperativeAggregate,
+      // bounded O(k) state per partial buffer) evaluated against exact
+      // counts on a deterministically skewed item column: three hot items
+      // at ~n/6 each over a ~10k-key cold tail. The oracle pins the
+      // sketch's THEOREMS (every item above n/k present; undercount at
+      // most n/k) — deterministic under any merge order, unlike the
+      // estimates themselves.
+      val ev = events(s, dir)
+      val item = when(col("event_id") % 2 === 0,
+        concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), (col("event_id") % 9973).cast("string")))
+      graft.ops.HeavyHitters.evalGuarantees(ev, item, k = 16)
+    }),
+
     "events_funnel" -> ((s, dir) =>
       // ordered-step funnel (view -> click -> purchase): see
       // [[graft.ops.Analytics.funnel]] — one user-keyed agg+join per stage
@@ -594,6 +609,22 @@ object CdcQueries {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    // exact recompute of the heavy-hitter set; in_sketch/est_within_bound
+    // are the Misra-Gries theorems, so the oracle asserts them as literals
+    // — any sketch bug shows up as a false on the Spark side
+    "sketch_heavy_hitters" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |              THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+        |              ELSE 'cold_' || CAST(event_id % 9973 AS VARCHAR) END AS item
+        |  FROM events
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        |exact AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS true_cnt FROM it GROUP BY 1
+        |)
+        |SELECT item, true_cnt, true AS in_sketch, true AS est_within_bound
+        |FROM exact CROSS JOIN n WHERE true_cnt * 16 > n""".stripMargin,
 
     "events_interval_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
