@@ -85,6 +85,46 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     true
   }
 
+  /** Compact the current version's small files into ~`targetBytes` files,
+    * committed as a new version with IDENTICAL content and the SAME
+    * (batchId, streamId) — compaction is table maintenance, not a data
+    * change, so batch-replay idempotence is untouched.
+    *
+    * Why it exists: a per-trigger stream commit writes batch-sized files;
+    * after thousands of triggers a 100 TB table scan pays one task + one
+    * footer read per tiny file. Rewriting through `coalesce` (not
+    * `repartition`) merges files WITHOUT a shuffle — each output task
+    * streams a handful of input files — so compaction cost is one linear
+    * read+write of the live data.
+    *
+    * Returns the new version, or None if the table is missing or already
+    * at or below the target file count (no pointless rewrite).
+    */
+  def compact(targetBytes: Long = 128L * 1024 * 1024): Option[Long] =
+    currentFull.flatMap { case (v, batchId, streamId) =>
+      val dir = Paths.get(s"$root/v_$v")
+      val parts = {
+        val s = Files.list(dir)
+        try s.filter(p => p.getFileName.toString.endsWith(".parquet")).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+        finally s.close()
+      }
+      val bytes = parts.map(Files.size).sum
+      val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (target >= parts.size) None
+      else {
+        val next = v + 1
+        spark.read.parquet(dir.toString).coalesce(target)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
+        val tmp = Paths.get(root, "_CURRENT.tmp")
+        Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        reapBefore(next - 1)
+        Some(next)
+      }
+    }
+
   private def reapBefore(keepFrom: Long): Unit = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return

@@ -303,6 +303,19 @@ object CdcQueries {
           element_at(col("q"), 2).as("p95_value"))
     }),
 
+    "cdc_compact_roundtrip" -> ((s, dir) => {
+      // small-file compaction under the gate: commit the table fragmented
+      // into per-trigger-sized files, compact into target-size files (a
+      // new version, same batch id), read back — must be lossless. The
+      // file-count and idempotence assertions live in SnapshotStoreSpec;
+      // the oracle proves the rewrite changed nothing.
+      val st = new SnapshotStore(QueryUtil.scratchDir("compact_rt"), s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) st.commit(cust.repartition(32), batchId = 0)
+      st.compact()
+      st.read().get.select(cust.columns.map(col).toSeq: _*)
+    }),
+
     "sketch_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries frequent items (native TypedImperativeAggregate,
       // bounded O(k) state per partial buffer) evaluated against exact
@@ -609,6 +622,10 @@ object CdcQueries {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the compacted table must be byte-equivalent to the source table
+    "cdc_compact_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 
     // exact recompute of the heavy-hitter set; in_sketch/est_within_bound
     // are the Misra-Gries theorems, so the oracle asserts them as literals

@@ -36,4 +36,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(st.root, "v_2")))
     assert(Files.exists(java.nio.file.Paths.get(st.root, "v_1")))
   }
+
+  private def parquetFiles(st: SnapshotStore, v: Long): Long = {
+    val s = Files.list(java.nio.file.Paths.get(st.root, s"v_$v"))
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  test("compact merges small files, preserves content and batch idempotence") {
+    val st = store()
+    val df = (0L until 200L).map(i => (i, s"r$i")).toDF("id", "v")
+    st.commit(df.repartition(8), batchId = 5)
+    assert(parquetFiles(st, 0) == 8)
+    val newV = st.compact() // 200 tiny rows -> far below target -> 1 file
+    assert(newV.contains(1L))
+    assert(parquetFiles(st, 1) == 1)
+    // identical content, same manifest batchId: replay stays a no-op
+    assert(st.read().get.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(st.current.contains((1L, 5L)))
+    assert(!st.commit(df, batchId = 5))
+    // already compact -> no pointless rewrite
+    assert(st.compact().isEmpty)
+  }
 }
