@@ -66,6 +66,10 @@ object OpsQueries {
   val PqM = 4
   val PqSub: Int = EmbDim / PqM
   val PqK = 8
+  // PageRank: three affine link generators (p, c) and the fixed iteration
+  // count — mirrored constant-for-constant by the generated oracle CTEs.
+  val PrLinks: Seq[(Long, Long)] = Seq((7L, 1L), (13L, 5L), (31L, 11L))
+  val PrIters = 10
 
   /** The RHP hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes),
     * in id order — ONE definition for every RHP consumer (top-k, near-dup,
@@ -258,6 +262,24 @@ object OpsQueries {
 
     "pipeline_split" -> ((s, dir) =>
       Pipeline.hashSplit(docs(s, dir), "doc_id").select("doc_id", "split")),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // fixed-iteration integer PageRank over a deterministic link graph:
+      // each doc links to (doc_id * p + c) % (max_id + 1) for three (p, c)
+      // pairs, semi-joined back to EXISTING ids (no density assumption on
+      // doc_id — edges to holes just drop, identically in the oracle's
+      // inner join). All-integer ranks make the iteration bit-exact across
+      // engines and partitionings; see [[graft.ops.Graph.pageRank]].
+      val d = docs(s, dir).select(col("doc_id"))
+      val maxPlus1 = d.agg(max("doc_id")).head().getLong(0) + 1 // O(1) driver scalar
+      val raw = PrLinks.map { case (p, c) =>
+        d.select(col("doc_id").as("src"),
+          ((col("doc_id") * p + c) % maxPlus1).as("dst"))
+      }.reduce(_ unionAll _)
+      val edges = raw.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.pageRank(edges, PrIters)
+        .select(col("id").as("node_id"), col("pr").as("pr_scaled"))
+    }),
 
     "pipeline_leakage_split" -> ((s, dir) => {
       // near-dups must share a split: route the hash through the dedup
@@ -487,6 +509,43 @@ object OpsQueries {
        |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
        |)""".stripMargin
+
+  /** Generated PageRank iteration CTEs — the same link generators, integer
+    * rank scale, floor divisions and damping formula as
+    * [[graft.ops.Graph.pageRank]], constant for constant. Ranks stay
+    * BIGINT through every CTE (DuckDB sums to HUGEINT; the cast brings
+    * each iteration back to the engine's type).
+    */
+  private lazy val prOracle: String = {
+    val links = PrLinks.map { case (p, c) =>
+      s"SELECT doc_id AS src, (doc_id * $p + $c) % m.m AS dst FROM d CROSS JOIN m"
+    }.mkString("\n    UNION ALL\n    ")
+    def step(i: Int) =
+      s""", pr$i AS (
+         |  SELECT nodes.id,
+         |         CAST(base.b + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN base LEFT JOIN (
+         |    SELECT dst, sum(pr // deg) AS s
+         |    FROM e JOIN pr${i - 1} ON e.src = pr${i - 1}.id JOIN deg USING (src)
+         |    GROUP BY dst
+         |  ) c ON nodes.id = c.dst
+         |)""".stripMargin
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |m AS (SELECT max(doc_id) + 1 AS m FROM d),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    $links
+       |  ) r WHERE dst IN (SELECT doc_id FROM d)
+       |),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |base AS (SELECT CAST((1000000000000 * 15) // (100 * n) AS BIGINT) AS b FROM cnt),
+       |pr0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN cnt)""".stripMargin +
+      (1 to PrIters).map(step).mkString +
+      s"\nSELECT id AS node_id, pr AS pr_scaled FROM pr$PrIters"
+  }
 
   /** Shared IVF structure (centroids, assignment, query probes) — used by
     * both the top-k oracle and the recall oracle so the index definition
@@ -926,6 +985,8 @@ object OpsQueries {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "graph_pagerank" -> prOracle,
 
     "pipeline_pack" ->
       s"""WITH t AS (
