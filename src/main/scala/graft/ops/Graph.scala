@@ -32,6 +32,58 @@ object Graph {
     */
   val Scale = 1000000000000L // 1e12: rank units of 1e-12
 
+  /** Exact triangle census (plus node/edge/wedge counts) of the
+    * UNDIRECTED graph underlying `edges` — self-loops dropped, parallel
+    * and reversed duplicates collapsed.
+    *
+    * Counting uses degree-ordered orientation (the "forward" algorithm,
+    * Schank & Wagner 2005): each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher, wedges fan out only at a
+    * triangle's LOWEST-rank vertex, and the closing edge is looked up in
+    * the same oriented set. A naive wedge join fans out O(deg^2) pairs at
+    * every hub — a single celebrity node in a social graph generates
+    * billions of wedges; orientation bounds the fan-out by each vertex's
+    * count of HIGHER-rank neighbors (O(sqrt(edges)) on any graph), which
+    * is the difference between a triangle count that finishes at 100 TB
+    * and one that doesn't. Joins are equi-joins on vertex ids (hash
+    * partitioned); the rank tiebreak rides as a post-join filter.
+    *
+    * Returns one row: (n_nodes, n_edges, n_wedges, n_triangles) — all
+    * exact integers, so the result is engine- and partitioning-invariant.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // reused by degrees, orientation, and counts
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lowFirst = // orientation rank: (degree, id) lexicographic
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("t"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("tdeg"))
+      .localCheckpoint(true) // two wedge sides + closing side share one build
+    val wedgeOrder = // consistent (rank) order over a wedge's two far ends
+      col("e1.tdeg") < col("e2.tdeg") ||
+        (col("e1.tdeg") === col("e2.tdeg") && col("e1.t") < col("e2.t"))
+    val tris = o.as("e1")
+      .join(o.as("e2"), col("e1.s") === col("e2.s") && wedgeOrder)
+      .join(o.select(col("s").as("cs"), col("t").as("ct")),
+        col("cs") === col("e1.t") && col("ct") === col("e2.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    sizes.crossJoin(nEdges).crossJoin(tris)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, nPartitions: Int = 0): DataFrame = {
     val parts = if (nPartitions > 0) nPartitions
       else edges.sparkSession.sparkContext.defaultParallelism

@@ -70,6 +70,9 @@ object OpsQueries {
   // count — mirrored constant-for-constant by the generated oracle CTEs.
   val PrLinks: Seq[(Long, Long)] = Seq((7L, 1L), (13L, 5L), (31L, 11L))
   val PrIters = 10
+  // Triangle census: ring + chord generators guarantee ~n triangles; the
+  // scrambler adds irregular degree structure.
+  val TriLinks: Seq[(Long, Long)] = Seq((1L, 1L), (1L, 2L), (7L, 3L))
 
   /** The RHP hyperplanes: corpus vectors [PlaneBase, PlaneBase+NPlanes),
     * in id order — ONE definition for every RHP consumer (top-k, near-dup,
@@ -270,16 +273,16 @@ object OpsQueries {
       // doc_id — edges to holes just drop, identically in the oracle's
       // inner join). All-integer ranks make the iteration bit-exact across
       // engines and partitionings; see [[graft.ops.Graph.pageRank]].
-      val d = docs(s, dir).select(col("doc_id"))
-      val maxPlus1 = d.agg(max("doc_id")).head().getLong(0) + 1 // O(1) driver scalar
-      val raw = PrLinks.map { case (p, c) =>
-        d.select(col("doc_id").as("src"),
-          ((col("doc_id") * p + c) % maxPlus1).as("dst"))
-      }.reduce(_ unionAll _)
-      val edges = raw.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
-      graft.ops.Graph.pageRank(edges, PrIters)
+      graft.ops.Graph.pageRank(linkGraph(s, dir, PrLinks), PrIters)
         .select(col("id").as("node_id"), col("pr").as("pr_scaled"))
     }),
+
+    "graph_triangles" -> ((s, dir) =>
+      // exact triangle census via degree-ordered orientation (wedges fan
+      // out only at a triangle's lowest-rank vertex — hub-safe at scale);
+      // the oracle counts the same undirected graph canonically, pinning
+      // that orientation changes the COST, never the count
+      graft.ops.Graph.triangleStats(linkGraph(s, dir, TriLinks))),
 
     "pipeline_leakage_split" -> ((s, dir) => {
       // near-dups must share a split: route the hash through the dedup
@@ -510,6 +513,36 @@ object OpsQueries {
        |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
        |)""".stripMargin
 
+  /** Deterministic link graph over EXISTING doc ids: src doc_id ->
+    * (doc_id * p + c) % (max_id + 1) for each (p, c), semi-joined back to
+    * real ids. Shared by the graph queries; `linkCtes` is its oracle
+    * mirror.
+    */
+  private def linkGraph(s: SparkSession, dir: String,
+                        links: Seq[(Long, Long)]): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val maxPlus1 = d.agg(max("doc_id")).head().getLong(0) + 1 // O(1) driver scalar
+    val raw = links.map { case (p, c) =>
+      d.select(col("doc_id").as("src"),
+        ((col("doc_id") * p + c) % maxPlus1).as("dst"))
+    }.reduce(_ unionAll _)
+    raw.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  private def linkCtes(links: Seq[(Long, Long)]): String = {
+    val sels = links.map { case (p, c) =>
+      s"SELECT doc_id AS src, (doc_id * $p + $c) % m.m AS dst FROM d CROSS JOIN m"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |m AS (SELECT max(doc_id) + 1 AS m FROM d),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    $sels
+       |  ) r WHERE dst IN (SELECT doc_id FROM d)
+       |)""".stripMargin
+  }
+
   /** Generated PageRank iteration CTEs — the same link generators, integer
     * rank scale, floor divisions and damping formula as
     * [[graft.ops.Graph.pageRank]], constant for constant. Ranks stay
@@ -517,9 +550,6 @@ object OpsQueries {
     * each iteration back to the engine's type).
     */
   private lazy val prOracle: String = {
-    val links = PrLinks.map { case (p, c) =>
-      s"SELECT doc_id AS src, (doc_id * $p + $c) % m.m AS dst FROM d CROSS JOIN m"
-    }.mkString("\n    UNION ALL\n    ")
     def step(i: Int) =
       s""", pr$i AS (
          |  SELECT nodes.id,
@@ -530,13 +560,8 @@ object OpsQueries {
          |    GROUP BY dst
          |  ) c ON nodes.id = c.dst
          |)""".stripMargin
-    s"""WITH d AS (SELECT doc_id FROM documents),
-       |m AS (SELECT max(doc_id) + 1 AS m FROM d),
-       |e AS (
-       |  SELECT src, dst FROM (
-       |    $links
-       |  ) r WHERE dst IN (SELECT doc_id FROM d)
-       |),
+    linkCtes(PrLinks) +
+    s""",
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |cnt AS (SELECT count(*) AS n FROM nodes),
@@ -987,6 +1012,32 @@ object OpsQueries {
         |FROM documents""".stripMargin,
 
     "graph_pagerank" -> prOracle,
+
+    // canonical-order triangle count over the same undirected graph: the
+    // count is independent of the engine's orientation strategy, so a
+    // plain (a < b) wedge join is a complete oracle for it
+    "graph_triangles" ->
+      (linkCtes(TriLinks) +
+        """,
+          |und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM e WHERE src <> dst
+          |),
+          |deg AS (
+          |  SELECT v, count(*) AS deg
+          |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY 1
+          |),
+          |tri AS (
+          |  SELECT count(*) AS n FROM und e1
+          |  JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+          |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+          |)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+          |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+          |       CAST(n AS BIGINT) AS n_triangles
+          |FROM tri""".stripMargin),
 
     "pipeline_pack" ->
       s"""WITH t AS (

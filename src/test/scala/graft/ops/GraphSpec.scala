@@ -34,6 +34,26 @@ class GraphSpec extends SparkSpec {
     assert(total <= Graph.Scale && total > Graph.Scale - 50L * 5 * 200)
   }
 
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val r = Graph.triangleStats(edges.toDF("src", "dst")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("triangle census on known graphs") {
+    // one triangle, reversed/parallel edges and a self-loop collapse away
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L))) ==
+      (3L, 3L, 3L, 1L))
+    // square without diagonal: 4 wedges, no triangle; with one diagonal: 2
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(tri(sq) == (4L, 4L, 4L, 0L))
+    assert(tri(sq :+ (1L, 3L)) == (4L, 5L, 8L, 2L))
+    // K4: every one of the C(4,3) vertex trios closes
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4)._4 == 4L)
+    // star: all wedges, nothing closes (hub fan-out must not blow up)
+    assert(tri(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))) == (5L, 4L, 6L, 0L))
+  }
+
   test("result is identical under different partitionings") {
     val rnd = new scala.util.Random(11)
     val edges = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
