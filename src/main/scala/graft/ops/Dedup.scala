@@ -348,6 +348,66 @@ object Dedup {
     * `maxDf` drops shingles occurring in more than that many documents from
     * pair *generation* (hot-key guard); at the default the measure is exact.
     */
+  /** Exact Jaccard self-join with PREFIX FILTERING (the PPJoin candidate
+    * rule, Xiao et al. 2008) at threshold tNum/tDen: each document joins
+    * only on its `n - ceil(t*n) + 1` globally-RAREST shingles (order =
+    * (document frequency, shingle)), because any pair with Jaccard >= t
+    * must share at least one shingle inside both prefixes. Candidates are
+    * then verified on the FULL shingle sets, so the output is identical to
+    * [[ngramJaccard]] — which is exactly what the `dedup_prefix_jaccard`
+    * oracle pins by recomputing with the brute inverted-index join.
+    *
+    * Why it scales where the full join hurts: the inverted-index join
+    * generates a pair per SHARED SHINGLE — a stopword 3-gram appearing in
+    * 1% of a corpus alone contributes (N/100)^2 join rows. Prefix tokens
+    * are each document's rarest shingles, so hot shingles land in almost
+    * no prefixes and the candidate volume tracks the true near-dup count,
+    * not the token-frequency skew. The threshold arrives as a RATIONAL
+    * (tNum/tDen): prefix lengths use exact integer ceil — a float ceil
+    * sitting on a representation error (0.4 * 5 = 2.0000000000000004)
+    * would shorten a prefix and silently drop true pairs.
+    */
+  def prefixJaccard(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    prefixJaccardWithCleanup(docs, tNum, tDen)._1
+
+  def prefixJaccardWithCleanup(docs: DataFrame, tNum: Int, tDen: Int)
+      : (DataFrame, () => Unit) = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist(mem)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+    // per-doc rank by global rarity — a doc-keyed window, never global
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df"), col("s"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("_rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      // integer ceil(t*n) = (tNum*n + tDen-1) DIV tDen
+      .filter(col("_rn") <=
+        col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("s"))
+      .persist(mem)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification over the full sets, candidates only
+    val shared = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= tNum.toDouble / tDen)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+    (out, () => { sh.unpersist(); prefix.unpersist(); () })
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Option[Int] = None): DataFrame =
     ngramJaccardWithCleanup(docs, threshold, maxDf)._1
 

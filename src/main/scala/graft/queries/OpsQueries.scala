@@ -122,6 +122,13 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
 
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      // PPJoin prefix filtering at the same 1/5 threshold: candidates only
+      // from each doc's rarest shingles, verified on full sets — the
+      // oracle is the BRUTE inverted-index join, so the gate proves the
+      // filter is lossless (same pairs, same stats, same scores)
+      Dedup.prefixJaccard(docs(s, dir), tNum = 1, tDen = 5)),
+
     "dedup_containment" -> ((s, dir) =>
       // doc-in-doc measure: |A∩B| / min(|A|,|B|) — catches full embeddings
       // that Jaccard's symmetric denominator dilutes away
@@ -512,6 +519,25 @@ object OpsQueries {
        |  SELECT vec_id, b AS band, substr(sg, b * 4 + 1, 4) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
        |)""".stripMargin
+
+  /** Brute inverted-index exact-Jaccard pairs — the oracle for BOTH the
+    * full join (`dedup_ngram_jaccard`) and the prefix-filtered join
+    * (`dedup_prefix_jaccard`), which must produce the identical result.
+    */
+  private lazy val ngramJaccardSql: String =
+    s"""$shinglesCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+       |       shared / (na.n + nb.n - shared) AS jaccard
+       |FROM pairs
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin
 
   /** Deterministic link graph over EXISTING doc ids: src doc_id ->
     * (doc_id * p + c) % (max_id + 1) for each (p, c), semi-joined back to
@@ -928,20 +954,12 @@ object OpsQueries {
          |       ELSE 'train' END AS split
          |FROM documents d LEFT JOIN clus c USING (doc_id)""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""$shinglesCte, sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
-         |       shared / (na.n + nb.n - shared) AS jaccard
-         |FROM pairs
-         |JOIN sizes na ON na.doc_id = doc_a
-         |JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+
+    // IDENTICAL oracle on purpose: the prefix-filtered join must reproduce
+    // the brute inverted-index join's exact result — completeness of the
+    // PPJoin candidate rule is the claim under test
+    "dedup_prefix_jaccard" -> ngramJaccardSql,
 
     "dedup_minhash_est" ->
       s"""$shinglesCte$verifiedCtes

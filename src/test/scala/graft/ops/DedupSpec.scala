@@ -25,6 +25,25 @@ class DedupSpec extends SparkSpec {
     assert(sh(1).getSeq[String](1).isEmpty)
   }
 
+  test("prefix-filtered Jaccard join equals the brute inverted-index join") {
+    // random word soup over a small vocab forces overlapping shingle sets,
+    // pairs straddling the threshold, and shared hot shingles — the cases
+    // where an undersized prefix would drop a true pair
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val brute = key(Dedup.ngramJaccard(docs, 0.2))
+    assert(brute.nonEmpty) // the fixture must actually exercise pairs
+    assert(key(Dedup.prefixJaccard(docs, 1, 5)) == brute)
+    // a second threshold where ceil(t*n) rounds on small n
+    assert(key(Dedup.prefixJaccard(docs, 2, 5)) == key(Dedup.ngramJaccard(docs, 0.4)))
+  }
+
   test("minhash LSH finds identical docs as candidates, not unrelated ones") {
     val out = Dedup.minHashCandidates(docsOf(
       "the quick brown fox jumps over the lazy dog",
