@@ -316,6 +316,14 @@ object CdcQueries {
       st.read().get.select(cust.columns.map(col).toSeq: _*)
     }),
 
+    "layout_zorder_zonemap" -> ((s, dir) =>
+      // Z-order layout demo under the gate: bin (user_id, value) to 8 bits
+      // each, interleave to a Morton value, cut into 64 file spans, and
+      // emit each file's min/max box in BOTH dimensions — the zone map a
+      // reader prunes with. See [[graft.ops.Layout.zoneMap]].
+      graft.ops.Layout.zoneMap(events(s, dir), "user_id", "value",
+        bits = 8, nFiles = 64)),
+
     "sketch_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries frequent items (native TypedImperativeAggregate,
       // bounded O(k) state per partial buffer) evaluated against exact
@@ -626,6 +634,30 @@ object CdcQueries {
     // the compacted table must be byte-equivalent to the source table
     "cdc_compact_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    // same fixed-width bins, bit interleave, and file spans as
+    // Layout.zoneMap — the per-file min/max boxes must agree exactly
+    "layout_zorder_zonemap" -> {
+      val terms = (0 until 8).map(j =>
+        s"(((ba >> $j) & 1) << ${2 * j}) + (((bb >> $j) & 1) << ${2 * j + 1})")
+        .mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         |         min(value) AS mnv, max(value) AS mxv
+         |  FROM events
+         |), b AS (
+         |  SELECT user_id, value,
+         |         ((user_id - mnu) * 256) // (mxu - mnu + 1) AS ba,
+         |         CASE WHEN mxv = mnv THEN 0
+         |              ELSE CAST(least(floor((value - mnv) / ((mxv - mnv) / 256.0)),
+         |                              255.0) AS BIGINT) END AS bb
+         |  FROM events CROSS JOIN s
+         |), z AS (SELECT user_id, value, $terms AS zv FROM b)
+         |SELECT zv // 1024 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM z GROUP BY 1""".stripMargin
+    },
 
     // exact recompute of the heavy-hitter set; in_sketch/est_within_bound
     // are the Misra-Gries theorems, so the oracle asserts them as literals
