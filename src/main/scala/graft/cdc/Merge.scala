@@ -50,6 +50,21 @@ object Merge {
                               fields: Seq[String], tsGuard: Boolean = true,
                               hintBroadcast: Boolean = true)
       : (DataFrame, () => Unit) = {
+    val (merged, _, cleanup) =
+      applyChangesFull(snapshot, net, keyField, fields, tsGuard, hintBroadcast)
+    (merged, cleanup)
+  }
+
+  /** As [[applyChangesWithCleanup]], but also returns the LIVE net — the
+    * events that survived the ts guard and therefore actually changed the
+    * snapshot. Downstream incremental consumers ([[IncrementalAgg]]'s
+    * maintained views) must fold exactly this set: folding the pre-guard
+    * net would apply stale events the merge rejected.
+    */
+  def applyChangesFull(snapshot: DataFrame, net: DataFrame, keyField: String,
+                       fields: Seq[String], tsGuard: Boolean = true,
+                       hintBroadcast: Boolean = true)
+      : (DataFrame, DataFrame, () => Unit) = {
     // A trigger's batch is normally tiny vs the snapshot -> broadcast hints.
     // For bulk backfills that outgrow broadcast limits, pass
     // hintBroadcast=false and let AQE pick the join strategy from runtime
@@ -86,7 +101,7 @@ object Merge {
 
     val kept = snap.join(side(touched), Seq(keyField), "left_anti")
     val result = kept.unionByName(upserts.select(kept.columns.map(col).toSeq: _*))
-    (result, () => { netP.unpersist(); curTsP.foreach(_.unpersist()) })
+    (result, live, () => { netP.unpersist(); curTsP.foreach(_.unpersist()) })
   }
 
   /** K5: idempotent insert-only merge (ref: archive/...stable_v3.py:343-346)

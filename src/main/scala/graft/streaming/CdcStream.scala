@@ -38,7 +38,17 @@ final class CdcStream(
       * :126-131) as a streaming side output.
       */
     sqlAuditDir: Option[String] = None,
-    auditTable: String = "target") {
+    auditTable: String = "target",
+    /** Continuously maintained COUNT/SUM view: (store, groupField,
+      * valueField). Each committed batch folds its LIVE net changes into
+      * the view in O(delta) ([[graft.cdc.IncrementalAgg]]); the view store
+      * commits under the same (batchId, streamId), so replays are no-ops.
+      * If a crash lands between the two commits, the next batch detects
+      * the view lagging and rebuilds it from the merged snapshot — the
+      * O(table) path runs only on that crash-window replay, never in
+      * steady state.
+      */
+    aggView: Option[(SnapshotStore, String, String)] = None) {
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -128,11 +138,32 @@ final class CdcStream(
         if (df.columns.contains(n)) df
         else df.withColumn(n, lit(null).cast(Envelope.sparkType(byName(n).dbzType)))
       }
-      val (merged, cleanup) =
-        Merge.applyChangesWithCleanup(snapshot, net, keyField, names, tsGuard)
+      val prevBatch = store.currentFull // pre-commit view-sync reference
+      val (merged, live, cleanup) =
+        Merge.applyChangesFull(snapshot, net, keyField, names, tsGuard)
       val committed =
-        try store.commit(merged, batchId, streamId)
-        finally cleanup() // release per-batch pinned intermediates
+        try {
+          val ok = store.commit(merged, batchId, streamId)
+          // fold the batch into the maintained view BEFORE releasing the
+          // pinned net (live derives from it); the pre-merge snapshot
+          // version is still on disk (commit retains the previous version)
+          if (ok) aggView.foreach { case (vs, groupField, valueField) =>
+            // in sync = the view has folded exactly the batches the main
+            // store had BEFORE this commit, in this lineage; anything else
+            // (first batch, crash window, foreign lineage) rebuilds from
+            // the pre-merge snapshot instead of trusting stale state
+            val inSync = vs.currentFull.exists(v =>
+              v._3 == streamId && prevBatch.exists(p => p._3 == streamId && p._2 == v._2))
+            val state =
+              if (inSync) vs.read().get
+              else IncrementalAgg.aggState(snapshot, groupField, valueField)
+            vs.commit(
+              IncrementalAgg.maintain(state, snapshot, live,
+                keyField, groupField, valueField),
+              batchId, streamId)
+          }
+          ok
+        } finally cleanup() // release per-batch pinned intermediates
       // audit AFTER a successful commit, overwriting the batch's dir: a
       // foreachBatch replay neither duplicates statements (overwrite) nor
       // records statements for a batch that never applied (gated)

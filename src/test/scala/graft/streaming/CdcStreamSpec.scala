@@ -91,6 +91,68 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read().get.select("name").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("maintained agg view tracks the snapshot across batches, replays, " +
+      "and the crash-window rebuild") {
+    val numFields = Seq(
+      Envelope.FieldInfo("id", "int64", optional = false),
+      Envelope.FieldInfo("grp", "string"),
+      Envelope.FieldInfo("v", "double"))
+    def nEvent(op: String, id: Long, grp: String, v: Double, ts: Long): String = {
+      val img = s"""{"id":$id,"grp":"$grp","v":$v}"""
+      val before = if (op == "u" || op == "d") img else "null"
+      val after = if (op == "d") "null" else img
+      s"""{"schema":${Envelope.schemaBlockJson(numFields)},"payload":{"before":$before,"after":$after,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+    }
+    val store = new SnapshotStore(tmp("st"), spark)
+    val view = new SnapshotStore(tmp("vw"), spark)
+    val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      aggView = Some((view, "grp", "v")))
+    def viewSet() = view.read().get
+      .select(org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("sum_val").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def recompute() = IncrementalAgg.aggState(store.read().get, "grp", "v")
+      .select(org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("sum_val").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    stream.processBatch(Seq(
+      (nEvent("c", 1, "a", 10.5, 100), 0L), (nEvent("c", 2, "a", 2.0, 100), 1L),
+      (nEvent("c", 3, "b", 7.0, 100), 2L)).toDF("value", Changelog.SeqCol), 0)
+    assert(viewSet() == Set(("a", 2L, 12.5), ("b", 1L, 7.0)))
+    assert(viewSet() == recompute())
+
+    // update migrates a group, delete empties one — folded in O(delta)
+    stream.processBatch(Seq(
+      (nEvent("u", 2, "b", 4.0, 200), 0L), (nEvent("d", 3, "b", 7.0, 200), 1L))
+      .toDF("value", Changelog.SeqCol), 1)
+    assert(viewSet() == Set(("a", 1L, 10.5), ("b", 1L, 4.0)))
+    assert(viewSet() == recompute())
+
+    // replay of an applied batch: main store no-ops, view must too
+    stream.processBatch(Seq(
+      (nEvent("u", 1, "z", 999.0, 900), 0L)).toDF("value", Changelog.SeqCol), 1)
+    assert(viewSet() == Set(("a", 1L, 10.5), ("b", 1L, 4.0)))
+
+    // crash window: the view missed a batch (simulated by wiping it); the
+    // NEXT committed batch detects the lag and rebuilds, then folds
+    val view2 = new SnapshotStore(tmp("vw2"), spark)
+    val stream2 = new CdcStream(spark, spark.emptyDataFrame, store, "id",
+      cacheDir = tmp("cache2"), checkpointDir = tmp("ckpt2"),
+      aggView = Some((view2, "grp", "v")))
+    stream2.processBatch(Seq(
+      (nEvent("c", 4, "c", 1.25, 300), 0L)).toDF("value", Changelog.SeqCol), 5)
+    val got = view2.read().get
+      .select(org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("sum_val").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 1L, 10.5), ("b", 1L, 4.0), ("c", 1L, 1.25)))
+  }
+
   test("schema drift: a new source column appears mid-stream and the snapshot grows it") {
     val store = new SnapshotStore(tmp("st"), spark)
     val stream = new CdcStream(spark, spark.emptyDataFrame, store, "id",
