@@ -79,7 +79,19 @@ object PlanDump {
     "pipeline_curriculum" ->
       "Curriculum bucketing: quantile thresholds from the value-histogram (windows over distinct-value counts only) BROADCAST back — the corpus never enters a rank window.",
     "text_perplexity_heldout" ->
-      "Held-out LM: train-split counts join the held-out terms BY WORD (left join keeps OOV); the 1-row totals broadcast.")
+      "Held-out LM: train-split counts join the held-out terms BY WORD (left join keeps OOV); the 1-row totals broadcast.",
+    "cdc_incremental_agg" ->
+      "Incremental view maintenance: the removed-side snapshot pass is a BroadcastHashJoin LeftSemi (batch keys broadcast, snapshot streams); the delta agg and the state outer join touch batch-sized / O(#groups) rows only.",
+    "sketch_heavy_hitters" ->
+      "Misra-Gries: ObjectHashAggregate with partial_misra_gries before the 1-row Exchange — O(k) state per partition rides the shuffle, never the item universe.",
+    "graph_pagerank" ->
+      "PageRank round: edges pre-partitioned by src (persisted) join the rank vector, then one dst-keyed partial+final agg — the canonical two-shuffle iteration; localCheckpoint keeps the plan O(1) per round.",
+    "graph_triangles" ->
+      "Triangle census: all three joins are equi-joins on vertex ids; the (degree, id) orientation rides as post-join filters, so hub wedges never fan out.",
+    "dedup_prefix_jaccard" ->
+      "Prefix-filtered Jaccard: candidate join keyed on PREFIX shingles only (rarest per doc); verification joins are doc-id-keyed on the pinned shingle frame.",
+    "layout_zorder_zonemap" ->
+      "Z-order zone map: bin + interleave are pure per-row integer projections; ONE file-id-keyed partial+final aggregate produces the min/max boxes.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
