@@ -76,14 +76,27 @@ object Bench {
       n -> (if (rerun >= 0.0) math.min(firstPass(n), rerun) else firstPass(n))
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed queries are excluded from the headline total (summing the -1
     // sentinels would make a DEGRADED run read as faster) and surfaced as a
     // count instead
     val failed = results.values.count(_ < 0.0)
     val total = results.values.filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length}}""")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // The driver records only the LAST 2000 chars of stdout: with ~100
+    // queries the full per-query map blows that window and the round's
+    // bench parses as null (rounds 1, 2 and 5 were lost exactly this way —
+    // the key names alone exceed 2000 chars). The stdout line therefore
+    // carries the headline total plus the 30 slowest queries (the ones any
+    // perf verdict is about), and the COMPLETE map goes to
+    // BENCH_FULL.json in the repo, refreshed every run.
+    val top = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(30)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"queries_full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
