@@ -56,6 +56,32 @@ object Layout {
     * consumer) skips the rest. Emitted as data so the property sits under
     * the oracle gate instead of inside a comment.
     */
+  /** Pruning effectiveness of a Z-ordered layout, as data: for a
+    * two-dimensional range predicate, how many of the layout's files does
+    * a min/max zone map let a reader SKIP? One row: total files, files
+    * whose box overlaps the predicate (must be read), files skipped, and
+    * the rows inside the surviving files vs the true matching rows (the
+    * false-positive read amplification). All counts are exact integers
+    * over the deterministic layout, so the skip rate itself sits under
+    * the oracle gate rather than in prose.
+    */
+  def skipEval(df: DataFrame, longCol: String, doubleCol: String,
+               bits: Int, nFiles: Int,
+               loL: Long, hiL: Long, loD: Double, hiD: Double): DataFrame = {
+    val zm = zoneMap(df, longCol, doubleCol, bits, nFiles)
+    val overlaps = col(s"max_$longCol") >= loL && col(s"min_$longCol") <= hiL &&
+      col(s"max_$doubleCol") >= loD && col(s"min_$doubleCol") <= hiD
+    val fileStats = zm.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(overlaps, 1L).otherwise(0L)).as("n_read"),
+      sum(when(overlaps, lit(0L)).otherwise(1L)).as("n_skipped"),
+      sum(when(overlaps, col("n_rows")).otherwise(0L)).as("rows_read"))
+    val trueRows = df.agg(
+      sum(when(col(longCol).between(loL, hiL) &&
+        col(doubleCol).between(loD, hiD), 1L).otherwise(0L)).as("rows_matching"))
+    fileStats.crossJoin(trueRows)
+  }
+
   def zoneMap(df: DataFrame, longCol: String, doubleCol: String,
               bits: Int, nFiles: Int): DataFrame = {
     val r = df.agg(min(col(longCol)), max(col(longCol)),

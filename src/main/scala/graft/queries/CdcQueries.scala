@@ -324,6 +324,14 @@ object CdcQueries {
       graft.ops.Layout.zoneMap(events(s, dir), "user_id", "value",
         bits = 8, nFiles = 64)),
 
+    "layout_skip_eval" -> ((s, dir) =>
+      // the pruning WIN quantified under the gate: for a box predicate
+      // (user_id 30-60, value 100-200) over the Z-ordered layout, count
+      // files a zone-map reader skips and the read amplification of the
+      // survivors — exact integers, not prose
+      graft.ops.Layout.skipEval(events(s, dir), "user_id", "value",
+        bits = 8, nFiles = 64, loL = 30L, hiL = 60L, loD = 100.0, hiD = 200.0)),
+
     "sketch_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries frequent items (native TypedImperativeAggregate,
       // bounded O(k) state per partial buffer) evaluated against exact
@@ -426,6 +434,34 @@ object CdcQueries {
         .withColumn("t_loaded", lit("batch-0"))
       Validate.diff(src, target, "c_custkey")
     }))
+
+  /** Shared Z-order layout CTEs (bins, interleave, per-file boxes) — one
+    * definition for the zone-map oracle and the skip-rate oracle, mirror
+    * of [[graft.ops.Layout.zoneMap]] at bits=8, nFiles=64.
+    */
+  private lazy val zorderCtes: String = {
+    val terms = (0 until 8).map(j =>
+      s"(((ba >> $j) & 1) << ${2 * j}) + (((bb >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |         min(value) AS mnv, max(value) AS mxv
+       |  FROM events
+       |), b AS (
+       |  SELECT user_id, value,
+       |         ((user_id - mnu) * 256) // (mxu - mnu + 1) AS ba,
+       |         CASE WHEN mxv = mnv THEN 0
+       |              ELSE CAST(least(floor((value - mnv) / ((mxv - mnv) / 256.0)),
+       |                              255.0) AS BIGINT) END AS bb
+       |  FROM events CROSS JOIN s
+       |), z AS (SELECT user_id, value, $terms AS zv FROM b),
+       |zm AS (
+       |  SELECT zv // 1024 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |         min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+       |         min(value) AS min_value, max(value) AS max_value
+       |  FROM z GROUP BY 1
+       |)""".stripMargin
+  }
 
   private val fl = ChangelogGen.flattenedSql
   private val latestCte =
@@ -637,27 +673,32 @@ object CdcQueries {
 
     // same fixed-width bins, bit interleave, and file spans as
     // Layout.zoneMap — the per-file min/max boxes must agree exactly
-    "layout_zorder_zonemap" -> {
-      val terms = (0 until 8).map(j =>
-        s"(((ba >> $j) & 1) << ${2 * j}) + (((bb >> $j) & 1) << ${2 * j + 1})")
-        .mkString(" + ")
-      s"""WITH s AS (
-         |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
-         |         min(value) AS mnv, max(value) AS mxv
+    "layout_zorder_zonemap" -> s"$zorderCtes SELECT * FROM zm",
+
+    // zone-map pruning arithmetic over the shared layout CTEs: files whose
+    // box misses the predicate are skipped; read amplification = rows in
+    // surviving files vs true matches
+    "layout_skip_eval" ->
+      s"""$zorderCtes, f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         |         CAST(sum(CASE WHEN max_user_id >= 30 AND min_user_id <= 60
+         |                        AND max_value >= 100.0 AND min_value <= 200.0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+         |         CAST(sum(CASE WHEN max_user_id >= 30 AND min_user_id <= 60
+         |                        AND max_value >= 100.0 AND min_value <= 200.0
+         |                       THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+         |         CAST(sum(CASE WHEN max_user_id >= 30 AND min_user_id <= 60
+         |                        AND max_value >= 100.0 AND min_value <= 200.0
+         |                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read
+         |  FROM zm
+         |), t AS (
+         |  SELECT CAST(sum(CASE WHEN user_id BETWEEN 30 AND 60
+         |                        AND value BETWEEN 100.0 AND 200.0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
          |  FROM events
-         |), b AS (
-         |  SELECT user_id, value,
-         |         ((user_id - mnu) * 256) // (mxu - mnu + 1) AS ba,
-         |         CASE WHEN mxv = mnv THEN 0
-         |              ELSE CAST(least(floor((value - mnv) / ((mxv - mnv) / 256.0)),
-         |                              255.0) AS BIGINT) END AS bb
-         |  FROM events CROSS JOIN s
-         |), z AS (SELECT user_id, value, $terms AS zv FROM b)
-         |SELECT zv // 1024 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
-         |       min(user_id) AS min_user_id, max(user_id) AS max_user_id,
-         |       min(value) AS min_value, max(value) AS max_value
-         |FROM z GROUP BY 1""".stripMargin
-    },
+         |)
+         |SELECT n_files, n_read, n_skipped, rows_read, rows_matching
+         |FROM f CROSS JOIN t""".stripMargin,
 
     // exact recompute of the heavy-hitter set; in_sketch/est_within_bound
     // are the Misra-Gries theorems, so the oracle asserts them as literals

@@ -19,6 +19,23 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 5L, 10L, 15L))
   }
 
+  test("skipEval accounting: partitions files exactly, never under-reads") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble() * 500.0)
+    }
+    val r = Layout.skipEval(rows.toDF("event_id", "user_id", "value"),
+      "user_id", "value", bits = 8, nFiles = 64,
+      loL = 100L, hiL = 200L, loD = 50.0, hiD = 150.0).head()
+    val (nFiles, nRead, nSkipped, rowsRead, rowsMatching) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nRead + nSkipped == nFiles)
+    // a zone map may over-read (loose boxes) but must NEVER under-read:
+    // every true match lives in a file the reader keeps
+    assert(rowsRead >= rowsMatching && rowsMatching > 0)
+    assert(nSkipped > 0) // and the layout must actually prune something
+  }
+
   test("zone-map boxes are tight: a point-ish predicate overlaps few files") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 20000).map { i =>
