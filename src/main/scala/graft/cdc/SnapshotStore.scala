@@ -100,7 +100,18 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     * Returns the new version, or None if the table is missing or already
     * at or below the target file count (no pointless rewrite).
     */
-  def compact(targetBytes: Long = 128L * 1024 * 1024): Option[Long] =
+  def compact(targetBytes: Long = 128L * 1024 * 1024,
+              /** (longCol, doubleCol, bits): additionally CLUSTER the
+                * rewrite by the Z-value of the two columns (the OPTIMIZE
+                * ZORDER role) — each output file then holds a tight
+                * min/max box in both dimensions, so post-compaction scans
+                * with two-column predicates prune on parquet footer stats
+                * ([[graft.ops.Layout]]). Range boundaries come from
+                * Spark's sampler, so the layout (not the content) varies
+                * run to run — content losslessness is what the round-trip
+                * gate checks.
+                */
+              zorderBy: Option[(String, String, Int)] = None): Option[Long] =
     currentFull.flatMap { case (v, batchId, streamId) =>
       val dir = Paths.get(s"$root/v_$v")
       val parts = {
@@ -111,11 +122,27 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       }
       val bytes = parts.map(Files.size).sum
       val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (target >= parts.size) None
+      if (target >= parts.size && zorderBy.isEmpty) None
       else {
         val next = v + 1
-        spark.read.parquet(dir.toString).coalesce(target)
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
+        val df = spark.read.parquet(dir.toString)
+        val rewritten = zorderBy match {
+          case None => df.coalesce(target)
+          case Some((longCol, doubleCol, bits)) =>
+            import graft.ops.Layout
+            import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+            val r = df.agg(fmin(col(longCol)), fmax(col(longCol)),
+              fmin(col(doubleCol)), fmax(col(doubleCol))).head()
+            val z = Layout.interleaveBits(
+              Layout.binLong(longCol, r.getLong(0), r.getLong(1), bits),
+              Layout.binDouble(col(doubleCol), r.getDouble(2), r.getDouble(3), bits),
+              bits)
+            df.withColumn("_z", z)
+              .repartitionByRange(target, col("_z"))
+              .sortWithinPartitions("_z")
+              .drop("_z")
+        }
+        rewritten.write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
         val tmp = Paths.get(root, "_CURRENT.tmp")
         Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,

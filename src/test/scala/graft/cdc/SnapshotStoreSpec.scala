@@ -59,4 +59,32 @@ class SnapshotStoreSpec extends SparkSpec {
     // already compact -> no pointless rewrite
     assert(st.compact().isEmpty)
   }
+
+  test("z-order compaction clusters files: no file spans both full ranges") {
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 8000).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble() * 100.0))
+      .toDF("id", "k", "v")
+    val st = store()
+    st.commit(df.repartition(4), batchId = 0)
+    // force a multi-file clustered rewrite regardless of tiny input size
+    val newV = st.compact(targetBytes = 40 * 1024, zorderBy = Some(("k", "v", 8)))
+    assert(newV.contains(1L))
+    // content lossless
+    assert(st.read().get.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // per-file boxes: after clustering, NO file's box may cover 90%+ of
+    // BOTH dimensions (pre-compaction random files all do)
+    import org.apache.spark.sql.functions._
+    val boxes = st.read().get
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("mnk"), max("k").as("mxk"),
+        min("v").as("mnv"), max("v").as("mxv"))
+      .collect()
+    assert(boxes.length > 1, "clustered rewrite produced a single file")
+    val wideBoth = boxes.count { r =>
+      (r.getLong(2) - r.getLong(1)) > 900L && (r.getDouble(4) - r.getDouble(3)) > 90.0
+    }
+    assert(wideBoth == 0, s"$wideBoth of ${boxes.length} files are unclustered")
+  }
 }
