@@ -67,29 +67,13 @@ case class MisraGries(
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = left.eval(input)
     if (v == null) return buf
-    val item = v.asInstanceOf[UTF8String].toString
-    buf.get(item) match {
-      case Some(c) => buf(item) = c + 1
-      case None if buf.size < cap => buf(item) = 1L
-      case None => // decrement-all: charges 1 error to every tracked item
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.foreach { case (s, c) => if (c == 1L) dead += s else buf(s) = c - 1 }
-        dead.foreach(buf.remove)
-    }
+    MisraGries.updateOne(buf, v.asInstanceOf[UTF8String].toString, cap)
     buf
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (s, c) => buf(s) = buf.getOrElse(s, 0L) + c }
-    if (buf.size > cap) {
-      // subtract the (cap+1)-th largest count from everything; at most cap
-      // entries stay strictly positive
-      val m = buf.valuesIterator.toArray.sortInPlaceWith(_ > _).apply(cap)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.foreach { case (s, c) => if (c - m <= 0L) dead += s else buf(s) = c - m }
-      dead.foreach(buf.remove)
-    }
+    MisraGries.mergeInto(buf, other, cap)
     buf
   }
 
@@ -121,4 +105,35 @@ case class MisraGries(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MisraGries =
     copy(left = l, right = r)
   override def prettyName: String = "misra_gries"
+}
+
+/** The summary algebra itself, shared by the Catalyst aggregate above and
+  * the streaming state operator ([[graft.streaming.StatefulOps]]) — one
+  * definition of update and merge, so the two surfaces cannot drift.
+  */
+object MisraGries {
+  /** In-place single-item update against a cap of `cap` tracked counters. */
+  def updateOne(buf: mutable.HashMap[String, Long], item: String, cap: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf(item) = c + 1
+      case None if buf.size < cap => buf(item) = 1L
+      case None => // decrement-all: charges 1 error to every tracked item
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.foreach { case (s, c) => if (c == 1L) dead += s else buf(s) = c - 1 }
+        dead.foreach(buf.remove)
+    }
+
+  /** In-place mergeable-summaries merge: sum, then subtract the
+    * (cap+1)-th largest count and drop non-positives.
+    */
+  def mergeInto(buf: mutable.HashMap[String, Long],
+                other: collection.Map[String, Long], cap: Int): Unit = {
+    other.foreach { case (s, c) => buf(s) = buf.getOrElse(s, 0L) + c }
+    if (buf.size > cap) {
+      val m = buf.valuesIterator.toArray.sortInPlaceWith(_ > _).apply(cap)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.foreach { case (s, c) => if (c - m <= 0L) dead += s else buf(s) = c - m }
+      dead.foreach(buf.remove)
+    }
+  }
 }

@@ -27,6 +27,50 @@ object StatefulOps {
   /** One keyed changelog event; `ts` is the event time (watermark column). */
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp, payload: String)
 
+  /** One (group, item) observation for streaming frequency profiling. */
+  final case class GroupedItem(key: String, item: String)
+
+  /** A group's current frequent-items summary after a micro-batch. */
+  final case class HHSummary(key: String, items: Seq[(String, Long)], n: Long)
+
+  /** Continuous heavy hitters per group: a Misra-Gries summary held in the
+    * keyed state store and folded forward every micro-batch — the
+    * streaming face of the `misra_gries` aggregate, sharing its update
+    * rule verbatim ([[graft.functions.MisraGries.updateOne]]), so batch
+    * and stream cannot disagree on what the summary is.
+    *
+    * State per group is O(k) — (k-1) counters plus the running n —
+    * REGARDLESS of stream length or item universe: the profile of an
+    * unbounded stream costs the same state on day 1000 as on day 1. The
+    * usual alternative (grouped count + rank per trigger) holds one
+    * counter per distinct item ever seen, which an unbounded-universe
+    * stream (URLs, query strings) grows without limit. Emitted in Update
+    * mode: each batch outputs the refreshed summary for groups that saw
+    * data, sorted (count desc, item) like the batch aggregate's eval. The
+    * MG guarantees hold against the TOTAL stream per group: estimates
+    * undercount by at most n/k, every item above n/k frequency is present.
+    */
+  def heavyHittersStream(items: Dataset[GroupedItem], k: Int): Dataset[HHSummary] = {
+    import items.sparkSession.implicits._
+    require(k >= 2, "k must be >= 2")
+    items.groupByKey(_.key)
+      .mapGroupsWithState[(Map[String, Long], Long), HHSummary](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[GroupedItem],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          val (saved, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val buf = scala.collection.mutable.HashMap.from(saved)
+          var n = n0
+          it.foreach { gi =>
+            graft.functions.MisraGries.updateOne(buf, gi.item, k - 1)
+            n += 1
+          }
+          state.update((buf.toMap, n))
+          HHSummary(key,
+            buf.toSeq.sortBy { case (s, c) => (-c, s) }, n)
+      }
+  }
+
   /** At-least-once -> effectively-once: drop redelivered events whose
     * identity columns repeat within the watermark window, via the built-in
     * state-store dedup (`dropDuplicatesWithinWatermark`). State holds one

@@ -79,4 +79,38 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got == Set((1L, "a"), (2L, "b"), (1L, "c")))
     } finally q.stop()
   }
+
+  test("heavyHittersStream: O(k) state carries MG guarantees across batches") {
+    import StatefulOps.{GroupedItem, HHSummary}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[GroupedItem]
+    val k = 8
+    val out = StatefulOps.heavyHittersStream(ms.toDS(), k)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    val rnd = new scala.util.Random(17)
+    val exact = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    def batch(nRows: Int): Seq[GroupedItem] = (0 until nRows).map { _ =>
+      val item = if (rnd.nextInt(3) > 0) s"hot_${rnd.nextInt(2)}"
+                 else s"cold_${rnd.nextInt(500)}"
+      exact(item) += 1
+      GroupedItem("g", item)
+    }
+    try {
+      ms.addData(batch(3000): _*); q.processAllAvailable()
+      ms.addData(batch(3000): _*); q.processAllAvailable()
+      // latest summary for the group (update mode appends one row per batch)
+      val last = spark.table("hh_stream").as[HHSummary]
+        .collect().filter(_.key == "g").maxBy(_.n)
+      assert(last.n == exact.values.sum)
+      val got = last.items.toMap
+      assert(got.size <= k - 1)
+      got.foreach { case (item, est) =>
+        assert(est <= exact(item), s"$item overcounted")
+        assert((exact(item) - est) * k <= last.n, s"$item undercounted past n/k")
+      }
+      exact.collect { case (item, c) if c * k > last.n => item }
+        .foreach(item => assert(got.contains(item), s"missing heavy hitter $item"))
+    } finally q.stop()
+  }
 }
