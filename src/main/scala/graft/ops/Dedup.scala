@@ -381,9 +381,12 @@ object Dedup {
     // per-doc rank by global rarity — a doc-keyed window, never global
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_df"), col("s"))
+    // set size via a count window over the SAME doc_id partitioning as the
+    // rank — one exchange serves both, instead of a separate groupBy+join
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val prefix = sh.join(dfreq, "s")
       .withColumn("_rn", row_number().over(w))
-      .join(sizes, "doc_id")
+      .withColumn("n", count(lit(1)).over(wN))
       // integer ceil(t*n) = (tNum*n + tDen-1) DIV tDen
       .filter(col("_rn") <=
         col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + 1)

@@ -123,11 +123,12 @@ object OpsQueries {
       Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
 
     "dedup_prefix_jaccard" -> ((s, dir) =>
-      // PPJoin prefix filtering at the same 1/5 threshold: candidates only
-      // from each doc's rarest shingles, verified on full sets — the
-      // oracle is the BRUTE inverted-index join, so the gate proves the
-      // filter is lossless (same pairs, same stats, same scores)
-      Dedup.prefixJaccard(docs(s, dir), tNum = 1, tDen = 5)),
+      // PPJoin prefix filtering at the production-style 0.7 threshold:
+      // candidates only from each doc's ~30% rarest shingles, verified on
+      // full sets — the oracle is the BRUTE inverted-index join at the
+      // same threshold, so the gate proves the filter is lossless (same
+      // pairs, same stats, same scores)
+      Dedup.prefixJaccard(docs(s, dir), tNum = 7, tDen = 10)),
 
     "dedup_containment" -> ((s, dir) =>
       // doc-in-doc measure: |A∩B| / min(|A|,|B|) — catches full embeddings
@@ -520,11 +521,13 @@ object OpsQueries {
        |  FROM sig CROSS JOIN (SELECT unnest(range(${NPlanes / 4})) AS b) _b
        |)""".stripMargin
 
-  /** Brute inverted-index exact-Jaccard pairs — the oracle for BOTH the
-    * full join (`dedup_ngram_jaccard`) and the prefix-filtered join
-    * (`dedup_prefix_jaccard`), which must produce the identical result.
+  /** Brute inverted-index exact-Jaccard pairs at a given threshold — the
+    * oracle for the full join (`dedup_ngram_jaccard`, at the suite-wide
+    * 0.2) and for the prefix-filtered join (`dedup_prefix_jaccard`, at the
+    * production-style 0.7), which must reproduce the brute result exactly
+    * at ITS threshold.
     */
-  private lazy val ngramJaccardSql: String =
+  private def ngramJaccardSqlAt(thr: String): String =
     s"""$shinglesCte, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), pairs AS (
@@ -537,7 +540,8 @@ object OpsQueries {
        |FROM pairs
        |JOIN sizes na ON na.doc_id = doc_a
        |JOIN sizes nb ON nb.doc_id = doc_b
-       |WHERE shared / (na.n + nb.n - shared) >= ${JaccardThreshold}""".stripMargin
+       |WHERE shared / (na.n + nb.n - shared) >= $thr""".stripMargin
+  private lazy val ngramJaccardSql: String = ngramJaccardSqlAt(s"$JaccardThreshold")
 
   /** Deterministic link graph over EXISTING doc ids: src doc_id ->
     * (doc_id * p + c) % (max_id + 1) for each (p, c), semi-joined back to
@@ -956,10 +960,13 @@ object OpsQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardSql,
 
-    // IDENTICAL oracle on purpose: the prefix-filtered join must reproduce
-    // the brute inverted-index join's exact result — completeness of the
-    // PPJoin candidate rule is the claim under test
-    "dedup_prefix_jaccard" -> ngramJaccardSql,
+    // same brute inverted-index oracle SHAPE on purpose: the prefix-
+    // filtered join must reproduce the brute join's exact result at its
+    // threshold — completeness of the PPJoin candidate rule is the claim
+    // under test. 0.7 because that's where prefix filtering operates in
+    // practice (CCNet/Gopher-style near-dup): prefixes are ~30% of each
+    // doc; at the suite's 0.2 they'd be ~80% and filter nothing.
+    "dedup_prefix_jaccard" -> ngramJaccardSqlAt("0.7"),
 
     "dedup_minhash_est" ->
       s"""$shinglesCte$verifiedCtes
