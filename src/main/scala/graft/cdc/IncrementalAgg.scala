@@ -29,11 +29,16 @@ object IncrementalAgg {
   /** Grouped COUNT/SUM state of `snapshot` — the "materialized view" being
     * maintained. Sums accumulate as DECIMAL(27,6) so maintained state and a
     * from-scratch recompute are bit-identical (float sums would drift by
-    * summation order).
+    * summation order). `nval` (non-null value count) is carried so the
+    * SQL convention `SUM of zero non-null values = NULL` survives
+    * maintenance: without it, a group drained of its non-null values (or
+    * all-null from the start) would surface as 0 where a recompute says
+    * NULL.
     */
   def aggState(snapshot: DataFrame, groupField: String, valueField: String): DataFrame =
     snapshot.groupBy(col(groupField))
       .agg(count(lit(1)).as("cnt"),
+        count(col(valueField)).as("nval"),
         sum(col(valueField).cast("decimal(27,6)")).as("sum_val"))
 
   /** Fold one batch of net per-key changes (output of
@@ -64,13 +69,21 @@ object IncrementalAgg {
     val delta = removed.unionByName(added)
       .groupBy(col("_g"))
       .agg(sum(col("_w")).as("_dcnt"),
+        sum(when(col("_v").isNotNull, col("_w")).otherwise(0L)).as("_dnval"),
         sum(col("_w") * col("_v").cast("decimal(27,6)")).as("_dsum"))
-    state.join(delta, state(groupField) === col("_g"), "full_outer")
+    // the join must be NULL-SAFE: a NULL group value is one group, not a
+    // state row and a delta row that never meet
+    val nval =
+      coalesce(col("nval"), lit(0L)) + coalesce(col("_dnval"), lit(0L))
+    state.join(delta, state(groupField) <=> col("_g"), "full_outer")
       .select(
         coalesce(state(groupField), col("_g")).as(groupField),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
-        (coalesce(col("sum_val"), lit(0).cast("decimal(27,6)")) +
-          coalesce(col("_dsum"), lit(0).cast("decimal(27,6)")))
+        nval.as("nval"),
+        // SUM over zero non-null values is NULL, not 0 — same as recompute
+        when(nval > 0,
+          (coalesce(col("sum_val"), lit(0).cast("decimal(27,6)")) +
+            coalesce(col("_dsum"), lit(0).cast("decimal(27,6)"))))
           .cast("decimal(27,6)").as("sum_val"))
       .filter(col("cnt") > 0)
   }

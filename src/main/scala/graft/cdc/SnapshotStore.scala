@@ -98,7 +98,10 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     * read+write of the live data.
     *
     * Returns the new version, or None if the table is missing or already
-    * at or below the target file count (no pointless rewrite).
+    * at or below the target file count (no pointless rewrite). With
+    * `zorderBy` set the rewrite always proceeds — clustering, not file
+    * count, is the goal there — except that an empty version (or all-null
+    * cluster columns) falls back to the plain coalesce rewrite.
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024,
               /** (longCol, doubleCol, bits): additionally CLUSTER the
@@ -126,22 +129,25 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       else {
         val next = v + 1
         val df = spark.read.parquet(dir.toString)
-        val rewritten = zorderBy match {
-          case None => df.coalesce(target)
-          case Some((longCol, doubleCol, bits)) =>
-            import graft.ops.Layout
-            import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
-            val r = df.agg(fmin(col(longCol)), fmax(col(longCol)),
-              fmin(col(doubleCol)), fmax(col(doubleCol))).head()
+        val rewritten = zorderBy.flatMap { case (longCol, doubleCol, bits) =>
+          import graft.ops.Layout
+          import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+          val r = df.agg(fmin(col(longCol)), fmax(col(longCol)),
+            fmin(col(doubleCol)), fmax(col(doubleCol))).head()
+          // an empty version (or all-null cluster columns) has nothing to
+          // cluster — fall back to the plain coalesce rewrite
+          if (r.isNullAt(0) || r.isNullAt(2)) None
+          else {
             val z = Layout.interleaveBits(
               Layout.binLong(longCol, r.getLong(0), r.getLong(1), bits),
               Layout.binDouble(col(doubleCol), r.getDouble(2), r.getDouble(3), bits),
               bits)
-            df.withColumn("_z", z)
+            Some(df.withColumn("_z", z)
               .repartitionByRange(target, col("_z"))
               .sortWithinPartitions("_z")
-              .drop("_z")
-        }
+              .drop("_z"))
+          }
+        }.getOrElse(df.coalesce(target))
         rewritten.write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
         val tmp = Paths.get(root, "_CURRENT.tmp")
         Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))

@@ -81,11 +81,17 @@ case class MisraGries(
     new GenericArrayData(buf.toSeq.sortBy { case (s, c) => (-c, s) }
       .map { case (s, c) => InternalRow(UTF8String.fromString(s), c) }.toArray[Any])
 
+  // length-prefixed byte arrays, NOT writeUTF: writeUTF caps entries at
+  // 64 KB of UTF-8 and this aggregate is pitched at arbitrary strings
+  // (URLs, shingles) where one oversized item would fail the whole job
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bytes.toByteArray
   }
 
@@ -94,7 +100,11 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     buf
   }
 

@@ -84,6 +84,11 @@ object Layout {
 
   def zoneMap(df: DataFrame, longCol: String, doubleCol: String,
               bits: Int, nFiles: Int): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(nFiles >= 1 && nFiles.toLong <= (1L << (2 * bits)),
+      s"nFiles=$nFiles exceeds the ${1L << (2 * bits)} Z-values of bits=$bits" +
+        " — the file span would floor to 0 and every row would land in one" +
+        " NULL file_id")
     val r = df.agg(min(col(longCol)), max(col(longCol)),
       min(col(doubleCol)), max(col(doubleCol))).head()
     val (loL, hiL, loD, hiD) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))

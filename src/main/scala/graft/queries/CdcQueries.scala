@@ -309,7 +309,11 @@ object CdcQueries {
       // new version, same batch id), read back — must be lossless. The
       // file-count and idempotence assertions live in SnapshotStoreSpec;
       // the oracle proves the rewrite changed nothing.
-      val st = new SnapshotStore(QueryUtil.scratchDir("compact_rt"), s)
+      // scratch keyed BY SF DIR: the exists-gate below must never serve a
+      // store seeded from a different scale in the same JVM (TimeOne warms
+      // up at sf0.01 then times another sf dir)
+      val st = new SnapshotStore(
+        QueryUtil.scratchDir(s"compact_rt_${math.abs(dir.hashCode)}"), s)
       val cust = s.read.parquet(s"$dir/customer.parquet")
       if (!st.exists) st.commit(cust.repartition(32), batchId = 0)
       st.compact()

@@ -64,4 +64,27 @@ class IncrementalAggSpec extends SparkSpec {
     val net = netDf(Seq((99L, "d", None, 20L)))
     assert(maintained(snap, net) == recomputed(snap, net))
   }
+
+  private def snapNullable(rows: Seq[(Long, Option[String], Option[Double])]): DataFrame =
+    rows.toDF("id", "grp", "v")
+
+  test("NULL group values are one group, not two (null-safe state join)") {
+    val s = snapNullable(Seq(
+      (1L, None, Some(3.0)), (2L, None, Some(4.0)), (3L, Some("a"), Some(1.0))))
+    val net = netDf(Seq((2L, "d", None, 20L)))
+    val got = maintained(s, net)
+    assert(got == recomputed(s, net))
+    assert(got.count(_.isNullAt(0)) == 1) // exactly ONE null-group row
+  }
+
+  test("a group drained of non-null values reports SUM as NULL, like SQL") {
+    val s = snapNullable(Seq(
+      (1L, Some("a"), Some(5.5)), (2L, Some("a"), None), (3L, Some("b"), None)))
+    // delete the only non-null contributor of group a
+    val net = netDf(Seq((1L, "d", None, 20L)))
+    val got = maintained(s, net)
+    assert(got == recomputed(s, net))
+    // both groups survive with cnt>0 and a NULL sum
+    assert(got.forall(r => r.isNullAt(2)))
+  }
 }
