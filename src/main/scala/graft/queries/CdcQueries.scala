@@ -286,21 +286,49 @@ object CdcQueries {
       // Sketch-based profiling — the fixed-size-state statistics toolkit a
       // 100 TB profile pass needs: HLL++ distinct users and approximate
       // value quantiles per event type; sketch state is O(sketch config)
-      // per group however large the input. No DuckDB oracle (sketch
-      // estimates are engine-specific) -> driver records a rows-only check;
-      // error bounds vs exact answers are pinned by SketchSpec.
+      // per group however large the input. The raw estimates are
+      // engine-specific, so (the `sketch_heavy_hitters` pattern) the gate
+      // asserts the sketches' THEOREMS as deterministic booleans the
+      // oracle can recompute exactly:
+      //   - HLL++ at rsd=0.02: |est - exact| <= 6% of exact + 2 (3 sigma
+      //     with absolute slack for near-exact sparse-mode groups)
+      //   - percentile_approx at accuracy=10000: the returned value is an
+      //     element whose rank window [lt+1, le] intersects
+      //     [ceil(p*n) - err, ceil(p*n) + err], err = n/10000 + 1 (the
+      //     QuantileSummaries relative-rank-error contract)
+      // All comparisons are integer (counts scaled by 100; rational rank
+      // targets), so the booleans are deterministic under any partitioning
+      // even though the estimates themselves are not portable.
       val ev = events(s, dir)
-      // quantiles flattened to scalar columns: the driver's rows-only
-      // compare hashes cell values and cannot hash an array cell (same
-      // constraint emb_normalize_quantize documents)
-      ev.groupBy("event_type").agg(
+      val est = ev.groupBy("event_type").agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        count(lit(1)).as("n_events"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
           .as("q"))
-        .select(col("event_type"), col("approx_users"), col("n_events"),
-          element_at(col("q"), 1).as("p50_value"),
-          element_at(col("q"), 2).as("p95_value"))
+        .select(col("event_type").as("et"), col("approx_users"),
+          element_at(col("q"), 1).as("p50_est"),
+          element_at(col("q"), 2).as("p95_est"))
+      // estimates are O(#event_types) rows — broadcast them back over the
+      // events for a single exact-recompute pass (rank position of each
+      // estimate + exact distinct), then fold to the boolean verdicts
+      val j = ev.join(broadcast(est), ev("event_type") === est("et"))
+      val g = j.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        min(col("approx_users")).as("au"),
+        sum(when(col("value") < col("p50_est"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p95_est"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L)).as("le95"))
+      val err = expr("n_events DIV 10000") + lit(1L)
+      val r50 = expr("(n_events + 1) DIV 2")        // ceil(0.5 * n)
+      val r95 = expr("(n_events * 19 + 19) DIV 20") // ceil(0.95 * n)
+      g.select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) * 100 <=
+          col("exact_users") * 6 + lit(200L)).as("users_within_bound"),
+        (col("le50") >= r50 - err && col("lt50") + 1 <= r50 + err)
+          .as("p50_within_bound"),
+        (col("le95") >= r95 - err && col("lt95") + 1 <= r95 + err)
+          .as("p95_within_bound"))
     }),
 
     "cdc_compact_roundtrip" -> ((s, dir) => {
@@ -390,19 +418,50 @@ object CdcQueries {
       // incremental-update granule a profiling table keeps) PLUS the
       // all-days rollup computed by unioning the daily sketches — no
       // second pass over raw history, the O(sketch)-cost re-aggregation a
-      // 100 TB rollup needs. Rows-only gate (sketch estimates are
-      // engine-specific); SketchSpec pins that union-of-parts ==
-      // sketch-of-whole and both land within HLL error of exact.
+      // 100 TB rollup needs. The estimates are engine-specific, so (the
+      // `sketch_heavy_hitters` pattern) the gate asserts the THEOREMS as
+      // deterministic booleans:
+      //   - est_within_bound: |estimate - exact distinct| <= 6% + 2, per
+      //     day and for the day=-1 rollup (lgConfigK=12 => rsd ~1.6%, so
+      //     6% is ~3.7 sigma; +2 absolute covers tiny sparse-mode days)
+      //   - union_within_bound (rollup row): the estimate of the UNION of
+      //     the daily sketches is itself within the same bound of exact —
+      //     merging loses nothing beyond the configured error.
+      // NOTE deliberately NOT asserted: estimate(union of parts) ==
+      // estimate(sketch-of-whole). That equality is not a DataSketches HLL
+      // theorem — a directly-built sketch keeps the (insertion-order-
+      // dependent) HIP estimator while merge paths can fall back to the
+      // composite estimator, so past sparse/set mode the two paths may
+      // legitimately differ by a few counts (observed at sf0.1, ~1500
+      // distincts, right at the lgK=12 promotion boundary). The mergeable
+      // contract that IS guaranteed — and gated here — is that the merged
+      // estimate still honors the error bound.
       val ev = events(s, dir)
       val daily = ev.groupBy(expr("ts DIV 86400000000000").as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
-      daily.select(col("day"), col("n_events"),
-          hll_sketch_estimate(col("sk")).as("distinct_users"))
-        .unionByName(daily.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"),
-          sum(col("n_events")).as("n_events"))
-          .withColumn("day", lit(-1L))
-          .select("day", "n_events", "distinct_users"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val withinBound = (e: org.apache.spark.sql.Column,
+                         x: org.apache.spark.sql.Column) =>
+        abs(e - x) * 100 <= x * 6 + lit(200L)
+      val dailyRows = daily.select(col("day"), col("n_events"),
+        col("exact_users"),
+        withinBound(hll_sketch_estimate(col("sk")), col("exact_users"))
+          .as("est_within_bound"),
+        lit(true).as("union_within_bound")) // vacuous on daily rows; real check below
+      val whole = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("whole_est"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      val rollup = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"))
+        .crossJoin(whole)
+        .select(lit(-1L).as("day"), col("n_events"), col("exact_users"),
+          withinBound(col("whole_est"), col("exact_users"))
+            .as("est_within_bound"),
+          withinBound(col("union_est"), col("exact_users"))
+            .as("union_within_bound"))
+      dailyRows.unionByName(rollup)
     }),
 
     "cdc_change_feed" -> ((s, dir) => {
@@ -719,6 +778,37 @@ object CdcQueries {
         |)
         |SELECT item, true_cnt, true AS in_sketch, true AS est_within_bound
         |FROM exact CROSS JOIN n WHERE true_cnt * 16 > n""".stripMargin,
+
+    // exact recompute of the deterministic columns; the *_within_bound
+    // booleans are the sketches' theorems (HLL 3-sigma band, quantile
+    // rank-error window), so the oracle asserts them as literals — a
+    // sketch bug shows up as a false on the Spark side
+    "sketch_profile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS users_within_bound,
+        |       true AS p50_within_bound,
+        |       true AS p95_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // per-day exact distincts + theorem literals; day=-1 is the rollup row
+    // whose union_within_bound pins that merging daily sketches preserves
+    // the error bound (exact equality with a direct sketch is NOT an HLL
+    // theorem — see the query's comment)
+    "sketch_incremental" ->
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_events, exact_users,
+        |       true AS est_within_bound, true AS union_within_bound FROM d
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+        |       true, true""".stripMargin,
 
     "events_interval_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,

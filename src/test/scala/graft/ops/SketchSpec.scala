@@ -45,10 +45,15 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(rankOf(p95) - 0.95) < 0.01, s"p95=$p95 rank=${rankOf(p95)}")
   }
 
-  test("HLL sketches merge losslessly: union-of-parts == sketch-of-whole") {
-    // the mergeability contract behind sketch_incremental: building daily
-    // sketches and unioning them must give the SAME estimate as one sketch
-    // over the whole stream (HLL union is exact over register maxima)
+  test("HLL union-of-parts stays within the error bound of exact") {
+    // the mergeability contract behind sketch_incremental: building
+    // partial sketches and unioning them must estimate the whole stream's
+    // cardinality within the configured error. NOTE exact equality with a
+    // directly-built sketch is NOT guaranteed: DataSketches keeps the
+    // insertion-order-dependent HIP estimator on a direct sketch but merge
+    // paths can fall back to the composite estimator, so past sparse/set
+    // mode the two paths may differ by a few counts (observed at sf0.1).
+    // What IS guaranteed — and pinned here — is the post-merge bound.
     val whole = events.agg(
       hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
       .collect()(0).getLong(0)
@@ -57,10 +62,11 @@ class SketchSpec extends SparkSpec {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
       .collect()(0).getLong(0)
-    assert(merged == whole, s"union-of-parts $merged != sketch-of-whole $whole")
     val exact = events.select(countDistinct("user_id")).collect()(0).getLong(0)
     assert(math.abs(merged.toDouble - exact) / exact < 0.03,
-      s"HLL estimate $merged vs exact $exact")
+      s"merged HLL estimate $merged vs exact $exact")
+    assert(math.abs(whole.toDouble - exact) / exact < 0.03,
+      s"direct HLL estimate $whole vs exact $exact")
   }
 
   test("count-min sketch never undercounts and stays within eps*n of exact") {

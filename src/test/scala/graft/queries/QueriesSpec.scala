@@ -5,18 +5,14 @@ import graft.SparkSpec
 /** Cross-cutting invariants of the registered driver-contract queries. */
 class QueriesSpec extends SparkSpec {
 
-  /** Queries deliberately registered WITHOUT an oracle (driver falls back
-    * to a rows-only check): sketch estimates are engine-specific, so their
-    * correctness is pinned by SketchSpec error bounds instead of DuckDB.
-    */
-  private val knownRowsOnly = Set("sketch_profile", "sketch_incremental")
-
-  test("every query has a matching oracle (or is knowingly rows-only)") {
+  test("every query has a matching oracle — no rows-only queries remain") {
+    // the former rows-only pair (sketch_profile, sketch_incremental) now
+    // gates its sketches' theorems as deterministic booleans, so every
+    // registered query carries a full DuckDB hash oracle
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert(qs -- os == knownRowsOnly,
-      s"unexpected rows-only queries: ${qs -- os -- knownRowsOnly}")
+    assert(qs == os, s"queries without oracles: ${qs -- os}")
   }
 
   test("sessionize invariants at the smoke SF: events partitioned, gaps respected") {
