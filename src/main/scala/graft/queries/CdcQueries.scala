@@ -339,9 +339,12 @@ object CdcQueries {
       // the oracle proves the rewrite changed nothing.
       // scratch keyed BY SF DIR: the exists-gate below must never serve a
       // store seeded from a different scale in the same JVM (TimeOne warms
-      // up at sf0.01 then times another sf dir)
+      // up at sf0.01 then times another sf dir). Keyed on the sanitized
+      // dir string, not its hashCode — hashes can collide across dirs and
+      // math.abs(Int.MinValue) is negative
       val st = new SnapshotStore(
-        QueryUtil.scratchDir(s"compact_rt_${math.abs(dir.hashCode)}"), s)
+        QueryUtil.scratchDir(
+          s"compact_rt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s)
       val cust = s.read.parquet(s"$dir/customer.parquet")
       if (!st.exists) st.commit(cust.repartition(32), batchId = 0)
       st.compact()
@@ -519,7 +522,7 @@ object CdcQueries {
        |  FROM events CROSS JOIN s
        |), z AS (SELECT user_id, value, $terms AS zv FROM b),
        |zm AS (
-       |  SELECT zv // 1024 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |  SELECT least(zv // 1024, 63) AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
        |         min(user_id) AS min_user_id, max(user_id) AS max_user_id,
        |         min(value) AS min_value, max(value) AS max_value
        |  FROM z GROUP BY 1
