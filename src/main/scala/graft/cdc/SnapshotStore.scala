@@ -26,6 +26,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   is an object-store prefix and `_CURRENT` swap becomes a conditional
   *   PUT; the layout is unchanged.
   */
+/** Outcome of an optimistic [[SnapshotStore.commitIf]] attempt. */
+sealed trait CommitOutcome
+/** The swap won: the table now points at `version`. */
+final case class Committed(version: Long) extends CommitOutcome
+/** batchId <= the lineage's last applied batch — idempotent no-op. */
+case object AlreadyApplied extends CommitOutcome
+/** Another writer advanced the table past the expected parent; the caller
+  * must re-read, re-derive its output against the new current snapshot,
+  * and retry ([[SnapshotStore.commitOptimistic]] does this loop).
+  */
+final case class Conflict(currentVersion: Option[Long]) extends CommitOutcome
+
 final class SnapshotStore(val root: String, spark: SparkSession) {
   private val currentFile = Paths.get(root, "_CURRENT")
 
@@ -158,6 +170,82 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       }
     }
 
+  /** Optimistic (compare-and-set) commit — the multi-writer half of
+    * Delta's concurrency control that the plain [[commit]] (single-writer
+    * streaming path) does not need. The expensive work — writing the
+    * snapshot parquet — happens UNGUARDED to a writer-private staging dir;
+    * only the validate-and-publish step (re-read `_CURRENT`, compare the
+    * parent version, atomic swap) runs inside a short critical section, so
+    * writers never serialize on I/O, only on the pointer swap. A writer
+    * whose parent went stale gets [[Conflict]] back (its staging dir is
+    * reclaimed) and must re-derive against the new snapshot — which is
+    * what [[commitOptimistic]] loops for you.
+    *
+    * The critical section is guarded twice: a JVM monitor per store root
+    * (two threads in one JVM — `FileLock` is process-scoped) and an OS
+    * file lock on `_COMMIT_LOCK` (two separate JVMs). On an object store
+    * the equivalent is a conditional PUT of `_CURRENT` — the layout and
+    * protocol carry over unchanged.
+    *
+    * `expectedParent = None` means "I expect to create the table"; a
+    * concurrent creator then surfaces as a conflict, not a clobber.
+    */
+  def commitIf(df: DataFrame, batchId: Long,
+               expectedParent: Option[Long],
+               streamId: String = "default"): CommitOutcome = {
+    val pre = currentFull
+    if (pre.exists(c => c._3 == streamId && c._2 >= batchId)) return AlreadyApplied
+    if (pre.map(_._1) != expectedParent) return Conflict(pre.map(_._1))
+    // expensive, contention-free: stage the snapshot under a private name
+    val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    try {
+      SnapshotStore.withCommitLock(root) {
+        val cur = currentFull
+        if (cur.exists(c => c._3 == streamId && c._2 >= batchId)) AlreadyApplied
+        else if (cur.map(_._1) != expectedParent) Conflict(cur.map(_._1))
+        else {
+          val next = cur.map(_._1 + 1).getOrElse(0L)
+          val dest = Paths.get(s"$root/v_$next")
+          // a v_<next> dir with _CURRENT still at the parent is a zombie
+          // from a crashed pre-CAS writer — definitionally uncommitted
+          deleteRecursively(dest)
+          Files.move(stage, dest, StandardCopyOption.ATOMIC_MOVE)
+          val tmp = Paths.get(root, "_CURRENT.tmp")
+          Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          reapBefore(next - 1)
+          Committed(next)
+        }
+      }
+    } finally deleteRecursively(stage) // no-op for the winner (already moved)
+  }
+
+  /** Retry loop over [[commitIf]]: `derive` receives the CURRENT snapshot
+    * (None when the table doesn't exist yet) and returns the full next
+    * table; on [[Conflict]] it is re-invoked against the newly-read state,
+    * exactly like a Delta MERGE re-running its join after a concurrent
+    * commit. Returns the final outcome — [[Conflict]] only if
+    * `maxAttempts` successive CAS attempts all lost.
+    */
+  def commitOptimistic(batchId: Long, streamId: String = "default",
+                       maxAttempts: Int = 3)
+                      (derive: Option[DataFrame] => DataFrame): CommitOutcome = {
+    var attempt = 0
+    var out: CommitOutcome = Conflict(current.map(_._1))
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = current.map(_._1)
+      out = commitIf(derive(read()), batchId, parent, streamId)
+      out match {
+        case Conflict(_) => () // stale parent — loop re-reads and re-derives
+        case done        => return done
+      }
+    }
+    out
+  }
+
   private def reapBefore(keepFrom: Long): Unit = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return
@@ -175,5 +263,28 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       try s.forEach(deleteRecursively) finally s.close()
     }
     Files.deleteIfExists(p)
+  }
+}
+
+object SnapshotStore {
+  // one monitor per store root: FileLock is PROCESS-scoped (a second
+  // thread in the same JVM gets OverlappingFileLockException, not
+  // blocking), so same-JVM writers serialize on this monitor and the file
+  // lock below only arbitrates across processes
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[cdc] def withCommitLock[A](root: String)(body: => A): A = {
+    val mon = monitors.computeIfAbsent(root, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
   }
 }
