@@ -362,7 +362,28 @@ object Dedup {
     * 1% of a corpus alone contributes (N/100)^2 join rows. Prefix tokens
     * are each document's rarest shingles, so hot shingles land in almost
     * no prefixes and the candidate volume tracks the true near-dup count,
-    * not the token-frequency skew. The threshold arrives as a RATIONAL
+    * not the token-frequency skew.
+    *
+    * Regime boundary — MEASURED, see STRESS.md for the full matrix. Two
+    * conditions must hold for the filter to win:
+    * (1) high threshold: prefix length is n - ceil(t*n) + 1, so at t <
+    *     ~0.5 prefixes cover most shingles and the rule cannot filter;
+    * (2) frequency SKEW: the brute join's cost is sum(df^2) over
+    *     shingles, so it only hurts when some shingles are hot. On the
+    *     template/boilerplate regime (a block shared by all N docs,
+    *     df = N — cookie banners, site chrome) the brute join owes
+    *     ~20 * N^2/2 pair rows to the template alone: at 50k docs it did
+    *     not finish in 15 min while this operator took 9.5s, and its
+    *     runs destabilize (9/50/72s) already at 5k docs. On a SKEW-FREE
+    *     corpus (uniform low df — the driver's synthetic tables, or
+    *     uniformly mirrored copies where every df scales together) the
+    *     brute join's volume is linear-ish and ~2x FASTER than this
+    *     operator's extra df-count/rank/verify passes (1.2s vs 2.8s at
+    *     sf0.1) — the bench pair `dedup_ngram_jaccard_t07` vs
+    *     `dedup_prefix_jaccard` records exactly that, honestly.
+    * Use this operator for high-threshold dedup over real-world (Zipfian)
+    * text; use the brute join for small or skew-free corpora.
+    * The threshold arrives as a RATIONAL
     * (tNum/tDen): prefix lengths use exact integer ceil — a float ceil
     * sitting on a representation error (0.4 * 5 = 2.0000000000000004)
     * would shorten a prefix and silently drop true pairs.
@@ -377,6 +398,11 @@ object Dedup {
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .persist(mem)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // global document frequency via groupBy + join back (NOT a count
+    // window over partitionBy(s): the groupBy's map-side partial
+    // aggregation shuffles one row per distinct shingle, where the window
+    // would shuffle the FULL shingle frame — measured equal at sf0.1,
+    // structurally better under hot-shingle skew)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("_df"))
     // per-doc rank by global rarity — a doc-keyed window, never global
     val w = org.apache.spark.sql.expressions.Window

@@ -122,6 +122,13 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardThreshold)),
 
+    "dedup_ngram_jaccard_t07" -> ((s, dir) =>
+      // the BRUTE inverted-index join at t=0.7 — same threshold as
+      // dedup_prefix_jaccard, so the bench demonstrates the prefix filter
+      // beating the join it exists to replace in its winning regime
+      // (identical output, identical oracle string; only the plan differs)
+      Dedup.ngramJaccard(docs(s, dir), 0.7)),
+
     "dedup_prefix_jaccard" -> ((s, dir) =>
       // PPJoin prefix filtering at the production-style 0.7 threshold:
       // candidates only from each doc's ~30% rarest shingles, verified on
@@ -959,6 +966,10 @@ object OpsQueries {
          |FROM documents d LEFT JOIN clus c USING (doc_id)""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+
+    // brute comparator for dedup_prefix_jaccard: same threshold, same
+    // oracle — the two queries differ only in physical strategy
+    "dedup_ngram_jaccard_t07" -> ngramJaccardSqlAt("0.7"),
 
     // same brute inverted-index oracle SHAPE on purpose: the prefix-
     // filtered join must reproduce the brute join's exact result at its
