@@ -69,7 +69,9 @@ object PlanDump {
     "cdc_change_feed" ->
       "Change data feed: ONE key-keyed join of the two versions (AQE picks broadcast when a side is small); the cell comparison is a per-row expression, never per-column joins.",
     "ann_pq_topk" ->
-      "PQ-ADC search: codes (m small ints per vector) cross join the broadcast query set; scoring is codebook lookups + folds — nothing vector-sized shuffles.",
+      "PQ-ADC search: codes (m small ints per vector) cross join the broadcast query set; scoring is codebook lookups + folds — nothing vector-sized shuffles. The row_number<=k filter must plan a WindowGroupLimit below the per-query Exchange (partial top-k per partition), so no query's full candidate list ever materializes on one reducer.",
+    "ann_cosine_topk" ->
+      "Brute-force cosine top-k: queries broadcast; scoring is a per-row native cosine_sim projection. The row_number<=k filter must plan a WindowGroupLimit below the per-query Exchange — each partition forwards only its local top-k, the property that keeps per-query partitions from materializing the whole corpus at scale.",
     "rel_salted_join" ->
       "Salted join: dim side Generate(explode)-replicated per salt, fact keys spread across (key, salt) reducers; aggregation unchanged.",
     "rel_pivot" ->
@@ -95,7 +97,8 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = args.headOption.getOrElse("/root/repo/PLANS.md")
+    val out = args.headOption.getOrElse(
+      Paths.get(sys.props.getOrElse("user.dir", "."), "PLANS.md").toString)
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
