@@ -15,6 +15,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   root/v_<n>/           immutable parquet snapshot (written once)
   *   root/_CURRENT         "<version>,<batchId>" — single source of truth,
   *                         swapped atomically (tmp file + ATOMIC_MOVE)
+  *   root/_LOG/<n>         per-commit metadata (batchId, lineage, time,
+  *                         op) — the commit log behind [[history]],
+  *                         [[readVersion]]/[[readAsOf]] time travel, and
+  *                         [[vacuum]] (Delta's DESCRIBE HISTORY /
+  *                         VERSION AS OF / VACUUM)
   *
   * - **Atomicity**: readers resolve `_CURRENT` first; a crash mid-write
   *   leaves a dangling `v_<n+1>` dir but `_CURRENT` still points at `v_<n>`.
@@ -38,8 +43,102 @@ case object AlreadyApplied extends CommitOutcome
   */
 final case class Conflict(currentVersion: Option[Long]) extends CommitOutcome
 
-final class SnapshotStore(val root: String, spark: SparkSession) {
+/** One retained snapshot version, from the `_LOG` commit log.
+  *
+  * @param version  snapshot version number (monotonic)
+  * @param batchId  streaming batch whose commit produced it (compaction
+  *                 reuses its source version's batchId — maintenance, not
+  *                 a data change)
+  * @param streamId checkpoint lineage that wrote it
+  * @param tsMillis commit wall-clock, for [[SnapshotStore.readAsOf]]
+  * @param op       "commit" | "compact"
+  */
+final case class VersionInfo(version: Long, batchId: Long, streamId: String,
+                             tsMillis: Long, op: String)
+
+/** @param retain how many trailing versions every commit keeps on disk
+  *               (current counts as one). The default 2 — current plus its
+  *               parent — is what concurrent readers of a pre-swap manifest
+  *               need; raise it to hold a time-travel window open, the role
+  *               of Delta's `delta.deletedFileRetentionDuration`. Reads of
+  *               reaped versions return None rather than failing mid-scan:
+  *               resolution happens against the on-disk state up front.
+  */
+final class SnapshotStore(val root: String, spark: SparkSession,
+                          retain: Int = 2) {
+  require(retain >= 1, s"retain must be >= 1, got $retain")
   private val currentFile = Paths.get(root, "_CURRENT")
+
+  /** Append the version's metadata to the commit log. Written BEFORE the
+    * `_CURRENT` swap: a crash in between leaves a log entry for an
+    * uncommitted version, which every reader ignores (resolution gates on
+    * `_CURRENT`) and which the next successful writer of that version
+    * number simply overwrites — same idempotence as the zombie `v_<n>` dir.
+    */
+  private def logVersion(v: Long, batchId: Long, streamId: String,
+                         op: String): Unit = {
+    val dir = Paths.get(root, "_LOG")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(v.toString),
+      s"$v,$batchId,$streamId,${System.currentTimeMillis()},$op"
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Commit history, newest first — COMMITTED versions only (log entries
+    * past `_CURRENT` are crashed-writer debris). The log is kept through
+    * [[vacuum]]/auto-reap (it is O(bytes) tiny), so history stays complete
+    * even after the data dirs of old versions are reclaimed; pair with
+    * [[readVersion]]'s None to tell "never existed" from "reaped".
+    */
+  def history(): Seq[VersionInfo] = current match {
+    case None => Seq.empty
+    case Some((cur, _)) =>
+      val dir = Paths.get(root, "_LOG")
+      if (!Files.isDirectory(dir)) return Seq.empty
+      val s = Files.list(dir)
+      val entries =
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .flatMap { p =>
+            Files.readString(p).trim.split(",", 5) match {
+              case Array(v, b, sid, ts, op) =>
+                Some(VersionInfo(v.toLong, b.toLong, sid, ts.toLong, op))
+              case _ => None
+            }
+          }
+        finally s.close()
+      entries.filter(_.version <= cur).sortBy(-_.version)
+  }
+
+  /** The latest committed version whose commit time is <= `tsMillis` —
+    * Delta's `TIMESTAMP AS OF`. None when the table didn't exist at that
+    * time or that version's data has been reaped past the retention
+    * window.
+    */
+  def readAsOf(tsMillis: Long): Option[DataFrame] =
+    history().find(_.tsMillis <= tsMillis).flatMap(i => readVersion(i.version))
+
+  /** Delete version data dirs below `current - keepLast + 1` and return
+    * the reaped version numbers. Explicit, coarser reclamation than the
+    * per-commit auto-reap — Delta's VACUUM. `keepLast >= 1`; the current
+    * version is never reclaimable. The `_LOG` entries survive so
+    * [[history]] still documents the reaped commits.
+    */
+  def vacuum(keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    current.toSeq.flatMap { case (cur, _) =>
+      val floor = cur - keepLast + 1
+      val dir = Paths.get(root)
+      val s = Files.list(dir)
+      val victims =
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => p.getFileName.toString.startsWith("v_"))
+          .map(p => (p, p.getFileName.toString.stripPrefix("v_").toLong))
+          .filter(_._2 < floor)
+        finally s.close()
+      victims.foreach(v => deleteRecursively(v._1))
+      victims.map(_._2).sorted
+    }
+  }
 
   /** (version, lastBatchId, streamId) from the manifest, if the table
     * exists. The streamId scopes batch-replay detection to one checkpoint
@@ -62,18 +161,19 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
   def read(): Option[DataFrame] =
     current.map { case (v, _) => spark.read.parquet(s"$root/v_$v") }
 
-  /** Read a specific RETAINED version — the commit keeps the current and
-    * previous versions (older ones are reaped for space), so the retained
-    * pair can feed [[ChangeFeed.diff]]: re-derive the changelog between
-    * two snapshot versions without the original stream history.
+  /** Read a specific RETAINED version — any version still inside the
+    * retention window (see the `retain` knob and [[vacuum]]), so any
+    * retained pair can feed [[ChangeFeed.diff]]: re-derive the changelog
+    * between two snapshot versions without the original stream history.
+    * This is Delta's `VERSION AS OF`; [[readAsOf]] is `TIMESTAMP AS OF`.
     *
     * Resolution goes through the `_CURRENT` manifest, same as [[read]]: a
     * crash between the parquet write and the manifest swap leaves a
     * dangling `v_<n+1>` dir, and a bare directory probe would serve that
-    * uncommitted (possibly half-written) data.
+    * uncommitted (possibly half-written) data — hence the `v <= cur` gate.
     */
   def readVersion(v: Long): Option[DataFrame] = current.flatMap { case (cur, _) =>
-    if ((v == cur || v == cur - 1) && Files.isDirectory(Paths.get(s"$root/v_$v")))
+    if (v <= cur && Files.isDirectory(Paths.get(s"$root/v_$v")))
       Some(spark.read.parquet(s"$root/v_$v"))
     else None
   }
@@ -88,12 +188,13 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     val next = cur.map(_._1 + 1).getOrElse(0L)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
     Files.createDirectories(Paths.get(root))
+    logVersion(next, batchId, streamId, "commit")
     val tmp = Paths.get(root, "_CURRENT.tmp")
     Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // retain previous version for concurrent readers; reap older ones
-    current.foreach { case (v, _) => reapBefore(v - 1) }
+    // keep the retention window for concurrent readers + time travel
+    current.foreach { case (v, _) => reapBefore(v - (retain - 1)) }
     true
   }
 
@@ -161,11 +262,12 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
           }
         }.getOrElse(df.coalesce(target))
         rewritten.write.mode(SaveMode.Overwrite).parquet(s"$root/v_$next")
+        logVersion(next, batchId, streamId, "compact")
         val tmp = Paths.get(root, "_CURRENT.tmp")
         Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-        reapBefore(next - 1)
+        reapBefore(next - (retain - 1))
         Some(next)
       }
     }
@@ -211,11 +313,12 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
           // from a crashed pre-CAS writer — definitionally uncommitted
           deleteRecursively(dest)
           Files.move(stage, dest, StandardCopyOption.ATOMIC_MOVE)
+          logVersion(next, batchId, streamId, "commit")
           val tmp = Paths.get(root, "_CURRENT.tmp")
           Files.write(tmp, s"$next,$batchId,$streamId".getBytes(StandardCharsets.UTF_8))
           Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-          reapBefore(next - 1)
+          reapBefore(next - (retain - 1))
           Committed(next)
         }
       }
