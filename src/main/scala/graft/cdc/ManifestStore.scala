@@ -1,0 +1,285 @@
+package graft.cdc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** File-manifest snapshot storage — the Delta-log architecture itself, and
+  * the final scale evolution of the store family:
+  *
+  *   [[SnapshotStore]]          rewrites the whole table per commit
+  *   [[BucketedSnapshotStore]]  rewrites only the hash buckets a batch hits
+  *   [[ManifestStore]]          rewrites only the FILES a batch's keys hit,
+  *                              and carries every other file into the new
+  *                              version BY REFERENCE — zero I/O for the
+  *                              untouched part of the table
+  *
+  * This is how Delta's MERGE actually scales (ref: cdc_stream.py:664-671
+  * rides on it): a version is not a directory of data, it is a LIST of
+  * immutable shared files plus per-file min/max key statistics.
+  *
+  *   root/files/<uuid>.parquet   immutable data files, SHARED across
+  *                               versions (a file is never rewritten,
+  *                               only dropped from later manifests)
+  *   root/_LOG/<n>.json          version n's manifest: schema + the file
+  *                               list with per-file key min/max/rows
+  *   root/_CURRENT               "<version>,<batchId>,<streamId>" —
+  *                               atomic swap, same protocol as the other
+  *                               stores (conditional PUT on object stores)
+  *
+  * Commits cluster rows by key (`repartitionByRange` + sort) so each file
+  * owns a tight, disjoint key range; [[merge]] then intersects the batch's
+  * key set with the per-file ranges and rewrites only intersecting files.
+  * With F files and a batch touching k of them, merge I/O is
+  * O(table·k/F + batch) — on a 100 TB table where a micro-batch touches a
+  * handful of key ranges, that is the difference between seconds and hours.
+  * Old versions time-travel for free (their manifests still name live
+  * files) until [[vacuum]] reclaims unreferenced files.
+  *
+  * Keys must be LONG-typed for the stats (the testdata's key columns all
+  * are); widening stats to arbitrary orderable types is a serialization
+  * change, not a design change.
+  */
+object ManifestStore {
+  /** One immutable data file and its key statistics. */
+  final case class FileEntry(name: String, minKey: Long, maxKey: Long,
+                             rows: Long)
+
+  final case class Manifest(version: Long, batchId: Long, streamId: String,
+                            tsMillis: Long, schemaDDL: String,
+                            files: Seq[FileEntry])
+
+  /** What [[ManifestStore.merge]] did, for observability and the pruning
+    * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
+    */
+  final case class MergeStats(version: Long, rewrittenFiles: Int,
+                              reusedFiles: Int, newFiles: Int)
+}
+
+final class ManifestStore(val root: String, spark: SparkSession,
+                          keyField: String) {
+  import ManifestStore.{FileEntry, Manifest, MergeStats}
+  private val currentFile = Paths.get(root, "_CURRENT")
+  private val mapper = new ObjectMapper()
+
+  def current: Option[(Long, Long, String)] =
+    if (!Files.exists(currentFile)) None
+    else Files.readString(currentFile).trim.split(",", 3) match {
+      case Array(v, b, sid) => Some((v.toLong, b.toLong, sid))
+      case _                => None
+    }
+
+  def exists: Boolean = current.isDefined
+
+  def manifest(v: Long): Option[Manifest] = {
+    val p = Paths.get(root, "_LOG", v.toString + ".json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readString(p))
+      val files = n.path("files").elements().asScala.map { f =>
+        FileEntry(f.path("name").asText(), f.path("minKey").asLong(),
+          f.path("maxKey").asLong(), f.path("rows").asLong())
+      }.toSeq
+      Some(Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
+        n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
+        n.path("schema").asText(), files))
+    }
+  }
+
+  def currentManifest: Option[Manifest] =
+    current.flatMap { case (v, _, _) => manifest(v) }
+
+  private def readFiles(m: Manifest, names: Seq[String]): DataFrame =
+    if (names.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(m.schemaDDL))
+    else spark.read.schema(StructType.fromDDL(m.schemaDDL))
+      .parquet(names.map(n => s"$root/files/$n"): _*)
+
+  def read(): Option[DataFrame] =
+    currentManifest.map(m => readFiles(m, m.files.map(_.name)))
+
+  /** Time travel: any version whose manifest survives AND whose files have
+    * not been [[vacuum]]ed. Free until vacuum — old manifests reference the
+    * same immutable files the current one does.
+    */
+  def readVersion(v: Long): Option[DataFrame] = current.flatMap { case (cur, _, _) =>
+    if (v > cur) None // beyond _CURRENT: crashed-writer debris
+    else manifest(v).filter(_.files.forall(f =>
+      Files.exists(Paths.get(root, "files", f.name))))
+      .map(m => readFiles(m, m.files.map(_.name)))
+  }
+
+  /** Cluster `df` by key and write it as data files with per-file stats.
+    * Each output file owns a tight key range (range partition + sort), so
+    * later merges can prune on [min,max]. Returns the new entries; the
+    * caller links them into a manifest.
+    */
+  private def writeDataFiles(df: DataFrame, nFiles: Int): Seq[FileEntry] = {
+    val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
+    df.repartitionByRange(math.max(1, nFiles), col(keyField))
+      .sortWithinPartitions(keyField)
+      .write.parquet(stage.toString)
+    // an all-empty input writes no part files at all (empty partitions
+    // produce nothing) — there is nothing to stat or move
+    val wrotePart = {
+      val s = Files.list(stage)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    // per-file stats in ONE pass over the staged output; input_file_name
+    // ties each row to the physical file the writer placed it in
+    val stats =
+      if (!wrotePart) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(stage.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(min(col(keyField).cast("long")).as("_min"),
+          max(col(keyField).cast("long")).as("_max"),
+          count(lit(1)).as("_rows"))
+        .collect() // O(#files) — bounded by the clustering, not the data
+    Files.createDirectories(Paths.get(root, "files"))
+    val entries = stats.toSeq.map { r =>
+      val src = Paths.get(new java.net.URI(r.getString(0)))
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      Files.move(src, Paths.get(root, "files", name),
+        StandardCopyOption.ATOMIC_MOVE)
+      FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    deleteRecursively(stage)
+    entries
+  }
+
+  private def writeManifestAndSwap(version: Long, batchId: Long,
+                                   streamId: String, schemaDDL: String,
+                                   files: Seq[FileEntry]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    node.put("batchId", batchId)
+    node.put("streamId", streamId)
+    node.put("tsMillis", System.currentTimeMillis())
+    node.put("schema", schemaDDL)
+    val arr = mapper.createArrayNode()
+    files.foreach { f =>
+      val fn = mapper.createObjectNode()
+      fn.put("name", f.name); fn.put("minKey", f.minKey)
+      fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
+      arr.add(fn)
+    }
+    node.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
+    val logDir = Paths.get(root, "_LOG")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(version.toString + ".json"),
+      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(root, "_CURRENT.tmp")
+    Files.write(tmp, s"$version,$batchId,$streamId"
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Full write (initial load / backfill): cluster into `nFiles` and commit.
+    * Returns false (no-op) when `batchId` was already applied by the same
+    * stream lineage — the exactly-once contract shared by the store family.
+    */
+  def commit(df: DataFrame, batchId: Long, nFiles: Int,
+             streamId: String = "default"): Boolean = {
+    val cur = current
+    if (cur.exists(c => c._3 == streamId && c._2 >= batchId)) return false
+    Files.createDirectories(Paths.get(root))
+    val entries = writeDataFiles(df, nFiles)
+    writeManifestAndSwap(cur.map(_._1 + 1).getOrElse(0L), batchId, streamId,
+      df.schema.toDDL, entries)
+    true
+  }
+
+  /** Stats-pruned MERGE: apply a net changelog (shape of
+    * [[Changelog.dedupLatest]]) rewriting ONLY the files whose key range
+    * intersects the batch's key set. Untouched files join the new manifest
+    * by reference — no read, no write, no copy.
+    *
+    * Semantics are exactly [[Merge.applyChanges]] (ts guard included):
+    * every live key occurrence sits in a file whose [min,max] contains it,
+    * so restricting the merge input to intersecting files loses nothing —
+    * the same losslessness argument as the bucketed store's bucket
+    * restriction, with ranges instead of hash buckets.
+    */
+  def merge(net: DataFrame, fields: Seq[String], batchId: Long,
+            streamId: String = "default",
+            tsGuard: Boolean = true): Option[MergeStats] = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no current version at $root — " +
+        "commit an initial snapshot before merging"))
+    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+
+    val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // file pruning: a file is touched iff some batch key lands in its
+      // range. Broadcast the (O(#files)) stats against the batch keys —
+      // both sides are small, the table itself is never consulted.
+      val statsDf = spark.createDataFrame(
+        m.files.map(f => (f.name, f.minKey, f.maxKey)))
+        .toDF("_f", "_min", "_max")
+      val touched = broadcast(statsDf)
+        .join(netP.select(col(Changelog.KeyCol).cast("long").as("_k")).distinct(),
+          col("_k") >= col("_min") && col("_k") <= col("_max"), "left_semi")
+        .collect().map(_.getString(0)).toSet
+      val (touchedFiles, reused) = m.files.partition(f => touched(f.name))
+
+      val snapSubset = readFiles(m, touchedFiles.map(_.name))
+      val (merged, _, cleanup) = Merge.applyChangesFull(
+        snapSubset, netP, keyField, fields, tsGuard)
+      // rewrite volume ~ what was touched; growth (insert-heavy batches
+      // with no file hits) lands in one extra file per merge, and the
+      // periodic re-clustering commit (the compaction role) restores the
+      // file-count/size balance
+      val newEntries =
+        try writeDataFiles(merged, math.max(1, touchedFiles.size))
+        finally cleanup()
+      // result schema gains last_ts on first merge of a ts-less snapshot
+      val outSchema = merged.schema.toDDL
+      writeManifestAndSwap(m.version + 1, batchId, streamId, outSchema,
+        reused ++ newEntries)
+      Some(MergeStats(m.version + 1, touchedFiles.size, reused.size,
+        newEntries.size))
+    } finally netP.unpersist()
+  }
+
+  /** Reclaim data files referenced by NO retained manifest. Retains the
+    * manifests of the newest `keepLast` versions (current included);
+    * older manifests stay readable as history but their exclusive files
+    * are deleted, so [[readVersion]] starts answering None for them —
+    * Delta's VACUUM trade, made explicit. Returns deleted file names.
+    */
+  def vacuum(keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    current.toSeq.flatMap { case (cur, _, _) =>
+      val floor = cur - keepLast + 1
+      val referenced = (floor to cur)
+        .flatMap(manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+      val dir = Paths.get(root, "files")
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        val victims =
+          try s.toArray.toSeq.map(_.asInstanceOf[Path])
+            .filterNot(p => referenced(p.getFileName.toString))
+          finally s.close()
+        victims.foreach(Files.deleteIfExists(_))
+        victims.map(_.getFileName.toString).sorted
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

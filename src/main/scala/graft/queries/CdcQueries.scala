@@ -351,6 +351,39 @@ object CdcQueries {
       st.read().get.select(cust.columns.map(col).toSeq: _*)
     }),
 
+    "cdc_manifest_merge" -> ((s, dir) => {
+      // The Delta-log architecture under the gate ([[ManifestStore]]):
+      // commit the snapshot clustered into range-stat files, then MERGE the
+      // changelog in two KEY-DISJOINT batches — low keys first, the rest
+      // second. The low-key batch intersects only the low-range files, so
+      // the store carries the high-range files into the new version by
+      // reference (zero I/O); `pruning_effective` re-derives that from the
+      // retained manifests (shared file names across v0/v1). Final content
+      // must equal the ONE-batch flat merge (cdc_apply_changelog's oracle
+      // body): per-key last-write-wins is key-independent, so the split is
+      // semantically invisible — the gate proves both the pruned path's
+      // losslessness and the batch-composition law at once.
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_m_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 16)
+        val net = Changelog.dedupLatest(flattened(s, dir))
+        val bound = cust.agg(max(col("c_custkey"))).head().getLong(0) / 4
+        st.merge(net.filter(col(Changelog.KeyCol).cast("long") <= bound),
+          names, batchId = 1)
+        st.merge(net.filter(col(Changelog.KeyCol).cast("long") > bound),
+          names, batchId = 2)
+      }
+      val Seq(m0, m1) = Seq(0L, 1L).map(v => st.manifest(v).get.files.map(_.name))
+      val reused = (m0.toSet & m1.toSet).size
+      st.read().get.select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"), col("last_ts"),
+        lit(reused > 0 && reused < m0.size).as("pruning_effective"))
+    }),
+
     "layout_zorder_zonemap" -> ((s, dir) =>
       // Z-order layout demo under the gate: bin (user_id, value) to 8 bits
       // each, interleave to a Morton value, cut into 64 file spans, and
@@ -732,6 +765,20 @@ object CdcQueries {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the stats-pruned, two-batch manifest merge must be indistinguishable
+    // from the one-batch flat merge (cdc_apply_changelog's oracle body);
+    // pruning_effective gates that the low-key batch reused >=1 but not all
+    // of v0's files by reference
+    "cdc_manifest_merge" ->
+      s"""$fl$latestCte
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |       CAST(NULL AS BIGINT) AS last_ts, TRUE AS pruning_effective
+         |FROM customer WHERE c_custkey NOT IN (SELECT key_value FROM latest)
+         |UNION ALL
+         |SELECT after_c_custkey, after_c_name, after_c_nationkey,
+         |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
+         |FROM latest WHERE operation <> 'd'""".stripMargin,
 
     // the compacted table must be byte-equivalent to the source table
     "cdc_compact_roundtrip" ->

@@ -1,0 +1,132 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** File-manifest store: stats-pruned MERGE (rewrite only intersecting
+  * files, reuse the rest by reference), free time travel, vacuum, and
+  * equivalence with the flat [[Merge.applyChanges]] semantics.
+  */
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("id", "name")
+
+  private def store() =
+    new ManifestStore(Files.createTempDirectory("mstore").toString, spark, "id")
+
+  /** net-change rows in the flattened dedupLatest shape. */
+  private def netDf(rows: Seq[(Long, String, Option[String], Long)]) =
+    rows.map { case (id, op, name, ts) =>
+      (id, op, if (op == "d") None else Some(id), name, ts)
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+      Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+
+  private def seedDf = (0L until 200L).map(i => (i, s"n$i")).toDF("id", "name")
+
+  test("commit clusters into files with disjoint key ranges; read round-trips") {
+    val st = store()
+    assert(st.commit(seedDf, batchId = 0, nFiles = 8))
+    val m = st.currentManifest.get
+    assert(m.files.size == 8 && m.files.map(_.rows).sum == 200L)
+    // tight disjoint ranges: sorted by min, each max < next min
+    val sorted = m.files.sortBy(_.minKey)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a.maxKey < b.minKey })
+    assert(st.read().get.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == seedDf.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // exactly-once: replaying the batch is a no-op
+    assert(!st.commit(seedDf, batchId = 0, nFiles = 8))
+  }
+
+  test("merge rewrites only the files the batch's keys intersect") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val before = st.currentManifest.get.files.map(_.name).toSet
+    // keys 0-9 all land in the first 25-key file
+    val net = netDf((0L until 10L).map(i => (i, "u", Some(s"upd$i"), 100L)))
+    val stats = st.merge(net, fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 1 && stats.reusedFiles == 7)
+    val after = st.currentManifest.get.files.map(_.name).toSet
+    assert((before & after).size == 7) // same physical files, by reference
+    // content equals the flat-merge reference on the full snapshot
+    val expect = Merge.applyChanges(seedDf, net, "id", fields)
+      .select("id", "name").collect().toSet
+    assert(st.read().get.select("id", "name").collect().toSet == expect)
+  }
+
+  test("deletes rewrite their file; untouched-range inserts add one file") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val net = netDf(Seq(
+      (5L, "d", None, 100L),                    // delete inside file 0
+      (10000L, "c", Some("new"), 100L)))        // insert beyond every range
+    val stats = st.merge(net, fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 1 && stats.reusedFiles == 7)
+    val out = st.read().get
+    assert(out.filter(col("id") === 5L).count() == 0)
+    assert(out.filter(col("id") === 10000L).select("name")
+      .as[String].collect().toSeq == Seq("new"))
+    assert(out.count() == 200L) // 200 - 1 delete + 1 insert
+  }
+
+  test("insert-only batch outside all ranges reuses every file") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val net = netDf(Seq((5000L, "c", Some("a"), 10L),
+      (6000L, "c", Some("b"), 10L)))
+    val stats = st.merge(net, fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 0 && stats.reusedFiles == 8
+      && stats.newFiles == 1)
+    assert(st.read().get.count() == 202L)
+    // replaying the merge batch is a no-op
+    assert(st.merge(net, fields, batchId = 1).isEmpty)
+  }
+
+  test("ts guard holds across the pruned path") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.merge(netDf(Seq((7L, "u", Some("fresh"), 100L))), fields, batchId = 1)
+    // stale update (ts 50 < last_ts 100) must not regress state
+    st.merge(netDf(Seq((7L, "u", Some("stale"), 50L))), fields, batchId = 2)
+    assert(st.read().get.filter(col("id") === 7L).select("name")
+      .as[String].collect().toSeq == Seq("fresh"))
+  }
+
+  test("time travel is free until vacuum reclaims the old version's files") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 100L))), fields, batchId = 1)
+    // v0 still fully readable: its manifest references live files
+    assert(st.readVersion(0).get.filter(col("id") === 0L).select("name")
+      .as[String].collect().toSeq == Seq("n0"))
+    assert(st.readVersion(1).get.filter(col("id") === 0L).select("name")
+      .as[String].collect().toSeq == Seq("v1"))
+    assert(st.readVersion(2).isEmpty) // beyond _CURRENT
+    val removed = st.vacuum(keepLast = 1)
+    assert(removed.nonEmpty) // v0's exclusive (rewritten) file reclaimed
+    assert(st.readVersion(0).isEmpty) // honest None, not a mid-scan failure
+    assert(st.read().get.count() == 200L) // current untouched by vacuum
+  }
+
+  test("merge on an empty-net batch reuses everything") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val stats = st.merge(netDf(Seq.empty), fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 0 && stats.reusedFiles == 8)
+    assert(st.read().get.count() == 200L)
+  }
+
+  test("all-rows-deleted file vanishes from the manifest") {
+    val st = store()
+    st.commit((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    // delete both keys of one 2-key file
+    val net = netDf(Seq((0L, "d", None, 10L), (1L, "d", None, 10L)))
+    val stats = st.merge(net, fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 1 && stats.newFiles == 0)
+    assert(st.read().get.count() == 6L)
+  }
+}
