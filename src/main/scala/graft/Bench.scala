@@ -7,7 +7,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // default 32 = the driver's own setting (BENCH_r06.json records
+    // cpus:32) and the stated local[32] contract; a local run at the old
+    // default of 4 produced numbers 3-5x off the driver's artifact for
+    // CPU-bound queries and read as phantom regressions
+    val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     // JMH-style warmup at a smaller SF: pays JVM/codegen JIT cost once so
     // the timed runs measure the query plans, not classloading. sf0.01 (not
