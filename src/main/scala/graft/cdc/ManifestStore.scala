@@ -230,7 +230,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
         .collect().map(_.getString(0)).toSet
       val (touchedFiles, reused) = m.files.partition(f => touched(f.name))
 
-      val snapSubset = readFiles(m, touchedFiles.map(_.name))
+      // additive schema evolution: a drift-added field reaches the store as
+      // an after_<f> net column the manifest schema has never seen — grow
+      // the snapshot side as typed nulls (old files read null through later
+      // manifests' wider schema; nothing rewrites)
+      val snapSubset0 = readFiles(m, touchedFiles.map(_.name))
+      val snapSubset = fields.foldLeft(snapSubset0) { (df, f) =>
+        if (df.columns.contains(f)) df
+        else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
+      }
       val (merged, _, cleanup) = Merge.applyChangesFull(
         snapSubset, netP, keyField, fields, tsGuard)
       // rewrite volume ~ what was touched; growth (insert-heavy batches
@@ -247,6 +255,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
       Some(MergeStats(m.version + 1, touchedFiles.size, reused.size,
         newEntries.size))
     } finally netP.unpersist()
+  }
+
+  /** Rewrite the CURRENT version re-clustered into `nFiles` tight disjoint
+    * key-range files — the OPTIMIZE role. Merges accumulate files whose
+    * ranges overlap (a growth file from an insert-heavy batch spans a wide
+    * range), and every overlap makes later stats pruning more conservative;
+    * re-clustering restores the disjoint layout [[commit]] produces. New
+    * version, SAME batchId/streamId: maintenance, not a data change, so
+    * exactly-once replay detection is untouched. Returns the new version.
+    */
+  def recluster(nFiles: Int): Option[Long] = currentManifest.map { m =>
+    val entries = writeDataFiles(readFiles(m, m.files.map(_.name)), nFiles)
+    writeManifestAndSwap(m.version + 1, m.batchId, m.streamId, m.schemaDDL,
+      entries)
+    m.version + 1
   }
 
   /** Reclaim data files referenced by NO retained manifest. Retains the

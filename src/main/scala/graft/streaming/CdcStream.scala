@@ -68,63 +68,15 @@ final class CdcStream(
     }
   }
 
-  /** One micro-batch: infer-or-load schema (with drift detection), dedup to
-    * net changes, merge.
-    *
-    * Schema drift (SURVEY §4 hazard 6 — the reference's cache never
-    * invalidates, so source DDL changes are silently ignored): every batch
-    * re-reads ONE event's embedded schema block (a single-row head + a
-    * driver-side JSON parse); new columns are appended to the cached field
-    * list and the snapshot grows them as nulls. Removed columns stay (their
-    * values go null in new events) — additive evolution, no data loss.
+  /** One micro-batch: infer-or-load schema (with drift detection, see
+    * [[SchemaTracker]]), dedup to net changes, merge.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     batchInProgress = true
     try {
       if (batch.isEmpty) return
-      // Inference reads every DISTINCT schema block in the batch (the
-      // groupBy collapses distributed-side; only one exemplar string per
-      // variant reaches the driver), so a column added by DDL mid-batch is
-      // seen even when the first event predates it. Events without a
-      // schema block fall back to the cache.
-      val blocks = batch
-        .select(get_json_object(col("value").cast("string"), "$.schema").as("s"))
-        .filter(col("s").isNotNull)
-        .groupBy(md5(col("s"))).agg(first(col("s")).as("s"))
-        .select("s").collect().map(_.getString(0))
-      val variants = blocks.toSeq.flatMap(b =>
-        scala.util.Try(Envelope.inferFieldInfo(s"""{"schema":$b}""")).toOption)
-      val inferredOpt =
-        if (variants.isEmpty) None
-        else Some {
-          // deterministic merge independent of collect order: widest block
-          // is the base, remaining new fields append sorted by name
-          val base = variants.maxBy(v => (v.length, v.map(_.name).mkString(",")))
-          val known = base.map(_.name).toSet
-          base ++ variants.flatten
-            .filterNot(f => known.contains(f.name))
-            .distinctBy(_.name).sortBy(_.name)
-        }
-      val fields = (fieldsCache, inferredOpt) match {
-        case (None, Some(inferred)) =>
-          Envelope.saveCache(cacheDir, inferred)
-          fieldsCache = Some(inferred)
-          inferred
-        case (Some(cached), None) => cached
-        case (None, None) =>
-          throw new IllegalStateException(
-            "no cached schema and the first event carries no schema block")
-        case (Some(cached), Some(inferred)) =>
-          val known = cached.map(_.name).toSet
-          val added = inferred.filterNot(f => known.contains(f.name))
-          if (added.isEmpty) cached
-          else {
-            val evolved = cached ++ added
-            Envelope.saveCache(cacheDir, evolved)
-            fieldsCache = Some(evolved)
-            evolved
-          }
-      }
+      val fields = SchemaTracker.resolve(batch, fieldsCache, cacheDir)
+      if (!fieldsCache.contains(fields)) fieldsCache = Some(fields)
       val withSeq =
         if (batch.columns.contains(Changelog.SeqCol)) batch
         else batch.withColumn(Changelog.SeqCol, monotonically_increasing_id())

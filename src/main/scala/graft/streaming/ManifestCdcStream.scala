@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.cdc._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Streaming CDC into the file-manifest store: changelog stream ->
+  * per-batch net changes -> stats-pruned MERGE ([[graft.cdc.ManifestStore]]).
+  *
+  * [[CdcStream]] + [[graft.cdc.SnapshotStore]] rewrite the whole table
+  * every micro-batch — correct, and fine while the table is small, but
+  * O(table) I/O per trigger. This engine is the shape the reference
+  * actually deploys (stream -> Delta MERGE, ref: cdc_stream.py:664-671):
+  * each batch rewrites only the files whose key range the batch's keys
+  * intersect, so steady-state commit I/O is O(touched + batch) no matter
+  * how large the table grows — the property that lets a micro-batch land
+  * in seconds against a 100 TB table. Exactly-once replay detection,
+  * additive schema drift, rate capping, and graceful shutdown carry over
+  * from [[CdcStream]] unchanged.
+  */
+final class ManifestCdcStream(
+    spark: SparkSession,
+    source: DataFrame,
+    store: ManifestStore,
+    keyField: String,
+    cacheDir: String,
+    checkpointDir: String,
+    columnsToSave: Option[Seq[String]] = None,
+    tsGuard: Boolean = true,
+    trigger: Trigger = Trigger.AvailableNow(),
+    /** When > 0: after a committed merge leaves more than this many live
+      * files, rewrite the table re-clustered into `reclusterFiles` tight
+      * disjoint ranges (the auto-OPTIMIZE role). Merge growth files span
+      * wide key ranges and would otherwise erode stats pruning batch by
+      * batch; the threshold bounds that drift without rewriting the table
+      * on every trigger.
+      */
+    reclusterOverFiles: Int = 0,
+    reclusterFiles: Int = 64) {
+
+  @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
+    Envelope.loadCache(cacheDir)
+  @volatile private var batchInProgress = false
+  private lazy val streamId = CdcStream.lineageId(checkpointDir)
+
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    batchInProgress = true
+    try {
+      if (batch.isEmpty) return
+      val fields = SchemaTracker.resolve(batch, fieldsCache, cacheDir)
+      if (!fieldsCache.contains(fields)) fieldsCache = Some(fields)
+      val withSeq =
+        if (batch.columns.contains(Changelog.SeqCol)) batch
+        else batch.withColumn(Changelog.SeqCol, monotonically_increasing_id())
+      val names = {
+        val all = fields.map(_.name)
+        columnsToSave match {
+          case Some(saved) => all.filter(n => saved.contains(n) || n == keyField)
+          case None        => all
+        }
+      }
+      val net = Changelog.netChanges(withSeq, fields, keyField,
+        columnsToSave.map(_ :+ keyField))
+      if (!store.exists) {
+        // bootstrap an empty v0 so the first data batch goes through the
+        // same pruned-merge path as every later one (batchId -1 leaves all
+        // real batch ids unconsumed for replay detection; a crash between
+        // this commit and the merge below replays into merge's own guard)
+        val byName = fields.map(f => f.name -> f).toMap
+        val schema = StructType(names.map(n =>
+          StructField(n, Envelope.sparkType(byName(n).dbzType))))
+        store.commit(
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema),
+          batchId = -1L, nFiles = 1, streamId = streamId)
+      }
+      val committed = store.merge(net, names, batchId, streamId, tsGuard)
+      if (committed.isDefined && reclusterOverFiles > 0 &&
+          store.currentManifest.exists(_.files.size > reclusterOverFiles))
+        store.recluster(reclusterFiles)
+    } finally batchInProgress = false
+  }
+
+  def start(): StreamingQuery =
+    source.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** T4: wait for the in-flight batch before stopping. */
+  def stopGracefully(query: StreamingQuery, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (batchInProgress && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    query.stop()
+  }
+}

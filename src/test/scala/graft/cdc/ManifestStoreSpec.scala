@@ -119,6 +119,46 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.read().get.count() == 200L)
   }
 
+  test("recluster restores disjoint ranges after a wide growth file") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    // update key 5 + insert 10000: the touched file's rewrite clusters
+    // {0..24 rows, 10000} into ONE file spanning [0, 10000] — overlapping
+    // every reused file's range
+    st.merge(netDf(Seq((5L, "u", Some("u5"), 10L),
+      (10000L, "c", Some("far"), 10L))), fields, batchId = 1)
+    def overlaps = {
+      val fs = st.currentManifest.get.files.sortBy(_.minKey)
+      fs.zip(fs.tail).exists { case (a, b) => a.maxKey >= b.minKey }
+    }
+    assert(overlaps)
+    val contentBefore = st.read().get.collect().toSet
+    val v = st.recluster(nFiles = 8).get
+    assert(!overlaps)
+    assert(st.currentManifest.get.files.size == 8)
+    assert(st.read().get.collect().toSet == contentBefore)
+    // maintenance, not a data change: batch 1 still registers as applied
+    assert(st.current.get._1 == v && st.current.get._2 == 1L)
+    assert(st.merge(netDf(Seq((5L, "u", Some("replay"), 99L))), fields,
+      batchId = 1).isEmpty)
+  }
+
+  test("drift-added field evolves the schema additively across a merge") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    // net carries an after_city column the manifest schema has never seen
+    val net = netDf(Seq((3L, "u", Some("u3"), 10L)))
+      .withColumn("after_city", when(col(Changelog.OpCol) =!= "d", lit("ber")))
+    st.merge(net, fields :+ "city", batchId = 1)
+    val out = st.read().get
+    assert(out.columns.contains("city"))
+    // the updated row carries the new field; untouched rows (including
+    // whole untouched files read through the wider schema) are null
+    assert(out.filter(col("id") === 3L).select("city")
+      .as[String].collect().toSeq == Seq("ber"))
+    assert(out.filter(col("id") =!= 3L).filter(col("city").isNotNull).count() == 0)
+  }
+
   test("all-rows-deleted file vanishes from the manifest") {
     val st = store()
     st.commit((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name"),

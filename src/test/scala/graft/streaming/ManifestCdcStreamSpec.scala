@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming CDC through the file-manifest store: per-batch stats-pruned
+  * MERGE (untouched files carried by reference), exactly-once replay,
+  * additive drift, and the auto-recluster policy.
+  */
+class ManifestCdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    Envelope.FieldInfo("id", "int64", optional = false),
+    Envelope.FieldInfo("name", "string"))
+
+  private def event(op: String, id: Long, name: String, ts: Long,
+                    extra: Option[(String, String)] = None): String = {
+    val extraJson = extra.map { case (k, v) => s""","$k":"$v"""" }.getOrElse("")
+    val img = s"""{"id":$id,"name":"$name"$extraJson}"""
+    val before = if (op == "u" || op == "d") img else "null"
+    val after = if (op == "d") "null" else img
+    val fs = extra.map(e => fields :+ Envelope.FieldInfo(e._1, "string"))
+      .getOrElse(fields)
+    s"""{"schema":${Envelope.schemaBlockJson(fs)},"payload":{"before":$before,"after":$after,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+  }
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def seeded(nFiles: Int = 8): ManifestStore = {
+    val st = new ManifestStore(tmp("mcs"), spark, "id")
+    st.commit((0L until 200L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = nFiles)
+    st
+  }
+
+  test("stream merges batches with file pruning; untouched files shared") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = seeded()
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      // low keys only: high-range files must carry over by reference
+      ms.addData(event("u", 1, "a2", 200), event("c", 2, "b2", 200))
+      q.processAllAvailable()
+      val v = st.current.get._1
+      val prev = st.manifest(v - 1).get.files.map(_.name).toSet
+      val cur = st.manifest(v).get.files.map(_.name).toSet
+      assert((prev & cur).nonEmpty, "no files were carried by reference")
+      assert((prev & cur).size < prev.size, "no file was rewritten")
+      val out = st.read().get
+      assert(out.filter(col("id") === 1L).select("name")
+        .as[String].collect().toSeq == Seq("a2"))
+      assert(out.count() == 200L)
+
+      // second trigger: delete + stale update must not regress
+      ms.addData(event("d", 2, "b2", 300), event("u", 1, "stale", 50))
+      q.processAllAvailable()
+      val out2 = st.read().get
+      assert(out2.filter(col("id") === 2L).count() == 0)
+      assert(out2.filter(col("id") === 1L).select("name")
+        .as[String].collect().toSeq == Seq("a2"))
+    } finally stream.stopGracefully(q)
+  }
+
+  test("bootstrap from an empty store goes through the merge path") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = new ManifestStore(tmp("mcs"), spark, "id")
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      ms.addData(event("c", 1, "a", 100), event("c", 2, "b", 100),
+        event("d", 3, "x", 100)) // delete of an absent key: no-op
+      q.processAllAvailable()
+      assert(st.read().get.select("id", "name").collect().toSet ==
+        Set(Row(1L, "a"), Row(2L, "b")))
+    } finally stream.stopGracefully(q)
+  }
+
+  test("replaying a batch id is a no-op") {
+    val st = seeded()
+    val stream = new ManifestCdcStream(spark,
+      spark.emptyDataFrame, st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"))
+    val batch = Seq(event("u", 1, "once", 100)).toDF("value")
+    stream.processBatch(batch, batchId = 0)
+    val vAfter = st.current.get._1
+    stream.processBatch(batch, batchId = 0) // foreachBatch replay
+    assert(st.current.get._1 == vAfter)
+    assert(st.read().get.filter(col("id") === 1L).select("name")
+      .as[String].collect().toSeq == Seq("once"))
+  }
+
+  test("drift-added column lands additively mid-stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = seeded(nFiles = 4)
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      ms.addData(event("u", 1, "a2", 200))
+      q.processAllAvailable()
+      ms.addData(event("u", 2, "b2", 300, extra = Some("city" -> "ber")))
+      q.processAllAvailable()
+      val out = st.read().get
+      assert(out.columns.contains("city"))
+      assert(out.filter(col("id") === 2L).select("city")
+        .as[String].collect().toSeq == Seq("ber"))
+      assert(out.filter(col("id") =!= 2L)
+        .filter(col("city").isNotNull).count() == 0)
+    } finally stream.stopGracefully(q)
+  }
+
+  test("auto-recluster restores a bounded, disjoint layout") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = seeded(nFiles = 8)
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0),
+      reclusterOverFiles = 4, reclusterFiles = 4)
+    val q = stream.start()
+    try {
+      ms.addData(event("u", 1, "a2", 200))
+      q.processAllAvailable()
+      val m = st.currentManifest.get
+      assert(m.files.size == 4)
+      val fs = m.files.sortBy(_.minKey)
+      assert(fs.zip(fs.tail).forall { case (a, b) => a.maxKey < b.minKey })
+      assert(st.read().get.count() == 200L)
+      assert(st.read().get.filter(col("id") === 1L).select("name")
+        .as[String].collect().toSeq == Seq("a2"))
+    } finally stream.stopGracefully(q)
+  }
+}
