@@ -59,11 +59,23 @@ object ManifestStore {
     */
   final case class MergeStats(version: Long, rewrittenFiles: Int,
                               reusedFiles: Int, newFiles: Int)
+
+  /** Outcome of [[ManifestStore.mergeOptimistic]]. */
+  sealed trait MergeOutcome
+  final case class MergedAt(stats: MergeStats) extends MergeOutcome
+  /** This (batchId, streamId) already applied — exactly-once short-circuit. */
+  case object AlreadyMerged extends MergeOutcome
+  /** All attempts lost the race on a REAL overlap (see the three checks in
+    * [[ManifestStore.mergeOptimistic]]); `currentVersion` is where the
+    * table was when the last attempt gave up.
+    */
+  final case class MergeConflict(currentVersion: Long, reason: String)
+    extends MergeOutcome
 }
 
 final class ManifestStore(val root: String, spark: SparkSession,
                           keyField: String) {
-  import ManifestStore.{FileEntry, Manifest, MergeStats}
+  import ManifestStore.{FileEntry, Manifest, MergeOutcome, MergeStats}
   private val currentFile = Paths.get(root, "_CURRENT")
   private val mapper = new ObjectMapper()
 
@@ -218,42 +230,171 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // file pruning: a file is touched iff some batch key lands in its
-      // range. Broadcast the (O(#files)) stats against the batch keys —
-      // both sides are small, the table itself is never consulted.
+      val d = deriveMerge(m, netP, fields, tsGuard)
+      writeManifestAndSwap(m.version + 1, batchId, streamId, d.outSchema,
+        d.reused ++ d.newEntries)
+      Some(MergeStats(m.version + 1, d.touched.size, d.reused.size,
+        d.newEntries.size))
+    } finally netP.unpersist()
+  }
+
+  /** The file names of `files` whose [min,max] key range contains at least
+    * one of the batch's keys. Broadcast the (O(#files)) stats against the
+    * batch keys — both sides are small, the table itself is never consulted.
+    */
+  private def hitFileNames(netP: DataFrame, files: Seq[FileEntry]): Set[String] =
+    if (files.isEmpty) Set.empty
+    else {
       val statsDf = spark.createDataFrame(
-        m.files.map(f => (f.name, f.minKey, f.maxKey)))
+        files.map(f => (f.name, f.minKey, f.maxKey)))
         .toDF("_f", "_min", "_max")
-      val touched = broadcast(statsDf)
+      broadcast(statsDf)
         .join(netP.select(col(Changelog.KeyCol).cast("long").as("_k")).distinct(),
           col("_k") >= col("_min") && col("_k") <= col("_max"), "left_semi")
         .collect().map(_.getString(0)).toSet
-      val (touchedFiles, reused) = m.files.partition(f => touched(f.name))
+    }
 
-      // additive schema evolution: a drift-added field reaches the store as
-      // an after_<f> net column the manifest schema has never seen — grow
-      // the snapshot side as typed nulls (old files read null through later
-      // manifests' wider schema; nothing rewrites)
-      val snapSubset0 = readFiles(m, touchedFiles.map(_.name))
-      val snapSubset = fields.foldLeft(snapSubset0) { (df, f) =>
-        if (df.columns.contains(f)) df
-        else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
+  private final case class Derived(touched: Seq[FileEntry],
+                                   reused: Seq[FileEntry],
+                                   newEntries: Seq[FileEntry],
+                                   outSchema: String)
+
+  /** Prune + merge + write data files against a specific manifest —
+    * entirely contention-free (no `_CURRENT` read or write); the caller
+    * links the result into a manifest. `netP` must be persisted.
+    */
+  private def deriveMerge(m: Manifest, netP: DataFrame, fields: Seq[String],
+                          tsGuard: Boolean): Derived = {
+    // file pruning: a file is touched iff some batch key lands in its range
+    val touched = hitFileNames(netP, m.files)
+    val (touchedFiles, reused) = m.files.partition(f => touched(f.name))
+
+    // additive schema evolution: a drift-added field reaches the store as
+    // an after_<f> net column the manifest schema has never seen — grow
+    // the snapshot side as typed nulls (old files read null through later
+    // manifests' wider schema; nothing rewrites)
+    val snapSubset0 = readFiles(m, touchedFiles.map(_.name))
+    val snapSubset = fields.foldLeft(snapSubset0) { (df, f) =>
+      if (df.columns.contains(f)) df
+      else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
+    }
+    val (merged, _, cleanup) = Merge.applyChangesFull(
+      snapSubset, netP, keyField, fields, tsGuard)
+    // rewrite volume ~ what was touched; growth (insert-heavy batches
+    // with no file hits) lands in one extra file per merge, and the
+    // periodic re-clustering commit ([[recluster]]) restores the
+    // file-count/size balance
+    val newEntries =
+      try writeDataFiles(merged, math.max(1, touchedFiles.size))
+      finally cleanup()
+    // result schema gains last_ts on first merge of a ts-less snapshot
+    Derived(touchedFiles, reused, newEntries, merged.schema.toDDL)
+  }
+
+  /** Optimistic concurrent MERGE — Delta's actual conflict rule, finer
+    * than a whole-table CAS: independent writers starting from the same
+    * parent COMMUTE unless their work genuinely overlaps. The expensive
+    * phase (prune, merge, write data files) runs contention-free; inside
+    * the commit lock the attempt then either
+    *
+    *   - swaps directly (nobody committed since), or
+    *   - REBASES onto the new current — re-links its rewrites into the
+    *     winner's file list — which is sound iff all three hold:
+    *       (a) no concurrent schema change,
+    *       (b) every file this merge rewrote is still live (the winner
+    *           carried them by reference), and
+    *       (c) no file the winner wrote has a key range containing any of
+    *           this batch's keys (file immutability makes everything else
+    *           order-independent), or
+    *   - retries from scratch against the new current (a real overlap —
+    *     Delta's ConcurrentAppend/DeleteRead conflicts).
+    *
+    * Unreferenced data files from failed attempts are deleted eagerly.
+    * Exactly-once (batchId, streamId) replay detection is preserved at
+    * every re-check. Concurrent [[vacuum]] is NOT coordinated with in-
+    * flight merges (same trade as Delta: run maintenance quiesced or with
+    * a retention window longer than any writer's derivation).
+    */
+  def mergeOptimistic(net: DataFrame, fields: Seq[String], batchId: Long,
+                      streamId: String = "default", tsGuard: Boolean = true,
+                      maxAttempts: Int = 3): MergeOutcome =
+    mergeOptimisticHook(net, fields, batchId, streamId, tsGuard,
+      maxAttempts)(() => ())
+
+  /** [[mergeOptimistic]] with a deterministic interleave probe: `onDerived`
+    * fires after the contention-free derivation and before the commit lock
+    * — exactly where a concurrent writer's commit turns this attempt into
+    * a lost race. Specs use it to exercise the rebase/retry paths without
+    * relying on scheduler timing; production calls get the no-op.
+    */
+  private[cdc] def mergeOptimisticHook(net: DataFrame, fields: Seq[String],
+                                       batchId: Long, streamId: String,
+                                       tsGuard: Boolean, maxAttempts: Int)
+                                      (onDerived: () => Unit): MergeOutcome = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var last: MergeOutcome = ManifestStore.MergeConflict(-1L, "no attempt")
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        val m = currentManifest.getOrElse(
+          throw new IllegalStateException(s"no current version at $root — " +
+            "commit an initial snapshot before merging"))
+        if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+          return ManifestStore.AlreadyMerged
+        val d = deriveMerge(m, netP, fields, tsGuard)
+        onDerived()
+        val parentNames = m.files.map(_.name).toSet
+        val touchedNames = d.touched.map(_.name).toSet
+        val outcome = SnapshotStore.withCommitLock(root) {
+          val curM = currentManifest.get
+          if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+            ManifestStore.AlreadyMerged
+          else if (curM.version == m.version) {
+            writeManifestAndSwap(m.version + 1, batchId, streamId,
+              d.outSchema, d.reused ++ d.newEntries)
+            ManifestStore.MergedAt(MergeStats(m.version + 1, d.touched.size,
+              d.reused.size, d.newEntries.size))
+          } else {
+            val curNames = curM.files.map(_.name).toSet
+            // every file the winner(s) wrote since our parent is new-named
+            val addedSince = curM.files.filterNot(f => parentNames(f.name))
+            // schema compatibility: the winner either kept the parent's
+            // schema or evolved it to exactly what this merge writes too
+            // (the common case — both merges appended last_ts); anything
+            // else is a real concurrent schema change
+            if (curM.schemaDDL != m.schemaDDL && curM.schemaDDL != d.outSchema)
+              ManifestStore.MergeConflict(curM.version,
+                "concurrent schema change")
+            else if (!touchedNames.subsetOf(curNames))
+              ManifestStore.MergeConflict(curM.version,
+                "a file this merge rewrote was rewritten concurrently")
+            else if (hitFileNames(netP, addedSince).nonEmpty)
+              ManifestStore.MergeConflict(curM.version,
+                "a concurrent commit wrote rows in this batch's key range")
+            else {
+              val files = curM.files.filterNot(f => touchedNames(f.name)) ++
+                d.newEntries
+              writeManifestAndSwap(curM.version + 1, batchId, streamId,
+                d.outSchema, files)
+              ManifestStore.MergedAt(MergeStats(curM.version + 1,
+                d.touched.size, files.size - d.newEntries.size,
+                d.newEntries.size))
+            }
+          }
+        }
+        outcome match {
+          case c: ManifestStore.MergeConflict =>
+            // this attempt's data files are referenced by no manifest —
+            // reclaim them now instead of leaving them for vacuum
+            d.newEntries.foreach(e =>
+              Files.deleteIfExists(Paths.get(root, "files", e.name)))
+            last = c
+          case done => return done
+        }
       }
-      val (merged, _, cleanup) = Merge.applyChangesFull(
-        snapSubset, netP, keyField, fields, tsGuard)
-      // rewrite volume ~ what was touched; growth (insert-heavy batches
-      // with no file hits) lands in one extra file per merge, and the
-      // periodic re-clustering commit (the compaction role) restores the
-      // file-count/size balance
-      val newEntries =
-        try writeDataFiles(merged, math.max(1, touchedFiles.size))
-        finally cleanup()
-      // result schema gains last_ts on first merge of a ts-less snapshot
-      val outSchema = merged.schema.toDDL
-      writeManifestAndSwap(m.version + 1, batchId, streamId, outSchema,
-        reused ++ newEntries)
-      Some(MergeStats(m.version + 1, touchedFiles.size, reused.size,
-        newEntries.size))
+      last
     } finally netP.unpersist()
   }
 
