@@ -404,37 +404,107 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * range), and every overlap makes later stats pruning more conservative;
     * re-clustering restores the disjoint layout [[commit]] produces. New
     * version, SAME batchId/streamId: maintenance, not a data change, so
-    * exactly-once replay detection is untouched. Returns the new version.
+    * exactly-once replay detection is untouched.
+    *
+    * Concurrency: the expensive rewrite runs contention-free, then the
+    * swap is CAS-guarded — if any writer committed in between, the attempt
+    * DISCARDS its files and returns None rather than clobbering the newer
+    * version (a rebase is impossible here: the rewrite spans every file).
+    * Returns the new version, or None on an empty store or a lost race.
     */
-  def recluster(nFiles: Int): Option[Long] = currentManifest.map { m =>
+  def recluster(nFiles: Int): Option[Long] = reclusterHook(nFiles)(() => ())
+
+  /** [[recluster]] with the same interleave probe as
+    * [[mergeOptimisticHook]] — `onDerived` fires between the rewrite and
+    * the CAS swap.
+    */
+  private[cdc] def reclusterHook(nFiles: Int)
+                                (onDerived: () => Unit): Option[Long] =
+    currentManifest.flatMap { m =>
     val entries = writeDataFiles(readFiles(m, m.files.map(_.name)), nFiles)
-    writeManifestAndSwap(m.version + 1, m.batchId, m.streamId, m.schemaDDL,
-      entries)
-    m.version + 1
+    onDerived()
+    val won = SnapshotStore.withCommitLock(root) {
+      current.exists(_._1 == m.version) && {
+        writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+          m.schemaDDL, entries)
+        true
+      }
+    }
+    if (!won) entries.foreach(e =>
+      Files.deleteIfExists(Paths.get(root, "files", e.name)))
+    if (won) Some(m.version + 1) else None
   }
+
+  /** Change feed between two retained versions — Delta's CDF, made
+    * O(changed files) by the manifest: a file carried by reference holds
+    * identical rows on both sides and cannot produce a feed row (keys are
+    * unique per version, so a key cannot sit in a shared file on one side
+    * and an exclusive file on the other), so the diff reads ONLY the
+    * symmetric difference of the two file lists. Output shape is
+    * [[ChangeFeed.diff]]: (operation c|u|d, key, before_*, after_*).
+    * None when either version's manifest or data has been reaped.
+    *
+    * Columns added between the versions (additive drift) must be named in
+    * `ignore`, same contract as [[ChangeFeed.diff]].
+    */
+  def changesBetween(fromV: Long, toV: Long,
+                     ignore: Set[String] = Set.empty): Option[DataFrame] =
+    for {
+      cur <- current.map(_._1) if fromV <= cur && toV <= cur
+      mFrom <- manifest(fromV)
+      mTo <- manifest(toV)
+      if (mFrom.files ++ mTo.files).forall(f =>
+        Files.exists(Paths.get(root, "files", f.name)))
+    } yield {
+      val shared = mFrom.files.map(_.name).toSet & mTo.files.map(_.name).toSet
+      val oldSide0 = readFiles(mFrom, mFrom.files.map(_.name)
+        .filterNot(shared))
+      val newSide = readFiles(mTo, mTo.files.map(_.name)
+        .filterNot(shared))
+      // columns the newer version added (merge's last_ts, drift fields)
+      // exist as typed nulls in the older one — the store's own additive
+      // evolution rule, applied symmetrically to the feed
+      val oldSide = newSide.schema.fields
+        .filterNot(f => oldSide0.columns.contains(f.name))
+        .foldLeft(oldSide0)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+      ChangeFeed.diff(oldSide, newSide, keyField, ignore)
+    }
 
   /** Reclaim data files referenced by NO retained manifest. Retains the
     * manifests of the newest `keepLast` versions (current included);
     * older manifests stay readable as history but their exclusive files
     * are deleted, so [[readVersion]] starts answering None for them —
     * Delta's VACUUM trade, made explicit. Returns deleted file names.
+    *
+    * Runs under the commit lock so the reference set is one consistent
+    * manifest view. An in-flight [[mergeOptimistic]]'s staged-but-not-yet-
+    * committed data files are indistinguishable from orphans by reference
+    * alone — `minAgeMillis` is the guard (Delta's retention-threshold
+    * idea): in multi-writer deployments set it longer than any writer's
+    * derivation time so staged files age past it only after their commit
+    * or eager cleanup.
     */
-  def vacuum(keepLast: Int = 2): Seq[String] = {
+  def vacuum(keepLast: Int = 2, minAgeMillis: Long = 0L): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    current.toSeq.flatMap { case (cur, _, _) =>
-      val floor = cur - keepLast + 1
-      val referenced = (floor to cur)
-        .flatMap(manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
-      val dir = Paths.get(root, "files")
-      if (!Files.isDirectory(dir)) Seq.empty
-      else {
-        val s = Files.list(dir)
-        val victims =
-          try s.toArray.toSeq.map(_.asInstanceOf[Path])
-            .filterNot(p => referenced(p.getFileName.toString))
-          finally s.close()
-        victims.foreach(Files.deleteIfExists(_))
-        victims.map(_.getFileName.toString).sorted
+    SnapshotStore.withCommitLock(root) {
+      current.toSeq.flatMap { case (cur, _, _) =>
+        val floor = cur - keepLast + 1
+        val referenced = (floor to cur)
+          .flatMap(manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+        val dir = Paths.get(root, "files")
+        if (!Files.isDirectory(dir)) Seq.empty
+        else {
+          val cutoff = System.currentTimeMillis() - minAgeMillis
+          val s = Files.list(dir)
+          val victims =
+            try s.toArray.toSeq.map(_.asInstanceOf[Path])
+              .filterNot(p => referenced(p.getFileName.toString))
+              .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+            finally s.close()
+          victims.foreach(Files.deleteIfExists(_))
+          victims.map(_.getFileName.toString).sorted
+        }
       }
     }
   }

@@ -159,6 +159,84 @@ class ManifestStoreSpec extends SparkSpec {
     assert(out.filter(col("id") =!= 3L).filter(col("city").isNotNull).count() == 0)
   }
 
+  test("changesBetween reads only non-shared files and matches the full diff") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val net = netDf(Seq(
+      (5L, "u", Some("u5"), 100L),       // update in file 0
+      (7L, "d", None, 100L),             // delete in file 0
+      (10000L, "c", Some("new"), 100L))) // insert beyond every range
+    st.merge(net, fields, batchId = 1)
+    val feed = st.changesBetween(0L, 1L).get
+      .select("operation", "id", "before_name", "after_name").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    // exactly the three touched keys — untouched rows in rewritten files
+    // and every by-reference file contribute nothing. last_ts rides along
+    // (null -> set counts as a change only for rows already emitted; the
+    // untouched keys kept last_ts null on both sides).
+    assert(feed == Set(
+      ("u", 5L, Some("n5"), Some("u5")),
+      ("d", 7L, Some("n7"), None),
+      ("c", 10000L, None, Some("new"))))
+    // lossless vs the unrestricted full-table diff
+    val full = ChangeFeed.diff(st.readVersion(0).get
+      .withColumn("last_ts", lit(null).cast("long")),
+      st.readVersion(1).get, "id")
+      .select("operation", "id", "before_name", "after_name").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(feed == full)
+    assert(st.changesBetween(0L, 5L).isEmpty) // beyond _CURRENT
+  }
+
+  test("recluster loses a CAS race cleanly instead of clobbering") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    // a writer lands an update between recluster's rewrite and its swap:
+    // the stale recluster must discard its files and return None — a
+    // publish would silently drop the writer's committed merge
+    var fired = false
+    val out = st.reclusterHook(nFiles = 8) { () =>
+      if (!fired) {
+        fired = true
+        assert(st.merge(netDf(Seq((6L, "u", Some("u6"), 20L))), fields,
+          batchId = 1).isDefined)
+      }
+    }
+    assert(out.isEmpty)
+    assert(st.read().get.filter(col("id") === 6L).select("name")
+      .as[String].collect().toSeq == Seq("u6"))
+    // the losing attempt's files were reclaimed: every on-disk file is
+    // referenced by some retained manifest
+    val referenced = (0L to st.current.get._1)
+      .flatMap(st.manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+    val s = Files.list(java.nio.file.Paths.get(st.root, "files"))
+    val onDisk =
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .map(_.getFileName.toString)
+      finally s.close()
+    assert(onDisk.forall(referenced))
+    // with no interloper the retry succeeds
+    assert(st.recluster(nFiles = 8).isDefined)
+    assert(st.read().get.count() == 200L)
+  }
+
+  test("vacuum grace period protects young unreferenced files") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 100L))), fields, batchId = 1)
+    // a freshly staged file of an in-flight writer: unreferenced, young
+    val staged = java.nio.file.Paths.get(st.root, "files", "staged.parquet")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(st.vacuum(keepLast = 1, minAgeMillis = 3600000L)
+      .forall(_ != "staged.parquet"))
+    assert(Files.exists(staged))
+    // without the grace period it is reclaimed as an orphan
+    assert(st.vacuum(keepLast = 1).contains("staged.parquet"))
+    assert(!Files.exists(staged))
+  }
+
   test("all-rows-deleted file vanishes from the manifest") {
     val st = store()
     st.commit((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name"),
