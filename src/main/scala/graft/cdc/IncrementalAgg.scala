@@ -66,7 +66,36 @@ object IncrementalAgg {
     val added = net.filter(col(Changelog.OpCol) =!= "d")
       .select(col(s"after_$groupField").as("_g"), col(s"after_$valueField").as("_v"),
         lit(1L).as("_w"))
-    val delta = removed.unionByName(added)
+    applyDelta(state, removed.unionByName(added), groupField)
+  }
+
+  /** Fold a change-data-feed batch ([[ChangeFeed.diff]] shape: one NET row
+    * per changed key, with before/after images) into `state` — ZERO table
+    * access. [[maintain]] must stream the snapshot once because source-
+    * event before-images can't be trusted (Mongo updates, Postgres
+    * `REPLICA IDENTITY DEFAULT`); a STORE-DERIVED feed
+    * ([[ManifestStore.changesBetween]], [[ChangeFeed.diff]] over snapshot
+    * versions) carries exact before-images by construction, so the
+    * maintenance cost is O(feed) flat — the Delta-CDF-consumer pattern for
+    * downstream rollups.
+    */
+  def maintainFromFeed(state: DataFrame, feed: DataFrame,
+                       groupField: String, valueField: String): DataFrame = {
+    val removed = feed.filter(col("operation").isin("u", "d"))
+      .select(col(s"before_$groupField").as("_g"),
+        col(s"before_$valueField").as("_v"), lit(-1L).as("_w"))
+    val added = feed.filter(col("operation").isin("c", "u"))
+      .select(col(s"after_$groupField").as("_g"),
+        col(s"after_$valueField").as("_v"), lit(1L).as("_w"))
+    applyDelta(state, removed.unionByName(added), groupField)
+  }
+
+  /** Weighted (+1 enter / -1 leave) contribution rows -> group deltas ->
+    * state. Batch-sized group shuffle + one O(#groups) outer join.
+    */
+  private def applyDelta(state: DataFrame, contrib: DataFrame,
+                         groupField: String): DataFrame = {
+    val delta = contrib
       .groupBy(col("_g"))
       .agg(sum(col("_w")).as("_dcnt"),
         sum(when(col("_v").isNotNull, col("_w")).otherwise(0L)).as("_dnval"),

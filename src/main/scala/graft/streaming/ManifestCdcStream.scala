@@ -38,7 +38,18 @@ final class ManifestCdcStream(
       * on every trigger.
       */
     reclusterOverFiles: Int = 0,
-    reclusterFiles: Int = 64) {
+    reclusterFiles: Int = 64,
+    /** Continuously maintained COUNT/SUM view: (state store, groupField,
+      * valueField). Where [[CdcStream]]'s view folds the ts-guard-surviving
+      * live net (one snapshot pass per batch), this one folds the STORE-
+      * DERIVED change feed ([[graft.cdc.ManifestStore.changesBetween]]) —
+      * exact before-images by construction, ZERO table access per batch
+      * ([[graft.cdc.IncrementalAgg.maintainFromFeed]]). Same crash-window
+      * contract: a view lagging its store (crash between the two commits,
+      * foreign lineage) rebuilds from the merged table; steady state never
+      * touches it.
+      */
+    aggView: Option[(SnapshotStore, String, String)] = None) {
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -75,10 +86,33 @@ final class ManifestCdcStream(
           spark.createDataFrame(java.util.Collections.emptyList[Row](), schema),
           batchId = -1L, nFiles = 1, streamId = streamId)
       }
+      val prev = store.current // pre-commit view-sync reference
       val committed = store.merge(net, names, batchId, streamId, tsGuard)
-      if (committed.isDefined && reclusterOverFiles > 0 &&
-          store.currentManifest.exists(_.files.size > reclusterOverFiles))
-        store.recluster(reclusterFiles)
+      committed.foreach { stats =>
+        aggView.foreach { case (vs, groupField, valueField) =>
+          // in sync = the view has folded exactly the batches the main
+          // store had BEFORE this commit, in this lineage
+          val inSync = vs.currentFull.exists(v =>
+            v._3 == streamId &&
+              prev.exists(p => p._3 == streamId && p._2 == v._2))
+          val feedOpt =
+            if (inSync) prev.flatMap(p =>
+              store.changesBetween(p._1, stats.version,
+                ignore = Set(Merge.LastTsCol)))
+            else None
+          val state = feedOpt match {
+            case Some(feed) =>
+              IncrementalAgg.maintainFromFeed(vs.read().get, feed,
+                groupField, valueField)
+            case None => // first batch / crash window / reaped feed
+              IncrementalAgg.aggState(store.read().get, groupField, valueField)
+          }
+          vs.commit(state, batchId, streamId)
+        }
+        if (reclusterOverFiles > 0 &&
+            store.currentManifest.exists(_.files.size > reclusterOverFiles))
+          store.recluster(reclusterFiles)
+      }
     } finally batchInProgress = false
   }
 

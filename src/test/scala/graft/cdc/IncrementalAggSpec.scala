@@ -65,6 +65,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(maintained(snap, net) == recomputed(snap, net))
   }
 
+  test("maintainFromFeed over a manifest change feed equals the recompute") {
+    // the CDF-consumer path: fold the store-derived feed (exact
+    // before-images, zero table access) and compare with both the
+    // snapshot-pass maintenance and the from-scratch recompute
+    val st = new ManifestStore(
+      java.nio.file.Files.createTempDirectory("iagg").toString, spark, "id")
+    st.commit(snap, batchId = 0, nFiles = 2)
+    val net = netDf(Seq(
+      (2L, "u", Some(("a", 4.75)), 20L),
+      (3L, "u", Some(("a", 7.0)), 20L),   // migrates b -> a
+      (4L, "c", Some(("b", 1.0)), 20L),
+      (1L, "d", None, 20L)))
+    val stats = st.merge(net, fields, batchId = 1).get
+    val feed = st.changesBetween(0L, stats.version,
+      ignore = Set(Merge.LastTsCol)).get
+    val got = IncrementalAgg.maintainFromFeed(
+      IncrementalAgg.aggState(snap, "grp", "v"), feed, "grp", "v")
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().toSet
+    assert(got == recomputed(snap, net))
+    assert(got == Set(Row("a", 2L, 11.75), Row("b", 1L, 1.0)))
+  }
+
   private def snapNullable(rows: Seq[(Long, Option[String], Option[Double])]): DataFrame =
     rows.toDF("id", "grp", "v")
 

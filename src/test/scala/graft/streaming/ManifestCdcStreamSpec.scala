@@ -124,6 +124,51 @@ class ManifestCdcStreamSpec extends SparkSpec {
     } finally stream.stopGracefully(q)
   }
 
+  test("CDF-maintained agg view tracks the table across batches") {
+    implicit val ctx = spark.sqlContext
+    val vFields = Seq(
+      Envelope.FieldInfo("id", "int64", optional = false),
+      Envelope.FieldInfo("grp", "string"),
+      Envelope.FieldInfo("v", "double"))
+    def ev(op: String, id: Long, grp: String, v: Double, ts: Long): String = {
+      val img = s"""{"id":$id,"grp":"$grp","v":$v}"""
+      val before = if (op == "u" || op == "d") img else "null"
+      val after = if (op == "d") "null" else img
+      s"""{"schema":${Envelope.schemaBlockJson(vFields)},"payload":{"before":$before,"after":$after,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+    }
+    val ms = MemoryStream[String]
+    val st = new ManifestStore(tmp("mcs"), spark, "id")
+    val vs = new SnapshotStore(tmp("view"), spark)
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0),
+      aggView = Some((vs, "grp", "v")))
+    val q = stream.start()
+    def view: Map[String, (Long, Double)] = vs.read().get
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    try {
+      // batch 0: rebuild path (no prior view state)
+      ms.addData(ev("c", 1, "a", 10.0, 100), ev("c", 2, "a", 2.5, 100),
+        ev("c", 3, "b", 7.0, 100))
+      q.processAllAvailable()
+      assert(view == Map("a" -> ((2L, 12.5)), "b" -> ((1L, 7.0))))
+      // batch 1: steady state — folded from the CHANGE FEED, incl. a
+      // group migration and a delete
+      ms.addData(ev("u", 3, "a", 7.0, 200), ev("d", 2, "a", 2.5, 200),
+        ev("c", 4, "b", 1.0, 200))
+      q.processAllAvailable()
+      assert(view == Map("a" -> ((2L, 17.0)), "b" -> ((1L, 1.0))))
+      // the view state equals a from-scratch recompute of the table
+      val recompute = IncrementalAgg.aggState(st.read().get, "grp", "v")
+        .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(view == recompute)
+    } finally stream.stopGracefully(q)
+  }
+
   test("auto-recluster restores a bounded, disjoint layout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
