@@ -49,7 +49,15 @@ final class ManifestCdcStream(
       * foreign lineage) rebuilds from the merged table; steady state never
       * touches it.
       */
-    aggView: Option[(SnapshotStore, String, String)] = None) {
+    aggView: Option[(SnapshotStore, String, String)] = None,
+    /** Use [[graft.cdc.ManifestStore.mergeOptimistic]] instead of the
+      * single-writer merge — for deployments where the stream shares its
+      * table with other writers (a backfill job, another stream on a
+      * disjoint key range). An unresolved conflict after its retries fails
+      * the batch, which Structured Streaming then re-runs — at-least-once
+      * delivery into an exactly-once (batchId-guarded) store.
+      */
+    optimistic: Boolean = false) {
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -87,7 +95,16 @@ final class ManifestCdcStream(
           batchId = -1L, nFiles = 1, streamId = streamId)
       }
       val prev = store.current // pre-commit view-sync reference
-      val committed = store.merge(net, names, batchId, streamId, tsGuard)
+      val committed =
+        if (!optimistic) store.merge(net, names, batchId, streamId, tsGuard)
+        else store.mergeOptimistic(net, names, batchId, streamId, tsGuard) match {
+          case ManifestStore.MergedAt(stats) => Some(stats)
+          case ManifestStore.AlreadyMerged   => None
+          case c: ManifestStore.MergeConflict =>
+            throw new IllegalStateException(
+              s"merge conflict after retries at version ${c.currentVersion}: " +
+                s"${c.reason} — failing the batch for stream-level retry")
+        }
       committed.foreach { stats =>
         aggView.foreach { case (vs, groupField, valueField) =>
           // in sync = the view has folded exactly the batches the main

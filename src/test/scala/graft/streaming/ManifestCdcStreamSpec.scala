@@ -169,6 +169,33 @@ class ManifestCdcStreamSpec extends SparkSpec {
     } finally stream.stopGracefully(q)
   }
 
+  test("optimistic mode: the stream coexists with a foreign writer") {
+    val st = seeded()
+    val stream = new ManifestCdcStream(spark, spark.emptyDataFrame, st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      optimistic = true)
+    import spark.implicits._
+    stream.processBatch(Seq(event("u", 1, "from_stream", 100)).toDF("value"),
+      batchId = 0)
+    // a foreign backfill writer lands between the stream's triggers
+    val net = Seq((190L, "u", Some(190L), "from_backfill", 100L))
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+        Changelog.TsCol)
+    assert(st.mergeOptimistic(net, Seq("id", "name"), batchId = 0,
+      streamId = "backfill").isInstanceOf[ManifestStore.MergedAt])
+    stream.processBatch(Seq(event("u", 2, "stream_b1", 200)).toDF("value"),
+      batchId = 1)
+    val got = st.read().get.filter(col("id").isin(1L, 2L, 190L))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "from_stream", 2L -> "stream_b1",
+      190L -> "from_backfill"))
+    // replay stays a no-op through the optimistic path
+    val v = st.current.get._1
+    stream.processBatch(Seq(event("u", 2, "replay", 300)).toDF("value"),
+      batchId = 1)
+    assert(st.current.get._1 == v)
+  }
+
   test("auto-recluster restores a bounded, disjoint layout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
