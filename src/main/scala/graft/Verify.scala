@@ -4,10 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  /** Shared session config: testdata's `events.ts` is parquet
-    * TIMESTAMP(NANOS), which Spark only reads via the nanos-as-long legacy
-    * flag (DuckDB reads the same column as TIMESTAMP_NS — oracles use
-    * epoch_ms/epoch_ns accordingly).
+  /** Shared session config: testdata's `events.ts` has shipped as both
+    * parquet TIMESTAMP(NANOS) — readable only via the nanos-as-long legacy
+    * flag, kept for that vintage — and TIMESTAMP(MICROS);
+    * [[graft.queries.CdcQueries]] normalizes either to epoch-nanos BIGINT
+    * (DuckDB oracles use epoch_ms/epoch_ns on its TIMESTAMP read).
     */
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * §2.7) exercised at the sf's largest table (lineitem).
   *
   * `l_shipdate`/`o_orderdate` are micros-precision TIMESTAMP_NTZ (unlike
-  * `events.ts`, which is NANOS); both engines compare against the same
-  * timestamp literal.
+  * `events.ts`, which [[graft.queries.CdcQueries]] normalizes to epoch
+  * NANOS); both engines compare against the same timestamp literal.
   */
 object RelQueries {
   import QueryUtil.scanParallel
