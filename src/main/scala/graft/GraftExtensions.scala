@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BsonNormalize, CosineSimilarity, MisraGries}
+import graft.functions.{BloomBuild, BloomMaybeContains, BsonNormalize, CosineSimilarity, MisraGries}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -26,5 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       children => MisraGries(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuild].getName, "bloom_build"),
+      children => BloomBuild(children(0), children(1), children(2))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_maybe_contains"),
+      new ExpressionInfo(classOf[BloomMaybeContains].getName, "bloom_maybe_contains"),
+      children => BloomMaybeContains(children(0), children(1))))
   }
 }

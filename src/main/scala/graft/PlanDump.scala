@@ -93,7 +93,15 @@ object PlanDump {
     "dedup_prefix_jaccard" ->
       "Prefix-filtered Jaccard: candidate join keyed on PREFIX shingles only (rarest per doc); verification joins are doc-id-keyed on the pinned shingle frame.",
     "layout_zorder_zonemap" ->
-      "Z-order zone map: bin + interleave are pure per-row integer projections; ONE file-id-keyed partial+final aggregate produces the min/max boxes.")
+      "Z-order zone map: bin + interleave are pure per-row integer projections; ONE file-id-keyed partial+final aggregate produces the min/max boxes.",
+    "bloom_decontaminate" ->
+      "Bloom scrub: the probe is an inline bloom_maybe_contains expression INSIDE WholeStageCodegen (no UDF boundary); the clean half is scan+Filter with no Exchange, and only maybe-hits reach the anti-join (dirty side broadcast).",
+    "sketch_count_min" ->
+      "Count-min: ObjectHashAggregate with partial_count_min_sketch before a 1-row (resp. per-day) Exchange — O(eps,delta) counter state rides the shuffle, never the key universe.",
+    "sketch_kmv_overlap" ->
+      "KMV bottom-k: each sketch plans as TakeOrderedAndProject (per-partition partial top-k) — no global Sort, no full-corpus Exchange; the overlap joins touch O(k) rows.",
+    "emb_contamination_scan" ->
+      "Contamination scan: test set broadcast; per-train-vector argmax via row_number<=1 must plan a WindowGroupLimit below the Exchange, so each partition forwards one candidate per train vector.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

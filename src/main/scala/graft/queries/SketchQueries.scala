@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BloomOps, Similarity}
+
+/** Probabilistic-membership and set-overlap sketches as driver-contract
+  * queries — the curation toolkit for "is this document in the blocklist /
+  * how much do two corpora overlap" at 100 TB, where the exact formulations
+  * shuffle the full corpus.
+  *
+  * Oracle discipline (the `sketch_heavy_hitters` pattern): exact quantities
+  * are emitted as oracle-recomputable columns; sketch guarantees are
+  * emitted as deterministic THEOREM booleans — all-integer or
+  * fixed-IEEE-expression comparisons, invariant to partitioning and merge
+  * order — which DuckDB asserts as literal TRUE while recomputing the
+  * exact side. `bloom_decontaminate` goes further: no false negatives
+  * makes the Bloom short-cut lossless, so its OUTPUT is exact and carries
+  * a full hash oracle with no theorem columns at all.
+  */
+object SketchQueries {
+
+  import QueryUtil.scanParallel
+
+  private def docs(s: SparkSession, dir: String) =
+    scanParallel(s.read.parquet(s"$dir/documents.parquet"), s)
+  private def embs(s: SparkSession, dir: String) =
+    scanParallel(s.read.parquet(s"$dir/embeddings.parquet"), s)
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val norm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+    scanParallel(norm, s)
+  }
+
+  /** Every doc_id % DirtyMod == 0 document is the "benchmark/blocklist"
+    * stand-in the corpus must be scrubbed of.
+    */
+  val DirtyMod = 17
+  /** 2^17 bits (16 KiB) / 7 hashes: <1e-4 expected fpr for the ~10k dirty
+    * items of any SF this runs at — the fp residue is expected ZERO, and
+    * `FpCeiling` leaves two orders of slack before the gate would bite.
+    */
+  val BloomBits = 1 << 17
+  val BloomHashes = 7
+  val FpCeiling = 100L
+
+  /** CMS at eps=0.001, confidence 0.99, fixed seed: width 2719 x depth 5
+    * longs (~106 KiB) per sketch however many events it absorbs.
+    */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  /** user_id 0..9 exist at every SF (ids are dense from 0). */
+  val CmsProbeKeys = 10
+
+  /** Bottom-k size for the KMV overlap sketch: small enough to genuinely
+    * sketch at every SF (union is ~333 docs at the smallest), big enough
+    * that 3 sigma of the J=0.25 estimator (~0.08) clears the 0.1 gate.
+    */
+  val KmvK = 256
+
+  val ContaminationTau = 0.3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "bloom_decontaminate" -> ((s, dir) => {
+      // Bloom-accelerated blocklist scrub. The probe is local to every
+      // corpus partition; only maybe-hits (true matches + ~zero fp) reach
+      // the exact verification anti-join, so the shuffle is O(hits), not
+      // O(corpus). No false negatives makes the result EXACTLY the brute
+      // anti-join — same oracle, no tolerance.
+      val corpus = docs(s, dir)
+      val dirty = corpus.filter(col("doc_id") % DirtyMod === 0).select(col("text"))
+      BloomOps.decontaminate(corpus, dirty, "text", BloomBits, BloomHashes)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    "sketch_bloom_fpr" -> ((s, dir) => {
+      // False-positive accounting for the same blob: exact probe/true
+      // counts plus the no-false-negatives theorem and the fp ceiling.
+      val corpus = docs(s, dir)
+      val dirty = corpus.filter(col("doc_id") % DirtyMod === 0).select(col("text"))
+      BloomOps.fprReport(corpus, dirty, "text", BloomBits, BloomHashes, FpCeiling)
+    }),
+
+    "sketch_count_min" -> ((s, dir) => {
+      // Count-min frequency estimates for probe keys, gated on the CMS
+      // theorems: estimates never undercount (every counter absorbs the
+      // full true count) and overcount by at most eps*n (whp; fixed seed
+      // and data make the boolean deterministic). The DAILY sketches
+      // OR... summed counter-wise MUST reproduce the whole-corpus sketch
+      // exactly — CMS counters are additive, so the mergeable-rollup
+      // equality is a theorem, not an estimate.
+      import org.apache.spark.util.sketch.CountMinSketch
+      val ev = events(s, dir)
+      val cmsExpr = s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)"
+      // whole-corpus sketch and per-day sketches: each blob is O(config)
+      // (~106 KiB); collecting ~30 of them is bounded rollup state, the
+      // same discipline as the centroid/codebook collects
+      val whole = CountMinSketch.readFrom(
+        ev.agg(expr(cmsExpr).as("c")).collect()(0).getAs[Array[Byte]](0))
+      val daily = ev.withColumn("_day", expr("ts DIV 86400000000000"))
+        .groupBy("_day").agg(expr(cmsExpr).as("c")).collect()
+        .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("c")))
+      val merged = daily.reduce { (a, b) => a.mergeInPlace(b); a }
+      val n = whole.totalCount()
+      val bound = n / 1000L + 1L // ceil-ish eps*n in integers
+      val ests: Map[Long, (Long, Long)] = (0L until CmsProbeKeys).map { uid =>
+        uid -> (whole.estimateCount(java.lang.Long.valueOf(uid)),
+          merged.estimateCount(java.lang.Long.valueOf(uid)))
+      }.toMap
+      val estW = element_at(typedLit(ests.map { case (k, v) => k -> v._1 }),
+        col("user_id"))
+      val estM = element_at(typedLit(ests.map { case (k, v) => k -> v._2 }),
+        col("user_id"))
+      ev.filter(col("user_id") < CmsProbeKeys)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+        .select(col("user_id"), col("exact_cnt"),
+          (estW >= col("exact_cnt")).as("never_undercounts"),
+          (estW <= col("exact_cnt") + bound).as("overcount_within_bound"),
+          (estW === estM).as("merged_matches_whole"))
+    }),
+
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      // Corpus-overlap estimation via bottom-k (KMV) sketches: how much of
+      // crawl A is already in corpus B, from two O(k) sketches instead of
+      // an exact join. A = even doc_ids, B = multiples of 3 (exact
+      // Jaccard 1/4 by construction, oracle-recomputed). The bottom-k of
+      // the UNION is the bottom-k of the two sketches' union, so the
+      // estimator J ~ |bottom_k(U) ∩ A_k ∩ B_k| / |bottom_k(U)| needs
+      // only the sketches. orderBy+limit plans as a per-partition partial
+      // top-k (TakeOrdered) — no full sort, no full shuffle.
+      val d = docs(s, dir).select(col("doc_id"))
+      val h = xxhash64(col("doc_id")).as("h")
+      val aK = d.filter(col("doc_id") % 2 === 0).select(h).orderBy("h").limit(KmvK)
+      val bK = d.filter(col("doc_id") % 3 === 0).select(h).orderBy("h").limit(KmvK)
+      val u = aK.union(bK).distinct().orderBy("h").limit(KmvK)
+      // m and |U| are O(k) scalars of the sketch, not of the data
+      val m = u.join(aK, Seq("h"), "left_semi").join(bK, Seq("h"), "left_semi")
+        .count()
+      val uN = u.count()
+      val exact = d.agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("doc_id") % 6 === 0, 1L).otherwise(0L)).as("n_inter"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      // |m/|U| - inter/union| <= 0.1 in exact integers
+      exact.select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        (abs(lit(m) * col("n_union") * 10 - col("n_inter") * uN * 10)
+          <= lit(uN) * col("n_union")).as("jaccard_within_bound"))
+    }),
+
+    "emb_contamination_scan" -> ((s, dir) => {
+      // Cross-corpus embedding decontamination: every TRAIN vector scored
+      // against the (small, broadcast) TEST set; top-1 match + threshold
+      // flag. The corpus never shuffles — the broadcast join keeps each
+      // train partition local and the argmax collapses map-side.
+      val e = embs(s, dir)
+      val test = broadcast(e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("match_id"), col("embedding").as("t_emb")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("match_id").asc)
+      e.filter(col("vec_id") % 100 =!= 0)
+        .join(test)
+        .withColumn("cos", Similarity.cosine(col("t_emb"), col("embedding")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("match_id"), col("cos"),
+          (col("cos") >= ContaminationTau).as("flagged"))
+    }))
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_zip($a, $b).apply(p -> p[1] * p[2]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def oracles: Map[String, String] = Map(
+
+    "bloom_decontaminate" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % $DirtyMod = 0)
+         |""".stripMargin,
+
+    "sketch_bloom_fpr" ->
+      // membership is by TEXT, not id: a non-blocklisted doc sharing its
+      // text with a blocklisted one (duplicates exist at sf0.1+) is a true
+      // match, exactly as the engine's key join counts it
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(sum(CASE WHEN text IN (SELECT text FROM documents
+         |                                   WHERE doc_id % $DirtyMod = 0)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       TRUE AS no_false_negatives,
+         |       TRUE AS fp_within_ceiling
+         |FROM documents""".stripMargin,
+
+    "sketch_count_min" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
+         |       TRUE AS never_undercounts,
+         |       TRUE AS overcount_within_bound,
+         |       TRUE AS merged_matches_whole
+         |FROM events WHERE user_id < $CmsProbeKeys GROUP BY user_id""".stripMargin,
+
+    "sketch_kmv_overlap" ->
+      s"""WITH c AS (
+         |  SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+         |  FROM documents)
+         |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+         |       TRUE AS jaccard_within_bound
+         |FROM c""".stripMargin,
+
+    "emb_contamination_scan" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, match_id, cos, cos >= $ContaminationTau AS flagged FROM (
+         |  SELECT tr.vec_id, t.vec_id AS match_id,
+         |         ${cosSql("tr.v", "t.v")} AS cos,
+         |         row_number() OVER (PARTITION BY tr.vec_id
+         |           ORDER BY ${cosSql("tr.v", "t.v")} DESC, t.vec_id ASC) AS rn
+         |  FROM e tr JOIN e t ON t.vec_id % 100 = 0 AND tr.vec_id % 100 <> 0
+         |) WHERE rn = 1""".stripMargin)
+}
