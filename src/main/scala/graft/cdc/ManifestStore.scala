@@ -41,13 +41,24 @@ import scala.jdk.CollectionConverters._
   * Old versions time-travel for free (their manifests still name live
   * files) until [[vacuum]] reclaims unreferenced files.
   *
-  * Keys must be LONG-typed for the stats (the testdata's key columns all
-  * are); widening stats to arbitrary orderable types is a serialization
-  * change, not a design change.
+  * Key stats are TYPED: min/max are serialized as strings in the manifest
+  * and re-interpreted through the key column's own type (recorded in the
+  * manifest's schema DDL) at pruning time, so long, string/UUID, date,
+  * timestamp and decimal keys all prune in their native ordering — the
+  * reference's Mongo path defaults to a STRING `_id`
+  * (ref: cdc_stream.py:1018), which a long-only store could not serve.
+  * The string round-trip is exact for every supported type (Spark's
+  * string cast is its own inverse on atomic types), so pruning can never
+  * miss a file that holds one of the batch's keys.
   */
 object ManifestStore {
-  /** One immutable data file and its key statistics. */
-  final case class FileEntry(name: String, minKey: Long, maxKey: Long,
+  /** One immutable data file and its key statistics. `minKey`/`maxKey` are
+    * the Spark string-cast of the key column's min/max; compare them only
+    * after casting back through the key's real type (see
+    * [[ManifestStore.hitFileNames]]) — raw string comparison is wrong for
+    * unpadded numerics ("9" > "10").
+    */
+  final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long)
 
   final case class Manifest(version: Long, batchId: Long, streamId: String,
@@ -93,9 +104,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (!Files.exists(p)) None
     else {
       val n = mapper.readTree(Files.readString(p))
+      // asText() on a numeric node yields its decimal form, so manifests
+      // written by the long-only stats vintage read back unchanged
       val files = n.path("files").elements().asScala.map { f =>
-        FileEntry(f.path("name").asText(), f.path("minKey").asLong(),
-          f.path("maxKey").asLong(), f.path("rows").asLong())
+        FileEntry(f.path("name").asText(), f.path("minKey").asText(),
+          f.path("maxKey").asText(), f.path("rows").asLong())
       }.toSeq
       Some(Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
@@ -105,6 +118,30 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   def currentManifest: Option[Manifest] =
     current.flatMap { case (v, _, _) => manifest(v) }
+
+  /** The key column's type as the manifest records it — the single source
+    * of truth the string-serialized stats are interpreted through.
+    */
+  private def keyTypeOf(m: Manifest): org.apache.spark.sql.types.DataType =
+    StructType.fromDDL(m.schemaDDL)(keyField).dataType
+
+  /** Stats require a type whose Spark string cast round-trips exactly and
+    * whose ordering the pruning join can reproduce — every atomic key type
+    * a real table uses. Nested/binary keys fail FAST here instead of
+    * silently mis-pruning (and duplicating keys) at merge time.
+    */
+  private def requireStatKeyType(dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | TimestampType | TimestampNTZType | BooleanType |
+           FloatType | DoubleType => ()
+      case _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"ManifestStore key '$keyField' has type ${other.sql}, which cannot " +
+          "carry per-file min/max stats; use an atomic key type")
+    }
+  }
 
   private def readFiles(m: Manifest, names: Seq[String]): DataFrame =
     if (names.isEmpty)
@@ -133,6 +170,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * caller links them into a manifest.
     */
   private def writeDataFiles(df: DataFrame, nFiles: Int): Seq[FileEntry] = {
+    requireStatKeyType(df.schema(keyField).dataType)
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     df.repartitionByRange(math.max(1, nFiles), col(keyField))
       .sortWithinPartitions(keyField)
@@ -145,13 +183,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
       finally s.close()
     }
     // per-file stats in ONE pass over the staged output; input_file_name
-    // ties each row to the physical file the writer placed it in
+    // ties each row to the physical file the writer placed it in. min/max
+    // run in the key's NATIVE type (native ordering), then serialize via
+    // the exact string cast.
     val stats =
       if (!wrotePart) Array.empty[org.apache.spark.sql.Row]
       else spark.read.parquet(stage.toString)
         .groupBy(input_file_name().as("_f"))
-        .agg(min(col(keyField).cast("long")).as("_min"),
-          max(col(keyField).cast("long")).as("_max"),
+        .agg(min(col(keyField)).cast("string").as("_min"),
+          max(col(keyField)).cast("string").as("_max"),
           count(lit(1)).as("_rows"))
         .collect() // O(#files) — bounded by the clustering, not the data
     Files.createDirectories(Paths.get(root, "files"))
@@ -160,7 +200,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       Files.move(src, Paths.get(root, "files", name),
         StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
+      FileEntry(name, r.getString(1), r.getString(2), r.getLong(3))
     }
     deleteRecursively(stage)
     entries
@@ -241,16 +281,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
   /** The file names of `files` whose [min,max] key range contains at least
     * one of the batch's keys. Broadcast the (O(#files)) stats against the
     * batch keys — both sides are small, the table itself is never consulted.
+    * The string-serialized stats and the batch keys are both cast through
+    * `keyType` so the containment test runs in the key's native ordering.
     */
-  private def hitFileNames(netP: DataFrame, files: Seq[FileEntry]): Set[String] =
+  private def hitFileNames(netP: DataFrame, files: Seq[FileEntry],
+                           keyType: org.apache.spark.sql.types.DataType): Set[String] =
     if (files.isEmpty) Set.empty
     else {
       val statsDf = spark.createDataFrame(
         files.map(f => (f.name, f.minKey, f.maxKey)))
         .toDF("_f", "_min", "_max")
       broadcast(statsDf)
-        .join(netP.select(col(Changelog.KeyCol).cast("long").as("_k")).distinct(),
-          col("_k") >= col("_min") && col("_k") <= col("_max"), "left_semi")
+        .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k")).distinct(),
+          col("_k") >= col("_min").cast(keyType) &&
+            col("_k") <= col("_max").cast(keyType), "left_semi")
         .collect().map(_.getString(0)).toSet
     }
 
@@ -266,7 +310,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def deriveMerge(m: Manifest, netP: DataFrame, fields: Seq[String],
                           tsGuard: Boolean): Derived = {
     // file pruning: a file is touched iff some batch key lands in its range
-    val touched = hitFileNames(netP, m.files)
+    val touched = hitFileNames(netP, m.files, keyTypeOf(m))
     val (touchedFiles, reused) = m.files.partition(f => touched(f.name))
 
     // additive schema evolution: a drift-added field reaches the store as
@@ -370,7 +414,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             else if (!touchedNames.subsetOf(curNames))
               ManifestStore.MergeConflict(curM.version,
                 "a file this merge rewrote was rewritten concurrently")
-            else if (hitFileNames(netP, addedSince).nonEmpty)
+            else if (hitFileNames(netP, addedSince, keyTypeOf(curM)).nonEmpty)
               ManifestStore.MergeConflict(curM.version,
                 "a concurrent commit wrote rows in this batch's key range")
             else {

@@ -399,6 +399,41 @@ object CdcQueries {
         lit(reused > 0 && reused < m0.size).as("pruning_effective"))
     }),
 
+    "cdc_manifest_merge_strkey" -> ((s, dir) => {
+      // The manifest store's TYPED key stats under the gate: same
+      // two-key-disjoint-batch merge as cdc_manifest_merge, but the table
+      // is keyed by a STRING ('C' + zero-padded custkey — order-isomorphic
+      // to the numeric key, so the low/high split hits the same files).
+      // This is the reference's own default shape (Mongo string `_id`,
+      // ref: cdc_stream.py:1018); with long-only stats this store would
+      // cast the key to null, prune nothing, and silently duplicate every
+      // updated key. `pruning_effective` proves the string ranges pruned
+      // exactly like the numeric ones.
+      val sk = (c: org.apache.spark.sql.Column) =>
+        concat(lit("C"), lpad(c.cast("string"), 9, "0"))
+      val sfields = Seq("skey", "c_name", "c_acctbal")
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_sk_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "skey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) {
+        st.commit(cust.select(sk(col("c_custkey")).as("skey"), col("c_name"),
+          col("c_acctbal")), batchId = 0, nFiles = 16)
+        val net = Changelog.dedupLatest(flattened(s, dir)).select(
+          sk(col(Changelog.KeyCol)).as(Changelog.KeyCol),
+          col(Changelog.OpCol), col(Changelog.TsCol),
+          sk(col("after_c_custkey")).as("after_skey"),
+          col("after_c_name"), col("after_c_acctbal"))
+        val bound = sk(lit(cust.agg(max(col("c_custkey"))).head().getLong(0) / 4))
+        st.merge(net.filter(col(Changelog.KeyCol) <= bound), sfields, batchId = 1)
+        st.merge(net.filter(col(Changelog.KeyCol) > bound), sfields, batchId = 2)
+      }
+      val Seq(m0, m1) = Seq(0L, 1L).map(v => st.manifest(v).get.files.map(_.name))
+      val reused = (m0.toSet & m1.toSet).size
+      st.read().get.select(col("skey"), col("c_name"), col("c_acctbal"),
+        col("last_ts"), lit(reused > 0 && reused < m0.size).as("pruning_effective"))
+    }),
+
     "layout_zorder_zonemap" -> ((s, dir) =>
       // Z-order layout demo under the gate: bin (user_id, value) to 8 bits
       // each, interleave to a Morton value, cut into 64 file spans, and
@@ -793,6 +828,19 @@ object CdcQueries {
          |UNION ALL
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,
          |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
+         |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // string-keyed variant: the typed-stat store must reproduce the same
+    // last-write-wins content keyed by the order-isomorphic string key
+    "cdc_manifest_merge_strkey" ->
+      s"""$fl$latestCte
+         |SELECT 'C' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS skey,
+         |       c_name, c_acctbal, CAST(NULL AS BIGINT) AS last_ts,
+         |       TRUE AS pruning_effective
+         |FROM customer WHERE c_custkey NOT IN (SELECT key_value FROM latest)
+         |UNION ALL
+         |SELECT 'C' || lpad(CAST(after_c_custkey AS VARCHAR), 9, '0'),
+         |       after_c_name, after_c_acctbal, "timestamp", TRUE
          |FROM latest WHERE operation <> 'd'""".stripMargin,
 
     // the compacted table must be byte-equivalent to the source table

@@ -33,8 +33,8 @@ class ManifestStoreSpec extends SparkSpec {
     val m = st.currentManifest.get
     assert(m.files.size == 8 && m.files.map(_.rows).sum == 200L)
     // tight disjoint ranges: sorted by min, each max < next min
-    val sorted = m.files.sortBy(_.minKey)
-    assert(sorted.zip(sorted.tail).forall { case (a, b) => a.maxKey < b.minKey })
+    val sorted = m.files.sortBy(_.minKey.toLong)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a.maxKey.toLong < b.minKey.toLong })
     assert(st.read().get.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       == seedDf.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
     // exactly-once: replaying the batch is a no-op
@@ -55,6 +55,39 @@ class ManifestStoreSpec extends SparkSpec {
     val expect = Merge.applyChanges(seedDf, net, "id", fields)
       .select("id", "name").collect().toSet
     assert(st.read().get.select("id", "name").collect().toSet == expect)
+  }
+
+  test("string-keyed table: stats, pruning, and merge run in string ordering") {
+    // the hazard this gates: long-only stats cast a string key to null,
+    // prune NO files, and a merge then lands the update in a growth file
+    // while the stale row survives — silent duplicate keys. With typed
+    // stats the same merge must rewrite exactly the hit file and keep
+    // keys unique.
+    val st = new ManifestStore(
+      Files.createTempDirectory("mstore_s").toString, spark, "id")
+    val seed = (0 until 200).map(i => (f"k$i%03d", s"n$i")).toDF("id", "name")
+    assert(st.commit(seed, batchId = 0, nFiles = 8))
+    val sorted = st.currentManifest.get.files.sortBy(_.minKey)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a.maxKey < b.minKey })
+    val net = ((0 until 10).map(i => (f"k$i%03d", "u", f"k$i%03d", s"upd$i", 100L))
+      :+ (("k150", "d", null, null, 100L)))
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+        Changelog.TsCol)
+    val stats = st.merge(net, fields, batchId = 1).get
+    assert(stats.rewrittenFiles == 2 && stats.reusedFiles == 6)
+    val out = st.read().get
+    assert(out.count() == 199L)
+    assert(out.filter(col("id") === "k005").select("name")
+      .as[String].collect().toSeq == Seq("upd5"))
+    assert(out.filter(col("id") === "k150").count() == 0)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("nested key type fails fast at commit instead of mis-pruning later") {
+    val st = new ManifestStore(
+      Files.createTempDirectory("mstore_bad").toString, spark, "id")
+    val df = Seq((Array(1L), "x")).toDF("id", "name")
+    intercept[IllegalArgumentException](st.commit(df, batchId = 0, nFiles = 1))
   }
 
   test("deletes rewrite their file; untouched-range inserts add one file") {
@@ -128,8 +161,8 @@ class ManifestStoreSpec extends SparkSpec {
     st.merge(netDf(Seq((5L, "u", Some("u5"), 10L),
       (10000L, "c", Some("far"), 10L))), fields, batchId = 1)
     def overlaps = {
-      val fs = st.currentManifest.get.files.sortBy(_.minKey)
-      fs.zip(fs.tail).exists { case (a, b) => a.maxKey >= b.minKey }
+      val fs = st.currentManifest.get.files.sortBy(_.minKey.toLong)
+      fs.zip(fs.tail).exists { case (a, b) => a.maxKey.toLong >= b.minKey.toLong }
     }
     assert(overlaps)
     val contentBefore = st.read().get.collect().toSet

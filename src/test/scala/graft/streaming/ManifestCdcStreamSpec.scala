@@ -210,8 +210,8 @@ class ManifestCdcStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val m = st.currentManifest.get
       assert(m.files.size == 4)
-      val fs = m.files.sortBy(_.minKey)
-      assert(fs.zip(fs.tail).forall { case (a, b) => a.maxKey < b.minKey })
+      val fs = m.files.sortBy(_.minKey.toLong)
+      assert(fs.zip(fs.tail).forall { case (a, b) => a.maxKey.toLong < b.minKey.toLong })
       assert(st.read().get.count() == 200L)
       assert(st.read().get.filter(col("id") === 1L).select("name")
         .as[String].collect().toSeq == Seq("a2"))
