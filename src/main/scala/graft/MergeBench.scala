@@ -77,6 +77,26 @@ object MergeBench {
       println(s"""{"round":$r,"manifest_sec":${f"$mSec%.2f"},"snapshot_sec":${f"$sSec%.2f"},"rewritten":${stats.rewrittenFiles},"reused":${stats.reusedFiles},"new":${stats.newFiles}}""")
     }
     println(s"""{"metric":"merge_bench","rows":$n,"batch":$batch,"files":$nFiles,"rounds":$rounds,"manifest_total_sec":${f"$mSum%.2f"},"snapshot_total_sec":${f"$sSum%.2f"},"speedup":${f"${sSum / mSum}%.1f"}}""")
+
+    // OPTIMIZE vs full recluster: leave a few small growth files beyond the
+    // key range (insert-only batches), then measure partial compaction —
+    // cost must track the DIRT (a few thousand rows), while the full
+    // rewrite tracks the TABLE (n rows), however large n grows
+    (1 to 3).foreach { i =>
+      val ins = spark.range(batch).select(
+        (col("id") + n + batch * (i - 1)).as(Changelog.KeyCol),
+        lit("c").as(Changelog.OpCol),
+        (col("id") + n + batch * (i - 1)).as("after_id"),
+        concat(lit(s"ins${i}_"), col("id")).as("after_name"),
+        lit(1.0).as("after_val"),
+        repeat(md5(concat(lit("i"), col("id").cast("string"))), 8)
+          .as("after_payload"),
+        lit(2000L + i).as(Changelog.TsCol))
+      ms.merge(ins, fields, batchId = rounds + i).get
+    }
+    val (oStats, oSec) = time(ms.optimize(nFiles).get)
+    val (_, rSec) = time(ms.recluster(nFiles).get)
+    println(s"""{"metric":"optimize_bench","optimize_sec":${f"$oSec%.2f"},"recluster_sec":${f"$rSec%.2f"},"compacted":${oStats.compactedFiles},"carried":${oStats.carriedFiles},"new":${oStats.newFiles},"speedup":${f"${rSec / oSec}%.1f"}}""")
     spark.stop()
   }
 }

@@ -71,6 +71,13 @@ object ManifestStore {
   final case class MergeStats(version: Long, rewrittenFiles: Int,
                               reusedFiles: Int, newFiles: Int)
 
+  /** What [[ManifestStore.optimize]] did: `carriedFiles` crossed into the
+    * new version by reference (zero I/O); only `compactedFiles` were read
+    * and rewritten as `newFiles`.
+    */
+  final case class OptimizeStats(version: Long, compactedFiles: Int,
+                                 carriedFiles: Int, newFiles: Int)
+
   /** Outcome of [[ManifestStore.mergeOptimistic]]. */
   sealed trait MergeOutcome
   final case class MergedAt(stats: MergeStats) extends MergeOutcome
@@ -477,6 +484,105 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (!won) entries.foreach(e =>
       Files.deleteIfExists(Paths.get(root, "files", e.name)))
     if (won) Some(m.version + 1) else None
+  }
+
+  /** Assign each file to an overlap group: sort by min key and sweep,
+    * merging a file into the open group while its min does not exceed the
+    * running max — the classic interval-merge, run IN SPARK so the
+    * string-serialized stats compare through the key's native type (the
+    * driver never orders keys itself). O(#files) rows through one
+    * single-partition window — bounded by the layout, not the data.
+    * Returns file name -> group id, where group ids ascend in key order.
+    */
+  private def overlapGroups(files: Seq[FileEntry],
+                            keyType: org.apache.spark.sql.types.DataType)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.createDataFrame(files.map(f => (f.name, f.minKey, f.maxKey)))
+      .toDF("_f", "_min0", "_max0")
+      .select(col("_f"), col("_min0").cast(keyType).as("_min"),
+        col("_max0").cast(keyType).as("_max"))
+    val w = Window.orderBy("_min", "_max", "_f")
+    val runMax = max(col("_max")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_new",
+        when(runMax.isNull || col("_min") > runMax, 1L).otherwise(0L))
+      .withColumn("_grp",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("_f", "_grp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Partial re-clustering — Delta OPTIMIZE's file selection, replacing
+    * [[recluster]]'s O(table) rewrite for routine maintenance. Two kinds of
+    * layout debt accumulate under merges: growth files whose wide key range
+    * OVERLAPS the clustered files (eroding stats pruning), and a creeping
+    * population of small files. Both are range-local problems, so the fix
+    * is range-local:
+    *
+    *   1. group files by key-range overlap (interval merge),
+    *   2. bin-pack ADJACENT groups toward `targetFiles`-sized outputs
+    *      (adjacent-only, so every bin's key hull stays disjoint from its
+    *      neighbors' and the global disjoint invariant survives),
+    *   3. compact only multi-file bins; every single-file bin crosses into
+    *      the new version BY REFERENCE — zero I/O for the healthy part of
+    *      the table, cost bounded by overlap + small-file volume, not
+    *      table size.
+    *
+    * Returns None (and commits nothing) when the layout is already clean —
+    * an idle table pays nothing. Same CAS discipline as [[recluster]]: a
+    * lost race discards the attempt's files. New version, same
+    * batchId/streamId: maintenance, invisible to replay detection.
+    */
+  def optimize(targetFiles: Int): Option[ManifestStore.OptimizeStats] =
+    optimizeHook(targetFiles)(() => ())
+
+  /** [[optimize]] with the same pre-commit interleave probe as
+    * [[mergeOptimisticHook]]/[[reclusterHook]].
+    */
+  private[cdc] def optimizeHook(targetFiles: Int)
+                               (onDerived: () => Unit)
+      : Option[ManifestStore.OptimizeStats] = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    currentManifest.filter(_.files.nonEmpty).flatMap { m =>
+      val grp = overlapGroups(m.files, keyTypeOf(m))
+      // groups in key order; bin-pack adjacent groups toward target size
+      val groups: Seq[Seq[FileEntry]] = m.files.groupBy(f => grp(f.name))
+        .toSeq.sortBy(_._1).map(_._2)
+      val targetRows = math.max(1L, m.files.map(_.rows).sum / targetFiles)
+      val bins = groups.foldLeft(Vector.empty[Vector[FileEntry]]) { (acc, g) =>
+        val gRows = g.map(_.rows).sum
+        acc.lastOption match {
+          case Some(last) if last.map(_.rows).sum + gRows <= targetRows =>
+            acc.init :+ (last ++ g)
+          case _ => acc :+ g.toVector
+        }
+      }
+      val (compactBins, carryBins) = bins.partition(_.size > 1)
+      if (compactBins.isEmpty) None // layout already clean — commit nothing
+      else {
+        val carried = carryBins.flatten
+        // per-bin rewrite: each bin re-clusters WITHIN its own key hull, so
+        // outputs cannot overlap the carried neighbors
+        val newEntries = compactBins.flatMap { bin =>
+          val n = math.max(1L, (bin.map(_.rows).sum + targetRows - 1) / targetRows)
+          writeDataFiles(readFiles(m, bin.map(_.name)), n.toInt)
+        }
+        onDerived()
+        val won = SnapshotStore.withCommitLock(root) {
+          current.exists(_._1 == m.version) && {
+            writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+              m.schemaDDL, carried ++ newEntries)
+            true
+          }
+        }
+        if (!won) {
+          newEntries.foreach(e =>
+            Files.deleteIfExists(Paths.get(root, "files", e.name)))
+          None
+        } else Some(ManifestStore.OptimizeStats(m.version + 1,
+          compactBins.map(_.size).sum, carried.size, newEntries.size))
+      }
+    }
   }
 
   /** Change feed between two retained versions — Delta's CDF, made

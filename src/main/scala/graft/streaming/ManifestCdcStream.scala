@@ -31,11 +31,14 @@ final class ManifestCdcStream(
     tsGuard: Boolean = true,
     trigger: Trigger = Trigger.AvailableNow(),
     /** When > 0: after a committed merge leaves more than this many live
-      * files, rewrite the table re-clustered into `reclusterFiles` tight
-      * disjoint ranges (the auto-OPTIMIZE role). Merge growth files span
-      * wide key ranges and would otherwise erode stats pruning batch by
-      * batch; the threshold bounds that drift without rewriting the table
-      * on every trigger.
+      * files, run [[graft.cdc.ManifestStore.optimize]] toward
+      * `reclusterFiles` outputs (the auto-OPTIMIZE role). Merge growth
+      * files span wide key ranges and would otherwise erode stats pruning
+      * batch by batch; optimize compacts ONLY the overlapping / small-file
+      * bins and carries clean files by reference, so the in-stream
+      * maintenance cost is bounded by the layout debt a few batches accrue
+      * — not by table size (the old full recluster was an O(table) latency
+      * cliff on whichever trigger tripped the threshold).
       */
     reclusterOverFiles: Int = 0,
     reclusterFiles: Int = 64,
@@ -128,7 +131,7 @@ final class ManifestCdcStream(
         }
         if (reclusterOverFiles > 0 &&
             store.currentManifest.exists(_.files.size > reclusterOverFiles))
-          store.recluster(reclusterFiles)
+          store.optimize(reclusterFiles)
       }
     } finally batchInProgress = false
   }

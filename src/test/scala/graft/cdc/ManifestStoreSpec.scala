@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** File-manifest store: stats-pruned MERGE (rewrite only intersecting
   * files, reuse the rest by reference), free time travel, vacuum, and
@@ -150,6 +151,70 @@ class ManifestStoreSpec extends SparkSpec {
     val stats = st.merge(netDf(Seq.empty), fields, batchId = 1).get
     assert(stats.rewrittenFiles == 0 && stats.reusedFiles == 8)
     assert(st.read().get.count() == 200L)
+  }
+
+  test("optimize compacts only dirty bins; clean files carry by NAME") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4) // 4 disjoint files of 50
+    // a tiny insert-only batch leaves a 2-row growth file beyond the ranges
+    st.merge(netDf(Seq((500L, "c", Some("a"), 10L),
+      (501L, "c", Some("b"), 10L))), fields, batchId = 1)
+    val before = st.currentManifest.get.files.map(_.name).toSet
+    assert(before.size == 5)
+    // target 3 files -> ~67 rows/bin: the three leading 50-row files each
+    // fill a bin alone (untouched), the trailing 50-row file bin-packs
+    // with the 2-row growth file and only THAT pair rewrites
+    val stats = st.optimize(3).get
+    assert(stats.compactedFiles == 2 && stats.carriedFiles == 3
+      && stats.newFiles == 1)
+    val after = st.currentManifest.get.files
+    // the clean files crossed by reference — same physical names
+    assert((before & after.map(_.name).toSet).size == 3)
+    val sorted = after.sortBy(_.minKey.toLong)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+      a.maxKey.toLong < b.minKey.toLong })
+    assert(st.read().get.count() == 202L)
+    // already-clean layout: nothing to compact, no version churn
+    val v = st.current.get._1
+    assert(st.optimize(5).isEmpty && st.current.get._1 == v)
+  }
+
+  test("optimize clears global overlap erosion (wide growth file)") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    st.merge(netDf(Seq((5L, "u", Some("u5"), 10L),
+      (10000L, "c", Some("far"), 10L))), fields, batchId = 1)
+    val contentBefore = st.read().get.collect().toSet
+    val stats = st.optimize(8).get
+    // the [0,10000] growth span overlaps every file: all of them compact
+    assert(stats.carriedFiles == 0)
+    val fs = st.currentManifest.get.files.sortBy(_.minKey.toLong)
+    assert(fs.zip(fs.tail).forall { case (a, b) =>
+      a.maxKey.toLong < b.minKey.toLong })
+    assert(st.read().get.collect().toSet == contentBefore)
+  }
+
+  test("optimize loses a CAS race cleanly instead of clobbering") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    st.merge(netDf(Seq((5L, "u", Some("u5"), 10L))), fields, batchId = 1)
+    val raced = st.optimizeHook(4) { () =>
+      // a writer commits between derivation and the CAS
+      assert(st.merge(netDf(Seq((6L, "u", Some("u6"), 10L))), fields,
+        batchId = 2).nonEmpty)
+    }
+    assert(raced.isEmpty)
+    assert(st.read().get.filter(col("id") === 6L).select("name")
+      .as[String].collect().toSeq == Seq("u6"))
+    // no orphaned attempt files linger beyond the live set
+    val live = st.currentManifest.get.files.map(_.name).toSet ++
+      (0L to st.current.get._1).flatMap(v =>
+        st.manifest(v).toSeq.flatMap(_.files.map(_.name)))
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(st.root, "files"))
+    try assert(onDisk.iterator().asScala.forall(p =>
+      live(p.getFileName.toString)))
+    finally onDisk.close()
   }
 
   test("recluster restores disjoint ranges after a wide growth file") {
