@@ -97,6 +97,37 @@ object MergeBench {
     val (oStats, oSec) = time(ms.optimize(nFiles).get)
     val (_, rSec) = time(ms.recluster(nFiles).get)
     println(s"""{"metric":"optimize_bench","optimize_sec":${f"$oSec%.2f"},"recluster_sec":${f"$rSec%.2f"},"compacted":${oStats.compactedFiles},"carried":${oStats.carriedFiles},"new":${oStats.newFiles},"speedup":${f"${rSec / oSec}%.1f"}}""")
+
+    // write amplification on the WORST case for copy-on-write: a small
+    // batch SCATTERED over every file (one key per ~stride). CoW rewrites
+    // all touched files (~the table); merge-on-read writes sidecars + one
+    // upsert file (~the batch). bytes = what actually landed in files/
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    def scattered = spark.range(batch).select(
+      (col("id") * (n / batch)).as(Changelog.KeyCol),
+      lit("u").as(Changelog.OpCol),
+      (col("id") * (n / batch)).as("after_id"),
+      concat(lit("sc_"), col("id")).as("after_name"),
+      lit(2.0).as("after_val"),
+      repeat(md5(concat(lit("s"), col("id").cast("string"))), 8)
+        .as("after_payload"),
+      lit(3000L).as(Changelog.TsCol))
+    val cowStore = new ManifestStore(s"$base/cow", spark, "id")
+    cowStore.commit(table, batchId = 0, nFiles = nFiles)
+    val morStore = new ManifestStore(s"$base/mor", spark, "id")
+    morStore.commit(table, batchId = 0, nFiles = nFiles)
+    val cowB0 = dirBytes(java.nio.file.Paths.get(s"$base/cow/files"))
+    val (_, cowSec) = time(cowStore.merge(scattered, fields, batchId = 1).get)
+    val cowMb = (dirBytes(java.nio.file.Paths.get(s"$base/cow/files")) - cowB0) / 1e6
+    val morB0 = dirBytes(java.nio.file.Paths.get(s"$base/mor/files"))
+    val (morStats, morSec) = time(morStore.mergeOnRead(scattered, fields, batchId = 1).get)
+    val morMb = (dirBytes(java.nio.file.Paths.get(s"$base/mor/files")) - morB0) / 1e6
+    println(s"""{"metric":"mor_bench","batch":$batch,"cow_sec":${f"$cowSec%.2f"},"cow_written_mb":${f"$cowMb%.1f"},"mor_sec":${f"$morSec%.2f"},"mor_written_mb":${f"$morMb%.1f"},"masked_files":${morStats.maskedFiles},"write_amp_ratio":${f"${cowMb / morMb}%.1f"}}""")
     spark.stop()
   }
 }

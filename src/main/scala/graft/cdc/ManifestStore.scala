@@ -57,9 +57,27 @@ object ManifestStore {
     * after casting back through the key's real type (see
     * [[ManifestStore.hitFileNames]]) — raw string comparison is wrong for
     * unpadded numerics ("9" > "10").
+    *
+    * `dv` is the file's DELETION VECTOR sidecar (Delta's merge-on-read
+    * idea, key-based instead of positional): a tiny parquet of
+    * `(_file, _key)` rows naming the keys of THIS file that later merges
+    * superseded. The data file stays byte-identical; readers subtract the
+    * sidecar. `dvRows` counts the masked keys, so `rows - dvRows` is the
+    * live contribution. A rewrite of the file (copy-on-write merge,
+    * optimize, recluster) applies the sidecar and drops it.
     */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
-                             rows: Long)
+                             rows: Long, dv: Option[String] = None,
+                             dvRows: Long = 0L) {
+    def liveRows: Long = rows - dvRows
+  }
+
+  /** What [[ManifestStore.mergeOnRead]] did: no data file was rewritten —
+    * `maskedFiles` gained sidecars covering `maskedRows` superseded keys,
+    * `newFiles` hold the batch's after-images, everything else carried.
+    */
+  final case class MorStats(version: Long, maskedFiles: Int, maskedRows: Long,
+                            newFiles: Int, carriedFiles: Int)
 
   final case class Manifest(version: Long, batchId: Long, streamId: String,
                             tsMillis: Long, schemaDDL: String,
@@ -115,7 +133,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // written by the long-only stats vintage read back unchanged
       val files = n.path("files").elements().asScala.map { f =>
         FileEntry(f.path("name").asText(), f.path("minKey").asText(),
-          f.path("maxKey").asText(), f.path("rows").asLong())
+          f.path("maxKey").asText(), f.path("rows").asLong(),
+          Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
+          f.path("dvRows").asLong(0L))
       }.toSeq
       Some(Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
@@ -150,15 +170,44 @@ final class ManifestStore(val root: String, spark: SparkSession,
     }
   }
 
-  private def readFiles(m: Manifest, names: Seq[String]): DataFrame =
-    if (names.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(m.schemaDDL))
-    else spark.read.schema(StructType.fromDDL(m.schemaDDL))
-      .parquet(names.map(n => s"$root/files/$n"): _*)
+  /** The EFFECTIVE rows of `entries`: data files minus their deletion-
+    * vector sidecars. Sidecar-less files stream straight through one scan;
+    * masked files pay ONE broadcast anti-join against the (batch-sized,
+    * compaction-bounded) union of their sidecars, matched per (file, key)
+    * — a key masked in file F may legitimately live in a later upsert
+    * file, so the mask must never apply globally.
+    */
+  private def readFiles(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDDL)
+    def scan(es: Seq[FileEntry]) =
+      spark.read.schema(schema).parquet(es.map(e => s"$root/files/${e.name}"): _*)
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val (masked, plain) = entries.partition(_.dv.isDefined)
+      val plainDf = if (plain.isEmpty) None else Some(scan(plain))
+      val maskedDf = if (masked.isEmpty) None
+      else {
+        val dvDf = spark.read
+          .parquet(masked.flatMap(_.dv).map(d => s"$root/files/$d"): _*)
+        val data = scan(masked).withColumn("_file", fileBasename)
+        Some(data.join(broadcast(dvDf),
+          data("_file") === dvDf("_file") &&
+            data(keyField) === dvDf("_key"), "left_anti").drop("_file"))
+      }
+      (plainDf ++ maskedDf).reduce(_ unionByName _)
+    }
+  }
+
+  /** basename of the physical file a row came from, for per-file sidecar
+    * attribution (names are UUIDs — no URI-escaping ambiguity).
+    */
+  private def fileBasename =
+    element_at(split(input_file_name(), "/"), -1)
 
   def read(): Option[DataFrame] =
-    currentManifest.map(m => readFiles(m, m.files.map(_.name)))
+    currentManifest.map(m => readFiles(m, m.files))
 
   /** Time travel: any version whose manifest survives AND whose files have
     * not been [[vacuum]]ed. Free until vacuum — old manifests reference the
@@ -167,8 +216,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def readVersion(v: Long): Option[DataFrame] = current.flatMap { case (cur, _, _) =>
     if (v > cur) None // beyond _CURRENT: crashed-writer debris
     else manifest(v).filter(_.files.forall(f =>
-      Files.exists(Paths.get(root, "files", f.name))))
-      .map(m => readFiles(m, m.files.map(_.name)))
+      (f.name +: f.dv.toSeq).forall(n =>
+        Files.exists(Paths.get(root, "files", n)))))
+      .map(m => readFiles(m, m.files))
   }
 
   /** Cluster `df` by key and write it as data files with per-file stats.
@@ -227,6 +277,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val fn = mapper.createObjectNode()
       fn.put("name", f.name); fn.put("minKey", f.minKey)
       fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
+      f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
       arr.add(fn)
     }
     node.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
@@ -285,6 +336,133 @@ final class ManifestStore(val root: String, spark: SparkSession,
     } finally netP.unpersist()
   }
 
+  /** Merge-on-read MERGE — Delta's deletion vectors. [[merge]] rewrites
+    * every touched file in full: O(file) bytes WRITTEN per touched file,
+    * so a 100-key batch scattered over a 100 TB table's ~1 GB files
+    * rewrites ~100 GB to change 100 rows. This path writes O(batch)
+    * instead: the touched files stay byte-identical, each gains (or
+    * replaces) a sidecar masking its superseded keys, and the batch's
+    * after-images land in one new clustered file. Reads subtract sidecars
+    * ([[readFiles]]); [[optimize]] and [[recluster]] fold masks back into
+    * data files; [[vacuum]] reclaims replaced sidecars.
+    *
+    * Semantics are exactly [[merge]]'s (ts guard included) — the specs
+    * pin read-path equality between the two. Reads still scan the touched
+    * files (that is the "read" in merge-on-read); only write
+    * amplification changes. Sidecar maintenance is a driver loop of
+    * batch-sized jobs, one per masked file — O(touched files), the same
+    * bound the copy-on-write path pays in rewrites.
+    *
+    * Single-writer path (use [[merge]]/[[mergeOptimistic]] under
+    * concurrency): a concurrent writer's CoW rewrite of a masked file is
+    * guarded against in [[mergeOptimisticHook]] by (name, dv) identity,
+    * but this method itself takes no commit lock beyond the swap.
+    */
+  def mergeOnRead(net: DataFrame, fields: Seq[String], batchId: Long,
+                  streamId: String = "default",
+                  tsGuard: Boolean = true): Option[ManifestStore.MorStats] = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no current version at $root — " +
+        "commit an initial snapshot before merging"))
+    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+    val keyType = keyTypeOf(m)
+    // sidecar names carry a per-merge token: the file's PREVIOUS sidecar
+    // stays referenced by earlier manifests (time travel) until vacuum
+    val dvToken = java.util.UUID.randomUUID().toString
+    def dvNameFor(fname: String) = s"$fname.$dvToken.dv"
+    val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touchedNames = hitFileNames(netP, m.files, keyType)
+      val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
+      val snapSubset = widenToNet(readFiles(m, touched), netP, fields)
+      val (merged, live, cleanup) = Merge.applyChangesFull(
+        snapSubset, netP, keyField, fields, tsGuard)
+      try {
+        val liveP = live.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val liveKeys = liveP
+            .select(col(Changelog.KeyCol).cast(keyType).as("_key")).distinct()
+          // (file, key) pairs to mask: every RAW row of a touched file
+          // whose key has a surviving net event. Raw (not effective) scan:
+          // re-masking an already-masked key is a no-op after the distinct
+          // union below, and it spares a second anti-join here.
+          val schema = StructType.fromDDL(m.schemaDDL)
+          val newMasks =
+            if (touched.isEmpty) None
+            else Some(spark.read.schema(schema)
+              .parquet(touched.map(e => s"$root/files/${e.name}"): _*)
+              .select(fileBasename.as("_file"),
+                col(keyField).cast(keyType).as("_key"))
+              .join(broadcast(liveKeys), Seq("_key"), "left_semi")
+              .select("_file", "_key")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          try {
+            val newMaskNames: Set[String] = newMasks match {
+              case None => Set.empty
+              case Some(mk) => mk.select("_file").distinct()
+                .collect().map(_.getString(0)).toSet
+            }
+            Files.createDirectories(Paths.get(root, "files"))
+            // replace every masked file's sidecar with old-mask ∪ new-mask
+            // in ONE Spark job: write the union partitioned by file, then
+            // adopt each partition DIRECTORY as that file's new sidecar (a
+            // sidecar is a parquet dir; one driver rename per masked file,
+            // no per-file jobs). Old sidecars become unreferenced —
+            // vacuum's work. Files the range check touched but whose keys
+            // the batch missed keep their entry untouched.
+            val maskCounts: Map[String, Long] = if (newMaskNames.isEmpty)
+              Map.empty
+            else {
+              val oldDvPaths = touched
+                .filter(f => newMaskNames(f.name) && f.dv.isDefined)
+                .map(f => s"$root/files/${f.dv.get}")
+              val combined0 = newMasks.get
+              val combined = (if (oldDvPaths.isEmpty) combined0
+                else combined0.unionByName(spark.read.parquet(oldDvPaths: _*)
+                  .select(col("_file"), col("_key").cast(keyType))))
+                .distinct()
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val counts = combined.groupBy("_file").count()
+                  .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+                val stage = Paths.get(root,
+                  s"_stage_dv_${java.util.UUID.randomUUID()}")
+                // repartition by the partition column: each file's mask
+                // rows land in one task -> one part file per directory
+                combined.withColumn("_p", col("_file"))
+                  .repartition(col("_p"))
+                  .write.partitionBy("_p").parquet(stage.toString)
+                counts.keys.foreach { fname =>
+                  Files.move(stage.resolve(s"_p=$fname"),
+                    Paths.get(root, "files", dvNameFor(fname)),
+                    StandardCopyOption.ATOMIC_MOVE)
+                }
+                deleteRecursively(stage)
+                counts
+              } finally combined.unpersist()
+            }
+            val updatedTouched = touched.map { f =>
+              if (!maskCounts.contains(f.name)) f
+              else f.copy(dv = Some(dvNameFor(f.name)),
+                dvRows = maskCounts(f.name))
+            }
+            // the batch's after-images, shaped to the merged schema
+            val upserts = Changelog
+              .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
+              .select(merged.columns.map(col).toSeq: _*)
+            val newEntries = writeDataFiles(upserts, 1)
+            writeManifestAndSwap(m.version + 1, batchId, streamId,
+              merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries)
+            Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
+              maskCounts.values.sum, newEntries.size,
+              untouched.size + (touched.size - maskCounts.size)))
+          } finally newMasks.foreach(_.unpersist())
+        } finally liveP.unpersist()
+      } finally cleanup()
+    } finally netP.unpersist()
+  }
+
   /** The file names of `files` whose [min,max] key range contains at least
     * one of the batch's keys. Broadcast the (O(#files)) stats against the
     * batch keys — both sides are small, the table itself is never consulted.
@@ -303,6 +481,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
           col("_k") >= col("_min").cast(keyType) &&
             col("_k") <= col("_max").cast(keyType), "left_semi")
         .collect().map(_.getString(0)).toSet
+    }
+
+  /** Grow `snap` with typed-null columns for any field the net carries
+    * that the stored schema has never seen (additive drift).
+    */
+  private def widenToNet(snap: DataFrame, netP: DataFrame,
+                         fields: Seq[String]): DataFrame =
+    fields.foldLeft(snap) { (df, f) =>
+      if (df.columns.contains(f)) df
+      else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
     }
 
   private final case class Derived(touched: Seq[FileEntry],
@@ -324,11 +512,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // an after_<f> net column the manifest schema has never seen — grow
     // the snapshot side as typed nulls (old files read null through later
     // manifests' wider schema; nothing rewrites)
-    val snapSubset0 = readFiles(m, touchedFiles.map(_.name))
-    val snapSubset = fields.foldLeft(snapSubset0) { (df, f) =>
-      if (df.columns.contains(f)) df
-      else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
-    }
+    val snapSubset = widenToNet(readFiles(m, touchedFiles), netP, fields)
     val (merged, _, cleanup) = Merge.applyChangesFull(
       snapSubset, netP, keyField, fields, tsGuard)
     // rewrite volume ~ what was touched; growth (insert-heavy batches
@@ -398,6 +582,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
         onDerived()
         val parentNames = m.files.map(_.name).toSet
         val touchedNames = d.touched.map(_.name).toSet
+        // rewrite-safety is (name, dv) IDENTITY: a concurrent merge-on-read
+        // commit keeps a file's name but changes its sidecar, and a rebase
+        // past it would resurrect the keys it masked
+        val touchedIds = d.touched.map(f => (f.name, f.dv)).toSet
         val outcome = SnapshotStore.withCommitLock(root) {
           val curM = currentManifest.get
           if (current.exists(c => c._3 == streamId && c._2 >= batchId))
@@ -408,8 +596,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
             ManifestStore.MergedAt(MergeStats(m.version + 1, d.touched.size,
               d.reused.size, d.newEntries.size))
           } else {
-            val curNames = curM.files.map(_.name).toSet
+            val curIds = curM.files.map(f => (f.name, f.dv)).toSet
             // every file the winner(s) wrote since our parent is new-named
+            // (a dv-only change keeps the name: if our batch's keys landed
+            // in that file's range we rewrote it ourselves and the
+            // identity check below catches the clash)
             val addedSince = curM.files.filterNot(f => parentNames(f.name))
             // schema compatibility: the winner either kept the parent's
             // schema or evolved it to exactly what this merge writes too
@@ -418,9 +609,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
             if (curM.schemaDDL != m.schemaDDL && curM.schemaDDL != d.outSchema)
               ManifestStore.MergeConflict(curM.version,
                 "concurrent schema change")
-            else if (!touchedNames.subsetOf(curNames))
+            else if (!touchedIds.subsetOf(curIds))
               ManifestStore.MergeConflict(curM.version,
-                "a file this merge rewrote was rewritten concurrently")
+                "a file this merge rewrote was rewritten or re-masked concurrently")
             else if (hitFileNames(netP, addedSince, keyTypeOf(curM)).nonEmpty)
               ManifestStore.MergeConflict(curM.version,
                 "a concurrent commit wrote rows in this batch's key range")
@@ -472,7 +663,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private[cdc] def reclusterHook(nFiles: Int)
                                 (onDerived: () => Unit): Option[Long] =
     currentManifest.flatMap { m =>
-    val entries = writeDataFiles(readFiles(m, m.files.map(_.name)), nFiles)
+    val entries = writeDataFiles(readFiles(m, m.files), nFiles)
     onDerived()
     val won = SnapshotStore.withCommitLock(root) {
       current.exists(_._1 == m.version) && {
@@ -546,26 +737,33 @@ final class ManifestStore(val root: String, spark: SparkSession,
     currentManifest.filter(_.files.nonEmpty).flatMap { m =>
       val grp = overlapGroups(m.files, keyTypeOf(m))
       // groups in key order; bin-pack adjacent groups toward target size
+      // (packing arithmetic uses LIVE rows — masked keys are debt, not data)
       val groups: Seq[Seq[FileEntry]] = m.files.groupBy(f => grp(f.name))
         .toSeq.sortBy(_._1).map(_._2)
-      val targetRows = math.max(1L, m.files.map(_.rows).sum / targetFiles)
+      val targetRows = math.max(1L, m.files.map(_.liveRows).sum / targetFiles)
       val bins = groups.foldLeft(Vector.empty[Vector[FileEntry]]) { (acc, g) =>
-        val gRows = g.map(_.rows).sum
+        val gRows = g.map(_.liveRows).sum
         acc.lastOption match {
-          case Some(last) if last.map(_.rows).sum + gRows <= targetRows =>
+          case Some(last) if last.map(_.liveRows).sum + gRows <= targetRows =>
             acc.init :+ (last ++ g)
           case _ => acc :+ g.toVector
         }
       }
-      val (compactBins, carryBins) = bins.partition(_.size > 1)
+      // a lone file is also dirty once half its rows are masked — folding
+      // the sidecar back in halves the scan it forces on every read
+      // (Delta's DV-compaction threshold)
+      val (compactBins, carryBins) = bins.partition(b =>
+        b.size > 1 || b.exists(f => f.dvRows * 2 >= f.rows))
       if (compactBins.isEmpty) None // layout already clean — commit nothing
       else {
         val carried = carryBins.flatten
         // per-bin rewrite: each bin re-clusters WITHIN its own key hull, so
-        // outputs cannot overlap the carried neighbors
+        // outputs cannot overlap the carried neighbors; the effective read
+        // applies sidecars, so compaction folds masks into the data files
         val newEntries = compactBins.flatMap { bin =>
-          val n = math.max(1L, (bin.map(_.rows).sum + targetRows - 1) / targetRows)
-          writeDataFiles(readFiles(m, bin.map(_.name)), n.toInt)
+          val n = math.max(1L,
+            (bin.map(_.liveRows).sum + targetRows - 1) / targetRows)
+          writeDataFiles(readFiles(m, bin), n.toInt)
         }
         onDerived()
         val won = SnapshotStore.withCommitLock(root) {
@@ -604,13 +802,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
       mFrom <- manifest(fromV)
       mTo <- manifest(toV)
       if (mFrom.files ++ mTo.files).forall(f =>
-        Files.exists(Paths.get(root, "files", f.name)))
+        (f.name +: f.dv.toSeq).forall(n =>
+          Files.exists(Paths.get(root, "files", n))))
     } yield {
-      val shared = mFrom.files.map(_.name).toSet & mTo.files.map(_.name).toSet
-      val oldSide0 = readFiles(mFrom, mFrom.files.map(_.name)
-        .filterNot(shared))
-      val newSide = readFiles(mTo, mTo.files.map(_.name)
-        .filterNot(shared))
+      // shared = identical (name, dv): a merge-on-read commit changes only
+      // a file's SIDECAR, and those masked keys are exactly the feed's
+      // deletes/update-befores — name-only sharing would drop them
+      val keyOf = (f: FileEntry) => (f.name, f.dv)
+      val shared = mFrom.files.map(keyOf).toSet & mTo.files.map(keyOf).toSet
+      val oldSide0 = readFiles(mFrom, mFrom.files.filterNot(f => shared(keyOf(f))))
+      val newSide = readFiles(mTo, mTo.files.filterNot(f => shared(keyOf(f))))
       // columns the newer version added (merge's last_ts, drift fields)
       // exist as typed nulls in the older one — the store's own additive
       // evolution rule, applied symmetrically to the feed
@@ -641,7 +842,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       current.toSeq.flatMap { case (cur, _, _) =>
         val floor = cur - keepLast + 1
         val referenced = (floor to cur)
-          .flatMap(manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+          .flatMap(manifest(_).toSeq.flatMap(_.files.flatMap(f =>
+            f.name +: f.dv.toSeq))).toSet
         val dir = Paths.get(root, "files")
         if (!Files.isDirectory(dir)) Seq.empty
         else {
@@ -652,7 +854,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               .filterNot(p => referenced(p.getFileName.toString))
               .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
             finally s.close()
-          victims.foreach(Files.deleteIfExists(_))
+          victims.foreach(deleteRecursively) // sidecars are directories
           victims.map(_.getFileName.toString).sorted
         }
       }

@@ -399,6 +399,39 @@ object CdcQueries {
         lit(reused > 0 && reused < m0.size).as("pruning_effective"))
     }),
 
+    "cdc_manifest_merge_mor" -> ((s, dir) => {
+      // Deletion-vector merge-on-read under the gate: same two-batch
+      // key-disjoint changelog as cdc_manifest_merge, applied via
+      // ManifestStore.mergeOnRead — data files are never rewritten, each
+      // touched file gains a sidecar masking its superseded keys, and the
+      // after-images land in per-batch upsert files. The content must
+      // still equal the one-batch flat merge; `mor_zero_rewrite` proves
+      // every original data file survived BY NAME across both commits
+      // (the O(batch) write-amplification claim) and at least one sidecar
+      // exists (the path actually engaged).
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_mor_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 16)
+        val net = Changelog.dedupLatest(flattened(s, dir))
+        val bound = cust.agg(max(col("c_custkey"))).head().getLong(0) / 4
+        st.mergeOnRead(net.filter(col(Changelog.KeyCol).cast("long") <= bound),
+          names, batchId = 1)
+        st.mergeOnRead(net.filter(col(Changelog.KeyCol).cast("long") > bound),
+          names, batchId = 2)
+      }
+      val m0Names = st.manifest(0L).get.files.map(_.name).toSet
+      val m2 = st.currentManifest.get
+      val zeroRewrite = m0Names.subsetOf(m2.files.map(_.name).toSet) &&
+        m2.files.exists(_.dv.isDefined)
+      st.read().get.select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"), col("last_ts"),
+        lit(zeroRewrite).as("mor_zero_rewrite"))
+    }),
+
     "cdc_manifest_merge_strkey" -> ((s, dir) => {
       // The manifest store's TYPED key stats under the gate: same
       // two-key-disjoint-batch merge as cdc_manifest_merge, but the table
@@ -824,6 +857,18 @@ object CdcQueries {
       s"""$fl$latestCte
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |       CAST(NULL AS BIGINT) AS last_ts, TRUE AS pruning_effective
+         |FROM customer WHERE c_custkey NOT IN (SELECT key_value FROM latest)
+         |UNION ALL
+         |SELECT after_c_custkey, after_c_name, after_c_nationkey,
+         |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
+         |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // merge-on-read variant: deletion-vector sidecars + upsert files must
+    // read back as exactly the flat one-batch merge
+    "cdc_manifest_merge_mor" ->
+      s"""$fl$latestCte
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |       CAST(NULL AS BIGINT) AS last_ts, TRUE AS mor_zero_rewrite
          |FROM customer WHERE c_custkey NOT IN (SELECT key_value FROM latest)
          |UNION ALL
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,

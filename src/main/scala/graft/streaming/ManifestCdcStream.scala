@@ -60,7 +60,20 @@ final class ManifestCdcStream(
       * the batch, which Structured Streaming then re-runs — at-least-once
       * delivery into an exactly-once (batchId-guarded) store.
       */
-    optimistic: Boolean = false) {
+    optimistic: Boolean = false,
+    /** Use [[graft.cdc.ManifestStore.mergeOnRead]] (deletion-vector
+      * sidecars) instead of the copy-on-write merge: per-trigger bytes
+      * written drop from O(touched files) to O(batch) — the right mode
+      * when batches scatter small updates across many files. Layout debt
+      * (sidecars + per-batch upsert files) is repaid by the same
+      * `reclusterOverFiles`-triggered [[graft.cdc.ManifestStore.optimize]]
+      * pass. Single-writer only (the MOR path takes no optimistic lock).
+      */
+    mergeOnRead: Boolean = false) {
+
+  require(!(optimistic && mergeOnRead),
+    "mergeOnRead is a single-writer path; use optimistic copy-on-write " +
+      "merges when the table is shared")
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -98,17 +111,21 @@ final class ManifestCdcStream(
           batchId = -1L, nFiles = 1, streamId = streamId)
       }
       val prev = store.current // pre-commit view-sync reference
-      val committed =
-        if (!optimistic) store.merge(net, names, batchId, streamId, tsGuard)
+      val committed: Option[Long] =
+        if (mergeOnRead)
+          store.mergeOnRead(net, names, batchId, streamId, tsGuard)
+            .map(_.version)
+        else if (!optimistic)
+          store.merge(net, names, batchId, streamId, tsGuard).map(_.version)
         else store.mergeOptimistic(net, names, batchId, streamId, tsGuard) match {
-          case ManifestStore.MergedAt(stats) => Some(stats)
+          case ManifestStore.MergedAt(stats) => Some(stats.version)
           case ManifestStore.AlreadyMerged   => None
           case c: ManifestStore.MergeConflict =>
             throw new IllegalStateException(
               s"merge conflict after retries at version ${c.currentVersion}: " +
                 s"${c.reason} — failing the batch for stream-level retry")
         }
-      committed.foreach { stats =>
+      committed.foreach { version =>
         aggView.foreach { case (vs, groupField, valueField) =>
           // in sync = the view has folded exactly the batches the main
           // store had BEFORE this commit, in this lineage
@@ -117,7 +134,7 @@ final class ManifestCdcStream(
               prev.exists(p => p._3 == streamId && p._2 == v._2))
           val feedOpt =
             if (inSync) prev.flatMap(p =>
-              store.changesBetween(p._1, stats.version,
+              store.changesBetween(p._1, version,
                 ignore = Set(Merge.LastTsCol)))
             else None
           val state = feedOpt match {

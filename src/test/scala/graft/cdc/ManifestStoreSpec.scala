@@ -153,6 +153,90 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.read().get.count() == 200L)
   }
 
+  test("merge-on-read masks superseded keys; zero data files rewritten") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8) // 8 files of 25
+    val dataNames = st.currentManifest.get.files.map(_.name).toSet
+    val net = netDf((0L until 10L).map(i => (i, "u", Some(s"upd$i"), 100L))
+      ++ Seq((30L, "d", None, 100L), (10000L, "c", Some("new"), 100L)))
+    val stats = st.mergeOnRead(net, fields, batchId = 1).get
+    assert(stats.maskedFiles == 2 && stats.maskedRows == 11
+      && stats.newFiles == 1 && stats.carriedFiles == 6)
+    val m = st.currentManifest.get
+    // every original data file survives BY NAME — only sidecars + one
+    // upsert file were written (the O(batch) write-amplification claim)
+    assert(dataNames.subsetOf(m.files.map(_.name).toSet))
+    assert(m.files.count(_.dv.isDefined) == 2)
+    // read path == the flat copy-on-write merge
+    val expect = Merge.applyChanges(seedDf, net, "id", fields)
+      .select("id", "name").collect().toSet
+    assert(st.read().get.select("id", "name").collect().toSet == expect)
+    assert(st.read().get.count() == 200L) // -1 delete +1 insert
+    // time travel to v0 still sees the unmasked originals
+    assert(st.readVersion(0L).get.count() == 200L)
+    assert(st.readVersion(0L).get.filter(col("id") === 30L).count() == 1)
+    // exactly-once: replaying the batch is a no-op
+    assert(st.mergeOnRead(net, fields, batchId = 1).isEmpty)
+  }
+
+  test("merge-on-read honors the ts guard") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.mergeOnRead(netDf(Seq((7L, "u", Some("fresh"), 100L))), fields, batchId = 1)
+    st.mergeOnRead(netDf(Seq((7L, "u", Some("stale"), 50L))), fields, batchId = 2)
+    assert(st.read().get.filter(col("id") === 7L).select("name")
+      .as[String].collect().toSeq == Seq("fresh"))
+  }
+
+  test("a second mask replaces the sidecar; vacuum reclaims the old one") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4) // files of 50
+    st.mergeOnRead(netDf(Seq((1L, "u", Some("a"), 100L))), fields, batchId = 1)
+    val dv1 = st.currentManifest.get.files.find(_.dv.isDefined).get.dv.get
+    // second merge masks more keys in the same file AND supersedes the
+    // first merge's upsert row for key 1 (which sits in the upsert file)
+    st.mergeOnRead(netDf(Seq((1L, "u", Some("b"), 200L),
+      (2L, "u", Some("c"), 200L))), fields, batchId = 2)
+    val m = st.currentManifest.get
+    val dvs = m.files.flatMap(_.dv)
+    assert(!dvs.contains(dv1)) // replaced, now unreferenced by current
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(st.root, "files", dv1)))
+    val got = st.read().get.filter(col("id").isin(1L, 2L))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b", 2L -> "c"))
+    assert(st.read().get.count() == 200L)
+    // keepLast=1 retains only the newest manifest: dv1 is unreferenced
+    val deleted = st.vacuum(keepLast = 1)
+    assert(deleted.contains(dv1))
+    // current version unharmed
+    assert(st.read().get.count() == 200L)
+  }
+
+  test("change feed across a merge-on-read commit carries the masked keys") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.mergeOnRead(netDf(Seq((3L, "u", Some("u3"), 100L),
+      (60L, "d", None, 100L))), fields, batchId = 1)
+    val feed = st.changesBetween(0L, 1L).get
+      .select("operation", "id").as[(String, Long)].collect().toSet
+    assert(feed == Set(("u", 3L), ("d", 60L)))
+  }
+
+  test("optimize folds a majority-masked sidecar back into its file") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4) // files of 50
+    // delete 30 of the first file's 50 keys -> dvRows*2 >= rows
+    st.mergeOnRead(netDf((0L until 30L).map(i => (i, "d", None, 100L))),
+      fields, batchId = 1)
+    assert(st.currentManifest.get.files.exists(f => f.dvRows == 30L))
+    val stats = st.optimize(4).get
+    assert(stats.compactedFiles == 1 && stats.carriedFiles == 3)
+    assert(st.currentManifest.get.files.forall(_.dv.isEmpty))
+    assert(st.read().get.count() == 170L)
+    assert(st.read().get.filter(col("id") < 30L).count() == 0)
+  }
+
   test("optimize compacts only dirty bins; clean files carry by NAME") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4) // 4 disjoint files of 50

@@ -71,6 +71,76 @@ class ManifestCdcStreamSpec extends SparkSpec {
     } finally stream.stopGracefully(q)
   }
 
+  test("merge-on-read stream: sidecars accrue, data files never rewrite") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = seeded()
+    val v0Names = st.currentManifest.get.files.map(_.name).toSet
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0), mergeOnRead = true)
+    val q = stream.start()
+    try {
+      ms.addData(event("u", 1, "a2", 200), event("d", 30, "gone", 200))
+      q.processAllAvailable()
+      ms.addData(event("u", 2, "b2", 300))
+      q.processAllAvailable()
+      val m = st.currentManifest.get
+      // every seed data file still live by name; masked ones carry dv
+      assert(v0Names.subsetOf(m.files.map(_.name).toSet))
+      assert(m.files.exists(_.dv.isDefined))
+      val out = st.read().get
+      assert(out.count() == 199L)
+      assert(out.filter(col("id").isin(1L, 2L)).select("name")
+        .as[String].collect().toSet == Set("a2", "b2"))
+      // replay stays a no-op through the MOR path
+      val v = st.current.get._1
+      stream.processBatch(Seq(event("u", 2, "replay", 400)).toDF("value"),
+        batchId = 1)
+      assert(st.current.get._1 == v)
+    } finally stream.stopGracefully(q)
+  }
+
+  test("merge-on-read stream keeps the CDF-maintained view in sync") {
+    implicit val ctx = spark.sqlContext
+    val vFields = Seq(
+      Envelope.FieldInfo("id", "int64", optional = false),
+      Envelope.FieldInfo("grp", "string"),
+      Envelope.FieldInfo("v", "double"))
+    def ev(op: String, id: Long, grp: String, v: Double, ts: Long): String = {
+      val img = s"""{"id":$id,"grp":"$grp","v":$v}"""
+      val before = if (op == "u" || op == "d") img else "null"
+      val after = if (op == "d") "null" else img
+      s"""{"schema":${Envelope.schemaBlockJson(vFields)},"payload":{"before":$before,"after":$after,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+    }
+    val ms = MemoryStream[String]
+    val st = new ManifestStore(tmp("mcs"), spark, "id")
+    val vs = new SnapshotStore(tmp("view"), spark)
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0),
+      aggView = Some((vs, "grp", "v")), mergeOnRead = true)
+    val q = stream.start()
+    try {
+      ms.addData(ev("c", 1, "a", 10.0, 100), ev("c", 2, "a", 2.5, 100),
+        ev("c", 3, "b", 7.0, 100))
+      q.processAllAvailable()
+      // dv-only commit: the change feed must surface the masked keys
+      ms.addData(ev("u", 3, "a", 7.0, 200), ev("d", 2, "a", 2.5, 200))
+      q.processAllAvailable()
+      val view = vs.read().get
+        .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(view == Map("a" -> ((2L, 17.0))))
+      val recompute = IncrementalAgg.aggState(st.read().get, "grp", "v")
+        .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(view == recompute)
+    } finally stream.stopGracefully(q)
+  }
+
   test("bootstrap from an empty store goes through the merge path") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
