@@ -50,18 +50,25 @@ object Bench {
       if (good.nonEmpty) good.min else -1.0
     }
 
-    // Prior-round trend baseline: read the previous BENCH_FULL.json BEFORE
-    // this run overwrites it. Queries that regressed >1.5x vs the prior
-    // round join the settled re-time pass (a phantom slump should not land
-    // in the artifact as a regression), and surviving deltas are reported
-    // in a `deltas` block so round-over-round drift is self-documented.
-    // Path derived from the working directory, not hardcoded: sbt forks
+    // Prior-ROUND trend baseline: BENCH_BASELINE.json, the copy of
+    // BENCH_FULL.json that tools/round_close.sh snapshots when a round
+    // ends. Diffing the working BENCH_FULL.json was wrong (r7 verdict #4):
+    // intra-round runs overwrite it, so each run compared against the
+    // previous RUN and real round-over-round drift (events_asof_join
+    // 0.76->1.25 s) escaped both the re-time pass and the deltas block.
+    // Queries that regressed >1.5x vs the baseline join the settled
+    // re-time pass, and surviving deltas are reported in `deltas`.
+    // Paths derived from the working directory, not hardcoded: sbt forks
     // with user.dir = the project root wherever the repo is cloned.
     val benchPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+    val baselinePath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_BASELINE.json")
     val prior: Map[String, Double] =
       try {
-        val txt = java.nio.file.Files.readString(benchPath)
+        val src = if (java.nio.file.Files.exists(baselinePath)) baselinePath
+                  else benchPath // first round ever: no snapshot yet
+        val txt = java.nio.file.Files.readString(src)
         val tail = txt.substring(txt.indexOf("\"queries\":{") + "\"queries\":{".length)
         val body = tail.substring(0, tail.indexOf('}'))
         """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)

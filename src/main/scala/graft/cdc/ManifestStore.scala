@@ -822,11 +822,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
       ChangeFeed.diff(oldSide, newSide, keyField, ignore)
     }
 
-  /** Reclaim data files referenced by NO retained manifest. Retains the
-    * manifests of the newest `keepLast` versions (current included);
-    * older manifests stay readable as history but their exclusive files
-    * are deleted, so [[readVersion]] starts answering None for them —
-    * Delta's VACUUM trade, made explicit. Returns deleted file names.
+  /** Reclaim data files referenced by NO retained manifest, AND the
+    * manifests of reaped versions themselves. Retains the newest
+    * `keepLast` versions (current included); older versions lose both
+    * their exclusive files and their `_LOG/<n>.json`, so [[readVersion]]
+    * answers None for them and the log directory holds O(keepLast)
+    * entries instead of growing one file per commit forever (~1M/year at
+    * a 30 s trigger) — Delta's VACUUM + log-retention trade, made
+    * explicit. Returns deleted data/sidecar file names.
     *
     * Runs under the commit lock so the reference set is one consistent
     * manifest view. An in-flight [[mergeOptimistic]]'s staged-but-not-yet-
@@ -844,6 +847,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val referenced = (floor to cur)
           .flatMap(manifest(_).toSeq.flatMap(_.files.flatMap(f =>
             f.name +: f.dv.toSeq))).toSet
+        // reap the manifests below the retained window (crashed-writer
+        // debris beyond _CURRENT is left for its writer to resolve);
+        // walk the directory, not version numbers — O(live log entries)
+        val logDir = Paths.get(root, "_LOG")
+        if (Files.isDirectory(logDir)) {
+          val s = Files.list(logDir)
+          try s.toArray.toSeq.map(_.asInstanceOf[Path])
+            .filter(_.getFileName.toString.stripSuffix(".json")
+              .toLongOption.exists(_ < floor))
+            .foreach(Files.deleteIfExists(_))
+          finally s.close()
+        }
         val dir = Paths.get(root, "files")
         if (!Files.isDirectory(dir)) Seq.empty
         else {

@@ -42,7 +42,10 @@ object BloomOps {
   def decontaminate(corpus: DataFrame, dirty: DataFrame, keyCol: String,
                     numBits: Int, numHashes: Int): DataFrame = {
     val blob = build(dirty, col(keyCol), numBits, numHashes)
-    val maybe = maybeContains(blob, col(keyCol))
+    // a NULL key probes NULL; without the coalesce such a row would fail
+    // BOTH branch filters and silently vanish — a null-keyed row cannot
+    // match the blocklist, so it is clean
+    val maybe = coalesce(maybeContains(blob, col(keyCol)), lit(false))
     val clean = corpus.filter(!maybe)
     val verified = corpus.filter(maybe)
       .join(dirty.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

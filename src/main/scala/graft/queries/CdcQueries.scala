@@ -19,23 +19,9 @@ object CdcQueries {
 
   import QueryUtil.scanParallel
 
-  /** `events` with `ts` normalized to epoch-NANOS BIGINT regardless of the
-    * physical parquet vintage: the generator has shipped `ts` both as
-    * INT64 timestamp(NANOS) (which Spark reads as BIGINT — nanos pass
-    * through) and as timestamp(MICROS) (read as TIMESTAMP/_NTZ — cast via
-    * the UTC session zone, then micros*1000). Every downstream query and
-    * every oracle (`epoch_ns(ts)` in DuckDB) computes over the same
-    * nanos-since-epoch values either way.
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val norm = raw.schema("ts").dataType match {
-      case LongType => raw
-      case _ => raw.withColumn("ts",
-        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
-    }
-    scanParallel(norm, s)
-  }
+  /** See [[QueryUtil.eventsNormalized]] — the single ts-vintage shim. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.eventsNormalized(s, dir)
 
   /** parse -> flatten -> key over the generated changelog, with the dynamic
     * schema-inference path engaged (infer from first event, ref:

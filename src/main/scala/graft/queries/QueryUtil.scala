@@ -1,8 +1,30 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 object QueryUtil {
+  /** `events` with `ts` normalized to epoch-NANOS BIGINT regardless of the
+    * physical parquet vintage: the generator has shipped `ts` both as
+    * INT64 timestamp(NANOS) (which Spark reads as BIGINT under the
+    * nanosAsLong flag — nanos pass through) and as timestamp(MICROS)
+    * (read as TIMESTAMP/_NTZ — cast via the UTC session zone, then
+    * micros*1000). Every downstream query and every oracle
+    * (`epoch_ns(ts)` in DuckDB) computes over the same nanos-since-epoch
+    * values either way. ONE definition — the per-object copies this
+    * replaces could drift when the next vintage ships.
+    */
+  def eventsNormalized(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val norm = raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+    scanParallel(norm, s)
+  }
+
   /** Scans of few-row-group files plan fewer splits than cores, serializing
     * the heavy per-row work (md5 shingles, JSON parse, vector folds). At
     * production scale splits come free from file count; this guard only

@@ -404,6 +404,32 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.read().get.count() == 200L)
   }
 
+  test("vacuum reaps manifests below the retained window") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    (1 to 3).foreach(b =>
+      st.merge(netDf(Seq((b.toLong, "u", Some(s"u$b"), b * 100L))),
+        fields, batchId = b))
+    assert(st.current.get._1 == 3L)
+    assert((0L to 3L).forall(st.readVersion(_).isDefined))
+    st.vacuum(keepLast = 2)
+    // versions 0-1 are gone: manifest AND readVersion; the log dir holds
+    // exactly the retained window
+    assert(st.manifest(0L).isEmpty && st.readVersion(0L).isEmpty)
+    assert(st.manifest(1L).isEmpty && st.readVersion(1L).isEmpty)
+    assert(st.readVersion(2L).isDefined && st.readVersion(3L).isDefined)
+    val logs = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "_LOG"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(logs == Set("2.json", "3.json"))
+    // vacuum again: idempotent
+    st.vacuum(keepLast = 2)
+    assert(st.read().get.count() == 200L)
+  }
+
   test("vacuum grace period protects young unreferenced files") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4)

@@ -50,6 +50,20 @@ class BloomSketchSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("decontaminate keeps null-keyed rows as clean") {
+    val corpus = docs(100)
+      .unionByName(Seq((1000L, null.asInstanceOf[String]),
+        (1001L, null.asInstanceOf[String])).toDF("id", "k"))
+    val dirty = docs(100).filter($"id" % 7 === 0).select($"k")
+    val got = BloomOps.decontaminate(corpus, dirty, "k", 1024, 5)
+    // a null key cannot match the blocklist: the rows survive, they don't
+    // silently vanish between the two branch filters
+    assert(got.filter($"id" >= 1000L).count() == 2L)
+    // the exact anti-join also keeps null-keyed rows (null never matches),
+    // so the lossless equality holds verbatim
+    assert(got.count() == corpus.join(dirty, Seq("k"), "left_anti").count())
+  }
+
   test("fpr report gates hold on a disjoint probe set") {
     val corpus = docs(1000)
     val dirty = corpus.filter($"id" % 5 === 0).select($"k")

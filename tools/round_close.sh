@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-close procedure: final bench + test run, regenerate README's
+# measured numbers, snapshot the bench baseline for next round's trend
+# gate (Bench.scala diffs BENCH_BASELINE.json, which intra-round runs
+# never overwrite). Run from anywhere; operates on the repo root.
+set -e
+cd "$(dirname "$0")/.."
+SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.1}" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench"
+sbt -batch test 2>&1 | tee target/test_summary.log | tail -4
+python3 tools/gen_readme.py
+cp BENCH_FULL.json BENCH_BASELINE.json
+echo "round_close: done"
