@@ -68,9 +68,17 @@ object ManifestStore {
     */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
-                             dvRows: Long = 0L) {
+                             dvRows: Long = 0L,
+                             cols: Map[String, (String, String)] = Map.empty) {
     def liveRows: Long = rows - dvRows
   }
+
+  /** What a stats-pruned read ([[ManifestStore.readWhere]]) scanned vs
+    * skipped: `rowsRead` is the live-row count of the surviving files —
+    * the read amplification a zone-map reader pays.
+    */
+  final case class SkipStats(nFiles: Int, nRead: Int, nSkipped: Int,
+                             rowsRead: Long)
 
   /** What [[ManifestStore.mergeOnRead]] did: no data file was rewritten —
     * `maskedFiles` gained sidecars covering `maskedRows` superseded keys,
@@ -79,9 +87,15 @@ object ManifestStore {
   final case class MorStats(version: Long, maskedFiles: Int, maskedRows: Long,
                             newFiles: Int, carriedFiles: Int)
 
+  /** `statsCols`: non-key columns whose per-file min/max the manifest also
+    * tracks — the zone map [[ManifestStore.readWhere]] prunes with. Chosen
+    * at the initial commit; every later commit (merge, optimize,
+    * recluster) maintains them.
+    */
   final case class Manifest(version: Long, batchId: Long, streamId: String,
                             tsMillis: Long, schemaDDL: String,
-                            files: Seq[FileEntry])
+                            files: Seq[FileEntry],
+                            statsCols: Seq[String] = Nil)
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -132,14 +146,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // asText() on a numeric node yields its decimal form, so manifests
       // written by the long-only stats vintage read back unchanged
       val files = n.path("files").elements().asScala.map { f =>
+        val cols = Option(f.get("cols")).filterNot(_.isNull).map { c =>
+          c.fieldNames().asScala.map { fc =>
+            fc -> (c.path(fc).path("min").asText(),
+              c.path(fc).path("max").asText())
+          }.toMap
+        }.getOrElse(Map.empty[String, (String, String)])
         FileEntry(f.path("name").asText(), f.path("minKey").asText(),
           f.path("maxKey").asText(), f.path("rows").asLong(),
           Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
-          f.path("dvRows").asLong(0L))
+          f.path("dvRows").asLong(0L), cols)
       }.toSeq
+      val statsCols = Option(n.get("statsCols")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       Some(Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
-        n.path("schema").asText(), files))
+        n.path("schema").asText(), files, statsCols))
     }
   }
 
@@ -209,6 +231,64 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def read(): Option[DataFrame] =
     currentManifest.map(m => readFiles(m, m.files))
 
+  /** A file's recorded [min,max] for `colName`: the key column's stats are
+    * always present; other columns only when the manifest tracks them
+    * (`statsCols`). None = no stats = must be read (conservative).
+    */
+  private def colRange(f: FileEntry, colName: String): Option[(String, String)] =
+    if (colName == keyField) Some((f.minKey, f.maxKey)) else f.cols.get(colName)
+
+  /** Data-skipping range read — Delta's zone-map file pruning, on the read
+    * path: scan ONLY the files whose recorded [min,max] for `colName`
+    * intersects [lo, hi], then apply the exact predicate. Works on the key
+    * column of any store and on every `statsCols` column the initial
+    * commit declared. The containment test runs in Spark through the
+    * column's own type (same discipline as merge pruning); files without
+    * stats for the column are read conservatively. Returns the filtered
+    * rows plus what was skipped — on a 100 TB table a selective range
+    * touches a handful of files and the scan cost IS `rowsRead`, not the
+    * table.
+    */
+  def readWhere(colName: String, lo: Any, hi: Any)
+      : Option[(DataFrame, ManifestStore.SkipStats)] =
+    currentManifest.map { m =>
+      val dt = StructType.fromDDL(m.schemaDDL)(colName).dataType
+      val (statted, statless) = m.files.partition(f =>
+        colRange(f, colName).isDefined)
+      val survivors: Set[String] =
+        if (statted.isEmpty) Set.empty
+        else {
+          val statsDf = spark.createDataFrame(statted.map { f =>
+            val (mn, mx) = colRange(f, colName).get
+            (f.name, mn, mx)
+          }).toDF("_f", "_min", "_max")
+          statsDf.filter(!(col("_max").cast(dt) < lit(lo).cast(dt) ||
+              col("_min").cast(dt) > lit(hi).cast(dt)))
+            .collect().map(_.getString(0)).toSet
+        }
+      val toRead = statless ++ statted.filter(f => survivors(f.name))
+      val df = readFiles(m, toRead)
+        .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+      (df, ManifestStore.SkipStats(m.files.size, toRead.size,
+        m.files.size - toRead.size, toRead.map(_.liveRows).sum))
+    }
+
+  /** Point lookup: read only the files whose key range contains one of
+    * `keys` — the O(files-hit) primary-key GET a CDC-maintained table
+    * serves. The same stats intersection merge pruning uses.
+    */
+  def lookup(keys: Seq[Any]): Option[DataFrame] =
+    currentManifest.map { m =>
+      val keyType = keyTypeOf(m)
+      // string-typed key frame: hitFileNames casts through the key's real
+      // type, the same exact round-trip the stats themselves use
+      val keysDf = spark.createDataFrame(keys.map(k => Tuple1(String.valueOf(k))))
+        .toDF(Changelog.KeyCol)
+      val hit = hitFileNames(keysDf, m.files, keyType)
+      readFiles(m, m.files.filter(f => hit(f.name)))
+        .filter(col(keyField).isin(keys: _*))
+    }
+
   /** Time travel: any version whose manifest survives AND whose files have
     * not been [[vacuum]]ed. Free until vacuum — old manifests reference the
     * same immutable files the current one does.
@@ -226,8 +306,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * later merges can prune on [min,max]. Returns the new entries; the
     * caller links them into a manifest.
     */
-  private def writeDataFiles(df: DataFrame, nFiles: Int): Seq[FileEntry] = {
+  private def writeDataFiles(df: DataFrame, nFiles: Int,
+                             statsCols: Seq[String] = Nil): Seq[FileEntry] = {
     requireStatKeyType(df.schema(keyField).dataType)
+    // a drift-evolved frame may not carry every tracked column yet
+    val sCols = statsCols.filter(df.columns.contains)
+    sCols.foreach(c => requireStatKeyType(df.schema(c).dataType))
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     df.repartitionByRange(math.max(1, nFiles), col(keyField))
       .sortWithinPartitions(keyField)
@@ -245,19 +329,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // the exact string cast.
     val stats =
       if (!wrotePart) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(stage.toString)
-        .groupBy(input_file_name().as("_f"))
-        .agg(min(col(keyField)).cast("string").as("_min"),
-          max(col(keyField)).cast("string").as("_max"),
-          count(lit(1)).as("_rows"))
-        .collect() // O(#files) — bounded by the clustering, not the data
+      else {
+        val extra = sCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c")))
+        spark.read.parquet(stage.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(min(col(keyField)).cast("string").as("_min"),
+            (max(col(keyField)).cast("string").as("_max") +:
+              count(lit(1)).as("_rows") +: extra): _*)
+          .collect() // O(#files) — bounded by the clustering, not the data
+      }
     Files.createDirectories(Paths.get(root, "files"))
     val entries = stats.toSeq.map { r =>
       val src = Paths.get(new java.net.URI(r.getString(0)))
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       Files.move(src, Paths.get(root, "files", name),
         StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(name, r.getString(1), r.getString(2), r.getLong(3))
+      val cols = sCols.zipWithIndex.map { case (c, i) =>
+        c -> (r.getString(4 + 2 * i), r.getString(5 + 2 * i))
+      }.toMap
+      FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
+        cols = cols)
     }
     deleteRecursively(stage)
     entries
@@ -265,19 +358,34 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   private def writeManifestAndSwap(version: Long, batchId: Long,
                                    streamId: String, schemaDDL: String,
-                                   files: Seq[FileEntry]): Unit = {
+                                   files: Seq[FileEntry],
+                                   statsCols: Seq[String] = Nil): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", version)
     node.put("batchId", batchId)
     node.put("streamId", streamId)
     node.put("tsMillis", System.currentTimeMillis())
     node.put("schema", schemaDDL)
+    if (statsCols.nonEmpty) {
+      val sc = mapper.createArrayNode()
+      statsCols.foreach(sc.add)
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode]("statsCols", sc)
+    }
     val arr = mapper.createArrayNode()
     files.foreach { f =>
       val fn = mapper.createObjectNode()
       fn.put("name", f.name); fn.put("minKey", f.minKey)
       fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
       f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
+      if (f.cols.nonEmpty) {
+        val cn = mapper.createObjectNode()
+        f.cols.foreach { case (c, (mn, mx)) =>
+          val v = mapper.createObjectNode()
+          v.put("min", mn); v.put("max", mx)
+          cn.set[com.fasterxml.jackson.databind.node.ObjectNode](c, v)
+        }
+        fn.set[com.fasterxml.jackson.databind.node.ObjectNode]("cols", cn)
+      }
       arr.add(fn)
     }
     node.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
@@ -295,15 +403,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
   /** Full write (initial load / backfill): cluster into `nFiles` and commit.
     * Returns false (no-op) when `batchId` was already applied by the same
     * stream lineage — the exactly-once contract shared by the store family.
+    *
+    * `statsCols`: extra columns to zone-map per file (min/max in the
+    * manifest) for [[readWhere]] data skipping; maintained by every later
+    * merge / optimize / recluster commit.
     */
   def commit(df: DataFrame, batchId: Long, nFiles: Int,
-             streamId: String = "default"): Boolean = {
+             streamId: String = "default",
+             statsCols: Seq[String] = Nil): Boolean = {
     val cur = current
     if (cur.exists(c => c._3 == streamId && c._2 >= batchId)) return false
     Files.createDirectories(Paths.get(root))
-    val entries = writeDataFiles(df, nFiles)
+    val entries = writeDataFiles(df, nFiles, statsCols)
     writeManifestAndSwap(cur.map(_._1 + 1).getOrElse(0L), batchId, streamId,
-      df.schema.toDDL, entries)
+      df.schema.toDDL, entries, statsCols)
     true
   }
 
@@ -330,7 +443,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     try {
       val d = deriveMerge(m, netP, fields, tsGuard)
       writeManifestAndSwap(m.version + 1, batchId, streamId, d.outSchema,
-        d.reused ++ d.newEntries)
+        d.reused ++ d.newEntries, m.statsCols)
       Some(MergeStats(m.version + 1, d.touched.size, d.reused.size,
         d.newEntries.size))
     } finally netP.unpersist()
@@ -451,9 +564,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val upserts = Changelog
               .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
               .select(merged.columns.map(col).toSeq: _*)
-            val newEntries = writeDataFiles(upserts, 1)
+            val newEntries = writeDataFiles(upserts, 1, m.statsCols)
             writeManifestAndSwap(m.version + 1, batchId, streamId,
-              merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries)
+              merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries,
+              m.statsCols)
             Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
               maskCounts.values.sum, newEntries.size,
               untouched.size + (touched.size - maskCounts.size)))
@@ -520,7 +634,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // periodic re-clustering commit ([[recluster]]) restores the
     // file-count/size balance
     val newEntries =
-      try writeDataFiles(merged, math.max(1, touchedFiles.size))
+      try writeDataFiles(merged, math.max(1, touchedFiles.size), m.statsCols)
       finally cleanup()
     // result schema gains last_ts on first merge of a ts-less snapshot
     Derived(touchedFiles, reused, newEntries, merged.schema.toDDL)
@@ -592,7 +706,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             ManifestStore.AlreadyMerged
           else if (curM.version == m.version) {
             writeManifestAndSwap(m.version + 1, batchId, streamId,
-              d.outSchema, d.reused ++ d.newEntries)
+              d.outSchema, d.reused ++ d.newEntries, m.statsCols)
             ManifestStore.MergedAt(MergeStats(m.version + 1, d.touched.size,
               d.reused.size, d.newEntries.size))
           } else {
@@ -619,7 +733,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               val files = curM.files.filterNot(f => touchedNames(f.name)) ++
                 d.newEntries
               writeManifestAndSwap(curM.version + 1, batchId, streamId,
-                d.outSchema, files)
+                d.outSchema, files, curM.statsCols)
               ManifestStore.MergedAt(MergeStats(curM.version + 1,
                 d.touched.size, files.size - d.newEntries.size,
                 d.newEntries.size))
@@ -663,12 +777,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private[cdc] def reclusterHook(nFiles: Int)
                                 (onDerived: () => Unit): Option[Long] =
     currentManifest.flatMap { m =>
-    val entries = writeDataFiles(readFiles(m, m.files), nFiles)
+    val entries = writeDataFiles(readFiles(m, m.files), nFiles, m.statsCols)
     onDerived()
     val won = SnapshotStore.withCommitLock(root) {
       current.exists(_._1 == m.version) && {
         writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
-          m.schemaDDL, entries)
+          m.schemaDDL, entries, m.statsCols)
         true
       }
     }
@@ -763,13 +877,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val newEntries = compactBins.flatMap { bin =>
           val n = math.max(1L,
             (bin.map(_.liveRows).sum + targetRows - 1) / targetRows)
-          writeDataFiles(readFiles(m, bin), n.toInt)
+          writeDataFiles(readFiles(m, bin), n.toInt, m.statsCols)
         }
         onDerived()
         val won = SnapshotStore.withCommitLock(root) {
           current.exists(_._1 == m.version) && {
             writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
-              m.schemaDDL, carried ++ newEntries)
+              m.schemaDDL, carried ++ newEntries, m.statsCols)
             true
           }
         }

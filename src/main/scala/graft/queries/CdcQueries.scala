@@ -385,6 +385,26 @@ object CdcQueries {
         lit(reused > 0 && reused < m0.size).as("pruning_effective"))
     }),
 
+    "cdc_manifest_skip_read" -> ((s, dir) => {
+      // Zone-map data skipping on the READ path ([[ManifestStore.readWhere]]):
+      // the same per-file stats that prune MERGE I/O serve range queries —
+      // a selective key range scans only the files whose [min,max]
+      // intersect it. `skip_effective` re-derives from SkipStats that the
+      // read touched SOME but not ALL files (pruning engaged and was
+      // lossless — the row content is the oracle's exact BETWEEN).
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_sr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 16)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val (lo, hi) = (maxK / 4, maxK / 4 + maxK / 20)
+      val (df, skip) = st.readWhere("c_custkey", lo, hi).get
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(skip.nSkipped > 0 && skip.nRead < skip.nFiles)
+          .as("skip_effective"))
+    }),
+
     "cdc_manifest_merge_mor" -> ((s, dir) => {
       // Deletion-vector merge-on-read under the gate: same two-batch
       // key-disjoint changelog as cdc_manifest_merge, applied via
@@ -848,6 +868,13 @@ object CdcQueries {
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,
          |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
          |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // zone-map pruned range read must equal the exact BETWEEN
+    "cdc_manifest_skip_read" ->
+      """WITH b AS (SELECT max(c_custkey) AS mk FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, TRUE AS skip_effective
+        |FROM customer, b
+        |WHERE c_custkey BETWEEN mk // 4 AND mk // 4 + mk // 20""".stripMargin,
 
     // merge-on-read variant: deletion-vector sidecars + upsert files must
     // read back as exactly the flat one-batch merge

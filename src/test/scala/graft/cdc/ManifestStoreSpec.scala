@@ -404,6 +404,49 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.read().get.count() == 200L)
   }
 
+  test("readWhere skips files by key stats; lookup reads only hit files") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8) // 8 files of 25, key-disjoint
+    val (df, skip) = st.readWhere("id", 30L, 40L).get
+    // [30,40] sits inside one 25-key file
+    assert(skip.nRead == 1 && skip.nSkipped == 7 && skip.rowsRead == 25L)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (30L to 40L))
+    // point lookup: two keys in two different files
+    val got = st.lookup(Seq(3L, 180L)).get
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "n3", 180L -> "n180"))
+    // lookup respects deletion vectors
+    st.mergeOnRead(netDf(Seq((3L, "d", None, 100L))), fields, batchId = 1)
+    assert(st.lookup(Seq(3L)).get.count() == 0L)
+  }
+
+  test("statsCols zone-map a correlated column and survive a merge") {
+    val st = store()
+    // v = id * 2: clustering by id makes v ranges disjoint per file too
+    val seed = (0L until 200L).map(i => (i, s"n$i", i * 2))
+      .toDF("id", "name", "v")
+    st.commit(seed, batchId = 0, nFiles = 8, statsCols = Seq("v"))
+    assert(st.currentManifest.get.statsCols == Seq("v"))
+    assert(st.currentManifest.get.files.forall(_.cols.contains("v")))
+    val (df, skip) = st.readWhere("v", 100L, 120L).get
+    assert(skip.nSkipped > 0 && skip.nRead < skip.nFiles)
+    assert(df.select("v").as[Long].collect().sorted.toSeq
+      == (100L to 120L by 2L))
+    // a merge's rewritten + growth files keep carrying v stats
+    val net = Seq((5L, "u", Some(5L), "u5", Some(10L), 100L),
+      (9999L, "c", Some(9999L), "far", Some(19998L), 100L))
+      .map { case (k, op, aid, an, av, ts) => (k, op, aid, an, av, ts) }
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+        "after_v", Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+      .withColumn("after_v", col("after_v").cast("long"))
+    st.merge(net, Seq("id", "name", "v"), batchId = 1)
+    assert(st.currentManifest.get.statsCols == Seq("v"))
+    assert(st.currentManifest.get.files.forall(_.cols.contains("v")))
+    val (df2, _) = st.readWhere("v", 19998L, 19998L).get
+    assert(df2.select("id").as[Long].collect().toSeq == Seq(9999L))
+  }
+
   test("vacuum reaps manifests below the retained window") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4)
