@@ -111,4 +111,99 @@ object StreamingDedup {
         (col("doc_id") =!= col(FirstDocCol)).cast("int").as("is_dup"),
         when(col("doc_id") =!= col(FirstDocCol), col(FirstDocCol))
           .as("dup_of"))
+
+  // ── Fuzzy half: a persistent MinHash BAND index ──────────────────────
+  //
+  // Same pipeline shape as the exact index, with LSH band keys instead of
+  // fingerprints: a document is a CANDIDATE near-dup iff any of its bands
+  // was first claimed by a lower doc_id — "LSH candidate of an earlier
+  // document", the arriving-data decision [[Dedup.incrementalNearDups]]
+  // makes, with the history band set PERSISTED instead of recomputed per
+  // batch. The band->first-claimant map is order-independent for ordered
+  // batch ranges, so incremental == the global band-min window (the
+  // `dedup_streaming_bands` oracle). No pairwise join exists anywhere —
+  // hot bands cost extra verdict rows, never a quadratic blowup, so no
+  // df-cap is needed for correctness or scale.
+
+  val BandCol = "bk"
+  private val bandFields = Seq(BandCol, FirstDocCol)
+
+  /** Seed an empty band index (key = "band:key" string). */
+  def initBands(index: ManifestStore,
+                spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!index.exists) {
+      import org.apache.spark.sql.types._
+      index.commit(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField(BandCol, StringType),
+          StructField(FirstDocCol, LongType)))),
+        batchId = -1L, nFiles = 1)
+    }
+
+  /** Process one arriving batch of documents `(doc_id, text)`: returns
+    * `(doc_id, n_hit_bands, is_candidate_dup)` — bands hit = bands whose
+    * known first claimant (index, or a lower doc_id in this batch)
+    * precedes the document; shingle-less docs carry zeros — and claims the
+    * batch's new band keys in the index.
+    */
+  def processBandBatch(index: ManifestStore, batch: DataFrame,
+                       batchId: Long): DataFrame = {
+    val bands = Dedup.minHashBands(batch)
+      .select(col("doc_id"),
+        concat(col("band"), lit(":"), col("key")).as(BandCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Window.partitionBy(BandCol)
+      val marked = bands.withColumn("_min_in_batch", min("doc_id").over(w))
+      val idx = index.readHit(bands.select(col(BandCol).as(Changelog.KeyCol)))
+        .get.select(col(BandCol), col(FirstDocCol))
+      val hits = idx.join(broadcast(bands.select(BandCol).distinct()),
+        Seq(BandCol), "left_semi")
+      val joined = marked.join(broadcast(hits), Seq(BandCol), "left")
+        .withColumn("_claimant",
+          least(coalesce(col(FirstDocCol), col("_min_in_batch")),
+            col("_min_in_batch")))
+      val verdict = joined.groupBy("doc_id").agg(
+        sum(when(col("_claimant") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_hit_bands"),
+        max(when(col("_claimant") < col("doc_id"), 1).otherwise(0))
+          .as("is_candidate_dup"))
+      val out = batch.select("doc_id").join(verdict, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+          coalesce(col("is_candidate_dup"), lit(0)).as("is_candidate_dup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // pin the pre-merge verdicts
+      val net = joined
+        .filter(col(FirstDocCol).isNull &&
+          col("doc_id") === col("_min_in_batch"))
+        .select(col(BandCol).as(Changelog.KeyCol),
+          lit("c").as(Changelog.OpCol), lit(batchId).as(Changelog.TsCol),
+          col(BandCol).as(s"after_$BandCol"),
+          col("doc_id").as(s"after_$FirstDocCol"))
+        .distinct()
+      index.mergeOnRead(net, bandFields, batchId)
+      out
+    } finally bands.unpersist()
+  }
+
+  /** Full-corpus verdicts from the FINAL band index (replay-safe: pure
+    * read). Equals the per-batch union for doc_id-range-ordered batches.
+    */
+  def verdictsFromBandIndex(index: ManifestStore, docs: DataFrame): DataFrame = {
+    val bands = Dedup.minHashBands(docs)
+      .select(col("doc_id"),
+        concat(col("band"), lit(":"), col("key")).as(BandCol))
+    val idx = index.read().get.select(col(BandCol), col(FirstDocCol))
+    val verdict = bands.join(idx, Seq(BandCol))
+      .groupBy("doc_id").agg(
+        sum(when(col(FirstDocCol) < col("doc_id"), 1L).otherwise(0L))
+          .as("n_hit_bands"),
+        max(when(col(FirstDocCol) < col("doc_id"), 1).otherwise(0))
+          .as("is_candidate_dup"))
+    docs.select("doc_id").join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        coalesce(col("is_candidate_dup"), lit(0)).as("is_candidate_dup"))
+  }
 }

@@ -217,6 +217,30 @@ object OpsQueries {
       StreamingDedup.verdictsFromIndex(st, d, "doc_id", fp)
     }),
 
+    "dedup_streaming_bands" -> ((s, dir) => {
+      // The fuzzy half of the persistent-index pipeline: a MinHash BAND
+      // index maintained across four doc_id-range batches; a document is
+      // a candidate near-dup iff any of its bands was first claimed by an
+      // earlier document. No pairwise join anywhere — the oracle's global
+      // band-min window must equal the incrementally built index's
+      // verdicts.
+      val st = new graft.cdc.ManifestStore(
+        QueryUtil.scratchDir(
+          s"dedup_bidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "bk")
+      val d = docs(s, dir)
+      if (!st.exists) {
+        StreamingDedup.initBands(st, s)
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        val span = maxId / 4 + 1
+        (0L until 4L).foreach { i =>
+          val b = d.filter(col("doc_id") >= i * span &&
+            col("doc_id") < (i + 1) * span)
+          StreamingDedup.processBandBatch(st, b, batchId = i)
+        }
+      }
+      StreamingDedup.verdictsFromBandIndex(st, d)
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       // pairwise hits -> canonical dedup groups (connected components)
       Dedup.dedupClusters(
@@ -901,6 +925,27 @@ object OpsQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the incrementally built band index's verdicts == the global
+    // band-min window: a doc is a candidate iff any of its bands was
+    // first claimed by an earlier doc (shingle-less docs carry zeros)
+    "dedup_streaming_bands" ->
+      s"""$shinglesCte, sig AS (
+         |  SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id
+         |), bands0 AS (
+         |  $bandSelects
+         |), m AS (
+         |  SELECT band, key, min(doc_id) AS fd FROM bands0 GROUP BY 1, 2
+         |), v AS (
+         |  SELECT b.doc_id,
+         |         CAST(sum(CASE WHEN m.fd < b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bands,
+         |         CAST(max(CASE WHEN m.fd < b.doc_id THEN 1 ELSE 0 END) AS INT) AS is_candidate_dup
+         |  FROM bands0 b JOIN m USING (band, key) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(v.n_hit_bands, 0) AS n_hit_bands,
+         |       coalesce(v.is_candidate_dup, 0) AS is_candidate_dup
+         |FROM documents d LEFT JOIN v USING (doc_id)""".stripMargin,
 
     "dedup_simhash" ->
       s"""$toksCte, tk AS (

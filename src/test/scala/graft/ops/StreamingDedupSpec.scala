@@ -54,6 +54,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(st.read().get.count() == 1L)
   }
 
+  test("band index: per-batch verdicts equal the global band-min window") {
+    val st = new ManifestStore(
+      Files.createTempDirectory("band_idx").toString, spark, "bk")
+    StreamingDedup.initBands(st, spark)
+    // overlapping shingle sets across batches + a shingle-less doc
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a completely different sentence about spark engines"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "short"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "spark engines shuffle data between executors quickly"))
+    val batches = Seq(all.take(2), all.slice(2, 4), all.drop(4))
+    val perBatch = batches.zipWithIndex.map { case (b, i) =>
+      StreamingDedup.processBandBatch(st, docs(b), batchId = i.toLong)
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // global truth: band -> min doc over the WHOLE corpus
+    val bands = Dedup.minHashBands(docs(all))
+      .select(col("doc_id"), concat(col("band"), lit(":"), col("key")).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bandMin = bands.groupBy(_._2).map { case (bk, xs) =>
+      bk -> xs.map(_._1).min }
+    val want = all.map { case (id, _) =>
+      val mine = bands.filter(_._1 == id).map(_._2)
+      val hits = mine.count(bk => bandMin(bk) < id)
+      (id, hits.toLong, if (hits > 0) 1 else 0)
+    }.toSet
+    assert(perBatch == want)
+    // and the final-index reread agrees
+    val fromIdx = StreamingDedup.verdictsFromBandIndex(st, docs(all))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIdx == want)
+    // exact duplicate of doc 0 (doc 4) hits on every band
+    assert(want.exists { case (id, n, f) => id == 4L && f == 1 && n == 4L })
+  }
+
   test("incremental over ordered batches equals the global first-wins") {
     val st = index()
     val all = (0L until 60L).map(i => (i, s"t${i % 17}")) // 17 distinct texts
