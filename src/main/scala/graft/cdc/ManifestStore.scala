@@ -1,7 +1,7 @@
 package graft.cdc
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -492,10 +492,6 @@ final class ManifestStore(val root: String, spark: SparkSession,
         "commit an initial snapshot before merging"))
     if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
     val keyType = keyTypeOf(m)
-    // sidecar names carry a per-merge token: the file's PREVIOUS sidecar
-    // stays referenced by earlier manifests (time travel) until vacuum
-    val dvToken = java.util.UUID.randomUUID().toString
-    def dvNameFor(fname: String) = s"$fname.$dvToken.dv"
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touchedNames = hitFileNames(netP, m.files, keyType)
@@ -524,55 +520,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
               .select("_file", "_key")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           try {
-            val newMaskNames: Set[String] = newMasks match {
-              case None => Set.empty
-              case Some(mk) => mk.select("_file").distinct()
-                .collect().map(_.getString(0)).toSet
-            }
-            Files.createDirectories(Paths.get(root, "files"))
-            // replace every masked file's sidecar with old-mask ∪ new-mask
-            // in ONE Spark job: write the union partitioned by file, then
-            // adopt each partition DIRECTORY as that file's new sidecar (a
-            // sidecar is a parquet dir; one driver rename per masked file,
-            // no per-file jobs). Old sidecars become unreferenced —
-            // vacuum's work. Files the range check touched but whose keys
-            // the batch missed keep their entry untouched.
-            val maskCounts: Map[String, Long] = if (newMaskNames.isEmpty)
-              Map.empty
-            else {
-              val oldDvPaths = touched
-                .filter(f => newMaskNames(f.name) && f.dv.isDefined)
-                .map(f => s"$root/files/${f.dv.get}")
-              val combined0 = newMasks.get
-              val combined = (if (oldDvPaths.isEmpty) combined0
-                else combined0.unionByName(spark.read.parquet(oldDvPaths: _*)
-                  .select(col("_file"), col("_key").cast(keyType))))
-                .distinct()
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                val counts = combined.groupBy("_file").count()
-                  .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-                val stage = Paths.get(root,
-                  s"_stage_dv_${java.util.UUID.randomUUID()}")
-                // repartition by the partition column: each file's mask
-                // rows land in one task -> one part file per directory
-                combined.withColumn("_p", col("_file"))
-                  .repartition(col("_p"))
-                  .write.partitionBy("_p").parquet(stage.toString)
-                counts.keys.foreach { fname =>
-                  Files.move(stage.resolve(s"_p=$fname"),
-                    Paths.get(root, "files", dvNameFor(fname)),
-                    StandardCopyOption.ATOMIC_MOVE)
-                }
-                deleteRecursively(stage)
-                counts
-              } finally combined.unpersist()
-            }
-            val updatedTouched = touched.map { f =>
-              if (!maskCounts.contains(f.name)) f
-              else f.copy(dv = Some(dvNameFor(f.name)),
-                dvRows = maskCounts(f.name))
-            }
+            val (updatedTouched, maskCounts) =
+              applyMasks(touched, newMasks, keyType)
             // the batch's after-images, shaped to the merged schema
             val upserts = Changelog
               .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
@@ -588,6 +537,119 @@ final class ManifestStore(val root: String, spark: SparkSession,
         } finally liveP.unpersist()
       } finally cleanup()
     } finally netP.unpersist()
+  }
+
+  /** Replace the sidecars of every file in `touched` that `newMasks`
+    * (`(_file, _key)` rows, persisted) names with old-mask ∪ new-mask, in
+    * ONE Spark job: write the union partitioned by file, then adopt each
+    * partition DIRECTORY as that file's new sidecar (a sidecar is a
+    * parquet dir; one driver rename per masked file, no per-file jobs).
+    * Old sidecars become unreferenced — vacuum's work. Files `newMasks`
+    * does not name pass through untouched. Sidecar names carry a fresh
+    * token: the previous sidecar stays referenced by earlier manifests
+    * (time travel) until vacuum. Returns the updated entries and the
+    * combined per-file mask counts.
+    */
+  private def applyMasks(touched: Seq[FileEntry], newMasks: Option[DataFrame],
+                         keyType: org.apache.spark.sql.types.DataType)
+      : (Seq[FileEntry], Map[String, Long]) = {
+    val dvToken = java.util.UUID.randomUUID().toString
+    def dvNameFor(fname: String) = s"$fname.$dvToken.dv"
+    val newMaskNames: Set[String] = newMasks match {
+      case None => Set.empty
+      case Some(mk) => mk.select("_file").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    Files.createDirectories(Paths.get(root, "files"))
+    val maskCounts: Map[String, Long] = if (newMaskNames.isEmpty)
+      Map.empty
+    else {
+      val oldDvPaths = touched
+        .filter(f => newMaskNames(f.name) && f.dv.isDefined)
+        .map(f => s"$root/files/${f.dv.get}")
+      val combined0 = newMasks.get
+      val combined = (if (oldDvPaths.isEmpty) combined0
+        else combined0.unionByName(spark.read.parquet(oldDvPaths: _*)
+          .select(col("_file"), col("_key").cast(keyType))))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = combined.groupBy("_file").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val stage = Paths.get(root,
+          s"_stage_dv_${java.util.UUID.randomUUID()}")
+        // repartition by the partition column: each file's mask rows land
+        // in one task -> one part file per directory
+        combined.withColumn("_p", col("_file"))
+          .repartition(col("_p"))
+          .write.partitionBy("_p").parquet(stage.toString)
+        counts.keys.foreach { fname =>
+          Files.move(stage.resolve(s"_p=$fname"),
+            Paths.get(root, "files", dvNameFor(fname)),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        deleteRecursively(stage)
+        counts
+      } finally combined.unpersist()
+    }
+    val updated = touched.map { f =>
+      if (!maskCounts.contains(f.name)) f
+      else f.copy(dv = Some(dvNameFor(f.name)), dvRows = maskCounts(f.name))
+    }
+    (updated, maskCounts)
+  }
+
+  /** Predicate DELETE at O(matches) write cost — the retention / GDPR
+    * erasure primitive, on deletion vectors: scan the table once, mask
+    * every matching row's key in its file's sidecar, and DROP files whose
+    * every key is now masked (their data never reaches another reader;
+    * vacuum reclaims the bytes). No data file is rewritten; [[optimize]]
+    * folds heavy masks back in on its normal schedule. The scan is
+    * O(table) for an arbitrary predicate (Delta pays the same); for a
+    * range predicate on a statted column, delete via the keys of a
+    * [[readWhere]] read to prune the scan too. Returns None (no new
+    * version) when nothing matches.
+    */
+  def deleteWhere(cond: Column, batchId: Long,
+                  streamId: String = "default"): Option[ManifestStore.MorStats] = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no current version at $root — " +
+        "commit an initial snapshot before deleting"))
+    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+    if (m.files.isEmpty) return None
+    val keyType = keyTypeOf(m)
+    // EFFECTIVE scan (sidecars applied, file attribution kept): deleting
+    // rows a previous delete already masked must be a no-op, not a
+    // version-churning sidecar rewrite — deleteWhere is idempotent per
+    // predicate
+    val schema = StructType.fromDDL(m.schemaDDL)
+    val data = spark.read.schema(schema)
+      .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
+      .withColumn("_file", fileBasename)
+    val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
+    val live =
+      if (dvPaths.isEmpty) data
+      else {
+        val dvDf = spark.read.parquet(dvPaths: _*)
+        data.join(broadcast(dvDf),
+          data("_file") === dvDf("_file") &&
+            data(keyField) === dvDf("_key"), "left_anti")
+      }
+    val matches = live.filter(cond)
+      .select(col("_file"), col(keyField).cast(keyType).as("_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matches.isEmpty) None
+      else {
+        val (updated, maskCounts) = applyMasks(m.files, Some(matches), keyType)
+        val (dead, live) = updated.partition(f => f.dvRows >= f.rows)
+        writeManifestAndSwap(m.version + 1, batchId, streamId, m.schemaDDL,
+          live, m.statsCols)
+        val _ = dead // dropped from the manifest; vacuum reclaims
+        Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
+          maskCounts.values.sum, 0, m.files.size - maskCounts.size))
+      }
+    } finally matches.unpersist()
   }
 
   /** The file names of `files` whose [min,max] key range contains at least

@@ -405,6 +405,29 @@ object CdcQueries {
           .as("skip_effective"))
     }),
 
+    "cdc_manifest_delete_where" -> ((s, dir) => {
+      // Predicate DELETE on deletion vectors ([[ManifestStore.deleteWhere]])
+      // — the retention/GDPR erasure primitive: one effective scan, every
+      // matching row's key masked in its file's sidecar, zero data files
+      // rewritten (the predicate scatters matches across every
+      // key-clustered file — the copy-on-write worst case again).
+      // `delete_in_place` proves all original file names survived AND
+      // sidecars exist; content must equal the oracle's complement.
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_dw_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 16)
+      if (st.current.get._2 < 1)
+        st.deleteWhere(col("c_mktsegment") === "BUILDING", batchId = 1)
+      val names0 = st.manifest(0L).get.files.map(_.name).toSet
+      val m = st.currentManifest.get
+      val inPlace = m.files.map(_.name).toSet == names0 &&
+        m.files.exists(_.dv.isDefined)
+      st.read().get.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), lit(inPlace).as("delete_in_place"))
+    }),
+
     "cdc_manifest_merge_mor" -> ((s, dir) => {
       // Deletion-vector merge-on-read under the gate: same two-batch
       // key-disjoint changelog as cdc_manifest_merge, applied via
@@ -868,6 +891,12 @@ object CdcQueries {
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,
          |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
          |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // DV-masked predicate delete must read back as the exact complement
+    "cdc_manifest_delete_where" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       TRUE AS delete_in_place
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'""".stripMargin,
 
     // zone-map pruned range read must equal the exact BETWEEN
     "cdc_manifest_skip_read" ->

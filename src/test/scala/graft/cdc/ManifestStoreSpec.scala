@@ -223,6 +223,41 @@ class ManifestStoreSpec extends SparkSpec {
     assert(feed == Set(("u", 3L), ("d", 60L)))
   }
 
+  test("deleteWhere masks matches across files without rewriting data") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val names0 = st.currentManifest.get.files.map(_.name).toSet
+    // delete every third row: matches scatter across all 8 files
+    val stats = st.deleteWhere(col("id") % 3 === 0, batchId = 1).get
+    assert(stats.maskedFiles == 8 && stats.newFiles == 0)
+    assert(stats.maskedRows == 67L) // ceil(200/3)
+    val m = st.currentManifest.get
+    assert(m.files.map(_.name).toSet == names0) // zero rewrites
+    val out = st.read().get
+    assert(out.count() == 133L)
+    assert(out.filter(col("id") % 3 === 0).count() == 0L)
+    // deleting the already-deleted commits nothing... but a fresh
+    // predicate with matches does
+    assert(st.deleteWhere(col("id") % 3 === 0, batchId = 2).isEmpty)
+    // replay guard
+    assert(st.deleteWhere(col("id") < 5, batchId = 1).isEmpty)
+  }
+
+  test("deleteWhere drops fully-emptied files from the manifest") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8) // files of 25: [0,24] first
+    val stats = st.deleteWhere(col("id") < 25, batchId = 1).get
+    assert(stats.maskedFiles == 1 && stats.maskedRows == 25L)
+    val m = st.currentManifest.get
+    assert(m.files.size == 7) // the emptied file left the manifest
+    assert(m.files.forall(_.dv.isEmpty))
+    assert(st.read().get.count() == 175L)
+    // vacuum (keepLast=1) reclaims the dropped file and its sidecar
+    val deleted = st.vacuum(keepLast = 1)
+    assert(deleted.size == 2)
+    assert(st.read().get.count() == 175L)
+  }
+
   test("optimize folds a majority-masked sidecar back into its file") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4) // files of 50
