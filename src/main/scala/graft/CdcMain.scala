@@ -32,6 +32,7 @@ object CdcMain {
   // makeStream below (plus "auto", resolved before dispatch)
   private val ValidDbTypes =
     Set("mongodb", "mongo", "postgres", "postgresql", "auto")
+  private val ValidStorage = Set("snapshot", "manifest", "manifest_mor")
 
   def main(args: Array[String]): Unit = {
     val configPath = args.filterNot(_.startsWith("--")).headOption.getOrElse(
@@ -60,7 +61,6 @@ object CdcMain {
       }
 
     def makeStream(cfg: CdcConfig): (AnyRef, org.apache.spark.sql.streaming.StreamingQuery) = {
-      val store = new SnapshotStore(cfg.outputPath, spark)
       val trigger =
         if (once) Trigger.AvailableNow()
         else CronTrigger.resolveTrigger(cfg.processTime) // duration OR cron
@@ -68,26 +68,43 @@ object CdcMain {
       val dbType = resolveType(cfg).getOrElse(
         sys.error(s"database_config.type=auto but no classifiable event " +
           s"found in ${cfg.sourceDir}"))
-      dbType match {
-        case "mongodb" | "mongo" =>
+      // delta_config.storage selects the engine behind the same stream:
+      // the reference's whole-table rewrite ("snapshot"), the stats-pruned
+      // file MERGE ("manifest"), or deletion-vector merge-on-read
+      // ("manifest_mor"). The manifest engines serve the postgres envelope
+      // path; the mongo path keeps the snapshot store (its pipeline
+      // flattens documents before merging).
+      (dbType, cfg.storage) match {
+        case ("mongodb" | "mongo", _) =>
+          val store = new SnapshotStore(cfg.outputPath, spark)
           val s = new MongoCdcStream(spark, source, store, cfg.keyColumn,
             cfg.checkpointDir, cfg.columnsToSave, trigger = trigger)
           (s, s.start())
-        case "postgres" | "postgresql" =>
+        case ("postgres" | "postgresql", "manifest" | "manifest_mor") =>
+          val store = new graft.cdc.ManifestStore(cfg.outputPath, spark,
+            cfg.keyColumn)
+          val s = new ManifestCdcStream(spark, source, store, cfg.keyColumn,
+            cfg.schemaCacheDir, cfg.checkpointDir, cfg.columnsToSave,
+            trigger = trigger, reclusterOverFiles = 256,
+            mergeOnRead = cfg.storage == "manifest_mor")
+          (s, s.start())
+        case ("postgres" | "postgresql", _) =>
+          val store = new SnapshotStore(cfg.outputPath, spark)
           val s = new CdcStream(spark, source, store, cfg.keyColumn,
             cfg.schemaCacheDir, cfg.checkpointDir, cfg.columnsToSave,
             trigger = trigger)
           (s, s.start())
-        case other =>
+        case (other, _) =>
           sys.error(s"unsupported database_config.type: '$other' " +
             "(expected postgres or mongodb)")
       }
     }
 
     def stopActive(): Unit = active.foreach {
-      case (s: CdcStream, q)      => s.stopGracefully(q)
-      case (s: MongoCdcStream, q) => s.stopGracefully(q)
-      case (_, q)                 => q.stop()
+      case (s: CdcStream, q)         => s.stopGracefully(q)
+      case (s: MongoCdcStream, q)    => s.stopGracefully(q)
+      case (s: ManifestCdcStream, q) => s.stopGracefully(q)
+      case (_, q)                    => q.stop()
     }
 
     sys.addShutdownHook { running = false; stopActive() }
@@ -153,9 +170,11 @@ object CdcMain {
           if (cfg != currentCfg && cfg != lastInvalidCfg && cfg != lastFailedCfg) {
             // a config that parses but is semantically invalid must not take
             // down the running stream (ref keeps prior config on bad reload)
-            if (!ValidDbTypes.contains(cfg.databaseType)) {
+            if (!ValidDbTypes.contains(cfg.databaseType) ||
+                !ValidStorage.contains(cfg.storage)) {
               System.err.println("[cdc-main] ignoring config change: " +
-                s"unsupported database_config.type '${cfg.databaseType}'")
+                s"unsupported database_config.type '${cfg.databaseType}' " +
+                s"or delta_config.storage '${cfg.storage}'")
               lastInvalidCfg = cfg
             } else {
               println("[cdc-main] config changed; restarting query")

@@ -23,7 +23,12 @@ final case class CdcConfig(
     outputPath: String,
     checkpointDir: String,
     schemaCacheDir: String,
-    databaseType: String)
+    databaseType: String,
+    /** "snapshot" (whole-table rewrite, the reference's shape), "manifest"
+      * (stats-pruned file MERGE), or "manifest_mor" (deletion-vector
+      * merge-on-read) — the storage engine behind the same stream.
+      */
+    storage: String)
 
 object CdcConfig {
   val Default: CdcConfig = CdcConfig(
@@ -37,7 +42,8 @@ object CdcConfig {
     outputPath = "out/table",
     checkpointDir = "out/_checkpoint",
     schemaCacheDir = "out/_schema",
-    databaseType = "postgres")
+    databaseType = "postgres",
+    storage = "snapshot")
 }
 
 final class ConfigManager(path: String) {
@@ -117,7 +123,8 @@ final class ConfigManager(path: String) {
       outputPath = str("delta_config", "output_path", d.outputPath),
       checkpointDir = str("delta_config", "checkpoint_dir", d.checkpointDir),
       schemaCacheDir = str("cache_config", "schema_path", d.schemaCacheDir),
-      databaseType = str("database_config", "type", d.databaseType))
+      databaseType = str("database_config", "type", d.databaseType),
+      storage = str("delta_config", "storage", d.storage))
   }
 }
 

@@ -27,6 +27,15 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(parsed.columnsToSave.contains(Seq("customerId", "customerFName")))
     assert(parsed.failOnDataLoss && parsed.maxFilesPerTrigger.contains(7))
     assert(parsed.outputPath == "/data/out" && parsed.databaseType == "mongodb")
+    assert(parsed.storage == "snapshot") // default engine
+  }
+
+  test("delta_config.storage selects the manifest engines") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    assert(cm.parse("""{"delta_config": {"storage": "manifest"}}""")
+      .storage == "manifest")
+    assert(cm.parse("""{"delta_config": {"storage": "manifest_mor"}}""")
+      .storage == "manifest_mor")
   }
 
   test("hot reload: config re-parses when the content changes") {
