@@ -25,7 +25,7 @@ object PlanDump {
     "text_token_stats" ->
       "Narrow text analysis: ReadSchema pruned to (doc_id, text); no aggregation exchange.",
     "events_asof_join" ->
-      "As-of join: ONE hash-partition Exchange on the key feeding one Sort + Window (union+last formulation) — no range-join blowup.",
+      "As-of join: ONE hash-partition Exchange on the key feeding one Sort + Window (union+last formulation) — no range-join blowup. (r8 re-time: the r7 0.76->1.25 s drift was session noise — standalone best-of-3 1.08 s on this identical plan, BENCH_r08 0.83 s; there was never a broadcast to lose. The trend gate now diffs the round-close BENCH_BASELINE.json, which is how the drift escaped it in r7.)",
     "ann_rhp_topk" ->
       "RHP-LSH: signatures are pure projections; the collision join carries (id, band key) only; vectors re-attach after pair dedup.",
     "pipeline_pack" ->
@@ -101,7 +101,15 @@ object PlanDump {
     "sketch_kmv_overlap" ->
       "KMV bottom-k: each sketch plans as TakeOrderedAndProject (per-partition partial top-k) — no global Sort, no full-corpus Exchange; the overlap joins touch O(k) rows.",
     "emb_contamination_scan" ->
-      "Contamination scan: test set broadcast; per-train-vector argmax via row_number<=1 must plan a WindowGroupLimit below the Exchange, so each partition forwards one candidate per train vector.")
+      "Contamination scan: test set broadcast; per-train-vector argmax via row_number<=1 must plan a WindowGroupLimit below the Exchange, so each partition forwards one candidate per train vector.",
+    "dedup_streaming_index" ->
+      "Streaming dedup verdicts: the persisted fingerprint index joins the corpus BY KEY; at batch grain (processBatch, not shown) the index STREAMS past the broadcast batch fingerprints (LeftSemi semi-reduction) and only the batch-sized hit set joins back — the index never shuffles and is never broadcast.",
+    "dedup_streaming_bands" ->
+      "Streaming near-dup verdicts: band-keyed join of corpus bands against the persisted claim index, then ONE doc_id-keyed partial+final aggregate — no pairwise join anywhere, so a hot band is linear rows, never quadratic pairs.",
+    "cdc_manifest_skip_read" ->
+      "Zone-map range read: the parquet scan lists ONLY the stats-surviving files (1-2 of 16 here — file pruning happened at PLANNING time, before the scan node existed); the exact predicate re-applies as a post-scan Filter.",
+    "cdc_manifest_merge_mor" ->
+      "Merge-on-read table scan: union of the sidecar-less files' plain scan and the masked files' scan minus a BroadcastHashJoin LeftAnti against the (batch-sized, compaction-bounded) sidecar union, matched per (file, key) — the data files stream, only sidecars broadcast.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
