@@ -81,6 +81,40 @@ object ThroughputBench {
     val flatRowsWritten = store.read().get.count()
     val bucketRowsWritten = bStore.readBuckets(touchedBuckets).get.count()
     println(f"""{"small_batch_events":$nSmall,"flat_small_sec":$flatSmallSec%.2f,"bucketed_small_sec":$bucketSmallSec%.2f,"buckets":512,"touched_buckets":${touchedBuckets.size},"flat_rows_rewritten":$flatRowsWritten,"bucketed_rows_rewritten":$bucketRowsWritten,"bucketed_rows":${bStore.read().get.count()}}""")
+
+    // --- same small batch through the manifest engines: the full stream
+    // path (parse -> dedup -> merge) ending in a stats-pruned CoW commit
+    // and a deletion-vector commit. rows_rewritten is the scaling measure.
+    import graft.streaming.ManifestCdcStream
+    def manifestRun(mor: Boolean): (Double, Double, Long) = {
+      val st = new ManifestStore(
+        java.nio.file.Files.createTempDirectory("tp_ms").toString, spark,
+        "c_custkey")
+      val ms = new ManifestCdcStream(spark, spark.emptyDataFrame, st,
+        "c_custkey",
+        java.nio.file.Files.createTempDirectory("tp_msc").toString,
+        java.nio.file.Files.createTempDirectory("tp_msk").toString,
+        mergeOnRead = mor)
+      val tc = System.nanoTime()
+      ms.processBatch(batch, 0) // cold: bootstrap + full insert
+      val cold = (System.nanoTime() - tc) / 1e9
+      // bootstrap inserts land in one growth file; recluster to the
+      // realistic 64-file layout OUTSIDE the timed span (production would
+      // have reclusterOverFiles do this between triggers)
+      st.recluster(64)
+      val ts = System.nanoTime()
+      ms.processBatch(smallBatch, 1) // steady: ~1% batch, stats-pruned
+      val steady = (System.nanoTime() - ts) / 1e9
+      val v = st.current.get._1
+      val mNew = st.manifest(v).get; val mOld = st.manifest(v - 1).get
+      val oldNames = mOld.files.map(_.name).toSet
+      val rewritten = mNew.files.filterNot(f => oldNames(f.name))
+        .map(_.rows).sum
+      (cold, steady, rewritten)
+    }
+    val (cowCold, cowSteady, cowRows) = manifestRun(mor = false)
+    val (morCold, morSteady, morRows) = manifestRun(mor = true)
+    println(f"""{"manifest_cold_sec":$cowCold%.2f,"manifest_small_sec":$cowSteady%.2f,"manifest_rows_rewritten":$cowRows,"mor_cold_sec":$morCold%.2f,"mor_small_sec":$morSteady%.2f,"mor_rows_written":$morRows,"flat_rows_rewritten":$flatRowsWritten}""")
     spark.stop()
   }
 }
