@@ -608,7 +608,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * O(table) for an arbitrary predicate (Delta pays the same); for a
     * range predicate on a statted column, delete via the keys of a
     * [[readWhere]] read to prune the scan too. Returns None (no new
-    * version) when nothing matches.
+    * version) when nothing matches. Single-writer method (same contract
+    * as [[merge]]/[[mergeOnRead]]): concurrent [[mergeOptimistic]]
+    * writers detect its sidecar changes via (name, dv) identity, but
+    * deleteWhere itself does not CAS its swap.
     */
   def deleteWhere(cond: Column, batchId: Long,
                   streamId: String = "default"): Option[ManifestStore.MorStats] = {

@@ -84,9 +84,12 @@ object StreamingDedup {
         (col(FirstDocCol).isNotNull || col("_rn") > 1).cast("int").as("is_dup"),
         coalesce(col(FirstDocCol),
           when(col("_rn") > 1, col("_first_in_batch"))).as("dup_of"))
-      val out = verdicts.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // pin the pre-merge verdicts
+      // eager localCheckpoint: materializes the PRE-merge verdicts (a
+      // foreachBatch source may not be re-evaluable after the trigger)
+      // and truncates lineage WITHOUT a cache entry the caller would have
+      // to remember to unpersist — a stream processes one batch per
+      // trigger forever, so a persist here would leak one entry per batch
+      val out = verdicts.localCheckpoint(true)
       // new fingerprints: in-batch winners the index has never seen
       val net = joined.filter(col("_rn") === 1 && col(FirstDocCol).isNull)
         .select(col(FpCol).as(Changelog.KeyCol),
@@ -168,12 +171,14 @@ object StreamingDedup {
           .as("n_hit_bands"),
         max(when(col("_claimant") < col("doc_id"), 1).otherwise(0))
           .as("is_candidate_dup"))
+      // eager localCheckpoint, not persist: same rationale as
+      // [[processBatch]] — pin pre-merge verdicts with no per-trigger
+      // cache-entry leak
       val out = batch.select("doc_id").join(verdict, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
           coalesce(col("is_candidate_dup"), lit(0)).as("is_candidate_dup"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // pin the pre-merge verdicts
+        .localCheckpoint(true)
       val net = joined
         .filter(col(FirstDocCol).isNull &&
           col("doc_id") === col("_min_in_batch"))
