@@ -110,6 +110,17 @@ object CdcMain {
     sys.addShutdownHook { running = false; stopActive() }
 
     var currentCfg = cm.config // validated before first start; may throw: fine
+    // fail FAST on a bad initial config: without this a typo like
+    // storage="manifst" would fall through makeStream's ("postgres", _)
+    // wildcard and silently run the snapshot engine (hot-reload already
+    // validates via ValidStorage; startup must match)
+    if (!ValidDbTypes.contains(currentCfg.databaseType))
+      sys.error(s"unsupported database_config.type: " +
+        s"'${currentCfg.databaseType}' (expected one of " +
+        s"${ValidDbTypes.toSeq.sorted.mkString(", ")})")
+    if (!ValidStorage.contains(currentCfg.storage))
+      sys.error(s"unsupported delta_config.storage: '${currentCfg.storage}' " +
+        s"(expected one of ${ValidStorage.toSeq.sorted.mkString(", ")})")
     // Two kinds of rejected hot-reload, remembered so the ~2s poll doesn't
     // re-log (or stop/restart the healthy reverted stream) every cycle:
     // a semantically invalid config can never succeed -> suppressed until

@@ -47,14 +47,17 @@ import scala.jdk.CollectionConverters._
   * timestamp and decimal keys all prune in their native ordering — the
   * reference's Mongo path defaults to a STRING `_id`
   * (ref: cdc_stream.py:1018), which a long-only store could not serve.
-  * The string round-trip is exact for every supported type (Spark's
-  * string cast is its own inverse on atomic types), so pruning can never
-  * miss a file that holds one of the batch's keys.
+  * The round-trip is exact and SESSION-INDEPENDENT for every supported
+  * type: zone-free string casts for most atomics, EPOCH MICROS for
+  * TimestampType (whose string cast renders in the session time zone — a
+  * store written under one zone must prune identically under another), so
+  * pruning can never miss a file that holds one of the batch's keys.
   */
 object ManifestStore {
   /** One immutable data file and its key statistics. `minKey`/`maxKey` are
-    * the Spark string-cast of the key column's min/max; compare them only
-    * after casting back through the key's real type (see
+    * the manifest serialization of the key column's min/max (zone-free
+    * string cast; epoch micros for TimestampType); compare them only after
+    * deserializing through the key's real type (see
     * [[ManifestStore.hitFileNames]]) — raw string comparison is wrong for
     * unpadded numerics ("9" > "10").
     *
@@ -110,6 +113,26 @@ object ManifestStore {
   final case class OptimizeStats(version: Long, compactedFiles: Int,
                                  carriedFiles: Int, newFiles: Int)
 
+  /** Above this many TOTAL deletion-vector rows across the files being
+    * read, the sidecar anti-join is left to AQE instead of a forced
+    * `broadcast()`: the per-file fold trigger (`dvRows*2 >= rows`) bounds
+    * each file's mask, but a table whose files all sit just under it can
+    * carry up to rows/4 table-wide — a forced broadcast of that is a
+    * driver OOM at 100×. The manifest records `dvRows` per file, so the
+    * gate costs nothing. Override with spark conf
+    * `spark.graft.manifest.dvBroadcastMaxRows`.
+    */
+  val DvBroadcastMaxRows = 4000000L
+
+  /** Commits write FULL manifests (type "checkpoint") only every this many
+    * versions; in between they write DELTAS (files added/removed vs the
+    * parent) — Delta's checkpoint+log shape. A full manifest is O(table
+    * files): at 100 TB / ~1 GB files that is ~100k JSON entries per 30 s
+    * trigger; a delta is O(changed files). Reconstruction walks back at
+    * most this many log entries to a checkpoint.
+    */
+  val CheckpointInterval = 10L
+
   /** Outcome of [[ManifestStore.mergeOptimistic]]. */
   sealed trait MergeOutcome
   final case class MergedAt(stats: MergeStats) extends MergeOutcome
@@ -138,31 +161,47 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   def exists: Boolean = current.isDefined
 
-  def manifest(v: Long): Option[Manifest] = {
+  private def readLogNode(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = Paths.get(root, "_LOG", v.toString + ".json")
-    if (!Files.exists(p)) None
-    else {
-      val n = mapper.readTree(Files.readString(p))
-      // asText() on a numeric node yields its decimal form, so manifests
-      // written by the long-only stats vintage read back unchanged
-      val files = n.path("files").elements().asScala.map { f =>
-        val cols = Option(f.get("cols")).filterNot(_.isNull).map { c =>
-          c.fieldNames().asScala.map { fc =>
-            fc -> (c.path(fc).path("min").asText(),
-              c.path(fc).path("max").asText())
-          }.toMap
-        }.getOrElse(Map.empty[String, (String, String)])
-        FileEntry(f.path("name").asText(), f.path("minKey").asText(),
-          f.path("maxKey").asText(), f.path("rows").asLong(),
-          Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
-          f.path("dvRows").asLong(0L), cols)
-      }.toSeq
-      val statsCols = Option(n.get("statsCols")).filterNot(_.isNull)
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-      Some(Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
+    if (!Files.exists(p)) None else Some(mapper.readTree(Files.readString(p)))
+  }
+
+  // asText() on a numeric node yields its decimal form, so manifests
+  // written by the long-only stats vintage read back unchanged
+  private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
+    val cols = Option(f.get("cols")).filterNot(_.isNull).map { c =>
+      c.fieldNames().asScala.map { fc =>
+        fc -> (c.path(fc).path("min").asText(),
+          c.path(fc).path("max").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    FileEntry(f.path("name").asText(), f.path("minKey").asText(),
+      f.path("maxKey").asText(), f.path("rows").asLong(),
+      Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
+      f.path("dvRows").asLong(0L), cols)
+  }
+
+  /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
+    * list; a DELTA entry carries only the files added/removed vs `v-1` and
+    * replays onto the parent (at most
+    * [[ManifestStore.CheckpointInterval]] hops to a checkpoint). Entries
+    * without a `type` field are pre-delta-log checkpoints.
+    */
+  def manifest(v: Long): Option[Manifest] = readLogNode(v).flatMap { n =>
+    val statsCols = Option(n.get("statsCols")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    def meta(files: Seq[FileEntry]) =
+      Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
-        n.path("schema").asText(), files, statsCols))
-    }
+        n.path("schema").asText(), files, statsCols)
+    if (n.path("type").asText("checkpoint") == "delta")
+      manifest(v - 1).map { parent =>
+        val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
+        val adds = n.path("add").elements().asScala.map(parseFileEntry).toSeq
+        meta(parent.files.filterNot(f => removed(f.name)) ++ adds)
+      }
+    else
+      Some(meta(n.path("files").elements().asScala.map(parseFileEntry).toSeq))
   }
 
   def currentManifest: Option[Manifest] =
@@ -174,12 +213,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def keyTypeOf(m: Manifest): org.apache.spark.sql.types.DataType =
     StructType.fromDDL(m.schemaDDL)(keyField).dataType
 
-  /** Stats require a type whose Spark string cast round-trips exactly and
-    * whose ordering the pruning join can reproduce — every atomic key type
-    * a real table uses. Nested/binary keys fail FAST here instead of
-    * silently mis-pruning (and duplicating keys) at merge time.
+  /** Stats require a type whose manifest serialization round-trips exactly
+    * and whose ordering the pruning join can reproduce — every atomic type
+    * a real table uses. Nested/binary columns fail FAST here instead of
+    * silently mis-pruning (and duplicating keys) at merge time. `colName`
+    * is the offending column — the key, or a `statsCols` zone-map column.
     */
-  private def requireStatKeyType(dt: org.apache.spark.sql.types.DataType): Unit = {
+  private def requireStatKeyType(colName: String,
+                                 dt: org.apache.spark.sql.types.DataType): Unit = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType | StringType |
@@ -187,17 +228,57 @@ final class ManifestStore(val root: String, spark: SparkSession,
            FloatType | DoubleType => ()
       case _: DecimalType => ()
       case other => throw new IllegalArgumentException(
-        s"ManifestStore key '$keyField' has type ${other.sql}, which cannot " +
-          "carry per-file min/max stats; use an atomic key type")
+        s"ManifestStore stats column '$colName' has type ${other.sql}, " +
+          "which cannot carry per-file min/max stats; use an atomic type")
     }
+  }
+
+  /** Serialize a typed stat value to its manifest string. TimestampType
+    * goes through EPOCH MICROS, not the string cast: `cast(ts as string)`
+    * renders in `spark.sql.session.timeZone`, so a manifest written under
+    * one session zone and pruned under another would mis-interpret min/max
+    * — pruning could then miss a hit file and silently duplicate keys.
+    * Every other atomic type's string cast is zone-free and its own
+    * inverse.
+    */
+  private def statSerialize(c: Column,
+                            dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(c).cast("string")
+      case _ => c.cast("string")
+    }
+
+  /** Inverse of [[statSerialize]]: a manifest stat string back to its
+    * native type, for pruning comparisons in the column's own ordering.
+    */
+  private def statDeserialize(c: Column,
+                              dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        timestamp_micros(c.cast("long"))
+      case _ => c.cast(dt)
+    }
+
+  /** The deletion-vector side of the masked anti-join, broadcast ONLY
+    * while the manifest-recorded total mask rows are batch-scale
+    * ([[ManifestStore.DvBroadcastMaxRows]]); past the gate the join
+    * strategy is AQE's call and an oversized mask set degrades to a
+    * shuffled join instead of a driver OOM.
+    */
+  private def dvSide(dvPaths: Seq[String], totalDvRows: Long): DataFrame = {
+    val dvDf = spark.read.parquet(dvPaths: _*)
+    val maxRows = spark.conf.getOption("spark.graft.manifest.dvBroadcastMaxRows")
+      .map(_.toLong).getOrElse(ManifestStore.DvBroadcastMaxRows)
+    if (totalDvRows <= maxRows) broadcast(dvDf) else dvDf
   }
 
   /** The EFFECTIVE rows of `entries`: data files minus their deletion-
     * vector sidecars. Sidecar-less files stream straight through one scan;
-    * masked files pay ONE broadcast anti-join against the (batch-sized,
-    * compaction-bounded) union of their sidecars, matched per (file, key)
-    * — a key masked in file F may legitimately live in a later upsert
-    * file, so the mask must never apply globally.
+    * masked files pay ONE anti-join against the union of their sidecars
+    * (broadcast while batch-scale — see [[dvSide]]), matched per
+    * (file, key) — a key masked in file F may legitimately live in a later
+    * upsert file, so the mask must never apply globally.
     */
   private def readFiles(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDDL)
@@ -211,10 +292,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val plainDf = if (plain.isEmpty) None else Some(scan(plain))
       val maskedDf = if (masked.isEmpty) None
       else {
-        val dvDf = spark.read
-          .parquet(masked.flatMap(_.dv).map(d => s"$root/files/$d"): _*)
+        val dvDf = dvSide(masked.flatMap(_.dv).map(d => s"$root/files/$d"),
+          masked.map(_.dvRows).sum)
         val data = scan(masked).withColumn("_file", fileBasename)
-        Some(data.join(broadcast(dvDf),
+        Some(data.join(dvDf,
           data("_file") === dvDf("_file") &&
             data(keyField) === dvDf("_key"), "left_anti").drop("_file"))
       }
@@ -262,8 +343,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val (mn, mx) = colRange(f, colName).get
             (f.name, mn, mx)
           }).toDF("_f", "_min", "_max")
-          statsDf.filter(!(col("_max").cast(dt) < lit(lo).cast(dt) ||
-              col("_min").cast(dt) > lit(hi).cast(dt)))
+          statsDf.filter(!(statDeserialize(col("_max"), dt) < lit(lo).cast(dt) ||
+              statDeserialize(col("_min"), dt) > lit(hi).cast(dt)))
             .collect().map(_.getString(0)).toSet
         }
       val toRead = statless ++ statted.filter(f => survivors(f.name))
@@ -321,10 +402,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def writeDataFiles(df: DataFrame, nFiles: Int,
                              statsCols: Seq[String] = Nil): Seq[FileEntry] = {
-    requireStatKeyType(df.schema(keyField).dataType)
+    requireStatKeyType(keyField, df.schema(keyField).dataType)
     // a drift-evolved frame may not carry every tracked column yet
     val sCols = statsCols.filter(df.columns.contains)
-    sCols.foreach(c => requireStatKeyType(df.schema(c).dataType))
+    sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     df.repartitionByRange(math.max(1, nFiles), col(keyField))
       .sortWithinPartitions(keyField)
@@ -343,13 +424,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val stats =
       if (!wrotePart) Array.empty[org.apache.spark.sql.Row]
       else {
-        val extra = sCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"_min_$c"),
-          max(col(c)).cast("string").as(s"_max_$c")))
+        val keyDt = df.schema(keyField).dataType
+        val extra = sCols.flatMap { c =>
+          val dt = df.schema(c).dataType
+          Seq(statSerialize(min(col(c)), dt).as(s"_min_$c"),
+            statSerialize(max(col(c)), dt).as(s"_max_$c"))
+        }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
-          .agg(min(col(keyField)).cast("string").as("_min"),
-            (max(col(keyField)).cast("string").as("_max") +:
+          .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
+            (statSerialize(max(col(keyField)), keyDt).as("_max") +:
               count(lit(1)).as("_rows") +: extra): _*)
           .collect() // O(#files) — bounded by the clustering, not the data
       }
@@ -369,6 +453,32 @@ final class ManifestStore(val root: String, spark: SparkSession,
     entries
   }
 
+  private def fileEntryNode(f: FileEntry): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val fn = mapper.createObjectNode()
+    fn.put("name", f.name); fn.put("minKey", f.minKey)
+    fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
+    f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
+    if (f.cols.nonEmpty) {
+      val cn = mapper.createObjectNode()
+      f.cols.foreach { case (c, (mn, mx)) =>
+        val v = mapper.createObjectNode()
+        v.put("min", mn); v.put("max", mx)
+        cn.set[com.fasterxml.jackson.databind.node.ObjectNode](c, v)
+      }
+      fn.set[com.fasterxml.jackson.databind.node.ObjectNode]("cols", cn)
+    }
+    fn
+  }
+
+  /** Write version `version`'s log entry and swap `_CURRENT`. The entry is
+    * a DELTA (files added/removed vs the parent, by (name, dv) identity —
+    * a sidecar change is remove+re-add) except every
+    * [[ManifestStore.CheckpointInterval]]th version, which writes the full
+    * CHECKPOINT form: commit log bytes track the files a commit CHANGED,
+    * not the table's width — at 100 TB / ~100k files, serializing the full
+    * list per 30 s trigger would be the one per-commit cost scaling with
+    * the table rather than the batch.
+    */
   private def writeManifestAndSwap(version: Long, batchId: Long,
                                    streamId: String, schemaDDL: String,
                                    files: Seq[FileEntry],
@@ -384,24 +494,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
       statsCols.foreach(sc.add)
       node.set[com.fasterxml.jackson.databind.node.ObjectNode]("statsCols", sc)
     }
-    val arr = mapper.createArrayNode()
-    files.foreach { f =>
-      val fn = mapper.createObjectNode()
-      fn.put("name", f.name); fn.put("minKey", f.minKey)
-      fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
-      f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
-      if (f.cols.nonEmpty) {
-        val cn = mapper.createObjectNode()
-        f.cols.foreach { case (c, (mn, mx)) =>
-          val v = mapper.createObjectNode()
-          v.put("min", mn); v.put("max", mx)
-          cn.set[com.fasterxml.jackson.databind.node.ObjectNode](c, v)
-        }
-        fn.set[com.fasterxml.jackson.databind.node.ObjectNode]("cols", cn)
-      }
-      arr.add(fn)
+    val parent =
+      if (version % ManifestStore.CheckpointInterval == 0L) None
+      else manifest(version - 1)
+    parent match {
+      case Some(p) =>
+        val parentIds = p.files.map(f => (f.name, f.dv)).toSet
+        val newIds = files.map(f => (f.name, f.dv)).toSet
+        val adds = files.filterNot(f => parentIds((f.name, f.dv)))
+        val removes = p.files.filterNot(f => newIds((f.name, f.dv))).map(_.name)
+        node.put("type", "delta")
+        val addArr = mapper.createArrayNode()
+        adds.foreach(f => addArr.add(fileEntryNode(f)))
+        node.set[com.fasterxml.jackson.databind.node.ObjectNode]("add", addArr)
+        val remArr = mapper.createArrayNode()
+        removes.foreach(remArr.add)
+        node.set[com.fasterxml.jackson.databind.node.ObjectNode]("remove", remArr)
+      case None =>
+        node.put("type", "checkpoint")
+        val arr = mapper.createArrayNode()
+        files.foreach(f => arr.add(fileEntryNode(f)))
+        node.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
     }
-    node.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
     val logDir = Paths.get(root, "_LOG")
     Files.createDirectories(logDir)
     Files.write(logDir.resolve(version.toString + ".json"),
@@ -608,51 +722,104 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * O(table) for an arbitrary predicate (Delta pays the same); for a
     * range predicate on a statted column, delete via the keys of a
     * [[readWhere]] read to prune the scan too. Returns None (no new
-    * version) when nothing matches. Single-writer method (same contract
-    * as [[merge]]/[[mergeOnRead]]): concurrent [[mergeOptimistic]]
-    * writers detect its sidecar changes via (name, dv) identity, but
-    * deleteWhere itself does not CAS its swap.
+    * version) when nothing matches.
+    *
+    * Participates in the OPTIMISTIC COMMIT protocol: the expensive phase
+    * (scan + sidecar staging) runs contention-free, then the swap is
+    * CAS-guarded under the commit lock — a delete racing a concurrent
+    * [[mergeOptimistic]] can never clobber the merge's swap (ad-hoc
+    * retention deletes against a live stream are exactly how this is
+    * used). A lost race discards the attempt's sidecars and RETRIES from
+    * the new current (a rebase is unsound here: the winner may have
+    * rewritten rows the predicate matches). Exhausting `maxAttempts`
+    * throws — a delete must fail loudly, never silently vanish.
+    * Concurrent [[mergeOptimistic]] writers detect a committed delete's
+    * sidecar changes via (name, dv) identity, exactly as for a
+    * merge-on-read commit.
     */
-  def deleteWhere(cond: Column, batchId: Long,
-                  streamId: String = "default"): Option[ManifestStore.MorStats] = {
-    val m = currentManifest.getOrElse(
-      throw new IllegalStateException(s"no current version at $root — " +
-        "commit an initial snapshot before deleting"))
-    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
-    if (m.files.isEmpty) return None
-    val keyType = keyTypeOf(m)
-    // EFFECTIVE scan (sidecars applied, file attribution kept): deleting
-    // rows a previous delete already masked must be a no-op, not a
-    // version-churning sidecar rewrite — deleteWhere is idempotent per
-    // predicate
-    val schema = StructType.fromDDL(m.schemaDDL)
-    val data = spark.read.schema(schema)
-      .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
-      .withColumn("_file", fileBasename)
-    val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
-    val live =
-      if (dvPaths.isEmpty) data
-      else {
-        val dvDf = spark.read.parquet(dvPaths: _*)
-        data.join(broadcast(dvDf),
-          data("_file") === dvDf("_file") &&
-            data(keyField) === dvDf("_key"), "left_anti")
+  def deleteWhere(cond: Column, batchId: Long, streamId: String = "default",
+                  maxAttempts: Int = 3): Option[ManifestStore.MorStats] =
+    deleteWhereHook(cond, batchId, streamId, maxAttempts)(() => ())
+
+  /** [[deleteWhere]] with the same pre-commit interleave probe as
+    * [[mergeOptimisticHook]] — `onDerived` fires after sidecar staging and
+    * before the commit lock, where a concurrent commit turns this attempt
+    * into a lost race.
+    */
+  private[cdc] def deleteWhereHook(cond: Column, batchId: Long,
+                                   streamId: String, maxAttempts: Int)
+                                  (onDerived: () => Unit)
+      : Option[ManifestStore.MorStats] = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val m = currentManifest.getOrElse(
+        throw new IllegalStateException(s"no current version at $root — " +
+          "commit an initial snapshot before deleting"))
+      if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+      if (m.files.isEmpty) return None
+      val keyType = keyTypeOf(m)
+      // EFFECTIVE scan (sidecars applied, file attribution kept): deleting
+      // rows a previous delete already masked must be a no-op, not a
+      // version-churning sidecar rewrite — deleteWhere is idempotent per
+      // predicate
+      val schema = StructType.fromDDL(m.schemaDDL)
+      val data = spark.read.schema(schema)
+        .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
+        .withColumn("_file", fileBasename)
+      val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
+      val live =
+        if (dvPaths.isEmpty) data
+        else {
+          val dvDf = dvSide(dvPaths, m.files.map(_.dvRows).sum)
+          data.join(dvDf,
+            data("_file") === dvDf("_file") &&
+              data(keyField) === dvDf("_key"), "left_anti")
+        }
+      val matches = live.filter(cond)
+        .select(col("_file"), col(keyField).cast(keyType).as("_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outcome: Either[String, Option[ManifestStore.MorStats]] =
+        try {
+          if (matches.isEmpty) Right(None)
+          else {
+            val (updated, maskCounts) = applyMasks(m.files, Some(matches), keyType)
+            onDerived()
+            val committed = SnapshotStore.withCommitLock(root) {
+              if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+                Right(None) // replayed concurrently
+              else if (!current.exists(_._1 == m.version))
+                Left("lost the commit race")
+              else {
+                val (dead, liveFiles) = updated.partition(f => f.dvRows >= f.rows)
+                writeManifestAndSwap(m.version + 1, batchId, streamId,
+                  m.schemaDDL, liveFiles, m.statsCols)
+                val _ = dead // dropped from the manifest; vacuum reclaims
+                Right(Some(ManifestStore.MorStats(m.version + 1,
+                  maskCounts.size, maskCounts.values.sum, 0,
+                  m.files.size - maskCounts.size)))
+              }
+            }
+            if (committed.isLeft) {
+              // this attempt's staged sidecars are referenced by no
+              // manifest — reclaim them now instead of leaving them for
+              // vacuum (same eager cleanup as a lost optimistic merge)
+              updated.filter(f => maskCounts.contains(f.name))
+                .flatMap(_.dv).foreach(d =>
+                  deleteRecursively(Paths.get(root, "files", d)))
+            }
+            committed
+          }
+        } finally matches.unpersist()
+      outcome match {
+        case Right(r) => return r
+        case Left(_)  => () // retry against the new current
       }
-    val matches = live.filter(cond)
-      .select(col("_file"), col(keyField).cast(keyType).as("_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (matches.isEmpty) None
-      else {
-        val (updated, maskCounts) = applyMasks(m.files, Some(matches), keyType)
-        val (dead, live) = updated.partition(f => f.dvRows >= f.rows)
-        writeManifestAndSwap(m.version + 1, batchId, streamId, m.schemaDDL,
-          live, m.statsCols)
-        val _ = dead // dropped from the manifest; vacuum reclaims
-        Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
-          maskCounts.values.sum, 0, m.files.size - maskCounts.size))
-      }
-    } finally matches.unpersist()
+    }
+    throw new IllegalStateException(
+      s"deleteWhere lost the commit race $maxAttempts times at $root — " +
+        "retry with more attempts or quiesce concurrent writers")
   }
 
   /** The file names of `files` whose [min,max] key range contains at least
@@ -670,8 +837,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         .toDF("_f", "_min", "_max")
       broadcast(statsDf)
         .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k")).distinct(),
-          col("_k") >= col("_min").cast(keyType) &&
-            col("_k") <= col("_max").cast(keyType), "left_semi")
+          col("_k") >= statDeserialize(col("_min"), keyType) &&
+            col("_k") <= statDeserialize(col("_max"), keyType), "left_semi")
         .collect().map(_.getString(0)).toSet
     }
 
@@ -883,9 +1050,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     import org.apache.spark.sql.expressions.Window
     val df = spark.createDataFrame(files.map(f => (f.name, f.minKey, f.maxKey)))
       .toDF("_f", "_min0", "_max0")
-      .select(col("_f"), col("_min0").cast(keyType).as("_min"),
-        col("_max0").cast(keyType).as("_max"))
-    val w = Window.orderBy("_min", "_max", "_f")
+      .select(col("_f"), statDeserialize(col("_min0"), keyType).as("_min"),
+        statDeserialize(col("_max0"), keyType).as("_max"))
+    // partitioned by a literal: the frame is O(#files) by construction, and
+    // an unpartitioned spec would emit the WindowExec single-partition WARN
+    // that masks real unpartitioned windows in bench tails
+    val w = Window.partitionBy(lit(0)).orderBy("_min", "_max", "_f")
     val runMax = max(col("_max")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     df.withColumn("_new",
         when(runMax.isNull || col("_min") > runMax, 1L).otherwise(0L))
@@ -1040,14 +1210,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
           .flatMap(manifest(_).toSeq.flatMap(_.files.flatMap(f =>
             f.name +: f.dv.toSeq))).toSet
         // reap the manifests below the retained window (crashed-writer
-        // debris beyond _CURRENT is left for its writer to resolve);
-        // walk the directory, not version numbers — O(live log entries)
+        // debris beyond _CURRENT is left for its writer to resolve) — but
+        // a DELTA entry at the floor replays from the nearest checkpoint
+        // at or below it, so that chain must survive: at most
+        // CheckpointInterval-1 extra entries. Walk the directory, not
+        // version numbers — O(live log entries).
+        var chainBase = math.max(0L, floor)
+        while (chainBase > 0 && readLogNode(chainBase).exists(n =>
+            n.path("type").asText("checkpoint") == "delta"))
+          chainBase -= 1
         val logDir = Paths.get(root, "_LOG")
         if (Files.isDirectory(logDir)) {
           val s = Files.list(logDir)
           try s.toArray.toSeq.map(_.asInstanceOf[Path])
             .filter(_.getFileName.toString.stripSuffix(".json")
-              .toLongOption.exists(_ < floor))
+              .toLongOption.exists(_ < chainBase))
             .foreach(Files.deleteIfExists(_))
           finally s.close()
         }

@@ -229,9 +229,13 @@ object Curation {
     */
   def globalQuantiles(df: DataFrame, value: String, ps: Seq[Double]): DataFrame = {
     val counts = df.groupBy(col(value)).agg(count(lit(1)).as("_c"))
-    val wCum = Window.orderBy(col(value))
+    // partitioned by a literal: O(#distinct values) rows by construction;
+    // an unpartitioned spec would emit the WindowExec WARN that masks real
+    // unpartitioned windows elsewhere
+    val wCum = Window.partitionBy(lit(0)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = counts
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))

@@ -142,7 +142,10 @@ object Pipeline {
     // bucket offsets: totals per bucket, cumulated in hex order. The
     // cumulative window runs over 16^bucketChars rows — O(config), like an
     // inlined-centroid table — and the result broadcasts back.
-    val wOff = Window.orderBy(col("_b"))
+    // partitioned by a literal: O(16^bucketChars) rows by construction; an
+    // unpartitioned spec would emit the WindowExec WARN that masks real
+    // unpartitioned windows elsewhere
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = ranked.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))

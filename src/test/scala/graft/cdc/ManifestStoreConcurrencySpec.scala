@@ -31,10 +31,11 @@ class ManifestStoreConcurrencySpec extends SparkSpec {
     st
   }
 
-  /** Every data file on disk that no retained manifest references. */
+  /** Every data file or sidecar on disk that no retained manifest references. */
   private def orphans(st: ManifestStore): Seq[String] = {
     val referenced = (0L to st.current.get._1)
-      .flatMap(st.manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+      .flatMap(st.manifest(_).toSeq.flatMap(_.files.flatMap(f =>
+        f.name +: f.dv.toSeq))).toSet
     val s = Files.list(Paths.get(st.root, "files"))
     try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
       .map(_.getFileName.toString).filterNot(referenced)
@@ -124,6 +125,107 @@ class ManifestStoreConcurrencySpec extends SparkSpec {
       fields, batchId = 1, streamId = "s1") == AlreadyMerged)
     assert(st.read().get.filter(col("id") === 1L).select("name")
       .as[String].collect().toSeq == Seq("once"))
+  }
+
+  test("deleteWhere racing a concurrent merge retries; both effects survive") {
+    val st = seeded()
+    // writer A lands a merge while the delete is between sidecar staging
+    // and its commit lock: the delete's CAS fails, its staged sidecars are
+    // reclaimed, and the retry re-derives against A's version — the merge
+    // can no longer be clobbered by a last-rename-wins swap
+    var fired = false
+    val out = st.deleteWhereHook(col("id") >= 190L, batchId = 1,
+      streamId = "deleter", maxAttempts = 3) { () =>
+      if (!fired) {
+        fired = true
+        assert(st.merge(netDf(Seq((5L, "u", Some("from_merge"), 100L))),
+          fields, batchId = 1, streamId = "merger").isDefined)
+      }
+    }
+    // retry landed on top of the merge: v1 = merge, v2 = delete
+    assert(out.isDefined && out.get.version == 2L)
+    val t = st.read().get
+    assert(t.count() == 190L)
+    assert(t.filter(col("id") === 5L).select("name").as[String]
+      .collect().toSeq == Seq("from_merge"))
+    assert(t.filter(col("id") >= 190L).isEmpty)
+    // the lost attempt's staged sidecars were reclaimed eagerly
+    assert(orphans(st).isEmpty)
+  }
+
+  test("deleteWhere with one attempt fails loudly on a lost race") {
+    val st = seeded()
+    var fired = false
+    val e = intercept[IllegalStateException] {
+      st.deleteWhereHook(col("id") >= 190L, batchId = 1,
+        streamId = "deleter", maxAttempts = 1) { () =>
+        if (!fired) {
+          fired = true
+          assert(st.merge(netDf(Seq((5L, "u", Some("from_merge"), 100L))),
+            fields, batchId = 1, streamId = "merger").isDefined)
+        }
+      }
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    // the merge's effect is intact and nothing was deleted
+    val t = st.read().get
+    assert(t.count() == 200L)
+    assert(t.filter(col("id") === 5L).select("name").as[String]
+      .collect().toSeq == Seq("from_merge"))
+    assert(orphans(st).isEmpty)
+  }
+
+  test("a racing merge rebases past a committed deleteWhere on other files") {
+    val st = seeded()
+    // the delete masks the HIGH file while the merge rewrites the LOW one:
+    // touched (name, dv) identities are untouched by the delete, so the
+    // merge rebases — and carries the delete's new sidecar by reference
+    var fired = false
+    val out = st.mergeOptimisticHook(
+      netDf(Seq((5L, "u", Some("from_b"), 100L))), fields,
+      batchId = 1, streamId = "writer_b", tsGuard = true, maxAttempts = 1) {
+      () =>
+        if (!fired) {
+          fired = true
+          assert(st.deleteWhere(col("id") >= 190L, batchId = 1,
+            streamId = "deleter").isDefined)
+        }
+    }
+    // maxAttempts = 1: only the rebase path can land this
+    assert(out.asInstanceOf[MergedAt].stats.version == 2L)
+    val t = st.read().get
+    assert(t.count() == 190L)
+    assert(t.filter(col("id") === 5L).select("name").as[String]
+      .collect().toSeq == Seq("from_b"))
+    assert(t.filter(col("id") >= 190L).isEmpty)
+    assert(orphans(st).isEmpty)
+  }
+
+  test("a racing merge re-derives when deleteWhere re-masked its file") {
+    val st = seeded()
+    // both hit the HIGH file: the delete changes its (name, dv) identity,
+    // rebase check (b) fails, and the merge's retry applies on top of the
+    // delete — its update re-inserts the deleted key (ts-guarded upsert).
+    // The retry lands at the delete's version + 1; the row count is the
+    // real witness — a naive rebase would drop the delete's sidecar and
+    // resurrect all 10 deleted rows (count 200)
+    var fired = false
+    val out = st.mergeOptimisticHook(
+      netDf(Seq((195L, "u", Some("from_b"), 200L))), fields,
+      batchId = 1, streamId = "writer_b", tsGuard = true, maxAttempts = 3) {
+      () =>
+        if (!fired) {
+          fired = true
+          assert(st.deleteWhere(col("id") >= 190L, batchId = 1,
+            streamId = "deleter").isDefined)
+        }
+    }
+    assert(out.asInstanceOf[MergedAt].stats.version == 2L)
+    val t = st.read().get
+    assert(t.count() == 191L) // 200 - 10 deleted + 1 re-upserted
+    assert(t.filter(col("id") === 195L).select("name").as[String]
+      .collect().toSeq == Seq("from_b"))
+    assert(orphans(st).isEmpty)
   }
 
   test("genuinely concurrent writers all land via rebase or retry") {

@@ -491,10 +491,10 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.current.get._1 == 3L)
     assert((0L to 3L).forall(st.readVersion(_).isDefined))
     st.vacuum(keepLast = 2)
-    // versions 0-1 are gone: manifest AND readVersion; the log dir holds
-    // exactly the retained window
-    assert(st.manifest(0L).isEmpty && st.readVersion(0L).isEmpty)
-    assert(st.manifest(1L).isEmpty && st.readVersion(1L).isEmpty)
+    // versions 0-1 lose their exclusive FILES (readVersion = None), but
+    // their log entries survive: 2 and 3 are DELTAS that replay from the
+    // v0 checkpoint, so the chain 0..1 must outlive the data retention
+    assert(st.readVersion(0L).isEmpty && st.readVersion(1L).isEmpty)
     assert(st.readVersion(2L).isDefined && st.readVersion(3L).isDefined)
     val logs = {
       val s = java.nio.file.Files.list(
@@ -502,10 +502,129 @@ class ManifestStoreSpec extends SparkSpec {
       try s.iterator().asScala.map(_.getFileName.toString).toSet
       finally s.close()
     }
-    assert(logs == Set("2.json", "3.json"))
+    assert(logs == Set("0.json", "1.json", "2.json", "3.json"))
     // vacuum again: idempotent
     st.vacuum(keepLast = 2)
     assert(st.read().get.count() == 200L)
+  }
+
+  test("commit log entries are deltas: bytes track the batch, not the table") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    def logNode(v: Long) = {
+      val p = java.nio.file.Paths.get(st.root, "_LOG", s"$v.json")
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+    }
+    def logBytes(v: Long) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(st.root, "_LOG", s"$v.json"))
+    assert(logNode(0L).path("type").asText() == "checkpoint")
+    // a 1-key merge rewrites 1 of 8 files: its log entry names O(changed)
+    // files — 1 add + 1 remove — not the full 8-entry list
+    st.merge(netDf(Seq((5L, "u", Some("x"), 100L))), fields, batchId = 1)
+    val d1 = logNode(1L)
+    assert(d1.path("type").asText() == "delta")
+    assert(d1.path("add").size() == 1 && d1.path("remove").size() == 1)
+    assert(logBytes(1L) < logBytes(0L) / 2)
+    // a merge-on-read commit's sidecar change is remove+re-add by name
+    st.mergeOnRead(netDf(Seq((6L, "u", Some("y"), 100L))), fields, batchId = 2)
+    val d2 = logNode(2L)
+    assert(d2.path("type").asText() == "delta")
+    val readds = d2.path("add").elements().asScala.map(_.path("name").asText()).toSet
+    val removed = d2.path("remove").elements().asScala.map(_.asText()).toSet
+    assert((readds & removed).nonEmpty) // same name, new dv
+    // a FRESH instance replays checkpoint+deltas to the same state
+    val st2 = new ManifestStore(st.root, spark, "id")
+    assert(st2.currentManifest.get == st.currentManifest.get)
+    val expect = Seq(5L -> "x", 6L -> "y") ++
+      (0L until 200L).filterNot(i => i == 5L || i == 6L).map(i => i -> s"n$i")
+    assert(st2.read().get.select("id", "name").as[(Long, String)]
+      .collect().toSet == expect.toSet)
+  }
+
+  test("every CheckpointInterval-th version writes a checkpoint; vacuum reaps below it") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    (1 to 10).foreach(b =>
+      st.merge(netDf(Seq((b.toLong, "u", Some(s"u$b"), b * 100L))),
+        fields, batchId = b))
+    val n10 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(st.root, "_LOG", "10.json")))
+    assert(n10.path("type").asText() == "checkpoint")
+    // floor = 9 (delta): the chain back to the v0 checkpoint survives
+    st.vacuum(keepLast = 2)
+    assert(st.readVersion(9L).isDefined && st.readVersion(10L).isDefined)
+    // one more commit -> floor = 10 = a checkpoint: everything below goes
+    st.merge(netDf(Seq((11L, "u", Some("u11"), 1100L))), fields, batchId = 11)
+    st.vacuum(keepLast = 2)
+    val logs = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "_LOG"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(logs == Set("10.json", "11.json"))
+    assert(st.readVersion(10L).isDefined && st.readVersion(11L).isDefined)
+    assert(st.read().get.count() == 200L)
+  }
+
+  test("oversized deletion-vector mask set degrades to a non-broadcast join") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    st.mergeOnRead(netDf(Seq((5L, "u", Some("x"), 100L),
+      (55L, "u", Some("y"), 100L))), fields, batchId = 1)
+    assert(st.currentManifest.get.files.exists(_.dv.isDefined))
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // kill every non-hint broadcast source so the plan shows the gate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "0")
+      val gated = st.read().get.queryExecution.executedPlan.toString
+      assert(!gated.contains("BroadcastExchange"),
+        s"mask set over the gate must not force a broadcast:\n$gated")
+      spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "1000000")
+      val hinted = st.read().get.queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastExchange"))
+      // semantics identical on both sides of the gate
+      spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "0")
+      assert(st.read().get.filter(col("id").isin(5L, 55L))
+        .select("name").as[String].collect().toSet == Set("x", "y"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.conf.unset("spark.graft.manifest.dvBroadcastMaxRows")
+    }
+  }
+
+  test("timestamp stats prune identically across session time zones") {
+    import java.sql.Timestamp
+    val base = 1700000000000L // fixed instant; rows 1h apart
+    val rows = (0L until 96L).map(i => (i, new Timestamp(base + i * 3600000L)))
+    val df = rows.toDF("id", "ts")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val st = store()
+    try {
+      // write under one zone, prune under another: epoch-micros stats make
+      // the manifest zone-free (a string-cast vintage would shift min/max
+      // by the zone delta and mis-prune)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      st.commit(df, batchId = 0, nFiles = 8, statsCols = Seq("ts"))
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val lo = new Timestamp(base + 24L * 3600000L)
+      val hi = new Timestamp(base + 47L * 3600000L)
+      val (got, skip) = st.readWhere("ts", lo, hi).get
+      assert(got.select("id").as[Long].collect().toSet == (24L until 48L).toSet)
+      // and the zone map actually pruned: 2 of 8 files hold the day
+      assert(skip.nSkipped == 6 && skip.nRead == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("vacuum grace period protects young unreferenced files") {
