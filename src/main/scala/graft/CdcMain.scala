@@ -34,6 +34,21 @@ object CdcMain {
     Set("mongodb", "mongo", "postgres", "postgresql", "auto")
   private val ValidStorage = Set("snapshot", "manifest", "manifest_mor")
 
+  /** Semantic validation shared by startup (fail fast) and hot reload
+    * (reject, keep the running stream). None = valid.
+    */
+  private def configError(cfg: CdcConfig): Option[String] =
+    if (!ValidDbTypes.contains(cfg.databaseType))
+      Some(s"unsupported database_config.type: '${cfg.databaseType}' " +
+        s"(expected one of ${ValidDbTypes.toSeq.sorted.mkString(", ")})")
+    else if (!ValidStorage.contains(cfg.storage))
+      Some(s"unsupported delta_config.storage: '${cfg.storage}' " +
+        s"(expected one of ${ValidStorage.toSeq.sorted.mkString(", ")})")
+    else if (cfg.dedupColumn.isDefined && !cfg.storage.startsWith("manifest"))
+      Some("processing_config.dedup requires a manifest storage engine " +
+        s"(delta_config.storage is '${cfg.storage}')")
+    else None
+
   def main(args: Array[String]): Unit = {
     val configPath = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       sys.error("usage: CdcMain <config.json> [--once]"))
@@ -86,7 +101,9 @@ object CdcMain {
           val s = new ManifestCdcStream(spark, source, store, cfg.keyColumn,
             cfg.schemaCacheDir, cfg.checkpointDir, cfg.columnsToSave,
             trigger = trigger, reclusterOverFiles = 256,
-            mergeOnRead = cfg.storage == "manifest_mor")
+            mergeOnRead = cfg.storage == "manifest_mor",
+            dedup = cfg.dedupColumn.map(c => ManifestCdcStream.DedupConfig(
+              c, cfg.dedupBands, cfg.dedupTtlBatches)))
           (s, s.start())
         case ("postgres" | "postgresql", _) =>
           val store = new SnapshotStore(cfg.outputPath, spark)
@@ -113,14 +130,8 @@ object CdcMain {
     // fail FAST on a bad initial config: without this a typo like
     // storage="manifst" would fall through makeStream's ("postgres", _)
     // wildcard and silently run the snapshot engine (hot-reload already
-    // validates via ValidStorage; startup must match)
-    if (!ValidDbTypes.contains(currentCfg.databaseType))
-      sys.error(s"unsupported database_config.type: " +
-        s"'${currentCfg.databaseType}' (expected one of " +
-        s"${ValidDbTypes.toSeq.sorted.mkString(", ")})")
-    if (!ValidStorage.contains(currentCfg.storage))
-      sys.error(s"unsupported delta_config.storage: '${currentCfg.storage}' " +
-        s"(expected one of ${ValidStorage.toSeq.sorted.mkString(", ")})")
+    // rejects via the same configError; startup must match)
+    configError(currentCfg).foreach(sys.error)
     // Two kinds of rejected hot-reload, remembered so the ~2s poll doesn't
     // re-log (or stop/restart the healthy reverted stream) every cycle:
     // a semantically invalid config can never succeed -> suppressed until
@@ -181,11 +192,10 @@ object CdcMain {
           if (cfg != currentCfg && cfg != lastInvalidCfg && cfg != lastFailedCfg) {
             // a config that parses but is semantically invalid must not take
             // down the running stream (ref keeps prior config on bad reload)
-            if (!ValidDbTypes.contains(cfg.databaseType) ||
-                !ValidStorage.contains(cfg.storage)) {
-              System.err.println("[cdc-main] ignoring config change: " +
-                s"unsupported database_config.type '${cfg.databaseType}' " +
-                s"or delta_config.storage '${cfg.storage}'")
+            val err = configError(cfg)
+            if (err.isDefined) {
+              System.err.println(
+                s"[cdc-main] ignoring config change: ${err.get}")
               lastInvalidCfg = cfg
             } else {
               println("[cdc-main] config changed; restarting query")

@@ -14,12 +14,20 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.MergeBench [nRows] [batchSize] [rounds]"`.
   * Deterministic content (range + column arithmetic, no randomness);
   * results print as one JSON line per round plus a summary line.
+  *
+  * `--mor-only` skips the CoW/snapshot comparisons and runs the
+  * merge-on-read ACCUMULATION ladder alone: consecutive scattered batches
+  * on one store (per-round bytes written + effective-read timing), then
+  * OPTIMIZE and the post-fold read — the "does a long-lived MoR table
+  * stay flat over time" question, sized for the 10x (60M-row) table.
   */
 object MergeBench {
   def main(args: Array[String]): Unit = {
-    val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
-    val batch = args.lift(1).map(_.toLong).getOrElse(2000L)
-    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val pos = args.filterNot(_.startsWith("--"))
+    val n = pos.lift(0).map(_.toLong).getOrElse(2000000L)
+    val batch = pos.lift(1).map(_.toLong).getOrElse(2000L)
+    val rounds = pos.lift(2).map(_.toInt).getOrElse(3)
+    val morOnly = args.contains("--mor-only")
     val nFiles = 64
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
@@ -34,9 +42,11 @@ object MergeBench {
       repeat(md5(col("id").cast("string")), 8).as("payload"))
 
     val ms = new ManifestStore(s"$base/manifest", spark, "id")
-    ms.commit(table, batchId = 0, nFiles = nFiles)
     val ss = new SnapshotStore(s"$base/snapshot", spark)
-    ss.commit(table.repartition(nFiles), batchId = 0)
+    if (!morOnly) {
+      ms.commit(table, batchId = 0, nFiles = nFiles)
+      ss.commit(table.repartition(nFiles), batchId = 0)
+    }
 
     /** `batch` updates confined to one narrow key range per round (round r
       * targets file ~r): the locality a CDC micro-batch actually has.
@@ -61,42 +71,44 @@ object MergeBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    var mSum = 0.0; var sSum = 0.0
-    (1 to rounds).foreach { r =>
-      val net = netFor(r)
-      val (stats, mSec) = time(ms.merge(net, fields, batchId = r).get)
-      // the CdcStream/SnapshotStore path: read current, merge, rewrite ALL
-      val (_, sSec) = time {
-        val snap = ss.read().get
-        val (merged, cleanup) =
-          Merge.applyChangesWithCleanup(snap, net, "id", fields)
-        try ss.commit(merged.repartition(nFiles), batchId = r)
-        finally cleanup()
+    if (!morOnly) {
+      var mSum = 0.0; var sSum = 0.0
+      (1 to rounds).foreach { r =>
+        val net = netFor(r)
+        val (stats, mSec) = time(ms.merge(net, fields, batchId = r).get)
+        // the CdcStream/SnapshotStore path: read current, merge, rewrite ALL
+        val (_, sSec) = time {
+          val snap = ss.read().get
+          val (merged, cleanup) =
+            Merge.applyChangesWithCleanup(snap, net, "id", fields)
+          try ss.commit(merged.repartition(nFiles), batchId = r)
+          finally cleanup()
+        }
+        mSum += mSec; sSum += sSec
+        println(s"""{"round":$r,"manifest_sec":${f"$mSec%.2f"},"snapshot_sec":${f"$sSec%.2f"},"rewritten":${stats.rewrittenFiles},"reused":${stats.reusedFiles},"new":${stats.newFiles}}""")
       }
-      mSum += mSec; sSum += sSec
-      println(s"""{"round":$r,"manifest_sec":${f"$mSec%.2f"},"snapshot_sec":${f"$sSec%.2f"},"rewritten":${stats.rewrittenFiles},"reused":${stats.reusedFiles},"new":${stats.newFiles}}""")
-    }
-    println(s"""{"metric":"merge_bench","rows":$n,"batch":$batch,"files":$nFiles,"rounds":$rounds,"manifest_total_sec":${f"$mSum%.2f"},"snapshot_total_sec":${f"$sSum%.2f"},"speedup":${f"${sSum / mSum}%.1f"}}""")
+      println(s"""{"metric":"merge_bench","rows":$n,"batch":$batch,"files":$nFiles,"rounds":$rounds,"manifest_total_sec":${f"$mSum%.2f"},"snapshot_total_sec":${f"$sSum%.2f"},"speedup":${f"${sSum / mSum}%.1f"}}""")
 
-    // OPTIMIZE vs full recluster: leave a few small growth files beyond the
-    // key range (insert-only batches), then measure partial compaction —
-    // cost must track the DIRT (a few thousand rows), while the full
-    // rewrite tracks the TABLE (n rows), however large n grows
-    (1 to 3).foreach { i =>
-      val ins = spark.range(batch).select(
-        (col("id") + n + batch * (i - 1)).as(Changelog.KeyCol),
-        lit("c").as(Changelog.OpCol),
-        (col("id") + n + batch * (i - 1)).as("after_id"),
-        concat(lit(s"ins${i}_"), col("id")).as("after_name"),
-        lit(1.0).as("after_val"),
-        repeat(md5(concat(lit("i"), col("id").cast("string"))), 8)
-          .as("after_payload"),
-        lit(2000L + i).as(Changelog.TsCol))
-      ms.merge(ins, fields, batchId = rounds + i).get
+      // OPTIMIZE vs full recluster: leave a few small growth files beyond
+      // the key range (insert-only batches), then measure partial
+      // compaction — cost must track the DIRT (a few thousand rows), while
+      // the full rewrite tracks the TABLE (n rows), however large n grows
+      (1 to 3).foreach { i =>
+        val ins = spark.range(batch).select(
+          (col("id") + n + batch * (i - 1)).as(Changelog.KeyCol),
+          lit("c").as(Changelog.OpCol),
+          (col("id") + n + batch * (i - 1)).as("after_id"),
+          concat(lit(s"ins${i}_"), col("id")).as("after_name"),
+          lit(1.0).as("after_val"),
+          repeat(md5(concat(lit("i"), col("id").cast("string"))), 8)
+            .as("after_payload"),
+          lit(2000L + i).as(Changelog.TsCol))
+        ms.merge(ins, fields, batchId = rounds + i).get
+      }
+      val (oStats, oSec) = time(ms.optimize(nFiles).get)
+      val (_, rSec) = time(ms.recluster(nFiles).get)
+      println(s"""{"metric":"optimize_bench","optimize_sec":${f"$oSec%.2f"},"recluster_sec":${f"$rSec%.2f"},"compacted":${oStats.compactedFiles},"carried":${oStats.carriedFiles},"new":${oStats.newFiles},"speedup":${f"${rSec / oSec}%.1f"}}""")
     }
-    val (oStats, oSec) = time(ms.optimize(nFiles).get)
-    val (_, rSec) = time(ms.recluster(nFiles).get)
-    println(s"""{"metric":"optimize_bench","optimize_sec":${f"$oSec%.2f"},"recluster_sec":${f"$rSec%.2f"},"compacted":${oStats.compactedFiles},"carried":${oStats.carriedFiles},"new":${oStats.newFiles},"speedup":${f"${rSec / oSec}%.1f"}}""")
 
     // write amplification on the WORST case for copy-on-write: a small
     // batch SCATTERED over every file (one key per ~stride). CoW rewrites
@@ -108,26 +120,56 @@ object MergeBench {
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
     }
-    def scattered = spark.range(batch).select(
-      (col("id") * (n / batch)).as(Changelog.KeyCol),
+    // round r masks a DISTINCT scattered key set (offset r within each
+    // stride), so sidecars accumulate across rounds instead of replacing
+    def scatteredAt(r: Int) = spark.range(batch).select(
+      (col("id") * (n / batch) + r).as(Changelog.KeyCol),
       lit("u").as(Changelog.OpCol),
-      (col("id") * (n / batch)).as("after_id"),
-      concat(lit("sc_"), col("id")).as("after_name"),
+      (col("id") * (n / batch) + r).as("after_id"),
+      concat(lit(s"sc${r}_"), col("id")).as("after_name"),
       lit(2.0).as("after_val"),
-      repeat(md5(concat(lit("s"), col("id").cast("string"))), 8)
+      repeat(md5(concat(lit(s"s$r"), col("id").cast("string"))), 8)
         .as("after_payload"),
-      lit(3000L).as(Changelog.TsCol))
-    val cowStore = new ManifestStore(s"$base/cow", spark, "id")
-    cowStore.commit(table, batchId = 0, nFiles = nFiles)
+      lit(3000L + r).as(Changelog.TsCol))
     val morStore = new ManifestStore(s"$base/mor", spark, "id")
     morStore.commit(table, batchId = 0, nFiles = nFiles)
-    val cowB0 = dirBytes(java.nio.file.Paths.get(s"$base/cow/files"))
-    val (_, cowSec) = time(cowStore.merge(scattered, fields, batchId = 1).get)
-    val cowMb = (dirBytes(java.nio.file.Paths.get(s"$base/cow/files")) - cowB0) / 1e6
-    val morB0 = dirBytes(java.nio.file.Paths.get(s"$base/mor/files"))
-    val (morStats, morSec) = time(morStore.mergeOnRead(scattered, fields, batchId = 1).get)
-    val morMb = (dirBytes(java.nio.file.Paths.get(s"$base/mor/files")) - morB0) / 1e6
-    println(s"""{"metric":"mor_bench","batch":$batch,"cow_sec":${f"$cowSec%.2f"},"cow_written_mb":${f"$cowMb%.1f"},"mor_sec":${f"$morSec%.2f"},"mor_written_mb":${f"$morMb%.1f"},"masked_files":${morStats.maskedFiles},"write_amp_ratio":${f"${cowMb / morMb}%.1f"}}""")
+    if (!morOnly) {
+      val cowStore = new ManifestStore(s"$base/cow", spark, "id")
+      cowStore.commit(table, batchId = 0, nFiles = nFiles)
+      val cowB0 = dirBytes(java.nio.file.Paths.get(s"$base/cow/files"))
+      val (_, cowSec) = time(cowStore.merge(scatteredAt(0), fields, batchId = 1).get)
+      val cowMb = (dirBytes(java.nio.file.Paths.get(s"$base/cow/files")) - cowB0) / 1e6
+      val morB0 = dirBytes(java.nio.file.Paths.get(s"$base/mor/files"))
+      val (morStats, morSec) = time(morStore.mergeOnRead(scatteredAt(0), fields, batchId = 1).get)
+      val morMb = (dirBytes(java.nio.file.Paths.get(s"$base/mor/files")) - morB0) / 1e6
+      println(s"""{"metric":"mor_bench","batch":$batch,"cow_sec":${f"$cowSec%.2f"},"cow_written_mb":${f"$cowMb%.1f"},"mor_sec":${f"$morSec%.2f"},"mor_written_mb":${f"$morMb%.1f"},"masked_files":${morStats.maskedFiles},"write_amp_ratio":${f"${cowMb / morMb}%.1f"}}""")
+    }
+
+    // MoR over TIME: consecutive scattered batches on ONE store. The
+    // 100 TB question is whether a long-lived MoR table stays flat —
+    // commit bytes O(batch) every round (no creep as sidecars stack),
+    // effective-read cost bounded, and one OPTIMIZE folding the debt back
+    // to a clean layout whose read matches the pristine table's.
+    val morPath = java.nio.file.Paths.get(s"$base/mor/files")
+    def readProbe() = time {
+      morStore.read().get.agg(count(lit(1)), sum(col("val"))).collect()
+    }._2
+    val baseReadSec = readProbe() // pristine-layout reference
+    var bid = if (morOnly) 0L else 1L
+    val ladder = 1 to math.max(3, rounds)
+    ladder.foreach { r =>
+      val b0 = dirBytes(morPath)
+      bid += 1
+      val (stats, sec) = time(
+        morStore.mergeOnRead(scatteredAt(r), fields, batchId = bid).get)
+      val mb = (dirBytes(morPath) - b0) / 1e6
+      val rd = readProbe()
+      val m = morStore.currentManifest.get
+      println(s"""{"metric":"mor_ladder","round":$r,"mor_sec":${f"$sec%.2f"},"written_mb":${f"$mb%.1f"},"read_sec":${f"$rd%.2f"},"masked_files":${stats.maskedFiles},"files":${m.files.size},"dv_rows":${m.files.map(_.dvRows).sum}}""")
+    }
+    val (oSt, oSec2) = time(morStore.optimize(nFiles).get)
+    val postReadSec = readProbe()
+    println(s"""{"metric":"mor_ladder_optimize","rows":$n,"batch":$batch,"rounds":${ladder.size},"optimize_sec":${f"$oSec2%.2f"},"compacted":${oSt.compactedFiles},"carried":${oSt.carriedFiles},"base_read_sec":${f"$baseReadSec%.2f"},"post_optimize_read_sec":${f"$postReadSec%.2f"},"dv_rows_after":${morStore.currentManifest.get.files.map(_.dvRows).sum}}""")
     spark.stop()
   }
 }

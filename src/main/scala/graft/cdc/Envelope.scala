@@ -44,6 +44,23 @@ object Envelope {
     case _                          => StringType
   }
 
+  /** True when a column can evolve `from` -> `to` LOSSLESSLY in place —
+    * Delta's type-widening matrix: within-family (same Spark type, e.g.
+    * int8 -> int32), int -> long, int -> double, float -> double. Spark
+    * 4's parquet reader upcasts these at scan time, so files written
+    * under the narrow type stay byte-identical and read correctly
+    * through the widened schema. Everything else (narrowing, cross-family
+    * like int64 -> string) is NOT a widening — the stream rejects it
+    * loudly instead of parsing overflow values to silent nulls.
+    */
+  def isLosslessWidening(from: String, to: String): Boolean =
+    (sparkType(from), sparkType(to)) match {
+      case (a, b) if a == b                     => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType)              => true
+      case _                                    => false
+    }
+
   /** Inverse map, used when synthesizing envelopes from an existing Spark
     * schema (test fixtures, changelog generator).
     */

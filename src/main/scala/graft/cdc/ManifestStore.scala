@@ -739,15 +739,29 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   def deleteWhere(cond: Column, batchId: Long, streamId: String = "default",
                   maxAttempts: Int = 3): Option[ManifestStore.MorStats] =
-    deleteWhereHook(cond, batchId, streamId, maxAttempts)(() => ())
+    deleteWhereHook(cond, Some((batchId, streamId)), maxAttempts)(() => ())
+
+  /** MAINTENANCE form of [[deleteWhere]]: new version, SAME
+    * batchId/streamId as the current manifest — invisible to replay
+    * detection, exactly like [[optimize]]/[[recluster]]. For retention
+    * expiry interleaved with an exactly-once ingest sequence: a guarded
+    * delete would consume a batch id the stream is about to use (or be
+    * swallowed by the guard), while a maintenance delete leaves the
+    * stream's replay lineage untouched. Same CAS/retry discipline.
+    */
+  def deleteWhereMaintenance(cond: Column, maxAttempts: Int = 3)
+      : Option[ManifestStore.MorStats] =
+    deleteWhereHook(cond, None, maxAttempts)(() => ())
 
   /** [[deleteWhere]] with the same pre-commit interleave probe as
     * [[mergeOptimisticHook]] — `onDerived` fires after sidecar staging and
     * before the commit lock, where a concurrent commit turns this attempt
-    * into a lost race.
+    * into a lost race. `replay` = Some((batchId, streamId)) for the
+    * exactly-once-guarded form, None for the maintenance form.
     */
-  private[cdc] def deleteWhereHook(cond: Column, batchId: Long,
-                                   streamId: String, maxAttempts: Int)
+  private[cdc] def deleteWhereHook(cond: Column,
+                                   replay: Option[(Long, String)],
+                                   maxAttempts: Int)
                                   (onDerived: () => Unit)
       : Option[ManifestStore.MorStats] = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -757,8 +771,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val m = currentManifest.getOrElse(
         throw new IllegalStateException(s"no current version at $root — " +
           "commit an initial snapshot before deleting"))
-      if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+      val replayed = replay.exists { case (batchId, streamId) =>
+        current.exists(c => c._3 == streamId && c._2 >= batchId) }
+      if (replayed) return None
       if (m.files.isEmpty) return None
+      val (cBatchId, cStreamId) = replay.getOrElse((m.batchId, m.streamId))
       val keyType = keyTypeOf(m)
       // EFFECTIVE scan (sidecars applied, file attribution kept): deleting
       // rows a previous delete already masked must be a no-op, not a
@@ -787,13 +804,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val (updated, maskCounts) = applyMasks(m.files, Some(matches), keyType)
             onDerived()
             val committed = SnapshotStore.withCommitLock(root) {
-              if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+              if (replay.exists { case (batchId, streamId) =>
+                  current.exists(c => c._3 == streamId && c._2 >= batchId) })
                 Right(None) // replayed concurrently
               else if (!current.exists(_._1 == m.version))
                 Left("lost the commit race")
               else {
                 val (dead, liveFiles) = updated.partition(f => f.dvRows >= f.rows)
-                writeManifestAndSwap(m.version + 1, batchId, streamId,
+                writeManifestAndSwap(m.version + 1, cBatchId, cStreamId,
                   m.schemaDDL, liveFiles, m.statsCols)
                 val _ = dead // dropped from the manifest; vacuum reclaims
                 Right(Some(ManifestStore.MorStats(m.version + 1,
@@ -1086,16 +1104,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * lost race discards the attempt's files. New version, same
     * batchId/streamId: maintenance, invisible to replay detection.
     */
-  def optimize(targetFiles: Int): Option[ManifestStore.OptimizeStats] =
-    optimizeHook(targetFiles)(() => ())
+  /** `dvFold`: a lone file also compacts once its masked fraction reaches
+    * this (default: half — Delta's DV-compaction threshold). Callers
+    * repaying deletion-vector debt on a policy trigger (e.g.
+    * [[graft.streaming.ManifestCdcStream]]'s dv-debt fraction) pass their
+    * trigger fraction here: total debt >= F implies at least one file's
+    * fraction >= F (pigeonhole), so every triggered pass folds something
+    * and the debt decreases instead of the trigger spinning.
+    */
+  def optimize(targetFiles: Int,
+               dvFold: Double = 0.5): Option[ManifestStore.OptimizeStats] =
+    optimizeHook(targetFiles, dvFold)(() => ())
 
   /** [[optimize]] with the same pre-commit interleave probe as
     * [[mergeOptimisticHook]]/[[reclusterHook]].
     */
-  private[cdc] def optimizeHook(targetFiles: Int)
+  private[cdc] def optimizeHook(targetFiles: Int, dvFold: Double = 0.5)
                                (onDerived: () => Unit)
       : Option[ManifestStore.OptimizeStats] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(dvFold > 0, s"dvFold must be > 0, got $dvFold")
     currentManifest.filter(_.files.nonEmpty).flatMap { m =>
       val grp = overlapGroups(m.files, keyTypeOf(m))
       // groups in key order; bin-pack adjacent groups toward target size
@@ -1111,11 +1139,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case _ => acc :+ g.toVector
         }
       }
-      // a lone file is also dirty once half its rows are masked — folding
-      // the sidecar back in halves the scan it forces on every read
-      // (Delta's DV-compaction threshold)
+      // a lone file is also dirty once `dvFold` of its rows are masked —
+      // folding the sidecar back in removes the anti-join it forces on
+      // every read
       val (compactBins, carryBins) = bins.partition(b =>
-        b.size > 1 || b.exists(f => f.dvRows * 2 >= f.rows))
+        b.size > 1 || b.exists(f => f.rows > 0 && f.dvRows >= dvFold * f.rows))
       if (compactBins.isEmpty) None // layout already clean — commit nothing
       else {
         val carried = carryBins.flatten
@@ -1186,12 +1214,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   /** Reclaim data files referenced by NO retained manifest, AND the
     * manifests of reaped versions themselves. Retains the newest
-    * `keepLast` versions (current included); older versions lose both
-    * their exclusive files and their `_LOG/<n>.json`, so [[readVersion]]
-    * answers None for them and the log directory holds O(keepLast)
-    * entries instead of growing one file per commit forever (~1M/year at
-    * a 30 s trigger) — Delta's VACUUM + log-retention trade, made
-    * explicit. Returns deleted data/sidecar file names.
+    * `keepLast` versions (current included); older versions lose their
+    * exclusive files, so [[readVersion]] answers None for them. Log
+    * entries below the window are reaped back to the CHECKPOINT the
+    * retained deltas replay from, so the log directory holds
+    * O(keepLast + CheckpointInterval) entries instead of growing one file
+    * per commit forever (~1M/year at a 30 s trigger) — Delta's VACUUM +
+    * log-retention trade, made explicit. Returns deleted data/sidecar
+    * file names.
     *
     * Runs under the commit lock so the reference set is one consistent
     * manifest view. An in-flight [[mergeOptimistic]]'s staged-but-not-yet-

@@ -28,17 +28,28 @@ import org.apache.spark.sql.functions._
   *      absorb batches forever and one that rewrites itself per trigger.
   *
   * Exactly-once: the store's (batchId, streamId) replay guard makes
-  * re-processing a batch a no-op on the index. First-wins across any batch
-  * partitioning: the index after N batches maps every fingerprint to its
-  * globally-first document — the incremental==global theorem the
-  * `dedup_streaming_index` oracle pins.
+  * re-processing a batch a no-op on the index. First-wins is FIRST-ARRIVAL
+  * wins: the index keeps the first claimant of each fingerprint, so the
+  * incremental result equals the global doc_id-min window only when
+  * batches arrive in doc_id order (the ingestion-pipeline case, and what
+  * [[verdictsFromIndex]] and the `dedup_streaming_index` oracle assume) —
+  * with out-of-order batches the index is still a valid dedup (exactly one
+  * keeper per fingerprint), just keyed to arrival order, and `mergeOnRead`
+  * never replaces an existing claim with a later-arriving lower doc_id.
   */
 object StreamingDedup {
   val FpCol = "fp"
   val FirstDocCol = "first_doc"
+  /** When the claim was FIRST made (caller clock; defaults to the batch
+    * id). Deliberately not last-seen: updating it on every sighting would
+    * turn each index read into an index write. Retention is therefore
+    * "expire claims older than N since first claim" — the Bloom-rotation
+    * convention.
+    */
+  val ClaimTsCol = "claim_ts"
 
   /** Index schema fields, in manifest order. */
-  private val fields = Seq(FpCol, FirstDocCol)
+  private val fields = Seq(FpCol, FirstDocCol, ClaimTsCol)
 
   /** Seed an empty index (one empty v0 file set, batchId -1 leaves every
     * real batch id unconsumed for replay detection).
@@ -49,9 +60,34 @@ object StreamingDedup {
       index.commit(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField(FpCol, StringType),
-          StructField(FirstDocCol, LongType)))),
+          StructField(FirstDocCol, LongType),
+          StructField(ClaimTsCol, LongType)))),
         batchId = -1L, nFiles = 1)
     }
+
+  /** Retention/TTL for either index (fingerprint or band — both carry
+    * [[ClaimTsCol]]): drop every claim older than `olderThan`, at
+    * O(matches) write cost ([[graft.cdc.ManifestStore.deleteWhere]] masks
+    * keys in deletion-vector sidecars; optimize folds them back on its
+    * normal schedule). An expired fingerprint RE-ADMITS: the next document
+    * carrying it becomes the new first claimant. Inside the retained
+    * window the first-wins theorem is untouched — expiry only ever
+    * removes whole claims, never reassigns one. Shares the index's
+    * (batchId, streamId) exactly-once sequence: pass a batch id above
+    * every ingested batch's, and keep later ingests above this one.
+    */
+  def expire(index: ManifestStore, olderThan: Long,
+             batchId: Long): Option[ManifestStore.MorStats] =
+    index.deleteWhere(col(ClaimTsCol) < olderThan, batchId)
+
+  /** [[expire]] as a MAINTENANCE commit (same batchId/streamId as the
+    * index's current version, like OPTIMIZE): for expiry interleaved with
+    * a stream's own exactly-once batch sequence, where a guarded delete
+    * would consume — or be swallowed by — the stream's next batch id.
+    */
+  def expireMaintenance(index: ManifestStore,
+                        olderThan: Long): Option[ManifestStore.MorStats] =
+    index.deleteWhereMaintenance(col(ClaimTsCol) < olderThan)
 
   /** Process one arriving batch of `(docIdCol, fingerprint)` rows: returns
     * per-document verdicts `(doc_id, is_dup, dup_of)` — dup_of is the
@@ -61,7 +97,9 @@ object StreamingDedup {
     * so laziness cannot leak post-merge state into the verdicts.
     */
   def processBatch(index: ManifestStore, batch: DataFrame, docIdCol: String,
-                   fpCol: Column, batchId: Long): DataFrame = {
+                   fpCol: Column, batchId: Long,
+                   claimTs: Long = -1L): DataFrame = {
+    val ts = if (claimTs >= 0L) claimTs else batchId
     val b = batch.select(col(docIdCol).as("doc_id"), fpCol.as(FpCol))
     val w = Window.partitionBy(FpCol).orderBy("doc_id")
     val marked = b
@@ -95,7 +133,8 @@ object StreamingDedup {
         .select(col(FpCol).as(Changelog.KeyCol),
           lit("c").as(Changelog.OpCol), lit(batchId).as(Changelog.TsCol),
           col(FpCol).as(s"after_$FpCol"),
-          col("doc_id").as(s"after_$FirstDocCol"))
+          col("doc_id").as(s"after_$FirstDocCol"),
+          lit(ts).as(s"after_$ClaimTsCol"))
       index.mergeOnRead(net, fields, batchId)
       out
     } finally marked.unpersist()
@@ -129,7 +168,7 @@ object StreamingDedup {
   // df-cap is needed for correctness or scale.
 
   val BandCol = "bk"
-  private val bandFields = Seq(BandCol, FirstDocCol)
+  private val bandFields = Seq(BandCol, FirstDocCol, ClaimTsCol)
 
   /** Seed an empty band index (key = "band:key" string). */
   def initBands(index: ManifestStore,
@@ -139,7 +178,8 @@ object StreamingDedup {
       index.commit(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField(BandCol, StringType),
-          StructField(FirstDocCol, LongType)))),
+          StructField(FirstDocCol, LongType),
+          StructField(ClaimTsCol, LongType)))),
         batchId = -1L, nFiles = 1)
     }
 
@@ -150,7 +190,8 @@ object StreamingDedup {
     * batch's new band keys in the index.
     */
   def processBandBatch(index: ManifestStore, batch: DataFrame,
-                       batchId: Long): DataFrame = {
+                       batchId: Long, claimTs: Long = -1L): DataFrame = {
+    val ts = if (claimTs >= 0L) claimTs else batchId
     val bands = Dedup.minHashBands(batch)
       .select(col("doc_id"),
         concat(col("band"), lit(":"), col("key")).as(BandCol))
@@ -185,7 +226,8 @@ object StreamingDedup {
         .select(col(BandCol).as(Changelog.KeyCol),
           lit("c").as(Changelog.OpCol), lit(batchId).as(Changelog.TsCol),
           col(BandCol).as(s"after_$BandCol"),
-          col("doc_id").as(s"after_$FirstDocCol"))
+          col("doc_id").as(s"after_$FirstDocCol"),
+          lit(ts).as(s"after_$ClaimTsCol"))
         .distinct()
       index.mergeOnRead(net, bandFields, batchId)
       out

@@ -241,6 +241,36 @@ object OpsQueries {
       StreamingDedup.verdictsFromBandIndex(st, d)
     }),
 
+    "dedup_streaming_ttl" -> ((s, dir) => {
+      // Retention on the persistent fingerprint index
+      // ([[graft.ops.StreamingDedup.expire]]): four doc_id-range batches
+      // claim with claimTs = batch index, then claims from the first two
+      // batches expire (deletion-vector deleteWhere — O(matches) write).
+      // The surviving index is exactly the fps first seen in batches 2-3,
+      // with their first claimant — expiry removes whole claims, never
+      // reassigns one, so the windowed oracle restricted to post-window
+      // fps must match. Docs whose fp expired drop out (inner join), the
+      // re-admission contract.
+      val st = new graft.cdc.ManifestStore(
+        QueryUtil.scratchDir(
+          s"dedup_ttl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "fp")
+      val d = docs(s, dir)
+      val fp = md5(col("text"))
+      if (!st.exists) {
+        StreamingDedup.init(st, s)
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        val span = maxId / 4 + 1
+        (0L until 4L).foreach { i =>
+          val b = d.filter(col("doc_id") >= i * span &&
+            col("doc_id") < (i + 1) * span)
+          StreamingDedup.processBatch(st, b, "doc_id", fp, batchId = i,
+            claimTs = i)
+        }
+        StreamingDedup.expire(st, olderThan = 2L, batchId = 4L)
+      }
+      StreamingDedup.verdictsFromIndex(st, d, "doc_id", fp)
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       // pairwise hits -> canonical dedup groups (connected components)
       Dedup.dedupClusters(
@@ -915,6 +945,23 @@ object OpsQueries {
         |            THEN min(doc_id) OVER w END AS dup_of
         |FROM documents
         |WINDOW w AS (PARTITION BY md5(text))""".stripMargin,
+
+    // after expiring the first two batches' claims, the index holds
+    // exactly the fps first seen in batches 2-3 (batch b = doc_id / span,
+    // span = max/4+1 — same split as the Spark side), each mapped to its
+    // first claimant; expired fps drop out entirely
+    "dedup_streaming_ttl" ->
+      """WITH spanv AS (SELECT max(doc_id) // 4 + 1 AS s FROM documents),
+        |fp AS (SELECT doc_id, md5(text) AS f,
+        |              doc_id // (SELECT s FROM spanv) AS b FROM documents),
+        |claims AS (
+        |  SELECT f, min(doc_id) AS first_doc FROM fp
+        |  WHERE b >= 2 AND f NOT IN (SELECT DISTINCT f FROM fp WHERE b < 2)
+        |  GROUP BY f)
+        |SELECT fp.doc_id,
+        |       CAST(fp.doc_id <> c.first_doc AS INT) AS is_dup,
+        |       CASE WHEN fp.doc_id <> c.first_doc THEN c.first_doc END AS dup_of
+        |FROM fp JOIN claims c ON fp.f = c.f""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""$shinglesCte, sig AS (

@@ -28,7 +28,20 @@ final case class CdcConfig(
       * (stats-pruned file MERGE), or "manifest_mor" (deletion-vector
       * merge-on-read) — the storage engine behind the same stream.
       */
-    storage: String)
+    storage: String,
+    /** `processing_config.dedup.column`: content column to fingerprint for
+      * the streaming-dedup side channel (manifest engines only) — see
+      * [[ManifestCdcStream.DedupConfig]]. None = side channel off.
+      */
+    dedupColumn: Option[String] = None,
+    /** `processing_config.dedup.bands`: also maintain the MinHash band
+      * index for near-dup candidates.
+      */
+    dedupBands: Boolean = false,
+    /** `processing_config.dedup.ttl_batches`: expire index claims older
+      * than this many batches. None = claims live forever.
+      */
+    dedupTtlBatches: Option[Long] = None)
 
 object CdcConfig {
   val Default: CdcConfig = CdcConfig(
@@ -124,7 +137,18 @@ final class ConfigManager(path: String) {
       checkpointDir = str("delta_config", "checkpoint_dir", d.checkpointDir),
       schemaCacheDir = str("cache_config", "schema_path", d.schemaCacheDir),
       databaseType = str("database_config", "type", d.databaseType),
-      storage = str("delta_config", "storage", d.storage))
+      storage = str("delta_config", "storage", d.storage),
+      dedupColumn = {
+        val v = root.path("processing_config").path("dedup").path("column")
+        if (v.isMissingNode || v.isNull || v.asText().isEmpty) None
+        else Some(v.asText())
+      },
+      dedupBands = root.path("processing_config").path("dedup").path("bands")
+        .asBoolean(d.dedupBands),
+      dedupTtlBatches = {
+        val v = root.path("processing_config").path("dedup").path("ttl_batches")
+        if (v.isMissingNode || v.isNull) None else Some(v.asLong())
+      })
   }
 }
 

@@ -1,10 +1,25 @@
 package graft.streaming
 
 import graft.cdc._
+import graft.ops.StreamingDedup
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StructField, StructType}
+
+object ManifestCdcStream {
+  /** Streaming content-dedup side channel (the `processing_config.dedup`
+    * block): fingerprint the after-image of `column` on every committed
+    * batch against a persistent [[graft.ops.StreamingDedup]] index living
+    * next to the table, and append per-event verdicts to
+    * `<table>_dedup` (and `<table>_dedup_bands` when `bands`).
+    * `ttlBatches` expires index claims older than that many batches via a
+    * maintenance delete — the index stays bounded without touching the
+    * stream's replay lineage.
+    */
+  final case class DedupConfig(column: String, bands: Boolean = false,
+                               ttlBatches: Option[Long] = None)
+}
 
 /** Streaming CDC into the file-manifest store: changelog stream ->
   * per-batch net changes -> stats-pruned MERGE ([[graft.cdc.ManifestStore]]).
@@ -42,6 +57,17 @@ final class ManifestCdcStream(
       */
     reclusterOverFiles: Int = 0,
     reclusterFiles: Int = 64,
+    /** When > 0 (and `reclusterOverFiles` > 0): also trigger the optimize
+      * pass once the table's TOTAL deletion-vector debt reaches this
+      * fraction of its rows. Masked reads pay a per-(file, key) anti-join
+      * over every masked file — measured at the 60M table, a fully-masked
+      * layout reads 7-20x slower than pristine (STRESS.md) — so MoR debt
+      * must be repaid on a bound, not only when the FILE COUNT grows. The
+      * fraction is passed to optimize as its per-file fold threshold:
+      * total debt >= F guarantees some file is >= F, so every trigger
+      * makes progress.
+      */
+    dvDebtFraction: Double = 0.25,
     /** Continuously maintained COUNT/SUM view: (state store, groupField,
       * valueField). Where [[CdcStream]]'s view folds the ts-guard-surviving
       * live net (one snapshot pass per batch), this one folds the STORE-
@@ -69,7 +95,16 @@ final class ManifestCdcStream(
       * `reclusterOverFiles`-triggered [[graft.cdc.ManifestStore.optimize]]
       * pass. Single-writer only (the MOR path takes no optimistic lock).
       */
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false,
+    /** Content-dedup side channel — see
+      * [[ManifestCdcStream.DedupConfig]]. Runs only on batches the store
+      * actually committed, so a replayed batch neither re-claims the index
+      * nor re-appends verdicts (crash window: a batch that committed the
+      * merge but crashed before the verdict append loses that batch's
+      * verdict rows — the index itself is never corrupted, its own
+      * (batchId, streamId) guard holds).
+      */
+    dedup: Option[ManifestCdcStream.DedupConfig] = None) {
 
   require(!(optimistic && mergeOnRead),
     "mergeOnRead is a single-writer path; use optimistic copy-on-write " +
@@ -146,11 +181,69 @@ final class ManifestCdcStream(
           }
           vs.commit(state, batchId, streamId)
         }
-        if (reclusterOverFiles > 0 &&
-            store.currentManifest.exists(_.files.size > reclusterOverFiles))
-          store.optimize(reclusterFiles)
+        if (reclusterOverFiles > 0) {
+          val m = store.currentManifest
+          if (m.exists(_.files.size > reclusterOverFiles))
+            store.optimize(reclusterFiles)
+          else if (dvDebtFraction > 0 && m.exists { mf =>
+              val rows = mf.files.map(_.rows).sum
+              rows > 0 && mf.files.map(_.dvRows).sum >= dvDebtFraction * rows
+            })
+            store.optimize(reclusterFiles, dvFold = dvDebtFraction)
+        }
+        dedup.foreach(dc => processDedup(dc, net, batchId))
       }
     } finally batchInProgress = false
+  }
+
+  /** The dedup side channel for one COMMITTED batch: fingerprint the
+    * after-images, get per-event verdicts against the persistent index
+    * (claiming new fingerprints in the same step), append them to the
+    * verdict table, and expire aged claims. Event identity is
+    * xxhash64(batchId, key) — unique per (batch, key) since the net is
+    * per-key deduped, and monotone ENOUGH: cross-batch first-wins is
+    * arrival order (the index keeps the first claimant), in-batch winners
+    * are the deterministic min-hash event.
+    */
+  private def processDedup(dc: ManifestCdcStream.DedupConfig, net: DataFrame,
+                           batchId: Long): Unit = {
+    val contentCol = s"after_${dc.column}"
+    // a drift window where the column has not arrived yet (or a batch of
+    // pure deletes) has nothing to fingerprint
+    if (!net.columns.contains(contentCol)) return
+    val keyed = net
+      .filter(col(Changelog.OpCol) =!= "d" && col(contentCol).isNotNull)
+      .select(
+        xxhash64(lit(batchId), col(Changelog.KeyCol).cast("string")).as("doc_id"),
+        col(Changelog.KeyCol).as("key"),
+        col(contentCol).cast("string").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = new ManifestStore(s"${store.root}_dedup_idx", spark,
+        StreamingDedup.FpCol)
+      StreamingDedup.init(idx, spark)
+      val verdicts = StreamingDedup.processBatch(idx, keyed, "doc_id",
+        md5(col("text")), batchId)
+      verdicts.join(keyed.select("doc_id", "key"), Seq("doc_id"))
+        .select(lit(batchId).as("batch_id"), col("key"),
+          col("is_dup"), col("dup_of"))
+        .write.mode("append").parquet(s"${store.root}_dedup")
+      dc.ttlBatches.foreach(ttl =>
+        if (batchId >= ttl) StreamingDedup.expireMaintenance(idx, batchId - ttl))
+      if (dc.bands) {
+        val bidx = new ManifestStore(s"${store.root}_dedup_bands_idx", spark,
+          StreamingDedup.BandCol)
+        StreamingDedup.initBands(bidx, spark)
+        val bv = StreamingDedup.processBandBatch(bidx,
+          keyed.select("doc_id", "text"), batchId)
+        bv.join(keyed.select("doc_id", "key"), Seq("doc_id"))
+          .select(lit(batchId).as("batch_id"), col("key"),
+            col("n_hit_bands"), col("is_candidate_dup"))
+          .write.mode("append").parquet(s"${store.root}_dedup_bands")
+        dc.ttlBatches.foreach(ttl =>
+          if (batchId >= ttl) StreamingDedup.expireMaintenance(bidx, batchId - ttl))
+      }
+    } finally keyed.unpersist()
   }
 
   def start(): StreamingQuery =

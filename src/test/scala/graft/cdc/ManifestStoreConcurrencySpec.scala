@@ -134,8 +134,8 @@ class ManifestStoreConcurrencySpec extends SparkSpec {
     // reclaimed, and the retry re-derives against A's version — the merge
     // can no longer be clobbered by a last-rename-wins swap
     var fired = false
-    val out = st.deleteWhereHook(col("id") >= 190L, batchId = 1,
-      streamId = "deleter", maxAttempts = 3) { () =>
+    val out = st.deleteWhereHook(col("id") >= 190L, Some((1L, "deleter")),
+      maxAttempts = 3) { () =>
       if (!fired) {
         fired = true
         assert(st.merge(netDf(Seq((5L, "u", Some("from_merge"), 100L))),
@@ -157,8 +157,8 @@ class ManifestStoreConcurrencySpec extends SparkSpec {
     val st = seeded()
     var fired = false
     val e = intercept[IllegalStateException] {
-      st.deleteWhereHook(col("id") >= 190L, batchId = 1,
-        streamId = "deleter", maxAttempts = 1) { () =>
+      st.deleteWhereHook(col("id") >= 190L, Some((1L, "deleter")),
+        maxAttempts = 1) { () =>
         if (!fired) {
           fired = true
           assert(st.merge(netDf(Seq((5L, "u", Some("from_merge"), 100L))),

@@ -604,6 +604,21 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("optimize dvFold threshold controls lone-file sidecar folding") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 1)
+    // mask 25% of the single file's rows
+    assert(st.deleteWhere(col("id") < 50L, batchId = 1).isDefined)
+    assert(st.currentManifest.get.files.head.dvRows == 50L)
+    // default threshold (half): 25% masked is not dirty — nothing commits
+    assert(st.optimize(1).isEmpty)
+    // a debt-repayment pass at the trigger fraction folds it
+    val o = st.optimize(1, dvFold = 0.25).get
+    assert(o.compactedFiles == 1)
+    assert(st.currentManifest.get.files.forall(_.dv.isEmpty))
+    assert(st.read().get.count() == 150L)
+  }
+
   test("timestamp stats prune identically across session time zones") {
     import java.sql.Timestamp
     val base = 1700000000000L // fixed instant; rows 1h apart

@@ -91,6 +91,59 @@ class StreamingDedupSpec extends SparkSpec {
     assert(want.exists { case (id, n, f) => id == 4L && f == 1 && n == 4L })
   }
 
+  test("TTL: expired fingerprints re-admit, retained ones still dedup") {
+    val st = index()
+    // claims at two distinct times
+    StreamingDedup.processBatch(st, docs(Seq((1L, "old"))), "doc_id",
+      md5(col("text")), batchId = 0, claimTs = 100L)
+    StreamingDedup.processBatch(st, docs(Seq((2L, "new"))), "doc_id",
+      md5(col("text")), batchId = 1, claimTs = 150L)
+    // expire everything claimed before 120: "old" leaves, "new" stays
+    assert(StreamingDedup.expire(st, olderThan = 120L, batchId = 2).isDefined)
+    assert(st.read().get.select("fp").count() == 1L)
+    // next batch re-offers both contents
+    val v = StreamingDedup.processBatch(st,
+      docs(Seq((10L, "old"), (11L, "new"))), "doc_id",
+      md5(col("text")), batchId = 3, claimTs = 200L)
+      .select("doc_id", "is_dup", "dup_of")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2))))).toMap
+    // expired fp re-admits (10 is the NEW first claimant); retained fp
+    // still dedups (11 loses to 2)
+    assert(v == Map(10L -> ((0, None)), 11L -> ((1, Some(2L)))))
+    val idx = st.read().get.select("fp", "first_doc", "claim_ts")
+      .as[(String, Long, Long)].collect()
+    assert(idx.map(_._2).toSet == Set(2L, 10L))
+    // the re-admitted claim carries ITS claim time, not the expired one's
+    assert(idx.find(_._2 == 10L).get._3 == 200L)
+    // expiry is replay-guarded like any other index commit
+    val ver = st.current.get._1
+    assert(StreamingDedup.expire(st, olderThan = 9999L, batchId = 2).isEmpty)
+    assert(st.current.get._1 == ver)
+  }
+
+  test("TTL on the band index: expired bands re-admit") {
+    val st = new ManifestStore(
+      Files.createTempDirectory("band_ttl").toString, spark, "bk")
+    StreamingDedup.initBands(st, spark)
+    val text = "the quick brown fox jumps over the lazy dog"
+    StreamingDedup.processBandBatch(st, docs(Seq((1L, text))),
+      batchId = 0, claimTs = 100L)
+    // duplicate content while the claim is retained: flagged
+    val v1 = StreamingDedup.processBandBatch(st, docs(Seq((5L, text))),
+      batchId = 1, claimTs = 150L)
+      .select("doc_id", "is_candidate_dup").as[(Long, Int)].collect().toMap
+    assert(v1 == Map(5L -> 1))
+    // note: doc 5 was a pure dup, so no bands re-claimed at ts 150 — every
+    // claim still carries ts 100 and expires below
+    assert(StreamingDedup.expire(st, olderThan = 120L, batchId = 2).isDefined)
+    assert(st.read().get.count() == 0L)
+    // same content re-admits as a fresh first claimant
+    val v2 = StreamingDedup.processBandBatch(st, docs(Seq((9L, text))),
+      batchId = 3, claimTs = 200L)
+      .select("doc_id", "is_candidate_dup").as[(Long, Int)].collect().toMap
+    assert(v2 == Map(9L -> 0))
+  }
+
   test("incremental over ordered batches equals the global first-wins") {
     val st = index()
     val all = (0L until 60L).map(i => (i, s"t${i % 17}")) // 17 distinct texts

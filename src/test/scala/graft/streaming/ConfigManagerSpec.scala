@@ -38,6 +38,25 @@ class ConfigManagerSpec extends AnyFunSuite {
       .storage == "manifest_mor")
   }
 
+  test("processing_config.dedup parses column, bands, ttl") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    // absent block: side channel off
+    val off = cm.parse("""{"delta_config": {"storage": "manifest"}}""")
+    assert(off.dedupColumn.isEmpty && !off.dedupBands
+      && off.dedupTtlBatches.isEmpty)
+    val on = cm.parse(
+      """{"delta_config": {"storage": "manifest_mor"},
+        |"processing_config": {"dedup": {"column": "payload", "bands": true,
+        |"ttl_batches": 100}}}""".stripMargin)
+    assert(on.dedupColumn.contains("payload"))
+    assert(on.dedupBands && on.dedupTtlBatches.contains(100L))
+    // column alone: bands/ttl default off
+    val plain = cm.parse(
+      """{"processing_config": {"dedup": {"column": "name"}}}""")
+    assert(plain.dedupColumn.contains("name"))
+    assert(!plain.dedupBands && plain.dedupTtlBatches.isEmpty)
+  }
+
   test("hot reload: config re-parses when the content changes") {
     val dir = Files.createTempDirectory("cfg")
     val p = Paths.get(dir.toString, "config.json")

@@ -287,4 +287,134 @@ class ManifestCdcStreamSpec extends SparkSpec {
         .as[String].collect().toSeq == Seq("a2"))
     } finally stream.stopGracefully(q)
   }
+
+  private def evTyped(op: String, id: Long, v: String, ts: Long,
+                      dbz: String): String = {
+    val fs = Seq(Envelope.FieldInfo("id", "int64", optional = false),
+      Envelope.FieldInfo("v", dbz))
+    val vJson = if (dbz == "string") s""""$v"""" else v
+    val img = s"""{"id":$id,"v":$vJson}"""
+    s"""{"schema":${Envelope.schemaBlockJson(fs)},"payload":{"before":null,"after":$img,"source":{"connector":"postgresql","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts,"transaction":null}}"""
+  }
+
+  test("type widening int32 -> int64 evolves the stored schema in place") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = new ManifestStore(tmp("mcsw"), spark, "id")
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = stream.start()
+    try {
+      ms.addData(evTyped("c", 1, "10", 100, "int32"),
+        evTyped("c", 2, "20", 100, "int32"))
+      q.processAllAvailable()
+      assert(StructType.fromDDL(st.currentManifest.get.schemaDDL)("v")
+        .dataType == IntegerType)
+      // ALTER TABLE widened the column; a value beyond int32 range arrives.
+      // The stale-cast behavior this replaces would parse it to null.
+      val big = 10000000000L
+      ms.addData(evTyped("c", 3, big.toString, 200, "int64"))
+      q.processAllAvailable()
+      assert(StructType.fromDDL(st.currentManifest.get.schemaDDL)("v")
+        .dataType == LongType)
+      // old int32-written files read through the widened schema (parquet
+      // upcast — no rewrite), and the wide value survives intact
+      val out = st.read().get.select(col("id"), col("v").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> big))
+    } finally stream.stopGracefully(q)
+  }
+
+  test("incompatible type change fails loudly instead of nulling values") {
+    val st = new ManifestStore(tmp("mcsi"), spark, "id")
+    val stream = new ManifestCdcStream(spark, Seq.empty[String].toDF("value"),
+      st, "id", cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"))
+    stream.processBatch(
+      Seq(evTyped("c", 1, "10", 100, "int32")).toDF("value"), 0)
+    val e = intercept[IllegalStateException] {
+      stream.processBatch(
+        Seq(evTyped("c", 2, "not a number", 200, "string")).toDF("value"), 1)
+    }
+    assert(e.getMessage.contains("incompatible type change"))
+    // the table is untouched by the rejected batch
+    assert(st.read().get.count() == 1L)
+  }
+
+  test("dv-debt fraction triggers the auto-fold on a MoR stream") {
+    val st = seeded()
+    val stream = new ManifestCdcStream(spark, Seq.empty[String].toDF("value"),
+      st, "id", cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      // file-count trigger out of reach; debt trigger at 1%
+      reclusterOverFiles = 1000, dvDebtFraction = 0.01, mergeOnRead = true)
+    stream.processBatch(Seq(event("u", 1, "x", 100),
+      event("u", 100, "y", 100), event("u", 150, "z", 100)).toDF("value"), 0)
+    // 3 masked rows / 203 total > 1%: the batch's own commit is followed
+    // by a fold pass — no sidecar survives the trigger window
+    val m = st.currentManifest.get
+    assert(m.files.forall(_.dv.isEmpty), "dv debt was not folded back")
+    val out = st.read().get
+    assert(out.count() == 200L)
+    assert(out.filter(col("id").isin(1L, 100L, 150L)).select("name")
+      .as[String].collect().toSet == Set("x", "y", "z"))
+  }
+
+  test("dedup side channel flags cross-batch duplicate content end-to-end") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val st = seeded()
+    val S = "the quick brown fox jumps over the lazy dog"
+    val stream = new ManifestCdcStream(spark, ms.toDF(), st, "id",
+      cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0), mergeOnRead = true,
+      dedup = Some(ManifestCdcStream.DedupConfig("name", bands = true)))
+    val q = stream.start()
+    try {
+      ms.addData(event("c", 1000, S, 100),
+        event("c", 1001, "a different sentence about spark engines", 100))
+      q.processAllAvailable()
+      ms.addData(event("c", 1002, S, 200)) // same content, later batch
+      q.processAllAvailable()
+      val v = spark.read.parquet(s"${st.root}_dedup")
+        .select(col("key").cast("long").as("key"), col("is_dup"))
+        .as[(Long, Int)].collect().toMap
+      assert(v == Map(1000L -> 0, 1001L -> 0, 1002L -> 1))
+      // the near-dup band channel agrees (exact dup hits every band)
+      val b = spark.read.parquet(s"${st.root}_dedup_bands")
+        .select(col("key").cast("long").as("key"), col("is_candidate_dup"))
+        .as[(Long, Int)].collect().toMap
+      assert(b == Map(1000L -> 0, 1001L -> 0, 1002L -> 1))
+      // and the table itself merged all three rows
+      assert(st.read().get.filter(col("id") >= 1000L).count() == 3L)
+    } finally stream.stopGracefully(q)
+  }
+
+  test("dedup TTL: aged claims expire and the content re-admits") {
+    // driven through processBatch directly for deterministic batch ids
+    // (the TTL arithmetic is in batches)
+    val st = seeded()
+    val S = "the quick brown fox jumps over the lazy dog"
+    val stream = new ManifestCdcStream(spark, Seq.empty[String].toDF("value"),
+      st, "id", cacheDir = tmp("cache"), checkpointDir = tmp("ckpt"),
+      mergeOnRead = true,
+      dedup = Some(ManifestCdcStream.DedupConfig("name",
+        ttlBatches = Some(1L))))
+    stream.processBatch(Seq(event("c", 1000, S, 100)).toDF("value"), 0)
+    stream.processBatch(Seq(event("c", 1001, S, 200)).toDF("value"), 1)
+    // batch 2: verdict still sees the live claim, THEN expiry drops
+    // everything claimed before batch 1 (the batch-0 claim)
+    stream.processBatch(Seq(event("c", 1002, S, 300)).toDF("value"), 2)
+    // batch 3: the claim is gone — 1001/1002 never claimed (they were
+    // dups), so the content re-admits with 1003 as new first claimant
+    stream.processBatch(Seq(event("c", 1003, S, 400)).toDF("value"), 3)
+    val v = spark.read.parquet(s"${st.root}_dedup")
+      .select(col("key").cast("long").as("key"), col("is_dup"))
+      .as[(Long, Int)].collect().toMap
+    assert(v == Map(1000L -> 0, 1001L -> 1, 1002L -> 1, 1003L -> 0))
+    // the index holds exactly the re-admitted claim
+    val idx = new ManifestStore(s"${st.root}_dedup_idx", spark,
+      graft.ops.StreamingDedup.FpCol)
+    assert(idx.read().get.count() == 1L)
+  }
 }
