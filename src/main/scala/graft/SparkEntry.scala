@@ -18,10 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++ graft.queries.OpsQueries.queries ++
       graft.queries.RelQueries.queries ++ graft.queries.CurationQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++ graft.queries.DsvQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++ graft.queries.OpsQueries.oracles ++
       graft.queries.RelQueries.oracles ++ graft.queries.CurationQueries.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++ graft.queries.DsvQueries.oracles
 }

@@ -72,7 +72,8 @@ object ManifestStore {
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
                              dvRows: Long = 0L,
-                             cols: Map[String, (String, String)] = Map.empty) {
+                             cols: Map[String, (String, String)] = Map.empty,
+                             bytes: Long = 0L) {
     def liveRows: Long = rows - dvRows
   }
 
@@ -95,10 +96,16 @@ object ManifestStore {
     * at the initial commit; every later commit (merge, optimize,
     * recluster) maintains them.
     */
+  /** `keyField`: the store's key column as recorded at write time — lets a
+    * reader that has only the table path (the DSv2 connector) recover the
+    * key without an option; "" on manifests written before the field
+    * existed.
+    */
   final case class Manifest(version: Long, batchId: Long, streamId: String,
                             tsMillis: Long, schemaDDL: String,
                             files: Seq[FileEntry],
-                            statsCols: Seq[String] = Nil)
+                            statsCols: Seq[String] = Nil,
+                            keyField: String = "")
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -178,7 +185,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     FileEntry(f.path("name").asText(), f.path("minKey").asText(),
       f.path("maxKey").asText(), f.path("rows").asLong(),
       Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
-      f.path("dvRows").asLong(0L), cols)
+      f.path("dvRows").asLong(0L), cols, f.path("bytes").asLong(0L))
   }
 
   /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
@@ -193,7 +200,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     def meta(files: Seq[FileEntry]) =
       Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
-        n.path("schema").asText(), files, statsCols)
+        n.path("schema").asText(), files, statsCols,
+        n.path("keyField").asText(""))
     if (n.path("type").asText("checkpoint") == "delta")
       manifest(v - 1).map { parent =>
         val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
@@ -354,6 +362,64 @@ final class ManifestStore(val root: String, spark: SparkSession,
         m.files.size - toRead.size, toRead.map(_.liveRows).sum))
     }
 
+  /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
+    * predicates: the files of `m` that can hold a row satisfying ALL of
+    * `preds` — (column, op, value) triples with op one of > >= < <= =.
+    * Columns without per-file stats (neither the key nor a `statsCols`
+    * zone-map column) never prune; a file lacking a stat for a statted
+    * column survives conservatively, and a value Spark's `lit` cannot
+    * represent drops its predicate rather than the file. The containment
+    * test runs through each column's own type via the same
+    * [[statDeserialize]] round-trip merge pruning uses, in one local
+    * O(#files) job — the identical shape (and losslessness argument) as
+    * [[readWhere]]'s pruning join, generalized to conjunctions.
+    */
+  private[graft] def prunedFiles(m: Manifest,
+                                 preds: Seq[(String, String, Any)])
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val schema = StructType.fromDDL(m.schemaDDL)
+    val statted = preds.filter { case (c, op, v) =>
+      (c == keyField || m.statsCols.contains(c)) &&
+        schema.fieldNames.contains(c) &&
+        Set(">", ">=", "<", "<=", "=").contains(op) &&
+        scala.util.Try(lit(v)).isSuccess
+    }
+    if (statted.isEmpty || m.files.isEmpty) m.files
+    else {
+      val colsRef = statted.map(_._1).distinct
+      val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
+        org.apache.spark.sql.Row.fromSeq(f.name +: colsRef.flatMap { c =>
+          colRange(f, c) match {
+            case Some((mn, mx)) => Seq(mn, mx)
+            case None           => Seq(null, null)
+          }
+        })
+      }
+      val st = StructType(StructField("_f", StringType, nullable = false) +:
+        colsRef.flatMap(c => Seq(
+          StructField(s"_min_$c", StringType, nullable = true),
+          StructField(s"_max_$c", StringType, nullable = true))))
+      val statsDf = spark.createDataFrame(rows.asJava, st)
+      val cond = statted.map { case (c, op, v) =>
+        val dt = schema(c).dataType
+        val mn = statDeserialize(col(s"_min_$c"), dt)
+        val mx = statDeserialize(col(s"_max_$c"), dt)
+        val value = lit(v).cast(dt)
+        val survive = op match {
+          case ">"  => mx > value
+          case ">=" => mx >= value
+          case "<"  => mn < value
+          case "<=" => mn <= value
+          case "="  => mn <= value && mx >= value
+        }
+        col(s"_min_$c").isNull || survive
+      }.reduce(_ && _)
+      val keep = statsDf.filter(cond).collect().map(_.getString(0)).toSet
+      m.files.filter(f => keep(f.name))
+    }
+  }
+
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a
     * [[Changelog.KeyCol]] column, any size — nothing collects beyond the
@@ -441,13 +507,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val entries = stats.toSeq.map { r =>
       val src = Paths.get(new java.net.URI(r.getString(0)))
       val name = s"${java.util.UUID.randomUUID()}.parquet"
-      Files.move(src, Paths.get(root, "files", name),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dest = Paths.get(root, "files", name)
+      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
       val cols = sCols.zipWithIndex.map { case (c, i) =>
         c -> (r.getString(4 + 2 * i), r.getString(5 + 2 * i))
       }.toMap
+      // physical size goes into the manifest so a scan planner never has
+      // to stat data files — at 100k files that listing IS the planning cost
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
-        cols = cols)
+        cols = cols, bytes = Files.size(dest))
     }
     deleteRecursively(stage)
     entries
@@ -457,6 +525,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val fn = mapper.createObjectNode()
     fn.put("name", f.name); fn.put("minKey", f.minKey)
     fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
+    if (f.bytes > 0L) fn.put("bytes", f.bytes)
     f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
     if (f.cols.nonEmpty) {
       val cn = mapper.createObjectNode()
@@ -489,6 +558,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     node.put("streamId", streamId)
     node.put("tsMillis", System.currentTimeMillis())
     node.put("schema", schemaDDL)
+    node.put("keyField", keyField)
     if (statsCols.nonEmpty) {
       val sc = mapper.createArrayNode()
       statsCols.foreach(sc.add)

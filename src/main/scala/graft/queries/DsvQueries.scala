@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.cdc.{Changelog, ChangelogGen, ManifestStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the `format("graft")` DataSource V2 connector
+  * ([[graft.spark.GraftDataSource]]): the same manifest-store semantics the
+  * `cdc_manifest_*` queries pin, but exercised through Spark's own scan /
+  * write / stream planner instead of the store API — pushdown pruning,
+  * per-file deletion-vector masking, the V1-fallback upsert write, and the
+  * appends-tail streaming source all get a DuckDB-checked row gate.
+  */
+object DsvQueries {
+  private val names = ChangelogGen.customerFieldNames
+
+  private def scratch(tag: String, dir: String): String =
+    QueryUtil.scratchDir(s"dsv2_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsv2_read_pruned" -> ((s, dir) => {
+      // the cdc_manifest_skip_read range scan, driven through
+      // format("graft"): the BETWEEN predicate is pushed into the scan
+      // builder, prunes manifest files at PLANNING time, and the gate
+      // re-derives that from the planned partition count (one partition
+      // per surviving file)
+      val root = scratch("p", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 16)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val (lo, hi) = (maxK / 4, maxK / 4 + maxK / 20)
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_custkey").between(lo, hi))
+      val planned = df.rdd.getNumPartitions
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(planned > 0 && planned < 16).as("dsv2_pruned"))
+    }),
+
+    "dsv2_read_mor" -> ((s, dir) => {
+      // deletion vectors through the connector: the masked files' sidecars
+      // are subtracted INSIDE each partition reader — the gate proves the
+      // physical plan carries no join and no broadcast for the masks
+      // (compare ManifestStore.readFiles' anti-join) and that sidecars
+      // actually exist, while the rows must equal the oracle's complement
+      val root = scratch("m", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 16)
+      if (st.current.get._2 < 1)
+        st.deleteWhere(col("c_mktsegment") === "BUILDING", batchId = 1)
+      val masked = st.currentManifest.get.files.exists(_.dv.isDefined)
+      val df = s.read.format("graft").load(root)
+      val plan = df.queryExecution.executedPlan.toString
+      val local = !plan.contains("Join") && !plan.contains("BroadcastExchange")
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), lit(masked && local).as("dsv2_local_masks"))
+    }),
+
+    "dsv2_write_upsert" -> ((s, dir) => {
+      // the V1-fallback write path end-to-end through the real writer API:
+      // mode("append") on a keyed store is an upsert via the optimistic
+      // MERGE; +100 on the low half of the keys, read back through the scan
+      val root = scratch("w", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 16)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val bound = maxK / 2
+      if (st.current.get._1 < 1)
+        cust.filter(col("c_custkey") <= bound)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .write.format("graft").mode("append").save(root)
+      s.read.format("graft").load(root)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"), col("last_ts"))
+    }),
+
+    "dsv2_stream_tail" -> ((s, dir) => {
+      // the streaming source: snapshot the low half, tail the high half in
+      // as a pure-appends merge (fresh keys hit no file range -> adds
+      // only); the gate pins that the FIRST micro-batch saw exactly the
+      // snapshot, so the rest verifiably arrived through the tail
+      val root = scratch("s", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val bound = maxK / 2
+      val lowCnt = cust.filter(col("c_custkey") <= bound).count()
+      // replay-stable gate: a re-run against the already-merged scratch
+      // store snapshots the FULL table in batch one (nothing left to tail)
+      val expectedFirst =
+        if (st.exists && st.current.get._2 >= 1) cust.count() else lowCnt
+      if (!st.exists)
+        st.commit(cust.filter(col("c_custkey") <= bound), batchId = 0, nFiles = 8)
+      val tbl = s"dsv2_tail_${math.abs(dir.hashCode)}"
+      val q = s.readStream.format("graft").load(root)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("dsv2ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val afterSnapshot = s.table(tbl).count()
+        if (st.current.get._2 < 1) {
+          val net = cust.filter(col("c_custkey") > bound).select(
+            col("c_custkey").cast("string").as(Changelog.KeyCol) +:
+              lit("c").as(Changelog.OpCol) +: lit(1L).as(Changelog.TsCol) +:
+              names.map(n => col(n).as(s"after_$n")): _*)
+          st.merge(net, names, batchId = 1)
+        }
+        q.processAllAvailable()
+        s.table(tbl).select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(afterSnapshot == expectedFirst).as("dsv2_tailed"))
+      } finally q.stop()
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // pushed-down pruned range read must equal the exact BETWEEN
+    "dsv2_read_pruned" ->
+      """WITH b AS (SELECT max(c_custkey) AS mk FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, TRUE AS dsv2_pruned
+        |FROM customer, b
+        |WHERE c_custkey BETWEEN mk // 4 AND mk // 4 + mk // 20""".stripMargin,
+
+    // reader-local deletion-vector masking must read back the complement
+    "dsv2_read_mor" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       TRUE AS dsv2_local_masks
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'""".stripMargin,
+
+    // DSv2 append = keyed upsert; upserted rows stamp last_ts = 1
+    "dsv2_write_upsert" ->
+      """WITH b AS (SELECT max(c_custkey) // 2 AS bound FROM customer)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_custkey <= bound THEN c_acctbal + 100.0
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment,
+        |       CASE WHEN c_custkey <= bound THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(NULL AS BIGINT) END AS last_ts
+        |FROM customer, b""".stripMargin,
+
+    // snapshot + appends-tail must reassemble the full table
+    "dsv2_stream_tail" ->
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS dsv2_tailed
+        |FROM customer""".stripMargin)
+}

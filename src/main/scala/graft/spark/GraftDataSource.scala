@@ -1,0 +1,178 @@
+package graft.spark
+
+import graft.cdc.{Changelog, ManifestStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** `format("graft")` — the [[graft.cdc.ManifestStore]] surfaced as a
+  * first-class Spark DataSource V2, the same integration layer Delta Lake
+  * sits behind:
+  *
+  *   - `spark.read.format("graft").load(root)` — batch scan with
+  *     PLANNING-TIME zone-map file pruning from pushed-down predicates
+  *     (the manifest's per-file min/max stats answer the filter before a
+  *     single byte of data is opened), column pruning straight to the
+  *     parquet reader, vectorized columnar reads for pristine files, and
+  *     deletion-vector sidecars applied LOCALLY inside each masked file's
+  *     partition reader — no join, no broadcast, no [[graft.cdc.ManifestStore.DvBroadcastMaxRows]]
+  *     gate: each reader subtracts only its own file's masks, so the mask
+  *     cost is O(that file's dvRows) however large the table-wide total is.
+  *   - `spark.readStream.format("graft").load(root)` — tail the manifest
+  *     log (see [[GraftMicroBatchStream]]).
+  *   - `df.write.format("graft").mode("append"|"overwrite").save(root)` —
+  *     see [[GraftWriteBuilder]]: append is a keyed UPSERT through the
+  *     store's optimistic MERGE (the table is a keyed CDC table, not a
+  *     multiset), overwrite a full re-commit.
+  *
+  * The scan also reports manifest-derived statistics (bytes and live rows
+  * of exactly the files that survived pruning) to Catalyst, so AQE and the
+  * join planner see a graft table the way they see a parquet table —
+  * broadcast decisions work on pruned-scan size, not table size.
+  *
+  * Ref provenance: the reference delegates storage to Delta and reads it
+  * back with plain `spark.read.format("delta")` (ref: cdc_stream.py:616,
+  * :664-671); this connector closes the same loop for the graft store.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("location")))
+    p.map(GraftDataSource.normalize).getOrElse(throw new IllegalArgumentException(
+      "graft source needs a path: .load(<store root>) or option(\"path\", ...)"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.resolve(root(options), options.asScala.toMap)._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(root(opts), schema, opts.asScala.toMap)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftDataSource {
+  /** The session catalog qualifies LOCATION into a `file:` URI; the store
+    * speaks local-filesystem paths (its atomic `_CURRENT` swap is
+    * `java.nio`). Strip the scheme when it's the local one.
+    */
+  def normalize(path: String): String =
+    if (path.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(path)).toString
+    else path
+}
+
+object GraftTable {
+  /** (schema, keyField) of the store at `root`. The key comes from the
+    * manifest (recorded at write time); the `key` option overrides for
+    * stores written before the field existed. "" when neither knows —
+    * legal until a deletion-vector sidecar must be applied.
+    */
+  def resolve(root: String, options: Map[String, String])
+      : (StructType, String) = {
+    val opt = options.collectFirst { case (k, v) if k.equalsIgnoreCase("key") => v }
+    val probe = new ManifestStore(root, SparkSession.active, opt.getOrElse(""))
+    val m = probe.currentManifest.getOrElse(throw new IllegalArgumentException(
+      s"no graft store at $root (missing or unreadable _CURRENT/_LOG)"))
+    (StructType.fromDDL(m.schemaDDL), opt.getOrElse(m.keyField))
+  }
+}
+
+final class GraftTable(val root: String, tableSchema: StructType,
+                       options: Map[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft.`$root`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableSchema,
+      options ++ caseInsensitive.asScala.toMap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, options ++ info.options().asScala.toMap)
+}
+
+/** V1-fallback write (`V1_BATCH_WRITE` — the same staging Delta shipped on
+  * for years): the arriving DataFrame lands on the driver-side store API,
+  * which already owns clustering, stats, the delta log, and the optimistic
+  * commit protocol. `mode("append")` is a keyed UPSERT via
+  * [[graft.cdc.ManifestStore.mergeOptimistic]] (ts-guard off — a plain
+  * write carries no CDC ordering; duplicate keys within one batch resolve
+  * arbitrarily, as any single-statement upsert does). `mode("overwrite")`
+  * recommits the full frame as the next version — time travel to the
+  * pre-overwrite version still works. Writing to a path with no store yet
+  * creates it (the `key` option names the key column).
+  */
+final class GraftWriteBuilder(root: String, options: Map[String, String])
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          GraftWriteBuilder.run(root, options, data, overwrite)
+      }
+  }
+}
+
+object GraftWriteBuilder {
+  private def opt(options: Map[String, String], k: String): Option[String] =
+    options.collectFirst { case (ok, v) if ok.equalsIgnoreCase(k) => v }
+
+  private[spark] def run(root: String, options: Map[String, String],
+                         data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val keyOpt = opt(options, "key")
+    val nFiles = opt(options, "files").map(_.toInt).getOrElse(16)
+    val probe = new ManifestStore(root, spark, keyOpt.getOrElse(""))
+    val existing = probe.currentManifest
+    val key = existing.map(_.keyField).filter(_.nonEmpty)
+      .orElse(keyOpt).getOrElse(throw new IllegalArgumentException(
+        "graft write to a new store needs option(\"key\", <key column>)"))
+    val store = new ManifestStore(root, spark, key)
+    existing match {
+      case None =>
+        store.commit(data, batchId = 0L, nFiles = nFiles, streamId = "dsv2",
+          statsCols = opt(options, "statscols").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+      case Some(m) if overwrite =>
+        store.commit(data, batchId = m.version + 1, nFiles = nFiles,
+          streamId = "dsv2", statsCols = m.statsCols)
+      case Some(m) =>
+        val fields = data.columns.filterNot(_ == "last_ts").toSeq
+        val ts = if (data.columns.contains("last_ts"))
+          coalesce(col("last_ts"), lit(m.version + 1)) else lit(m.version + 1)
+        val net = Changelog.dedupLatest(data.select(
+          col(key).cast("string").as(Changelog.KeyCol) +:
+            lit("u").as(Changelog.OpCol) +: ts.as(Changelog.TsCol) +:
+            fields.map(f => col(f).as(s"after_$f")): _*))
+        store.mergeOptimistic(net, fields, batchId = m.version + 1,
+          streamId = "dsv2", tsGuard = false) match {
+          case ManifestStore.MergeConflict(v, reason) =>
+            throw new IllegalStateException(
+              s"graft append lost the optimistic-commit race at version $v: $reason")
+          case _ => ()
+        }
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.spark
+
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft")` — tail the manifest log, Delta's
+  * streaming-source semantics re-derived from graft's own commit protocol:
+  *
+  *   - OFFSETS are manifest versions (the log is the WAL; nothing else is
+  *     needed for exactly-once — Spark's checkpoint stores the version
+  *     range per micro-batch, and replaying a range replans the identical
+  *     immutable files).
+  *   - The FIRST batch snapshots the current version (every live file),
+  *     then each later batch emits the files ADDED by each newer version —
+  *     an appends-tail, which is exactly what Delta's streaming source is.
+  *   - MAINTENANCE commits (optimize / recluster / expire — recognizable
+  *     in-protocol: they reuse the parent's (batchId, streamId)) are
+  *     SKIPPED: they move bytes, not data. This is Delta's
+  *     `dataChange=false` flag, except graft needs no flag — the replay
+  *     guard convention already encodes it.
+  *   - A REGULAR commit that removed or rewrote files (copy-on-write
+  *     merge, deletion-vector mask, non-maintenance delete) fails loudly
+  *     unless `ignoreChanges` (emit its added files anyway; rewritten rows
+  *     may re-appear — Delta's documented trade) or `ignoreDeletes`
+  *     (delete-only versions pass silently). An appends-only ingest
+  *     (`ManifestStore.append`-shaped commits, streaming-dedup indexes,
+  *     event logs) tails cleanly with neither.
+  *
+  * Reading a version range needs the manifests of every version in it;
+  * versions vacuumed out of log retention throw a clear error telling the
+  * operator to widen `keepLast` relative to the stream's trigger cadence.
+  */
+final class GraftMicroBatchStream(root: String, keyField: String,
+                                  tableSchema: StructType,
+                                  required: StructType,
+                                  pushed: Array[Filter],
+                                  options: Map[String, String])
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def store = new ManifestStore(root, spark, keyField)
+  private val ignoreChanges =
+    options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
+  private val ignoreDeletes =
+    options.exists(kv => kv._1.equalsIgnoreCase("ignoredeletes") && kv._2.toBoolean)
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
+  override def latestOffset(): Offset =
+    GraftOffset(store.current.map(_._1).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(GraftOffset.parse(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def manifestOrExplain(v: Long): ManifestStore.Manifest =
+    store.manifest(v).getOrElse(throw new IllegalStateException(
+      s"graft stream needs version $v of $root but its log entry is gone " +
+        "— vacuumed past the stream's progress; raise vacuum keepLast " +
+        "above the number of commits per trigger interval"))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e < 0 || e <= s) return Array.empty
+    if (s < 0) // first batch: full snapshot of the end version
+      return GraftPartitions.forFiles(root, manifestOrExplain(e).files).toArray
+    val perVersion = ((s + 1) to e).flatMap { v =>
+      val mPrev = manifestOrExplain(v - 1)
+      val mV = manifestOrExplain(v)
+      if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
+        Nil // maintenance: bytes moved, data unchanged
+      else {
+        val prevNames = mPrev.files.map(_.name).toSet
+        val prevDv = mPrev.files.map(f => f.name -> f.dv).toMap
+        val adds = mV.files.filterNot(f => prevNames(f.name))
+        val curNames = mV.files.map(_.name).toSet
+        val changed = mPrev.files.exists(f =>
+          !curNames(f.name) ||
+            mV.files.exists(g => g.name == f.name && prevDv(f.name) != g.dv))
+        if (changed && !(ignoreChanges || (adds.isEmpty && ignoreDeletes)))
+          throw new IllegalStateException(
+            s"graft stream: version $v of $root removed or rewrote files " +
+              "(merge/delete); this source tails appends — set option " +
+              "ignoreChanges=true to emit its added files anyway, or " +
+              "ignoreDeletes=true if only deletes run against this table")
+        adds
+      }
+    }
+    GraftPartitions.forFiles(root, perVersion).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ddl = store.currentManifest.map(_.schemaDDL)
+      .getOrElse(tableSchema.toDDL)
+    // row mode: the factory outlives any one micro-batch and Spark forbids
+    // mixing modes, so the stream can't promise columnar for batches whose
+    // files it hasn't planned yet
+    GraftPartitions.factory(spark, root, keyField, tableSchema, required,
+      pushed, options, ddl, allColumnar = false)
+  }
+}
+
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object GraftOffset {
+  private val re = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
+  def parse(json: String): Long = json.trim match {
+    case re(v) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"not a graft offset: $other")
+  }
+}

@@ -1,0 +1,293 @@
+package graft.spark
+
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.ParquetReadBridge
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.OptionalLong
+
+/** Scan construction for `format("graft")`. Pushdown happens at two
+  * levels, both before any data I/O:
+  *
+  *   1. FILE level (here, at planning time): pushed predicates on the key
+  *      or a `statsCols` zone-map column prune the manifest's file list
+  *      via [[graft.cdc.ManifestStore.prunedFiles]] — the scan plans one
+  *      input partition per SURVIVING file only.
+  *   2. ROW-GROUP level (inside the reader): the same predicates ride into
+  *      the built-in parquet reader, which prunes row groups on footer
+  *      stats exactly as a native parquet scan would.
+  *
+  * All pushed filters are also kept as residuals (Spark re-evaluates them
+  * post-scan), so pruning can only ever skip data, never answers.
+  */
+final class GraftScanBuilder(root: String, tableSchema: StructType,
+                             options: Map[String, String])
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // every filter stays a residual: stats pruning is conservative
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(root, tableSchema, required, pushed, options)
+}
+
+object GraftScan {
+  /** Flatten v1 filters into the (column, op, value) conjuncts the
+    * manifest pruner understands; anything else simply doesn't prune.
+    */
+  def conjuncts(fs: Seq[Filter]): Seq[(String, String, Any)] = fs.flatMap {
+    case EqualTo(a, v)            => Seq((a, "=", v))
+    case GreaterThan(a, v)        => Seq((a, ">", v))
+    case GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
+    case LessThan(a, v)           => Seq((a, "<", v))
+    case LessThanOrEqual(a, v)    => Seq((a, "<=", v))
+    case And(l, r)                => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
+    case _                        => Nil
+  }
+}
+
+final class GraftScan(root: String, tableSchema: StructType,
+                      required: StructType, pushed: Array[Filter],
+                      options: Map[String, String])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private def spark = SparkSession.active
+  private val keyField: String = GraftTable.resolve(root, options)._2
+  private lazy val store = new ManifestStore(root, spark, keyField)
+  private lazy val manifest = store.currentManifest.getOrElse(
+    throw new IllegalStateException(s"graft store at $root vanished"))
+  /** Planning-time survivors of zone-map pruning — the partition list. */
+  private lazy val planned: Seq[ManifestStore.FileEntry] =
+    store.prunedFiles(manifest, GraftScan.conjuncts(pushed.toSeq))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(root, keyField, tableSchema, required,
+      pushed, options)
+  override def description(): String =
+    s"graft $root, pushed=[${pushed.mkString(", ")}]"
+
+  /** Manifest-derived stats of exactly the pruned scan — what AQE and the
+    * join planner size broadcast decisions with.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(planned.map(f =>
+        if (f.bytes > 0) f.bytes else f.rows * 128L).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(planned.map(_.liveRows).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftPartitions.forFiles(root, planned).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // Spark forbids mixing columnar and row partitions within one scan, so
+    // the mode is a whole-scan decision: vectorized when every PLANNED
+    // (post-pruning) file is pristine — a selective query over a
+    // mostly-masked table still goes columnar if its survivors are clean
+    GraftPartitions.factory(spark, root, keyField, tableSchema, required,
+      pushed, options, manifest.schemaDDL,
+      allColumnar = planned.forall(_.dv.isEmpty))
+}
+
+/** One input partition per manifest data file. The deletion-vector sidecar
+  * (a directory of parquet parts) is listed ON THE DRIVER and shipped as
+  * paths+sizes, so executors never list storage.
+  */
+final case class GraftInputPartition(path: String, bytes: Long,
+                                     fileName: String,
+                                     dvParts: Array[(String, Long)])
+  extends InputPartition
+
+object GraftPartitions {
+  import java.nio.file.{Files, Paths}
+
+  def forFiles(root: String, files: Seq[ManifestStore.FileEntry])
+      : Seq[GraftInputPartition] =
+    files.map { f =>
+      val path = s"$root/files/${f.name}"
+      val bytes = if (f.bytes > 0) f.bytes else Files.size(Paths.get(path))
+      val dvParts: Array[(String, Long)] = f.dv match {
+        case None => Array.empty
+        case Some(d) =>
+          val dir = Paths.get(root, "files", d)
+          val s = Files.list(dir)
+          try s.iterator().asScala()
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => (p.toString, Files.size(p))).toArray
+          finally s.close()
+      }
+      GraftInputPartition(path, bytes, f.name, dvParts)
+    }
+
+  // java.util.Iterator pimp without importing CollectionConverters at use site
+  private implicit class JIter[A](val it: java.util.Iterator[A]) extends AnyVal {
+    def asScala(): Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  /** Build the serializable reader factory. Three per-file reader closures
+    * are prepared on the driver (capturing the broadcast Hadoop conf, as
+    * Spark's own file scan does):
+    *
+    *   - a COLUMNAR vectorized reader for pristine files (when the
+    *     projected schema supports batches),
+    *   - a row reader over `required` for pristine files in row mode,
+    *   - a row reader over `required + key` for MASKED files — the reader
+    *     loads its own file's sidecar into a hash set and subtracts
+    *     locally, then projects the key back out if it wasn't asked for.
+    */
+  def factory(spark: SparkSession, root: String, keyField: String,
+              tableSchema: StructType, required: StructType,
+              pushed: Array[Filter], options: Map[String, String],
+              manifestSchemaDDL: String,
+              allColumnar: Boolean): GraftReaderFactory = {
+    // data files may carry any vintage of the evolved schema; the manifest
+    // schema (superset, widened types) is the read-through dataSchema
+    val dataSchema = StructType.fromDDL(manifestSchemaDDL)
+    val hasKey = keyField.nonEmpty && dataSchema.fieldNames.contains(keyField)
+    val plus: StructType =
+      if (!hasKey || required.fieldNames.contains(keyField)) required
+      else StructType(required.fields :+ dataSchema(keyField))
+    val keyOrd = if (hasKey) plus.fieldIndex(keyField) else -1
+    val keyDt: DataType = if (hasKey) dataSchema(keyField).dataType else StringType
+    val dvSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("_file", StringType),
+      org.apache.spark.sql.types.StructField("_key", keyDt)))
+    GraftReaderFactory(
+      required = required, plus = plus, keyOrd = keyOrd, keyDt = keyDt,
+      rowPlain = ParquetReadBridge.rowReader(spark, dataSchema, required,
+        pushed.toSeq, options),
+      rowMasked = ParquetReadBridge.rowReader(spark, dataSchema, plus,
+        pushed.toSeq, options),
+      dvReader = ParquetReadBridge.rowReader(spark, dvSchema, dvSchema,
+        Nil, options),
+      columnar =
+        if (allColumnar)
+          ParquetReadBridge.columnarReader(spark, dataSchema, required,
+            pushed.toSeq, options)
+        else None)
+  }
+}
+
+final case class GraftReaderFactory(
+    required: StructType, plus: StructType, keyOrd: Int, keyDt: DataType,
+    rowPlain: PartitionedFile => Iterator[InternalRow],
+    rowMasked: PartitionedFile => Iterator[InternalRow],
+    dvReader: PartitionedFile => Iterator[InternalRow],
+    columnar: Option[PartitionedFile => Iterator[ColumnarBatch]])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar.isDefined
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftIteratorReader[ColumnarBatch](
+      columnar.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    if (p.dvParts.isEmpty)
+      new GraftIteratorReader[InternalRow](
+        rowPlain(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+    else {
+      require(keyOrd >= 0, s"graft: file ${p.fileName} carries a deletion " +
+        "vector but the store records no key column — pass option(\"key\", ...)")
+      new GraftMaskedReader(p, this)
+    }
+  }
+}
+
+/** PartitionReader over a prepared iterator; closes Closeable iterators. */
+final class GraftIteratorReader[T](it: Iterator[T]) extends PartitionReader[T] {
+  private var cur: T = _
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): T = cur
+  override def close(): Unit = it match {
+    case c: java.io.Closeable => c.close()
+    case _ => ()
+  }
+}
+
+/** Merge-on-read applied PER FILE, inside the reader: load this file's
+  * sidecar keys into a local hash set (O(this file's dvRows) — the fold
+  * trigger `dvRows*2 >= rows` bounds it at half the file), stream the data
+  * file through the set, and project the key column back out if the query
+  * didn't select it. Compare with the driver-planned anti-join in
+  * [[graft.cdc.ManifestStore]].readFiles: no join, no shuffle, no
+  * broadcast-size gate, and table-wide mask totals are irrelevant because
+  * no reader ever sees another file's masks.
+  */
+final class GraftMaskedReader(p: GraftInputPartition, f: GraftReaderFactory)
+  extends PartitionReader[InternalRow] {
+
+  // values normalized so set members own their memory (UTF8String views
+  // from a reader buffer must be copied; Decimal compares via BigDecimal)
+  private def setNorm(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case x => x
+  }
+  private def probeNorm(v: Any): Any = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case x => x
+  }
+
+  private val fileNameU = UTF8String.fromString(p.fileName)
+  private lazy val maskedKeys: java.util.HashSet[Any] = {
+    val set = new java.util.HashSet[Any]()
+    p.dvParts.foreach { case (path, bytes) =>
+      val it = f.dvReader(ParquetReadBridge.wholeFile(path, bytes, 0L))
+      it.foreach { r =>
+        if (r.getUTF8String(0) == fileNameU && !r.isNullAt(1))
+          set.add(setNorm(r.get(1, f.keyDt)))
+      }
+      it match { case c: java.io.Closeable => c.close(); case _ => () }
+    }
+    set
+  }
+
+  private lazy val project: InternalRow => InternalRow =
+    if (f.plus.length == f.required.length) identity
+    else ParquetReadBridge.prefixProjection(f.plus, f.required.length)
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val base = f.rowMasked(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L))
+    base.filter { r =>
+      r.isNullAt(f.keyOrd) || !maskedKeys.contains(probeNorm(r.get(f.keyOrd, f.keyDt)))
+    }.map(project)
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    val h = rows.hasNext; if (h) cur = rows.next(); h
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -1,0 +1,210 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.{Changelog, ManifestStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The `format("graft")` DataSource V2 connector: schema inference, batch
+  * reads (pristine + deletion-vector-masked files), planning-time zone-map
+  * pruning from pushed filters, column pruning, the appends-tail streaming
+  * source, and the V1-fallback write path.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("id", "name")
+
+  private def newRoot = Files.createTempDirectory("graft_dsv2").toString
+
+  private def seedDf = (0L until 400L).map(i => (i, s"n$i")).toDF("id", "name")
+
+  private def netDf(rows: Seq[(Long, String, Option[String], Long)]) =
+    rows.map { case (id, op, name, ts) =>
+      (id, op, if (op == "d") None else Some(id), name, ts)
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+      Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+
+  private def asSet(df: DataFrame) =
+    df.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("batch read round-trips a pristine store; schema inferred from the manifest") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val df = spark.read.format("graft").load(root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(asSet(df) == asSet(st.read().get))
+    // pristine files go through the vectorized columnar path
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
+  test("pushed key predicates prune files at planning time") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("id") >= 100L && col("id") < 150L)
+    // 400 keys clustered over 8 files -> a 50-key range hits 1-2 files
+    assert(df.rdd.getNumPartitions <= 2,
+      s"expected <=2 planned partitions, got ${df.rdd.getNumPartitions}")
+    assert(asSet(df) == (100L until 150L).map(i => (i, s"n$i")).toSet)
+    // unfiltered scan plans every file
+    assert(spark.read.format("graft").load(root).rdd.getNumPartitions == 8)
+  }
+
+  test("deletion-vector masks apply per file inside the reader — no join, no broadcast") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    // scattered updates + deletes via merge-on-read -> sidecars, no rewrites
+    st.mergeOnRead(netDf(
+      (0L until 400L by 7L).map(i => (i, "u", Some(s"v$i"), 10L)) ++
+        (3L until 400L by 50L).map(i => (i, "d", None, 10L))), fields, batchId = 1)
+    val m = st.currentManifest.get
+    assert(m.files.exists(_.dv.isDefined), "expected sidecars")
+    val df = spark.read.format("graft").load(root)
+    assert(asSet(df) == asSet(st.read().get))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("column pruning reaches the scan, masked files included (key projected back out)") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.mergeOnRead(netDf(Seq((5L, "d", None, 10L), (123L, "d", None, 10L))),
+      fields, batchId = 1)
+    val names = spark.read.format("graft").load(root).select("name")
+    assert(names.schema.fieldNames.toSeq == Seq("name"))
+    val expected = asSet(st.read().get).map(_._2)
+    assert(names.collect().map(_.getString(0)).toSet == expected)
+    assert(!expected.contains("n5") && !expected.contains("n123"))
+  }
+
+  test("count(*) over a masked store (empty required schema)") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.mergeOnRead(netDf(Seq((5L, "d", None, 10L))), fields, batchId = 1)
+    assert(spark.read.format("graft").load(root).count() == 399L)
+  }
+
+  test("write: SQL CREATE TABLE + INSERT creates the store; append upserts by key; overwrite recommits") {
+    val root = newRoot
+    // creation carries the schema through the session catalog (the only
+    // path that can: df.write.save() infers schema from the store, which
+    // doesn't exist yet)
+    spark.sql(s"CREATE TABLE graft_w (id BIGINT, name STRING) USING graft " +
+      s"OPTIONS (key 'id', files '4') LOCATION '$root'")
+    try {
+      spark.sql("INSERT INTO graft_w " +
+        "SELECT id, concat('n', id) FROM range(0, 400)")
+      val st = new ManifestStore(root, spark, "id")
+      assert(st.currentManifest.get.keyField == "id")
+      assert(asSet(spark.read.format("graft").load(root)) == asSet(seedDf))
+      assert(asSet(spark.table("graft_w")) == asSet(seedDf))
+
+    // append = keyed upsert: 10 replaced, 5 new
+    val up = ((0L until 10L).map(i => (i, s"up$i")) ++
+      (400L until 405L).map(i => (i, s"new$i"))).toDF("id", "name")
+    up.write.format("graft").mode("append").save(root)
+    val got = spark.read.format("graft").load(root).select("id", "name")
+    assert(got.count() == 405L)
+    val gm = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gm(3L) == "up3" && gm(402L) == "new402" && gm(11L) == "n11")
+
+    // overwrite replaces contents; the old version still time-travels.
+    // the merged table now carries last_ts — supply every table column,
+    // standard SQL INSERT discipline
+    val vBefore = st.current.get._1
+    val tblCols = spark.read.format("graft").load(root).columns
+    val over = Seq((1L, "only")).toDF("id", "name")
+      .withColumn("last_ts", lit(null).cast("long"))
+      .select(tblCols.map(col).toIndexedSeq: _*)
+    over.write.format("graft").mode("overwrite").save(root)
+    assert(asSet(spark.read.format("graft").load(root)) == Set((1L, "only")))
+    assert(st.readVersion(vBefore).get.count() == 405L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_w")
+  }
+
+  test("streaming: snapshot then appends-tail; maintenance commits invisible") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("graft_tail")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 100L)
+
+      // appends-only commit: new files referencing old ones untouched —
+      // model it as a manifest-level append (insert-only merge of fresh keys)
+      st.merge(netDf((100L until 130L).map(i => (i, "c", Some(s"n$i"), 5L))),
+        fields, batchId = 1)
+      q.processAllAvailable()
+      // fresh keys hit no existing file range: pure adds, tail sees exactly them
+      assert(spark.table("graft_tail").count() == 130L)
+
+      // maintenance recluster moves every byte but no data: tail unmoved
+      st.recluster(2)
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 130L)
+    } finally q.stop()
+  }
+
+  test("streaming: rewriting commits throw without ignoreChanges, pass with it") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 50L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 2)
+    def start(opts: Map[String, String]) = {
+      val r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root).writeStream.format("memory")
+        .queryName(s"graft_cw_${opts.size}")
+        .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+        .start()
+    }
+    val strict = start(Map.empty)
+    try {
+      strict.processAllAvailable()
+      st.merge(netDf(Seq((7L, "u", Some("upd"), 9L))), fields, batchId = 1)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        strict.processAllAvailable()
+      }
+    } finally strict.stop()
+
+    val lax = start(Map("ignoreChanges" -> "true"))
+    try {
+      lax.processAllAvailable()
+      // snapshot(after update) = 50 rows; rewritten file rows may repeat
+      // on later changes but the first batch is just the snapshot
+      assert(spark.table("graft_cw_1").count() == 50L)
+    } finally lax.stop()
+  }
+
+  test("offset json round-trips") {
+    assert(GraftOffset.parse(GraftOffset(42L).json()) == 42L)
+    assert(GraftOffset.parse("""{"version": -1}""") == -1L)
+  }
+
+  test("scan reports pruned-size statistics to catalyst") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    // join against a "small" graft scan must broadcast it: stats flow
+    val dim = spark.read.format("graft").load(root).filter(col("id") < 50L)
+    val fact = (0L until 400L).map(i => (i, i % 50L)).toDF("fid", "id")
+    val joined = fact.join(dim, "id")
+    assert(joined.count() == 400L)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+}
