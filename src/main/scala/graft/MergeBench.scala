@@ -167,9 +167,27 @@ object MergeBench {
       val m = morStore.currentManifest.get
       println(s"""{"metric":"mor_ladder","round":$r,"mor_sec":${f"$sec%.2f"},"written_mb":${f"$mb%.1f"},"read_sec":${f"$rd%.2f"},"masked_files":${stats.maskedFiles},"files":${m.files.size},"dv_rows":${m.files.map(_.dvRows).sum}}""")
     }
+    // the same masked table through the DSv2 connector: the store API pays
+    // a (gated) anti-join against the sidecar union; the connector's
+    // partition readers subtract per-file hash sets locally. Also time the
+    // connector's planning-time pruning: a one-file key range vs the full
+    // scan, with the planned partition count as the pruning witness.
+    def dsv2() = spark.read.format("graft").load(s"$base/mor")
+    def dsv2Probe() = time {
+      dsv2().agg(count(lit(1)), sum(col("val"))).collect()
+    }._2
+    val apiMaskedSec = readProbe()
+    val dsv2MaskedSec = dsv2Probe()
+    val span = n / nFiles
+    val rangeDf = dsv2().filter(col("id") >= lit(span * 3) && col("id") < lit(span * 3 + span / 4))
+    val plannedParts = rangeDf.rdd.getNumPartitions
+    val (_, dsv2PrunedSec) = time(rangeDf.agg(count(lit(1))).collect())
+    println(s"""{"metric":"dsv2_bench_masked","api_read_sec":${f"$apiMaskedSec%.2f"},"dsv2_read_sec":${f"$dsv2MaskedSec%.2f"},"dsv2_pruned_range_sec":${f"$dsv2PrunedSec%.2f"},"pruned_planned_files":$plannedParts,"total_files":${morStore.currentManifest.get.files.size}}""")
+
     val (oSt, oSec2) = time(morStore.optimize(nFiles).get)
     val postReadSec = readProbe()
-    println(s"""{"metric":"mor_ladder_optimize","rows":$n,"batch":$batch,"rounds":${ladder.size},"optimize_sec":${f"$oSec2%.2f"},"compacted":${oSt.compactedFiles},"carried":${oSt.carriedFiles},"base_read_sec":${f"$baseReadSec%.2f"},"post_optimize_read_sec":${f"$postReadSec%.2f"},"dv_rows_after":${morStore.currentManifest.get.files.map(_.dvRows).sum}}""")
+    val dsv2PostSec = dsv2Probe() // pristine layout -> columnar scan path
+    println(s"""{"metric":"mor_ladder_optimize","rows":$n,"batch":$batch,"rounds":${ladder.size},"optimize_sec":${f"$oSec2%.2f"},"compacted":${oSt.compactedFiles},"carried":${oSt.carriedFiles},"base_read_sec":${f"$baseReadSec%.2f"},"post_optimize_read_sec":${f"$postReadSec%.2f"},"dsv2_post_optimize_read_sec":${f"$dsv2PostSec%.2f"},"dv_rows_after":${morStore.currentManifest.get.files.map(_.dvRows).sum}}""")
     spark.stop()
   }
 }

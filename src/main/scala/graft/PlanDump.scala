@@ -109,7 +109,11 @@ object PlanDump {
     "cdc_manifest_skip_read" ->
       "Zone-map range read: the parquet scan lists ONLY the stats-surviving files (1-2 of 16 here — file pruning happened at PLANNING time, before the scan node existed); the exact predicate re-applies as a post-scan Filter.",
     "cdc_manifest_merge_mor" ->
-      "Merge-on-read table scan: union of the sidecar-less files' plain scan and the masked files' scan minus a BroadcastHashJoin LeftAnti against the (batch-sized, compaction-bounded) sidecar union, matched per (file, key) — the data files stream, only sidecars broadcast.")
+      "Merge-on-read table scan: union of the sidecar-less files' plain scan and the masked files' scan minus a BroadcastHashJoin LeftAnti against the (batch-sized, compaction-bounded) sidecar union, matched per (file, key) — the data files stream, only sidecars broadcast.",
+    "dsv2_read_pruned" ->
+      "DSv2 pruned scan: ONE BatchScan node whose partition list holds only the stats-surviving files — zone-map pruning ran at PLANNING time from the pushed-down BETWEEN; the same predicates re-apply in-reader (parquet row-group pruning) and as the residual Filter above the scan.",
+    "dsv2_read_mor" ->
+      "DSv2 merge-on-read scan: ONE BatchScan, NO Join, NO BroadcastExchange — each masked file's partition reader loads its own sidecar into a local hash set and subtracts in place, so table-wide mask totals never cross the driver or an exchange (compare cdc_manifest_merge_mor's plan, the store-API read of the same shape).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

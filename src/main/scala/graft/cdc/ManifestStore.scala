@@ -362,28 +362,44 @@ final class ManifestStore(val root: String, spark: SparkSession,
         m.files.size - toRead.size, toRead.map(_.liveRows).sum))
     }
 
+  /** A file can hold an `IN (...)` hit only if some value falls inside its
+    * [min,max]; past this many values the OR blows up the local filter
+    * expression, so the predicate stops pruning (conservative, and at that
+    * cardinality an In barely prunes range-clustered files anyway).
+    */
+  private val InPruneMaxValues = 1000
+
   /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
     * predicates: the files of `m` that can hold a row satisfying ALL of
-    * `preds` — (column, op, value) triples with op one of > >= < <= =.
-    * Columns without per-file stats (neither the key nor a `statsCols`
-    * zone-map column) never prune; a file lacking a stat for a statted
-    * column survives conservatively, and a value Spark's `lit` cannot
-    * represent drops its predicate rather than the file. The containment
-    * test runs through each column's own type via the same
-    * [[statDeserialize]] round-trip merge pruning uses, in one local
-    * O(#files) job — the identical shape (and losslessness argument) as
-    * [[readWhere]]'s pruning join, generalized to conjunctions.
+    * `preds` — (column, op, value) triples with op one of > >= < <= = in
+    * (for "in", value is the Seq of sought values — the shape a runtime
+    * join-key filter arrives in). Columns without per-file stats (neither
+    * the key nor a `statsCols` zone-map column) never prune; a file
+    * lacking a stat for a statted column survives conservatively, and a
+    * value Spark's `lit` cannot represent drops its predicate rather than
+    * the file. The containment test runs through each column's own type
+    * via the same [[statDeserialize]] round-trip merge pruning uses, in
+    * one local O(#files) job — the identical shape (and losslessness
+    * argument) as [[readWhere]]'s pruning join, generalized to
+    * conjunctions.
     */
   private[graft] def prunedFiles(m: Manifest,
                                  preds: Seq[(String, String, Any)])
       : Seq[FileEntry] = {
     import org.apache.spark.sql.types.{StringType, StructField}
     val schema = StructType.fromDDL(m.schemaDDL)
+    def litable(v: Any) = scala.util.Try(lit(v)).isSuccess
     val statted = preds.filter { case (c, op, v) =>
       (c == keyField || m.statsCols.contains(c)) &&
-        schema.fieldNames.contains(c) &&
-        Set(">", ">=", "<", "<=", "=").contains(op) &&
-        scala.util.Try(lit(v)).isSuccess
+        schema.fieldNames.contains(c) && (op match {
+          case ">" | ">=" | "<" | "<=" | "=" => litable(v)
+          case "in" => v match {
+            case vs: Seq[_] =>
+              vs.nonEmpty && vs.size <= InPruneMaxValues && vs.forall(litable)
+            case _ => false
+          }
+          case _ => false
+        })
     }
     if (statted.isEmpty || m.files.isEmpty) m.files
     else {
@@ -405,13 +421,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val dt = schema(c).dataType
         val mn = statDeserialize(col(s"_min_$c"), dt)
         val mx = statDeserialize(col(s"_max_$c"), dt)
-        val value = lit(v).cast(dt)
+        def value = lit(v).cast(dt)
         val survive = op match {
           case ">"  => mx > value
           case ">=" => mx >= value
           case "<"  => mn < value
           case "<=" => mn <= value
           case "="  => mn <= value && mx >= value
+          case "in" => v.asInstanceOf[Seq[Any]]
+            .map(x => mn <= lit(x).cast(dt) && mx >= lit(x).cast(dt))
+            .reduce(_ || _)
         }
         col(s"_min_$c").isNull || survive
       }.reduce(_ && _)

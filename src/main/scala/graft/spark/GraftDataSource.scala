@@ -76,18 +76,38 @@ object GraftDataSource {
 }
 
 object GraftTable {
-  /** (schema, keyField) of the store at `root`. The key comes from the
-    * manifest (recorded at write time); the `key` option overrides for
-    * stores written before the field existed. "" when neither knows —
-    * legal until a deletion-vector sidecar must be applied.
+  private[spark] def opt(options: Map[String, String], k: String): Option[String] =
+    options.collectFirst { case (ok, v) if ok.equalsIgnoreCase(k) => v }
+
+  /** (schema, keyField) of the store at `root` — at `versionAsOf` when the
+    * time-travel option is set (Delta's spelling), else current. The key
+    * comes from the manifest (recorded at write time); the `key` option
+    * overrides for stores written before the field existed. "" when
+    * neither knows — legal until a deletion-vector sidecar must be applied.
     */
   def resolve(root: String, options: Map[String, String])
       : (StructType, String) = {
-    val opt = options.collectFirst { case (k, v) if k.equalsIgnoreCase("key") => v }
-    val probe = new ManifestStore(root, SparkSession.active, opt.getOrElse(""))
-    val m = probe.currentManifest.getOrElse(throw new IllegalArgumentException(
+    val m = manifestFor(root, options)
+    (StructType.fromDDL(m.schemaDDL),
+      opt(options, "key").getOrElse(m.keyField))
+  }
+
+  /** The manifest a read of `root` under `options` addresses. */
+  private[spark] def manifestFor(root: String, options: Map[String, String])
+      : ManifestStore.Manifest = {
+    val probe = new ManifestStore(root, SparkSession.active,
+      opt(options, "key").getOrElse(""))
+    val cur = probe.currentManifest.getOrElse(throw new IllegalArgumentException(
       s"no graft store at $root (missing or unreadable _CURRENT/_LOG)"))
-    (StructType.fromDDL(m.schemaDDL), opt.getOrElse(m.keyField))
+    opt(options, "versionAsOf") match {
+      case None => cur
+      case Some(vs) =>
+        val v = vs.toLong
+        if (v > cur.version) throw new IllegalArgumentException(
+          s"versionAsOf $v is beyond current version ${cur.version} of $root")
+        probe.manifest(v).getOrElse(throw new IllegalArgumentException(
+          s"version $v of $root is gone (vacuumed past log retention)"))
+    }
   }
 }
 

@@ -48,7 +48,21 @@ final class GraftMicroBatchStream(root: String, keyField: String,
   private val ignoreDeletes =
     options.exists(kv => kv._1.equalsIgnoreCase("ignoredeletes") && kv._2.toBoolean)
 
-  override def initialOffset(): Offset = GraftOffset(-1L)
+  /** Default: snapshot the current version first, then tail. With
+    * `startingVersion` (Delta's spelling) the snapshot is skipped and the
+    * tail begins at that version's OWN changes — offset parks one below.
+    */
+  override def initialOffset(): Offset =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong
+    } match {
+      case Some(sv) =>
+        if (sv <= 0) throw new IllegalArgumentException(
+          s"startingVersion must be >= 1 (version 0 is the initial " +
+            "snapshot; omit the option to consume it as the first batch)")
+        GraftOffset(sv - 1)
+      case None => GraftOffset(-1L)
+    }
   override def latestOffset(): Offset =
     GraftOffset(store.current.map(_._1).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset =

@@ -7,7 +7,9 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +61,7 @@ object GraftScan {
     case GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
     case LessThan(a, v)           => Seq((a, "<", v))
     case LessThanOrEqual(a, v)    => Seq((a, "<=", v))
+    case In(a, vs)                => Seq((a, "in", vs.toSeq))
     case And(l, r)                => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
     case _                        => Nil
   }
@@ -67,16 +70,52 @@ object GraftScan {
 final class GraftScan(root: String, tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       options: Map[String, String])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   private def spark = SparkSession.active
   private val keyField: String = GraftTable.resolve(root, options)._2
   private lazy val store = new ManifestStore(root, spark, keyField)
-  private lazy val manifest = store.currentManifest.getOrElse(
-    throw new IllegalStateException(s"graft store at $root vanished"))
-  /** Planning-time survivors of zone-map pruning — the partition list. */
+  /** current, or the `versionAsOf` time-travel target. Vacuum-safety of a
+    * non-current version's files is readVersion's check, replicated here.
+    */
+  private lazy val manifest = {
+    val m = GraftTable.manifestFor(root, options)
+    m.files.foreach { f =>
+      (f.name +: f.dv.toSeq).foreach { nm =>
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "files", nm)))
+          throw new IllegalArgumentException(
+            s"version ${m.version} of $root references vacuumed file $nm")
+      }
+    }
+    m
+  }
+  /** Planning-time survivors of zone-map pruning from the STATIC pushed
+    * predicates — the baseline partition list, and what statistics report.
+    */
   private lazy val planned: Seq[ManifestStore.FileEntry] =
     store.prunedFiles(manifest, GraftScan.conjuncts(pushed.toSeq))
+
+  /** RUNTIME filters (Spark's DSv2 dynamic partition pruning): when this
+    * scan sits under a join whose other side broadcast first, Spark hands
+    * the build side's key set here as an `In` before partitions are
+    * planned — the same zone-map stats then prune files against the JOIN
+    * KEYS, so a fact-table scan driven by a selective dim touches only the
+    * files whose ranges intersect the dim's keys. Conservative like every
+    * other pruning here: a filter that can't prune changes nothing.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    ((if (keyField.nonEmpty) Seq(keyField) else Nil) ++ manifest.statsCols)
+      .map(Expressions.column).toArray
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  private def effectivePlanned: Seq[ManifestStore.FileEntry] =
+    if (runtimeFilters.isEmpty) planned
+    else store.prunedFiles(
+      manifest.copy(files = planned),
+      GraftScan.conjuncts(runtimeFilters.toSeq))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -98,13 +137,15 @@ final class GraftScan(root: String, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftPartitions.forFiles(root, planned).toArray
+    GraftPartitions.forFiles(root, effectivePlanned).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     // Spark forbids mixing columnar and row partitions within one scan, so
     // the mode is a whole-scan decision: vectorized when every PLANNED
     // (post-pruning) file is pristine — a selective query over a
-    // mostly-masked table still goes columnar if its survivors are clean
+    // mostly-masked table still goes columnar if its survivors are clean.
+    // Decided on the STATIC survivors: runtime filtering must not flip the
+    // mode after Spark has already asked supportsColumnar.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
       pushed, options, manifest.schemaDDL,
       allColumnar = planned.forall(_.dv.isEmpty))

@@ -190,6 +190,58 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally lax.stop()
   }
 
+  test("versionAsOf reads an older version through the connector") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.deleteWhere(col("id") < 100L, batchId = 1)
+    assert(spark.read.format("graft").load(root).count() == 300L)
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(root)
+    assert(asSet(v0) == asSet(seedDf))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "9").load(root).count()
+    }
+  }
+
+  test("streaming startingVersion tails from a version, skipping the snapshot") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    st.merge(netDf((100L until 130L).map(i => (i, "c", Some(s"n$i"), 5L))),
+      fields, batchId = 1)
+    val q = spark.readStream.format("graft").option("startingVersion", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("graft_sv")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_sv").select("id").collect().map(_.getLong(0)).toSet
+      assert(got == (100L until 130L).toSet)
+    } finally q.stop()
+  }
+
+  test("runtime join-key In filters re-prune the partition list") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8)
+    val schema = spark.read.format("graft").load(root).schema
+    val scan = new GraftScanBuilder(root, schema, Map("path" -> root))
+      .build().asInstanceOf[GraftScan]
+    assert(scan.planInputPartitions().length == 8)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    // what Spark hands over when a broadcast join's build side resolves
+    // first: the key set, as an In — 3 keys inside one 50-key file range
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 7L, 40L))))
+    assert(scan.planInputPartitions().length == 1)
+    // a key from another range widens it to exactly two files
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 399L))))
+    assert(scan.planInputPartitions().length == 2)
+  }
+
   test("offset json round-trips") {
     assert(GraftOffset.parse(GraftOffset(42L).json()) == 42L)
     assert(GraftOffset.parse("""{"version": -1}""") == -1L)
