@@ -317,8 +317,29 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def fileBasename =
     element_at(split(input_file_name(), "/"), -1)
 
-  def read(): Option[DataFrame] =
-    currentManifest.map(m => readFiles(m, m.files))
+  /** Full-table read. When any file carries a deletion-vector sidecar the
+    * read routes through the `format("graft")` DSv2 connector, whose
+    * partition readers subtract each file's OWN sidecar locally — measured
+    * 4.5x faster than the anti-join below at the 60M-row table (STRESS.md,
+    * round 9) and immune to table-wide mask totals by construction.
+    * Pristine tables stay on the plain union scan (identical plan either
+    * way, minus a manifest re-read). Subset reads ([[readWhere]],
+    * [[readHit]], [[lookup]]) keep the anti-join: their masked sets are
+    * pruned/batch-bounded, and the connector addresses whole versions.
+    */
+  def read(): Option[DataFrame] = currentManifest.map { m =>
+    if (m.files.exists(_.dv.isDefined)) connectorRead(m.version)
+    else readFiles(m, m.files)
+  }
+
+  /** The DSv2 path for a whole version; `key` passed explicitly so stores
+    * created before the manifest recorded `keyField` still resolve masks.
+    */
+  private def connectorRead(version: Long): DataFrame =
+    spark.read.format("graft")
+      .option("key", keyField)
+      .option("versionAsOf", version)
+      .load(root)
 
   /** A file's recorded [min,max] for `colName`: the key column's stats are
     * always present; other columns only when the manifest tracks them
@@ -477,7 +498,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     else manifest(v).filter(_.files.forall(f =>
       (f.name +: f.dv.toSeq).forall(n =>
         Files.exists(Paths.get(root, "files", n)))))
-      .map(m => readFiles(m, m.files))
+      .map(m => if (m.files.exists(_.dv.isDefined)) connectorRead(v)
+                else readFiles(m, m.files))
   }
 
   /** Cluster `df` by key and write it as data files with per-file stats.

@@ -578,18 +578,25 @@ class ManifestStoreSpec extends SparkSpec {
     val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try {
-      // kill every non-hint broadcast source so the plan shows the gate
+      // kill every non-hint broadcast source so the plan shows the gate.
+      // full read() now routes masked tables through the DSv2 connector
+      // (no join at all); the gate governs the SUBSET read paths that
+      // keep the anti-join — drive it through readWhere
+      def viaAntiJoin() = st.readWhere("id", 0L, 999L).get._1
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "0")
-      val gated = st.read().get.queryExecution.executedPlan.toString
+      val gated = viaAntiJoin().queryExecution.executedPlan.toString
       assert(!gated.contains("BroadcastExchange"),
         s"mask set over the gate must not force a broadcast:\n$gated")
       spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "1000000")
-      val hinted = st.read().get.queryExecution.executedPlan.toString
+      val hinted = viaAntiJoin().queryExecution.executedPlan.toString
       assert(hinted.contains("BroadcastExchange"))
-      // semantics identical on both sides of the gate
+      // semantics identical on both sides of the gate, and on the
+      // connector-routed full read
       spark.conf.set("spark.graft.manifest.dvBroadcastMaxRows", "0")
+      assert(viaAntiJoin().filter(col("id").isin(5L, 55L))
+        .select("name").as[String].collect().toSet == Set("x", "y"))
       assert(st.read().get.filter(col("id").isin(5L, 55L))
         .select("name").as[String].collect().toSet == Set("x", "y"))
     } finally {

@@ -242,6 +242,26 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scan.planInputPartitions().length == 2)
   }
 
+  test("dynamic partition pruning reaches the scan through a real join") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100000L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 16)
+    val fact = spark.read.format("graft").load(root)
+    val dim = spark.range(100000)
+      .select($"id", ($"id" % 1000).as("grp"))
+      .filter($"grp" === 7 && $"id" < 2000)
+    val joined = fact.join(dim, "id")
+    assert(joined.count() == 2L) // ids 7 and 1007
+    val plan = joined.queryExecution.executedPlan.toString
+    // Spark's PartitionPruning planted a runtime key filter on the scan
+    // (served by GraftScan.filter -> manifest stats re-pruning) ...
+    assert(plan.contains("dynamicpruningexpression(id"), plan)
+    // ... and join-constraint inference even pushed the dim's range as a
+    // STATIC pushed filter, so planning-time pruning fires too
+    assert(plan.contains("pushed=[LessThan(id,2000)]"), plan)
+  }
+
   test("offset json round-trips") {
     assert(GraftOffset.parse(GraftOffset(42L).json()) == 42L)
     assert(GraftOffset.parse("""{"version": -1}""") == -1L)
