@@ -507,16 +507,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * later merges can prune on [min,max]. Returns the new entries; the
     * caller links them into a manifest.
     */
+  /** `clusterBy`: an alternative clustering column (by NAME — it is
+    * dropped before the write, so helper columns like a Z-value never
+    * reach the files). Default: range-cluster on the key.
+    */
   private def writeDataFiles(df: DataFrame, nFiles: Int,
-                             statsCols: Seq[String] = Nil): Seq[FileEntry] = {
+                             statsCols: Seq[String] = Nil,
+                             clusterBy: Option[String] = None): Seq[FileEntry] = {
     requireStatKeyType(keyField, df.schema(keyField).dataType)
     // a drift-evolved frame may not carry every tracked column yet
     val sCols = statsCols.filter(df.columns.contains)
     sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
-    df.repartitionByRange(math.max(1, nFiles), col(keyField))
-      .sortWithinPartitions(keyField)
-      .write.parquet(stage.toString)
+    val clustered = clusterBy match {
+      case Some(zc) =>
+        // the projection dropping zc is narrow: partitioning and order survive
+        df.repartitionByRange(math.max(1, nFiles), col(zc))
+          .sortWithinPartitions(zc).drop(zc)
+      case None =>
+        df.repartitionByRange(math.max(1, nFiles), col(keyField))
+          .sortWithinPartitions(keyField)
+    }
+    clustered.write.parquet(stage.toString)
     // an all-empty input writes no part files at all (empty partitions
     // produce nothing) — there is nothing to stat or move
     val wrotePart = {
@@ -1143,6 +1155,69 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * Returns the new version, or None on an empty store or a lost race.
     */
   def recluster(nFiles: Int): Option[Long] = reclusterHook(nFiles)(() => ())
+
+  /** OPTIMIZE ZORDER BY — recluster the table by the interleaved-bit
+    * Morton value of `(longCol, doubleCol)` ([[graft.ops.Layout]]'s
+    * deterministic equi-width binning), so every file's min/max box is
+    * tight in BOTH dimensions and [[readWhere]] prunes on either column.
+    * Both columns join the manifest's `statsCols` (later merges keep
+    * maintaining them).
+    *
+    * The trade is Delta's exactly: Z-clustered files carry WIDE key
+    * ranges, so key-based MERGE pruning degrades toward touching every
+    * file — Z-order a table whose read traffic is multi-dimensional
+    * range scans, not one absorbing heavy keyed-merge traffic (or re-run
+    * [[recluster]] to restore key clustering). Effective rows are read
+    * (sidecars fold), so the rewrite also clears all deletion-vector
+    * debt. MAINTENANCE commit: same (batchId, streamId), CAS-guarded —
+    * invisible to replay guards and to the streaming tail.
+    *
+    * `bits` bounds the binning resolution; [[graft.ops.Layout.binLong]]
+    * rejects ranges that would overflow (pre-scale epoch-nano-like
+    * columns first). `longCol` must be an integral/date/timestamp type,
+    * `doubleCol` numeric.
+    */
+  def reclusterZorder(longCol: String, doubleCol: String, nFiles: Int,
+                      bits: Int = 8): Option[Long] =
+    currentManifest.flatMap { m =>
+      import org.apache.spark.sql.types._
+      val schema = StructType.fromDDL(m.schemaDDL)
+      def dtOf(c: String) = schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType, DateType,
+        TimestampType, TimestampNTZType).contains(dtOf(longCol)),
+        s"zorder longCol '$longCol' must be integral/date/timestamp, " +
+          s"got ${dtOf(longCol).sql}")
+      require(dtOf(doubleCol).isInstanceOf[NumericType],
+        s"zorder doubleCol '$doubleCol' must be numeric, got ${dtOf(doubleCol).sql}")
+      val df = readFiles(m, m.files)
+      val r = df.agg(min(col(longCol).cast("long")), max(col(longCol).cast("long")),
+        min(col(doubleCol).cast("double")), max(col(doubleCol).cast("double"))).head()
+      if (r.isNullAt(0) || r.isNullAt(2)) None // empty or all-null dims
+      else {
+        val (loL, hiL, loD, hiD) =
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        val z = graft.ops.Layout.interleaveBits(
+          graft.ops.Layout.binLong("_zl", loL, hiL, bits),
+          graft.ops.Layout.binDouble(col(doubleCol).cast("double"), loD, hiD, bits),
+          bits)
+        val df2 = df.withColumn("_zl", col(longCol).cast("long"))
+          .withColumn("_z", z).drop("_zl")
+        val newStats = (m.statsCols ++ Seq(longCol, doubleCol)).distinct
+        val entries = writeDataFiles(df2, nFiles, newStats, clusterBy = Some("_z"))
+        val won = SnapshotStore.withCommitLock(root) {
+          current.exists(_._1 == m.version) && {
+            writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+              m.schemaDDL, entries, newStats)
+            true
+          }
+        }
+        if (!won) {
+          entries.foreach(e =>
+            Files.deleteIfExists(Paths.get(root, "files", e.name)))
+          None
+        } else Some(m.version + 1)
+      }
+    }
 
   /** [[recluster]] with the same interleave probe as
     * [[mergeOptimisticHook]] — `onDerived` fires between the rewrite and

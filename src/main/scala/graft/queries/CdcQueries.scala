@@ -405,6 +405,28 @@ object CdcQueries {
           .as("skip_effective"))
     }),
 
+    "cdc_manifest_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER BY ([[ManifestStore.reclusterZorder]]): recluster
+      // customer by the Morton value of (c_nationkey, c_acctbal). Key
+      // clustering scatters c_nationkey across every file (no pruning on
+      // it); the Z layout gives each file a tight box in BOTH dimensions,
+      // so a NON-key range read skips files. `zorder_skip` re-derives the
+      // engagement from SkipStats; rows must equal the exact BETWEEN.
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"manifest_z_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 16,
+          statsCols = Seq("c_nationkey", "c_acctbal"))
+        st.reclusterZorder("c_nationkey", "c_acctbal", nFiles = 16, bits = 6)
+      }
+      val (df, skip) = st.readWhere("c_nationkey", 3, 7).get
+      df.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        lit(skip.nSkipped > 0 && skip.nRead < skip.nFiles).as("zorder_skip"))
+    }),
+
     "cdc_manifest_delete_where" -> ((s, dir) => {
       // Predicate DELETE on deletion vectors ([[ManifestStore.deleteWhere]])
       // — the retention/GDPR erasure primitive: one effective scan, every
@@ -891,6 +913,12 @@ object CdcQueries {
          |SELECT after_c_custkey, after_c_name, after_c_nationkey,
          |       after_c_acctbal, after_c_mktsegment, "timestamp", TRUE
          |FROM latest WHERE operation <> 'd'""".stripMargin,
+
+    // Z-ordered layout's non-key range read must equal the exact BETWEEN
+    "cdc_manifest_zorder" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       TRUE AS zorder_skip
+        |FROM customer WHERE c_nationkey BETWEEN 3 AND 7""".stripMargin,
 
     // DV-masked predicate delete must read back as the exact complement
     "cdc_manifest_delete_where" ->

@@ -79,6 +79,40 @@ object GraftTable {
   private[spark] def opt(options: Map[String, String], k: String): Option[String] =
     options.collectFirst { case (ok, v) if ok.equalsIgnoreCase(k) => v }
 
+  /** v1 `Filter` -> `Column`, for routing SQL DELETE conditions into the
+    * store's predicate API. None = not expressible (caller must refuse,
+    * never approximate — an over-broad delete is data loss).
+    */
+  private[spark] def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    def lt(v: Any) = scala.util.Try(lit(v)).toOption
+    f match {
+      case EqualTo(a, v)            => lt(v).map(col(a) === _)
+      case EqualNullSafe(a, v)      => lt(v).map(col(a) <=> _)
+      case GreaterThan(a, v)        => lt(v).map(col(a) > _)
+      case GreaterThanOrEqual(a, v) => lt(v).map(col(a) >= _)
+      case LessThan(a, v)           => lt(v).map(col(a) < _)
+      case LessThanOrEqual(a, v)    => lt(v).map(col(a) <= _)
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(lt)
+        if (ls.forall(_.isDefined)) Some(col(a).isin(ls.flatten: _*)) else None
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c)                   => filterToColumn(c).map(!_)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case _: AlwaysTrue            => Some(lit(true))
+      case _: AlwaysFalse           => Some(lit(false))
+      case _                        => None
+    }
+  }
+
   /** (schema, keyField) of the store at `root` — at `versionAsOf` when the
     * time-travel option is set (Delta's spelling), else current. The key
     * comes from the manifest (recorded at write time); the `key` option
@@ -113,7 +147,8 @@ object GraftTable {
 
 final class GraftTable(val root: String, tableSchema: StructType,
                        options: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = tableSchema
@@ -128,6 +163,31 @@ final class GraftTable(val root: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, options ++ info.options().asScala.toMap)
+
+  /** SQL `DELETE FROM <graft table> WHERE ...` — Spark hands the condition
+    * over as v1 filters when every conjunct is expressible; the store then
+    * runs its deletion-vector [[graft.cdc.ManifestStore.deleteWhere]]:
+    * O(matches) sidecar writes under the optimistic commit protocol, zero
+    * data files rewritten. A condition with an inexpressible fragment
+    * fails analysis loudly (no silent fallback to a table rewrite).
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val key = GraftTable.resolve(root, options)._2
+    require(key.nonEmpty,
+      "graft DELETE needs the store's key column (write with a keyed " +
+        "commit, or pass option(\"key\", ...))")
+    val cond = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(s"unsupported DELETE filter: $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val st = new ManifestStore(root, spark, key)
+    val cur = st.currentManifest.getOrElse(throw new IllegalStateException(
+      s"no graft store at $root"))
+    st.deleteWhere(cond, batchId = cur.version + 1, streamId = "dsv2-delete")
+  }
 }
 
 /** V1-fallback write (`V1_BATCH_WRITE` — the same staging Delta shipped on

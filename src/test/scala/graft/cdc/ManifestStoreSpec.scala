@@ -674,4 +674,42 @@ class ManifestStoreSpec extends SparkSpec {
     assert(stats.rewrittenFiles == 1 && stats.newFiles == 0)
     assert(st.read().get.count() == 6L)
   }
+
+  test("reclusterZorder: 2-D pruning appears, content survives, maintenance commit") {
+    val st = store()
+    // dim is UNIFORM across the key space (i % 64): key-clustered files all
+    // span the full dim range, so a dim predicate prunes nothing before
+    // Z-ordering. value correlates with the key (i / 64).
+    val df = (0L until 4096L)
+      .map(i => (i, s"n$i", i % 64, (i / 64).toDouble))
+      .toDF("id", "name", "dim", "value")
+    st.commit(df, batchId = 0, nFiles = 16, statsCols = Seq("dim", "value"))
+    val pre = st.readWhere("dim", 10L, 15L).get._2
+    assert(pre.nSkipped == 0, s"dim should not prune pre-zorder: $pre")
+    val bidBefore = st.current.get._2
+
+    assert(st.reclusterZorder("dim", "value", nFiles = 16, bits = 6).isDefined)
+    val m = st.currentManifest.get
+    assert(st.current.get._2 == bidBefore, "zorder must be a maintenance commit")
+    assert(m.statsCols.toSet == Set("dim", "value"))
+
+    // both dimensions now prune; content is exactly the predicate's rows
+    val (dimDf, dimSkip) = st.readWhere("dim", 10L, 15L).get
+    assert(dimSkip.nSkipped > 0, s"dim skip after zorder: $dimSkip")
+    assert(dimDf.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 4096L).filter(i => (10L to 15L).contains(i % 64)).toSet)
+    val (_, valSkip) = st.readWhere("value", 0.0, 7.0).get
+    assert(valSkip.nSkipped > 0, s"value skip after zorder: $valSkip")
+    // full content identical
+    assert(st.read().get.count() == 4096L)
+
+    // keyed merge still correct on the Z-clustered layout (its pruning is
+    // the documented casualty, not its semantics)
+    val net = Seq((7L, "u", 7L, "zz", 7L, 0.0, 99L)).toDF(
+      Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+      "after_dim", "after_value", Changelog.TsCol)
+    st.merge(net, Seq("id", "name", "dim", "value"), batchId = 1)
+    assert(st.read().get.filter(col("id") === 7L)
+      .select("name").as[String].head() == "zz")
+  }
 }

@@ -242,6 +242,31 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scan.planInputPartitions().length == 2)
   }
 
+  test("SQL DELETE FROM masks rows via deletion vectors in place") {
+    val root = newRoot
+    spark.sql(s"CREATE TABLE graft_del (id BIGINT, name STRING) USING graft " +
+      s"OPTIONS (key 'id', files '4') LOCATION '$root'")
+    try {
+      spark.sql("INSERT INTO graft_del " +
+        "SELECT id, concat('n', id) FROM range(0, 400)")
+      val st = new ManifestStore(root, spark, "id")
+      val names0 = st.currentManifest.get.files.map(_.name).toSet
+      spark.sql("DELETE FROM graft_del WHERE id < 100 OR name = 'n399'")
+      assert(spark.table("graft_del").count() == 299L)
+      val m = st.currentManifest.get
+      // in place: no new data files; the fully-masked 0..99 file dropped,
+      // the file holding n399 gained a sidecar
+      assert(m.files.map(_.name).toSet.subsetOf(names0))
+      assert(m.files.exists(_.dv.isDefined))
+      assert(spark.read.format("graft").load(root).count() == 299L)
+      // inexpressible condition must refuse, not approximate
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft_del WHERE id % 2 = 0")
+      }
+      assert(e.getMessage.contains("DELETE") || e.getMessage.contains("delete"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_del")
+  }
+
   test("dynamic partition pruning reaches the scan through a real join") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
