@@ -670,6 +670,35 @@ final class ManifestStore(val root: String, spark: SparkSession,
     true
   }
 
+  /** DDL schema change (ALTER TABLE ADD COLUMN surface): commit
+    * version+1 with the SAME file list under an EXTENDED schema. The
+    * manifest schema is already the read-through superset for every data
+    * file (schema drift leaves old vintages narrow), so existing files
+    * simply yield nulls for the new columns — zero data I/O, one log
+    * entry. Additive only: every existing column must survive with its
+    * type unchanged (widening flows through merge's drift path, drops and
+    * renames are rejected — a manifest rewrite cannot retype bytes already
+    * on disk).
+    */
+  def evolveSchema(newSchema: StructType, streamId: String = "ddl"): Long =
+    SnapshotStore.withCommitLock(root) {
+      val m = currentManifest.getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to evolve"))
+      val old = StructType.fromDDL(m.schemaDDL)
+      old.fields.foreach { f =>
+        val nf = newSchema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution is additive: column ${f.name} is missing " +
+              "from the new schema"))
+        require(nf.dataType == f.dataType,
+          s"schema evolution is additive: column ${f.name} changes type " +
+            s"${f.dataType.sql} -> ${nf.dataType.sql}")
+      }
+      writeManifestAndSwap(m.version + 1, m.batchId, streamId,
+        newSchema.toDDL, m.files, m.statsCols)
+      m.version + 1
+    }
+
   /** Stats-pruned MERGE: apply a net changelog (shape of
     * [[Changelog.dedupLatest]]) rewriting ONLY the files whose key range
     * intersects the batch's key set. Untouched files join the new manifest

@@ -116,9 +116,37 @@ object DsvQueries {
         s.table(tbl).select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           lit(afterSnapshot == expectedFirst).as("dsv2_tailed"))
       } finally q.stop()
-    }))
+    }),
+
+    "dsv2_catalog_sql" -> catalogSql)
+
+  /** Idempotent pure-SQL lifecycle through the named catalog
+    * ([[graft.spark.GraftCatalog]]): DDL + INSERT (keyed upsert — a replay
+    * re-merges to the same state) + deletion-vector DELETE + SELECT. The
+    * catalog name/warehouse are session conf; re-setting the same values
+    * is a no-op, so the query is re-runnable within a bench session.
+    */
+  private def catalogSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("cat_wh", dir)
+    s.conf.set("spark.sql.catalog.gsql", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+    s.sql("CREATE TABLE IF NOT EXISTS gsql.db.cust (" +
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
+      "c_mktsegment STRING) TBLPROPERTIES ('key'='c_custkey')")
+    s.sql("INSERT INTO gsql.db.cust " +
+      s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM parquet.`$dir/customer.parquet`")
+    s.sql("DELETE FROM gsql.db.cust WHERE c_mktsegment = 'MACHINERY'")
+    s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.cust")
+  }
 
   val oracles: Map[String, String] = Map(
+    // the catalog's CREATE/INSERT/DELETE/SELECT lifecycle must land on the
+    // relational answer: everything but the deleted segment
+    "dsv2_catalog_sql" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'MACHINERY'""".stripMargin,
     // pushed-down pruned range read must equal the exact BETWEEN
     "dsv2_read_pruned" ->
       """WITH b AS (SELECT max(c_custkey) AS mk FROM customer)

@@ -1,0 +1,402 @@
+package graft.spark
+
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** `spark.sql.catalog.<name> = graft.spark.GraftCatalog` — the manifest
+  * store surfaced as a NAMED CATALOG, the way Delta/Iceberg tables live in
+  * a metastore rather than at paths. A warehouse directory holds
+  * namespaces as directories and tables as store roots (a directory with a
+  * `_CURRENT` swap file is a table; anything else is a namespace):
+  *
+  *   CREATE NAMESPACE graft.db;
+  *   CREATE TABLE graft.db.t (id BIGINT, v STRING)
+  *     TBLPROPERTIES ('key'='id', 'statscols'='v');
+  *   INSERT INTO graft.db.t VALUES ...;        -- keyed upsert (connector)
+  *   SELECT * FROM graft.db.t VERSION AS OF 3; -- time travel
+  *   DELETE FROM graft.db.t WHERE ...;         -- deletion vectors
+  *   ALTER TABLE graft.db.t ADD COLUMN extra DOUBLE;
+  *   CALL graft.system.optimize(table => 'db.t', target_files => 8);
+  *
+  * `loadTable` hands back the SAME [[GraftTable]] the path-based
+  * `format("graft")` reader uses, so every capability there — planning-time
+  * zone-map pruning, per-file deletion-vector masking, runtime DPP
+  * filtering, the V1-fallback upsert write, SQL DELETE — carries over to
+  * catalog-resolved tables unchanged. Catalog metadata IS the filesystem
+  * (no side database): `listTables` is a directory listing, existence is
+  * the `_CURRENT` file, and concurrent DDL resolves exactly like the
+  * store's own commit protocol. At 100 TB nothing here scales with data —
+  * every operation touches manifests, not files.
+  *
+  * Ref provenance: the reference registers its Delta outputs in the
+  * session metastore via `saveAsTable`-style paths (ref:
+  * spark_client/src/cdc_stream.py:616-671); this catalog is the
+  * first-class equivalent for the graft store.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    warehouse = Paths.get(GraftDataSource.normalize(w))
+    Files.createDirectories(warehouse.resolve("default"))
+  }
+
+  override def name(): String = catName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def dirFor(ns: Seq[String]): Path =
+    ns.foldLeft(warehouse)(_.resolve(_))
+  private def tableDir(ident: Identifier): Path =
+    dirFor(ident.namespace().toSeq).resolve(ident.name())
+  private def isTable(p: Path): Boolean =
+    Files.exists(p.resolve("_CURRENT"))
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirFor(namespace.toSeq)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = loadWith(ident, Map.empty)
+
+  /** SQL `VERSION AS OF <v>` — Spark hands the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadWith(ident, Map("versionAsOf" -> version))
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): latest version whose
+    * commit time is at or before the asked instant — Delta's resolution
+    * rule. O(log entries) driver metadata walk.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = existingRoot(ident)
+    val st = new ManifestStore(root, SparkSession.active, "")
+    val cur = st.currentManifest.getOrElse(throw new NoSuchTableException(ident))
+    val tsMillis = timestampMicros / 1000L
+    val v = (0L to cur.version).reverse
+      .flatMap(st.manifest(_))
+      .find(_.tsMillis <= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $catName.${ident.namespace().mkString(".")}." +
+          s"${ident.name()} at or before timestamp $tsMillis ms"))
+      .version
+    loadWith(ident, Map("versionAsOf" -> v.toString))
+  }
+
+  private def existingRoot(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
+  private def loadWith(ident: Identifier, options: Map[String, String]): Table = {
+    val root = existingRoot(ident)
+    // catalog tables surface the store's `last_ts` version column as a
+    // METADATA column (see GraftTable.hiddenTs): SQL INSERT/SELECT * see
+    // the user's schema, `SELECT last_ts` still answers
+    val opts = options + ("hidelastts" -> "true")
+    val (schema, _) = GraftTable.resolve(root, opts)
+    new GraftTable(root, schema, opts)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster by their key column; PARTITIONED BY is not " +
+        "supported — pass TBLPROPERTIES ('key'='<column>')")
+    val props = properties.asScala
+    val key = props.collectFirst { case (k, v) if k.equalsIgnoreCase("key") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft CREATE TABLE needs TBLPROPERTIES ('key'='<key column>')"))
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val statsCols = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("statscols") => v
+    }.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"statscols column '$c' is not in the table schema"))
+    val nsDir = dirFor(ident.namespace().toSeq)
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(ident.namespace())
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val st = new ManifestStore(dir.toString, spark, key)
+    st.commit(empty, batchId = 0L, nFiles = 1, streamId = "catalog-ddl",
+      statsCols = statsCols)
+    loadTable(ident)
+  }
+
+  /** ADD COLUMN is a one-log-entry metadata commit
+    * ([[graft.cdc.ManifestStore.evolveSchema]]); everything else a
+    * manifest rewrite cannot express over immutable shared files is
+    * rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = existingRoot(ident)
+    val spark = SparkSession.active
+    // carry the store's recorded key into the new manifest the evolve
+    // commit writes — a store handle with an empty key would wipe it
+    val st = new ManifestStore(root, spark, GraftTable.resolve(root, Map.empty)._2)
+    val cur = st.currentManifest.getOrElse(throw new NoSuchTableException(ident))
+    var schema = StructType.fromDDL(cur.schemaDDL)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft ALTER TABLE supports top-level ADD COLUMN only, got " +
+            add.fieldNames().mkString("."))
+        schema = StructType(schema.fields :+
+          StructField(add.fieldNames().head, add.dataType(), add.isNullable))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft ALTER TABLE does not support $other — data files are " +
+            "immutable and shared across versions; only additive ADD " +
+            "COLUMN is a metadata-only change")
+    }
+    st.evolveSchema(schema)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val toNs = dirFor(newIdent.namespace().toSeq)
+    if (!Files.isDirectory(toNs)) throw new NoSuchNamespaceException(newIdent.namespace())
+    val to = toNs.resolve(newIdent.name())
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(from, to)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(warehouse)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  /** Namespaces are single-level (directories under the warehouse). */
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = dirFor(namespace.toSeq)
+    namespace.length == 1 && Files.isDirectory(d) && !isTable(d)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace))
+      Map(SupportsNamespaces.PROP_LOCATION ->
+        dirFor(namespace.toSeq).toString).asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    Files.createDirectories(dirFor(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    deleteRecursively(dirFor(namespace.toSeq))
+    true
+  }
+
+  // ------------------------------------------------------------ procedures
+
+  /** `CALL graft.system.<proc>(...)` — table maintenance as SQL, the
+    * operational surface Delta exposes as `OPTIMIZE`/`VACUUM`/`DESCRIBE
+    * HISTORY` statements and Iceberg as stored procedures. Each runs the
+    * store's existing driver-side maintenance API and returns its stats as
+    * a one-row (or per-version) result via a local scan — O(manifest)
+    * metadata work, never a data scan.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ns = ident.namespace().toSeq
+    require(ns == Seq("system"),
+      s"unknown procedure namespace ${ns.mkString(".")} (expected: system)")
+    GraftProcedures.byName.getOrElse(ident.name().toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()} " +
+          s"(expected one of ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")})"))
+      .apply(this)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.byName.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  /** Resolve a procedure's `table` argument ('tbl' | 'ns.tbl') to a store
+    * rooted under this catalog's warehouse.
+    */
+  private[spark] def storeFor(table: String): ManifestStore = {
+    val parts = table.split('.')
+    val ident = parts match {
+      case Array(t)     => Identifier.of(Array("default"), t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be 'tbl' or 'ns.tbl', got '$table'")
+    }
+    val root = existingRoot(ident)
+    val key = GraftTable.resolve(root, Map.empty)._2
+    new ManifestStore(root, SparkSession.active, key)
+  }
+}
+
+/** The procedure registry: each entry binds a [[GraftCatalog]] to an
+  * [[UnboundProcedure]]. Kept as plain classes (no reflection) so the
+  * whole surface is greppable.
+  */
+private[spark] object GraftProcedures {
+  val byName: Map[String, GraftCatalog => UnboundProcedure] = Map(
+    "optimize" -> (c => new OptimizeProcedure(c)),
+    "vacuum"   -> (c => new VacuumProcedure(c)),
+    "history"  -> (c => new HistoryProcedure(c)))
+
+  private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One-scan result: the bound procedure's rows, driver-local. */
+  final case class ResultScan(schema: StructType, data: Array[InternalRow])
+    extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = schema
+  }
+
+  abstract class GraftProcedure(catalog: GraftCatalog, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def in(n: String, dt: DataType): ProcedureParameter =
+      ProcedureParameter.in(n, dt).build()
+    protected def inDefault(n: String, dt: DataType, dflt: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).defaultValue(dflt).build()
+    protected def store(input: InternalRow): ManifestStore =
+      catalog.storeFor(input.getUTF8String(0).toString)
+    protected def one(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](ResultScan(schema,
+        Array(new GenericInternalRow(values.toArray)))).iterator()
+  }
+
+  /** `CALL graft.system.optimize(table => 'ns.t', target_files => 8)` —
+    * the store's partial OPTIMIZE: bin-packs small/overlapping files and
+    * folds deletion-vector debt, carrying everything else by reference.
+    */
+  final class OptimizeProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "optimize") {
+    override def description(): String =
+      "compact small/overlapping files and fold deletion vectors"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), inDefault("target_files", IntegerType, "8"))
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType), StructField("compacted_files", IntegerType),
+      StructField("carried_files", IntegerType), StructField("new_files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      store(input).optimize(targetFiles = input.getInt(1)) match {
+        case Some(st) =>
+          one(outSchema, st.version, st.compactedFiles, st.carriedFiles, st.newFiles)
+        case None => one(outSchema, -1L, 0, 0, 0) // empty store or lost race
+      }
+  }
+
+  /** `CALL graft.system.vacuum(table => 'ns.t', keep_last => 2)` —
+    * reclaim files unreferenced by the retained versions.
+    */
+  final class VacuumProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "vacuum") {
+    override def description(): String =
+      "delete files unreferenced by the last keep_last versions"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), inDefault("keep_last", IntegerType, "2"),
+      inDefault("min_age_ms", LongType, "0"))
+    private val outSchema = StructType(Seq(
+      StructField("deleted_files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(outSchema,
+        store(input).vacuum(input.getInt(1), input.getLong(2)).size)
+  }
+
+  /** `CALL graft.system.history(table => 'ns.t')` — DESCRIBE HISTORY: one
+    * row per retained version, newest first.
+    */
+  final class HistoryProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "history") {
+    override def description(): String = "per-version commit history"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType), StructField("batch_id", LongType),
+      StructField("stream_id", StringType), StructField("ts_millis", LongType),
+      StructField("n_files", IntegerType), StructField("live_rows", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val cur = st.currentManifest.toSeq
+      val rows = cur.flatMap(c => (0L to c.version).reverse.flatMap(st.manifest(_)))
+        .map(m => new GenericInternalRow(Array[Any](
+          m.version, m.batchId, utf8(m.streamId), m.tsMillis,
+          m.files.size, m.files.map(_.liveRows).sum)): InternalRow)
+      java.util.List.of[Scan](
+        ResultScan(outSchema, rows.toArray)).iterator()
+    }
+  }
+}

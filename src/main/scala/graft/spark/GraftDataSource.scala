@@ -148,10 +148,37 @@ object GraftTable {
 final class GraftTable(val root: String, tableSchema: StructType,
                        options: Map[String, String])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Catalog-resolved tables (option set by [[GraftCatalog]]) surface the
+    * store's `last_ts` CDC-version bookkeeping column as a METADATA column
+    * (queryable by name, like `_metadata` on file tables) instead of a
+    * data column: `SELECT *` and INSERT arity see only the user's schema,
+    * while `SELECT last_ts, ...` still answers. Path-based `format
+    * ("graft")` reads keep the raw store schema — CDC tooling reads the
+    * version column as data.
+    */
+  private val hiddenTs: Boolean =
+    GraftTable.opt(options, "hidelastts").contains("true") &&
+      tableSchema.fieldNames.contains(graft.cdc.Merge.LastTsCol)
 
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType =
+    if (hiddenTs)
+      StructType(tableSchema.filterNot(_.name == graft.cdc.Merge.LastTsCol))
+    else tableSchema
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (!hiddenTs) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = graft.cdc.Merge.LastTsCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        tableSchema(graft.cdc.Merge.LastTsCol).dataType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "store-maintained CDC row version (merge timestamp guard)"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,

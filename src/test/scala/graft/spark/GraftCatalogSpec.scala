@@ -1,0 +1,153 @@
+package graft.spark
+
+import graft.SparkSpec
+import org.apache.spark.sql.AnalysisException
+
+/** The catalog surface end-to-end through real SQL: DDL, DML, time travel,
+  * maintenance procedures — everything a user of a metastore-registered
+  * Delta table does, against `spark.sql.catalog.gct = GraftCatalog`.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_wh_").toString
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.gct", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gct.warehouse", warehouse)
+  }
+
+  private def sql(q: String) = { cat; spark.sql(q) }
+
+  test("namespace DDL: create, list, drop") {
+    sql("CREATE NAMESPACE gct.nsl")
+    val shown = sql("SHOW NAMESPACES IN gct").collect().map(_.getString(0))
+    assert(shown.contains("nsl") && shown.contains("default"))
+    sql("DROP NAMESPACE gct.nsl")
+    assert(!sql("SHOW NAMESPACES IN gct").collect().map(_.getString(0)).contains("nsl"))
+  }
+
+  test("create table, insert, select, upsert on key") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.t (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    assert(sql("SELECT * FROM gct.db.t").count() === 0)
+    sql("INSERT INTO gct.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(sql("SELECT * FROM gct.db.t").count() === 3)
+    // INSERT on an existing key is a keyed UPSERT, not a duplicate append
+    sql("INSERT INTO gct.db.t VALUES (2, 'B')")
+    val rows = sql("SELECT v FROM gct.db.t WHERE id = 2").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("B"))
+    assert(sql("SELECT * FROM gct.db.t").count() === 3)
+    val tables = sql("SHOW TABLES IN gct.db").collect().map(_.getString(1))
+    assert(tables.contains("t"))
+  }
+
+  test("DELETE FROM via deletion vectors; VERSION AS OF sees the past") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.del (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.del VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    sql("DELETE FROM gct.db.del WHERE v >= 'c'")
+    assert(sql("SELECT id FROM gct.db.del ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // version 1 (post-insert, pre-delete) still shows all four
+    assert(sql("SELECT * FROM gct.db.del VERSION AS OF 1").count() === 4)
+    // a future TIMESTAMP AS OF resolves to the current version
+    assert(sql("SELECT * FROM gct.db.del TIMESTAMP AS OF '2030-01-01'").count() === 2)
+    val err = intercept[Exception] {
+      sql("SELECT * FROM gct.db.del TIMESTAMP AS OF '2000-01-01'").collect()
+    }
+    assert(err.getMessage.contains("no version"))
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only; old rows read null") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.ev (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.ev VALUES (1, 'a')")
+    val filesBefore = storeFiles("db/ev")
+    sql("ALTER TABLE gct.db.ev ADD COLUMN score DOUBLE")
+    assert(storeFiles("db/ev") === filesBefore, "ADD COLUMN must not touch data files")
+    val r = sql("SELECT id, v, score FROM gct.db.ev").collect()
+    assert(r.length === 1 && r.head.isNullAt(2))
+    sql("INSERT INTO gct.db.ev VALUES (2, 'b', 0.5)")
+    assert(sql("SELECT score FROM gct.db.ev WHERE id = 2").collect()
+      .head.getDouble(0) === 0.5)
+    // non-additive changes are rejected loudly
+    val err = intercept[Exception] {
+      sql("ALTER TABLE gct.db.ev DROP COLUMN v")
+    }
+    assert(err.getMessage.toLowerCase.contains("does not support"))
+  }
+
+  test("rename and drop table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.r1 (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.r1 VALUES (1, 'a')")
+    sql("ALTER TABLE gct.db.r1 RENAME TO db.r2")
+    assert(sql("SELECT * FROM gct.db.r2").count() === 1)
+    assert(intercept[AnalysisException](
+      sql("SELECT * FROM gct.db.r1").collect()) != null)
+    sql("DROP TABLE gct.db.r2")
+    assert(!sql("SHOW TABLES IN gct.db").collect().map(_.getString(1)).contains("r2"))
+  }
+
+  test("CREATE TABLE validation: key property and PARTITIONED BY") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    val e1 = intercept[Exception](
+      sql("CREATE TABLE gct.db.nokey (id BIGINT, v STRING)"))
+    assert(e1.getMessage.contains("key"))
+    val e2 = intercept[Exception](sql(
+      "CREATE TABLE gct.db.part (id BIGINT, v STRING) PARTITIONED BY (v) " +
+        "TBLPROPERTIES ('key'='id')"))
+    assert(e2.getMessage.toLowerCase.contains("partitioned by"))
+  }
+
+  test("CALL graft.system procedures: history, optimize, vacuum") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.m (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    // disjoint key ranges: each merge reuses every existing file and
+    // appends a new one — a small-file pileup for optimize to repay
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO gct.db.m SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val hist = sql("CALL gct.system.history(table => 'db.m')").collect()
+    assert(hist.length === 5) // create + 4 inserts — newest first
+    assert(hist.head.getLong(0) === 4L && hist.last.getLong(0) === 0L)
+    assert(hist.head.getLong(5) === 4000L) // live rows
+    assert(storeFiles("db/m") === 4)
+    val opt = sql("CALL gct.system.optimize(table => 'db.m', target_files => 1)")
+      .collect()
+    assert(opt.length === 1 && opt.head.getLong(0) === 5L)
+    assert(opt.head.getInt(1) === 4, "all four small files compacted")
+    val vac = sql("CALL gct.system.vacuum(table => 'db.m', keep_last => 1)")
+      .collect()
+    assert(vac.length === 1 && vac.head.getInt(0) >= 4)
+    // table still answers after maintenance
+    assert(sql("SELECT count(*) FROM gct.db.m").collect().head.getLong(0) === 4000L)
+  }
+
+  test("predicate pushdown prunes catalog-resolved scans at planning time") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.p (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO gct.db.p SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    assert(storeFiles("db/p") === 4)
+    val df = sql("SELECT * FROM gct.db.p WHERE id BETWEEN 2100 AND 2110")
+    assert(df.count() === 11)
+    // zone-map pruning planned only the one file whose range intersects
+    val parts = df.rdd.getNumPartitions
+    assert(parts === 1, s"planned $parts partitions over 4 files")
+  }
+
+  private def storeFiles(rel: String): Int = {
+    val d = java.nio.file.Paths.get(warehouse, rel, "files")
+    if (!java.nio.file.Files.isDirectory(d)) 0
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+}
