@@ -118,7 +118,48 @@ object DsvQueries {
       } finally q.stop()
     }),
 
-    "dsv2_catalog_sql" -> catalogSql)
+    "dsv2_catalog_sql" -> catalogSql,
+    "dsv2_sql_dml" -> catalogDml,
+    "dsv2_stream_sink" -> streamSink)
+
+  /** The native exactly-once streaming sink
+    * ([[graft.spark.GraftStreamingWrite]]): two single-file epochs (evens
+    * then odds of the customer table) land as snapshot + merge; the gate
+    * pins that at least two epochs committed (store batchId >= 1). Re-runs
+    * stream under a fresh checkpoint lineage and upsert the same rows —
+    * the final state is the full table either way.
+    */
+  private def streamSink(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val in = scratch("sink_in", dir)
+    val root = scratch("sink_store", dir)
+    val cust = customer(s, dir)
+    if (!Files.isDirectory(Paths.get(in))) {
+      def half(tag: String, parity: Int): Unit = {
+        val tmp = s"${in}_tmp_$tag"
+        cust.filter(col("c_custkey") % 2 === parity)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(in))
+        Files.move(part, Paths.get(in, s"$tag.parquet"))
+      }
+      half("a", 0); half("b", 1)
+    }
+    val q = s.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.format("graft")
+      .option("key", "c_custkey")
+      .option("checkpointLocation",
+        Files.createTempDirectory("dsv2sinkck").toString)
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    val st = new ManifestStore(root, s, "c_custkey")
+    val twoEpochs = st.current.exists(_._2 >= 1)
+    s.read.format("graft").load(root)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(twoEpochs).as("dsv2_two_epochs"))
+  }
 
   /** Idempotent pure-SQL lifecycle through the named catalog
     * ([[graft.spark.GraftCatalog]]): DDL + INSERT (keyed upsert — a replay
@@ -141,7 +182,60 @@ object DsvQueries {
     s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.cust")
   }
 
+  /** Idempotent SQL DML through the row-level rewrite
+    * ([[graft.spark.GraftRowOperation]]): subquery DELETE (delta path, not
+    * metadata delete), UPDATE to an absolute value, and a MERGE whose
+    * insert arm writes rows its re-run's matched arm re-asserts — every
+    * statement is a deterministic function of the base table, so replays
+    * converge to the same state.
+    */
+  private def catalogDml(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("cat_wh", dir)
+    s.conf.set("spark.sql.catalog.gsql", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+    s.sql("CREATE TABLE IF NOT EXISTS gsql.db.dml (" +
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
+      "c_mktsegment STRING) TBLPROPERTIES ('key'='c_custkey')")
+    s.sql("INSERT INTO gsql.db.dml " +
+      s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM parquet.`$dir/customer.parquet`")
+    s.sql("DELETE FROM gsql.db.dml WHERE c_custkey IN " +
+      s"(SELECT c_custkey FROM parquet.`$dir/customer.parquet` " +
+      "WHERE c_mktsegment = 'MACHINERY')")
+    s.sql("UPDATE gsql.db.dml SET c_acctbal = CAST(0.0 AS DOUBLE) " +
+      "WHERE c_mktsegment = 'BUILDING'")
+    s.sql("MERGE INTO gsql.db.dml AS t USING (" +
+      s"  SELECT c_custkey + (SELECT max(c_custkey) " +
+      s"    FROM parquet.`$dir/customer.parquet`) AS k, c_name " +
+      s"  FROM parquet.`$dir/customer.parquet` " +
+      s"  WHERE c_custkey % 10 = 0 AND c_custkey > 0" +
+      ") AS src ON t.c_custkey = src.k " +
+      "WHEN MATCHED THEN UPDATE SET c_name = src.c_name, " +
+      "  c_acctbal = CAST(-1.0 AS DOUBLE), c_mktsegment = 'NEW' " +
+      "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal, " +
+      "  c_mktsegment) VALUES (src.k, src.c_name, CAST(-1.0 AS DOUBLE), 'NEW')")
+    s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.dml")
+  }
+
   val oracles: Map[String, String] = Map(
+    // the full DML lifecycle: machinery deleted, building zeroed, every
+    // 10th key mirrored past max(key) as a 'NEW' row
+    "dsv2_sql_dml" ->
+      """WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer),
+        |kept AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_mktsegment <> 'MACHINERY'),
+        |ins AS (
+        |  SELECT c.c_custkey + m.mk AS c_custkey, c.c_name,
+        |         -1.0 AS c_acctbal, 'NEW' AS c_mktsegment
+        |  FROM customer c, maxk m
+        |  WHERE c.c_custkey % 10 = 0 AND c.c_custkey > 0)
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin,
+
     // the catalog's CREATE/INSERT/DELETE/SELECT lifecycle must land on the
     // relational answer: everything but the deleted segment
     "dsv2_catalog_sql" ->
@@ -174,5 +268,11 @@ object DsvQueries {
     // snapshot + appends-tail must reassemble the full table
     "dsv2_stream_tail" ->
       """SELECT c_custkey, c_name, c_acctbal, TRUE AS dsv2_tailed
+        |FROM customer""".stripMargin,
+
+    // the streaming sink's two epochs (evens, odds) must reassemble the
+    // full table with at least two committed epochs
+    "dsv2_stream_sink" ->
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS dsv2_two_epochs
         |FROM customer""".stripMargin)
 }

@@ -149,7 +149,8 @@ final class GraftTable(val root: String, tableSchema: StructType,
                        options: Map[String, String])
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** Catalog-resolved tables (option set by [[GraftCatalog]]) surface the
     * store's `last_ts` CDC-version bookkeeping column as a METADATA column
@@ -159,15 +160,32 @@ final class GraftTable(val root: String, tableSchema: StructType,
     * ("graft")` reads keep the raw store schema — CDC tooling reads the
     * version column as data.
     */
+  private val catalogMode: Boolean =
+    GraftTable.opt(options, "hidelastts").contains("true")
   private val hiddenTs: Boolean =
-    GraftTable.opt(options, "hidelastts").contains("true") &&
-      tableSchema.fieldNames.contains(graft.cdc.Merge.LastTsCol)
+    catalogMode && tableSchema.fieldNames.contains(graft.cdc.Merge.LastTsCol)
+
+  /** A keyed table reports its KEY column NON-NULLABLE: the key is the
+    * row identity every merge joins on, [[graft.cdc.Changelog.dedupLatest]]
+    * drops null-key events before they can reach a store, and Spark's
+    * row-level rewrite (UPDATE/MERGE/DELETE) refuses a nullable row id at
+    * analysis time — which would veto even the metadata-delete fast path.
+    */
+  private lazy val effSchema: StructType = {
+    // a CREATE TABLE ... USING graft handle exists before its store does:
+    // fall back to the key OPTION until the first commit writes a manifest
+    val key = scala.util.Try(GraftTable.resolve(root, options)._2)
+      .getOrElse(GraftTable.opt(options, "key").getOrElse(""))
+    if (key.isEmpty) tableSchema
+    else StructType(tableSchema.map(f =>
+      if (f.name == key) f.copy(nullable = false) else f))
+  }
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
     if (hiddenTs)
-      StructType(tableSchema.filterNot(_.name == graft.cdc.Merge.LastTsCol))
-    else tableSchema
+      StructType(effSchema.filterNot(_.name == graft.cdc.Merge.LastTsCol))
+    else effSchema
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (!hiddenTs) Array.empty
@@ -182,14 +200,30 @@ final class GraftTable(val root: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableSchema,
+    new GraftScanBuilder(root, effSchema,
       options ++ caseInsensitive.asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, options ++ info.options().asScala.toMap)
+    new GraftWriteBuilder(root, options ++ info.options().asScala.toMap, info)
+
+  /** SQL `UPDATE` / `MERGE INTO` / subquery `DELETE` — Spark's delta-based
+    * row-level rewrite (see [[GraftRowOperation]]): the target scan joins
+    * the condition/source, executors stage per-row verdicts as a changelog,
+    * and the commit applies it through the store's pruned optimistic merge.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val key = GraftTable.resolve(root, options)._2
+    require(key.nonEmpty,
+      "graft row-level SQL (UPDATE/MERGE/DELETE) needs the store's key " +
+        "column (write with a keyed commit, or pass option(\"key\", ...))")
+    new GraftRowOperationBuilder(root, effSchema, options, key, info.command())
+  }
 
   /** SQL `DELETE FROM <graft table> WHERE ...` — Spark hands the condition
     * over as v1 filters when every conjunct is expressible; the store then
@@ -228,7 +262,8 @@ final class GraftTable(val root: String, tableSchema: StructType,
   * pre-overwrite version still works. Writing to a path with no store yet
   * creates it (the `key` option names the key column).
   */
-final class GraftWriteBuilder(root: String, options: Map[String, String])
+final class GraftWriteBuilder(root: String, options: Map[String, String],
+                              info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -239,6 +274,11 @@ final class GraftWriteBuilder(root: String, options: Map[String, String])
         override def insert(data: DataFrame, ignored: Boolean): Unit =
           GraftWriteBuilder.run(root, options, data, overwrite)
       }
+    // writeStream.format("graft") — see GraftStreamingWrite: staged
+    // epochs + the store's (epochId, queryId) replay guard = exactly-once
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(root, options, info.schema(), info.queryId(),
+        overwrite)
   }
 }
 
@@ -273,8 +313,14 @@ object GraftWriteBuilder {
           col(key).cast("string").as(Changelog.KeyCol) +:
             lit("u").as(Changelog.OpCol) +: ts.as(Changelog.TsCol) +:
             fields.map(f => col(f).as(s"after_$f")): _*))
+        // fresh lineage per statement: a fixed streamId would let the
+        // replay guard swallow one of two concurrent appends (see the
+        // row-level commit's note); re-running the same INSERT is an
+        // idempotent upsert, so exactly-once replay protection is not
+        // wanted here
         store.mergeOptimistic(net, fields, batchId = m.version + 1,
-          streamId = "dsv2", tsGuard = false) match {
+          streamId = s"dsv2-${java.util.UUID.randomUUID()}",
+          tsGuard = false) match {
           case ManifestStore.MergeConflict(v, reason) =>
             throw new IllegalStateException(
               s"graft append lost the optimistic-commit race at version $v: $reason")

@@ -1,0 +1,161 @@
+package graft.spark
+
+import graft.cdc.{Changelog, ManifestStore, Merge}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ParquetWriteBridge
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.{Files, Paths}
+
+/** `df.writeStream.format("graft").start(root)` — the manifest store as a
+  * NATIVE exactly-once streaming sink, closing the loop the reference
+  * leaves to `foreachBatch` + driver code (ref: spark_client/src/
+  * cdc_stream.py:640-671):
+  *
+  *   - Each epoch's rows are staged by the EXECUTORS as parquet under the
+  *     table root ([[ParquetWriteBridge]] — the same machinery as the
+  *     row-level SQL write), so the driver never holds data.
+  *   - `commit(epochId, …)` turns the staged epoch into a net changelog
+  *     and applies it through the store's pruned optimistic MERGE with
+  *     `batchId = epochId, streamId = <checkpointed query id>` — the
+  *     store's replay guard then makes a crash-replayed epoch a PURE
+  *     NO-OP: exactly-once end to end, from the sink's own contract, with
+  *     no foreachBatch user code.
+  *   - Append and Update output modes are both keyed UPSERTS (the table is
+  *     keyed); Complete mode re-commits the full result per epoch
+  *     (`truncate()` on the write builder).
+  *
+  * A `last_ts` column in the stream, when present, is the CDC ordering
+  * timestamp (same contract as the batch append); otherwise rows stamp the
+  * epoch id, which is monotone per query.
+  */
+final class GraftStreamingWrite(root: String, options: Map[String, String],
+                                schema: StructType, queryId: String,
+                                overwrite: Boolean)
+  extends StreamingWrite {
+
+  private def spark = SparkSession.active
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(root))
+    GraftStreamWriterFactory(s"$root/_stream_stage_$queryId",
+      ParquetWriteBridge.taskWriters(spark, schema))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftDeltaCommitMessage(path) if path.nonEmpty => path
+    }
+    val epochDir = Paths.get(s"$root/_stream_stage_$queryId/epoch-$epochId")
+    try {
+      val keyOpt = GraftTable.opt(options, "key")
+      val probe = new ManifestStore(root, spark,
+        keyOpt.getOrElse(""))
+      val existing = probe.currentManifest
+      val key = existing.map(_.keyField).filter(_.nonEmpty)
+        .orElse(keyOpt).getOrElse(throw new IllegalArgumentException(
+          "graft streaming sink to a new store needs option(\"key\", ...)"))
+      val st = new ManifestStore(root, spark, key)
+      // replay guard: a re-delivered epoch after a crash-in-commit is a
+      // no-op (same streamId lineage, batchId already applied)
+      val applied = st.current.exists(c => c._3 == queryId && c._2 >= epochId)
+      if (applied) return
+      if (files.isEmpty && existing.isDefined && !overwrite) return
+      val staged =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      val nFiles = GraftTable.opt(options, "files").map(_.toInt).getOrElse(16)
+      existing match {
+        case None =>
+          st.commit(staged, batchId = epochId, nFiles = nFiles,
+            streamId = queryId,
+            statsCols = GraftTable.opt(options, "statscols").toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+          ()
+        case Some(m) if overwrite => // Complete mode: epoch = full result
+          st.commit(staged, batchId = epochId, nFiles = nFiles,
+            streamId = queryId, statsCols = m.statsCols)
+          ()
+        case Some(m) =>
+          val fields = staged.columns.filterNot(_ == Merge.LastTsCol).toSeq
+          val ts = if (staged.columns.contains(Merge.LastTsCol))
+            coalesce(col(Merge.LastTsCol), lit(epochId)) else lit(epochId)
+          val net = Changelog.dedupLatest(staged.select(
+            col(key).cast("string").as(Changelog.KeyCol) +:
+              lit("u").as(Changelog.OpCol) +: ts.as(Changelog.TsCol) +:
+              fields.map(f => col(f).as(s"after_$f")): _*))
+          st.mergeOptimistic(net, fields, batchId = epochId,
+            streamId = queryId, tsGuard = false) match {
+            case ManifestStore.MergeConflict(v, reason) =>
+              throw new IllegalStateException(
+                s"graft streaming sink lost the commit race at version $v: " +
+                  reason)
+            case _ => ()
+          }
+      }
+    } finally deleteDir(epochDir)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteDir(Paths.get(s"$root/_stream_stage_$queryId/epoch-$epochId"))
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(f => { Files.deleteIfExists(f); () }) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+}
+
+/** Epoch-partitioned staging: `<root>/_stream_stage_<queryId>/epoch-<n>/
+  * part-<partition>-<task>.parquet`. One file per non-empty task.
+  */
+final case class GraftStreamWriterFactory(stageRoot: String,
+                                          writers: ParquetWriteBridge.TaskWriters)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamTaskWriter(s"$stageRoot/epoch-$epochId", writers,
+      partitionId, taskId)
+}
+
+final class GraftStreamTaskWriter(epochDir: String,
+                                  writers: ParquetWriteBridge.TaskWriters,
+                                  partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private var out: ParquetWriteBridge.RowFileWriter = _
+  private var path: String = ""
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(Paths.get(epochDir))
+      path = s"$epochDir/part-$partitionId-$taskId${writers.extension()}"
+      out = writers.open(path, partitionId, taskId)
+    }
+    out.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftDeltaCommitMessage(path)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (path.nonEmpty) Files.deleteIfExists(Paths.get(path))
+    ()
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,63 @@
+/*
+ * Companion to [[ParquetReadBridge]] and the second (and last) resident of
+ * the bridge package: Spark's parquet WRITE preparation
+ * (`ParquetUtils.prepareWrite`, the exact machinery `FileFormatWriter`
+ * ships to write tasks) is `private[sql]`. The graft DSv2 delta write
+ * (SQL UPDATE / MERGE INTO / subquery DELETE) needs executor-side parquet
+ * writers for its staged row-operation files; this re-exposes the minimal
+ * surface, configured exactly as a `df.write.parquet` task would be.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+object ParquetWriteBridge {
+
+  /** Serializable per-task parquet writer maker: built ON THE DRIVER
+    * (captures the session's hadoop/SQL conf the way `FileFormatWriter`
+    * does), opened on executors. Each `open` returns an independent writer
+    * for one file; callers own close ordering.
+    */
+  final case class TaskWriters(factory: OutputWriterFactory,
+                               conf: SerializableConfiguration,
+                               schemaDDL: String) {
+    @transient private lazy val schema = StructType.fromDDL(schemaDDL)
+
+    def open(path: String, partitionId: Int, attempt: Long): RowFileWriter = {
+      val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft-delta", 0, TaskType.MAP, partitionId,
+          attempt.toInt & Int.MaxValue))
+      RowFileWriter(factory.newInstance(path, schema, ctx))
+    }
+
+    /** The configured extension, e.g. `.snappy.parquet`. */
+    def extension(): String = {
+      val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft-delta", 0, TaskType.MAP, 0, 0))
+      factory.getFileExtension(ctx)
+    }
+  }
+
+  final case class RowFileWriter(
+      w: org.apache.spark.sql.execution.datasources.OutputWriter) {
+    def write(row: InternalRow): Unit = w.write(row)
+    def close(): Unit = w.close()
+  }
+
+  def taskWriters(spark: SparkSession, schema: StructType): TaskWriters = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = cs.sessionState.conf
+    val job = Job.getInstance(cs.sessionState.newHadoopConf())
+    val factory = ParquetUtils.prepareWrite(sqlConf, job, schema,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+    TaskWriters(factory, new SerializableConfiguration(job.getConfiguration),
+      schema.toDDL)
+  }
+}

@@ -259,11 +259,11 @@ class GraftDataSourceSpec extends SparkSpec {
       assert(m.files.map(_.name).toSet.subsetOf(names0))
       assert(m.files.exists(_.dv.isDefined))
       assert(spark.read.format("graft").load(root).count() == 299L)
-      // inexpressible condition must refuse, not approximate
-      val e = intercept[Exception] {
-        spark.sql("DELETE FROM graft_del WHERE id % 2 = 0")
-      }
-      assert(e.getMessage.contains("DELETE") || e.getMessage.contains("delete"), e.getMessage)
+      // a condition the metadata path can't express now falls through to
+      // the row-level delta rewrite (GraftRowOperation) instead of
+      // refusing: evens of the surviving 100..398 range go
+      spark.sql("DELETE FROM graft_del WHERE id % 2 = 0")
+      assert(spark.table("graft_del").count() == 149L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
   }
 

@@ -1,0 +1,105 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The native streaming sink ([[GraftStreamingWrite]]): multi-epoch keyed
+  * upserts, exactly-once under epoch replay, restart from checkpoint, and
+  * Complete-mode recommits.
+  */
+class GraftStreamingSinkSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sink_$tag").toString
+
+  test("multi-epoch upsert; restart from checkpoint continues the lineage") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("u") + "/store"
+    val ck = tmp("uck")
+    val ms = MemoryStream[(Long, String)]
+    def start() = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", ck)
+      .start(root)
+
+    val q = start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(root).count() === 2)
+      ms.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.read.format("graft").load(root)
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    } finally q.stop()
+
+    // restart against the same checkpoint: the query id (stream lineage)
+    // survives, new data lands as the next epochs
+    val q2 = start()
+    try {
+      ms.addData((4L, "d"))
+      q2.processAllAvailable()
+      assert(spark.read.format("graft").load(root).count() === 4)
+    } finally q2.stop()
+
+    // the store carries the sink's lineage for the replay guard
+    val st = new ManifestStore(root, spark, "id")
+    val (_, batchId, streamId) = st.current.get
+    assert(streamId.nonEmpty && batchId >= 1L)
+  }
+
+  test("epoch replay is a no-op: re-committing an applied epoch changes nothing") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("r") + "/store"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", tmp("rck"))
+      .start(root)
+    try {
+      ms.addData((1L, "a")); q.processAllAvailable()
+      ms.addData((2L, "b")); q.processAllAvailable()
+    } finally q.stop()
+    val st = new ManifestStore(root, spark, "id")
+    val (verBefore, batchBefore, lineage) = st.current.get
+    // simulate a crash-in-commit redelivery: merge an already-applied
+    // epoch under the sink's lineage — the guard must swallow it
+    val net = Seq(("1", "u", 99L, 1L, "REPLAYED")).toDF(
+      "key_value", "operation", "timestamp", "after_id", "after_v")
+    val out = st.mergeOptimistic(net, Seq("id", "v"),
+      batchId = batchBefore, streamId = lineage, tsGuard = false)
+    assert(out === ManifestStore.AlreadyMerged)
+    assert(st.current.get._1 === verBefore)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("id") === 1L).select("v").head().getString(0) === "a")
+  }
+
+  test("Complete mode recommits the full aggregate each epoch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("c") + "/store"
+    val ms = MemoryStream[String]
+    val q = ms.toDF().toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("key", "word").option("checkpointLocation", tmp("cck"))
+      .start(root)
+    try {
+      ms.addData("x", "y", "x")
+      q.processAllAvailable()
+      val r1 = spark.read.format("graft").load(root)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 === Map("x" -> 2L, "y" -> 1L))
+      ms.addData("y", "z")
+      q.processAllAvailable()
+      val r2 = spark.read.format("graft").load(root)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 === Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+    } finally q.stop()
+  }
+}
