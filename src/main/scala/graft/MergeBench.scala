@@ -43,6 +43,81 @@ object MergeBench {
 
     val ms = new ManifestStore(s"$base/manifest", spark, "id")
     val ss = new SnapshotStore(s"$base/snapshot", spark)
+
+    // --sql: the SQL row-level surface (UPDATE / MERGE INTO / subquery
+    // DELETE through graft.spark.GraftRowOperation) against the SAME
+    // n-row table — evidence that a SQL statement's cost tracks the rows
+    // it touches (pruned scan + staged verdicts + pruned CoW commit), not
+    // the table. Prints per-statement seconds + the manifest's
+    // rewritten/carried split, then exits.
+    if (args.contains("--sql")) {
+      ms.commit(table, batchId = 0, nFiles = nFiles)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_bench")
+      spark.sql("CREATE TABLE graft_sql_bench (id BIGINT, name STRING, " +
+        "val DOUBLE, payload STRING) USING graft OPTIONS (key 'id') " +
+        s"LOCATION '$base/manifest'")
+      def bytesOf(st: ManifestStore, path: String): Long = {
+        val d = java.nio.file.Paths.get(path, "files")
+        val st2 = java.nio.file.Files.walk(d)
+        try st2.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st2.close()
+      }
+      def filesNow(st: ManifestStore = ms) =
+        st.currentManifest.get.files.map(_.name).toSet
+      def report(tag: String, st: ManifestStore, path: String,
+                 before: Set[String], b0: Long, sec: Double): Unit = {
+        val after = st.currentManifest.get.files
+        val carried = after.count(f => before(f.name))
+        val mb = (bytesOf(st, path) - b0) / 1e6
+        println(s"""{"metric":"sql_dml_bench","op":"$tag","rows":$n,"sec":${f"$sec%.2f"},"written_mb":${f"$mb%.1f"},"carried_files":$carried,"new_files":${after.size - carried},"total_files":${after.size}}""")
+      }
+      val span = n / nFiles
+      val mPath = s"$base/manifest"
+      var b0 = filesNow(); var y0 = bytesOf(ms, mPath)
+      val (_, updSec) = time(spark.sql(
+        s"UPDATE graft_sql_bench SET name = 'sqlupd' " +
+          s"WHERE id BETWEEN ${span * 5} AND ${span * 5 + batch}"))
+      report("update_narrow", ms, mPath, b0, y0, updSec)
+      spark.range(batch).selectExpr("id * " + (n / batch) + " AS sid",
+        "'m' AS sname").createOrReplaceTempView("sql_bench_src")
+      b0 = filesNow(); y0 = bytesOf(ms, mPath)
+      val (_, mrgSec) = time(spark.sql(
+        "MERGE INTO graft_sql_bench t USING sql_bench_src s ON t.id = s.sid " +
+          "WHEN MATCHED THEN UPDATE SET name = s.sname " +
+          "WHEN NOT MATCHED THEN INSERT (id, name, val, payload) " +
+          "VALUES (s.sid, s.sname, 0.0, 'p')"))
+      report("merge_scattered_cow", ms, mPath, b0, y0, mrgSec)
+      b0 = filesNow(); y0 = bytesOf(ms, mPath)
+      val (_, delSec) = time(spark.sql(
+        "DELETE FROM graft_sql_bench WHERE id IN " +
+          s"(SELECT sid FROM sql_bench_src WHERE sid < ${span * 2})"))
+      report("delete_subquery", ms, mPath, b0, y0, delSec)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_bench")
+
+      // the same scattered MERGE against a 'mor' table: deletion-vector
+      // sidecars instead of file rewrites — bytes written must be
+      // O(batch), files carried by name
+      val morPath2 = s"$base/manifest_mor"
+      val ms2 = new ManifestStore(morPath2, spark, "id")
+      ms2.commit(table, batchId = 0, nFiles = nFiles)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_mor")
+      spark.sql("CREATE TABLE graft_sql_mor (id BIGINT, name STRING, " +
+        "val DOUBLE, payload STRING) USING graft " +
+        "OPTIONS (key 'id', mor 'true') " +
+        s"LOCATION '$morPath2'")
+      b0 = filesNow(ms2); y0 = bytesOf(ms2, morPath2)
+      val (_, morSec) = time(spark.sql(
+        "MERGE INTO graft_sql_mor t USING sql_bench_src s ON t.id = s.sid " +
+          "WHEN MATCHED THEN UPDATE SET name = s.sname " +
+          "WHEN NOT MATCHED THEN INSERT (id, name, val, payload) " +
+          "VALUES (s.sid, s.sname, 0.0, 'p')"))
+      report("merge_scattered_mor", ms2, morPath2, b0, y0, morSec)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_mor")
+      spark.stop()
+      return
+    }
+
     if (!morOnly) {
       ms.commit(table, batchId = 0, nFiles = nFiles)
       ss.commit(table.repartition(nFiles), batchId = 0)

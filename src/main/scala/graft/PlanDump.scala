@@ -137,8 +137,50 @@ object PlanDump {
       if (budget <= 0) sb.append("... (truncated)\n")
       sb.append("```\n")
     }
+    // SQL row-level rewrite plans (UPDATE / MERGE INTO / subquery DELETE)
+    // via EXPLAIN against a scratch catalog table: these are commands, not
+    // queries, so they can't ride the Flagships DF loop above.
+    val wh = Files.createTempDirectory("plandump_wh").toString
+    spark.conf.set("spark.sql.catalog.gplan", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gplan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gplan.db")
+    spark.sql("CREATE TABLE gplan.db.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO gplan.db.t " +
+      "SELECT id, CAST(id AS STRING) FROM range(100000)")
+    spark.range(0, 100).selectExpr("id AS sid", "'s' AS sv")
+      .createOrReplaceTempView("plan_src")
+    val ddl: Seq[(String, String, String)] = Seq(
+      ("sql UPDATE (row-level delta rewrite)",
+        "WriteDelta over ONE scan of the target: the WHERE pushes into the " +
+          "graft scan (zone-map file pruning — only intersecting files are " +
+          "read), matched rows stage as O(matched) update verdicts, and the " +
+          "commit is the store's pruned CoW merge. No second scan, no " +
+          "full-table rewrite node.",
+        "EXPLAIN UPDATE gplan.db.t SET v = 'x' WHERE id BETWEEN 100 AND 200"),
+      ("sql MERGE INTO (row-level delta rewrite)",
+        "WriteDelta over the target scan joined to the source (RightOuter " +
+          "from the target's side, so NOT MATCHED source rows survive as " +
+          "inserts). The AQE initial plan shows the SortMergeJoin shape; " +
+          "a batch-sized source converts to a broadcast join at runtime " +
+          "from its measured size. Only per-row verdicts reach the staged " +
+          "write — join cost is O(target ⋈ source), write cost O(changed).",
+        "EXPLAIN MERGE INTO gplan.db.t t USING plan_src s ON t.id = s.sid " +
+          "WHEN MATCHED THEN UPDATE SET v = s.sv " +
+          "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)"),
+      ("sql DELETE with subquery (row-level delta rewrite)",
+        "Inexpressible-as-metadata DELETE falls through to WriteDelta: " +
+          "LeftSemi against the subquery produces delete verdicts (key " +
+          "only); a pushable predicate would instead take the " +
+          "deletion-vector metadata path and never plan a write at all.",
+        "EXPLAIN DELETE FROM gplan.db.t WHERE id IN (SELECT sid FROM plan_src)"))
+    ddl.foreach { case (title, note, sql) =>
+      sb.append(s"\n## $title\n\n$note\n\n```\n")
+      sb.append(spark.sql(sql).collect().head.getString(0).take(8000))
+      sb.append("\n```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[plandump] wrote $out (${Flagships.size} plans)")
+    println(s"[plandump] wrote $out (${Flagships.size + ddl.size} plans)")
     spark.stop()
   }
 }

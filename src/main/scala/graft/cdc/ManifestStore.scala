@@ -750,6 +750,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * guarded against in [[mergeOptimisticHook]] by (name, dv) identity,
     * but this method itself takes no commit lock beyond the swap.
     */
+  /** [[mergeOnRead]] under the store-local commit lock — the form
+    * non-stream writers (SQL row-level commits with 'mor', the streaming
+    * sink) use for single-driver mutual exclusion, since the MoR path has
+    * no optimistic rebase of its own.
+    */
+  def mergeOnReadLocked(net: DataFrame, fields: Seq[String], batchId: Long,
+                        streamId: String = "default",
+                        tsGuard: Boolean = true)
+      : Option[ManifestStore.MorStats] =
+    SnapshotStore.withCommitLock(root)(
+      mergeOnRead(net, fields, batchId, streamId, tsGuard))
+
   def mergeOnRead(net: DataFrame, fields: Seq[String], batchId: Long,
                   streamId: String = "default",
                   tsGuard: Boolean = true): Option[ManifestStore.MorStats] = {

@@ -119,8 +119,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = existingRoot(ident)
     // catalog tables surface the store's `last_ts` version column as a
     // METADATA column (see GraftTable.hiddenTs): SQL INSERT/SELECT * see
-    // the user's schema, `SELECT last_ts` still answers
-    val opts = options + ("hidelastts" -> "true")
+    // the user's schema, `SELECT last_ts` still answers. Persisted table
+    // properties (e.g. 'mor') rejoin as connector options.
+    val opts = GraftCatalog.readProps(root) ++ options + ("hidelastts" -> "true")
     val (schema, _) = GraftTable.resolve(root, opts)
     new GraftTable(root, schema, opts)
   }
@@ -155,6 +156,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val st = new ManifestStore(dir.toString, spark, key)
     st.commit(empty, batchId = 0L, nFiles = 1, streamId = "catalog-ddl",
       statsCols = statsCols)
+    // persist user TBLPROPERTIES (e.g. 'mor', 'files') beside the log so
+    // every later loadTable sees them as options; Spark-reserved props
+    // (provider/location/owner/...) stay out
+    val reserved = Set("provider", "location", "owner", "comment",
+      "external", "is_managed_location", "table_type", "collation")
+    val keep = props.filterNot { case (k, _) =>
+      reserved(k.toLowerCase) || k.toLowerCase.startsWith("option.") }
+    GraftCatalog.writeProps(dir.toString, keep.toMap)
     loadTable(ident)
   }
 
@@ -303,6 +312,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object GraftCatalog {
+  /** Table properties live in `<table>/_TBLPROPS` as one `k=v` per line
+    * (keys lowercased) — catalog metadata IS the filesystem, same as the
+    * rest of the store.
+    */
+  private[spark] def writeProps(root: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      Files.write(Paths.get(root, "_TBLPROPS"),
+        props.map { case (k, v) => s"${k.toLowerCase}=$v" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[spark] def readProps(root: String): Map[String, String] = {
+    val p = Paths.get(root, "_TBLPROPS")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+}
+
 /** The procedure registry: each entry binds a [[GraftCatalog]] to an
   * [[UnboundProcedure]]. Kept as plain classes (no reflection) so the
   * whole surface is greppable.
@@ -311,7 +343,8 @@ private[spark] object GraftProcedures {
   val byName: Map[String, GraftCatalog => UnboundProcedure] = Map(
     "optimize" -> (c => new OptimizeProcedure(c)),
     "vacuum"   -> (c => new VacuumProcedure(c)),
-    "history"  -> (c => new HistoryProcedure(c)))
+    "history"  -> (c => new HistoryProcedure(c)),
+    "zorder"   -> (c => new ZorderProcedure(c)))
 
   private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -374,6 +407,28 @@ private[spark] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] =
       one(outSchema,
         store(input).vacuum(input.getInt(1), input.getLong(2)).size)
+  }
+
+  /** `CALL graft.system.zorder(table => 'ns.t', long_col => 'a',
+    * double_col => 'b')` — OPTIMIZE ZORDER BY: recluster by the
+    * interleaved-bit Morton value of the two columns so both join the
+    * zone map and either prunes reads.
+    */
+  final class ZorderProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "zorder") {
+    override def description(): String =
+      "recluster by the Morton value of (long_col, double_col)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("long_col", StringType),
+      in("double_col", StringType), inDefault("target_files", IntegerType, "16"))
+    private val outSchema = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      store(input).reclusterZorder(
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getInt(3)) match {
+        case Some(v) => one(outSchema, v)
+        case None    => one(outSchema, -1L) // empty store or lost CAS race
+      }
   }
 
   /** `CALL graft.system.history(table => 'ns.t')` — DESCRIBE HISTORY: one

@@ -74,16 +74,17 @@ final class GraftRowOperation(root: String, tableSchema: StructType,
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new GraftDeltaWriteBuilder(root, key, cmd, info)
+    new GraftDeltaWriteBuilder(root, key, cmd, info, options)
 }
 
 final class GraftDeltaWriteBuilder(root: String, key: String,
                                    cmd: RowLevelOperation.Command,
-                                   info: LogicalWriteInfo)
+                                   info: LogicalWriteInfo,
+                                   options: Map[String, String])
   extends DeltaWriteBuilder {
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new GraftDeltaBatchWrite(root, key, cmd, info)
+      new GraftDeltaBatchWrite(root, key, cmd, info, options)
   }
 }
 
@@ -95,8 +96,20 @@ final class GraftDeltaWriteBuilder(root: String, key: String,
   */
 final class GraftDeltaBatchWrite(root: String, key: String,
                                  cmd: RowLevelOperation.Command,
-                                 info: LogicalWriteInfo)
+                                 info: LogicalWriteInfo,
+                                 options: Map[String, String])
   extends DeltaBatchWrite {
+
+  /** 'mor' table property/option: commit through deletion-vector
+    * MERGE-ON-READ instead of copy-on-write — a scattered statement then
+    * writes O(changed rows), not O(touched files) (at 60M rows / 64
+    * files a one-key-per-file MERGE is a full-table rewrite under CoW).
+    * mergeOnRead is a single-writer path (no CAS rebase), so the commit
+    * runs under the store's local commit lock — same contract as the
+    * streaming engine's MoR mode.
+    */
+  private val mor: Boolean =
+    GraftTable.opt(options, "mor").exists(_.equalsIgnoreCase("true"))
 
   private def spark = SparkSession.active
   private val keyType: DataType = info.rowIdSchema().get().fields.head.dataType
@@ -148,10 +161,14 @@ final class GraftDeltaBatchWrite(root: String, key: String,
       // re-delivery, and a fixed id here would make a concurrent
       // statement's commit look like a replay and silently no-op —
       // concurrency is the CAS rebase's job, not the guard's
-      st.mergeOptimistic(net, fields, batchId = ts,
-        streamId = s"sql-${cmd.toString.toLowerCase}-" +
-          staging.getFileName.toString.stripPrefix("_delta_stage_"),
-        tsGuard = false) match {
+      val lineage = s"sql-${cmd.toString.toLowerCase}-" +
+        staging.getFileName.toString.stripPrefix("_delta_stage_")
+      if (mor) {
+        st.mergeOnReadLocked(net, fields, batchId = ts, streamId = lineage,
+          tsGuard = false)
+        ()
+      } else st.mergeOptimistic(net, fields, batchId = ts,
+        streamId = lineage, tsGuard = false) match {
         case ManifestStore.MergeConflict(v, reason) =>
           throw new IllegalStateException(
             s"graft $cmd lost the optimistic-commit race at version $v: $reason")

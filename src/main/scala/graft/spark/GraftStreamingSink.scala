@@ -91,7 +91,13 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
             col(key).cast("string").as(Changelog.KeyCol) +:
               lit("u").as(Changelog.OpCol) +: ts.as(Changelog.TsCol) +:
               fields.map(f => col(f).as(s"after_$f")): _*))
-          st.mergeOptimistic(net, fields, batchId = epochId,
+          if (GraftTable.opt(options, "mor").exists(_.equalsIgnoreCase("true"))) {
+            // deletion-vector merge-on-read: scattered epochs write
+            // O(batch) bytes instead of rewriting every touched file
+            st.mergeOnReadLocked(net, fields, batchId = epochId,
+              streamId = queryId, tsGuard = false)
+            ()
+          } else st.mergeOptimistic(net, fields, batchId = epochId,
             streamId = queryId, tsGuard = false) match {
             case ManifestStore.MergeConflict(v, reason) =>
               throw new IllegalStateException(

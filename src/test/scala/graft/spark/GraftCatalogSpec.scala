@@ -124,6 +124,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vac.length === 1 && vac.head.getInt(0) >= 4)
     // table still answers after maintenance
     assert(sql("SELECT count(*) FROM gct.db.m").collect().head.getLong(0) === 4000L)
+    // ZORDER recluster: id is also the long column; add a double via stats
+    sql("ALTER TABLE gct.db.m ADD COLUMN score DOUBLE")
+    sql("INSERT INTO gct.db.m SELECT id, 'z', CAST(id AS DOUBLE) " +
+      "FROM range(4000, 4100)")
+    val z = sql("CALL gct.system.zorder(table => 'db.m', " +
+      "long_col => 'id', double_col => 'score', target_files => 2)").collect()
+    assert(z.length === 1 && z.head.getLong(0) > 0L)
+    assert(sql("SELECT count(*) FROM gct.db.m").collect().head.getLong(0) === 4100L)
   }
 
   test("predicate pushdown prunes catalog-resolved scans at planning time") {
@@ -139,6 +147,31 @@ class GraftCatalogSpec extends SparkSpec {
     // zone-map pruning planned only the one file whose range intersects
     val parts = df.rdd.getNumPartitions
     assert(parts === 1, s"planned $parts partitions over 4 files")
+  }
+
+  test("CREATE TABLE AS SELECT seeds the table through the write path") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.ctas")
+    sql("CREATE TABLE gct.db.ctas TBLPROPERTIES ('key'='id') AS " +
+      "SELECT id, CAST(id AS STRING) AS v FROM range(500)")
+    assert(sql("SELECT count(*) FROM gct.db.ctas").collect().head.getLong(0) === 500L)
+    // CTAS result is a normal keyed table: upserts and deletes work
+    sql("INSERT INTO gct.db.ctas VALUES (7, 'seven')")
+    assert(sql("SELECT v FROM gct.db.ctas WHERE id = 7").collect()
+      .head.getString(0) === "seven")
+  }
+
+  test("TRUNCATE TABLE empties the table, history keeps the past") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.tr")
+    sql("CREATE TABLE gct.db.tr (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.tr SELECT id, 'x' FROM range(100)")
+    sql("TRUNCATE TABLE gct.db.tr")
+    assert(sql("SELECT count(*) FROM gct.db.tr").collect().head.getLong(0) === 0L)
+    assert(sql("SELECT count(*) FROM gct.db.tr VERSION AS OF 1")
+      .collect().head.getLong(0) === 100L)
+    sql("INSERT INTO gct.db.tr VALUES (1, 'back')")
+    assert(sql("SELECT count(*) FROM gct.db.tr").collect().head.getLong(0) === 1L)
   }
 
   private def storeFiles(rel: String): Int = {

@@ -116,6 +116,32 @@ class GraftRowLevelSpec extends SparkSpec {
       s"expected >= 3 of 4 files carried by reference, got $carried")
   }
 
+  test("'mor' table property: scattered UPDATE masks in place, files carried") {
+    cat
+    sql("DROP TABLE IF EXISTS grl.db.mor1")
+    sql("CREATE TABLE grl.db.mor1 (id BIGINT, v STRING, amt DOUBLE) " +
+      "TBLPROPERTIES ('key'='id', 'mor'='true')")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO grl.db.mor1 SELECT id, CAST(id AS STRING), " +
+        s"CAST(id AS DOUBLE) FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val root = java.nio.file.Paths.get(warehouse, "db", "mor1").toString
+    val st = new graft.cdc.ManifestStore(root, spark, "id")
+    val before = st.currentManifest.get.files.map(_.name).toSet
+    // one key inside every file's range: the CoW worst case
+    sql("UPDATE grl.db.mor1 SET v = 'hit' WHERE id IN (10, 1010, 2010, 3010)")
+    val after = st.currentManifest.get
+    // every pre-existing data file survives BY NAME (masked, not rewritten)
+    assert(before.subsetOf(after.files.map(_.name).toSet),
+      "mor UPDATE must not rewrite data files")
+    assert(after.files.exists(_.dv.isDefined), "sidecars expected")
+    assert(sql("SELECT count(*) FROM grl.db.mor1 WHERE v = 'hit'")
+      .collect().head.getLong(0) === 4L)
+    assert(sql("SELECT count(*) FROM grl.db.mor1").collect().head.getLong(0) === 4000L)
+    // and the property round-trips through the catalog (persisted _TBLPROPS)
+    assert(GraftCatalog.readProps(root).get("mor").contains("true"))
+  }
+
   test("UPDATE of the key column relocates the row") {
     val t = freshTable("k1", n = 100, files = 1)
     sql(s"UPDATE $t SET id = 100000 WHERE id = 7")

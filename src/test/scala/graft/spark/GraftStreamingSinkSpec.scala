@@ -79,6 +79,36 @@ class GraftStreamingSinkSpec extends SparkSpec {
       .filter(col("id") === 1L).select("v").head().getString(0) === "a")
   }
 
+  test("'mor' option: scattered epochs mask via sidecars, files carried") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("m") + "/store"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("mor", "true").option("files", "4")
+      .option("checkpointLocation", tmp("mck"))
+      .start(root)
+    try {
+      // epoch 0: snapshot across 4 files
+      ms.addData((0L until 4000L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      val st = new ManifestStore(root, spark, "id")
+      val before = st.currentManifest.get.files.map(_.name).toSet
+      assert(before.size >= 2)
+      // epoch 1: one key inside every file's range — CoW would rewrite all
+      ms.addData((10L, "HIT"), (1010L, "HIT"), (2010L, "HIT"), (3010L, "HIT"))
+      q.processAllAvailable()
+      val after = st.currentManifest.get
+      assert(before.subsetOf(after.files.map(_.name).toSet),
+        "mor sink must not rewrite data files")
+      assert(after.files.exists(_.dv.isDefined))
+      val df = spark.read.format("graft").load(root)
+      assert(df.count() === 4000)
+      assert(df.filter(col("v") === "HIT").count() === 4)
+    } finally q.stop()
+  }
+
   test("Complete mode recommits the full aggregate each epoch") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
