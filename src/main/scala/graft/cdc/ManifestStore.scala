@@ -388,7 +388,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * expression, so the predicate stops pruning (conservative, and at that
     * cardinality an In barely prunes range-clustered files anyway).
     */
-  private val InPruneMaxValues = 1000
+  /** Above this, an IN prunes by its RANGE ENVELOPE [min(vs), max(vs)]
+    * instead of exact membership: the per-file check stays O(1) however
+    * many join keys a runtime filter hands over, at the cost of keeping
+    * files that sit inside the envelope's gaps (conservative, never
+    * wrong). Below it, exact membership runs as ONE flat array+exists
+    * expression — O(#values) wide, O(1) deep.
+    */
+  private val InPruneMaxValues = 10000
 
   /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
     * predicates: the files of `m` that can hold a row satisfying ALL of
@@ -415,8 +422,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         schema.fieldNames.contains(c) && (op match {
           case ">" | ">=" | "<" | "<=" | "=" => litable(v)
           case "in" => v match {
-            case vs: Seq[_] =>
-              vs.nonEmpty && vs.size <= InPruneMaxValues && vs.forall(litable)
+            case vs: Seq[_] => vs.nonEmpty && vs.forall(litable)
             case _ => false
           }
           case _ => false
@@ -449,9 +455,29 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case "<"  => mn < value
           case "<=" => mn <= value
           case "="  => mn <= value && mx >= value
-          case "in" => v.asInstanceOf[Seq[Any]]
-            .map(x => mn <= lit(x).cast(dt) && mx >= lit(x).cast(dt))
-            .reduce(_ || _)
+          case "in" =>
+            // FLAT, not folded: a reduce(_ || _) chain is O(#values) DEEP
+            // and a DSv2 runtime filter (DPP) can hand thousands of join
+            // keys here — the fold blew the driver stack at ~a few hundred
+            // values. array(...) is one node wide-N; exists adds O(1).
+            // Past InPruneMaxValues, degrade to the values' range envelope
+            // (two comparisons) so cost stays bounded at ANY key count.
+            val vs = v.asInstanceOf[Seq[Any]]
+            if (vs.size <= InPruneMaxValues)
+              org.apache.spark.sql.functions.exists(
+                array(vs.map(x => lit(x).cast(dt)): _*),
+                x => mn <= x && mx >= x)
+            else {
+              val cmp = new Ordering[Any] {
+                def compare(a: Any, b: Any): Int =
+                  a.asInstanceOf[Comparable[Any]].compareTo(b)
+              }
+              scala.util.Try((vs.min(cmp), vs.max(cmp))).toOption match {
+                case Some((lo, hi)) =>
+                  mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt)
+                case None => lit(true) // non-comparable values: no pruning
+              }
+            }
         }
         col(s"_min_$c").isNull || survive
       }.reduce(_ && _)

@@ -120,6 +120,7 @@ object DsvQueries {
 
     "dsv2_catalog_sql" -> catalogSql,
     "dsv2_sql_dml" -> catalogDml,
+    "dsv2_sql_dml_mor" -> catalogDmlMor,
     "dsv2_stream_sink" -> streamSink)
 
   /** The native exactly-once streaming sink
@@ -189,23 +190,36 @@ object DsvQueries {
     * statement is a deterministic function of the base table, so replays
     * converge to the same state.
     */
-  private def catalogDml(s: SparkSession, dir: String): DataFrame = {
+  private def catalogDml(s: SparkSession, dir: String): DataFrame =
+    catalogDmlOn("dml", "'key'='c_custkey'")(s, dir)
+
+  /** [[catalogDml]] against a merge-on-read table: identical statements,
+    * identical oracle answer, but every commit lands as deletion-vector
+    * sidecars + an upsert file ([[graft.spark.GraftRowOperation]]'s 'mor'
+    * routing) — the correctness gate for the path STRESS.md measures at
+    * 60M rows.
+    */
+  private def catalogDmlMor(s: SparkSession, dir: String): DataFrame =
+    catalogDmlOn("dmlm", "'key'='c_custkey','mor'='true'")(s, dir)
+
+  private def catalogDmlOn(tbl: String, props: String)
+                          (s: SparkSession, dir: String): DataFrame = {
     val wh = scratch("cat_wh", dir)
     s.conf.set("spark.sql.catalog.gsql", "graft.spark.GraftCatalog")
     s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
-    s.sql("CREATE TABLE IF NOT EXISTS gsql.db.dml (" +
+    s.sql(s"CREATE TABLE IF NOT EXISTS gsql.db.$tbl (" +
       "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
-      "c_mktsegment STRING) TBLPROPERTIES ('key'='c_custkey')")
-    s.sql("INSERT INTO gsql.db.dml " +
+      s"c_mktsegment STRING) TBLPROPERTIES ($props)")
+    s.sql(s"INSERT INTO gsql.db.$tbl " +
       s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
       s"FROM parquet.`$dir/customer.parquet`")
-    s.sql("DELETE FROM gsql.db.dml WHERE c_custkey IN " +
+    s.sql(s"DELETE FROM gsql.db.$tbl WHERE c_custkey IN " +
       s"(SELECT c_custkey FROM parquet.`$dir/customer.parquet` " +
       "WHERE c_mktsegment = 'MACHINERY')")
-    s.sql("UPDATE gsql.db.dml SET c_acctbal = CAST(0.0 AS DOUBLE) " +
+    s.sql(s"UPDATE gsql.db.$tbl SET c_acctbal = CAST(0.0 AS DOUBLE) " +
       "WHERE c_mktsegment = 'BUILDING'")
-    s.sql("MERGE INTO gsql.db.dml AS t USING (" +
+    s.sql(s"MERGE INTO gsql.db.$tbl AS t USING (" +
       s"  SELECT c_custkey + (SELECT max(c_custkey) " +
       s"    FROM parquet.`$dir/customer.parquet`) AS k, c_name " +
       s"  FROM parquet.`$dir/customer.parquet` " +
@@ -215,13 +229,10 @@ object DsvQueries {
       "  c_acctbal = CAST(-1.0 AS DOUBLE), c_mktsegment = 'NEW' " +
       "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal, " +
       "  c_mktsegment) VALUES (src.k, src.c_name, CAST(-1.0 AS DOUBLE), 'NEW')")
-    s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.dml")
+    s.sql(s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.$tbl")
   }
 
-  val oracles: Map[String, String] = Map(
-    // the full DML lifecycle: machinery deleted, building zeroed, every
-    // 10th key mirrored past max(key) as a 'NEW' row
-    "dsv2_sql_dml" ->
+  private val dmlOracle =
       """WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer),
         |kept AS (
         |  SELECT c_custkey, c_name,
@@ -234,7 +245,14 @@ object DsvQueries {
         |         -1.0 AS c_acctbal, 'NEW' AS c_mktsegment
         |  FROM customer c, maxk m
         |  WHERE c.c_custkey % 10 = 0 AND c.c_custkey > 0)
-        |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin,
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // CoW and MoR run the identical DML lifecycle and must land on the
+    // identical relational answer: machinery deleted, building zeroed,
+    // every 10th key mirrored past max(key) as a 'NEW' row
+    "dsv2_sql_dml" -> dmlOracle,
+    "dsv2_sql_dml_mor" -> dmlOracle,
 
     // the catalog's CREATE/INSERT/DELETE/SELECT lifecycle must land on the
     // relational answer: everything but the deleted segment

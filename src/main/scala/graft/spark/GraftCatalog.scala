@@ -180,6 +180,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val st = new ManifestStore(root, spark, GraftTable.resolve(root, Map.empty)._2)
     val cur = st.currentManifest.getOrElse(throw new NoSuchTableException(ident))
     var schema = StructType.fromDDL(cur.schemaDDL)
+    var props = GraftCatalog.readProps(root)
+    var schemaChanged = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -187,13 +189,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             add.fieldNames().mkString("."))
         schema = StructType(schema.fields :+
           StructField(add.fieldNames().head, add.dataType(), add.isNullable))
+        schemaChanged = true
+      case setp: TableChange.SetProperty =>
+        require(!setp.property().equalsIgnoreCase("key"),
+          "the key column is fixed at CREATE TABLE (files are clustered by it)")
+        props = props + (setp.property().toLowerCase -> setp.value())
+      case remp: TableChange.RemoveProperty =>
+        props = props - remp.property().toLowerCase
       case other =>
         throw new UnsupportedOperationException(
           s"graft ALTER TABLE does not support $other — data files are " +
             "immutable and shared across versions; only additive ADD " +
-            "COLUMN is a metadata-only change")
+            "COLUMN and SET/UNSET TBLPROPERTIES are metadata-only changes")
     }
-    st.evolveSchema(schema)
+    if (schemaChanged) { st.evolveSchema(schema); () }
+    java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
+    GraftCatalog.writeProps(root, props)
     loadTable(ident)
   }
 

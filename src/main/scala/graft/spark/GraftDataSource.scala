@@ -318,7 +318,14 @@ object GraftWriteBuilder {
         // row-level commit's note); re-running the same INSERT is an
         // idempotent upsert, so exactly-once replay protection is not
         // wanted here
-        store.mergeOptimistic(net, fields, batchId = m.version + 1,
+        if (opt(options, "mor").exists(_.equalsIgnoreCase("true"))) {
+          // 'mor' tables absorb scattered upserts as sidecars (O(batch)
+          // bytes), same routing as the row-level SQL commit
+          store.mergeOnReadLocked(net, fields, batchId = m.version + 1,
+            streamId = s"dsv2-${java.util.UUID.randomUUID()}",
+            tsGuard = false)
+          ()
+        } else store.mergeOptimistic(net, fields, batchId = m.version + 1,
           streamId = s"dsv2-${java.util.UUID.randomUUID()}",
           tsGuard = false) match {
           case ManifestStore.MergeConflict(v, reason) =>

@@ -145,7 +145,8 @@ final class GraftDeltaBatchWrite(root: String, key: String,
       val st = storeForCommit()
       val cur = st.currentManifest.getOrElse(throw new IllegalStateException(
         s"no graft store at $root"))
-      val fields = StructType.fromDDL(cur.schemaDDL).fieldNames.toSeq
+      val tableSchema = StructType.fromDDL(cur.schemaDDL)
+      val fields = tableSchema.fieldNames.toSeq
         .filterNot(_ == Merge.LastTsCol)
       val staged = spark.read.schema(stagedSchema).parquet(files: _*)
       val ts = cur.version + 1
@@ -154,8 +155,11 @@ final class GraftDeltaBatchWrite(root: String, key: String,
           col("_op").as(Changelog.OpCol) +:
           lit(ts).as(Changelog.TsCol) +:
           fields.map(f =>
+            // absent fields (a DELETE's whole after-image) stage as TYPED
+            // nulls — an untyped VOID column would poison the merged
+            // schema when a statement carries no inserts at all
             (if (rowSchema.fieldNames.contains(f)) col(f)
-             else lit(null)).as(s"after_$f")): _*)
+             else lit(null).cast(tableSchema(f).dataType)).as(s"after_$f")): _*)
       // every SQL statement is its OWN write lineage (fresh streamId):
       // the (batchId, streamId) replay guard exists for micro-batch
       // re-delivery, and a fixed id here would make a concurrent

@@ -174,6 +174,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM gct.db.tr").collect().head.getLong(0) === 1L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES persists and re-routes commits") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.props")
+    sql("CREATE TABLE gct.db.props (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO gct.db.props SELECT id, 'x' " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    sql("ALTER TABLE gct.db.props SET TBLPROPERTIES ('mor'='true')")
+    val root = java.nio.file.Paths.get(warehouse, "db", "props").toString
+    assert(GraftCatalog.readProps(root).get("mor").contains("true"))
+    val st = new graft.cdc.ManifestStore(root, spark, "id")
+    val before = st.currentManifest.get.files.map(_.name).toSet
+    // scattered UPDATE now masks instead of rewriting
+    sql("UPDATE gct.db.props SET v = 'hit' WHERE id IN (10, 1010, 2010, 3010)")
+    assert(before.subsetOf(st.currentManifest.get.files.map(_.name).toSet))
+    assert(st.currentManifest.get.files.exists(_.dv.isDefined))
+    sql("ALTER TABLE gct.db.props UNSET TBLPROPERTIES ('mor')")
+    assert(!GraftCatalog.readProps(root).contains("mor"))
+    // the key property is fixed
+    val e = intercept[Exception](
+      sql("ALTER TABLE gct.db.props SET TBLPROPERTIES ('key'='v')"))
+    assert(e.getMessage.contains("fixed"))
+  }
+
   private def storeFiles(rel: String): Int = {
     val d = java.nio.file.Paths.get(warehouse, rel, "files")
     if (!java.nio.file.Files.isDirectory(d)) 0

@@ -267,6 +267,31 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
   }
 
+  test("a many-thousand-value IN prunes flat (regression: stack overflow)") {
+    // prunedFiles used to FOLD the IN values into a reduce(_ || _) chain —
+    // O(#values) expression DEPTH, which a DPP runtime filter's join-key
+    // set (thousands of keys) blew past the driver stack. Now a flat
+    // array+exists: depth O(1), width O(#values).
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(spark.range(16000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      batchId = 0, nFiles = 16)
+    val keys = (0L until 5000L).map(java.lang.Long.valueOf)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("id").isin(keys: _*))
+    assert(df.count() === 5000L)
+    val planned = df.rdd.getNumPartitions
+    // repartitionByRange samples boundaries, so the 5000-key prefix can
+    // straddle 5-7 of the 16 files — the point is it is nowhere near 16
+    assert(planned <= 7, s"IN pruning planned $planned of 16 files")
+    // past the exact-membership cap: the range ENVELOPE still prunes
+    val st2 = new ManifestStore(root, spark, "id")
+    val big = (0L until 12000L).filter(_ % 3 != 1) // 8000 values, max 11999
+    val pf = st2.prunedFiles(st2.currentManifest.get,
+      Seq(("id", "in", big)))
+    assert(pf.size <= 14, s"envelope pruning kept ${pf.size} of 16")
+  }
+
   test("dynamic partition pruning reaches the scan through a real join") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
