@@ -77,6 +77,25 @@ object ManifestStore {
     def liveRows: Long = rows - dvRows
   }
 
+  /** `from` can be read through a reader schema of `to` without loss —
+    * the same widening lattice the streaming drift path accepts
+    * ([[graft.cdc.Envelope.isLosslessWidening]]), at Spark-type grain.
+    * The parquet reader upcasts these natively, so a manifest-only schema
+    * commit suffices: no data file changes.
+    */
+  def losslessWidening(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case _ if from == to                              => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)          => true
+      case (IntegerType, LongType | DoubleType)         => true
+      case (FloatType, DoubleType)                      => true
+      case _                                            => false
+    }
+  }
+
   /** What a stats-pruned read ([[ManifestStore.readWhere]]) scanned vs
     * skipped: `rowsRead` is the live-row count of the surviving files —
     * the read amplification a zone-map reader pays.
@@ -716,8 +735,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
           throw new IllegalArgumentException(
             s"schema evolution is additive: column ${f.name} is missing " +
               "from the new schema"))
-        require(nf.dataType == f.dataType,
-          s"schema evolution is additive: column ${f.name} changes type " +
+        require(ManifestStore.losslessWidening(f.dataType, nf.dataType),
+          s"schema evolution allows adds and lossless widenings only: " +
+            s"column ${f.name} changes type " +
             s"${f.dataType.sql} -> ${nf.dataType.sql}")
       }
       writeManifestAndSwap(m.version + 1, m.batchId, streamId,

@@ -196,6 +196,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         props = props + (setp.property().toLowerCase -> setp.value())
       case remp: TableChange.RemoveProperty =>
         props = props - remp.property().toLowerCase
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames().length == 1,
+          "graft ALTER COLUMN TYPE supports top-level columns only")
+        val n = up.fieldNames().head
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(dataType = up.newDataType()) else f))
+        schemaChanged = true
       case other =>
         throw new UnsupportedOperationException(
           s"graft ALTER TABLE does not support $other — data files are " +

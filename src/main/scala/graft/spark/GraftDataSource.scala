@@ -181,6 +181,19 @@ final class GraftTable(val root: String, tableSchema: StructType,
       if (f.name == key) f.copy(nullable = false) else f))
   }
 
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the persisted table
+    * properties plus the resolved key column; connector-internal plumbing
+    * options stay out.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val internal = Set("hidelastts", "path", "location", "versionasof",
+      "paths", "provider")
+    val user = options.filterNot { case (k, _) => internal(k.toLowerCase) }
+    val key = scala.util.Try(GraftTable.resolve(root, options)._2)
+      .getOrElse(GraftTable.opt(options, "key").getOrElse(""))
+    ((if (key.nonEmpty) Map("key" -> key) else Map.empty[String, String]) ++ user.toMap).asJava
+  }
+
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
     if (hiddenTs)

@@ -199,6 +199,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed"))
   }
 
+  test("ALTER COLUMN TYPE widens losslessly, metadata-only; narrowing rejected") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.wd")
+    sql("CREATE TABLE gct.db.wd (id BIGINT, n INT, f FLOAT) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.wd VALUES (1, 100, CAST(1.5 AS FLOAT))")
+    val filesBefore = storeFiles("db/wd")
+    sql("ALTER TABLE gct.db.wd ALTER COLUMN n TYPE BIGINT")
+    sql("ALTER TABLE gct.db.wd ALTER COLUMN f TYPE DOUBLE")
+    assert(storeFiles("db/wd") === filesBefore, "widening must not touch files")
+    val r = sql("SELECT n, f FROM gct.db.wd WHERE id = 1").collect().head
+    assert(r.getLong(0) === 100L && r.getDouble(1) === 1.5)
+    // new-typed writes land next to old-vintage files
+    sql("INSERT INTO gct.db.wd VALUES (2, 5000000000, 2.5)")
+    assert(sql("SELECT sum(n) FROM gct.db.wd").collect().head.getLong(0)
+      === 5000000100L)
+    // narrowing is loss — Spark's analyzer already rejects it (upcast-only
+    // rule); the store's own evolveSchema guard backstops non-SQL callers
+    val e = intercept[Exception](
+      sql("ALTER TABLE gct.db.wd ALTER COLUMN n TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("lossless"))
+    val st = new graft.cdc.ManifestStore(
+      java.nio.file.Paths.get(warehouse, "db", "wd").toString, spark, "id")
+    val narrow = org.apache.spark.sql.types.StructType.fromDDL(
+      st.currentManifest.get.schemaDDL.replace("n BIGINT", "n INT"))
+    val e2 = intercept[Exception](st.evolveSchema(narrow))
+    assert(e2.getMessage.contains("lossless"))
+  }
+
+  test("SHOW TBLPROPERTIES surfaces key and persisted properties") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.sp")
+    sql("CREATE TABLE gct.db.sp (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id', 'mor'='true')")
+    val props = sql("SHOW TBLPROPERTIES gct.db.sp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key").contains("id"))
+    assert(props.get("mor").contains("true"))
+  }
+
   private def storeFiles(rel: String): Int = {
     val d = java.nio.file.Paths.get(warehouse, rel, "files")
     if (!java.nio.file.Files.isDirectory(d)) 0

@@ -142,6 +142,24 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(GraftCatalog.readProps(root).get("mor").contains("true"))
   }
 
+  test("concurrent SQL UPDATEs on disjoint ranges both survive (CAS rebase)") {
+    val t = freshTable("cc1", n = 4000, files = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two statements racing on the same table, touching different files:
+    // fresh per-statement lineages mean neither can read as a replay, and
+    // the store's optimistic rebase re-links the loser's rewrites
+    val fa = Future(sql(s"UPDATE $t SET v = 'A' WHERE id < 500"))
+    val fb = Future(sql(s"UPDATE $t SET v = 'B' WHERE id >= 3500"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = 'A'")
+      .collect().head.getLong(0) === 500L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = 'B'")
+      .collect().head.getLong(0) === 500L)
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) === 4000L)
+  }
+
   test("UPDATE of the key column relocates the row") {
     val t = freshTable("k1", n = 100, files = 1)
     sql(s"UPDATE $t SET id = 100000 WHERE id = 7")
