@@ -362,7 +362,8 @@ private[spark] object GraftProcedures {
     "optimize" -> (c => new OptimizeProcedure(c)),
     "vacuum"   -> (c => new VacuumProcedure(c)),
     "history"  -> (c => new HistoryProcedure(c)),
-    "zorder"   -> (c => new ZorderProcedure(c)))
+    "zorder"   -> (c => new ZorderProcedure(c)),
+    "detail"   -> (c => new DetailProcedure(c)))
 
   private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -447,6 +448,32 @@ private[spark] object GraftProcedures {
         case Some(v) => one(outSchema, v)
         case None    => one(outSchema, -1L) // empty store or lost CAS race
       }
+  }
+
+  /** `CALL graft.system.detail(table => 'ns.t')` — DESCRIBE DETAIL: the
+    * current version's physical shape in one row. O(manifest); the ops
+    * dashboard numbers (dv debt, file count, bytes) without a data scan.
+    */
+  final class DetailProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "detail") {
+    override def description(): String =
+      "current version's physical layout summary"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType), StructField("key_column", StringType),
+      StructField("n_files", IntegerType), StructField("live_rows", LongType),
+      StructField("dv_rows", LongType), StructField("masked_files", IntegerType),
+      StructField("bytes", LongType), StructField("stats_cols", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val m = st.currentManifest.getOrElse(throw new IllegalStateException(
+        "no current version"))
+      one(outSchema, m.version, utf8(m.keyField), m.files.size,
+        m.files.map(_.liveRows).sum, m.files.map(_.dvRows).sum,
+        m.files.count(_.dv.isDefined), m.files.map(_.bytes).sum,
+        utf8(m.statsCols.mkString(",")))
+    }
   }
 
   /** `CALL graft.system.history(table => 'ns.t')` — DESCRIBE HISTORY: one

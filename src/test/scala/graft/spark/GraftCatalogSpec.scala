@@ -132,6 +132,12 @@ class GraftCatalogSpec extends SparkSpec {
       "long_col => 'id', double_col => 'score', target_files => 2)").collect()
     assert(z.length === 1 && z.head.getLong(0) > 0L)
     assert(sql("SELECT count(*) FROM gct.db.m").collect().head.getLong(0) === 4100L)
+    // DESCRIBE DETAIL: version, key, live rows, dv debt, bytes
+    val det = sql("CALL gct.system.detail(table => 'db.m')").collect()
+    assert(det.length === 1)
+    assert(det.head.getString(1) === "id")
+    assert(det.head.getLong(3) === 4100L) // live rows
+    assert(det.head.getLong(6) > 0L)      // bytes from the manifest
   }
 
   test("predicate pushdown prunes catalog-resolved scans at planning time") {
