@@ -27,11 +27,18 @@ import java.nio.file.{Files, Paths}
   *     no foreachBatch user code.
   *   - Append and Update output modes are both keyed UPSERTS (the table is
   *     keyed); Complete mode re-commits the full result per epoch
-  *     (`truncate()` on the write builder).
+  *     (`truncate()` on the write builder). `option("opcol", <column>)`
+  *     names a c/u/d operation column so a CHANGELOG stream's deletes
+  *     delete — with `tsguard`, `readStream -> Changelog transforms ->
+  *     writeStream` is the reference's whole pipeline, declaratively.
   *
   * A `last_ts` column in the stream, when present, is the CDC ordering
   * timestamp (same contract as the batch append); otherwise rows stamp the
-  * epoch id, which is monotone per query.
+  * epoch id, which is monotone per query. With `option("tsguard","true")`
+  * the merge additionally enforces the CDC staleness rule ACROSS epochs
+  * (an event older than the stored row's `last_ts` cannot regress state) —
+  * with it, `readStream -> Changelog transforms -> writeStream` IS the
+  * reference pipeline, declaratively.
   */
 final class GraftStreamingWrite(root: String, options: Map[String, String],
                                 schema: StructType, queryId: String,
@@ -72,7 +79,21 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(files: _*)
       val nFiles = GraftTable.opt(options, "files").map(_.toInt).getOrElse(16)
-      existing match {
+      val opColOpt = GraftTable.opt(options, "opcol")
+      // opcol mode: the op column is CHANGELOG metadata, not table data —
+      // the store is created EMPTY (data columns only) and every epoch,
+      // including the first, applies through the merge path below
+      val effective = (existing, opColOpt) match {
+        case (None, Some(oc)) =>
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            schema.filterNot(f => f.name == oc || f.name == Merge.LastTsCol))
+          st.commit(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema),
+            batchId = -1L, nFiles = 1, streamId = s"$queryId-init")
+          st.currentManifest
+        case _ => existing
+      }
+      effective match {
         case None =>
           st.commit(staged, batchId = epochId, nFiles = nFiles,
             streamId = queryId,
@@ -84,21 +105,30 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
             streamId = queryId, statsCols = m.statsCols)
           ()
         case Some(m) =>
-          val fields = staged.columns.filterNot(_ == Merge.LastTsCol).toSeq
+          // opcol: a changelog stream names its op column (c/u/d) and the
+          // sink honors deletes; without it every row is an upsert
+          val opCol = opColOpt
+          val fields = staged.columns.toSeq
+            .filterNot(c => c == Merge.LastTsCol || opCol.contains(c))
           val ts = if (staged.columns.contains(Merge.LastTsCol))
             coalesce(col(Merge.LastTsCol), lit(epochId)) else lit(epochId)
           val net = Changelog.dedupLatest(staged.select(
             col(key).cast("string").as(Changelog.KeyCol) +:
-              lit("u").as(Changelog.OpCol) +: ts.as(Changelog.TsCol) +:
+              opCol.map(c => col(c)).getOrElse(lit("u")).as(Changelog.OpCol) +:
+              ts.as(Changelog.TsCol) +:
               fields.map(f => col(f).as(s"after_$f")): _*))
+          // tsguard=true: the CDC staleness rule across epochs — a late
+          // event with an older last_ts cannot regress the stored row
+          val guard = GraftTable.opt(options, "tsguard")
+            .exists(_.equalsIgnoreCase("true"))
           if (GraftTable.opt(options, "mor").exists(_.equalsIgnoreCase("true"))) {
             // deletion-vector merge-on-read: scattered epochs write
             // O(batch) bytes instead of rewriting every touched file
             st.mergeOnReadLocked(net, fields, batchId = epochId,
-              streamId = queryId, tsGuard = false)
+              streamId = queryId, tsGuard = guard)
             ()
           } else st.mergeOptimistic(net, fields, batchId = epochId,
-            streamId = queryId, tsGuard = false) match {
+            streamId = queryId, tsGuard = guard) match {
             case ManifestStore.MergeConflict(v, reason) =>
               throw new IllegalStateException(
                 s"graft streaming sink lost the commit race at version $v: " +

@@ -109,6 +109,60 @@ class GraftStreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tsguard: a late epoch's stale event cannot regress the stored row") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("g") + "/store"
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("id", "v", "last_ts")
+      .writeStream.format("graft")
+      .option("key", "id").option("tsguard", "true")
+      .option("checkpointLocation", tmp("gck"))
+      .start(root)
+    try {
+      ms.addData((1L, "seed", 1L), (2L, "seed", 1L))
+      q.processAllAvailable()
+      ms.addData((1L, "fresh", 100L))
+      q.processAllAvailable()
+      // a LATE event for key 1 with an older ts arrives in a later epoch:
+      // the guard must keep 'fresh'; key 2's newer event still applies
+      ms.addData((1L, "stale", 50L), (2L, "newer", 60L))
+      q.processAllAvailable()
+      val rows = spark.read.format("graft").load(root)
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "fresh", 2L -> "newer"))
+    } finally q.stop()
+  }
+
+  test("opcol: a changelog stream's deletes delete — declarative CDC pipeline") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("o") + "/store"
+    // (id, v, op, ts): the shape Changelog transforms produce from a raw
+    // Debezium stream — key + after-image + operation + event time
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = ms.toDF().toDF("id", "v", "op", "last_ts")
+      .writeStream.format("graft")
+      .option("key", "id").option("opcol", "op").option("tsguard", "true")
+      .option("checkpointLocation", tmp("ock"))
+      .start(root)
+    try {
+      ms.addData((1L, "a", "c", 1L), (2L, "b", "c", 1L), (3L, "c", "c", 1L))
+      q.processAllAvailable()
+      // epoch 2: update 1, delete 2, insert 4 — one changelog batch
+      ms.addData((1L, "A", "u", 10L), (2L, null, "d", 10L), (4L, "d4", "c", 10L))
+      q.processAllAvailable()
+      val rows = spark.read.format("graft").load(root)
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "A", 3L -> "c", 4L -> "d4"))
+      // a stale delete for key 1 (older ts) must NOT remove the fresh row
+      ms.addData((1L, null, "d", 5L))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(root)
+        .filter(col("id") === 1L).count() === 1L)
+    } finally q.stop()
+  }
+
   test("Complete mode recommits the full aggregate each epoch") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
