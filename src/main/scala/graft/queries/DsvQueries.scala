@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.cdc.{Changelog, ChangelogGen, ManifestStore}
+import graft.cdc.{Changelog, ChangelogGen, Envelope, ManifestStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -121,7 +121,72 @@ object DsvQueries {
     "dsv2_catalog_sql" -> catalogSql,
     "dsv2_sql_dml" -> catalogDml,
     "dsv2_sql_dml_mor" -> catalogDmlMor,
-    "dsv2_stream_sink" -> streamSink)
+    "dsv2_stream_sink" -> streamSink,
+    "dsv2_declarative_cdc" -> declarativeCdc)
+
+  /** The reference's WHOLE pipeline as one declarative streaming query:
+    * raw Debezium JSON files -> `Changelog.parse/flatten/withKey` (the
+    * same transforms the foreachBatch engine runs) -> the native sink with
+    * `opcol` (c/u/r/d honored) and `tsguard` (cross-epoch staleness rule).
+    * The changelog is split into two epochs that preserve PER-KEY event
+    * order (each key's earlier events land in epoch a) — the ordering a
+    * Kafka-partitioned CDC stream guarantees, and what the cross-epoch ts
+    * guard (like the reference's merge guard) is built for. The result
+    * must hash-match `cdc_apply_changelog`'s oracle — the flat one-batch
+    * merge — exactly. Re-runs re-apply equal-ts events (guard `>=`):
+    * same state.
+    */
+  private def declarativeCdc(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = scratch("decl_store", dir)
+    val in = scratch("decl_in", dir)
+    val st = new ManifestStore(root, s, "c_custkey")
+    if (!st.exists) st.commit(customer(s, dir), batchId = 0, nFiles = 8)
+    if (!Files.isDirectory(Paths.get(in))) {
+      val raw = ChangelogGen.customerChangelog(s, dir)
+      // event index i = ts_ms % 10 (generator: ts = base + key*10 + i,
+      // i < EventsPerKey <= 10); i-threshold slicing keeps each key's
+      // events in epoch order
+      val evIdx =
+        get_json_object(col("value"), "$.payload.ts_ms").cast("long") % 10
+      def slice(tag: String, firstHalf: Boolean): Unit = {
+        val tmp = s"${in}_tmp_$tag"
+        val half = ChangelogGen.EventsPerKey / 2 + 1
+        raw.filter(if (firstHalf) evIdx < half else evIdx >= half)
+          .select("value")
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".txt")).findFirst().get()
+        Files.createDirectories(Paths.get(in))
+        Files.move(part, Paths.get(in, s"$tag.txt"))
+      }
+      slice("a", firstHalf = true); slice("b", firstHalf = false)
+    }
+    val inferred = Envelope.inferFieldInfo(
+      s.read.text(in).head().getString(0))
+    val env = Envelope.envelopeSchema(Envelope.recordSchema(inferred))
+    val stream = s.readStream.option("maxFilesPerTrigger", "1").text(in)
+    val flat = Changelog.withKey(
+      Changelog.flatten(Changelog.parse(stream, env), inferred.map(_.name)),
+      "c_custkey")
+    val shaped = flat.select(
+      coalesce(col("after_c_custkey"), col(Changelog.KeyCol).cast("long"))
+        .as("c_custkey"),
+      col("after_c_name").as("c_name"),
+      col("after_c_nationkey").as("c_nationkey"),
+      col("after_c_acctbal").as("c_acctbal"),
+      col("after_c_mktsegment").as("c_mktsegment"),
+      col(Changelog.OpCol).as("op"),
+      col(Changelog.TsCol).as("last_ts"))
+    val q = shaped.writeStream.format("graft")
+      .option("key", "c_custkey").option("opcol", "op")
+      .option("tsguard", "true")
+      .option("checkpointLocation",
+        Files.createTempDirectory("declck").toString)
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft").load(root)
+  }
 
   /** The native exactly-once streaming sink
     * ([[graft.spark.GraftStreamingWrite]]): two single-file epochs (evens
@@ -253,6 +318,10 @@ object DsvQueries {
     // every 10th key mirrored past max(key) as a 'NEW' row
     "dsv2_sql_dml" -> dmlOracle,
     "dsv2_sql_dml_mor" -> dmlOracle,
+
+    // the declarative streaming pipeline must land on the SAME answer as
+    // the batch engine: reuse cdc_apply_changelog's flat-merge oracle
+    "dsv2_declarative_cdc" -> CdcQueries.oracles("cdc_apply_changelog"),
 
     // the catalog's CREATE/INSERT/DELETE/SELECT lifecycle must land on the
     // relational answer: everything but the deleted segment
