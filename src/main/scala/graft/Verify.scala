@@ -10,14 +10,25 @@ object Verify {
     * [[graft.queries.CdcQueries]] normalizes either to epoch-nanos BIGINT
     * (DuckDB oracles use epoch_ms/epoch_ns on its TIMESTAMP read).
     */
-  def session(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def session(cpus: String): SparkSession = {
+    // The O(config)-row global windows (curation cutoffs, pipeline pack
+    // offsets, manifest overlap sweep) legitimately run single-partition;
+    // WindowExecBase still WARNs "No Partition Defined" per plan. Spark
+    // 4.1's EliminateWindowPartitions strips any foldable partition key, so
+    // the lit(0) idiom cannot silence it — mute the logger category instead
+    // (bench/verify output stays signal-only; the windows themselves are
+    // bounded by construction and annotated at each call site).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

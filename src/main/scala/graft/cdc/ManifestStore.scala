@@ -187,6 +187,36 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   def exists: Boolean = current.isDefined
 
+  /** Replayed(batchId, streamId): the exactly-once guard. Checks the
+    * CURRENT commit first (the overwhelmingly common replay shape — the
+    * stream is this store's only writer), then falls back to a lineage
+    * scan over the RETAINED log: if any other writer (batch append, SQL
+    * DML, a second stream) committed between an epoch's apply and a crash,
+    * the replayed epoch's lineage is no longer the latest commit, and the
+    * latest-only check alone would re-apply it — clobbering the
+    * interleaved writer's newer values when the ts guard is off. The scan
+    * is O(retained log entries), one small JSON header each, no file-list
+    * reconstruction. Entries vacuumed past log retention are gone, so in
+    * multi-writer deployments keep vacuum's `keepLast` above the writers'
+    * interleave depth (same contract as the streaming source's tail).
+    */
+  def replayed(batchId: Long, streamId: String): Boolean =
+    current.exists { case (cur, curBatch, curStream) =>
+      (curStream == streamId && curBatch >= batchId) || {
+        val logDir = Paths.get(root, "_LOG")
+        Files.isDirectory(logDir) && {
+          val s = Files.list(logDir)
+          val versions =
+            try s.toArray.toSeq.map(_.asInstanceOf[Path].getFileName
+              .toString.stripSuffix(".json")).flatMap(_.toLongOption)
+            finally s.close()
+          versions.filter(_ <= cur).exists(v => readLogNode(v).exists(n =>
+            n.path("streamId").asText("default") == streamId &&
+              n.path("batchId").asLong() >= batchId))
+        }
+      }
+    }
+
   private def readLogNode(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = Paths.get(root, "_LOG", v.toString + ".json")
     if (!Files.exists(p)) None else Some(mapper.readTree(Files.readString(p)))
@@ -707,7 +737,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
              streamId: String = "default",
              statsCols: Seq[String] = Nil): Boolean = {
     val cur = current
-    if (cur.exists(c => c._3 == streamId && c._2 >= batchId)) return false
+    if (replayed(batchId, streamId)) return false
     Files.createDirectories(Paths.get(root))
     val entries = writeDataFiles(df, nFiles, statsCols)
     writeManifestAndSwap(cur.map(_._1 + 1).getOrElse(0L), batchId, streamId,
@@ -762,7 +792,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val m = currentManifest.getOrElse(
       throw new IllegalStateException(s"no current version at $root — " +
         "commit an initial snapshot before merging"))
-    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+    if (replayed(batchId, streamId)) return None
 
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -814,7 +844,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val m = currentManifest.getOrElse(
       throw new IllegalStateException(s"no current version at $root — " +
         "commit an initial snapshot before merging"))
-    if (current.exists(c => c._3 == streamId && c._2 >= batchId)) return None
+    if (replayed(batchId, streamId)) return None
     val keyType = keyTypeOf(m)
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -981,9 +1011,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val m = currentManifest.getOrElse(
         throw new IllegalStateException(s"no current version at $root — " +
           "commit an initial snapshot before deleting"))
-      val replayed = replay.exists { case (batchId, streamId) =>
-        current.exists(c => c._3 == streamId && c._2 >= batchId) }
-      if (replayed) return None
+      val isReplay = replay.exists { case (batchId, streamId) =>
+        replayed(batchId, streamId) }
+      if (isReplay) return None
       if (m.files.isEmpty) return None
       val (cBatchId, cStreamId) = replay.getOrElse((m.batchId, m.streamId))
       val keyType = keyTypeOf(m)
@@ -1015,7 +1045,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             onDerived()
             val committed = SnapshotStore.withCommitLock(root) {
               if (replay.exists { case (batchId, streamId) =>
-                  current.exists(c => c._3 == streamId && c._2 >= batchId) })
+                  replayed(batchId, streamId) })
                 Right(None) // replayed concurrently
               else if (!current.exists(_._1 == m.version))
                 Left("lost the commit race")
@@ -1163,7 +1193,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val m = currentManifest.getOrElse(
           throw new IllegalStateException(s"no current version at $root — " +
             "commit an initial snapshot before merging"))
-        if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+        if (replayed(batchId, streamId))
           return ManifestStore.AlreadyMerged
         val d = deriveMerge(m, netP, fields, tsGuard)
         onDerived()
@@ -1175,7 +1205,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val touchedIds = d.touched.map(f => (f.name, f.dv)).toSet
         val outcome = SnapshotStore.withCommitLock(root) {
           val curM = currentManifest.get
-          if (current.exists(c => c._3 == streamId && c._2 >= batchId))
+          if (replayed(batchId, streamId))
             ManifestStore.AlreadyMerged
           else if (curM.version == m.version) {
             writeManifestAndSwap(m.version + 1, batchId, streamId,
@@ -1343,9 +1373,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
       .toDF("_f", "_min0", "_max0")
       .select(col("_f"), statDeserialize(col("_min0"), keyType).as("_min"),
         statDeserialize(col("_max0"), keyType).as("_max"))
-    // partitioned by a literal: the frame is O(#files) by construction, and
-    // an unpartitioned spec would emit the WindowExec single-partition WARN
-    // that masks real unpartitioned windows in bench tails
+    // single-partition by design: the frame is O(#files) by construction
+    // (EliminateWindowPartitions strips the lit(0) spec, so the window runs
+    // unpartitioned — the intended O(metadata) shape; the session mutes
+    // WindowExecBase's advisory WARN, see graft.Verify.session)
     val w = Window.partitionBy(lit(0)).orderBy("_min", "_max", "_f")
     val runMax = max(col("_max")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     df.withColumn("_new",
@@ -1531,19 +1562,50 @@ final class ManifestStore(val root: String, spark: SparkSession,
             .foreach(Files.deleteIfExists(_))
           finally s.close()
         }
+        val cutoff = System.currentTimeMillis() - minAgeMillis
+        // staging debris: every writer stages under the table root
+        // (`_stage_*` data/zorder stages, `_stage_dv_*` sidecar stages,
+        // `_delta_stage_*` SQL row-level changelogs, `_stream_stage_*`
+        // sink epochs). Success and abort paths clean their own dirs, but
+        // a hard-killed driver orphans them forever — at a 30 s trigger a
+        // crash-looping deployment accretes unbounded junk. Reap any whose
+        // NEWEST content is older than `minAgeMillis` (the same guard that
+        // protects staged-but-uncommitted files in `files/`: set it longer
+        // than any live writer's derivation/epoch time).
+        val rootDir = Paths.get(root)
+        val stagePrefixes = Seq("_stage_", "_stage_dv_", "_delta_stage_",
+          "_stream_stage_")
+        def newestMtime(p: Path): Long =
+          if (!Files.isDirectory(p)) Files.getLastModifiedTime(p).toMillis
+          else {
+            val s = Files.list(p)
+            val children = try s.toArray.toSeq.map(_.asInstanceOf[Path])
+              finally s.close()
+            (Files.getLastModifiedTime(p).toMillis +:
+              children.map(newestMtime)).max
+          }
+        val rs = Files.list(rootDir)
+        val stageVictims =
+          try rs.toArray.toSeq.map(_.asInstanceOf[Path])
+            .filter(p => stagePrefixes.exists(
+              p.getFileName.toString.startsWith(_)))
+            .filter(p => newestMtime(p) <= cutoff)
+          finally rs.close()
+        stageVictims.foreach(deleteRecursively)
         val dir = Paths.get(root, "files")
-        if (!Files.isDirectory(dir)) Seq.empty
-        else {
-          val cutoff = System.currentTimeMillis() - minAgeMillis
-          val s = Files.list(dir)
-          val victims =
-            try s.toArray.toSeq.map(_.asInstanceOf[Path])
-              .filterNot(p => referenced(p.getFileName.toString))
-              .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-            finally s.close()
-          victims.foreach(deleteRecursively) // sidecars are directories
-          victims.map(_.getFileName.toString).sorted
-        }
+        val dataVictims =
+          if (!Files.isDirectory(dir)) Seq.empty
+          else {
+            val s = Files.list(dir)
+            val victims =
+              try s.toArray.toSeq.map(_.asInstanceOf[Path])
+                .filterNot(p => referenced(p.getFileName.toString))
+                .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+              finally s.close()
+            victims.foreach(deleteRecursively) // sidecars are directories
+            victims.map(_.getFileName.toString)
+          }
+        (stageVictims.map(_.getFileName.toString) ++ dataVictims).sorted
       }
     }
   }

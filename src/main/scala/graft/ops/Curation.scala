@@ -229,9 +229,10 @@ object Curation {
     */
   def globalQuantiles(df: DataFrame, value: String, ps: Seq[Double]): DataFrame = {
     val counts = df.groupBy(col(value)).agg(count(lit(1)).as("_c"))
-    // partitioned by a literal: O(#distinct values) rows by construction;
-    // an unpartitioned spec would emit the WindowExec WARN that masks real
-    // unpartitioned windows elsewhere
+    // single-partition by design: O(#distinct values) rows by construction
+    // (EliminateWindowPartitions strips the lit(0) spec, so the window runs
+    // unpartitioned — which is exactly the intended O(config) shape; the
+    // session mutes WindowExecBase's advisory WARN, see Verify.session)
     val wCum = Window.partitionBy(lit(0)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(lit(0))

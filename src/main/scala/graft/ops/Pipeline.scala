@@ -142,9 +142,10 @@ object Pipeline {
     // bucket offsets: totals per bucket, cumulated in hex order. The
     // cumulative window runs over 16^bucketChars rows — O(config), like an
     // inlined-centroid table — and the result broadcasts back.
-    // partitioned by a literal: O(16^bucketChars) rows by construction; an
-    // unpartitioned spec would emit the WindowExec WARN that masks real
-    // unpartitioned windows elsewhere
+    // single-partition by design: O(16^bucketChars) rows by construction
+    // (EliminateWindowPartitions strips the lit(0) spec, so the window runs
+    // unpartitioned — the intended O(config) shape; the session mutes
+    // WindowExecBase's advisory WARN, see Verify.session)
     val wOff = Window.partitionBy(lit(0)).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = ranked.groupBy(col("_b")).agg(count(lit(1)).as("_n"))

@@ -187,8 +187,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames().length == 1,
           "graft ALTER TABLE supports top-level ADD COLUMN only, got " +
             add.fieldNames().mkString("."))
+        // always nullable: every pre-existing file reads NULL for the new
+        // column, so honoring a user's NOT NULL here would make the
+        // manifest schema lie about what old rows contain (Delta likewise
+        // rejects non-null adds)
         schema = StructType(schema.fields :+
-          StructField(add.fieldNames().head, add.dataType(), add.isNullable))
+          StructField(add.fieldNames().head, add.dataType(), nullable = true))
         schemaChanged = true
       case setp: TableChange.SetProperty =>
         require(!setp.property().equalsIgnoreCase("key"),

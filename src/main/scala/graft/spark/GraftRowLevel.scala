@@ -262,8 +262,30 @@ final class GraftDeltaWriter(stagingDir: String,
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     emit(opD, keyOf(id), null)
 
-  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    emit(opU, keyOf(id), row)
+  /** An UPDATE/MERGE that assigns the key column relocates the row: routed
+    * by the OLD key alone it would leave a pre-existing row at the NEW key
+    * untouched (its file is never pruned in), silently creating duplicate
+    * keys. Split it here into delete(old) + upsert(new) — the two verdicts
+    * carry DIFFERENT keys, so the net changelog keeps both, the new key's
+    * file joins the pruned set, and a collision resolves as last-write-wins
+    * exactly like any upsert. Same-key updates stay a single 'u'.
+    */
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    val oldKey = keyOf(id)
+    val newKey =
+      if (keyOrdInRow < 0 || row.isNullAt(keyOrdInRow)) null
+      else row.copy().get(keyOrdInRow, keyType)
+    if (sameKey(oldKey, newKey)) emit(opU, oldKey, row)
+    else { emit(opD, oldKey, null); emit(opU, newKey, row) }
+  }
+
+  private def sameKey(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: org.apache.spark.sql.types.Decimal, y: org.apache.spark.sql.types.Decimal) =>
+      x.compare(y) == 0
+    case (x, y) => x == y // UTF8String/boxed primitives define value equality
+  }
 
   override def insert(row: InternalRow): Unit = {
     require(keyOrdInRow >= 0,

@@ -69,8 +69,11 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
           "graft streaming sink to a new store needs option(\"key\", ...)"))
       val st = new ManifestStore(root, spark, key)
       // replay guard: a re-delivered epoch after a crash-in-commit is a
-      // no-op (same streamId lineage, batchId already applied)
-      val applied = st.current.exists(c => c._3 == queryId && c._2 >= epochId)
+      // no-op (same streamId lineage, batchId already applied). The
+      // lineage-scan form also catches a replay with another writer's
+      // commit interleaved between apply and crash — latest-commit-only
+      // would re-apply and clobber the interleaved writer's newer values.
+      val applied = st.replayed(epochId, queryId)
       if (applied) return
       if (files.isEmpty && existing.isDefined && !overwrite) return
       val staged =
@@ -136,11 +139,27 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
             case _ => ()
           }
       }
-    } finally deleteDir(epochDir)
+    } finally {
+      deleteDir(epochDir)
+      dropStageRootIfEmpty()
+    }
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     deleteDir(Paths.get(s"$root/_stream_stage_$queryId/epoch-$epochId"))
+    dropStageRootIfEmpty()
+  }
+
+  /** The per-query stage root holds only in-flight epoch dirs; once the
+    * epoch is cleaned it is normally empty — remove it so a long-lived
+    * table doesn't accrete one `_stream_stage_*` dir per historical query.
+    * (A concurrent epoch's staging keeps it non-empty and the delete is a
+    * no-op; a hard crash orphans it for [[graft.cdc.ManifestStore.vacuum]]'s
+    * stage sweep.)
+    */
+  private def dropStageRootIfEmpty(): Unit =
+    try { Files.deleteIfExists(Paths.get(s"$root/_stream_stage_$queryId")); () }
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
 
   private def deleteDir(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -664,6 +664,68 @@ class ManifestStoreSpec extends SparkSpec {
     assert(!Files.exists(staged))
   }
 
+  test("vacuum sweeps orphaned staging directories by age") {
+    import java.nio.file.Paths
+    import java.nio.file.attribute.FileTime
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    def stage(name: String, ageMillis: Long): java.nio.file.Path = {
+      val d = Paths.get(st.root, name)
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-0-0.parquet"), Array[Byte](1, 2, 3))
+      val t = FileTime.fromMillis(System.currentTimeMillis() - ageMillis)
+      Files.setLastModifiedTime(d.resolve("part-0-0.parquet"), t)
+      Files.setLastModifiedTime(d, t)
+      d
+    }
+    // a crashed SQL statement's changelog stage, two hours old
+    val orphan = stage("_delta_stage_crashed", 2L * 3600000L)
+    // a crashed stream's epoch stage (nested), two hours old
+    val streamOrphan = stage("_stream_stage_dead/epoch-7", 2L * 3600000L)
+    Files.setLastModifiedTime(streamOrphan.getParent,
+      FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600000L))
+    // a LIVE writer's stage: just created, inside the retention headroom
+    val live = stage("_stage_inflight", 0L)
+    Files.setLastModifiedTime(live.resolve("part-0-0.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis()))
+    // young vacuum: the aged orphans die, the live stage survives
+    st.vacuum(keepLast = 1, minAgeMillis = 3600000L)
+    assert(!Files.exists(orphan))
+    assert(!Files.exists(streamOrphan.getParent))
+    assert(Files.exists(live))
+    // an aged vacuum reaps what is left
+    st.vacuum(keepLast = 1)
+    assert(!Files.exists(live))
+    // the table itself is untouched throughout
+    assert(st.read().get.count() == 200L)
+  }
+
+  test("replay guard catches a replayed batch behind an interleaved commit") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    // stream A applies its epoch 1...
+    assert(st.merge(netDf(Seq((0L, "u", Some("epochA1"), 100L))), fields,
+      batchId = 1, streamId = "streamA").isDefined)
+    // ...then ANOTHER writer commits on its own lineage (batch append /
+    // SQL DML / second stream) before stream A's checkpoint records the
+    // epoch — the latest commit is no longer stream A's
+    assert(st.merge(netDf(Seq((0L, "u", Some("newer"), 200L))), fields,
+      batchId = 5, streamId = "streamB", tsGuard = false).isDefined)
+    // the crash-replayed epoch must be a pure no-op, not a clobber
+    assert(st.replayed(1, "streamA"))
+    assert(st.merge(netDf(Seq((0L, "u", Some("epochA1"), 100L))), fields,
+      batchId = 1, streamId = "streamA", tsGuard = false).isEmpty)
+    assert(st.mergeOptimistic(netDf(Seq((0L, "u", Some("epochA1"), 100L))),
+      fields, batchId = 1, streamId = "streamA", tsGuard = false)
+      == ManifestStore.AlreadyMerged)
+    val got = st.read().get.filter(col("id") === 0L)
+      .select("name").as[String].head()
+    assert(got == "newer")
+    // a genuinely new epoch on stream A still applies
+    assert(st.merge(netDf(Seq((1L, "u", Some("epochA2"), 300L))), fields,
+      batchId = 2, streamId = "streamA", tsGuard = false).isDefined)
+  }
+
   test("all-rows-deleted file vanishes from the manifest") {
     val st = store()
     st.commit((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name"),

@@ -78,6 +78,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("does not support"))
   }
 
+  test("ALTER TABLE ADD COLUMN forces nullability: old files read NULL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.nn")
+    sql("CREATE TABLE gct.db.nn (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.nn VALUES (1, 'a')")
+    // the user asks NOT NULL, but every pre-existing file reads NULL for
+    // the new column — honoring it would make the schema lie about old
+    // rows; the catalog forces nullable (Delta rejects such adds outright)
+    sql("ALTER TABLE gct.db.nn ADD COLUMN req DOUBLE NOT NULL")
+    val f = spark.table("gct.db.nn").schema("req")
+    assert(f.nullable, "added column must be recorded nullable")
+    val r = sql("SELECT req FROM gct.db.nn WHERE id = 1").collect()
+    assert(r.length === 1 && r.head.isNullAt(0))
+  }
+
+  test("TIMESTAMP AS OF round-trips through history's commit timestamps") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.tt")
+    sql("CREATE TABLE gct.db.tt (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.tt VALUES (1, 'a'), (2, 'b')")
+    Thread.sleep(5L) // commit timestamps are millis; separate the versions
+    sql("INSERT INTO gct.db.tt VALUES (3, 'c')")
+    Thread.sleep(5L)
+    sql("DELETE FROM gct.db.tt WHERE id = 1")
+    // history: newest first — (version, batch_id, stream_id, ts_millis, ...)
+    val hist = sql("CALL gct.system.history(table => 'db.tt')").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    def tsOf(v: Long): String =
+      java.time.Instant.ofEpochMilli(hist(v)).toString
+    // each version's own commit instant resolves to exactly that version
+    assert(sql(s"SELECT * FROM gct.db.tt TIMESTAMP AS OF '${tsOf(1L)}'")
+      .count() === 2) // post first insert
+    assert(sql(s"SELECT * FROM gct.db.tt TIMESTAMP AS OF '${tsOf(2L)}'")
+      .count() === 3) // post second insert, pre delete
+    assert(sql(s"SELECT * FROM gct.db.tt TIMESTAMP AS OF '${tsOf(3L)}'")
+      .count() === 2) // post delete = current
+  }
+
   test("rename and drop table") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("CREATE TABLE gct.db.r1 (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")

@@ -169,4 +169,20 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(sql(s"SELECT v FROM $t WHERE id = 100000").collect()
       .head.getString(0) === "7")
   }
+
+  test("key-changing UPDATE onto an OCCUPIED key collapses to one row") {
+    // id=7 lives in the first file, id=1500 in the last: routing the 'u'
+    // verdict by the old key alone would never prune in the colliding
+    // file, leaving TWO rows with key 1500. The writer splits the verdict
+    // into delete(7) + upsert(1500), so the collision resolves
+    // last-write-wins like any upsert — keyed row identity holds.
+    val t = freshTable("k2", n = 2000, files = 4)
+    sql(s"UPDATE $t SET id = 1500 WHERE id = 7")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) === 1999L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id = 7")
+      .collect().head.getLong(0) === 0L)
+    val winners = sql(s"SELECT v, amt FROM $t WHERE id = 1500").collect()
+    assert(winners.length === 1, "duplicate key after relocating update")
+    assert((winners.head.getString(0), winners.head.getDouble(1)) === (("7", 7.0)))
+  }
 }
