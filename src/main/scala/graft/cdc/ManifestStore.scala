@@ -120,11 +120,22 @@ object ManifestStore {
     * key without an option; "" on manifests written before the field
     * existed.
     */
+  /** `cdcFile`: the version's CHANGE-DATA file (a parquet directory under
+    * `files/`, schema = the version's table columns + `_change_type` ∈
+    * insert | update_preimage | update_postimage | delete) — written at
+    * commit time by the merge/delete paths when the table property
+    * `cdf=true` is set (Delta's `delta.enableChangeDataFeed`), O(changed
+    * rows) extra I/O per commit. The streaming change-feed source reads
+    * these directly instead of diffing snapshots. None on append-only /
+    * maintenance / pre-CDF commits.
+    */
   final case class Manifest(version: Long, batchId: Long, streamId: String,
                             tsMillis: Long, schemaDDL: String,
                             files: Seq[FileEntry],
                             statsCols: Seq[String] = Nil,
-                            keyField: String = "")
+                            keyField: String = "",
+                            cdcFile: Option[String] = None,
+                            cdcRows: Long = 0L)
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -158,6 +169,41 @@ object ManifestStore {
     * most this many log entries to a checkpoint.
     */
   val CheckpointInterval = 10L
+
+  /** Table properties live in `<root>/_TBLPROPS` as one `k=v` per line
+    * (keys lowercased) — table metadata IS the filesystem, like the rest
+    * of the store. Shared by the SQL catalog (TBLPROPERTIES) and the store
+    * API (`cdf`, `mor`, ... flags).
+    */
+  def writeTableProps(root: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      Files.createDirectories(Paths.get(root))
+      Files.write(Paths.get(root, "_TBLPROPS"),
+        props.map { case (k, v) => s"${k.toLowerCase}=$v" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+
+  def readTableProps(root: String): Map[String, String] = {
+    val p = Paths.get(root, "_TBLPROPS")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The change-file column naming Delta's CDF established (public
+    * contract): one row per changed-row image, tagged with how it changed.
+    */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CdfInsert = "insert"
+  val CdfUpdatePre = "update_preimage"
+  val CdfUpdatePost = "update_postimage"
+  val CdfDelete = "delete"
 
   /** Outcome of [[ManifestStore.mergeOptimistic]]. */
   sealed trait MergeOutcome
@@ -217,6 +263,19 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }
     }
 
+  /** Change-data-feed capture is the table property `cdf=true`
+    * (`_TBLPROPS`). When on, every merge/delete commit writes a per-version
+    * change file — O(changed rows) extra I/O — that the CDF sources read
+    * directly. Read per commit (one tiny file). Flipping it on starts
+    * capture at the NEXT commit; earlier history is not reconstructed
+    * (Delta's `enableChangeDataFeed` contract).
+    */
+  def cdfEnabled: Boolean = ManifestStore.readTableProps(root)
+    .get("cdf").exists(_.equalsIgnoreCase("true"))
+
+  def enableChangeFeed(): Unit = ManifestStore.writeTableProps(root,
+    ManifestStore.readTableProps(root) + ("cdf" -> "true"))
+
   private def readLogNode(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = Paths.get(root, "_LOG", v.toString + ".json")
     if (!Files.exists(p)) None else Some(mapper.readTree(Files.readString(p)))
@@ -250,7 +309,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
       Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
         n.path("schema").asText(), files, statsCols,
-        n.path("keyField").asText(""))
+        n.path("keyField").asText(""),
+        Option(n.get("cdc")).filterNot(_.isNull).map(_.asText()),
+        n.path("cdcRows").asLong(0L))
     if (n.path("type").asText("checkpoint") == "delta")
       manifest(v - 1).map { parent =>
         val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
@@ -679,7 +740,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def writeManifestAndSwap(version: Long, batchId: Long,
                                    streamId: String, schemaDDL: String,
                                    files: Seq[FileEntry],
-                                   statsCols: Seq[String] = Nil): Unit = {
+                                   statsCols: Seq[String] = Nil,
+                                   cdc: Option[(String, Long)] = None): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", version)
     node.put("batchId", batchId)
@@ -687,6 +749,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
     node.put("tsMillis", System.currentTimeMillis())
     node.put("schema", schemaDDL)
     node.put("keyField", keyField)
+    cdc.foreach { case (name, rows) =>
+      node.put("cdc", name); node.put("cdcRows", rows); ()
+    }
     if (statsCols.nonEmpty) {
       val sc = mapper.createArrayNode()
       statsCols.foreach(sc.add)
@@ -798,7 +863,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     try {
       val d = deriveMerge(m, netP, fields, tsGuard)
       writeManifestAndSwap(m.version + 1, batchId, streamId, d.outSchema,
-        d.reused ++ d.newEntries, m.statsCols)
+        d.reused ++ d.newEntries, m.statsCols, cdc = d.cdc)
       Some(MergeStats(m.version + 1, d.touched.size, d.reused.size,
         d.newEntries.size))
     } finally netP.unpersist()
@@ -880,10 +945,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val upserts = Changelog
               .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
               .select(merged.columns.map(col).toSeq: _*)
+            // CDF capture rides the structures already in hand: the
+            // effective touched-file read is the preimage side, liveP the
+            // surviving net — one extra O(changed) pass, only when enabled
+            val cdc = if (!cdfEnabled) None
+              else writeCdcFile(deriveCdc(snapSubset, liveP, fields,
+                keyType, merged.schema))
             val newEntries = writeDataFiles(upserts, 1, m.statsCols)
             writeManifestAndSwap(m.version + 1, batchId, streamId,
               merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries,
-              m.statsCols)
+              m.statsCols, cdc = cdc)
             Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
               maskCounts.values.sum, newEntries.size,
               untouched.size + (touched.size - maskCounts.size)))
@@ -1034,14 +1105,23 @@ final class ManifestStore(val root: String, spark: SparkSession,
             data("_file") === dvDf("_file") &&
               data(keyField) === dvDf("_key"), "left_anti")
         }
-      val matches = live.filter(cond)
-        .select(col("_file"), col(keyField).cast(keyType).as("_key"))
+      // full matched rows persisted (not just (_file, _key)): the CDF
+      // capture needs the deleted rows' images, and the mask projection
+      // derives from the same cached pass — still O(matches)
+      val matchedRows = live.filter(cond)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matches = matchedRows
+        .select(col("_file"), col(keyField).cast(keyType).as("_key"))
       val outcome: Either[String, Option[ManifestStore.MorStats]] =
         try {
-          if (matches.isEmpty) Right(None)
+          if (matchedRows.isEmpty) Right(None)
           else {
             val (updated, maskCounts) = applyMasks(m.files, Some(matches), keyType)
+            val cdc = if (!cdfEnabled) None
+              else writeCdcFile(matchedRows
+                .select(schema.fieldNames.toSeq.map(col): _*)
+                .withColumn(ManifestStore.ChangeTypeCol,
+                  lit(ManifestStore.CdfDelete)))
             onDerived()
             val committed = SnapshotStore.withCommitLock(root) {
               if (replay.exists { case (batchId, streamId) =>
@@ -1052,7 +1132,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               else {
                 val (dead, liveFiles) = updated.partition(f => f.dvRows >= f.rows)
                 writeManifestAndSwap(m.version + 1, cBatchId, cStreamId,
-                  m.schemaDDL, liveFiles, m.statsCols)
+                  m.schemaDDL, liveFiles, m.statsCols, cdc = cdc)
                 val _ = dead // dropped from the manifest; vacuum reclaims
                 Right(Some(ManifestStore.MorStats(m.version + 1,
                   maskCounts.size, maskCounts.values.sum, 0,
@@ -1066,10 +1146,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
               updated.filter(f => maskCounts.contains(f.name))
                 .flatMap(_.dv).foreach(d =>
                   deleteRecursively(Paths.get(root, "files", d)))
+              cdc.filter(_._1.nonEmpty).foreach(c =>
+                deleteRecursively(Paths.get(root, "files", c._1)))
             }
             committed
           }
-        } finally matches.unpersist()
+        } finally matchedRows.unpersist()
       outcome match {
         case Right(r) => return r
         case Left(_)  => () // retry against the new current
@@ -1110,10 +1192,73 @@ final class ManifestStore(val root: String, spark: SparkSession,
       else df.withColumn(f, lit(null).cast(netP.schema(s"after_$f").dataType))
     }
 
+  /** Ground-truth change rows for one merge commit — the CDF capture.
+    * `preSnap` is the pre-merge EFFECTIVE content of the touched files
+    * (any existing row with a batch key necessarily lives there, since
+    * every live key sits inside some file's [min,max] range and such files
+    * are all touched); `live` is the guard-surviving net. A key with an
+    * existing row emits update_preimage + update_postimage (or delete); a
+    * key without emits insert; a delete of an absent key emits nothing —
+    * the feed records what actually CHANGED, not what upstream claimed
+    * (an upsert 'u' onto a fresh key is an insert). Both joins broadcast
+    * the batch-sized side; the touched-file subset streams through. Output
+    * columns: `outSchema` + `_change_type` (Delta's CDF shape).
+    */
+  private def deriveCdc(preSnap: DataFrame, live: DataFrame,
+                        fields: Seq[String],
+                        keyType: org.apache.spark.sql.types.DataType,
+                        outSchema: StructType): DataFrame = {
+    val ctc = ManifestStore.ChangeTypeCol
+    val ev = live.select(col(Changelog.KeyCol).cast(keyType).as("_ck"),
+      col(Changelog.OpCol).as("_cop"))
+    val pre = preSnap.join(broadcast(ev), preSnap(keyField) === col("_ck"))
+      .withColumn(ctc,
+        when(col("_cop") === "d", ManifestStore.CdfDelete)
+          .otherwise(ManifestStore.CdfUpdatePre))
+      .drop("_ck", "_cop")
+    val ups = Changelog.afterImage(
+      live.filter(col(Changelog.OpCol) =!= "d"), fields)
+    val preKeys = preSnap.select(col(keyField).as("_pk"))
+    val post = ups.join(broadcast(preKeys), ups(keyField) === col("_pk"), "left")
+      .withColumn(ctc, when(col("_pk").isNull, ManifestStore.CdfInsert)
+        .otherwise(ManifestStore.CdfUpdatePost))
+      .drop("_pk")
+    // shape both sides to the commit's output schema: the pre side may
+    // predate a drift-added column (typed null), types widen through cast
+    def shape(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)) :+ col(ctc): _*)
+    shape(pre).unionByName(shape(post))
+  }
+
+  /** Persist `cdc` as this commit's change file under `files/_cdc_<uuid>`.
+    * An EMPTY feed records the marker ("", 0): "captured, nothing
+    * effectively changed" — the CDF reader must distinguish it from a
+    * pre-capture commit (which it refuses to stream past). A commit that
+    * loses its race must delete the directory (same eager cleanup as its
+    * data files); a crash orphans it as an unreferenced `files/` entry for
+    * vacuum.
+    */
+  private def writeCdcFile(cdc: DataFrame): Option[(String, Long)] = {
+    val cdcP = cdc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cdcP.count()
+      if (n == 0L) Some(("", 0L))
+      else {
+        val name = s"_cdc_${java.util.UUID.randomUUID()}"
+        Files.createDirectories(Paths.get(root, "files"))
+        cdcP.write.parquet(Paths.get(root, "files", name).toString)
+        Some((name, n))
+      }
+    } finally cdcP.unpersist()
+  }
+
   private final case class Derived(touched: Seq[FileEntry],
                                    reused: Seq[FileEntry],
                                    newEntries: Seq[FileEntry],
-                                   outSchema: String)
+                                   outSchema: String,
+                                   cdc: Option[(String, Long)] = None)
 
   /** Prune + merge + write data files against a specific manifest —
     * entirely contention-free (no `_CURRENT` read or write); the caller
@@ -1130,17 +1275,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // the snapshot side as typed nulls (old files read null through later
     // manifests' wider schema; nothing rewrites)
     val snapSubset = widenToNet(readFiles(m, touchedFiles), netP, fields)
-    val (merged, _, cleanup) = Merge.applyChangesFull(
+    val (merged, live, cleanup) = Merge.applyChangesFull(
       snapSubset, netP, keyField, fields, tsGuard)
     // rewrite volume ~ what was touched; growth (insert-heavy batches
     // with no file hits) lands in one extra file per merge, and the
     // periodic re-clustering commit ([[recluster]]) restores the
     // file-count/size balance
-    val newEntries =
-      try writeDataFiles(merged, math.max(1, touchedFiles.size), m.statsCols)
-      finally cleanup()
+    val (cdc, newEntries) =
+      try {
+        val c = if (!cdfEnabled) None
+          else writeCdcFile(deriveCdc(snapSubset, live, fields,
+            keyTypeOf(m), merged.schema))
+        (c, writeDataFiles(merged, math.max(1, touchedFiles.size), m.statsCols))
+      } finally cleanup()
     // result schema gains last_ts on first merge of a ts-less snapshot
-    Derived(touchedFiles, reused, newEntries, merged.schema.toDDL)
+    Derived(touchedFiles, reused, newEntries, merged.schema.toDDL, cdc)
   }
 
   /** Optimistic concurrent MERGE — Delta's actual conflict rule, finer
@@ -1209,7 +1358,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             ManifestStore.AlreadyMerged
           else if (curM.version == m.version) {
             writeManifestAndSwap(m.version + 1, batchId, streamId,
-              d.outSchema, d.reused ++ d.newEntries, m.statsCols)
+              d.outSchema, d.reused ++ d.newEntries, m.statsCols,
+              cdc = d.cdc)
             ManifestStore.MergedAt(MergeStats(m.version + 1, d.touched.size,
               d.reused.size, d.newEntries.size))
           } else {
@@ -1235,8 +1385,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
             else {
               val files = curM.files.filterNot(f => touchedNames(f.name)) ++
                 d.newEntries
+              // the rebase preconditions (no overlap with the winner's
+              // writes) also keep the CDF record valid: the touched keys'
+              // pre-images are unchanged between the parent and curM
               writeManifestAndSwap(curM.version + 1, batchId, streamId,
-                d.outSchema, files, curM.statsCols)
+                d.outSchema, files, curM.statsCols, cdc = d.cdc)
               ManifestStore.MergedAt(MergeStats(curM.version + 1,
                 d.touched.size, files.size - d.newEntries.size,
                 d.newEntries.size))
@@ -1249,6 +1402,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             // reclaim them now instead of leaving them for vacuum
             d.newEntries.foreach(e =>
               Files.deleteIfExists(Paths.get(root, "files", e.name)))
+            d.cdc.filter(_._1.nonEmpty).foreach(c2 =>
+              deleteRecursively(Paths.get(root, "files", c2._1)))
             last = c
           case done => return done
         }
@@ -1541,8 +1696,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
       current.toSeq.flatMap { case (cur, _, _) =>
         val floor = cur - keepLast + 1
         val referenced = (floor to cur)
-          .flatMap(manifest(_).toSeq.flatMap(_.files.flatMap(f =>
-            f.name +: f.dv.toSeq))).toSet
+          .flatMap(manifest(_).toSeq.flatMap(m =>
+            m.cdcFile.toSeq ++ m.files.flatMap(f =>
+              f.name +: f.dv.toSeq))).toSet
         // reap the manifests below the retained window (crashed-writer
         // debris beyond _CURRENT is left for its writer to resolve) — but
         // a DELTA entry at the floor replays from the nearest checkpoint

@@ -122,7 +122,9 @@ object DsvQueries {
     "dsv2_sql_dml" -> catalogDml,
     "dsv2_sql_dml_mor" -> catalogDmlMor,
     "dsv2_stream_sink" -> streamSink,
-    "dsv2_declarative_cdc" -> declarativeCdc)
+    "dsv2_declarative_cdc" -> declarativeCdc,
+    "dsv2_stream_cdf" -> streamCdf,
+    "dsv2_incremental_agg" -> incrementalAgg)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
     * raw Debezium JSON files -> `Changelog.parse/flatten/withKey` (the
@@ -225,6 +227,127 @@ object DsvQueries {
     s.read.format("graft").load(root)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         lit(twoEpochs).as("dsv2_two_epochs"))
+  }
+
+  /** The streaming CHANGE DATA FEED end to end
+    * ([[graft.spark.GraftCdf]]): a cdf=true source table receives an
+    * update merge, a predicate delete, and an insert merge; a downstream
+    * replica streams `readChangeFeed` (snapshot as inserts, then the
+    * captured per-version change files), maps Delta's change types onto
+    * the sink's `opcol`, and re-applies through the native exactly-once
+    * sink. The replica's final rows must hash-match the relational
+    * recomputation of the source's lifecycle — proving a consumer can
+    * stream off a table that RECEIVES merges and deletes, which the
+    * appends-tail source (`dsv2_stream_tail`) cannot.
+    */
+  private def streamCdf(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = scratch("cdf_src", dir)
+    val dst = scratch("cdf_dst", dir)
+    val st = new ManifestStore(root, s, "c_custkey")
+    val cust = customer(s, dir)
+    val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    if (!st.exists) {
+      st.enableChangeFeed()
+      st.commit(cust, batchId = 0, nFiles = 8)
+    }
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"),
+        when(col("_change_type") === "delete", "d").otherwise("u").as("op"),
+        col("_commit_version").as("last_ts"))
+      .writeStream.format("graft")
+      .option("key", "c_custkey").option("opcol", "op")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfqck").toString)
+      .start(dst)
+    try {
+      q.processAllAvailable() // snapshot (or, on re-runs, the final state)
+      if (st.current.get._2 < 3) {
+        // epoch 1: +100 on the low half, claimed 'u'
+        val upd = cust.filter(col("c_custkey") <= maxK / 2).select(
+          col("c_custkey").cast("string").as(Changelog.KeyCol) +:
+            lit("u").as(Changelog.OpCol) +: lit(1L).as(Changelog.TsCol) +:
+            names.map(n => (if (n == "c_acctbal") col(n) + 100.0 else col(n))
+              .as(s"after_$n")): _*)
+        st.merge(upd, names, batchId = 1)
+        // epoch 2: predicate delete (deletion vectors, captured as deletes)
+        st.deleteWhere(col("c_mktsegment") === "MACHINERY", batchId = 2)
+        // epoch 3: fresh keys past max — captured as inserts
+        val ins = cust.filter(col("c_custkey") % 10 === 0).select(
+          (col("c_custkey") + maxK + 1).cast("string").as(Changelog.KeyCol) +:
+            lit("c").as(Changelog.OpCol) +: lit(3L).as(Changelog.TsCol) +:
+            names.map {
+              case "c_custkey"    => (col("c_custkey") + maxK + 1).as("after_c_custkey")
+              case "c_mktsegment" => lit("NEW").as("after_c_mktsegment")
+              case "c_acctbal"    => lit(-1.0).as("after_c_acctbal")
+              case n              => col(n).as(s"after_$n")
+            }: _*)
+        st.merge(ins, names, batchId = 3)
+      }
+      q.processAllAvailable() // the three captured epochs flow through
+    } finally q.stop()
+    s.read.format("graft").load(dst)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+  }
+
+  /** CDF-driven INCREMENTAL AGGREGATE, fully declarative: `readStream`
+    * the change feed, turn each change row into a signed contribution
+    * (+row for insert/update_postimage, -row for delete/update_preimage),
+    * and let a streaming aggregate + the graft sink in Update output mode
+    * maintain the grouped view — each epoch upserts only the CHANGED
+    * groups (`SupportsStreamingUpdateAsAppend`), the materialized-view
+    * loop [[graft.cdc.IncrementalAgg]] runs at the store API, with zero
+    * driver code. The view must equal the from-scratch aggregate of the
+    * source's final state.
+    */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = scratch("iagg_src", dir)
+    val view = scratch("iagg_view", dir)
+    val st = new ManifestStore(root, s, "c_custkey")
+    val cust = customer(s, dir)
+    val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    if (!st.exists) {
+      st.enableChangeFeed()
+      st.commit(cust, batchId = 0, nFiles = 8)
+    }
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .select(col("c_nationkey"), sign.as("_s"),
+        (sign * col("c_acctbal").cast("decimal(27,6)")).as("_sb"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("_s")).as("cnt"),
+        sum(col("_sb")).as("sum_bal"))
+      .writeStream.format("graft").outputMode("update")
+      .option("key", "c_nationkey")
+      .option("checkpointLocation",
+        Files.createTempDirectory("iaggck").toString)
+      .start(view)
+    try {
+      q.processAllAvailable()
+      if (st.current.get._2 < 2) {
+        // epoch 1: move the low half's balances (+100) — a pure update
+        // whose group deltas are per-nation +100 * members
+        val upd = cust.filter(col("c_custkey") <= maxK / 2).select(
+          col("c_custkey").cast("string").as(Changelog.KeyCol) +:
+            lit("u").as(Changelog.OpCol) +: lit(1L).as(Changelog.TsCol) +:
+            names.map(n => (if (n == "c_acctbal") col(n) + 100.0 else col(n))
+              .as(s"after_$n")): _*)
+        st.merge(upd, names, batchId = 1)
+        // epoch 2: drain a whole segment — counts AND sums must follow
+        st.deleteWhere(col("c_mktsegment") === "BUILDING", batchId = 2)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("graft").load(view)
+      .select(col("c_nationkey"), col("cnt"),
+        round(col("sum_bal").cast("double"), 2).as("sum_bal"))
   }
 
   /** Idempotent pure-SQL lifecycle through the named catalog
@@ -361,5 +484,44 @@ object DsvQueries {
     // full table with at least two committed epochs
     "dsv2_stream_sink" ->
       """SELECT c_custkey, c_name, c_acctbal, TRUE AS dsv2_two_epochs
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+
+    // the CDF replica must land on the relational recomputation of the
+    // source's lifecycle: low half +100, MACHINERY deleted, every 10th
+    // key mirrored past max(key)+1 as a 'NEW' row
+    "dsv2_stream_cdf" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CASE WHEN c_custkey <= m // 2 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer, mk),
+        |kept AS (SELECT * FROM upd WHERE c_mktsegment <> 'MACHINERY'),
+        |ins AS (
+        |  SELECT c.c_custkey + m.m + 1 AS c_custkey, c.c_name,
+        |         c.c_nationkey, -1.0 AS c_acctbal, 'NEW' AS c_mktsegment
+        |  FROM customer c, mk m WHERE c.c_custkey % 10 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM kept
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM ins""".stripMargin,
+
+    // the CDF-maintained streaming aggregate must equal the from-scratch
+    // aggregate of the source's final state (low half +100, BUILDING
+    // drained)
+    "dsv2_incremental_agg" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+        |fin AS (
+        |  SELECT c_nationkey,
+        |         CASE WHEN c_custkey <= m // 2 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS bal,
+        |         c_mktsegment
+        |  FROM customer, mk)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(CAST(bal AS DECIMAL(27,6))) AS DOUBLE), 2)
+        |         AS sum_bal
+        |FROM fin WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY 1""".stripMargin)
 }

@@ -335,26 +335,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
-  /** Table properties live in `<table>/_TBLPROPS` as one `k=v` per line
-    * (keys lowercased) — catalog metadata IS the filesystem, same as the
-    * rest of the store.
+  /** Table properties live in `<table>/_TBLPROPS` — shared with the store
+    * API (`cdf`, `mor` flags), so the format lives in
+    * [[graft.cdc.ManifestStore]].
     */
   private[spark] def writeProps(root: String, props: Map[String, String]): Unit =
-    if (props.nonEmpty)
-      Files.write(Paths.get(root, "_TBLPROPS"),
-        props.map { case (k, v) => s"${k.toLowerCase}=$v" }
-          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ManifestStore.writeTableProps(root, props)
 
-  private[spark] def readProps(root: String): Map[String, String] = {
-    val p = Paths.get(root, "_TBLPROPS")
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.flatMap { line =>
-      line.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
-  }
+  private[spark] def readProps(root: String): Map[String, String] =
+    ManifestStore.readTableProps(root)
 }
 
 /** The procedure registry: each entry binds a [[GraftCatalog]] to an

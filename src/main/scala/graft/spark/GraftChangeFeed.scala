@@ -1,0 +1,290 @@
+package graft.spark
+
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.ParquetReadBridge
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE DATA FEED through the connector — Delta's
+  * `readChangeFeed` option, re-derived from graft's manifest log:
+  *
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true").load(root)     // stream the feed
+  *   spark.read.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 2)                    // batch, 2..current
+  *     .option("endingVersion", 5).load(root)           //        (or 2..5)
+  *
+  * Output schema: the table's columns + `_change_type` (insert |
+  * update_preimage | update_postimage | delete — Delta's public CDF
+  * contract) + `_commit_version`. Feed rows come from the per-version
+  * CHANGE FILES the store captures at commit time when the table property
+  * `cdf=true` is set ([[graft.cdc.ManifestStore]].deriveCdc): reading the
+  * feed never diffs snapshots, it reads O(changed rows) per version.
+  * Versions without a change file stream their semantics where knowable —
+  * maintenance commits are skipped, append-only commits emit their added
+  * files as `insert` rows — and FAIL LOUDLY otherwise (a merge/delete from
+  * before `cdf=true` was enabled), naming the fix.
+  *
+  * This closes the gap the appends-tail source ([[GraftMicroBatchStream]])
+  * leaves: a downstream consumer can stream off a table that RECEIVES
+  * merges and deletes — which is every graft CDC table — and re-applying
+  * the feed through the native sink with `opcol` reproduces the table
+  * (the `dsv2_stream_cdf` oracle), or folds into a streaming aggregate as
+  * an incrementally-maintained materialized view (`dsv2_incremental_agg`).
+  *
+  * Scale shape: planning is O(log entries) driver metadata; each feed
+  * partition is one change-file part (or one snapshot data file for the
+  * initial batch), read executor-side through the same parquet bridge as
+  * the main scan. Nothing scales with table width.
+  *
+  * Ref provenance: the reference's consumers re-read the whole Delta
+  * output per validation pass (ref: test/validate_cdc_data.py:92-118);
+  * a change feed is the O(delta) alternative its ecosystem gets from
+  * Delta's own CDF.
+  */
+object GraftCdf {
+  /** Feed schema = data columns + the two CDF metadata columns. */
+  def cdfSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false),
+      StructField(ManifestStore.CommitVersionCol, LongType, nullable = false)))
+
+  private[spark] def manifestOrExplain(store: ManifestStore, root: String,
+                                       v: Long): ManifestStore.Manifest =
+    store.manifest(v).getOrElse(throw new IllegalStateException(
+      s"graft change feed needs version $v of $root but its log entry is " +
+        "gone — vacuumed past the reader's progress; raise vacuum keepLast"))
+
+  /** Plan the feed partitions for versions (s, e] — each version
+    * contributes its change file's parts, or its added files as `insert`
+    * rows when the commit is knowably append-only, or nothing when it is
+    * maintenance / metadata-only / an empty captured feed.
+    */
+  private[spark] def planVersions(store: ManifestStore, root: String,
+                                  s: Long, e: Long,
+                                  ignoreChanges: Boolean): Seq[InputPartition] =
+    ((s + 1) to e).flatMap { v =>
+      val mPrev = manifestOrExplain(store, root, v - 1)
+      val mV = manifestOrExplain(store, root, v)
+      if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
+        Nil // maintenance: bytes moved, data unchanged
+      else mV.cdcFile match {
+        case Some("") => Nil // captured feed, zero effective changes
+        case Some(cdc) =>
+          cdcParts(root, cdc).map(p =>
+            GraftCdfPartition(p, v, isCdc = true))
+        case None =>
+          val prevIds = mPrev.files.map(f => (f.name, f.dv)).toSet
+          val prevNames = mPrev.files.map(_.name).toSet
+          val adds = mV.files.filterNot(f => prevIds((f.name, f.dv)))
+          val appendOnly = adds.forall(f => !prevNames(f.name)) &&
+            mPrev.files.forall(f => mV.files.exists(g =>
+              g.name == f.name && g.dv == f.dv))
+          if (appendOnly || ignoreChanges)
+            GraftPartitions.forFiles(root,
+              adds.filterNot(f => prevNames(f.name)))
+              .map(p => GraftCdfPartition(p, v, isCdc = false))
+          else throw new IllegalStateException(
+            s"graft change feed: version $v of $root merged or deleted " +
+              "rows but captured no change file — enable capture first " +
+              "(table property cdf=true / ManifestStore.enableChangeFeed), " +
+              "or set option ignoreChanges=true to stream added files as " +
+              "inserts (rewritten rows may re-appear)")
+      }
+    }
+
+  /** List a change-file directory's parquet parts, driver-side (same
+    * discipline as deletion-vector sidecars: executors never list storage).
+    */
+  private def cdcParts(root: String, cdc: String): Seq[GraftInputPartition] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(root, "files", cdc)
+    if (!Files.isDirectory(dir)) throw new IllegalStateException(
+      s"graft change feed: change file $cdc of $root is gone — vacuumed " +
+        "past the reader's progress; raise vacuum keepLast")
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val parts = Seq.newBuilder[GraftInputPartition]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          parts += GraftInputPartition(p.toString, Files.size(p),
+            p.getFileName.toString, Array.empty)
+      }
+      parts.result()
+    } finally s.close()
+  }
+
+  /** The serializable reader factory pair: the inner factory reads
+    * snapshot/append data files (deletion vectors applied per reader, row
+    * mode); the cdc reader reads change-file parts, whose on-disk schema
+    * is the commit's data columns + `_change_type` (older, narrower
+    * vintages read through with typed nulls).
+    */
+  private[spark] def factory(spark: SparkSession, root: String,
+                             keyField: String, dataSchema: StructType,
+                             options: Map[String, String],
+                             manifestSchemaDDL: String): GraftCdfReaderFactory = {
+    val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
+      dataSchema, Array.empty, options, manifestSchemaDDL,
+      allColumnar = false)
+    val cdcSchema = StructType(dataSchema.fields :+
+      StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+    GraftCdfReaderFactory(inner,
+      ParquetReadBridge.rowReader(spark, cdcSchema, cdcSchema, Nil, options))
+  }
+}
+
+/** One feed partition: a change-file part (isCdc) or a data file whose
+  * every live row is an `insert` (initial snapshot / append-only commit).
+  */
+final case class GraftCdfPartition(inner: GraftInputPartition,
+                                   commitVersion: Long, isCdc: Boolean)
+  extends InputPartition
+
+final case class GraftCdfReaderFactory(
+    inner: GraftReaderFactory,
+    cdcReader: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdfPartition]
+    if (p.isCdc)
+      // change-file rows already end with _change_type; append the version
+      new GraftAppendingReader(
+        new GraftIteratorReader[InternalRow](cdcReader(
+          ParquetReadBridge.wholeFile(p.inner.path, p.inner.bytes, 0L))),
+        Array[Any](p.commitVersion))
+    else
+      // data-file rows are bare images; append _change_type + version
+      new GraftAppendingReader(inner.createReader(p.inner),
+        Array[Any](UTF8String.fromString(ManifestStore.CdfInsert),
+          p.commitVersion))
+  }
+}
+
+/** Append constant trailing fields to every row — the same JoinedRow idiom
+  * Spark's file scan uses to attach partition values.
+  */
+final class GraftAppendingReader(inner: PartitionReader[InternalRow],
+                                 appendix: Array[Any])
+  extends PartitionReader[InternalRow] {
+  private val app = new GenericInternalRow(appendix)
+  private val joined = new JoinedRow
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = joined(inner.get(), app)
+  override def close(): Unit = inner.close()
+}
+
+final class GraftCdfScanBuilder(root: String, options: Map[String, String])
+  extends ScanBuilder {
+  override def build(): Scan = new GraftCdfScan(root, options)
+}
+
+/** The CDF scan: batch over an explicit version range, or the micro-batch
+  * stream. No filter pushdown or column pruning — the feed is a changelog,
+  * read whole; Spark applies residual filters and projections above.
+  */
+final class GraftCdfScan(root: String, options: Map[String, String])
+  extends Scan with Batch {
+
+  private def spark = SparkSession.active
+  private val keyField: String = GraftTable.resolve(root, options)._2
+  private lazy val store = new ManifestStore(root, spark, keyField)
+  private lazy val dataSchema: StructType = GraftTable.resolve(root, options)._1
+  private val ignoreChanges =
+    GraftTable.opt(options, "ignorechanges").exists(_.toBoolean)
+
+  override def readSchema(): StructType = GraftCdf.cdfSchema(dataSchema)
+  override def toBatch: Batch = this
+  override def description(): String = s"graft change feed $root"
+
+  /** Batch form: `startingVersion` (required — the feed has no "all of
+    * history" default; version 0 is the initial snapshot, not a change) up
+    * to `endingVersion` or current, both versions' own changes inclusive.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cur = store.current.map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no graft store at $root"))
+    val sv = GraftTable.opt(options, "startingversion").map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "batch readChangeFeed needs option(\"startingVersion\", <v>) " +
+          "(1-based: version 0 is the initial snapshot); use readStream " +
+          "for snapshot-then-tail semantics"))
+    val ev = GraftTable.opt(options, "endingversion").map(_.toLong)
+      .getOrElse(cur)
+    require(sv >= 1 && sv <= ev && ev <= cur,
+      s"readChangeFeed range [$sv, $ev] must sit in [1, $cur]")
+    GraftCdf.planVersions(store, root, sv - 1, ev, ignoreChanges).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdf.factory(spark, root, keyField, dataSchema, options,
+      store.currentManifest.map(_.schemaDDL).getOrElse(dataSchema.toDDL))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(root, keyField, dataSchema, options)
+}
+
+/** Streaming form: offsets are manifest versions (same WAL discipline as
+  * [[GraftMicroBatchStream]]). The first batch without `startingVersion`
+  * is the current snapshot emitted as `insert` rows (Delta's CDF stream
+  * start), then each later batch carries the captured change files of the
+  * newly committed versions.
+  */
+final class GraftCdfMicroBatchStream(root: String, keyField: String,
+                                     dataSchema: StructType,
+                                     options: Map[String, String])
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def store = new ManifestStore(root, spark, keyField)
+  private val ignoreChanges =
+    options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
+
+  override def initialOffset(): Offset =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong
+    } match {
+      case Some(sv) =>
+        if (sv <= 0) throw new IllegalArgumentException(
+          s"startingVersion must be >= 1 (version 0 is the initial " +
+            "snapshot; omit the option to consume it as the first batch)")
+        GraftOffset(sv - 1)
+      case None => GraftOffset(-1L)
+    }
+  override def latestOffset(): Offset =
+    GraftOffset(store.current.map(_._1).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(GraftOffset.parse(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e < 0 || e <= s) return Array.empty
+    val st = store
+    if (s < 0) // first batch: the whole snapshot, as inserts at version e
+      return GraftPartitions.forFiles(root,
+        GraftCdf.manifestOrExplain(st, root, e).files)
+        .map(p => GraftCdfPartition(p, e, isCdc = false)).toArray
+    GraftCdf.planVersions(st, root, s, e, ignoreChanges).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val st = store
+    GraftCdf.factory(spark, root, keyField, dataSchema, options,
+      st.currentManifest.map(_.schemaDDL).getOrElse(dataSchema.toDDL))
+  }
+}

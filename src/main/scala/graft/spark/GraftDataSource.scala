@@ -52,8 +52,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
       "graft source needs a path: .load(<store root>) or option(\"path\", ...)"))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.resolve(root(options), options.asScala.toMap)._1
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftTable.resolve(root(options), options.asScala.toMap)._1
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftCdf.cdfSchema(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
@@ -194,11 +198,27 @@ final class GraftTable(val root: String, tableSchema: StructType,
     ((if (key.nonEmpty) Map("key" -> key) else Map.empty[String, String]) ++ user.toMap).asJava
   }
 
+  /** `readChangeFeed=true`: the table IS the feed — schema gains the CDF
+    * metadata columns and the scan streams/reads captured change files
+    * (see [[GraftCdf]]). Activated through read options at load time
+    * (path-based reads and readStream), like Delta's spelling.
+    */
+  private val cdfRead: Boolean =
+    GraftTable.opt(options, "readchangefeed").exists(_.equalsIgnoreCase("true"))
+
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType =
-    if (hiddenTs)
-      StructType(effSchema.filterNot(_.name == graft.cdc.Merge.LastTsCol))
-    else effSchema
+  override def schema(): StructType = {
+    val base =
+      if (hiddenTs)
+        StructType(effSchema.filterNot(_.name == graft.cdc.Merge.LastTsCol))
+      else effSchema
+    // inferSchema already appends the CDF columns for provider-inferred
+    // tables; only add them when the caller supplied a bare data schema
+    if (cdfRead && !base.fieldNames.contains(
+        graft.cdc.ManifestStore.ChangeTypeCol))
+      GraftCdf.cdfSchema(base)
+    else base
+  }
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (!hiddenTs) Array.empty
@@ -217,8 +237,11 @@ final class GraftTable(val root: String, tableSchema: StructType,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, effSchema,
-      options ++ caseInsensitive.asScala.toMap)
+    if (cdfRead)
+      new GraftCdfScanBuilder(root, options ++ caseInsensitive.asScala.toMap)
+    else
+      new GraftScanBuilder(root, effSchema,
+        options ++ caseInsensitive.asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, options ++ info.options().asScala.toMap, info)
@@ -275,9 +298,16 @@ final class GraftTable(val root: String, tableSchema: StructType,
   * pre-overwrite version still works. Writing to a path with no store yet
   * creates it (the `key` option names the key column).
   */
+/** Update output mode rides the append path because a graft write IS a
+  * keyed upsert — Spark's `SupportsStreamingUpdateAsAppend` contract
+  * (exactly how a streaming aggregate becomes an incrementally-maintained
+  * materialized view in a graft table: each epoch upserts only the
+  * changed groups).
+  */
 final class GraftWriteBuilder(root: String, options: Map[String, String],
                               info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 

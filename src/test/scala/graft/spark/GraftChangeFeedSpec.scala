@@ -1,0 +1,185 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.{Changelog, ManifestStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Change data feed: commit-time capture ([[graft.cdc.ManifestStore]]'s
+  * cdf=true change files) read back through
+  * `format("graft").option("readChangeFeed", "true")` — batch version
+  * ranges and the streaming source — with Delta's CDF change types and
+  * ground-truth semantics (what actually changed, not what upstream
+  * claimed).
+  */
+class GraftChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("id", "name")
+
+  private def store(cdf: Boolean = true) = {
+    val st = new ManifestStore(
+      Files.createTempDirectory("cdfstore").toString, spark, "id")
+    if (cdf) st.enableChangeFeed()
+    st
+  }
+
+  private def netDf(rows: Seq[(Long, String, Option[String], Long)]) =
+    rows.map { case (id, op, name, ts) =>
+      (id, op, if (op == "d") None else Some(id), name, ts)
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+      Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+
+  private def seedDf = (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name")
+
+  private def feed(root: String, sv: Long, ev: Long): DataFrame =
+    spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", sv.toString)
+      .option("endingVersion", ev.toString)
+      .load(root)
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, String, Long)] =
+    df.select(col("id"), coalesce(col("name"), lit("∅")),
+      col("_change_type"), col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  test("merge commit captures ground-truth change types; batch range read") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    // v1: update existing 0,1 — claimed as 'c' and 'u' (both must surface
+    // as updates), insert fresh 200 claimed as 'u' (must surface as
+    // insert), delete existing 2, delete ABSENT 999 (must emit nothing)
+    st.merge(netDf(Seq(
+      (0L, "c", Some("v0"), 100L), (1L, "u", Some("v1"), 100L),
+      (200L, "u", Some("fresh"), 100L),
+      (2L, "d", None, 100L), (999L, "d", None, 100L))), fields, batchId = 1)
+    // v2: deleteWhere masks a range
+    st.deleteWhere(col("id").between(10L, 12L), batchId = 2)
+    val m1 = st.manifest(1L).get
+    assert(m1.cdcFile.exists(_.nonEmpty) && m1.cdcRows == 6L,
+      s"v1 must capture 6 feed rows (2 pre + 2 post + 1 insert + 1 delete), got $m1")
+
+    val f1 = rowsOf(feed(st.root, 1, 1))
+    assert(f1 == Set(
+      (0L, "n0", "update_preimage", 1L), (0L, "v0", "update_postimage", 1L),
+      (1L, "n1", "update_preimage", 1L), (1L, "v1", "update_postimage", 1L),
+      (2L, "n2", "delete", 1L),
+      (200L, "fresh", "insert", 1L)))
+    val f2 = rowsOf(feed(st.root, 2, 2))
+    assert(f2 == Set((10L, "n10", "delete", 2L), (11L, "n11", "delete", 2L),
+      (12L, "n12", "delete", 2L)))
+    // the full range is the union, each row stamped with its version
+    assert(rowsOf(feed(st.root, 1, 2)) == (f1 ++ f2))
+  }
+
+  test("merge-on-read commits capture the same feed as copy-on-write") {
+    val stCow = store(); val stMor = store()
+    val net = netDf(Seq(
+      (0L, "u", Some("upd"), 50L), (300L, "c", Some("new"), 50L),
+      (5L, "d", None, 50L)))
+    stCow.commit(seedDf, batchId = 0, nFiles = 4)
+    stMor.commit(seedDf, batchId = 0, nFiles = 4)
+    stCow.merge(net, fields, batchId = 1)
+    stMor.mergeOnRead(net, fields, batchId = 1)
+    val a = rowsOf(feed(stCow.root, 1, 1))
+    val b = rowsOf(feed(stMor.root, 1, 1))
+    assert(a == b && a.nonEmpty, s"CoW $a vs MoR $b")
+    assert(a == Set(
+      (0L, "n0", "update_preimage", 1L), (0L, "upd", "update_postimage", 1L),
+      (300L, "new", "insert", 1L), (5L, "n5", "delete", 1L)))
+  }
+
+  test("ts-guarded-out events leave no feed rows; empty feed is not an error") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    st.merge(netDf(Seq((7L, "u", Some("t100"), 100L))), fields, batchId = 1)
+    // a STALE batch: guard drops it entirely — the commit records the
+    // empty-feed marker and the reader emits nothing rather than failing
+    st.merge(netDf(Seq((7L, "u", Some("t10"), 10L))), fields, batchId = 2)
+    assert(st.manifest(2L).get.cdcFile.contains(""))
+    assert(feed(st.root, 2, 2).count() === 0L)
+    assert(rowsOf(feed(st.root, 1, 2)).map(_._2).contains("t100"))
+  }
+
+  test("pre-capture merge versions fail loudly; appends stream as inserts") {
+    val st = store(cdf = false) // capture OFF
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    // append-only merge (fresh keys): knowable without capture -> inserts
+    st.merge(netDf(Seq((500L, "c", Some("a"), 1L), (501L, "c", Some("b"), 1L))),
+      fields, batchId = 1)
+    assert(rowsOf(feed(st.root, 1, 1)) ==
+      Set((500L, "a", "insert", 1L), (501L, "b", "insert", 1L)))
+    // a real merge without capture: refuse, naming the fix
+    st.merge(netDf(Seq((0L, "u", Some("x"), 5L))), fields, batchId = 2)
+    val err = intercept[Exception](feed(st.root, 2, 2).collect())
+    assert(err.getMessage.contains("cdf=true"))
+    // ...unless the caller opts into append-approximation
+    val approx = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("ignoreChanges", "true")
+      .option("startingVersion", "2").load(st.root)
+    assert(approx.select("_change_type").distinct().as[String].collect()
+      .toSet == Set("insert"))
+  }
+
+  test("streaming feed: snapshot as inserts, then merge+delete epochs arrive") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    val tbl = s"cdf_stream_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(st.root)
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table(tbl)
+      assert(snap.count() === 100L)
+      assert(snap.select("_change_type").distinct().as[String].collect()
+        .toSet == Set("insert"))
+      // MID-STREAM: a merge epoch and a delete epoch land on the table
+      st.merge(netDf(Seq((3L, "u", Some("mid"), 100L),
+        (400L, "c", Some("new"), 100L))), fields, batchId = 1)
+      st.deleteWhere(col("id") === 4L, batchId = 2)
+      q.processAllAvailable()
+      val got = rowsOf(spark.table(tbl).filter(col("_commit_version") > 0L))
+      assert(got == Set(
+        (3L, "n3", "update_preimage", 1L), (3L, "mid", "update_postimage", 1L),
+        (400L, "new", "insert", 1L), (4L, "n4", "delete", 2L)))
+    } finally q.stop()
+  }
+
+  test("re-applying the feed through the native sink reproduces the table") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.merge(netDf(Seq((0L, "u", Some("upd0"), 100L),
+      (250L, "c", Some("ins"), 100L))), fields, batchId = 1)
+    st.deleteWhere(col("id").between(20L, 29L), batchId = 2)
+    st.merge(netDf(Seq((1L, "u", Some("upd1"), 200L))), fields, batchId = 3)
+    // downstream replica: stream the feed, drop preimages, map Delta's
+    // change types onto the changelog ops the sink's opcol understands
+    val dst = Files.createTempDirectory("cdfdst").toString
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(st.root)
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col("id"), col("name"),
+        when(col("_change_type") === "delete", "d").otherwise("u").as("op"),
+        col("_commit_version").as("last_ts"))
+      .writeStream.format("graft")
+      .option("key", "id").option("opcol", "op")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfdstck").toString)
+      .start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val replica = spark.read.format("graft").load(dst)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val source = st.read().get
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(replica == source)
+  }
+}
