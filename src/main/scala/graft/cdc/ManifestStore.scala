@@ -655,20 +655,39 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val sCols = statsCols.filter(df.columns.contains)
     sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
-    val clustered = clusterBy match {
-      case Some(zc) =>
+    // PARTITIONED tables (table property `partitioncol`): files must be
+    // partition-PURE — each data file holds exactly one partition value —
+    // so dynamic partition overwrite is a file-granular metadata swap and
+    // the per-file min=max stats prune partition predicates exactly.
+    // Range-partition by (partition value, key) for balance, then let the
+    // writer's partitionBy split any task straddling a boundary into pure
+    // files; the DUPLICATED `_pval` column is stripped into directory
+    // names while the real column stays in the data (Iceberg's layout).
+    val partCol: Option[String] = ManifestStore.readTableProps(root)
+      .get("partitioncol").filter(df.columns.contains)
+      .filter(_ => clusterBy.isEmpty)
+    val clustered = (clusterBy, partCol) match {
+      case (Some(zc), _) =>
         // the projection dropping zc is narrow: partitioning and order survive
         df.repartitionByRange(math.max(1, nFiles), col(zc))
           .sortWithinPartitions(zc).drop(zc)
-      case None =>
+      case (None, Some(pc)) if pc != keyField =>
+        df.repartitionByRange(math.max(1, nFiles), col(pc), col(keyField))
+          .sortWithinPartitions(pc, keyField)
+      case _ =>
         df.repartitionByRange(math.max(1, nFiles), col(keyField))
           .sortWithinPartitions(keyField)
     }
-    clustered.write.parquet(stage.toString)
+    partCol match {
+      case Some(pc) => clustered.withColumn("_pval", col(pc))
+        .write.partitionBy("_pval").parquet(stage.toString)
+      case None => clustered.write.parquet(stage.toString)
+    }
     // an all-empty input writes no part files at all (empty partitions
-    // produce nothing) — there is nothing to stat or move
+    // produce nothing) — there is nothing to stat or move. Walk
+    // recursively: a partitioned stage nests parts under `_pval=` dirs.
     val wrotePart = {
-      val s = Files.list(stage)
+      val s = Files.walk(stage)
       try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
@@ -1160,6 +1179,87 @@ final class ManifestStore(val root: String, spark: SparkSession,
     throw new IllegalStateException(
       s"deleteWhere lost the commit race $maxAttempts times at $root — " +
         "retry with more attempts or quiesce concurrent writers")
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` under
+    * partitionOverwriteMode=dynamic; Delta's replaceWhere on the partition
+    * column): atomically replace the partitions PRESENT IN `df` with
+    * `df`'s rows, carrying every other partition by reference. Requires
+    * the table property `partitioncol` (identity partitioning).
+    *
+    * File classification is pure metadata: the partition column is a
+    * statsCols zone map and partitioned writes produce partition-pure
+    * files (min = max), so a replaced partition's files DROP with zero
+    * I/O; only files straddling partition values (a non-partitioned
+    * vintage, or merge-rewritten files) are read and rewritten minus the
+    * replaced partitions. At 100 TB / date partitions, overwriting one day
+    * costs O(that day) — the same bill as Hive/Delta dynamic overwrite.
+    *
+    * The distinct partition-value collect is O(#partitions in the batch) —
+    * bounded by the write, not the table. Runs under the commit lock with
+    * a fresh version; CDF capture (when cdf=true) records the replaced
+    * rows as deletes and the new rows as inserts (coarse delete+insert,
+    * Delta's replaceWhere shape — not keyed update pairs).
+    *
+    * CONTRACT: the caller keeps keys within their partitions (a keyed row
+    * must not move partitions via overwrite, or it would duplicate across
+    * files — the usual date-partitioned CDC layout satisfies this by
+    * construction).
+    *
+    * Returns the new version, or None when `df` is empty (dynamic
+    * overwrite of nothing replaces nothing — Hive/Spark semantics).
+    */
+  def overwritePartitions(df: DataFrame, batchId: Long,
+                          streamId: String = "default",
+                          nFiles: Int = 16): Option[Long] = {
+    val pc = ManifestStore.readTableProps(root).get("partitioncol")
+      .getOrElse(throw new IllegalStateException(
+        s"overwritePartitions needs the 'partitioncol' table property at $root"))
+    require(df.columns.contains(pc),
+      s"overwrite batch must carry the partition column '$pc'")
+    val partVals: Seq[Any] = df.select(col(pc)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (partVals.isEmpty) return None
+    require(partVals.forall(_ != null),
+      s"dynamic overwrite with NULL '$pc' values is not supported")
+    SnapshotStore.withCommitLock(root) {
+      val m = currentManifest.getOrElse(throw new IllegalStateException(
+        s"no current version at $root — commit an initial snapshot first"))
+      // candidates = files whose [min,max] intersects the replaced set;
+      // among them, partition-pure files (min = max) hold ONLY replaced
+      // rows -> dropped by metadata; the rest are read minus the set
+      val candidates = prunedFiles(m, Seq((pc, "in", partVals)))
+      val candNames = candidates.map(_.name).toSet
+      val carried = m.files.filterNot(f => candNames(f.name))
+      val (dropped, straddlers) = candidates.partition(f =>
+        colRange(f, pc).exists { case (mn, mx) => mn != null && mn == mx })
+      val replaceCond = col(pc).isin(partVals: _*)
+      val cdc = if (!cdfEnabled) None else {
+        val deletes = (if (candidates.isEmpty)
+            df.filter(lit(false)) // schema donor: no old rows
+          else readFiles(m, candidates).filter(replaceCond))
+          .select(StructType.fromDDL(m.schemaDDL).fieldNames.toSeq.map(c =>
+            col(c)): _*)
+          .withColumn(ManifestStore.ChangeTypeCol,
+            lit(ManifestStore.CdfDelete))
+        val inserts = df
+          .select(StructType.fromDDL(m.schemaDDL).fieldNames.toSeq.map(c =>
+            if (df.columns.contains(c)) col(c)
+            else lit(null).cast(StructType.fromDDL(m.schemaDDL)(c).dataType)): _*)
+          .withColumn(ManifestStore.ChangeTypeCol,
+            lit(ManifestStore.CdfInsert))
+        writeCdcFile(deletes.unionByName(inserts))
+      }
+      val remainderEntries =
+        if (straddlers.isEmpty) Nil
+        else writeDataFiles(readFiles(m, straddlers).filter(!replaceCond),
+          math.max(1, straddlers.size), m.statsCols)
+      val newEntries = writeDataFiles(df, nFiles, m.statsCols)
+      val _ = dropped // replaced wholesale; vacuum reclaims their bytes
+      writeManifestAndSwap(m.version + 1, batchId, streamId, m.schemaDDL,
+        carried ++ remainderEntries ++ newEntries, m.statsCols, cdc = cdc)
+      Some(m.version + 1)
+    }
   }
 
   /** The file names of `files` whose [min,max] key range contains at least

@@ -124,7 +124,8 @@ object DsvQueries {
     "dsv2_stream_sink" -> streamSink,
     "dsv2_declarative_cdc" -> declarativeCdc,
     "dsv2_stream_cdf" -> streamCdf,
-    "dsv2_incremental_agg" -> incrementalAgg)
+    "dsv2_incremental_agg" -> incrementalAgg,
+    "dsv2_partitioned" -> partitioned)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
     * raw Debezium JSON files -> `Changelog.parse/flatten/withKey` (the
@@ -350,6 +351,53 @@ object DsvQueries {
         round(col("sum_bal").cast("double"), 2).as("sum_bal"))
   }
 
+  /** Identity-PARTITIONED table through the catalog: CREATE ... PARTITIONED
+    * BY, a keyed INSERT laid out as partition-pure files, and a dynamic
+    * `INSERT OVERWRITE` that replaces exactly one partition
+    * ([[graft.cdc.ManifestStore.overwritePartitions]] — file-granular
+    * metadata swap; the reference ships partitionOverwriteMode=dynamic in
+    * its spark-defaults). Gates: files are partition-pure (min=max zone),
+    * a partition-filtered scan plans only that partition's files, and the
+    * untouched partitions' files survive the overwrite BY NAME.
+    */
+  private def partitioned(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("cat_wh", dir)
+    s.conf.set("spark.sql.catalog.gsql", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+    s.sql("CREATE TABLE IF NOT EXISTS gsql.db.part (" +
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
+      "c_mktsegment STRING) PARTITIONED BY (c_mktsegment) " +
+      "TBLPROPERTIES ('key'='c_custkey')")
+    s.sql("INSERT INTO gsql.db.part " +
+      s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM parquet.`$dir/customer.parquet`")
+    val root = java.nio.file.Paths.get(wh, "db", "part").toString
+    val st = new ManifestStore(root, s, "c_custkey")
+    val mBefore = st.currentManifest.get
+    val carriedBefore = mBefore.files
+      .filter(f => f.cols.get("c_mktsegment").exists(_._1 != "AUTOMOBILE"))
+      .map(_.name).toSet
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.sql("INSERT OVERWRITE gsql.db.part " +
+      s"SELECT c_custkey, c_name, -c_acctbal, c_mktsegment " +
+      s"FROM parquet.`$dir/customer.parquet` " +
+      "WHERE c_mktsegment = 'AUTOMOBILE'")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val m = st.currentManifest.get
+    val pure = m.files.forall(f =>
+      f.cols.get("c_mktsegment").exists { case (mn, mx) => mn == mx })
+    val carried = carriedBefore.subsetOf(m.files.map(_.name).toSet)
+    val pruned = s.table("gsql.db.part")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .rdd.getNumPartitions < m.files.size
+    s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM gsql.db.part")
+      .withColumn("part_pure", lit(pure))
+      .withColumn("part_carried", lit(carried))
+      .withColumn("part_pruned", lit(pruned))
+  }
+
   /** Idempotent pure-SQL lifecycle through the named catalog
     * ([[graft.spark.GraftCatalog]]): DDL + INSERT (keyed upsert — a replay
     * re-merges to the same state) + deletion-vector DELETE + SELECT. The
@@ -507,6 +555,16 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // dynamic partition overwrite must negate exactly the AUTOMOBILE
+    // partition's balances, with pure/carried/pruned layout gates all true
+    "dsv2_partitioned" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN -c_acctbal
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment,
+        |       TRUE AS part_pure, TRUE AS part_carried, TRUE AS part_pruned
+        |FROM customer""".stripMargin,
 
     // the CDF-maintained streaming aggregate must equal the from-scratch
     // aggregate of the source's final state (low half +100, BUILDING

@@ -131,10 +131,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster by their key column; PARTITIONED BY is not " +
-        "supported — pass TBLPROPERTIES ('key'='<column>')")
-    val props = properties.asScala
+    // identity partitioning only (PARTITIONED BY (col)): the partition
+    // column becomes a zone-mapped statsCol whose files are written
+    // partition-pure, so partition pruning and dynamic INSERT OVERWRITE
+    // are both metadata operations. Bucket/days/truncate transforms are
+    // rejected — key-range clustering already covers derived layouts.
+    val partCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        require(t.name() == "identity" && t.references().length == 1 &&
+          t.references().head.fieldNames().length == 1,
+          s"graft supports PARTITIONED BY (<top-level column>) only, got $t")
+        Some(t.references().head.fieldNames().head)
+      case many => throw new IllegalArgumentException(
+        s"graft supports a single partition column, got ${many.mkString(", ")}")
+    }
+    partCol.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column '$pc' is not in the table schema"))
+    val props = properties.asScala ++
+      partCol.map("partitioncol" -> _)
     val key = props.collectFirst { case (k, v) if k.equalsIgnoreCase("key") => v }
       .getOrElse(throw new IllegalArgumentException(
         "graft CREATE TABLE needs TBLPROPERTIES ('key'='<key column>')"))
@@ -146,6 +161,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"statscols column '$c' is not in the table schema"))
+    // the partition column always joins the zone map: its min=max per-file
+    // stats ARE the partition index (pruning + overwrite classification)
+    val effStats = (statsCols ++
+      partCol.filterNot(statsCols.contains)).distinct
     val nsDir = dirFor(ident.namespace().toSeq)
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(ident.namespace())
     val dir = tableDir(ident)
@@ -155,7 +174,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val st = new ManifestStore(dir.toString, spark, key)
     st.commit(empty, batchId = 0L, nFiles = 1, streamId = "catalog-ddl",
-      statsCols = statsCols)
+      statsCols = effStats)
     // persist user TBLPROPERTIES (e.g. 'mor', 'files') beside the log so
     // every later loadTable sees them as options; Spark-reserved props
     // (provider/location/owner/...) stay out

@@ -230,10 +230,23 @@ final class GraftTable(val root: String, tableSchema: StructType,
       override def comment(): String =
         "store-maintained CDC row version (merge timestamp guard)"
     })
+  /** Identity partitioning (`PARTITIONED BY (col)` / table property
+    * `partitioncol`): reported so Spark plans `INSERT OVERWRITE` under
+    * partitionOverwriteMode=dynamic as OverwritePartitionsDynamic —
+    * resolved by [[graft.cdc.ManifestStore.overwritePartitions]] as a
+    * file-granular metadata swap (partition-pure files + min=max stats).
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftTable.opt(options, "partitioncol")
+      .orElse(ManifestStore.readTableProps(root).get("partitioncol"))
+      .map(pc => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(pc)).toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
@@ -307,27 +320,118 @@ final class GraftTable(val root: String, tableSchema: StructType,
 final class GraftWriteBuilder(root: String, options: Map[String, String],
                               info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var overwrite = false
+  private var dynamicPartitions = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic (or
+    * `DataFrameWriterV2.overwritePartitions()`): replace only the
+    * partitions present in the batch — [[graft.cdc.ManifestStore.overwritePartitions]].
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicPartitions = true; this
+  }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, ignored: Boolean): Unit =
-          GraftWriteBuilder.run(root, options, data, overwrite)
+  override def build(): Write =
+    // dynamic overwrite has NO V1 fallback in Spark's planner
+    // (OverwritePartitionsDynamicExec drives a real BatchWrite), so that
+    // path stages executor-side like the streaming sink; everything else
+    // stays on the V1 fallback the driver-side store API serves
+    if (dynamicPartitions)
+      new Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new GraftOverwriteBatchWrite(root, options, info.schema())
       }
-    // writeStream.format("graft") — see GraftStreamingWrite: staged
-    // epochs + the store's (epochId, queryId) replay guard = exactly-once
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(root, options, info.schema(), info.queryId(),
-        overwrite)
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, ignored: Boolean): Unit =
+            GraftWriteBuilder.run(root, options, data, overwrite)
+        }
+      // writeStream.format("graft") — see GraftStreamingWrite: staged
+      // epochs + the store's (epochId, queryId) replay guard = exactly-once
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(root, options, info.schema(), info.queryId(),
+          overwrite)
+    }
+}
+
+/** The dynamic-overwrite batch write: executors stage the batch as parquet
+  * under the table root (same [[org.apache.spark.sql.graft.ParquetWriteBridge]]
+  * machinery as the streaming sink — the driver never holds a row), and
+  * the driver's commit feeds the staged batch to
+  * [[graft.cdc.ManifestStore.overwritePartitions]].
+  */
+final class GraftOverwriteBatchWrite(root: String,
+                                     options: Map[String, String],
+                                     schema: org.apache.spark.sql.types.StructType)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import java.nio.file.{Files, Paths}
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private val staging =
+    s"$root/_stage_owp_${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    Files.createDirectories(Paths.get(root))
+    val writers = org.apache.spark.sql.graft.ParquetWriteBridge
+      .taskWriters(spark, schema)
+    val stage = staging
+    new org.apache.spark.sql.connector.write.DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+        new GraftStreamTaskWriter(stage, writers, partitionId, taskId)
+    }
+  }
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftDeltaCommitMessage(path) if path.nonEmpty => path
+    }
+    try {
+      if (files.isEmpty) return // overwrite of nothing replaces nothing
+      val data = spark.read.schema(schema).parquet(files: _*)
+      GraftWriteBuilder.runOverwritePartitions(root, options, data)
+    } finally deleteStaging()
+  }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    deleteStaging()
+
+  private def deleteStaging(): Unit = {
+    val p = Paths.get(staging)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(f => { Files.deleteIfExists(f); () }) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
   }
 }
 
 object GraftWriteBuilder {
   private def opt(options: Map[String, String], k: String): Option[String] =
     options.collectFirst { case (ok, v) if ok.equalsIgnoreCase(k) => v }
+
+  private[spark] def runOverwritePartitions(root: String,
+                                            options: Map[String, String],
+                                            data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val key = GraftTable.resolve(root, options)._2
+    require(key.nonEmpty, "graft dynamic partition overwrite needs the " +
+      "store's key column (write with a keyed commit first)")
+    val st = new ManifestStore(root, spark, key)
+    val m = st.currentManifest.getOrElse(throw new IllegalStateException(
+      s"no graft store at $root"))
+    // fresh lineage per statement, like every SQL write (see run())
+    st.overwritePartitions(data, batchId = m.version + 1,
+      streamId = s"dsv2-owp-${java.util.UUID.randomUUID()}",
+      nFiles = opt(options, "files").map(_.toInt).getOrElse(16))
+    ()
+  }
 
   private[spark] def run(root: String, options: Map[String, String],
                          data: DataFrame, overwrite: Boolean): Unit = {

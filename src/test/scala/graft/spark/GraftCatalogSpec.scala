@@ -128,15 +128,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!sql("SHOW TABLES IN gct.db").collect().map(_.getString(1)).contains("r2"))
   }
 
-  test("CREATE TABLE validation: key property and PARTITIONED BY") {
+  test("CREATE TABLE validation: key property and partition transforms") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     val e1 = intercept[Exception](
       sql("CREATE TABLE gct.db.nokey (id BIGINT, v STRING)"))
     assert(e1.getMessage.contains("key"))
+    // identity partitioning is supported; derived transforms are not
     val e2 = intercept[Exception](sql(
-      "CREATE TABLE gct.db.part (id BIGINT, v STRING) PARTITIONED BY (v) " +
-        "TBLPROPERTIES ('key'='id')"))
-    assert(e2.getMessage.toLowerCase.contains("partitioned by"))
+      "CREATE TABLE gct.db.partb (id BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, v)) TBLPROPERTIES ('key'='id')"))
+    assert(e2.getMessage.contains("top-level column"))
+    val e3 = intercept[Exception](sql(
+      "CREATE TABLE gct.db.part2 (id BIGINT, v STRING, w STRING) " +
+        "PARTITIONED BY (v, w) TBLPROPERTIES ('key'='id')"))
+    assert(e3.getMessage.contains("single partition column"))
   }
 
   test("CALL graft.system procedures: history, optimize, vacuum") {

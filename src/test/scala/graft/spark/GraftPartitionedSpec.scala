@@ -1,0 +1,128 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.functions._
+
+/** Identity-partitioned tables: partition-pure file layout, partition
+  * pruning through the zone map, and dynamic INSERT OVERWRITE as a
+  * file-granular metadata swap ([[graft.cdc.ManifestStore.overwritePartitions]]).
+  */
+class GraftPartitionedSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_part_wh_").toString
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.gpt", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpt.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
+  }
+  private def sql(q: String) = { cat; spark.sql(q) }
+
+  private def store(tbl: String) = new ManifestStore(
+    java.nio.file.Paths.get(warehouse, "db", tbl).toString, spark, "id")
+
+  private def seed(tbl: String): Unit = {
+    sql(s"DROP TABLE IF EXISTS gpt.db.$tbl")
+    sql(s"CREATE TABLE gpt.db.$tbl (id BIGINT, seg STRING, v DOUBLE) " +
+      s"PARTITIONED BY (seg) TBLPROPERTIES ('key'='id')")
+    sql(s"INSERT INTO gpt.db.$tbl " +
+      "SELECT id, CASE CAST(id % 4 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B' " +
+      "WHEN 2 THEN 'C' ELSE 'D' END, CAST(id AS DOUBLE) FROM range(0, 4000)")
+  }
+
+  test("partitioned writes produce partition-pure files; scans prune by partition") {
+    seed("p1")
+    val m = store("p1").currentManifest.get
+    assert(m.statsCols.contains("seg"), "partition column must join the zone map")
+    assert(m.files.nonEmpty)
+    // purity: every file's seg zone is a single value
+    assert(m.files.forall(f => f.cols.get("seg").exists { case (mn, mx) => mn == mx }),
+      s"files must be partition-pure, got ${m.files.map(_.cols.get("seg"))}")
+    // a partition-filtered scan plans ONLY that partition's files
+    val all = spark.table("gpt.db.p1")
+    val onlyA = all.filter(col("seg") === "A")
+    val aFiles = m.files.count(f => f.cols("seg")._1 == "A")
+    assert(onlyA.rdd.getNumPartitions === aFiles,
+      "partition filter must prune the scan to the partition's files")
+    assert(onlyA.count() === 1000L)
+    assert(all.count() === 4000L)
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only the partitions in the batch") {
+    seed("p2")
+    val before = store("p2").currentManifest.get
+    val beforeOther = before.files.filter(f => f.cols("seg")._1 != "B")
+      .map(_.name).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE gpt.db.p2 " +
+        "SELECT id, 'B', CAST(-1.0 AS DOUBLE) FROM range(10000, 10010)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = store("p2").currentManifest.get
+    // untouched partitions carried BY NAME (zero I/O)
+    val afterNames = after.files.map(_.name).toSet
+    assert(beforeOther.subsetOf(afterNames),
+      "files of untouched partitions must carry by reference")
+    // the replaced partition holds exactly the new rows
+    assert(spark.table("gpt.db.p2").filter(col("seg") === "B").count() === 10L)
+    assert(spark.table("gpt.db.p2").filter(col("seg") === "B")
+      .agg(min("id")).head().getLong(0) === 10000L)
+    // other partitions intact
+    assert(spark.table("gpt.db.p2").filter(col("seg") =!= "B").count() === 3000L)
+    // idempotent replay: same statement, same state
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE gpt.db.p2 " +
+        "SELECT id, 'B', CAST(-1.0 AS DOUBLE) FROM range(10000, 10010)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(spark.table("gpt.db.p2").count() === 3010L)
+  }
+
+  test("overwrite of a non-partition-pure vintage rewrites only straddlers") {
+    import spark.implicits._
+    // a store that predates partitioning: key-clustered files straddle
+    // partition values; then the table adopts 'partitioncol'
+    val root = java.nio.file.Files.createTempDirectory("part_legacy").toString
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "old" else "new", i * 1.0)).toDF("id", "seg", "v")
+    st.commit(df, batchId = 0, nFiles = 4, statsCols = Seq("seg"))
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val mBefore = st.currentManifest.get
+    assert(mBefore.files.exists(f =>
+      f.cols("seg")._1 != f.cols("seg")._2), "vintage must straddle")
+    val repl = Seq((9000L, "new", -5.0)).toDF("id", "seg", "v")
+    assert(st.overwritePartitions(repl, batchId = 1).contains(1L))
+    val got = st.read().get
+    assert(got.filter(col("seg") === "new").count() === 1L)
+    assert(got.filter(col("seg") === "old").count() === 500L)
+    assert(got.count() === 501L)
+    // the fresh overwrite-written file is partition-pure
+    val mAfter = st.currentManifest.get
+    assert(mAfter.files.exists(f =>
+      f.cols.get("seg").exists { case (mn, mx) => mn == "new" && mx == "new" }))
+  }
+
+  test("partition overwrite on a cdf table captures deletes + inserts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("part_cdf").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.enableChangeFeed()
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) + ("partitioncol" -> "seg"))
+    st.commit((0L until 100L).map(i => (i, if (i < 50) "x" else "y", i * 1.0))
+      .toDF("id", "seg", "v"), batchId = 0, nFiles = 2, statsCols = Seq("seg"))
+    st.overwritePartitions(
+      Seq((500L, "y", 1.0), (501L, "y", 2.0)).toDF("id", "seg", "v"),
+      batchId = 1)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 50L, "insert" -> 2L))
+  }
+}
