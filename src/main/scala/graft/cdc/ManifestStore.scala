@@ -129,13 +129,29 @@ object ManifestStore {
     * these directly instead of diffing snapshots. None on append-only /
     * maintenance / pre-CDF commits.
     */
+  /** `colMap`: COLUMN MAPPING (Delta's name-mapping mode) — logical column
+    * name → the PHYSICAL name stored in parquet files, holding only
+    * non-identity entries. RENAME COLUMN changes the logical name and maps
+    * it to the unchanged physical name (zero data I/O); DROP COLUMN
+    * removes the logical column and tombstones its physical name in
+    * `droppedPhys`, so a later re-ADD of the same name gets a FRESH
+    * physical name and old bytes can never resurrect. Every read
+    * translates at the parquet boundary; every write renames to physical
+    * before staging. Empty for tables never renamed/dropped — the
+    * identity fast path.
+    */
   final case class Manifest(version: Long, batchId: Long, streamId: String,
                             tsMillis: Long, schemaDDL: String,
                             files: Seq[FileEntry],
                             statsCols: Seq[String] = Nil,
                             keyField: String = "",
                             cdcFile: Option[String] = None,
-                            cdcRows: Long = 0L)
+                            cdcRows: Long = 0L,
+                            colMap: Map[String, String] = Map.empty,
+                            droppedPhys: Seq[String] = Nil) {
+    /** The physical (on-disk) name of logical column `c`. */
+    def phys(c: String): String = colMap.getOrElse(c, c)
+  }
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -305,13 +321,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def manifest(v: Long): Option[Manifest] = readLogNode(v).flatMap { n =>
     val statsCols = Option(n.get("statsCols")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val colMap = Option(n.get("colMap")).filterNot(_.isNull).map { cm =>
+      cm.fieldNames().asScala.map(f => f -> cm.path(f).asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val droppedPhys = Option(n.get("droppedPhys")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     def meta(files: Seq[FileEntry]) =
       Manifest(n.path("version").asLong(), n.path("batchId").asLong(),
         n.path("streamId").asText("default"), n.path("tsMillis").asLong(),
         n.path("schema").asText(), files, statsCols,
         n.path("keyField").asText(""),
         Option(n.get("cdc")).filterNot(_.isNull).map(_.asText()),
-        n.path("cdcRows").asLong(0L))
+        n.path("cdcRows").asLong(0L), colMap, droppedPhys)
     if (n.path("type").asText("checkpoint") == "delta")
       manifest(v - 1).map { parent =>
         val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
@@ -400,8 +421,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def readFiles(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDDL)
-    def scan(es: Seq[FileEntry]) =
-      spark.read.schema(schema).parquet(es.map(e => s"$root/files/${e.name}"): _*)
+    // data files carry PHYSICAL column names; read through the physical
+    // schema and surface logical names (identity when no mapping)
+    def scan(es: Seq[FileEntry]) = {
+      val physSchema = StructType(schema.fields.map(f =>
+        f.copy(name = m.phys(f.name))))
+      val raw = spark.read.schema(physSchema)
+        .parquet(es.map(e => s"$root/files/${e.name}"): _*)
+      if (m.colMap.isEmpty) raw
+      else raw.select(schema.fields.toSeq.map(f =>
+        col(s"`${m.phys(f.name)}`").as(f.name)): _*)
+    }
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -455,8 +485,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * always present; other columns only when the manifest tracks them
     * (`statsCols`). None = no stats = must be read (conservative).
     */
-  private def colRange(f: FileEntry, colName: String): Option[(String, String)] =
-    if (colName == keyField) Some((f.minKey, f.maxKey)) else f.cols.get(colName)
+  private def colRange(m: Manifest, f: FileEntry,
+                       colName: String): Option[(String, String)] =
+    if (colName == keyField) Some((f.minKey, f.maxKey))
+    else f.cols.get(m.phys(colName)) // stats are keyed by PHYSICAL name
 
   /** Data-skipping range read — Delta's zone-map file pruning, on the read
     * path: scan ONLY the files whose recorded [min,max] for `colName`
@@ -474,12 +506,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     currentManifest.map { m =>
       val dt = StructType.fromDDL(m.schemaDDL)(colName).dataType
       val (statted, statless) = m.files.partition(f =>
-        colRange(f, colName).isDefined)
+        colRange(m, f, colName).isDefined)
       val survivors: Set[String] =
         if (statted.isEmpty) Set.empty
         else {
           val statsDf = spark.createDataFrame(statted.map { f =>
-            val (mn, mx) = colRange(f, colName).get
+            val (mn, mx) = colRange(m, f, colName).get
             (f.name, mn, mx)
           }).toDF("_f", "_min", "_max")
           statsDf.filter(!(statDeserialize(col("_max"), dt) < lit(lo).cast(dt) ||
@@ -543,7 +575,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val colsRef = statted.map(_._1).distinct
       val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
         org.apache.spark.sql.Row.fromSeq(f.name +: colsRef.flatMap { c =>
-          colRange(f, c) match {
+          colRange(m, f, c) match {
             case Some((mn, mx)) => Seq(mn, mx)
             case None           => Seq(null, null)
           }
@@ -647,10 +679,23 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * dropped before the write, so helper columns like a Z-value never
     * reach the files). Default: range-cluster on the key.
     */
+  /** `colMap`: the committing version's column mapping — the incoming
+    * frame carries LOGICAL names (every caller works logically); data
+    * files are written under PHYSICAL names at the very last step, and
+    * per-file stats are keyed physically (stable across renames).
+    */
   private def writeDataFiles(df: DataFrame, nFiles: Int,
                              statsCols: Seq[String] = Nil,
-                             clusterBy: Option[String] = None): Seq[FileEntry] = {
+                             clusterBy: Option[String] = None,
+                             colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
     requireStatKeyType(keyField, df.schema(keyField).dataType)
+    require(!colMap.contains(keyField),
+      s"the key column '$keyField' cannot be renamed (it is the row identity)")
+    def physName(c: String) = colMap.getOrElse(c, c)
+    def physicalize(d: DataFrame): DataFrame =
+      if (colMap.isEmpty) d
+      else d.select(d.columns.toSeq.map(c =>
+        col(s"`$c`").as(colMap.getOrElse(c, c))): _*)
     // a drift-evolved frame may not carry every tracked column yet
     val sCols = statsCols.filter(df.columns.contains)
     sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
@@ -679,9 +724,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
           .sortWithinPartitions(keyField)
     }
     partCol match {
-      case Some(pc) => clustered.withColumn("_pval", col(pc))
+      case Some(pc) => physicalize(clustered.withColumn("_pval", col(pc)))
         .write.partitionBy("_pval").parquet(stage.toString)
-      case None => clustered.write.parquet(stage.toString)
+      case None => physicalize(clustered).write.parquet(stage.toString)
     }
     // an all-empty input writes no part files at all (empty partitions
     // produce nothing) — there is nothing to stat or move. Walk
@@ -701,8 +746,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val keyDt = df.schema(keyField).dataType
         val extra = sCols.flatMap { c =>
           val dt = df.schema(c).dataType
-          Seq(statSerialize(min(col(c)), dt).as(s"_min_$c"),
-            statSerialize(max(col(c)), dt).as(s"_max_$c"))
+          Seq(statSerialize(min(col(s"`${physName(c)}`")), dt).as(s"_min_$c"),
+            statSerialize(max(col(s"`${physName(c)}`")), dt).as(s"_max_$c"))
         }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
@@ -717,8 +762,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val dest = Paths.get(root, "files", name)
       Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+      // stats keys are PHYSICAL names: stable across renames, so a
+      // pre-rename file's zone map keeps answering post-rename queries
       val cols = sCols.zipWithIndex.map { case (c, i) =>
-        c -> (r.getString(4 + 2 * i), r.getString(5 + 2 * i))
+        physName(c) -> (r.getString(4 + 2 * i), r.getString(5 + 2 * i))
       }.toMap
       // physical size goes into the manifest so a scan planner never has
       // to stat data files — at 100k files that listing IS the planning cost
@@ -760,7 +807,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
                                    streamId: String, schemaDDL: String,
                                    files: Seq[FileEntry],
                                    statsCols: Seq[String] = Nil,
-                                   cdc: Option[(String, Long)] = None): Unit = {
+                                   cdc: Option[(String, Long)] = None,
+                                   mappingOverride: Option[(Map[String, String], Seq[String])] = None): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", version)
     node.put("batchId", batchId)
@@ -770,6 +818,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
     node.put("keyField", keyField)
     cdc.foreach { case (name, rows) =>
       node.put("cdc", name); node.put("cdcRows", rows); ()
+    }
+    // column mapping carries forward from the parent on EVERY commit (a
+    // merge must not silently wipe a rename); only the DDL paths
+    // (rename/drop/add) override it. Resolved here, in one place, so no
+    // commit path can forget.
+    val (cmap, dropped) = mappingOverride.getOrElse {
+      if (version == 0L) (Map.empty[String, String], Nil)
+      else manifest(version - 1)
+        .map(p => (p.colMap, p.droppedPhys))
+        .getOrElse((Map.empty[String, String], Nil))
+    }
+    if (cmap.nonEmpty) {
+      val cm = mapper.createObjectNode()
+      cmap.foreach { case (l, p) => cm.put(l, p); () }
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode]("colMap", cm)
+    }
+    if (dropped.nonEmpty) {
+      val dp = mapper.createArrayNode()
+      dropped.foreach(dp.add)
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode]("droppedPhys", dp)
     }
     if (statsCols.nonEmpty) {
       val sc = mapper.createArrayNode()
@@ -823,7 +891,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val cur = current
     if (replayed(batchId, streamId)) return false
     Files.createDirectories(Paths.get(root))
-    val entries = writeDataFiles(df, nFiles, statsCols)
+    val entries = writeDataFiles(df, nFiles, statsCols,
+      colMap = cur.flatMap(c => manifest(c._1)).map(_.colMap)
+        .getOrElse(Map.empty))
     writeManifestAndSwap(cur.map(_._1 + 1).getOrElse(0L), batchId, streamId,
       df.schema.toDDL, entries, statsCols)
     true
@@ -848,14 +918,82 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val nf = newSchema.fields.find(_.name == f.name).getOrElse(
           throw new IllegalArgumentException(
             s"schema evolution is additive: column ${f.name} is missing " +
-              "from the new schema"))
+              "from the new schema (use dropColumn/renameColumn for " +
+              "destructive changes)"))
         require(ManifestStore.losslessWidening(f.dataType, nf.dataType),
           s"schema evolution allows adds and lossless widenings only: " +
             s"column ${f.name} changes type " +
             s"${f.dataType.sql} -> ${nf.dataType.sql}")
       }
+      // a re-ADD of a previously-dropped (or renamed-away) name must NOT
+      // inherit old bytes: map it to a fresh physical name so every
+      // existing file reads null for it
+      val usedPhys = old.fields.map(f => m.phys(f.name)).toSet ++
+        m.droppedPhys
+      val added = newSchema.fields.filterNot(f =>
+        old.fieldNames.contains(f.name))
+      val newMappings = added.collect {
+        case f if usedPhys(f.name) =>
+          f.name -> s"${f.name}_${java.util.UUID.randomUUID().toString.take(8)}"
+      }
       writeManifestAndSwap(m.version + 1, m.batchId, streamId,
-        newSchema.toDDL, m.files, m.statsCols)
+        newSchema.toDDL, m.files, m.statsCols,
+        mappingOverride = Some((m.colMap ++ newMappings, m.droppedPhys)))
+      m.version + 1
+    }
+
+  /** ALTER TABLE RENAME COLUMN — a pure metadata commit (Delta's column
+    * mapping): the logical name changes, the physical bytes and their
+    * stats stay put behind the mapping. Zero data I/O; time travel to
+    * pre-rename versions still shows the old name (each version carries
+    * its own schema + mapping). The key column is the row identity and
+    * cannot be renamed.
+    */
+  def renameColumn(from: String, to: String, streamId: String = "ddl"): Long =
+    SnapshotStore.withCommitLock(root) {
+      val m = currentManifest.getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to rename"))
+      val old = StructType.fromDDL(m.schemaDDL)
+      require(old.fieldNames.contains(from), s"no such column: $from")
+      require(!old.fieldNames.contains(to), s"column $to already exists")
+      require(from != keyField,
+        s"the key column '$keyField' cannot be renamed (row identity)")
+      val newSchema = StructType(old.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val cmap = (m.colMap - from) + (to -> m.phys(from))
+      val stats = m.statsCols.map(c => if (c == from) to else c)
+      // a renamed partition column keeps partitioning: update the property
+      val props = ManifestStore.readTableProps(root)
+      if (props.get("partitioncol").contains(from)) {
+        Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
+        ManifestStore.writeTableProps(root, props + ("partitioncol" -> to))
+      }
+      writeManifestAndSwap(m.version + 1, m.batchId, streamId,
+        newSchema.toDDL, m.files, stats,
+        mappingOverride = Some((cmap, m.droppedPhys)))
+      m.version + 1
+    }
+
+  /** ALTER TABLE DROP COLUMN — a metadata commit: the column leaves the
+    * logical schema, its physical name is TOMBSTONED so a later re-ADD of
+    * the same name maps to fresh physical storage (old bytes can never
+    * resurrect), and the bytes themselves stay in place until files are
+    * naturally rewritten (merge/optimize) — Delta's drop-with-mapping
+    * trade. Time travel to pre-drop versions still shows the column.
+    */
+  def dropColumn(name: String, streamId: String = "ddl"): Long =
+    SnapshotStore.withCommitLock(root) {
+      val m = currentManifest.getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to drop"))
+      val old = StructType.fromDDL(m.schemaDDL)
+      require(old.fieldNames.contains(name), s"no such column: $name")
+      require(name != keyField,
+        s"the key column '$keyField' cannot be dropped (row identity)")
+      val newSchema = StructType(old.fields.filterNot(_.name == name))
+      writeManifestAndSwap(m.version + 1, m.batchId, streamId,
+        newSchema.toDDL, m.files, m.statsCols.filterNot(_ == name),
+        mappingOverride =
+          Some((m.colMap - name, m.droppedPhys :+ m.phys(name))))
       m.version + 1
     }
 
@@ -970,7 +1108,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val cdc = if (!cdfEnabled) None
               else writeCdcFile(deriveCdc(snapSubset, liveP, fields,
                 keyType, merged.schema))
-            val newEntries = writeDataFiles(upserts, 1, m.statsCols)
+            val newEntries = writeDataFiles(upserts, 1, m.statsCols,
+              colMap = m.colMap)
             writeManifestAndSwap(m.version + 1, batchId, streamId,
               merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries,
               m.statsCols, cdc = cdc)
@@ -1112,9 +1251,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // version-churning sidecar rewrite — deleteWhere is idempotent per
       // predicate
       val schema = StructType.fromDDL(m.schemaDDL)
-      val data = spark.read.schema(schema)
+      // physical read + logical rename: `cond` references logical names
+      val physSchema = StructType(schema.fields.map(f =>
+        f.copy(name = m.phys(f.name))))
+      val data = spark.read.schema(physSchema)
         .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
         .withColumn("_file", fileBasename)
+        .select(schema.fields.toSeq.map(f =>
+          col(s"`${m.phys(f.name)}`").as(f.name)) :+ col("_file"): _*)
       val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
       val live =
         if (dvPaths.isEmpty) data
@@ -1232,7 +1376,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val candNames = candidates.map(_.name).toSet
       val carried = m.files.filterNot(f => candNames(f.name))
       val (dropped, straddlers) = candidates.partition(f =>
-        colRange(f, pc).exists { case (mn, mx) => mn != null && mn == mx })
+        colRange(m, f, pc).exists { case (mn, mx) => mn != null && mn == mx })
       val replaceCond = col(pc).isin(partVals: _*)
       val cdc = if (!cdfEnabled) None else {
         val deletes = (if (candidates.isEmpty)
@@ -1253,8 +1397,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val remainderEntries =
         if (straddlers.isEmpty) Nil
         else writeDataFiles(readFiles(m, straddlers).filter(!replaceCond),
-          math.max(1, straddlers.size), m.statsCols)
-      val newEntries = writeDataFiles(df, nFiles, m.statsCols)
+          math.max(1, straddlers.size), m.statsCols, colMap = m.colMap)
+      val newEntries = writeDataFiles(df, nFiles, m.statsCols,
+        colMap = m.colMap)
       val _ = dropped // replaced wholesale; vacuum reclaims their bytes
       writeManifestAndSwap(m.version + 1, batchId, streamId, m.schemaDDL,
         carried ++ remainderEntries ++ newEntries, m.statsCols, cdc = cdc)
@@ -1386,7 +1531,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val c = if (!cdfEnabled) None
           else writeCdcFile(deriveCdc(snapSubset, live, fields,
             keyTypeOf(m), merged.schema))
-        (c, writeDataFiles(merged, math.max(1, touchedFiles.size), m.statsCols))
+        (c, writeDataFiles(merged, math.max(1, touchedFiles.size),
+          m.statsCols, colMap = m.colMap))
       } finally cleanup()
     // result schema gains last_ts on first merge of a ts-less snapshot
     Derived(touchedFiles, reused, newEntries, merged.schema.toDDL, cdc)
@@ -1575,7 +1721,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val df2 = df.withColumn("_zl", col(longCol).cast("long"))
           .withColumn("_z", z).drop("_zl")
         val newStats = (m.statsCols ++ Seq(longCol, doubleCol)).distinct
-        val entries = writeDataFiles(df2, nFiles, newStats, clusterBy = Some("_z"))
+        val entries = writeDataFiles(df2, nFiles, newStats,
+          clusterBy = Some("_z"), colMap = m.colMap)
         val won = SnapshotStore.withCommitLock(root) {
           current.exists(_._1 == m.version) && {
             writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
@@ -1598,7 +1745,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private[cdc] def reclusterHook(nFiles: Int)
                                 (onDerived: () => Unit): Option[Long] =
     currentManifest.flatMap { m =>
-    val entries = writeDataFiles(readFiles(m, m.files), nFiles, m.statsCols)
+    val entries = writeDataFiles(readFiles(m, m.files), nFiles,
+      m.statsCols, colMap = m.colMap)
     onDerived()
     val won = SnapshotStore.withCommitLock(root) {
       current.exists(_._1 == m.version) && {
@@ -1712,7 +1860,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val newEntries = compactBins.flatMap { bin =>
           val n = math.max(1L,
             (bin.map(_.liveRows).sum + targetRows - 1) / targetRows)
-          writeDataFiles(readFiles(m, bin), n.toInt, m.statsCols)
+          writeDataFiles(readFiles(m, bin), n.toInt, m.statsCols,
+            colMap = m.colMap)
         }
         onDerived()
         val won = SnapshotStore.withCommitLock(root) {

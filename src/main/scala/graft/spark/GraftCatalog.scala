@@ -201,7 +201,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     var schema = StructType.fromDDL(cur.schemaDDL)
     var props = GraftCatalog.readProps(root)
     var schemaChanged = false
+    val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft ALTER TABLE supports top-level RENAME COLUMN only, got " +
+            ren.fieldNames().mkString("."))
+        renames += (ren.fieldNames().head -> ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft ALTER TABLE supports top-level DROP COLUMN only, got " +
+            del.fieldNames().mkString("."))
+        drops += del.fieldNames().head
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft ALTER TABLE supports top-level ADD COLUMN only, got " +
@@ -229,9 +241,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other =>
         throw new UnsupportedOperationException(
           s"graft ALTER TABLE does not support $other — data files are " +
-            "immutable and shared across versions; only additive ADD " +
-            "COLUMN and SET/UNSET TBLPROPERTIES are metadata-only changes")
+            "immutable and shared across versions; supported metadata-only " +
+            "changes: ADD COLUMN, RENAME COLUMN, DROP COLUMN, lossless " +
+            "ALTER COLUMN TYPE, SET/UNSET TBLPROPERTIES")
     }
+    require(!(schemaChanged && (renames.nonEmpty || drops.nonEmpty)),
+      "combine ADD/TYPE changes with RENAME/DROP in separate ALTER " +
+        "TABLE statements")
+    // RENAME/DROP are mapping commits ([[graft.cdc.ManifestStore]] column
+    // mapping): the logical schema changes, physical bytes stay put, a
+    // re-added name maps to fresh physical storage
+    renames.foreach { case (from, to) => st.renameColumn(from, to) }
+    drops.foreach(c => st.dropColumn(c))
     if (schemaChanged) { st.evolveSchema(schema); () }
     java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
     GraftCatalog.writeProps(root, props)

@@ -132,10 +132,14 @@ object GraftCdf {
   private[spark] def factory(spark: SparkSession, root: String,
                              keyField: String, dataSchema: StructType,
                              options: Map[String, String],
-                             manifestSchemaDDL: String): GraftCdfReaderFactory = {
+                             manifestSchemaDDL: String,
+                             colMap: Map[String, String] = Map.empty)
+      : GraftCdfReaderFactory = {
+    // change files carry LOGICAL names (captured pre-mapping per commit);
+    // only the inner data-file factory translates through the mapping
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
       dataSchema, Array.empty, options, manifestSchemaDDL,
-      allColumnar = false)
+      allColumnar = false, colMap = colMap)
     val cdcSchema = StructType(dataSchema.fields :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
     GraftCdfReaderFactory(inner,
@@ -227,9 +231,12 @@ final class GraftCdfScan(root: String, options: Map[String, String])
     GraftCdf.planVersions(store, root, sv - 1, ev, ignoreChanges).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cur = store.currentManifest
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
-      store.currentManifest.map(_.schemaDDL).getOrElse(dataSchema.toDDL))
+      cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
+      colMap = cur.map(_.colMap).getOrElse(Map.empty))
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftCdfMicroBatchStream(root, keyField, dataSchema, options)
@@ -283,8 +290,9 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val st = store
+    val cur = store.currentManifest
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
-      st.currentManifest.map(_.schemaDDL).getOrElse(dataSchema.toDDL))
+      cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
+      colMap = cur.map(_.colMap).getOrElse(Map.empty))
   }
 }

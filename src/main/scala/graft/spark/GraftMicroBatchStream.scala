@@ -109,13 +109,14 @@ final class GraftMicroBatchStream(root: String, keyField: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val ddl = store.currentManifest.map(_.schemaDDL)
-      .getOrElse(tableSchema.toDDL)
+    val cur = store.currentManifest
+    val ddl = cur.map(_.schemaDDL).getOrElse(tableSchema.toDDL)
     // row mode: the factory outlives any one micro-batch and Spark forbids
     // mixing modes, so the stream can't promise columnar for batches whose
     // files it hasn't planned yet
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
-      pushed, options, ddl, allColumnar = false)
+      pushed, options, ddl, allColumnar = false,
+      colMap = cur.map(_.colMap).getOrElse(Map.empty))
   }
 }
 

@@ -148,7 +148,8 @@ final class GraftScan(root: String, tableSchema: StructType,
     // mode after Spark has already asked supportsColumnar.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
       pushed, options, manifest.schemaDDL,
-      allColumnar = planned.forall(_.dv.isEmpty))
+      allColumnar = planned.forall(_.dv.isEmpty),
+      colMap = manifest.colMap)
 }
 
 /** One input partition per manifest data file. The deletion-vector sidecar
@@ -204,31 +205,44 @@ object GraftPartitions {
               tableSchema: StructType, required: StructType,
               pushed: Array[Filter], options: Map[String, String],
               manifestSchemaDDL: String,
-              allColumnar: Boolean): GraftReaderFactory = {
+              allColumnar: Boolean,
+              colMap: Map[String, String] = Map.empty): GraftReaderFactory = {
     // data files may carry any vintage of the evolved schema; the manifest
-    // schema (superset, widened types) is the read-through dataSchema
-    val dataSchema = StructType.fromDDL(manifestSchemaDDL)
-    val hasKey = keyField.nonEmpty && dataSchema.fieldNames.contains(keyField)
+    // schema (superset, widened types) is the read-through dataSchema.
+    // COLUMN MAPPING translates at exactly this boundary: the parquet
+    // readers are handed PHYSICAL names (what the files contain), while
+    // everything above stays logical — rows are positional, so only the
+    // parquet name matching cares. Renamed tables skip parquet-level
+    // filter pushdown (v1 Filters carry logical names); Spark's residual
+    // re-evaluation keeps answers exact, zone-map pruning still applies.
+    val logicalData = StructType.fromDDL(manifestSchemaDDL)
+    def toPhys(s: StructType): StructType =
+      if (colMap.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
+    val dataSchema = toPhys(logicalData)
+    val pushedEff: Seq[Filter] = if (colMap.isEmpty) pushed.toSeq else Nil
+    val hasKey = keyField.nonEmpty && logicalData.fieldNames.contains(keyField)
     val plus: StructType =
       if (!hasKey || required.fieldNames.contains(keyField)) required
-      else StructType(required.fields :+ dataSchema(keyField))
+      else StructType(required.fields :+ logicalData(keyField))
     val keyOrd = if (hasKey) plus.fieldIndex(keyField) else -1
-    val keyDt: DataType = if (hasKey) dataSchema(keyField).dataType else StringType
+    val keyDt: DataType = if (hasKey) logicalData(keyField).dataType else StringType
     val dvSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_file", StringType),
       org.apache.spark.sql.types.StructField("_key", keyDt)))
     GraftReaderFactory(
       required = required, plus = plus, keyOrd = keyOrd, keyDt = keyDt,
-      rowPlain = ParquetReadBridge.rowReader(spark, dataSchema, required,
-        pushed.toSeq, options),
-      rowMasked = ParquetReadBridge.rowReader(spark, dataSchema, plus,
-        pushed.toSeq, options),
+      rowPlain = ParquetReadBridge.rowReader(spark, dataSchema, toPhys(required),
+        pushedEff, options),
+      rowMasked = ParquetReadBridge.rowReader(spark, dataSchema, toPhys(plus),
+        pushedEff, options),
       dvReader = ParquetReadBridge.rowReader(spark, dvSchema, dvSchema,
         Nil, options),
       columnar =
         if (allColumnar)
-          ParquetReadBridge.columnarReader(spark, dataSchema, required,
-            pushed.toSeq, options)
+          ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(required),
+            pushedEff, options)
         else None)
   }
 }

@@ -71,11 +71,69 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT INTO gct.db.ev VALUES (2, 'b', 0.5)")
     assert(sql("SELECT score FROM gct.db.ev WHERE id = 2").collect()
       .head.getDouble(0) === 0.5)
-    // non-additive changes are rejected loudly
+    // a change the manifest cannot express is rejected loudly
     val err = intercept[Exception] {
-      sql("ALTER TABLE gct.db.ev DROP COLUMN v")
+      sql("ALTER TABLE gct.db.ev ALTER COLUMN score COMMENT 'x'")
     }
     assert(err.getMessage.toLowerCase.contains("does not support"))
+  }
+
+  test("RENAME COLUMN is metadata-only: mapping reads old bytes, time travel keeps old name") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.ren")
+    sql("CREATE TABLE gct.db.ren (id BIGINT, v STRING, amt DOUBLE) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.ren VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    val filesBefore = storeFiles("db/ren")
+    sql("ALTER TABLE gct.db.ren RENAME COLUMN v TO label")
+    assert(storeFiles("db/ren") === filesBefore,
+      "RENAME COLUMN must not touch data files")
+    // old bytes answer under the new name
+    assert(sql("SELECT label FROM gct.db.ren WHERE id = 1").collect()
+      .head.getString(0) === "a")
+    // writes through the new name land correctly and read back
+    sql("INSERT INTO gct.db.ren VALUES (3, 'c', 30.0)")
+    sql("UPDATE gct.db.ren SET label = 'B' WHERE id = 2")
+    assert(sql("SELECT label FROM gct.db.ren ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "B", "c"))
+    // predicate DELETE through the renamed column (deletion-vector path)
+    sql("DELETE FROM gct.db.ren WHERE label = 'B'")
+    assert(sql("SELECT count(*) FROM gct.db.ren").collect().head.getLong(0) === 2L)
+    // time travel to the pre-rename version still shows the OLD name
+    val v1 = sql("SELECT v FROM gct.db.ren VERSION AS OF 1 WHERE id = 1")
+    assert(v1.collect().head.getString(0) === "a")
+    // the key column's identity is protected
+    val err = intercept[Exception](
+      sql("ALTER TABLE gct.db.ren RENAME COLUMN id TO id2"))
+    assert(err.getMessage.contains("row identity"))
+  }
+
+  test("DROP COLUMN tombstones the physical name: re-ADD reads null, not old bytes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.dc")
+    sql("CREATE TABLE gct.db.dc (id BIGINT, v STRING, amt DOUBLE) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.dc VALUES (1, 'secret', 10.0)")
+    val filesBefore = storeFiles("db/dc")
+    sql("ALTER TABLE gct.db.dc DROP COLUMN v")
+    assert(storeFiles("db/dc") === filesBefore,
+      "DROP COLUMN must not touch data files")
+    assert(!spark.table("gct.db.dc").columns.contains("v"))
+    // time travel to the pre-drop version still shows the column
+    assert(sql("SELECT v FROM gct.db.dc VERSION AS OF 1").collect()
+      .head.getString(0) === "secret")
+    // re-ADD the same name: old bytes must NOT resurrect
+    sql("ALTER TABLE gct.db.dc ADD COLUMN v STRING")
+    val r = sql("SELECT v FROM gct.db.dc WHERE id = 1").collect()
+    assert(r.head.isNullAt(0),
+      "re-added column must read null for pre-drop rows, not the old bytes")
+    // new writes to the re-added column round-trip
+    sql("INSERT INTO gct.db.dc VALUES (2, 99.0, 'fresh')")
+    assert(sql("SELECT v FROM gct.db.dc WHERE id = 2").collect()
+      .head.getString(0) === "fresh")
+    val err = intercept[Exception](
+      sql("ALTER TABLE gct.db.dc DROP COLUMN id"))
+    assert(err.getMessage.contains("row identity"))
   }
 
   test("ALTER TABLE ADD COLUMN forces nullability: old files read NULL") {
