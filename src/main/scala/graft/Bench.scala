@@ -13,6 +13,7 @@ object Bench {
     // CPU-bound queries and read as phantom regressions
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    Verify.muteAdvisoryWarns() // setLogLevel may re-touch logger config
     // JMH-style warmup at a smaller SF: pays JVM/codegen JIT cost once so
     // the timed runs measure the query plans, not classloading. sf0.01 (not
     // sf0.001) so hot loops actually reach C2 compilation thresholds.

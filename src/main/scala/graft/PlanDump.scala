@@ -60,6 +60,10 @@ object PlanDump {
       "Interval join: key-equi join with the time-range as a join-side filter; in streaming the same plan gets watermark-bounded state.",
     "source_partition_prune" ->
       "Partitioned layout: the event_type filter must appear in PartitionFilters (planning-time pruning), NOT as a post-scan Filter.",
+    "dsv2_partitioned" ->
+      "Identity-partitioned graft table after a dynamic partition overwrite: ONE graft BatchScan over partition-pure files (the in-query gates assert min=max zones, file-level pruning of a partition filter, and carry-by-reference across the overwrite at plan time).",
+    "dsv2_column_mapping" ->
+      "Column mapping: the renamed/re-added columns resolve through the manifest's logical->physical map inside the scan factory — the plan is a plain graft BatchScan, no projection layer for the rename.",
     "dedup_containment" ->
       "Containment: same df-capped shingle self-join core as ngram Jaccard; only the final measure differs — no extra shuffle.",
     "pipeline_outlier_filter" ->

@@ -11,16 +11,7 @@ object Verify {
     * (DuckDB oracles use epoch_ms/epoch_ns on its TIMESTAMP read).
     */
   def session(cpus: String): SparkSession = {
-    // The O(config)-row global windows (curation cutoffs, pipeline pack
-    // offsets, manifest overlap sweep) legitimately run single-partition;
-    // WindowExecBase still WARNs "No Partition Defined" per plan. Spark
-    // 4.1's EliminateWindowPartitions strips any foldable partition key, so
-    // the lit(0) idiom cannot silence it — mute the logger category instead
-    // (bench/verify output stays signal-only; the windows themselves are
-    // bounded by construction and annotated at each call site).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,12 +19,30 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    muteAdvisoryWarns()
+    s
   }
+
+  /** The O(config)-row global windows (curation cutoffs, pipeline pack
+    * offsets, manifest overlap sweep) legitimately run single-partition;
+    * WindowExecBase still WARNs "No Partition Defined" per plan. Spark
+    * 4.1's EliminateWindowPartitions strips any foldable partition key, so
+    * the lit(0) idiom cannot silence it — mute the logger category instead
+    * (the windows are bounded by construction, annotated per call site).
+    * MUST run AFTER the session exists: Spark's lazy log4j bootstrap
+    * (first logging call during getOrCreate) re-installs its default
+    * configuration and wipes levels set before it.
+    */
+  def muteAdvisoryWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
+    Verify.muteAdvisoryWarns() // setLogLevel may re-touch logger config
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named queries
     // (the driver never sets it, so its runs stay exhaustive)

@@ -1352,20 +1352,34 @@ final class ManifestStore(val root: String, spark: SparkSession,
     *
     * Returns the new version, or None when `df` is empty (dynamic
     * overwrite of nothing replaces nothing — Hive/Spark semantics).
+    *
+    * `staticValues`: the STATIC form (`INSERT OVERWRITE ... PARTITION
+    * (p=v)` under partitionOverwriteMode=static): replace exactly these
+    * partition values regardless of which values `df` carries — an empty
+    * `df` then simply DROPS the named partitions (Spark's static
+    * semantics). None = dynamic: replace the values present in `df`.
     */
   def overwritePartitions(df: DataFrame, batchId: Long,
                           streamId: String = "default",
-                          nFiles: Int = 16): Option[Long] = {
+                          nFiles: Int = 16,
+                          staticValues: Option[Seq[Any]] = None): Option[Long] = {
     val pc = ManifestStore.readTableProps(root).get("partitioncol")
       .getOrElse(throw new IllegalStateException(
         s"overwritePartitions needs the 'partitioncol' table property at $root"))
     require(df.columns.contains(pc),
       s"overwrite batch must carry the partition column '$pc'")
-    val partVals: Seq[Any] = df.select(col(pc)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val partVals: Seq[Any] = staticValues.getOrElse(
+      df.select(col(pc)).distinct().collect().map(_.get(0)).toSeq)
     if (partVals.isEmpty) return None
     require(partVals.forall(_ != null),
-      s"dynamic overwrite with NULL '$pc' values is not supported")
+      s"partition overwrite with NULL '$pc' values is not supported")
+    // Delta's replaceWhere validation: a static batch must stay inside
+    // the partitions it replaces, or rows would land without clearing
+    // their partition first
+    staticValues.foreach { vs =>
+      require(df.filter(!col(pc).isin(vs: _*)).isEmpty,
+        s"static overwrite batch contains rows outside PARTITION ($pc)")
+    }
     SnapshotStore.withCommitLock(root) {
       val m = currentManifest.getOrElse(throw new IllegalStateException(
         s"no current version at $root — commit an initial snapshot first"))

@@ -497,7 +497,10 @@ private[spark] object GraftProcedures {
       StructField("version", LongType), StructField("key_column", StringType),
       StructField("n_files", IntegerType), StructField("live_rows", LongType),
       StructField("dv_rows", LongType), StructField("masked_files", IntegerType),
-      StructField("bytes", LongType), StructField("stats_cols", StringType)))
+      StructField("bytes", LongType), StructField("stats_cols", StringType),
+      StructField("partition_col", StringType),
+      StructField("cdf_enabled", org.apache.spark.sql.types.BooleanType),
+      StructField("mapped_columns", IntegerType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val st = store(input)
       val m = st.currentManifest.getOrElse(throw new IllegalStateException(
@@ -505,7 +508,10 @@ private[spark] object GraftProcedures {
       one(outSchema, m.version, utf8(m.keyField), m.files.size,
         m.files.map(_.liveRows).sum, m.files.map(_.dvRows).sum,
         m.files.count(_.dv.isDefined), m.files.map(_.bytes).sum,
-        utf8(m.statsCols.mkString(",")))
+        utf8(m.statsCols.mkString(",")),
+        utf8(ManifestStore.readTableProps(st.root)
+          .getOrElse("partitioncol", "")),
+        st.cdfEnabled, m.colMap.size)
     }
   }
 

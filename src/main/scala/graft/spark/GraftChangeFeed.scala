@@ -246,17 +246,41 @@ final class GraftCdfScan(root: String, options: Map[String, String])
   * [[GraftMicroBatchStream]]). The first batch without `startingVersion`
   * is the current snapshot emitted as `insert` rows (Delta's CDF stream
   * start), then each later batch carries the captured change files of the
-  * newly committed versions.
+  * newly committed versions. `maxVersionsPerTrigger` rate-limits how many
+  * commits one micro-batch may admit (Spark's admission-control API) — a
+  * consumer catching up on a long-running table processes bounded batches
+  * instead of one giant reconciliation batch; the initial snapshot is
+  * always one batch (it is one consistent version, not a backlog).
   */
 final class GraftCdfMicroBatchStream(root: String, keyField: String,
                                      dataSchema: StructType,
                                      options: Map[String, String])
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
   private val ignoreChanges =
     options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
+  private val maxVersions: Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxversionspertrigger") => v.toLong
+  }.map { n =>
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = store.current.map(_._1).getOrElse(-1L)
+    val s = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersions match {
+      case Some(n) if s >= 0 => math.min(cur, s + n)
+      case _ => cur // snapshot batch (or no cap): everything available
+    })
+  }
 
   override def initialOffset(): Offset =
     options.collectFirst {

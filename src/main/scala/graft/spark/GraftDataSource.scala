@@ -246,7 +246,7 @@ final class GraftTable(val root: String, tableSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
@@ -319,11 +319,13 @@ final class GraftTable(val root: String, tableSchema: StructType,
   */
 final class GraftWriteBuilder(root: String, options: Map[String, String],
                               info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var overwrite = false
   private var dynamicPartitions = false
+  private var staticPartitionFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
   /** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic (or
     * `DataFrameWriterV2.overwritePartitions()`): replace only the
@@ -331,6 +333,22 @@ final class GraftWriteBuilder(root: String, options: Map[String, String],
     */
   override def overwriteDynamicPartitions(): WriteBuilder = {
     dynamicPartitions = true; this
+  }
+  /** STATIC overwrite-by-filter. `AlwaysTrue` (plain INSERT OVERWRITE) is
+    * the existing full-table truncate+recommit; a `PARTITION (p = v)`
+    * spec arrives as equality/IN filters on the partition column and
+    * routes to the same file-granular partition replacement as the
+    * dynamic form — with the filter's values as the replaced set, so an
+    * empty batch legitimately DROPS the named partition (Spark's static
+    * semantics). Anything else (arbitrary predicates) is refused loudly:
+    * an over-broad overwrite is data loss.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      overwrite = true
+    else staticPartitionFilters = Some(filters)
+    this
   }
 
   override def build(): Write =
@@ -347,7 +365,12 @@ final class GraftWriteBuilder(root: String, options: Map[String, String],
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: DataFrame, ignored: Boolean): Unit =
-            GraftWriteBuilder.run(root, options, data, overwrite)
+            staticPartitionFilters match {
+              case Some(fs) =>
+                GraftWriteBuilder.runStaticOverwrite(root, options, data, fs)
+              case None =>
+                GraftWriteBuilder.run(root, options, data, overwrite)
+            }
         }
       // writeStream.format("graft") — see GraftStreamingWrite: staged
       // epochs + the store's (epochId, queryId) replay guard = exactly-once
@@ -415,6 +438,41 @@ final class GraftOverwriteBatchWrite(root: String,
 object GraftWriteBuilder {
   private def opt(options: Map[String, String], k: String): Option[String] =
     options.collectFirst { case (ok, v) if ok.equalsIgnoreCase(k) => v }
+
+  /** Static `INSERT OVERWRITE ... PARTITION (p = v)`: the filter conjuncts
+    * must all be equality/IN on the table's partition column — their
+    * values become the replaced set. Anything else is refused (no silent
+    * fallback to a broader overwrite).
+    */
+  private[spark] def runStaticOverwrite(root: String,
+                                        options: Map[String, String],
+                                        data: DataFrame,
+                                        filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    val spark = data.sparkSession
+    val key = GraftTable.resolve(root, options)._2
+    val pc = graft.cdc.ManifestStore.readTableProps(root).get("partitioncol")
+      .getOrElse(throw new UnsupportedOperationException(
+        "graft overwrite-by-filter needs a partitioned table " +
+          "(PARTITIONED BY / table property 'partitioncol'); use plain " +
+          "INSERT OVERWRITE for a full-table overwrite"))
+    val values: Seq[Any] = filters.toSeq.flatMap {
+      case EqualTo(a, v) if a.equalsIgnoreCase(pc)       => Seq(v)
+      case EqualNullSafe(a, v) if a.equalsIgnoreCase(pc) => Seq(v)
+      case In(a, vs) if a.equalsIgnoreCase(pc)           => vs.toSeq
+      case other => throw new UnsupportedOperationException(
+        s"graft static overwrite supports PARTITION ($pc = <value>) " +
+          s"specs only, got filter $other")
+    }.distinct
+    val st = new ManifestStore(root, spark, key)
+    val m = st.currentManifest.getOrElse(throw new IllegalStateException(
+      s"no graft store at $root"))
+    st.overwritePartitions(data, batchId = m.version + 1,
+      streamId = s"dsv2-ows-${java.util.UUID.randomUUID()}",
+      nFiles = opt(options, "files").map(_.toInt).getOrElse(16),
+      staticValues = Some(values))
+    ()
+  }
 
   private[spark] def runOverwritePartitions(root: String,
                                             options: Map[String, String],

@@ -154,6 +154,33 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    (1 to 4).foreach(i => st.merge(
+      netDf(Seq((i.toLong, "u", Some(s"e$i"), i * 10L))), fields,
+      batchId = i))
+    val tbl = s"cdf_rate_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .load(st.root)
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfrl").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // every epoch arrives (2 rows each: pre + post)...
+      assert(spark.table(tbl).count() === 8L)
+      // ...but admission control split the backlog into >= 4 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"expected >= 4 rate-limited batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("re-applying the feed through the native sink reproduces the table") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4)

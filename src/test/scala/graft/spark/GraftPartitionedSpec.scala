@@ -81,6 +81,31 @@ class GraftPartitionedSpec extends SparkSpec {
     assert(spark.table("gpt.db.p2").count() === 3010L)
   }
 
+  test("static INSERT OVERWRITE PARTITION (p=v): replace, and drop via empty batch") {
+    seed("p3")
+    // default (static) mode: the partition spec names the replaced set
+    sql("INSERT OVERWRITE gpt.db.p3 PARTITION (seg = 'C') " +
+      "SELECT id, CAST(-2.0 AS DOUBLE) FROM range(20000, 20005)")
+    val c = spark.table("gpt.db.p3").filter(col("seg") === "C")
+    assert(c.count() === 5L)
+    assert(c.agg(min("id")).head().getLong(0) === 20000L)
+    assert(spark.table("gpt.db.p3").filter(col("seg") =!= "C").count() === 3000L)
+    // an EMPTY static batch drops the named partition outright
+    sql("INSERT OVERWRITE gpt.db.p3 PARTITION (seg = 'D') " +
+      "SELECT id, CAST(0.0 AS DOUBLE) FROM range(0)")
+    assert(spark.table("gpt.db.p3").filter(col("seg") === "D").count() === 0L)
+    assert(spark.table("gpt.db.p3").count() === 2005L) // A + B + new C
+    // the store API refuses a static batch that strays outside its spec
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(warehouse, "db", "p3").toString
+    val st = new ManifestStore(root, spark, "id")
+    val stray = Seq((1L, "A", 0.0)).toDF("id", "seg", "v")
+    val err = intercept[IllegalArgumentException](
+      st.overwritePartitions(stray, batchId = 99,
+        staticValues = Some(Seq("B"))))
+    assert(err.getMessage.contains("outside PARTITION"))
+  }
+
   test("overwrite of a non-partition-pure vintage rewrites only straddlers") {
     import spark.implicits._
     // a store that predates partitioning: key-clustered files straddle
