@@ -1,0 +1,90 @@
+package graft
+
+import graft.cdc.{Changelog, ManifestStore}
+import org.apache.spark.sql.functions._
+
+/** What does CHANGE-DATA-FEED capture cost at scale? Two identical
+  * 60M-row MoR stores absorb the same scattered micro-batches, one with
+  * `cdf=true` and one without; the delta in commit wall time and the
+  * change-file bytes ARE the capture bill. Then the captured feed is
+  * read back and re-applied to a replica — the consumer side's cost.
+  *
+  * Usage: `sbt "runMain graft.CdfBench [nRows] [batchSize] [rounds]"` —
+  * defaults 60M / 2k / 3, the STRESS.md MoR-ladder scale. Deterministic
+  * content. Prints one JSON line.
+  */
+object CdfBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(60000000L)
+    val batch = args.lift(1).map(_.toLong).getOrElse(2000L)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("cdfbench")
+    val fields = Seq("id", "name", "val", "payload")
+
+    val table = spark.range(n).select(col("id"),
+      concat(lit("name_"), col("id")).as("name"),
+      (col("id") % 997).cast("double").as("val"),
+      repeat(md5(col("id").cast("string")), 8).as("payload"))
+
+    // scattered batch r: every (n/batch)-th key, shifted per round —
+    // worst-case MoR scatter (one hit per file range), ts = round+1
+    def net(r: Int) = {
+      val stride = n / batch
+      spark.range(batch).select(
+        (col("id") * stride + r).cast("string").as(Changelog.KeyCol),
+        lit("u").as(Changelog.OpCol), lit(r + 1L).as(Changelog.TsCol),
+        (col("id") * stride + r).as("after_id"),
+        concat(lit(s"upd${r}_"), col("id")).as("after_name"),
+        lit(r * 1.0).as("after_val"),
+        repeat(md5(concat(lit(r), col("id"))), 8).as("after_payload"))
+    }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def mkStore(tag: String, cdf: Boolean): ManifestStore = {
+      val st = new ManifestStore(s"$base/$tag", spark, "id")
+      if (cdf) st.enableChangeFeed()
+      st.commit(table, batchId = 0, nFiles = 64)
+      st
+    }
+
+    val plain = mkStore("plain", cdf = false)
+    val capt = mkStore("capt", cdf = true)
+    val tPlain = (0 until rounds).map(r => timed {
+      plain.mergeOnRead(net(r), fields, batchId = r + 1); ()
+    })
+    val tCapt = (0 until rounds).map(r => timed {
+      capt.mergeOnRead(net(r), fields, batchId = r + 1); ()
+    })
+    val cdcMb = (1 to rounds).flatMap(v => capt.manifest(v.toLong))
+      .flatMap(_.cdcFile).filter(_.nonEmpty)
+      .map(d => {
+        val p = java.nio.file.Paths.get(capt.root, "files", d)
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      }).sum / 1000000.0
+    val cdcRows = (1 to rounds).flatMap(v => capt.manifest(v.toLong))
+      .map(_.cdcRows).sum
+
+    // consumer side: read the whole captured feed back
+    var feedRows = 0L
+    val tFeed = timed {
+      feedRows = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(capt.root).count()
+    }
+
+    println(
+      s"""{"bench":"cdf_capture","rows":$n,"batch":$batch,"rounds":$rounds,""" +
+      s""""mor_commit_sec_plain":[${tPlain.map(t => f"$t%.1f").mkString(",")}],""" +
+      s""""mor_commit_sec_cdf":[${tCapt.map(t => f"$t%.1f").mkString(",")}],""" +
+      s""""cdc_rows":$cdcRows,"cdc_mb":${f"$cdcMb%.1f"},""" +
+      s""""feed_read_sec":${f"$tFeed%.1f"},"feed_rows":$feedRows}""")
+    spark.stop()
+  }
+}

@@ -1106,8 +1106,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             // effective touched-file read is the preimage side, liveP the
             // surviving net — one extra O(changed) pass, only when enabled
             val cdc = if (!cdfEnabled) None
-              else writeCdcFile(deriveCdc(snapSubset, liveP, fields,
-                keyType, merged.schema))
+              else deriveCdc(snapSubset, liveP, fields,
+                keyType, merged.schema)
             val newEntries = writeDataFiles(upserts, 1, m.statsCols,
               colMap = m.colMap)
             writeManifestAndSwap(m.version + 1, batchId, streamId,
@@ -1466,29 +1466,41 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def deriveCdc(preSnap: DataFrame, live: DataFrame,
                         fields: Seq[String],
                         keyType: org.apache.spark.sql.types.DataType,
-                        outSchema: StructType): DataFrame = {
+                        outSchema: StructType): Option[(String, Long)] = {
     val ctc = ManifestStore.ChangeTypeCol
     val ev = live.select(col(Changelog.KeyCol).cast(keyType).as("_ck"),
       col(Changelog.OpCol).as("_cop"))
-    val pre = preSnap.join(broadcast(ev), preSnap(keyField) === col("_ck"))
-      .withColumn(ctc,
-        when(col("_cop") === "d", ManifestStore.CdfDelete)
-          .otherwise(ManifestStore.CdfUpdatePre))
-      .drop("_ck", "_cop")
-    val ups = Changelog.afterImage(
-      live.filter(col(Changelog.OpCol) =!= "d"), fields)
-    val preKeys = preSnap.select(col(keyField).as("_pk"))
-    val post = ups.join(broadcast(preKeys), ups(keyField) === col("_pk"), "left")
-      .withColumn(ctc, when(col("_pk").isNull, ManifestStore.CdfInsert)
-        .otherwise(ManifestStore.CdfUpdatePost))
-      .drop("_pk")
-    // shape both sides to the commit's output schema: the pre side may
-    // predate a drift-added column (typed null), types widen through cast
-    def shape(df: DataFrame): DataFrame =
-      df.select(outSchema.fields.toSeq.map(f =>
-        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)) :+ col(ctc): _*)
-    shape(pre).unionByName(shape(post))
+    // the ONE pass over the touched files: semi-reduce by broadcasting
+    // the batch-sized event set — preSnap itself streams, nothing
+    // table-sized shuffles or broadcasts. Persisted (O(batch) rows) so
+    // the preimage rows and the existence probe below share the scan.
+    val preP = preSnap.join(broadcast(ev), preSnap(keyField) === col("_ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pre = preP
+        .withColumn(ctc,
+          when(col("_cop") === "d", ManifestStore.CdfDelete)
+            .otherwise(ManifestStore.CdfUpdatePre))
+        .drop("_ck", "_cop")
+      val ups = Changelog.afterImage(
+        live.filter(col(Changelog.OpCol) =!= "d"), fields)
+      // existence probe for insert-vs-update: the keys WITH a pre-image —
+      // batch-sized by construction (NEVER the raw touched-file key set:
+      // broadcasting that is O(touched rows) driver memory, the r10 CdfBench
+      // regression at 60M rows)
+      val preKeys = preP.select(col(keyField).as("_pk"))
+      val post = ups.join(broadcast(preKeys), ups(keyField) === col("_pk"), "left")
+        .withColumn(ctc, when(col("_pk").isNull, ManifestStore.CdfInsert)
+          .otherwise(ManifestStore.CdfUpdatePost))
+        .drop("_pk")
+      // shape both sides to the commit's output schema: the pre side may
+      // predate a drift-added column (typed null), types widen through cast
+      def shape(df: DataFrame): DataFrame =
+        df.select(outSchema.fields.toSeq.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)) :+ col(ctc): _*)
+      writeCdcFile(shape(pre).unionByName(shape(post)))
+    } finally preP.unpersist()
   }
 
   /** Persist `cdc` as this commit's change file under `files/_cdc_<uuid>`.
@@ -1543,8 +1555,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val (cdc, newEntries) =
       try {
         val c = if (!cdfEnabled) None
-          else writeCdcFile(deriveCdc(snapSubset, live, fields,
-            keyTypeOf(m), merged.schema))
+          else deriveCdc(snapSubset, live, fields,
+            keyTypeOf(m), merged.schema)
         (c, writeDataFiles(merged, math.max(1, touchedFiles.size),
           m.statsCols, colMap = m.colMap))
       } finally cleanup()
