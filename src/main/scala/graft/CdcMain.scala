@@ -47,6 +47,9 @@ object CdcMain {
     else if (cfg.dedupColumn.isDefined && !cfg.storage.startsWith("manifest"))
       Some("processing_config.dedup requires a manifest storage engine " +
         s"(delta_config.storage is '${cfg.storage}')")
+    else if (cfg.changeFeed && !cfg.storage.startsWith("manifest"))
+      Some("delta_config.change_feed requires a manifest storage engine " +
+        s"(delta_config.storage is '${cfg.storage}')")
     else None
 
   def main(args: Array[String]): Unit = {
@@ -98,6 +101,10 @@ object CdcMain {
         case ("postgres" | "postgresql", "manifest" | "manifest_mor") =>
           val store = new graft.cdc.ManifestStore(cfg.outputPath, spark,
             cfg.keyColumn)
+          // delta_config.change_feed: flip capture ON for every commit
+          // this stream makes — downstream consumers then readChangeFeed
+          // off cfg.outputPath (capture starts at the NEXT commit)
+          if (cfg.changeFeed) store.enableChangeFeed()
           val s = new ManifestCdcStream(spark, source, store, cfg.keyColumn,
             cfg.schemaCacheDir, cfg.checkpointDir, cfg.columnsToSave,
             trigger = trigger, reclusterOverFiles = 256,

@@ -62,6 +62,55 @@ object GraftCdf {
       s"graft change feed needs version $v of $root but its log entry is " +
         "gone — vacuumed past the reader's progress; raise vacuum keepLast"))
 
+  /** `startingTimestamp` → the first RETAINED version committed at or
+    * after it (Delta's resolution rule); errors past the latest commit.
+    * Accepts epoch millis, an ISO-8601 instant, or `yyyy-MM-dd[ HH:mm:ss]`
+    * read as UTC. O(retained log) driver metadata walk.
+    */
+  private[spark] def versionAtOrAfter(store: ManifestStore, root: String,
+                                      tsMillis: Long): Long = {
+    val cur = store.current.map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no graft store at $root"))
+    (0L to cur).find(v => store.manifest(v).exists(_.tsMillis >= tsMillis))
+      .getOrElse(throw new IllegalArgumentException(
+        s"startingTimestamp $tsMillis ms is after the latest commit of " +
+          s"$root (version $cur)"))
+  }
+
+  private[spark] def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = s.trim
+      scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+        .orElse(scala.util.Try(java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .orElse(scala.util.Try(java.time.LocalDate.parse(t)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse startingTimestamp '$s' — pass epoch millis, an " +
+            "ISO-8601 instant, or yyyy-MM-dd[ HH:mm:ss] (UTC)"))
+    }
+
+  /** Resolve the stream/batch start version from `startingVersion` or
+    * `startingTimestamp` (mutually exclusive). None = no option: snapshot
+    * first (stream) / error (batch).
+    */
+  private[spark] def resolveStart(store: ManifestStore, root: String,
+                                  options: Map[String, String]): Option[Long] = {
+    val sv = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong }
+    val st = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingtimestamp") => v }
+    require(sv.isEmpty || st.isEmpty,
+      "pass startingVersion OR startingTimestamp, not both")
+    sv.foreach(v => require(v >= 1,
+      s"startingVersion must be >= 1 (version 0 is the initial snapshot; " +
+        "omit the option to consume it as the first batch)"))
+    // a timestamp resolving to version 0 means "from the very beginning":
+    // the stream consumes it as the initial snapshot (offset parks at -1)
+    sv.orElse(st.map(t => versionAtOrAfter(store, root, parseTsMillis(t))))
+  }
+
   /** Plan the feed partitions for versions (s, e] — each version
     * contributes its change file's parts, or its added files as `insert`
     * rows when the commit is knowably append-only, or nothing when it is
@@ -212,18 +261,20 @@ final class GraftCdfScan(root: String, options: Map[String, String])
   override def toBatch: Batch = this
   override def description(): String = s"graft change feed $root"
 
-  /** Batch form: `startingVersion` (required — the feed has no "all of
-    * history" default; version 0 is the initial snapshot, not a change) up
-    * to `endingVersion` or current, both versions' own changes inclusive.
+  /** Batch form: `startingVersion` or `startingTimestamp` (required — the
+    * feed has no "all of history" default; version 0 is the initial
+    * snapshot, not a change) up to `endingVersion` or current, both
+    * versions' own changes inclusive.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val cur = store.current.map(_._1).getOrElse(
       throw new IllegalArgumentException(s"no graft store at $root"))
-    val sv = GraftTable.opt(options, "startingversion").map(_.toLong)
+    val sv = GraftCdf.resolveStart(store, root, options)
       .getOrElse(throw new IllegalArgumentException(
-        "batch readChangeFeed needs option(\"startingVersion\", <v>) " +
-          "(1-based: version 0 is the initial snapshot); use readStream " +
-          "for snapshot-then-tail semantics"))
+        "batch readChangeFeed needs option(\"startingVersion\", <v>) or " +
+          "option(\"startingTimestamp\", <ts>) (1-based: version 0 is the " +
+          "initial snapshot); use readStream for snapshot-then-tail " +
+          "semantics"))
     val ev = GraftTable.opt(options, "endingversion").map(_.toLong)
       .getOrElse(cur)
     require(sv >= 1 && sv <= ev && ev <= cur,
@@ -283,15 +334,9 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
   }
 
   override def initialOffset(): Offset =
-    options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong
-    } match {
-      case Some(sv) =>
-        if (sv <= 0) throw new IllegalArgumentException(
-          s"startingVersion must be >= 1 (version 0 is the initial " +
-            "snapshot; omit the option to consume it as the first batch)")
-        GraftOffset(sv - 1)
-      case None => GraftOffset(-1L)
+    GraftCdf.resolveStart(store, root, options) match {
+      case Some(sv) => GraftOffset(sv - 1)
+      case None     => GraftOffset(-1L)
     }
   override def latestOffset(): Offset =
     GraftOffset(store.current.map(_._1).getOrElse(-1L))

@@ -39,7 +39,8 @@ final class GraftMicroBatchStream(root: String, keyField: String,
                                   required: StructType,
                                   pushed: Array[Filter],
                                   options: Map[String, String])
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
@@ -47,24 +48,42 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
   private val ignoreDeletes =
     options.exists(kv => kv._1.equalsIgnoreCase("ignoredeletes") && kv._2.toBoolean)
+  private val maxVersions: Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxversionspertrigger") => v.toLong
+  }.map { n =>
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
+  }
 
   /** Default: snapshot the current version first, then tail. With
-    * `startingVersion` (Delta's spelling) the snapshot is skipped and the
-    * tail begins at that version's OWN changes — offset parks one below.
+    * `startingVersion` / `startingTimestamp` (Delta's spellings) the
+    * snapshot is skipped and the tail begins at that version's OWN
+    * changes — offset parks one below.
     */
   override def initialOffset(): Offset =
-    options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong
-    } match {
-      case Some(sv) =>
-        if (sv <= 0) throw new IllegalArgumentException(
-          s"startingVersion must be >= 1 (version 0 is the initial " +
-            "snapshot; omit the option to consume it as the first batch)")
-        GraftOffset(sv - 1)
-      case None => GraftOffset(-1L)
+    GraftCdf.resolveStart(store, root, options) match {
+      case Some(sv) => GraftOffset(sv - 1)
+      case None     => GraftOffset(-1L)
     }
   override def latestOffset(): Offset =
     GraftOffset(store.current.map(_._1).getOrElse(-1L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** `maxVersionsPerTrigger` — bound each micro-batch to N commits; the
+    * initial snapshot is always one batch (one consistent version, not a
+    * backlog).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = store.current.map(_._1).getOrElse(-1L)
+    val s = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersions match {
+      case Some(n) if s >= 0 => math.min(cur, s + n)
+      case _ => cur
+    })
+  }
   override def deserializeOffset(json: String): Offset =
     GraftOffset(GraftOffset.parse(json))
   override def commit(end: Offset): Unit = ()

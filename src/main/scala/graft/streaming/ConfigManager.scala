@@ -41,7 +41,13 @@ final case class CdcConfig(
     /** `processing_config.dedup.ttl_batches`: expire index claims older
       * than this many batches. None = claims live forever.
       */
-    dedupTtlBatches: Option[Long] = None)
+    dedupTtlBatches: Option[Long] = None,
+    /** `delta_config.change_feed`: capture a per-commit change file
+      * (insert/update pre+post/delete images) so downstream consumers can
+      * `readChangeFeed` off the output table — Delta's
+      * `enableChangeDataFeed`, manifest engines only.
+      */
+    changeFeed: Boolean = false)
 
 object CdcConfig {
   val Default: CdcConfig = CdcConfig(
@@ -145,6 +151,8 @@ final class ConfigManager(path: String) {
       },
       dedupBands = root.path("processing_config").path("dedup").path("bands")
         .asBoolean(d.dedupBands),
+      changeFeed = root.path("delta_config").path("change_feed")
+        .asBoolean(d.changeFeed),
       dedupTtlBatches = {
         val v = root.path("processing_config").path("dedup").path("ttl_batches")
         if (v.isMissingNode || v.isNull) None else Some(v.asLong())

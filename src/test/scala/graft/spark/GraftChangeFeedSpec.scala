@@ -154,6 +154,36 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp resolves to the first commit at or after it") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    Thread.sleep(5L)
+    val beforeV1 = System.currentTimeMillis()
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 10L))), fields, batchId = 1)
+    Thread.sleep(5L)
+    st.merge(netDf(Seq((1L, "u", Some("v2"), 20L))), fields, batchId = 2)
+    // a timestamp just before v1's commit: both merges' changes, no snapshot
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", beforeV1.toString).load(st.root)
+    assert(feed.select("_commit_version").distinct().as[Long].collect()
+      .toSet == Set(1L, 2L))
+    // a timestamp after everything: a clear error
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp",
+        (System.currentTimeMillis() + 3600000L).toString)
+      .load(st.root).collect())
+    assert(err.getMessage.contains("after the latest commit"))
+    // both start options together: refused
+    val err2 = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("startingTimestamp", beforeV1.toString)
+      .load(st.root).collect())
+    assert(err2.getMessage.contains("not both"))
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

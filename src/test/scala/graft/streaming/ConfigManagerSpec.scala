@@ -57,6 +57,15 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(!plain.dedupBands && plain.dedupTtlBatches.isEmpty)
   }
 
+  test("delta_config.change_feed parses; default off") {
+    val cm = new ConfigManager("/nonexistent/config.json")
+    assert(!cm.parse("""{"delta_config": {"storage": "manifest"}}""")
+      .changeFeed)
+    assert(cm.parse(
+      """{"delta_config": {"storage": "manifest_mor", "change_feed": true}}""")
+      .changeFeed)
+  }
+
   test("hot reload: config re-parses when the content changes") {
     val dir = Files.createTempDirectory("cfg")
     val p = Paths.get(dir.toString, "config.json")
