@@ -1107,7 +1107,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             // surviving net — one extra O(changed) pass, only when enabled
             val cdc = if (!cdfEnabled) None
               else deriveCdc(snapSubset, liveP, fields,
-                keyType, merged.schema)
+                keyType, merged.schema, m.colMap)
             val newEntries = writeDataFiles(upserts, 1, m.statsCols,
               colMap = m.colMap)
             writeManifestAndSwap(m.version + 1, batchId, streamId,
@@ -1284,7 +1284,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               else writeCdcFile(matchedRows
                 .select(schema.fieldNames.toSeq.map(col): _*)
                 .withColumn(ManifestStore.ChangeTypeCol,
-                  lit(ManifestStore.CdfDelete)))
+                  lit(ManifestStore.CdfDelete)), m.colMap)
             onDerived()
             val committed = SnapshotStore.withCommitLock(root) {
               if (replay.exists { case (batchId, streamId) =>
@@ -1406,7 +1406,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             else lit(null).cast(StructType.fromDDL(m.schemaDDL)(c).dataType)): _*)
           .withColumn(ManifestStore.ChangeTypeCol,
             lit(ManifestStore.CdfInsert))
-        writeCdcFile(deletes.unionByName(inserts))
+        writeCdcFile(deletes.unionByName(inserts), m.colMap)
       }
       val remainderEntries =
         if (straddlers.isEmpty) Nil
@@ -1466,7 +1466,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def deriveCdc(preSnap: DataFrame, live: DataFrame,
                         fields: Seq[String],
                         keyType: org.apache.spark.sql.types.DataType,
-                        outSchema: StructType): Option[(String, Long)] = {
+                        outSchema: StructType,
+                        colMap: Map[String, String] = Map.empty)
+      : Option[(String, Long)] = {
     val ctc = ManifestStore.ChangeTypeCol
     val ev = live.select(col(Changelog.KeyCol).cast(keyType).as("_ck"),
       col(Changelog.OpCol).as("_cop"))
@@ -1499,7 +1501,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         df.select(outSchema.fields.toSeq.map(f =>
           (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
            else lit(null).cast(f.dataType)).as(f.name)) :+ col(ctc): _*)
-      writeCdcFile(shape(pre).unionByName(shape(post)))
+      writeCdcFile(shape(pre).unionByName(shape(post)), colMap)
     } finally preP.unpersist()
   }
 
@@ -1511,8 +1513,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * data files); a crash orphans it as an unreferenced `files/` entry for
     * vacuum.
     */
-  private def writeCdcFile(cdc: DataFrame): Option[(String, Long)] = {
-    val cdcP = cdc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def writeCdcFile(cdc: DataFrame,
+                           colMap: Map[String, String] = Map.empty)
+      : Option[(String, Long)] = {
+    // change files store PHYSICAL column names, exactly like data files:
+    // physical names never change, so a feed captured before a RENAME
+    // still reads fully through the current mapping (logical-named change
+    // files would read the renamed column as null after the DDL)
+    val shaped =
+      if (colMap.isEmpty) cdc
+      else cdc.select(cdc.columns.toSeq.map(c =>
+        col(s"`$c`").as(colMap.getOrElse(c, c))): _*)
+    val cdcP = shaped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cdcP.count()
       if (n == 0L) Some(("", 0L))
@@ -1556,7 +1568,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       try {
         val c = if (!cdfEnabled) None
           else deriveCdc(snapSubset, live, fields,
-            keyTypeOf(m), merged.schema)
+            keyTypeOf(m), merged.schema, m.colMap)
         (c, writeDataFiles(merged, math.max(1, touchedFiles.size),
           m.statsCols, colMap = m.colMap))
       } finally cleanup()

@@ -199,7 +199,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val st = new ManifestStore(root, spark, GraftTable.resolve(root, Map.empty)._2)
     val cur = st.currentManifest.getOrElse(throw new NoSuchTableException(ident))
     var schema = StructType.fromDDL(cur.schemaDDL)
-    var props = GraftCatalog.readProps(root)
+    // property changes accumulate as DELTAS and apply over the
+    // post-DDL state: renameColumn/dropColumn rewrite _TBLPROPS
+    // themselves (e.g. a renamed partition column), and re-writing a
+    // pre-DDL snapshot here would clobber that
+    val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removeProps = scala.collection.mutable.LinkedHashSet.empty[String]
     var schemaChanged = false
     val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -228,9 +233,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case setp: TableChange.SetProperty =>
         require(!setp.property().equalsIgnoreCase("key"),
           "the key column is fixed at CREATE TABLE (files are clustered by it)")
-        props = props + (setp.property().toLowerCase -> setp.value())
+        setProps += (setp.property().toLowerCase -> setp.value())
+        removeProps -= setp.property().toLowerCase
       case remp: TableChange.RemoveProperty =>
-        props = props - remp.property().toLowerCase
+        removeProps += remp.property().toLowerCase
+        setProps -= remp.property().toLowerCase
       case up: TableChange.UpdateColumnType =>
         require(up.fieldNames().length == 1,
           "graft ALTER COLUMN TYPE supports top-level columns only")
@@ -254,8 +261,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     renames.foreach { case (from, to) => st.renameColumn(from, to) }
     drops.foreach(c => st.dropColumn(c))
     if (schemaChanged) { st.evolveSchema(schema); () }
-    java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
-    GraftCatalog.writeProps(root, props)
+    if (setProps.nonEmpty || removeProps.nonEmpty) {
+      val finalProps = GraftCatalog.readProps(root) ++ setProps -- removeProps
+      java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
+      GraftCatalog.writeProps(root, finalProps)
+    }
     loadTable(ident)
   }
 

@@ -184,12 +184,14 @@ object GraftCdf {
                              manifestSchemaDDL: String,
                              colMap: Map[String, String] = Map.empty)
       : GraftCdfReaderFactory = {
-    // change files carry LOGICAL names (captured pre-mapping per commit);
-    // only the inner data-file factory translates through the mapping
+    // change files carry PHYSICAL column names, exactly like data files —
+    // both readers translate through the same mapping, so a feed captured
+    // before a RENAME reads fully after it (physical names never change)
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
       dataSchema, Array.empty, options, manifestSchemaDDL,
       allColumnar = false, colMap = colMap)
-    val cdcSchema = StructType(dataSchema.fields :+
+    val cdcSchema = StructType(dataSchema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))) :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
     GraftCdfReaderFactory(inner,
       ParquetReadBridge.rowReader(spark, cdcSchema, cdcSchema, Nil, options))

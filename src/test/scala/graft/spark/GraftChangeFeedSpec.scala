@@ -154,6 +154,28 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feed captured before a RENAME COLUMN reads fully after it") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    st.merge(netDf(Seq((0L, "u", Some("preRename"), 10L))), fields,
+      batchId = 1)
+    // rename name -> label: change files carry PHYSICAL names, so the
+    // v1 capture must still answer under the new logical name
+    st.renameColumn("name", "label")
+    val net2 = Seq((1L, "u", Some(1L), "postRename", 20L))
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_label",
+        Changelog.TsCol)
+    st.merge(net2, Seq("id", "label"), batchId = 2)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(st.root)
+    val got = feed.filter(col("_change_type") === "update_postimage")
+      .select(col("id"), col("label"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "preRename", 1L), (1L, "postRename", 3L)),
+      s"pre-rename capture must survive the mapping, got $got")
+  }
+
   test("startingTimestamp resolves to the first commit at or after it") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

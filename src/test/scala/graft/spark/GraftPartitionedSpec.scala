@@ -131,6 +131,31 @@ class GraftPartitionedSpec extends SparkSpec {
       f.cols.get("seg").exists { case (mn, mx) => mn == "new" && mx == "new" }))
   }
 
+  test("renaming the partition column keeps partitioning working") {
+    seed("p5")
+    sql("ALTER TABLE gpt.db.p5 RENAME COLUMN seg TO segment")
+    val root = java.nio.file.Paths.get(warehouse, "db", "p5").toString
+    // the table property follows the rename
+    assert(ManifestStore.readTableProps(root)
+      .get("partitioncol").contains("segment"))
+    // pruning through the mapping: stats stay keyed by the PHYSICAL name
+    val m = store("p5").currentManifest.get
+    assert(m.colMap.get("segment").contains("seg"))
+    val onlyB = spark.table("gpt.db.p5").filter(col("segment") === "B")
+    assert(onlyB.count() === 1000L)
+    assert(onlyB.rdd.getNumPartitions < m.files.size,
+      "partition filter must still prune after the rename")
+    // dynamic overwrite through the NEW name
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gpt.db.p5 " +
+      "SELECT id, 'B', CAST(7.0 AS DOUBLE) FROM range(50000, 50004)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(spark.table("gpt.db.p5").filter(col("segment") === "B")
+      .count() === 4L)
+    assert(spark.table("gpt.db.p5").count() === 3004L)
+  }
+
   test("partition overwrite on a cdf table captures deletes + inserts") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("part_cdf").toString
