@@ -100,10 +100,17 @@ object Bench {
     // re-time the top tail in the settled second pass regardless of estimate;
     // min-of-passes strictly improves accuracy and costs ~6 extra best-of-3s.
     val topSlow = firstPass.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(6).map(_._1)
-    // regressed >1.5x vs the prior round's artifact -> re-time before
-    // letting the regression land (most such entries are session phantoms)
+    // Round-over-round movement criterion — the one the verdicts grade by
+    // (>1.3x AND >0.15s absolute, either direction). The r10 gate used
+    // 1.5x and let three real regressions (emb_semdedup 0.90->1.34s et al)
+    // land unreported; the absolute floor keeps 0.02->0.04s noise out.
+    def moved(p: Double, t: Double): Boolean =
+      p > 0.0 && t >= 0.0 &&
+        ((t > p * 1.3 && t - p > 0.15) || (p > t * 1.3 && p - t > 0.15))
+    // regressed past the criterion vs the prior round's artifact -> re-time
+    // before letting the regression land (most such entries are phantoms)
     val trendFlagged = firstPass.filter { case (n, t) =>
-      t >= 0.0 && prior.get(n).exists(p => p > 0.0 && t > p * 1.5)
+      t >= 0.0 && prior.get(n).exists(p => moved(p, t) && t > p)
     }.keys.toSeq
     val suspects = (estFlagged ++ topSlow ++ trendFlagged).distinct
     val results = firstPass ++ suspects.map { n =>
@@ -128,13 +135,13 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // post-re-time deltas vs the prior artifact, either direction beyond
-    // 1.5x: what actually changed round-over-round, after the phantom
-    // defenses have had their say. Full block in BENCH_FULL.json; stdout
-    // carries the 8 largest ratios (the 2000-char driver window).
+    // post-re-time deltas vs the prior artifact, either direction past the
+    // verdict criterion (`moved`): what actually changed round-over-round,
+    // after the phantom defenses have had their say. Full block in
+    // BENCH_FULL.json; stdout carries the 8 largest ratios (the 2000-char
+    // driver window).
     val changed = results.toSeq.collect {
-      case (n, t) if t >= 0.0 && prior.get(n).exists(p =>
-        p > 0.0 && (t > p * 1.5 || p > t * 1.5)) =>
+      case (n, t) if prior.get(n).exists(p => moved(p, t)) =>
         (n, prior(n), t, math.max(t / prior(n), prior(n) / t))
     }
     def deltaJson(xs: Seq[(String, Double, Double, Double)]) = xs

@@ -221,6 +221,19 @@ object ManifestStore {
   val CdfUpdatePost = "update_postimage"
   val CdfDelete = "delete"
 
+  /** Outcome of [[ManifestStore.mergeOnReadOptimistic]] — the
+    * deletion-vector twin of [[MergeOutcome]].
+    */
+  sealed trait MorOutcome
+  final case class MorApplied(stats: MorStats) extends MorOutcome
+  /** This (batchId, streamId) already applied — exactly-once short-circuit. */
+  case object MorReplayed extends MorOutcome
+  /** All attempts lost the race on a REAL overlap (both writers masked the
+    * same file, or a winner wrote rows in this batch's key range).
+    */
+  final case class MorConflict(currentVersion: Long, reason: String)
+    extends MorOutcome
+
   /** Outcome of [[ManifestStore.mergeOptimistic]]. */
   sealed trait MergeOutcome
   final case class MergedAt(stats: MergeStats) extends MergeOutcome
@@ -264,7 +277,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   def replayed(batchId: Long, streamId: String): Boolean =
     current.exists { case (cur, curBatch, curStream) =>
-      (curStream == streamId && curBatch >= batchId) || {
+      // same-lineage fast path decides BOTH ways: batchIds are monotonic
+      // within a lineage, so when the current commit is this stream's and
+      // sits below `batchId`, no older retained entry can sit at or above
+      // it — the O(retained log) scan is reserved for the cross-writer
+      // interleave case (another lineage holds _CURRENT), not paid on
+      // every hot-path commit
+      if (curStream == streamId) curBatch >= batchId
+      else {
         val logDir = Paths.get(root, "_LOG")
         Files.isDirectory(logDir) && {
           val s = Files.list(logDir)
@@ -1043,22 +1063,110 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * batch-sized jobs, one per masked file — O(touched files), the same
     * bound the copy-on-write path pays in rewrites.
     *
-    * Single-writer path (use [[merge]]/[[mergeOptimistic]] under
-    * concurrency): a concurrent writer's CoW rewrite of a masked file is
-    * guarded against in [[mergeOptimisticHook]] by (name, dv) identity,
-    * but this method itself takes no commit lock beyond the swap.
+    * [[mergeOnRead]] itself is the single-writer primitive (swap without
+    * CAS — for a stream that owns its table exclusively);
+    * [[mergeOnReadOptimistic]] is the concurrent form every shared-table
+    * caller uses. A concurrent writer's CoW rewrite of a masked file is
+    * guarded against in both CAS protocols by (name, dv) identity.
     */
-  /** [[mergeOnRead]] under the store-local commit lock — the form
-    * non-stream writers (SQL row-level commits with 'mor', the streaming
-    * sink) use for single-driver mutual exclusion, since the MoR path has
-    * no optimistic rebase of its own.
+  /** [[mergeOnRead]] under the store-local commit lock. Since round 11
+    * this routes through [[mergeOnReadOptimistic]] (CAS rebase, same
+    * protocol as the copy-on-write path), so every caller — SQL row-level
+    * commits with 'mor', the streaming sink, `df.write` appends on 'mor'
+    * tables — tolerates concurrent writers instead of silently assuming a
+    * single one. Kept for signature compatibility: None = replayed;
+    * conflict exhaustion throws (a commit must fail loudly, never vanish).
     */
   def mergeOnReadLocked(net: DataFrame, fields: Seq[String], batchId: Long,
                         streamId: String = "default",
                         tsGuard: Boolean = true)
       : Option[ManifestStore.MorStats] =
-    SnapshotStore.withCommitLock(root)(
-      mergeOnRead(net, fields, batchId, streamId, tsGuard))
+    mergeOnReadOptimistic(net, fields, batchId, streamId, tsGuard) match {
+      case ManifestStore.MorApplied(stats) => Some(stats)
+      case ManifestStore.MorReplayed       => None
+      case ManifestStore.MorConflict(v, reason) =>
+        throw new IllegalStateException(
+          s"merge-on-read lost the optimistic-commit race at version $v: $reason")
+    }
+
+  /** Everything [[mergeOnRead]] stages before its manifest swap, derived
+    * against a pinned parent manifest with NO `_CURRENT` access: the new
+    * sidecars and upsert files already sit in `files/` but are referenced
+    * by no manifest — a crash or lost race orphans them for vacuum (or the
+    * caller's eager cleanup), exactly like a CoW attempt's data files.
+    */
+  private final case class MorDerived(touched: Seq[FileEntry],
+                                      untouched: Seq[FileEntry],
+                                      updatedTouched: Seq[FileEntry],
+                                      maskCounts: Map[String, Long],
+                                      newEntries: Seq[FileEntry],
+                                      outSchema: String,
+                                      cdc: Option[(String, Long)])
+
+  private def deriveMor(m: Manifest, netP: DataFrame, fields: Seq[String],
+                        tsGuard: Boolean): MorDerived = {
+    val keyType = keyTypeOf(m)
+    val touchedNames = hitFileNames(netP, m.files, keyType)
+    val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
+    val snapSubset = widenToNet(readFiles(m, touched), netP, fields)
+    val (merged, live, cleanup) = Merge.applyChangesFull(
+      snapSubset, netP, keyField, fields, tsGuard)
+    try {
+      val liveP = live.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val liveKeys = liveP
+          .select(col(Changelog.KeyCol).cast(keyType).as("_key")).distinct()
+        // (file, key) pairs to mask: every RAW row of a touched file
+        // whose key has a surviving net event. Raw (not effective) scan:
+        // re-masking an already-masked key is a no-op after the distinct
+        // union below, and it spares a second anti-join here.
+        val schema = StructType.fromDDL(m.schemaDDL)
+        val newMasks =
+          if (touched.isEmpty) None
+          else Some(spark.read.schema(schema)
+            .parquet(touched.map(e => s"$root/files/${e.name}"): _*)
+            .select(fileBasename.as("_file"),
+              col(keyField).cast(keyType).as("_key"))
+            .join(broadcast(liveKeys), Seq("_key"), "left_semi")
+            .select("_file", "_key")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+          val (updatedTouched, maskCounts) =
+            applyMasks(touched, newMasks, keyType)
+          // the batch's after-images, shaped to the merged schema
+          val upserts = Changelog
+            .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
+            .select(merged.columns.map(col).toSeq: _*)
+          // CDF capture rides the structures already in hand: the
+          // effective touched-file read is the preimage side, liveP the
+          // surviving net — one extra O(changed) pass, only when enabled
+          val cdc = if (!cdfEnabled) None
+            else deriveCdc(snapSubset, liveP, fields,
+              keyType, merged.schema, m.colMap)
+          val newEntries = writeDataFiles(upserts, 1, m.statsCols,
+            colMap = m.colMap)
+          MorDerived(touched, untouched, updatedTouched, maskCounts,
+            newEntries, merged.schema.toDDL, cdc)
+        } finally newMasks.foreach(_.unpersist())
+      } finally liveP.unpersist()
+    } finally cleanup()
+  }
+
+  /** Reclaim a lost MoR attempt's staged artifacts: the REPLACEMENT
+    * sidecars (only files `maskCounts` names carry a fresh dv — untouched
+    * parents' sidecars must survive), the upsert data files, and the
+    * change file. Mirrors the CoW path's eager cleanup.
+    */
+  private def discardMorAttempt(d: MorDerived): Unit = {
+    d.updatedTouched.filter(f => d.maskCounts.contains(f.name))
+      .flatMap(_.dv).foreach(dv =>
+        deleteRecursively(Paths.get(root, "files", dv)))
+    d.newEntries.foreach(e =>
+      Files.deleteIfExists(Paths.get(root, "files", e.name)))
+    d.cdc.filter(_._1.nonEmpty).foreach(c =>
+      deleteRecursively(Paths.get(root, "files", c._1)))
+  }
 
   def mergeOnRead(net: DataFrame, fields: Seq[String], batchId: Long,
                   streamId: String = "default",
@@ -1067,58 +1175,136 @@ final class ManifestStore(val root: String, spark: SparkSession,
       throw new IllegalStateException(s"no current version at $root — " +
         "commit an initial snapshot before merging"))
     if (replayed(batchId, streamId)) return None
-    val keyType = keyTypeOf(m)
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touchedNames = hitFileNames(netP, m.files, keyType)
-      val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
-      val snapSubset = widenToNet(readFiles(m, touched), netP, fields)
-      val (merged, live, cleanup) = Merge.applyChangesFull(
-        snapSubset, netP, keyField, fields, tsGuard)
-      try {
-        val liveP = live.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val liveKeys = liveP
-            .select(col(Changelog.KeyCol).cast(keyType).as("_key")).distinct()
-          // (file, key) pairs to mask: every RAW row of a touched file
-          // whose key has a surviving net event. Raw (not effective) scan:
-          // re-masking an already-masked key is a no-op after the distinct
-          // union below, and it spares a second anti-join here.
-          val schema = StructType.fromDDL(m.schemaDDL)
-          val newMasks =
-            if (touched.isEmpty) None
-            else Some(spark.read.schema(schema)
-              .parquet(touched.map(e => s"$root/files/${e.name}"): _*)
-              .select(fileBasename.as("_file"),
-                col(keyField).cast(keyType).as("_key"))
-              .join(broadcast(liveKeys), Seq("_key"), "left_semi")
-              .select("_file", "_key")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          try {
-            val (updatedTouched, maskCounts) =
-              applyMasks(touched, newMasks, keyType)
-            // the batch's after-images, shaped to the merged schema
-            val upserts = Changelog
-              .afterImage(liveP.filter(col(Changelog.OpCol) =!= "d"), fields)
-              .select(merged.columns.map(col).toSeq: _*)
-            // CDF capture rides the structures already in hand: the
-            // effective touched-file read is the preimage side, liveP the
-            // surviving net — one extra O(changed) pass, only when enabled
-            val cdc = if (!cdfEnabled) None
-              else deriveCdc(snapSubset, liveP, fields,
-                keyType, merged.schema, m.colMap)
-            val newEntries = writeDataFiles(upserts, 1, m.statsCols,
-              colMap = m.colMap)
+      val d = deriveMor(m, netP, fields, tsGuard)
+      writeManifestAndSwap(m.version + 1, batchId, streamId, d.outSchema,
+        d.untouched ++ d.updatedTouched ++ d.newEntries, m.statsCols,
+        cdc = d.cdc)
+      Some(ManifestStore.MorStats(m.version + 1, d.maskCounts.size,
+        d.maskCounts.values.sum, d.newEntries.size,
+        d.untouched.size + (d.touched.size - d.maskCounts.size)))
+    } finally netP.unpersist()
+  }
+
+  /** Optimistic concurrent MERGE-ON-READ — the deletion-vector commit
+    * under the same CAS protocol [[mergeOptimistic]] runs for
+    * copy-on-write: the expensive phase (prune, mask staging, upsert file,
+    * CDF capture) runs contention-free against a pinned parent; inside the
+    * commit lock the attempt then swaps directly, REBASES onto the winner,
+    * or retries. A 100 TB ingestion table IS merge-on-read and HAS
+    * concurrent writers (the stream, a backfill, ad-hoc SQL DML) — a
+    * single-writer lock there serializes the whole fleet behind one
+    * driver.
+    *
+    * The rebase is sound iff all three hold (the CoW rules, sharpened for
+    * sidecars):
+    *
+    *   (a) no concurrent schema change;
+    *   (b) every file this commit TOUCHED is still live in the winner's
+    *       manifest with the SAME (name, dv) identity — our replacement
+    *       sidecars were computed as old-mask ∪ new-mask against the
+    *       parent's sidecar, so a winner that re-masked (or rewrote, or
+    *       dropped) any of them invalidates the union: both writers
+    *       masking the same file is a CONFLICT, not a clobber;
+    *   (c) no file the winner added has a key range containing any of
+    *       this batch's keys (our masks would have missed its rows).
+    *
+    * Under (b) the rebase re-targets each replacement sidecar onto the
+    * winner's manifest by substituting the touched entries in place and
+    * appending the upsert file — files the winner rewrote/masked/dropped
+    * OUTSIDE our touched set carry from the winner untouched (they cannot
+    * hold our keys: every file whose range intersects the batch is in the
+    * touched set by construction). The CDF record stays valid for the
+    * same reason the CoW rebase's does: (b)+(c) pin the touched keys'
+    * pre-images between the parent and the winner.
+    */
+  def mergeOnReadOptimistic(net: DataFrame, fields: Seq[String],
+                            batchId: Long, streamId: String = "default",
+                            tsGuard: Boolean = true, maxAttempts: Int = 3)
+      : ManifestStore.MorOutcome =
+    mergeOnReadOptimisticHook(net, fields, batchId, streamId, tsGuard,
+      maxAttempts)(() => ())
+
+  /** [[mergeOnReadOptimistic]] with the same deterministic interleave
+    * probe as [[mergeOptimisticHook]]: `onDerived` fires after the
+    * contention-free derivation and before the commit lock — exactly
+    * where a concurrent writer's commit turns this attempt into a rebase
+    * or a lost race. Specs use it to pin the interleave matrix without
+    * scheduler timing.
+    */
+  private[cdc] def mergeOnReadOptimisticHook(net: DataFrame,
+                                             fields: Seq[String],
+                                             batchId: Long, streamId: String,
+                                             tsGuard: Boolean,
+                                             maxAttempts: Int)
+                                            (onDerived: () => Unit)
+      : ManifestStore.MorOutcome = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var last: ManifestStore.MorOutcome =
+        ManifestStore.MorConflict(-1L, "no attempt")
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        val m = currentManifest.getOrElse(
+          throw new IllegalStateException(s"no current version at $root — " +
+            "commit an initial snapshot before merging"))
+        if (replayed(batchId, streamId)) return ManifestStore.MorReplayed
+        val d = deriveMor(m, netP, fields, tsGuard)
+        onDerived()
+        val parentNames = m.files.map(_.name).toSet
+        val touchedIds = d.touched.map(f => (f.name, f.dv)).toSet
+        val updatedByName = d.updatedTouched.map(f => f.name -> f).toMap
+        val outcome = SnapshotStore.withCommitLock(root) {
+          val curM = currentManifest.get
+          if (replayed(batchId, streamId)) ManifestStore.MorReplayed
+          else if (curM.version == m.version) {
             writeManifestAndSwap(m.version + 1, batchId, streamId,
-              merged.schema.toDDL, untouched ++ updatedTouched ++ newEntries,
-              m.statsCols, cdc = cdc)
-            Some(ManifestStore.MorStats(m.version + 1, maskCounts.size,
-              maskCounts.values.sum, newEntries.size,
-              untouched.size + (touched.size - maskCounts.size)))
-          } finally newMasks.foreach(_.unpersist())
-        } finally liveP.unpersist()
-      } finally cleanup()
+              d.outSchema, d.untouched ++ d.updatedTouched ++ d.newEntries,
+              m.statsCols, cdc = d.cdc)
+            ManifestStore.MorApplied(ManifestStore.MorStats(m.version + 1,
+              d.maskCounts.size, d.maskCounts.values.sum, d.newEntries.size,
+              d.untouched.size + (d.touched.size - d.maskCounts.size)))
+          } else {
+            val curIds = curM.files.map(f => (f.name, f.dv)).toSet
+            val addedSince = curM.files.filterNot(f => parentNames(f.name))
+            if (curM.schemaDDL != m.schemaDDL && curM.schemaDDL != d.outSchema)
+              ManifestStore.MorConflict(curM.version,
+                "concurrent schema change")
+            else if (!touchedIds.subsetOf(curIds))
+              ManifestStore.MorConflict(curM.version,
+                "a file this commit masked was rewritten, re-masked or " +
+                  "dropped concurrently")
+            else if (hitFileNames(netP, addedSince, keyTypeOf(curM)).nonEmpty)
+              ManifestStore.MorConflict(curM.version,
+                "a concurrent commit wrote rows in this batch's key range")
+            else {
+              // substitution is exact: (b) guarantees each touched entry
+              // appears in curM byte-identical to the parent's, so mapping
+              // it to our replacement re-targets the sidecar correctly
+              val files = curM.files.map(f =>
+                updatedByName.getOrElse(f.name, f)) ++ d.newEntries
+              writeManifestAndSwap(curM.version + 1, batchId, streamId,
+                d.outSchema, files, curM.statsCols, cdc = d.cdc)
+              ManifestStore.MorApplied(ManifestStore.MorStats(
+                curM.version + 1, d.maskCounts.size, d.maskCounts.values.sum,
+                d.newEntries.size, curM.files.size - d.maskCounts.size))
+            }
+          }
+        }
+        outcome match {
+          case c: ManifestStore.MorConflict =>
+            discardMorAttempt(d) // referenced by no manifest — reclaim now
+            last = c
+          case ManifestStore.MorReplayed =>
+            discardMorAttempt(d)
+            return ManifestStore.MorReplayed
+          case done => return done
+        }
+      }
+      last
     } finally netP.unpersist()
   }
 
@@ -1408,9 +1594,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
             lit(ManifestStore.CdfInsert))
         writeCdcFile(deletes.unionByName(inserts), m.colMap)
       }
+      // NULL-partition rows survive in the remainder: `!isin(...)` is NULL
+      // (row silently dropped) for a NULL partition value, and nothing on
+      // the write path forbids NULL partition values — an all-NULL file has
+      // NULL min/max stats, so it always classifies as a straddler here
       val remainderEntries =
         if (straddlers.isEmpty) Nil
-        else writeDataFiles(readFiles(m, straddlers).filter(!replaceCond),
+        else writeDataFiles(
+          readFiles(m, straddlers).filter(col(pc).isNull || !replaceCond),
           math.max(1, straddlers.size), m.statsCols, colMap = m.colMap)
       val newEntries = writeDataFiles(df, nFiles, m.statsCols,
         colMap = m.colMap)

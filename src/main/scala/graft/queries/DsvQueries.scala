@@ -51,7 +51,7 @@ object DsvQueries {
       val (lo, hi) = (maxK / 4, maxK / 4 + maxK / 20)
       val df = s.read.format("graft").load(root)
         .filter(col("c_custkey").between(lo, hi))
-      val planned = df.rdd.getNumPartitions
+      val planned = QueryUtil.plannedPartitions(df)
       df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         lit(planned > 0 && planned < 16).as("dsv2_pruned"))
     }),
@@ -439,9 +439,8 @@ object DsvQueries {
     val pure = m.files.forall(f =>
       f.cols.get("c_mktsegment").exists { case (mn, mx) => mn == mx })
     val carried = carriedBefore.subsetOf(m.files.map(_.name).toSet)
-    val pruned = s.table(s"$cat.db.part")
-      .filter(col("c_mktsegment") === "BUILDING")
-      .rdd.getNumPartitions < m.files.size
+    val pruned = QueryUtil.plannedPartitions(s.table(s"$cat.db.part")
+      .filter(col("c_mktsegment") === "BUILDING")) < m.files.size
     s.sql(s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM $cat.db.part")
       .withColumn("part_pure", lit(pure))
       .withColumn("part_carried", lit(carried))

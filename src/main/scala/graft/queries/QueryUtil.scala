@@ -33,8 +33,17 @@ object QueryUtil {
     */
   def scanParallel(df: DataFrame, s: SparkSession): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (plannedPartitions(df) < target) df.repartition(target) else df
   }
+
+  /** Partition count of `df`'s physical plan — the pruning-gate probe.
+    * `df.rdd` would build a SECOND QueryExecution (it appends a
+    * row-deserializer plan and re-plans the query); this walks the one
+    * execution the query already owns and asks its executed plan's RDD
+    * lineage, so the gate costs zero extra planning.
+    */
+  def plannedPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.execute().getNumPartitions
 
   /** Per-JVM scratch directory for round-trip queries. Stable within one
     * JVM (smoke + verify + bench best-of-3 re-runs all overwrite in place,

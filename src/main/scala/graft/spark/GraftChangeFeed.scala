@@ -122,13 +122,18 @@ object GraftCdf {
     ((s + 1) to e).flatMap { v =>
       val mPrev = manifestOrExplain(store, root, v - 1)
       val mV = manifestOrExplain(store, root, v)
-      if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
-        Nil // maintenance: bytes moved, data unchanged
-      else mV.cdcFile match {
+      // a captured change file ALWAYS wins over the maintenance heuristic:
+      // deleteWhereMaintenance keeps the parent's (batchId, streamId) —
+      // replay-invisible by design — yet deletes rows and captures them;
+      // classifying on lineage first would silently skip those deletes
+      mV.cdcFile match {
         case Some("") => Nil // captured feed, zero effective changes
         case Some(cdc) =>
           cdcParts(root, cdc).map(p =>
             GraftCdfPartition(p, v, isCdc = true))
+        case None
+            if mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId =>
+          Nil // true maintenance: bytes moved, data unchanged
         case None =>
           val prevIds = mPrev.files.map(f => (f.name, f.dv)).toSet
           val prevNames = mPrev.files.map(_.name).toSet
@@ -279,9 +284,20 @@ final class GraftCdfScan(root: String, options: Map[String, String])
           "semantics"))
     val ev = GraftTable.opt(options, "endingversion").map(_.toLong)
       .getOrElse(cur)
-    require(sv >= 1 && sv <= ev && ev <= cur,
-      s"readChangeFeed range [$sv, $ev] must sit in [1, $cur]")
-    GraftCdf.planVersions(store, root, sv - 1, ev, ignoreChanges).toArray
+    require(sv >= 0 && sv <= ev && ev <= cur,
+      s"readChangeFeed range [$sv, $ev] must sit in [0, $cur]")
+    // a startingTimestamp at/before table creation resolves to version 0:
+    // "from the very beginning" — emit version 0's snapshot as insert rows
+    // (Delta's CDF behavior) and then the feed from version 1 on.
+    // startingVersion 0 is still rejected at resolveStart (documented as
+    // 1-based), so this branch is the timestamp path only.
+    val snapshotParts: Seq[InputPartition] =
+      if (sv > 0) Nil
+      else GraftPartitions.forFiles(root,
+        GraftCdf.manifestOrExplain(store, root, 0L).files)
+        .map(p => GraftCdfPartition(p, 0L, isCdc = false))
+    (snapshotParts ++ GraftCdf.planVersions(store, root, math.max(0L, sv - 1),
+      ev, ignoreChanges)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -249,12 +249,25 @@ final class GraftTable(val root: String, tableSchema: StructType,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    if (cdfRead)
-      new GraftCdfScanBuilder(root, options ++ caseInsensitive.asScala.toMap)
-    else
-      new GraftScanBuilder(root, effSchema,
-        options ++ caseInsensitive.asScala.toMap)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = options ++ caseInsensitive.asScala.toMap
+    if (cdfRead) new GraftCdfScanBuilder(root, merged)
+    else {
+      // the CDF columns ride the TABLE schema (set at construction from
+      // inferSchema), so a readChangeFeed that arrives only as a SCAN
+      // option — spark.read.option(...).table(catalogTable) — cannot be
+      // honored here: the relation's output is already the data schema.
+      // Silently returning a normal scan would hand a consumer the table
+      // where they asked for the feed; refuse loudly and name the two
+      // working spellings instead.
+      require(!GraftTable.opt(merged, "readchangefeed")
+          .exists(_.equalsIgnoreCase("true")),
+        "readChangeFeed is a load-time option: use spark.read.format(\"graft\")" +
+          ".option(\"readChangeFeed\", \"true\").load(<table path>), or " +
+          "CALL <catalog>.system.table_changes(table, from_version, to_version)")
+      new GraftScanBuilder(root, effSchema, merged)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, options ++ info.options().asScala.toMap, info)

@@ -104,9 +104,12 @@ final class GraftDeltaBatchWrite(root: String, key: String,
     * MERGE-ON-READ instead of copy-on-write — a scattered statement then
     * writes O(changed rows), not O(touched files) (at 60M rows / 64
     * files a one-key-per-file MERGE is a full-table rewrite under CoW).
-    * mergeOnRead is a single-writer path (no CAS rebase), so the commit
-    * runs under the store's local commit lock — same contract as the
-    * streaming engine's MoR mode.
+    * Commits run the store's OPTIMISTIC MoR protocol
+    * ([[graft.cdc.ManifestStore.mergeOnReadOptimistic]] via the locked
+    * wrapper): independent statements whose masks touch disjoint files
+    * rebase and commute; two statements masking the same file conflict
+    * and the loser retries from the winner's version — the same CAS
+    * contract the CoW path has always had.
     */
   private val mor: Boolean =
     GraftTable.opt(options, "mor").exists(_.equalsIgnoreCase("true"))

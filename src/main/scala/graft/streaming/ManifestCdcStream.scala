@@ -93,7 +93,11 @@ final class ManifestCdcStream(
       * when batches scatter small updates across many files. Layout debt
       * (sidecars + per-batch upsert files) is repaid by the same
       * `reclusterOverFiles`-triggered [[graft.cdc.ManifestStore.optimize]]
-      * pass. Single-writer only (the MOR path takes no optimistic lock).
+      * pass. Combine with `optimistic` when the table is shared: batches
+      * then commit through
+      * [[graft.cdc.ManifestStore.mergeOnReadOptimistic]] (CAS rebase
+      * against interleaved backfills/DML; an unresolved conflict fails
+      * the batch for stream-level retry).
       */
     mergeOnRead: Boolean = false,
     /** Content-dedup side channel — see
@@ -106,9 +110,8 @@ final class ManifestCdcStream(
       */
     dedup: Option[ManifestCdcStream.DedupConfig] = None) {
 
-  require(!(optimistic && mergeOnRead),
-    "mergeOnRead is a single-writer path; use optimistic copy-on-write " +
-      "merges when the table is shared")
+  // optimistic + mergeOnRead is a first-class combination since r11:
+  // deletion-vector commits rebase through the store's MoR CAS protocol
 
   @volatile private var fieldsCache: Option[Seq[Envelope.FieldInfo]] =
     Envelope.loadCache(cacheDir)
@@ -147,7 +150,18 @@ final class ManifestCdcStream(
       }
       val prev = store.current // pre-commit view-sync reference
       val committed: Option[Long] =
-        if (mergeOnRead)
+        if (mergeOnRead && optimistic)
+          store.mergeOnReadOptimistic(net, names, batchId, streamId,
+            tsGuard) match {
+            case ManifestStore.MorApplied(stats) => Some(stats.version)
+            case ManifestStore.MorReplayed       => None
+            case c: ManifestStore.MorConflict =>
+              throw new IllegalStateException(
+                s"merge-on-read conflict after retries at version " +
+                  s"${c.currentVersion}: ${c.reason} — failing the batch " +
+                  "for stream-level retry")
+          }
+        else if (mergeOnRead)
           store.mergeOnRead(net, names, batchId, streamId, tsGuard)
             .map(_.version)
         else if (!optimistic)

@@ -206,6 +206,41 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(err2.getMessage.contains("not both"))
   }
 
+  test("maintenance delete with a captured change file still feeds its deletes") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 10L))), fields, batchId = 1)
+    // retention expiry interleaved with the ingest lineage: KEEPS the
+    // parent's (batchId, streamId) — the lineage heuristic alone would
+    // classify it as maintenance and silently skip its deletes
+    val stats = st.deleteWhereMaintenance(col("id").between(20L, 22L))
+    assert(stats.exists(_.maskedRows == 3L))
+    val f = rowsOf(feed(st.root, 2, 2))
+    assert(f == Set((20L, "n20", "delete", 2L), (21L, "n21", "delete", 2L),
+      (22L, "n22", "delete", 2L)),
+      s"a maintenance delete's captured feed rows must surface, got $f")
+    // a TRUE maintenance commit (no data change) still contributes nothing
+    st.optimize(targetFiles = 1)
+    assert(feed(st.root, 3, 3).count() === 0L)
+  }
+
+  test("batch startingTimestamp at table creation emits version 0 as inserts") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 10L))), fields, batchId = 1)
+    // epoch 0 resolves to version 0 = "from the very beginning": the
+    // initial snapshot arrives as insert rows (Delta's CDF batch shape),
+    // then the feed — not a confusing range-require failure
+    val f = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "0").load(st.root)
+    val byType = f.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(byType("insert") == 100L, s"expected the 100-row snapshot, got $byType")
+    assert(rowsOf(f.filter(col("_commit_version") === 1L)) == Set(
+      (0L, "n0", "update_preimage", 1L), (0L, "v1", "update_postimage", 1L)))
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

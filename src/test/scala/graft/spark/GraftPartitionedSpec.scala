@@ -131,6 +131,27 @@ class GraftPartitionedSpec extends SparkSpec {
       f.cols.get("seg").exists { case (mn, mx) => mn == "new" && mx == "new" }))
   }
 
+  test("overwrite keeps NULL-partition rows living in straddling files") {
+    import spark.implicits._
+    // nothing on the write path forbids NULL partition values; a NULL row
+    // in a straddling file must survive an overwrite of OTHER partitions
+    // (the remainder filter `!isin(...)` alone evaluates NULL -> dropped)
+    val root = java.nio.file.Files.createTempDirectory("part_null").toString
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 100L).map(i =>
+      (i, if (i % 10 == 0) null else if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "seg", "v")
+    st.commit(df, batchId = 0, nFiles = 2, statsCols = Seq("seg"))
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val repl = Seq((9000L, "a", -1.0)).toDF("id", "seg", "v")
+    assert(st.overwritePartitions(repl, batchId = 1).contains(1L))
+    val got = st.read().get
+    assert(got.filter(col("seg").isNull).count() === 10L,
+      "NULL-partition rows must survive an overwrite of other partitions")
+    assert(got.filter(col("seg") === "a").count() === 1L)
+    assert(got.filter(col("seg") === "b").count() === 50L)
+  }
+
   test("renaming the partition column keeps partitioning working") {
     seed("p5")
     sql("ALTER TABLE gpt.db.p5 RENAME COLUMN seg TO segment")
