@@ -69,11 +69,27 @@ object ManifestStore {
     * live contribution. A rewrite of the file (copy-on-write merge,
     * optimize, recluster) applies the sidecar and drops it.
     */
+  /** `colNulls`: per-column NULL counts for the `statsCols` zone-map
+    * columns (keyed by PHYSICAL name, like `cols`) — what makes
+    * stats-answered aggregates exact: min/max stats ignore nulls, so a
+    * "pure" (min = max) file can still hide null rows, and a filtered
+    * count answered from stats alone would overcount them. Recorded since
+    * round 11; absent on older vintages (readers must treat missing as
+    * unknown and fall back to scanning).
+    */
+  /** `bucket`: the file's hash bucket on a BUCKETED table (table property
+    * `buckets=N`): every row's key satisfies
+    * pmod(murmur3(key), N) == bucket. Bucket-pure files are what lets the
+    * DSv2 scan report KeyGroupedPartitioning and Spark plan
+    * storage-partitioned (shuffle-free) joins. None on unbucketed tables.
+    */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
                              dvRows: Long = 0L,
                              cols: Map[String, (String, String)] = Map.empty,
-                             bytes: Long = 0L) {
+                             bytes: Long = 0L,
+                             colNulls: Map[String, Long] = Map.empty,
+                             bucket: Option[Int] = None) {
     def liveRows: Long = rows - dvRows
   }
 
@@ -221,6 +237,17 @@ object ManifestStore {
   val CdfUpdatePost = "update_postimage"
   val CdfDelete = "delete"
 
+  /** The aggregate shapes [[ManifestStore.aggFromStats]] can answer from
+    * manifest metadata alone.
+    */
+  private[graft] sealed trait StatAgg
+  private[graft] object StatAgg {
+    case object CountStar extends StatAgg
+    final case class CountCol(col: String) extends StatAgg
+    final case class MinCol(col: String) extends StatAgg
+    final case class MaxCol(col: String) extends StatAgg
+  }
+
   /** Outcome of [[ManifestStore.mergeOnReadOptimistic]] — the
     * deletion-vector twin of [[MergeOutcome]].
     */
@@ -320,16 +347,27 @@ final class ManifestStore(val root: String, spark: SparkSession,
   // asText() on a numeric node yields its decimal form, so manifests
   // written by the long-only stats vintage read back unchanged
   private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
-    val cols = Option(f.get("cols")).filterNot(_.isNull).map { c =>
+    val colsNode = Option(f.get("cols")).filterNot(_.isNull)
+    val cols = colsNode.map { c =>
       c.fieldNames().asScala.map { fc =>
         fc -> (c.path(fc).path("min").asText(),
           c.path(fc).path("max").asText())
       }.toMap
     }.getOrElse(Map.empty[String, (String, String)])
+    // "nulls" per column is a round-11 addition: absent = unknown (old
+    // vintage), and readers must not treat unknown as zero
+    val colNulls = colsNode.map { c =>
+      c.fieldNames().asScala.flatMap { fc =>
+        Option(c.path(fc).get("nulls")).filterNot(_.isNull)
+          .map(n => fc -> n.asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
     FileEntry(f.path("name").asText(), f.path("minKey").asText(),
       f.path("maxKey").asText(), f.path("rows").asLong(),
       Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
-      f.path("dvRows").asLong(0L), cols, f.path("bytes").asLong(0L))
+      f.path("dvRows").asLong(0L), cols, f.path("bytes").asLong(0L),
+      colNulls,
+      Option(f.get("bucket")).filterNot(_.isNull).map(_.asInt()))
   }
 
   /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
@@ -648,6 +686,172 @@ final class ManifestStore(val root: String, spark: SparkSession,
     }
   }
 
+  /** Answer simple aggregates (COUNT(*) / COUNT(col) / MIN(col) /
+    * MAX(col)) from manifest METADATA alone — Delta/Iceberg's
+    * stats-answered aggregate pushdown. The manifest already records
+    * per-file row counts, deletion-vector counts, per-column min/max and
+    * (since round 11) per-column null counts, so these queries cost
+    * O(#files) driver metadata with ZERO file scans — at 100 TB the
+    * difference between milliseconds and a full-table pass.
+    *
+    * Soundness is all-or-nothing: returns None unless EVERY aggregate is
+    * EXACTLY answerable. The rules:
+    *
+    *   - predicates (`preds`, same conjunct triples as [[prunedFiles]],
+    *     plus `notnull`) must be DECIDED at file granularity: every
+    *     surviving file's [min,max] must put ALL its rows inside the
+    *     predicate (a partition-pure file under `p = v`, or a key-range
+    *     file wholly inside a BETWEEN), and the file must be null-free
+    *     for each predicate column (min/max ignore nulls, so range
+    *     containment alone says nothing about null rows — the round-11
+    *     `colNulls` stat closes exactly this hole);
+    *   - COUNT(*) = Σ liveRows (deletion vectors subtract exactly);
+    *   - COUNT(col) additionally needs the null count recorded for every
+    *     surviving file, and NO deletion vectors on them (a masked row's
+    *     null-ness is not recorded);
+    *   - MIN/MAX(col) need per-file stats for the column on every
+    *     surviving file and NO deletion vectors (a masked row might BE
+    *     the recorded extreme); all-null files are excluded (SQL min/max
+    *     ignore nulls).
+    *
+    * Values return in Scala form (the caller converts to its row format);
+    * min/max deserialize through the column's own type in one local
+    * O(#files) job — the same exactness discipline as every other stats
+    * consumer here.
+    */
+  /** The null count of `c` in `f`, treating the key as never-null (it is
+    * the row identity; [[graft.cdc.Changelog.dedupLatest]] drops null-key
+    * events before a store sees them). None = unknown (old vintage).
+    */
+  private def nullsOf(m: Manifest, f: FileEntry, c: String): Option[Long] =
+    if (c == keyField) Some(0L)
+    else f.colNulls.get(m.phys(c))
+
+  /** The files `preds` selects, WHEN the predicate is exactly decidable at
+    * file granularity — Some(survivors) iff every surviving file (a) has
+    * its whole [min,max] inside every range/equality/IN conjunct, so ALL
+    * its rows satisfy the conjunction, and (b) is recorded null-free for
+    * every predicate column (min/max ignore nulls, so containment alone
+    * says nothing about null rows — which no SQL predicate matches).
+    * Under that proof a whole-file scan of the survivors IS the filtered
+    * result: the scan builder consumes such filters with no residual, and
+    * stats-answered aggregates ([[aggFromStats]]) push through them.
+    * None = not provable (unknown null counts, partial file coverage,
+    * unstatted column) — callers fall back to conservative pruning plus
+    * residual re-evaluation, never to a wrong answer. One local O(#files)
+    * metadata job, same typed-compare discipline as [[prunedFiles]].
+    */
+  private[graft] def exactlyDecidedFiles(m: Manifest,
+                                         preds: Seq[(String, String, Any)])
+      : Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.types.{StringType => SStr, StructField}
+    if (preds.isEmpty) return Some(m.files)
+    val schema = StructType.fromDDL(m.schemaDDL)
+    def litable(v: Any) = scala.util.Try(lit(v)).isSuccess
+    // every predicate must be on a statted column with a recognized op
+    val predsOk = preds.forall { case (c, op, v) =>
+      (c == keyField || m.statsCols.contains(c)) &&
+        schema.fieldNames.contains(c) && (op match {
+          case ">" | ">=" | "<" | "<=" | "=" => litable(v)
+          case "in" => v match {
+            case vs: Seq[_] =>
+              vs.nonEmpty && vs.size <= InPruneMaxValues && vs.forall(litable)
+            case _ => false
+          }
+          case "notnull" => true
+          case _ => false
+        })
+    }
+    if (!predsOk) return None
+    val pruning = preds.filterNot(_._2 == "notnull")
+    val candidates = if (pruning.isEmpty) m.files else prunedFiles(m, pruning)
+    val predCols = preds.map(_._1).distinct
+    val exact =
+      candidates.forall(f =>
+        predCols.forall(c => nullsOf(m, f, c).contains(0L))) &&
+        (candidates.isEmpty || pruning.isEmpty || {
+          val colsRef = pruning.map(_._1).distinct
+          val rows: Seq[org.apache.spark.sql.Row] = candidates.map { f =>
+            org.apache.spark.sql.Row.fromSeq(colsRef.flatMap { c =>
+              colRange(m, f, c) match {
+                case Some((mn, mx)) => Seq(mn, mx)
+                case None           => Seq(null, null)
+              }
+            })
+          }
+          val st = StructType(colsRef.flatMap(c => Seq(
+            StructField(s"_min_$c", SStr, nullable = true),
+            StructField(s"_max_$c", SStr, nullable = true))))
+          val fullCond = pruning.map { case (c, op, v) =>
+            val dt = schema(c).dataType
+            val mn = statDeserialize(col(s"_min_$c"), dt)
+            val mx = statDeserialize(col(s"_max_$c"), dt)
+            def value = lit(v).cast(dt)
+            op match {
+              case ">"  => mn > value
+              case ">=" => mn >= value
+              case "<"  => mx < value
+              case "<=" => mx <= value
+              case "="  => mn <=> value && mx <=> value
+              case "in" =>
+                val vs = v.asInstanceOf[Seq[Any]]
+                mn <=> mx && org.apache.spark.sql.functions.exists(
+                  array(vs.map(x => lit(x).cast(dt)): _*), x => mn <=> x)
+            }
+          }.reduce(_ && _)
+          spark.createDataFrame(rows.asJava, st)
+            .filter(!coalesce(fullCond, lit(false))).isEmpty
+        })
+    if (exact) Some(candidates) else None
+  }
+
+  private[graft] def aggFromStats(m: Manifest,
+                                  preds: Seq[(String, String, Any)],
+                                  aggs: Seq[ManifestStore.StatAgg])
+      : Option[Seq[Any]] = {
+    import ManifestStore.StatAgg
+    if (aggs.isEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDDL)
+    val candidates = exactlyDecidedFiles(m, preds) match {
+      case Some(cs) => cs
+      case None     => return None
+    }
+    def minMax(c: String, isMin: Boolean): Option[Any] = {
+      if (!(c == keyField || m.statsCols.contains(c)) ||
+          !schema.fieldNames.contains(c)) return None
+      if (candidates.exists(_.dv.isDefined)) return None
+      if (!candidates.forall(f => colRange(m, f, c).isDefined &&
+          nullsOf(m, f, c).isDefined)) return None
+      // all-null files contribute nothing (their serialized stats are the
+      // JSON round-trip of null — excluded by null count, never compared)
+      val contributing = candidates.filter(f => nullsOf(m, f, c).get < f.rows)
+      val strs = contributing.flatMap(f =>
+        colRange(m, f, c).map(r => if (isMin) r._1 else r._2))
+      if (strs.isEmpty) Some(null)
+      else {
+        val dt = schema(c).dataType
+        val v = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+          .agg(if (isMin) min(statDeserialize(col("s"), dt))
+               else max(statDeserialize(col("s"), dt))).head().get(0)
+        Some(v)
+      }
+    }
+    val values: Seq[Option[Any]] = aggs.map {
+      case StatAgg.CountStar => Some(candidates.map(_.liveRows).sum)
+      case StatAgg.CountCol(c) =>
+        if (!schema.fieldNames.contains(c)) None
+        else if (candidates.exists(_.dv.isDefined)) None
+        else {
+          val nulls = candidates.map(f => nullsOf(m, f, c))
+          if (nulls.exists(_.isEmpty)) None
+          else Some(candidates.map(_.rows).sum - nulls.flatten.sum)
+        }
+      case StatAgg.MinCol(c) => minMax(c, isMin = true)
+      case StatAgg.MaxCol(c) => minMax(c, isMin = false)
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.flatten)
+  }
+
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a
     * [[Changelog.KeyCol]] column, any size — nothing collects beyond the
@@ -728,25 +932,62 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // writer's partitionBy split any task straddling a boundary into pure
     // files; the DUPLICATED `_pval` column is stripped into directory
     // names while the real column stays in the data (Iceberg's layout).
-    val partCol: Option[String] = ManifestStore.readTableProps(root)
-      .get("partitioncol").filter(df.columns.contains)
+    val tableProps = ManifestStore.readTableProps(root)
+    // `partitioncol` is a comma list since round 11: (date, source)-style
+    // composite identity partitioning, each column partition-pure per file
+    val partCols: Seq[String] = tableProps
+      .get("partitioncol").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .filter(_ => clusterBy.isEmpty)
-    val clustered = (clusterBy, partCol) match {
-      case (Some(zc), _) =>
+      .filter(df.columns.contains)
+    val partCol: Option[String] = Some(partCols).filter(_.nonEmpty)
+      .map(_ => partCols.mkString(","))
+    // BUCKETED tables (table property `buckets=N`): rows hash-bucket by
+    // pmod(murmur3(key), N) and files are bucket-PURE, so the DSv2 scan
+    // reports KeyGroupedPartitioning and keyed self-joins / key-grouped
+    // reads run with ZERO exchange (storage-partitioned joins — Iceberg's
+    // bucket transform). The trade is explicit and Iceberg's too: hash
+    // buckets scatter key ranges, so zone-map RANGE pruning degrades on
+    // bucketed tables; bucket a table whose traffic is keyed joins, not
+    // range scans. Every writeDataFiles caller (commit, merge rewrites,
+    // MoR upserts, optimize) re-buckets automatically, so the layout
+    // survives the table's whole lifecycle.
+    val bucketsN: Option[Int] = tableProps.get("buckets")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .filter(_ => clusterBy.isEmpty && partCol.isEmpty)
+    val clustered = (clusterBy, partCol, bucketsN) match {
+      case (Some(zc), _, _) =>
         // the projection dropping zc is narrow: partitioning and order survive
         df.repartitionByRange(math.max(1, nFiles), col(zc))
           .sortWithinPartitions(zc).drop(zc)
-      case (None, Some(pc)) if pc != keyField =>
-        df.repartitionByRange(math.max(1, nFiles), col(pc), col(keyField))
-          .sortWithinPartitions(pc, keyField)
+      case (None, Some(_), _) if !partCols.contains(keyField) =>
+        df.repartitionByRange(math.max(1, nFiles),
+          partCols.map(col) :+ col(keyField): _*)
+          .sortWithinPartitions(partCols :+ keyField map col: _*)
+      case (None, None, Some(n)) =>
+        // one task per bucket (collisions split at the writer), rows
+        // key-sorted within the bucket so row-group stats stay tight
+        df.withColumn("_bucket", pmod(hash(col(keyField)), lit(n)))
+          .repartition(n, col("_bucket"))
+          .sortWithinPartitions("_bucket", keyField)
       case _ =>
         df.repartitionByRange(math.max(1, nFiles), col(keyField))
           .sortWithinPartitions(keyField)
     }
-    partCol match {
-      case Some(pc) => physicalize(clustered.withColumn("_pval", col(pc)))
-        .write.partitionBy("_pval").parquet(stage.toString)
-      case None => physicalize(clustered).write.parquet(stage.toString)
+    (partCol, bucketsN) match {
+      case (Some(_), _) =>
+        // one duplicated `_pval<i>` dir column per partition column: the
+        // writer splits any task straddling a cell boundary into
+        // cell-pure files, while the real columns stay in the data
+        val withP = partCols.zipWithIndex.foldLeft(clustered) {
+          case (d, (pc, i)) => d.withColumn(s"_pval$i", col(pc))
+        }
+        physicalize(withP).write
+          .partitionBy(partCols.indices.map(i => s"_pval$i"): _*)
+          .parquet(stage.toString)
+      case (None, Some(_)) => physicalize(clustered)
+        .write.partitionBy("_bucket").parquet(stage.toString)
+      case _ => physicalize(clustered).write.parquet(stage.toString)
     }
     // an all-empty input writes no part files at all (empty partitions
     // produce nothing) — there is nothing to stat or move. Walk
@@ -764,16 +1005,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
       if (!wrotePart) Array.empty[org.apache.spark.sql.Row]
       else {
         val keyDt = df.schema(keyField).dataType
+        // three stats per zone-map column: min, max (both ignore nulls —
+        // SQL semantics) and the NULL count, which stats-answered
+        // aggregates and exact filtered counts need (a min=max "pure"
+        // file can still hide null rows)
         val extra = sCols.flatMap { c =>
           val dt = df.schema(c).dataType
           Seq(statSerialize(min(col(s"`${physName(c)}`")), dt).as(s"_min_$c"),
-            statSerialize(max(col(s"`${physName(c)}`")), dt).as(s"_max_$c"))
+            statSerialize(max(col(s"`${physName(c)}`")), dt).as(s"_max_$c"),
+            sum(when(col(s"`${physName(c)}`").isNull, 1L).otherwise(0L))
+              .as(s"_nulls_$c"))
         }
+        // bucketed stages carry `_bucket` as a partition directory column;
+        // first() is exact because files are bucket-pure by construction
+        val bucketStat = bucketsN.toSeq.map(_ =>
+          first(col("_bucket")).as("_bkt"))
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
             (statSerialize(max(col(keyField)), keyDt).as("_max") +:
-              count(lit(1)).as("_rows") +: extra): _*)
+              count(lit(1)).as("_rows") +: (extra ++ bucketStat)): _*)
           .collect() // O(#files) — bounded by the clustering, not the data
       }
     Files.createDirectories(Paths.get(root, "files"))
@@ -785,12 +1036,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // stats keys are PHYSICAL names: stable across renames, so a
       // pre-rename file's zone map keeps answering post-rename queries
       val cols = sCols.zipWithIndex.map { case (c, i) =>
-        physName(c) -> (r.getString(4 + 2 * i), r.getString(5 + 2 * i))
+        physName(c) -> (r.getString(4 + 3 * i), r.getString(5 + 3 * i))
+      }.toMap
+      val nulls = sCols.zipWithIndex.map { case (c, i) =>
+        physName(c) -> r.getLong(6 + 3 * i)
       }.toMap
       // physical size goes into the manifest so a scan planner never has
       // to stat data files — at 100k files that listing IS the planning cost
+      val bkt = bucketsN.map(_ => r.getInt(4 + 3 * sCols.size))
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
-        cols = cols, bytes = Files.size(dest))
+        cols = cols, bytes = Files.size(dest), colNulls = nulls,
+        bucket = bkt)
     }
     deleteRecursively(stage)
     entries
@@ -801,12 +1057,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     fn.put("name", f.name); fn.put("minKey", f.minKey)
     fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
     if (f.bytes > 0L) fn.put("bytes", f.bytes)
+    f.bucket.foreach { b => fn.put("bucket", b); () }
     f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
     if (f.cols.nonEmpty) {
       val cn = mapper.createObjectNode()
       f.cols.foreach { case (c, (mn, mx)) =>
         val v = mapper.createObjectNode()
         v.put("min", mn); v.put("max", mx)
+        f.colNulls.get(c).foreach { n => v.put("nulls", n); () }
         cn.set[com.fasterxml.jackson.databind.node.ObjectNode](c, v)
       }
       fn.set[com.fasterxml.jackson.databind.node.ObjectNode]("cols", cn)
@@ -983,10 +1241,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val cmap = (m.colMap - from) + (to -> m.phys(from))
       val stats = m.statsCols.map(c => if (c == from) to else c)
       // a renamed partition column keeps partitioning: update the property
+      // (a comma list since multi-column partitioning — rename in place)
       val props = ManifestStore.readTableProps(root)
-      if (props.get("partitioncol").contains(from)) {
+      val pcList = props.get("partitioncol").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      if (pcList.contains(from)) {
         Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
-        ManifestStore.writeTableProps(root, props + ("partitioncol" -> to))
+        ManifestStore.writeTableProps(root, props + ("partitioncol" ->
+          pcList.map(c => if (c == from) to else c).mkString(",")))
       }
       writeManifestAndSwap(m.version + 1, m.batchId, streamId,
         newSchema.toDDL, m.files, stats,
@@ -1548,60 +1810,114 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def overwritePartitions(df: DataFrame, batchId: Long,
                           streamId: String = "default",
                           nFiles: Int = 16,
-                          staticValues: Option[Seq[Any]] = None): Option[Long] = {
-    val pc = ManifestStore.readTableProps(root).get("partitioncol")
+                          staticValues: Option[Seq[Seq[Any]]] = None): Option[Long] = {
+    val pcs: Seq[String] = ManifestStore.readTableProps(root)
+      .get("partitioncol")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
       .getOrElse(throw new IllegalStateException(
         s"overwritePartitions needs the 'partitioncol' table property at $root"))
-    require(df.columns.contains(pc),
-      s"overwrite batch must carry the partition column '$pc'")
-    val partVals: Seq[Any] = staticValues.getOrElse(
-      df.select(col(pc)).distinct().collect().map(_.get(0)).toSeq)
-    if (partVals.isEmpty) return None
-    require(partVals.forall(_ != null),
-      s"partition overwrite with NULL '$pc' values is not supported")
+    pcs.foreach(pc => require(df.columns.contains(pc),
+      s"overwrite batch must carry the partition column '$pc'"))
+    // the replaced set is a list of partition-VALUE TUPLES, one per
+    // (multi-column) partition cell — (date, source) overwrites replace
+    // exactly the cells present in the batch, never the cross product
+    val tuples: Seq[Seq[Any]] = staticValues.getOrElse(
+      df.select(pcs.map(col): _*).distinct().collect().map(_.toSeq).toSeq)
+    if (tuples.isEmpty) return None
+    require(tuples.forall(t => t.size == pcs.size && t.forall(_ != null)),
+      s"partition overwrite with NULL ${pcs.mkString("(", ", ", ")")} " +
+        "values is not supported")
+    // row-tuple membership as ONE wide exists over an array of named
+    // structs — flat however many cells the batch carries (a reduced
+    // OR-chain is O(#tuples) DEEP and blows the driver stack; see the
+    // same discipline in prunedFiles' IN handling)
+    def typedStruct(vals: Seq[Any]): Column = struct(pcs.zip(vals).map {
+      case (c, v) => lit(v).cast(df.schema(c).dataType).as(c) }: _*)
+    val tupleArr = array(tuples.map(typedStruct): _*)
+    val rowStruct = struct(pcs.map(c => col(c).as(c)): _*)
+    val replaceCond = org.apache.spark.sql.functions.exists(
+      tupleArr, x => x === rowStruct)
     // Delta's replaceWhere validation: a static batch must stay inside
     // the partitions it replaces, or rows would land without clearing
-    // their partition first
-    staticValues.foreach { vs =>
-      require(df.filter(!col(pc).isin(vs: _*)).isEmpty,
-        s"static overwrite batch contains rows outside PARTITION ($pc)")
+    // their partition first (a NULL partition row is outside by definition)
+    staticValues.foreach { _ =>
+      require(df.filter(!coalesce(replaceCond, lit(false))).isEmpty,
+        s"static overwrite batch contains rows outside " +
+          s"PARTITION (${pcs.mkString(", ")})")
     }
     SnapshotStore.withCommitLock(root) {
       val m = currentManifest.getOrElse(throw new IllegalStateException(
         s"no current version at $root — commit an initial snapshot first"))
-      // candidates = files whose [min,max] intersects the replaced set;
-      // among them, partition-pure files (min = max) hold ONLY replaced
-      // rows -> dropped by metadata; the rest are read minus the set
-      val candidates = prunedFiles(m, Seq((pc, "in", partVals)))
+      val schema = StructType.fromDDL(m.schemaDDL)
+      // candidates = files whose per-column [min,max] boxes contain SOME
+      // replaced tuple (per-tuple conjunction — the column-wise cross
+      // product would wrongly catch cell (a,2) when replacing {(a,1),
+      // (b,2)}). One local O(#files) metadata job; a file without stats
+      // for a partition column is a conservative candidate.
+      val candidates: Seq[FileEntry] =
+        if (m.files.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.types.{StringType => SStr, StructField}
+          val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
+            org.apache.spark.sql.Row.fromSeq(f.name +: pcs.flatMap { c =>
+              colRange(m, f, c) match {
+                case Some((mn, mx)) => Seq(mn, mx)
+                case None           => Seq(null, null)
+              }
+            })
+          }
+          val st = StructType(
+            StructField("_f", SStr, nullable = false) +: pcs.flatMap(c => Seq(
+              StructField(s"_min_$c", SStr, nullable = true),
+              StructField(s"_max_$c", SStr, nullable = true))))
+          val contains = org.apache.spark.sql.functions.exists(tupleArr,
+            t => pcs.map { c =>
+              val dt = schema(c).dataType
+              col(s"_min_$c").isNull ||
+                (statDeserialize(col(s"_min_$c"), dt) <= t.getField(c) &&
+                  statDeserialize(col(s"_max_$c"), dt) >= t.getField(c))
+            }.reduce(_ && _))
+          val keep = spark.createDataFrame(rows.asJava, st)
+            .filter(coalesce(contains, lit(false)))
+            .collect().map(_.getString(0)).toSet
+          m.files.filter(f => keep(f.name))
+        }
       val candNames = candidates.map(_.name).toSet
       val carried = m.files.filterNot(f => candNames(f.name))
+      // a candidate DROPS wholesale only when provably pure: min = max in
+      // every partition column AND recorded null-free there (min/max
+      // ignore nulls, so a "pure" file could still hide NULL-partition
+      // rows — those must survive; unknown null counts demote to
+      // straddler, which reads and rewrites: slower, never wrong)
       val (dropped, straddlers) = candidates.partition(f =>
-        colRange(m, f, pc).exists { case (mn, mx) => mn != null && mn == mx })
-      val replaceCond = col(pc).isin(partVals: _*)
+        pcs.forall(c =>
+          colRange(m, f, c).exists { case (mn, mx) =>
+            mn != null && mn == mx } &&
+            nullsOf(m, f, c).contains(0L)))
       val cdc = if (!cdfEnabled) None else {
         val deletes = (if (candidates.isEmpty)
             df.filter(lit(false)) // schema donor: no old rows
           else readFiles(m, candidates).filter(replaceCond))
-          .select(StructType.fromDDL(m.schemaDDL).fieldNames.toSeq.map(c =>
-            col(c)): _*)
+          .select(schema.fieldNames.toSeq.map(c => col(c)): _*)
           .withColumn(ManifestStore.ChangeTypeCol,
             lit(ManifestStore.CdfDelete))
         val inserts = df
-          .select(StructType.fromDDL(m.schemaDDL).fieldNames.toSeq.map(c =>
+          .select(schema.fieldNames.toSeq.map(c =>
             if (df.columns.contains(c)) col(c)
-            else lit(null).cast(StructType.fromDDL(m.schemaDDL)(c).dataType)): _*)
+            else lit(null).cast(schema(c).dataType)): _*)
           .withColumn(ManifestStore.ChangeTypeCol,
             lit(ManifestStore.CdfInsert))
         writeCdcFile(deletes.unionByName(inserts), m.colMap)
       }
-      // NULL-partition rows survive in the remainder: `!isin(...)` is NULL
-      // (row silently dropped) for a NULL partition value, and nothing on
-      // the write path forbids NULL partition values — an all-NULL file has
-      // NULL min/max stats, so it always classifies as a straddler here
+      // NULL-partition rows survive in the remainder: replaceCond is NULL
+      // (row silently dropped by !) for a NULL partition value, and
+      // nothing on the write path forbids NULL partition values
       val remainderEntries =
         if (straddlers.isEmpty) Nil
         else writeDataFiles(
-          readFiles(m, straddlers).filter(col(pc).isNull || !replaceCond),
+          readFiles(m, straddlers).filter(
+            pcs.map(col(_).isNull).reduce(_ || _) || !replaceCond),
           math.max(1, straddlers.size), m.statsCols, colMap = m.colMap)
       val newEntries = writeDataFiles(df, nFiles, m.statsCols,
         colMap = m.colMap)

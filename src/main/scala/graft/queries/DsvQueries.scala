@@ -142,6 +142,87 @@ object DsvQueries {
     "dsv2_stream_cdf" -> streamCdf,
     "dsv2_incremental_agg" -> incrementalAgg,
     "dsv2_partitioned" -> partitioned,
+    "dsv2_partitioned_multi" -> partitionedMulti,
+
+    "dsv2_colocated_join" -> ((s, dir) => {
+      // storage-partitioned join over co-bucketed tables: both sides are
+      // PARTITIONED BY (bucket(8, c_custkey)), the scans report
+      // KeyGroupedPartitioning, and under v2 bucketing the keyed join
+      // plans with ZERO shuffle Exchange on either side — at 100 TB this
+      // removes the single largest cost of a fact-fact keyed join
+      val cat = sqlCatalog(s, dir)
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.bkl (" +
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE) " +
+        "PARTITIONED BY (bucket(8, c_custkey)) " +
+        "TBLPROPERTIES ('key'='c_custkey')")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.bkr (" +
+        "c_custkey BIGINT, dbl_bal DOUBLE) " +
+        "PARTITIONED BY (bucket(8, c_custkey)) " +
+        "TBLPROPERTIES ('key'='c_custkey')")
+      if (s.table(s"$cat.db.bkl").isEmpty) {
+        s.sql(s"INSERT INTO $cat.db.bkl SELECT c_custkey, c_name, " +
+          s"c_acctbal FROM parquet.`$dir/customer.parquet`")
+        // the right side holds the EVEN keys only: the join must align
+        // buckets, not row counts
+        s.sql(s"INSERT INTO $cat.db.bkr SELECT c_custkey, c_acctbal * 2 " +
+          s"FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 0")
+      }
+      val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"SELECT l.c_custkey, l.c_name, l.c_acctbal, " +
+          s"r.dbl_bal FROM $cat.db.bkl l JOIN $cat.db.bkr r " +
+          "ON l.c_custkey = r.c_custkey")
+        val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+          .findAllIn(j.queryExecution.executedPlan.toString).length
+        val out = j.withColumn("colocated", lit(exchanges == 0))
+        // materialize INSIDE the conf window so the executed plan is the
+        // storage-partitioned one the gate asserted (the confs restore in
+        // the finally; the later driver write reads the cached result)
+        out.persist(); out.count()
+        out
+      } finally {
+        prevB match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        prevT match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }),
+
+    "dsv2_agg_pushdown" -> ((s, dir) => {
+      // stats-answered aggregate pushdown: COUNT(*)/COUNT(col)/MIN/MAX —
+      // and a partition-filtered COUNT — answer from manifest metadata as
+      // a LocalTableScan; the gate asserts the physical plans contain NO
+      // file scan at all (at 100 TB these queries cost O(#files) driver
+      // metadata instead of a full-table pass, Delta/Iceberg's trick)
+      val root = scratch("aggp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("partitioncol" -> "c_mktsegment"))
+        st.commit(customer(s, dir), batchId = 0, nFiles = 16,
+          statsCols = Seq("c_mktsegment"))
+      }
+      val t = s.read.format("graft").load(root)
+      def statsAnswered(df: DataFrame): Boolean = {
+        val p = df.queryExecution.executedPlan.toString
+        p.contains("LocalTableScan") && !p.contains("BatchScan")
+      }
+      val whole = t.agg(count(lit(1)).as("cnt"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        count(col("c_mktsegment")).as("cnt_seg"))
+      val filtered = t.filter(col("c_mktsegment") === "BUILDING")
+        .agg(count(lit(1)).as("cnt_building"))
+      whole.crossJoin(filtered).withColumn("agg_stats_answered",
+        lit(statsAnswered(whole) && statsAnswered(filtered)))
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -403,6 +484,56 @@ object DsvQueries {
       .withColumn("cmap_metadata_only", lit(metaOnly))
   }
 
+  /** MULTI-COLUMN identity partitioning: PARTITIONED BY (seg, ngrp) —
+    * cell-pure files in BOTH columns, tuple-wise (never cross-product)
+    * dynamic overwrite of exactly one (seg, ngrp) cell, and two-column
+    * partition pruning. The overwrite unit at 100 TB is the (date, source)
+    * cell, the layout every real ingestion table uses.
+    */
+  private def partitionedMulti(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("cat_wh", dir)
+    val cat = sqlCatalog(s, dir)
+    s.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.partm (" +
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
+      "c_mktsegment STRING, ngrp BIGINT) " +
+      "PARTITIONED BY (c_mktsegment, ngrp) " +
+      "TBLPROPERTIES ('key'='c_custkey')")
+    s.sql(s"INSERT INTO $cat.db.partm " +
+      s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment, " +
+      s"c_nationkey % 3 FROM parquet.`$dir/customer.parquet`")
+    val root = java.nio.file.Paths.get(wh, "db", "partm").toString
+    val st = new ManifestStore(root, s, "c_custkey")
+    val mBefore = st.currentManifest.get
+    def cellOf(f: ManifestStore.FileEntry) =
+      (f.cols.get("c_mktsegment").map(_._1), f.cols.get("ngrp").map(_._1))
+    val carriedBefore = mBefore.files
+      .filterNot(f => cellOf(f) == ((Some("AUTOMOBILE"), Some("1"))))
+      .map(_.name).toSet
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.sql(s"INSERT OVERWRITE $cat.db.partm " +
+      s"SELECT c_custkey, c_name, -c_acctbal, c_mktsegment, " +
+      s"c_nationkey % 3 FROM parquet.`$dir/customer.parquet` " +
+      "WHERE c_mktsegment = 'AUTOMOBILE' AND c_nationkey % 3 = 1")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val m = st.currentManifest.get
+    val pure = m.files.forall(f => Seq("c_mktsegment", "ngrp").forall(c =>
+      f.cols.get(c).exists { case (mn, mx) => mn == mx }))
+    // tuple classification: every file outside the ONE overwritten cell —
+    // including cross-product cells like (AUTOMOBILE, 0) — carried by name
+    val carried = carriedBefore.subsetOf(m.files.map(_.name).toSet)
+    val cellFiles = m.files.count(f =>
+      cellOf(f) == ((Some("BUILDING"), Some("2"))))
+    val pruned = QueryUtil.plannedPartitions(s.table(s"$cat.db.partm")
+      .filter(col("c_mktsegment") === "BUILDING" && col("ngrp") === 2L)) ==
+      cellFiles
+    s.sql(s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment, ngrp " +
+      s"FROM $cat.db.partm")
+      .withColumn("pm_pure", lit(pure))
+      .withColumn("pm_carried", lit(carried))
+      .withColumn("pm_pruned", lit(pruned))
+  }
+
   /** Identity-PARTITIONED table through the catalog: CREATE ... PARTITIONED
     * BY, a keyed INSERT laid out as partition-pure files, and a dynamic
     * `INSERT OVERWRITE` that replaces exactly one partition
@@ -612,6 +743,35 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // the multi-column overwrite must negate exactly the
+    // (AUTOMOBILE, ngrp=1) cell's balances, with all three layout gates true
+    "dsv2_partitioned_multi" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |                 AND c_nationkey % 3 = 1 THEN -c_acctbal
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment, c_nationkey % 3 AS ngrp,
+        |       TRUE AS pm_pure, TRUE AS pm_carried, TRUE AS pm_pruned
+        |FROM customer""".stripMargin,
+
+    // the co-bucketed keyed join must equal the relational join (right
+    // side = even keys, balances doubled) with the zero-exchange gate true
+    "dsv2_colocated_join" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_acctbal * 2 AS dbl_bal,
+        |       TRUE AS colocated
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // stats-answered aggregates must equal the relational answers while
+    // the plan gate proves no file was scanned
+    "dsv2_agg_pushdown" ->
+      """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
+        |       max(c_custkey) AS max_key,
+        |       count(c_mktsegment) AS cnt_seg,
+        |       (SELECT count(*) FROM customer
+        |        WHERE c_mktsegment = 'BUILDING') AS cnt_building,
+        |       TRUE AS agg_stats_answered
+        |FROM customer""".stripMargin,
 
     // rename reads old bytes under the new name; the dropped-then-re-added
     // segment column reads NULL (fresh physical storage, no resurrection)

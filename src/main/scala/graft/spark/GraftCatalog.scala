@@ -47,7 +47,8 @@ import scala.jdk.CollectionConverters._
   * first-class equivalent for the graft store.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -136,20 +137,59 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // partition-pure, so partition pruning and dynamic INSERT OVERWRITE
     // are both metadata operations. Bucket/days/truncate transforms are
     // rejected — key-range clustering already covers derived layouts.
-    val partCol: Option[String] = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) =>
-        require(t.name() == "identity" && t.references().length == 1 &&
-          t.references().head.fieldNames().length == 1,
-          s"graft supports PARTITIONED BY (<top-level column>) only, got $t")
-        Some(t.references().head.fieldNames().head)
+    // identity -> partition-pure files + metadata dynamic overwrite;
+    // bucket(N, key) -> hash-bucketed files + storage-partitioned joins
+    var partCol: Option[String] = None
+    var bucketN: Option[Int] = None
+    partitions.toSeq match {
+      case Seq() => ()
+      case ts if ts.forall(_.name() == "identity") =>
+        // one or more identity columns: (date, source)-style composite
+        // partitioning — each column is partition-pure per file and the
+        // dynamic overwrite unit is the value TUPLE (cell)
+        val cols = ts.map { t =>
+          require(t.references().length == 1 &&
+            t.references().head.fieldNames().length == 1,
+            s"graft supports PARTITIONED BY (<top-level columns>) only, got $t")
+          t.references().head.fieldNames().head
+        }
+        require(cols.distinct.size == cols.size,
+          s"duplicate partition columns: ${cols.mkString(", ")}")
+        partCol = Some(cols.mkString(","))
+      case Seq(t) if t.name() == "bucket" =>
+        val refs = t.references()
+        require(refs.length == 1 && refs.head.fieldNames().length == 1,
+          s"graft bucket transform takes one top-level column, got $t")
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case i: java.lang.Long    => i.intValue()
+              case other => throw new IllegalArgumentException(
+                s"bucket count must be an integer literal, got $other")
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft bucket transform needs a bucket count, got $t"))
+        require(n > 0, s"bucket count must be > 0, got $n")
+        bucketN = Some(n)
+        // buckets hash the KEY: that is what aligns co-bucketed joins on
+        // the key column; bucketing any other column would report a
+        // partitioning the keyed data does not actually have
+        val bc = refs.head.fieldNames().head
+        val keyProp = properties.asScala.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("key") => v }
+        require(keyProp.contains(bc),
+          s"graft PARTITIONED BY (bucket(n, col)) requires col to be the " +
+            s"key column (got '$bc', key ${keyProp.getOrElse("<unset>")})")
       case many => throw new IllegalArgumentException(
-        s"graft supports a single partition column, got ${many.mkString(", ")}")
+        s"graft supports a single partition transform, got ${many.mkString(", ")}")
     }
-    partCol.foreach(pc => require(schema.fieldNames.contains(pc),
-      s"partition column '$pc' is not in the table schema"))
+    partCol.toSeq.flatMap(_.split(",")).foreach(pc =>
+      require(schema.fieldNames.contains(pc),
+        s"partition column '$pc' is not in the table schema"))
     val props = properties.asScala ++
-      partCol.map("partitioncol" -> _)
+      partCol.map("partitioncol" -> _) ++
+      bucketN.map(n => "buckets" -> n.toString)
     val key = props.collectFirst { case (k, v) if k.equalsIgnoreCase("key") => v }
       .getOrElse(throw new IllegalArgumentException(
         "graft CREATE TABLE needs TBLPROPERTIES ('key'='<key column>')"))
@@ -164,7 +204,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the partition column always joins the zone map: its min=max per-file
     // stats ARE the partition index (pruning + overwrite classification)
     val effStats = (statsCols ++
-      partCol.filterNot(statsCols.contains)).distinct
+      partCol.toSeq.flatMap(_.split(",")).filterNot(statsCols.contains)).distinct
     val nsDir = dirFor(ident.namespace().toSeq)
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(ident.namespace())
     val dir = tableDir(ident)
@@ -367,6 +407,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.byName.keys.toSeq.sorted
       .map(n => Identifier.of(Array("system"), n)).toArray
 
+  // ------------------------------------------------------------- functions
+
+  /** The `bucket` transform function — what lets Spark resolve the
+    * KeyGroupedPartitioning a bucketed graft scan reports and plan
+    * storage-partitioned joins (Iceberg registers its bucket function the
+    * same way). Must agree EXACTLY with the writer's bucket assignment
+    * (`pmod(hash(key), n)`, Spark's Murmur3 seed 42): Spark may evaluate
+    * it when shuffling one join side into the other's bucketing.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction.unbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
   /** Resolve a procedure's `table` argument ('tbl' | 'ns.tbl') to a store
     * rooted under this catalog's warehouse.
     */
@@ -546,6 +605,43 @@ private[spark] object GraftProcedures {
           m.files.size, m.files.map(_.liveRows).sum)): InternalRow)
       java.util.List.of[Scan](
         ResultScan(outSchema, rows.toArray)).iterator()
+    }
+  }
+}
+
+/** The graft `bucket(n, key)` function: `pmod(murmur3_hash(key), n)` with
+  * Spark's own Murmur3 (seed 42) — byte-identical to the writer's
+  * `pmod(hash(col(key)), lit(n))` bucket assignment, so a value computed
+  * here lands in exactly the file the writer put its row in.
+  */
+private[spark] object GraftBucketFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+
+  val unbound: UnboundFunction = new UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "graft hash bucket: pmod(murmur3(key), n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket(n, key) takes two arguments, got ${inputType.catalogString}")
+      new Bound(inputType.fields(1).dataType)
+    }
+  }
+
+  final class Bound(keyType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Integer = {
+      val n = input.getInt(0)
+      val v = input.get(1, keyType)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, keyType, 42L).toInt
+      ((h % n) + n) % n
     }
   }
 }

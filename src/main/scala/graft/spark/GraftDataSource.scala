@@ -236,11 +236,24 @@ final class GraftTable(val root: String, tableSchema: StructType,
     * resolved by [[graft.cdc.ManifestStore.overwritePartitions]] as a
     * file-granular metadata swap (partition-pure files + min=max stats).
     */
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    GraftTable.opt(options, "partitioncol")
-      .orElse(ManifestStore.readTableProps(root).get("partitioncol"))
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val props = ManifestStore.readTableProps(root)
+    val ident = GraftTable.opt(options, "partitioncol")
+      .orElse(props.get("partitioncol")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .map(pc => org.apache.spark.sql.connector.expressions.Expressions
-        .identity(pc)).toArray
+        .identity(pc))
+    // bucketed tables (`buckets=N`) surface the bucket transform so
+    // DESCRIBE shows the layout and Spark's distribution planning sees it
+    val bucketed = GraftTable.opt(options, "buckets")
+      .orElse(props.get("buckets")).flatMap(_.toIntOption).filter(_ > 0)
+      .flatMap { n =>
+        scala.util.Try(GraftTable.resolve(root, options)._2).toOption
+          .filter(_.nonEmpty).map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k))
+      }
+    (ident ++ bucketed.toSeq).toArray
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -464,26 +477,40 @@ object GraftWriteBuilder {
     import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
     val spark = data.sparkSession
     val key = GraftTable.resolve(root, options)._2
-    val pc = graft.cdc.ManifestStore.readTableProps(root).get("partitioncol")
+    val pcs: Seq[String] = graft.cdc.ManifestStore.readTableProps(root)
+      .get("partitioncol")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
       .getOrElse(throw new UnsupportedOperationException(
         "graft overwrite-by-filter needs a partitioned table " +
           "(PARTITIONED BY / table property 'partitioncol'); use plain " +
           "INSERT OVERWRITE for a full-table overwrite"))
-    val values: Seq[Any] = filters.toSeq.flatMap {
-      case EqualTo(a, v) if a.equalsIgnoreCase(pc)       => Seq(v)
-      case EqualNullSafe(a, v) if a.equalsIgnoreCase(pc) => Seq(v)
-      case In(a, vs) if a.equalsIgnoreCase(pc)           => vs.toSeq
+    // per-column value lists; a full static spec names every partition
+    // column, and the replaced cells are their cross product (one value
+    // per column in the common PARTITION (a=x, b=y) spelling)
+    val byCol: Map[String, Seq[Any]] = filters.toSeq.map {
+      case EqualTo(a, v) if pcs.exists(_.equalsIgnoreCase(a))       => a.toLowerCase -> Seq(v)
+      case EqualNullSafe(a, v) if pcs.exists(_.equalsIgnoreCase(a)) => a.toLowerCase -> Seq(v)
+      case In(a, vs) if pcs.exists(_.equalsIgnoreCase(a))           => a.toLowerCase -> vs.toSeq
       case other => throw new UnsupportedOperationException(
-        s"graft static overwrite supports PARTITION ($pc = <value>) " +
-          s"specs only, got filter $other")
-    }.distinct
+        s"graft static overwrite supports PARTITION " +
+          s"(${pcs.mkString(", ")} = <value>) specs only, got filter $other")
+    }.groupBy(_._1).map { case (c, vs) => c -> vs.flatMap(_._2).distinct }
+    val missing = pcs.filterNot(pc => byCol.contains(pc.toLowerCase))
+    if (missing.nonEmpty) throw new UnsupportedOperationException(
+      s"graft static overwrite needs a value for every partition column; " +
+        s"missing ${missing.mkString(", ")} (use dynamic " +
+        "partitionOverwriteMode for partial specs)")
+    val tuples: Seq[Seq[Any]] = pcs.foldLeft(Seq(Seq.empty[Any])) {
+      (acc, pc) => acc.flatMap(t => byCol(pc.toLowerCase).map(v => t :+ v))
+    }
     val st = new ManifestStore(root, spark, key)
     val m = st.currentManifest.getOrElse(throw new IllegalStateException(
       s"no graft store at $root"))
     st.overwritePartitions(data, batchId = m.version + 1,
       streamId = s"dsv2-ows-${java.util.UUID.randomUUID()}",
       nFiles = opt(options, "files").map(_.toInt).getOrElse(16),
-      staticValues = Some(values))
+      staticValues = Some(tuples))
     ()
   }
 

@@ -33,22 +33,138 @@ import java.util.OptionalLong
 final class GraftScanBuilder(root: String, tableSchema: StructType,
                              options: Map[String, String])
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // every filter stays a residual: stats pruning is conservative
+    // Filters stay residuals (stats pruning is conservative) EXCEPT when
+    // the whole conjunction is provably decided at file granularity
+    // ([[graft.cdc.ManifestStore.exactlyDecidedFiles]]: every surviving
+    // file fully inside the predicate and null-free on its columns) —
+    // then the pruned whole-file scan IS the filtered result, the
+    // residual Filter disappears from the plan, and Spark's aggregate
+    // pushdown can see through to the scan (a residual Filter node blocks
+    // it). One local O(#files) metadata job at planning time; any doubt
+    // (old vintage without null counts, partial file coverage) keeps
+    // every filter as a residual.
+    val consumed = filters.nonEmpty &&
+      GraftScan.exactConjuncts(filters.toSeq).exists(conj =>
+        scala.util.Try {
+          val m = GraftTable.manifestFor(root, options)
+          val store = new ManifestStore(root, SparkSession.active,
+            GraftTable.resolve(root, options)._2)
+          store.exactlyDecidedFiles(m, conj).isDefined
+        }.getOrElse(false))
+    filtersConsumed = consumed
+    if (consumed) Array.empty else filters
   }
+  private var filtersConsumed = false
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after a complete aggregate pushdown the scan's schema IS the
+    // aggregation output; a later prune call must not clobber it
+    if (aggPush.isEmpty) required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(root, tableSchema, required, pushed, options)
+  // ------------------------------------------------- aggregate pushdown
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col), answered from manifest
+  // metadata with NO file scan ([[graft.cdc.ManifestStore.aggFromStats]]),
+  // exactly like Delta/Iceberg: per-file row counts, DV counts, column
+  // min/max and null counts already live in the manifest. COMPLETE
+  // pushdown only — when any aggregate (or the exactness of the pushed
+  // filters at file granularity) cannot be answered from stats, nothing
+  // pushes and the normal scan runs. The evaluation collects O(#files)
+  // metadata; cached so supportCompletePushDown + pushAggregation pay once.
+
+  private var aggPush: Option[(StructType, Seq[Any])] = None
+  private var aggEvalCache:
+    Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      Option[(StructType, Seq[Any])])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = evalAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    evalAgg(agg) match {
+      case some @ Some(_) => aggPush = some; true
+      case None           => false // no partial pushdown: all or nothing
+    }
+
+  private def evalAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    aggEvalCache match {
+      case Some((a, r)) if a == agg => return r
+      case _ => ()
+    }
+    val r = computeAgg(agg)
+    aggEvalCache = Some((agg, r))
+    r
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import graft.cdc.ManifestStore.StatAgg
+    if (agg.groupByExpressions().nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames().head).filter(tableSchema.fieldNames.contains)
+      case _ => None
+    }
+    val parsed: Seq[Option[(StatAgg, org.apache.spark.sql.types.StructField)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some((StatAgg.CountStar,
+          org.apache.spark.sql.types.StructField("count(*)",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        case c: Count if !c.isDistinct => colOf(c.column()).map(n =>
+          (StatAgg.CountCol(n), org.apache.spark.sql.types.StructField(
+            s"count($n)", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+        case mn: Min => colOf(mn.column()).map(n =>
+          (StatAgg.MinCol(n), org.apache.spark.sql.types.StructField(
+            s"min($n)", tableSchema(n).dataType, nullable = true)))
+        case mx: Max => colOf(mx.column()).map(n =>
+          (StatAgg.MaxCol(n), org.apache.spark.sql.types.StructField(
+            s"max($n)", tableSchema(n).dataType, nullable = true)))
+        case _ => None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    for {
+      conj <- GraftScan.exactConjuncts(pushed.toSeq)
+      m = GraftTable.manifestFor(root, options)
+      store = new ManifestStore(root, SparkSession.active,
+        GraftTable.resolve(root, options)._2)
+      values <- store.aggFromStats(m, conj, parsed.flatten.map(_._1))
+    } yield (StructType(parsed.flatten.map(_._2)), values)
+  }
+
+  override def build(): Scan = aggPush match {
+    case Some((schema, values)) => new GraftAggScan(root, schema, values)
+    case None => new GraftScan(root, tableSchema, required, pushed, options,
+      filtersConsumed)
+  }
+}
+
+/** The stats-answered aggregate result: one driver-local row, planned by
+  * Spark as a `LocalTableScanExec` — the physical plan contains NO file
+  * scan at all (the `dsv2_agg_pushdown` gate asserts exactly this).
+  */
+final class GraftAggScan(root: String, schema: StructType, values: Seq[Any])
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(
+    org.apache.spark.sql.graft.ParquetWriteBridge.toInternalRow(schema, values))
+  override def description(): String = s"graft stats-answered aggregate $root"
 }
 
 object GraftScan {
@@ -65,13 +181,38 @@ object GraftScan {
     case And(l, r)                => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
     case _                        => Nil
   }
+
+  /** [[conjuncts]]' strict sibling for the aggregate-pushdown path: EVERY
+    * filter must convert (including `IsNotNull`, which Spark pushes
+    * alongside any column predicate), or the predicate's row set cannot
+    * be proven exactly decidable from file stats — None then vetoes the
+    * pushdown rather than under-/over-counting.
+    */
+  def exactConjuncts(fs: Seq[Filter]): Option[Seq[(String, String, Any)]] = {
+    import org.apache.spark.sql.sources.IsNotNull
+    def one(f: Filter): Option[Seq[(String, String, Any)]] = f match {
+      case EqualTo(a, v)            => Some(Seq((a, "=", v)))
+      case GreaterThan(a, v)        => Some(Seq((a, ">", v)))
+      case GreaterThanOrEqual(a, v) => Some(Seq((a, ">=", v)))
+      case LessThan(a, v)           => Some(Seq((a, "<", v)))
+      case LessThanOrEqual(a, v)    => Some(Seq((a, "<=", v)))
+      case In(a, vs)                => Some(Seq((a, "in", vs.toSeq)))
+      case IsNotNull(a)             => Some(Seq((a, "notnull", null)))
+      case And(l, r) => for (a <- one(l); b <- one(r)) yield a ++ b
+      case _ => None
+    }
+    val parts = fs.map(one)
+    if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
+  }
 }
 
 final class GraftScan(root: String, tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
-                      options: Map[String, String])
+                      options: Map[String, String],
+                      filtersConsumed: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark = SparkSession.active
   private val keyField: String = GraftTable.resolve(root, options)._2
@@ -136,8 +277,45 @@ final class GraftScan(root: String, tableSchema: StructType,
       OptionalLong.of(planned.map(_.liveRows).sum)
   }
 
+  /** BUCKETED tables (every planned file bucket-pure under table property
+    * `buckets=N`): the scan reports `KeyGroupedPartitioning(bucket(N, key))`
+    * and plans exactly one input partition per bucket, each carrying its
+    * bucket id as the partition key. With
+    * `spark.sql.sources.v2.bucketing.enabled=true` Spark then plans keyed
+    * joins between co-bucketed graft tables as STORAGE-PARTITIONED joins —
+    * zero Exchange on either side (the `dsv2_colocated_join` gate asserts
+    * exactly this). Unbucketed tables report UnknownPartitioning and plan
+    * one partition per file, as before.
+    */
+  private lazy val bucketSpec: Option[Int] =
+    ManifestStore.readTableProps(root).get("buckets")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .filter(_ => keyField.nonEmpty && planned.forall(_.bucket.isDefined))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketSpec match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(Expressions.bucket(n, keyField)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    GraftPartitions.forFiles(root, effectivePlanned).toArray
+    bucketSpec match {
+      case Some(n) =>
+        val files = effectivePlanned
+        val parts = GraftPartitions.forFiles(root, files)
+        val byBucket = files.zip(parts).groupBy(_._1.bucket.get)
+        // ALL N buckets planned, empty ones included: both join sides must
+        // present the same partition-value set for Spark to zip them
+        (0 until n).map(b => GraftBucketedPartition(b,
+          byBucket.getOrElse(b, Nil).map(_._2).toArray): InputPartition)
+          .toArray
+      case None => GraftPartitions.forFiles(root, effectivePlanned).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // Spark forbids mixing columnar and row partitions within one scan, so
@@ -146,8 +324,14 @@ final class GraftScan(root: String, tableSchema: StructType,
     // mostly-masked table still goes columnar if its survivors are clean.
     // Decided on the STATIC survivors: runtime filtering must not flip the
     // mode after Spark has already asked supportsColumnar.
+    // CONSUMED filters (exactly decided at file granularity — no residual
+    // in the plan) must not reach the parquet readers: they are vacuous on
+    // every planned file, and their columns may be pruned out of the
+    // projection (record-level evaluation against an unread column would
+    // drop every row). They already did their work in `planned`.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
-      pushed, options, manifest.schemaDDL,
+      if (filtersConsumed) Array.empty else pushed, options,
+      manifest.schemaDDL,
       allColumnar = planned.forall(_.dv.isEmpty),
       colMap = manifest.colMap)
 }
@@ -160,6 +344,40 @@ final case class GraftInputPartition(path: String, bytes: Long,
                                      fileName: String,
                                      dvParts: Array[(String, Long)])
   extends InputPartition
+
+/** One bucket of a bucketed table — all its files as one input partition,
+  * keyed by the bucket id so Spark's storage-partitioned join machinery
+  * can align co-bucketed scans without an Exchange.
+  */
+final case class GraftBucketedPartition(bucket: Int,
+                                        inner: Array[GraftInputPartition])
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
+/** Sequentially drains a list of per-file readers — the bucketed
+  * partition's reader (a bucket is a set of files read as one split).
+  */
+final class GraftConcatReader[T](parts: Array[() => PartitionReader[T]])
+  extends PartitionReader[T] {
+  private var idx = -1
+  private var cur: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur != null && cur.next()) return true
+      if (cur != null) { cur.close(); cur = null }
+      idx += 1
+      if (idx >= parts.length) return false
+      cur = parts(idx)()
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
 
 object GraftPartitions {
   import java.nio.file.{Files, Paths}
@@ -259,14 +477,22 @@ final case class GraftReaderFactory(
     columnar.isDefined
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftIteratorReader[ColumnarBatch](
-      columnar.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+      : PartitionReader[ColumnarBatch] = partition match {
+    case b: GraftBucketedPartition =>
+      new GraftConcatReader[ColumnarBatch](
+        b.inner.map(p => () => createColumnarReader(p)))
+    case _ =>
+      val p = partition.asInstanceOf[GraftInputPartition]
+      new GraftIteratorReader[ColumnarBatch](
+        columnar.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
   }
 
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
+      : PartitionReader[InternalRow] = partition match {
+    case b: GraftBucketedPartition =>
+      new GraftConcatReader[InternalRow](
+        b.inner.map(p => () => createReader(p)))
+    case _ =>
     val p = partition.asInstanceOf[GraftInputPartition]
     if (p.dvParts.isEmpty)
       new GraftIteratorReader[InternalRow](

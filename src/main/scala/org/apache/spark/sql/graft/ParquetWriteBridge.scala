@@ -51,6 +51,17 @@ object ParquetWriteBridge {
     def close(): Unit = w.close()
   }
 
+  /** External (JVM) values -> an [[InternalRow]] under `schema`, via
+    * Catalyst's own converters (`CatalystTypeConverters` is sql-private).
+    * Used by the stats-answered aggregate scan to shape driver-computed
+    * results (counts, deserialized min/max) for a `LocalScan`.
+    */
+  def toInternalRow(schema: StructType, values: Seq[Any]): InternalRow = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    conv(org.apache.spark.sql.Row.fromSeq(values)).asInstanceOf[InternalRow]
+  }
+
   def taskWriters(spark: SparkSession, schema: StructType): TaskWriters = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sqlConf = cs.sessionState.conf

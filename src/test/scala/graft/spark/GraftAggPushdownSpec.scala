@@ -1,0 +1,166 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.{Changelog, ManifestStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Stats-answered aggregate pushdown (`SupportsPushDownAggregates`):
+  * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — plus file-granular-exact
+  * filtered variants — answer from manifest metadata as a single
+  * `LocalTableScan`, with NO file scan in the physical plan. Anything the
+  * stats cannot answer EXACTLY falls back to the normal scan and stays
+  * correct.
+  */
+class GraftAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("id", "name")
+
+  private def netDf(rows: Seq[(Long, String, Option[String], Long)]) =
+    rows.map { case (id, op, name, ts) =>
+      (id, op, if (op == "d") None else Some(id), name, ts)
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+      Changelog.TsCol)
+      .withColumn("after_id", col("after_id").cast("long"))
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertPushed(df: DataFrame): Unit = {
+    val p = plan(df)
+    assert(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+      s"expected a stats-answered LocalTableScan, got:\n$p")
+  }
+
+  private def assertNotPushed(df: DataFrame): Unit = {
+    val p = plan(df)
+    assert(p.contains("BatchScan"), s"expected a real scan, got:\n$p")
+  }
+
+  test("count/min/max answer from the manifest with no file scan") {
+    val root = Files.createTempDirectory("aggp").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 400L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val t = spark.read.format("graft").load(root)
+    val q = t.agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    assertPushed(q)
+    assert(q.as[(Long, Long, Long)].head() == ((400L, 0L, 399L)))
+    // count(col) of the key rides the row counts
+    val qc = t.agg(count(col("id")))
+    assertPushed(qc)
+    assert(qc.as[Long].head() == 400L)
+  }
+
+  test("deletion vectors: count(*) stays pushed (liveRows), min/max bail") {
+    val root = Files.createTempDirectory("aggp_dv").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 400L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    st.mergeOnRead(netDf(Seq((0L, "d", None, 10L), (399L, "d", None, 10L))),
+      fields, batchId = 1)
+    val t = spark.read.format("graft").load(root)
+    val qc = t.agg(count(lit(1)).as("cnt"))
+    assertPushed(qc)
+    assert(qc.as[Long].head() == 398L)
+    // a masked row might BE the recorded extreme — min/max must scan
+    val qm = t.agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assertNotPushed(qm)
+    assert(qm.as[(Long, Long)].head() == ((1L, 398L)))
+  }
+
+  test("filtered count on partition-pure files is exact and pushed") {
+    val root = Files.createTempDirectory("aggp_part").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 1200L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3L).toInt), s"n$i")).toDF("id", "seg", "name")
+    st.commit(df, batchId = 0, nFiles = 6, statsCols = Seq("seg"))
+    val t = spark.read.format("graft").load(root)
+    val q = t.filter(col("seg") === "b").agg(count(lit(1)).as("cnt"))
+    assertPushed(q)
+    assert(q.as[Long].head() == 400L)
+    // min/max under the exact filter also answer from the survivors' stats
+    val qm = t.filter(col("seg") === "b")
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assertPushed(qm)
+    assert(qm.as[(Long, Long)].head() == ((1L, 1198L)))
+  }
+
+  test("a filter not decidable at file granularity vetoes the pushdown") {
+    val root = Files.createTempDirectory("aggp_range").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 400L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val t = spark.read.format("graft").load(root)
+    // a key range cutting through the middle of a file: survivors are not
+    // fully contained, so the count must come from a real scan
+    val q = t.filter(col("id").between(10L, 20L)).agg(count(lit(1)).as("cnt"))
+    assertNotPushed(q)
+    assert(q.as[Long].head() == 11L)
+    // a range that IS a union of whole files pushes (8 files over 0..399
+    // cluster into 50-key ranges; >= 0 covers everything)
+    val q2 = t.filter(col("id") >= 0L).agg(count(lit(1)).as("cnt"))
+    assertPushed(q2)
+    assert(q2.as[Long].head() == 400L)
+  }
+
+  test("null counts gate exactness: count(col) subtracts them, filters bail on nulls") {
+    val root = Files.createTempDirectory("aggp_null").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 5 == 0) null else Seq("a", "b")((i % 2L).toInt), s"n$i"))
+      .toDF("id", "seg", "name")
+    st.commit(df, batchId = 0, nFiles = 3, statsCols = Seq("seg"))
+    val t = spark.read.format("graft").load(root)
+    // count(seg) = rows minus the recorded nulls, no scan
+    val q = t.agg(count(col("seg")).as("cnt"))
+    assertPushed(q)
+    assert(q.as[Long].head() == 240L)
+    // a filter on seg where surviving files CONTAIN nulls is not exact:
+    // partition-pure min=max stats ignore the null rows hiding in the file
+    val qf = t.filter(col("seg") === "a").agg(count(lit(1)).as("cnt"))
+    assert(qf.as[Long].head() == 120L) // correct either way
+  }
+
+  test("sum and group-by do not push; results stay correct") {
+    val root = Files.createTempDirectory("aggp_sum").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    val t = spark.read.format("graft").load(root)
+    val qs = t.agg(sum(col("id")).as("s"))
+    assertNotPushed(qs)
+    assert(qs.as[Long].head() == 4950L)
+    val qg = t.groupBy(col("name")).agg(count(lit(1))).agg(count(lit(1)))
+    assertNotPushed(qg)
+  }
+
+  test("min/max keep answering through a column rename (physical stats)") {
+    val root = Files.createTempDirectory("aggp_ren").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      batchId = 0, nFiles = 4, statsCols = Seq("v"))
+    st.renameColumn("v", "value")
+    val t = spark.read.format("graft").load(root)
+    val q = t.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    assertPushed(q)
+    assert(q.as[(Double, Double)].head() == ((0.0, 198.0)))
+  }
+
+  test("empty table: count 0, min/max null, still no scan") {
+    val root = Files.createTempDirectory("aggp_empty").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(Seq.empty[(Long, String)].toDF("id", "name"),
+      batchId = 0, nFiles = 1)
+    val t = spark.read.format("graft").load(root)
+    val q = t.agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"))
+    assertPushed(q)
+    val r = q.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+}

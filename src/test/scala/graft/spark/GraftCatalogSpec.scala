@@ -191,15 +191,24 @@ class GraftCatalogSpec extends SparkSpec {
     val e1 = intercept[Exception](
       sql("CREATE TABLE gct.db.nokey (id BIGINT, v STRING)"))
     assert(e1.getMessage.contains("key"))
-    // identity partitioning is supported; derived transforms are not
+    // bucket transforms must target the KEY column (that is what aligns
+    // storage-partitioned joins); any other column is refused
     val e2 = intercept[Exception](sql(
       "CREATE TABLE gct.db.partb (id BIGINT, v STRING) " +
         "PARTITIONED BY (bucket(4, v)) TBLPROPERTIES ('key'='id')"))
-    assert(e2.getMessage.contains("top-level column"))
+    assert(e2.getMessage.contains("key column"))
+    // other derived transforms (days/years/truncate) are not supported
     val e3 = intercept[Exception](sql(
-      "CREATE TABLE gct.db.part2 (id BIGINT, v STRING, w STRING) " +
-        "PARTITIONED BY (v, w) TBLPROPERTIES ('key'='id')"))
-    assert(e3.getMessage.contains("single partition column"))
+      "CREATE TABLE gct.db.part2 (id BIGINT, v STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts)) TBLPROPERTIES ('key'='id')"))
+    assert(e3.getMessage.toLowerCase.contains("partition"))
+    // multi-column identity partitioning IS supported (round 11)
+    sql("DROP TABLE IF EXISTS gct.db.partmc")
+    sql("CREATE TABLE gct.db.partmc (id BIGINT, v STRING, w STRING) " +
+      "PARTITIONED BY (v, w) TBLPROPERTIES ('key'='id')")
+    assert(graft.cdc.ManifestStore.readTableProps(
+      java.nio.file.Paths.get(warehouse, "db", "partmc").toString)
+      .get("partitioncol").contains("v,w"))
   }
 
   test("CALL graft.system procedures: history, optimize, vacuum") {

@@ -102,7 +102,7 @@ class GraftPartitionedSpec extends SparkSpec {
     val stray = Seq((1L, "A", 0.0)).toDF("id", "seg", "v")
     val err = intercept[IllegalArgumentException](
       st.overwritePartitions(stray, batchId = 99,
-        staticValues = Some(Seq("B"))))
+        staticValues = Some(Seq(Seq("B")))))
     assert(err.getMessage.contains("outside PARTITION"))
   }
 
@@ -129,6 +129,81 @@ class GraftPartitionedSpec extends SparkSpec {
     val mAfter = st.currentManifest.get
     assert(mAfter.files.exists(f =>
       f.cols.get("seg").exists { case (mn, mx) => mn == "new" && mx == "new" }))
+  }
+
+  test("multi-column PARTITIONED BY (a, b): pure cells, tuple overwrite, pruning") {
+    sql("DROP TABLE IF EXISTS gpt.db.mc")
+    sql("CREATE TABLE gpt.db.mc (id BIGINT, day STRING, src STRING, v DOUBLE) " +
+      "PARTITIONED BY (day, src) TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gpt.db.mc SELECT id, " +
+      "concat('d', CAST(id % 4 AS STRING)), " +
+      "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'app' END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 4000)")
+    val m = store("mc").currentManifest.get
+    assert(m.statsCols.contains("day") && m.statsCols.contains("src"))
+    // cell purity: every file is pure in BOTH partition columns
+    Seq("day", "src").foreach(c =>
+      assert(m.files.forall(f => f.cols.get(c).exists { case (mn, mx) => mn == mx }),
+        s"files must be pure in '$c'"))
+    // two-column predicate prunes to exactly the one cell's files
+    val cell = spark.table("gpt.db.mc")
+      .filter(col("day") === "d1" && col("src") === "app")
+    val cellFiles = m.files.count(f =>
+      f.cols("day")._1 == "d1" && f.cols("src")._1 == "app")
+    assert(graft.queries.QueryUtil.plannedPartitions(cell) === cellFiles,
+      "two-column partition filter must prune to the cell's files")
+    assert(cell.count() === 1000L) // id%4==1 -> all odd -> all 'app'
+    // dynamic overwrite of ONE (day, src) cell: every other cell's files
+    // carried BY NAME — including the cross-product cells (d1, web) and
+    // (d2, app), which a column-wise (not tuple-wise) classifier would
+    // wrongly replace
+    val beforeOthers = m.files.filterNot(f =>
+      f.cols("day")._1 == "d2" && f.cols("src")._1 == "web")
+      .map(_.name).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gpt.db.mc " +
+      "SELECT id, 'd2', 'web', CAST(-1.0 AS DOUBLE) FROM range(50000, 50010)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = store("mc").currentManifest.get
+    assert(beforeOthers.subsetOf(after.files.map(_.name).toSet),
+      "all other cells' files must carry by reference")
+    val t = spark.table("gpt.db.mc")
+    assert(t.filter(col("day") === "d2" && col("src") === "web").count() === 10L)
+    assert(t.count() === 3010L)
+    assert(t.filter(col("day") === "d1").count() === 1000L)
+  }
+
+  test("partition spec evolution: old files straddle, new writes follow the new spec") {
+    import spark.implicits._
+    // a table partitioned by (seg) evolves to (seg, src): property change
+    // only — old files keep their layout (pure in seg, straddling src),
+    // stats-based pruning keeps working, and an overwrite of one
+    // (seg, src) cell rewrites exactly the straddlers minus that cell
+    sql("DROP TABLE IF EXISTS gpt.db.ev")
+    sql("CREATE TABLE gpt.db.ev (id BIGINT, seg STRING, src STRING, v DOUBLE) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('key'='id', 'statscols'='seg,src')")
+    sql("INSERT INTO gpt.db.ev SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 1200)")
+    sql("ALTER TABLE gpt.db.ev SET TBLPROPERTIES ('partitioncol'='seg,src')")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gpt.db.ev " +
+      "SELECT id, 'A', 'x', CAST(-7.0 AS DOUBLE) FROM range(90000, 90003)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val t = spark.table("gpt.db.ev")
+    assert(t.filter(col("seg") === "A" && col("src") === "x").count() === 3L)
+    // (A, y) and all of B untouched
+    assert(t.filter(col("seg") === "A" && col("src") === "y").count() === 400L)
+    assert(t.filter(col("seg") === "B").count() === 600L)
+    // post-evolution writes are cell-pure in BOTH columns
+    val m = store("ev").currentManifest.get
+    val fresh = m.files.filter(f =>
+      f.cols.get("seg").exists(r => r._1 == "A" && r._2 == "A") &&
+        f.cols.get("src").exists(r => r._1 == "x" && r._2 == "x"))
+    assert(fresh.nonEmpty, "the overwritten cell must land cell-pure")
   }
 
   test("overwrite keeps NULL-partition rows living in straddling files") {
