@@ -227,6 +227,26 @@ object ManifestStore {
     }.toMap
   }
 
+  /** Apply a column mapping to `logical`, producing the PHYSICAL (on-disk)
+    * schema: top-level names map via their own entries; STRUCT LEAVES map
+    * via dotted "parent.leaf" entries (one level deep — the mapping Delta
+    * calls nested column mapping; deeper nesting stays identity). Columns
+    * without an entry pass through unchanged, so the helper is safe on
+    * pruned subsets and on frames carrying writer-internal columns.
+    */
+  def toPhysical(logical: StructType, colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) logical
+    else StructType(logical.fields.map { f =>
+      val mappedType = f.dataType match {
+        case st: StructType =>
+          StructType(st.fields.map(leaf =>
+            leaf.copy(name =
+              colMap.getOrElse(s"${f.name}.${leaf.name}", leaf.name))))
+        case other => other
+      }
+      f.copy(name = colMap.getOrElse(f.name, f.name), dataType = mappedType)
+    })
+
   /** The change-file column naming Delta's CDF established (public
     * contract): one row per changed-row image, tagged with how it changed.
     */
@@ -482,13 +502,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // data files carry PHYSICAL column names; read through the physical
     // schema and surface logical names (identity when no mapping)
     def scan(es: Seq[FileEntry]) = {
-      val physSchema = StructType(schema.fields.map(f =>
-        f.copy(name = m.phys(f.name))))
+      val physSchema = ManifestStore.toPhysical(schema, m.colMap)
       val raw = spark.read.schema(physSchema)
         .parquet(es.map(e => s"$root/files/${e.name}"): _*)
       if (m.colMap.isEmpty) raw
-      else raw.select(schema.fields.toSeq.map(f =>
-        col(s"`${m.phys(f.name)}`").as(f.name)): _*)
+      // struct-to-struct cast is POSITIONAL: it renames nested leaves back
+      // to their logical names in one expression (a no-op cast for
+      // unmapped columns never reaches here)
+      else raw.select(schema.fields.toSeq.zip(physSchema.fields).map {
+        case (lf, pf) =>
+          (if (lf.dataType == pf.dataType) col(s"`${pf.name}`")
+           else col(s"`${pf.name}`").cast(lf.dataType)).as(lf.name)
+      }: _*)
     }
     if (entries.isEmpty)
       spark.createDataFrame(
@@ -918,8 +943,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     def physName(c: String) = colMap.getOrElse(c, c)
     def physicalize(d: DataFrame): DataFrame =
       if (colMap.isEmpty) d
-      else d.select(d.columns.toSeq.map(c =>
-        col(s"`$c`").as(colMap.getOrElse(c, c))): _*)
+      else {
+        val physS = ManifestStore.toPhysical(d.schema, colMap)
+        d.select(d.schema.fields.toSeq.zip(physS.fields).map {
+          case (lf, pf) =>
+            (if (lf.dataType == pf.dataType) col(s"`${lf.name}`")
+             else col(s"`${lf.name}`").cast(pf.dataType)).as(pf.name)
+        }: _*)
+      }
     // a drift-evolved frame may not carry every tracked column yet
     val sCols = statsCols.filter(df.columns.contains)
     sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
@@ -1227,18 +1258,31 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * its own schema + mapping). The key column is the row identity and
     * cannot be renamed.
     */
+  /** `from` may be a top-level column or a one-level STRUCT LEAF as
+    * "parent.leaf" (nested column mapping — a struct leaf rename is a
+    * metadata commit too; `to` is the new leaf name, bare or dotted).
+    */
   def renameColumn(from: String, to: String, streamId: String = "ddl"): Long =
     SnapshotStore.withCommitLock(root) {
       val m = currentManifest.getOrElse(throw new IllegalStateException(
         s"no current version at $root — nothing to rename"))
       val old = StructType.fromDDL(m.schemaDDL)
+      if (from.contains('.')) return renameNested(m, old, from, to, streamId)
       require(old.fieldNames.contains(from), s"no such column: $from")
       require(!old.fieldNames.contains(to), s"column $to already exists")
       require(from != keyField,
         s"the key column '$keyField' cannot be renamed (row identity)")
       val newSchema = StructType(old.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
-      val cmap = (m.colMap - from) + (to -> m.phys(from))
+      // nested entries under the renamed parent follow it: their dotted
+      // keys are LOGICAL paths and the parent's logical name just changed
+      val nestedMoved = m.colMap.collect {
+        case (k, v) if k.startsWith(s"$from.") =>
+          s"$to.${k.stripPrefix(s"$from.")}" -> v
+      }
+      val cmap = (m.colMap -- m.colMap.keys.filter(k =>
+        k == from || k.startsWith(s"$from."))) ++
+        nestedMoved + (to -> m.phys(from))
       val stats = m.statsCols.map(c => if (c == from) to else c)
       // a renamed partition column keeps partitioning: update the property
       // (a comma list since multi-column partitioning — rename in place)
@@ -1263,21 +1307,91 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * naturally rewritten (merge/optimize) — Delta's drop-with-mapping
     * trade. Time travel to pre-drop versions still shows the column.
     */
+  /** `name` may be a top-level column or a one-level struct leaf as
+    * "parent.leaf" (the leaf vanishes from the logical schema; its
+    * physical bytes stay until the parent's files rewrite).
+    */
   def dropColumn(name: String, streamId: String = "ddl"): Long =
     SnapshotStore.withCommitLock(root) {
       val m = currentManifest.getOrElse(throw new IllegalStateException(
         s"no current version at $root — nothing to drop"))
       val old = StructType.fromDDL(m.schemaDDL)
+      if (name.contains('.')) return dropNested(m, old, name, streamId)
       require(old.fieldNames.contains(name), s"no such column: $name")
       require(name != keyField,
         s"the key column '$keyField' cannot be dropped (row identity)")
       val newSchema = StructType(old.fields.filterNot(_.name == name))
+      val nestedKeys = m.colMap.keys.filter(_.startsWith(s"$name.")).toSeq
       writeManifestAndSwap(m.version + 1, m.batchId, streamId,
         newSchema.toDDL, m.files, m.statsCols.filterNot(_ == name),
         mappingOverride =
-          Some((m.colMap - name, m.droppedPhys :+ m.phys(name))))
+          Some((m.colMap - name -- nestedKeys,
+            m.droppedPhys :+ m.phys(name))))
       m.version + 1
     }
+
+  /** Locate the struct parent + leaf a dotted path names, with the same
+    * validation shape the top-level DDL paths use.
+    */
+  private def structLeaf(schema: StructType, path: String)
+      : (String, StructType, String) = {
+    val parts = path.split('.')
+    require(parts.length == 2,
+      s"nested column mapping supports one-level struct leaves " +
+        s"('parent.leaf'), got $path")
+    val (parent, leaf) = (parts(0), parts(1))
+    require(schema.fieldNames.contains(parent), s"no such column: $parent")
+    val st = schema(parent).dataType match {
+      case t: StructType => t
+      case other => throw new IllegalArgumentException(
+        s"$parent is ${other.sql}, not a struct — nested DDL needs a struct")
+    }
+    require(st.fieldNames.contains(leaf), s"no such field: $path")
+    (parent, st, leaf)
+  }
+
+  /** ALTER TABLE RENAME COLUMN s.a TO b — metadata commit via a dotted
+    * "parent.leaf" mapping entry; data files keep the physical leaf name
+    * and every read translates through [[ManifestStore.toPhysical]]'s
+    * positional struct cast.
+    */
+  private def renameNested(m: Manifest, old: StructType, from: String,
+                           to: String, streamId: String): Long = {
+    val (parent, st, leaf) = structLeaf(old, from)
+    val toLeaf = to.split('.').last
+    require(!st.fieldNames.contains(toLeaf),
+      s"field $parent.$toLeaf already exists")
+    val physLeaf = m.colMap.getOrElse(from, leaf)
+    val newStruct = StructType(st.fields.map(f =>
+      if (f.name == leaf) f.copy(name = toLeaf) else f))
+    val newSchema = StructType(old.fields.map(f =>
+      if (f.name == parent) f.copy(dataType = newStruct) else f))
+    writeManifestAndSwap(m.version + 1, m.batchId, streamId,
+      newSchema.toDDL, m.files, m.statsCols,
+      mappingOverride = Some(((m.colMap - from) +
+        (s"$parent.$toLeaf" -> physLeaf), m.droppedPhys)))
+    m.version + 1
+  }
+
+  /** ALTER TABLE DROP COLUMN s.a — the leaf leaves the logical schema;
+    * its physical name is tombstoned under the parent so a later re-add
+    * cannot resurrect old bytes.
+    */
+  private def dropNested(m: Manifest, old: StructType, name: String,
+                         streamId: String): Long = {
+    val (parent, st, leaf) = structLeaf(old, name)
+    require(st.fields.length > 1,
+      s"cannot drop the last field of struct $parent (drop the column)")
+    val physLeaf = m.colMap.getOrElse(name, leaf)
+    val newStruct = StructType(st.fields.filterNot(_.name == leaf))
+    val newSchema = StructType(old.fields.map(f =>
+      if (f.name == parent) f.copy(dataType = newStruct) else f))
+    writeManifestAndSwap(m.version + 1, m.batchId, streamId,
+      newSchema.toDDL, m.files, m.statsCols,
+      mappingOverride = Some((m.colMap - name,
+        m.droppedPhys :+ s"$parent.$physLeaf")))
+    m.version + 1
+  }
 
   /** Stats-pruned MERGE: apply a net changelog (shape of
     * [[Changelog.dedupLatest]]) rewriting ONLY the files whose key range
@@ -1700,13 +1814,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // predicate
       val schema = StructType.fromDDL(m.schemaDDL)
       // physical read + logical rename: `cond` references logical names
-      val physSchema = StructType(schema.fields.map(f =>
-        f.copy(name = m.phys(f.name))))
+      val physSchema = ManifestStore.toPhysical(schema, m.colMap)
       val data = spark.read.schema(physSchema)
         .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
         .withColumn("_file", fileBasename)
-        .select(schema.fields.toSeq.map(f =>
-          col(s"`${m.phys(f.name)}`").as(f.name)) :+ col("_file"): _*)
+        .select(schema.fields.toSeq.zip(physSchema.fields).map {
+          case (lf, pf) =>
+            (if (lf.dataType == pf.dataType) col(s"`${pf.name}`")
+             else col(s"`${pf.name}`").cast(lf.dataType)).as(lf.name)
+        } :+ col("_file"): _*)
       val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
       val live =
         if (dvPaths.isEmpty) data
@@ -2029,8 +2145,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // files would read the renamed column as null after the DDL)
     val shaped =
       if (colMap.isEmpty) cdc
-      else cdc.select(cdc.columns.toSeq.map(c =>
-        col(s"`$c`").as(colMap.getOrElse(c, c))): _*)
+      else {
+        val physS = ManifestStore.toPhysical(cdc.schema, colMap)
+        cdc.select(cdc.schema.fields.toSeq.zip(physS.fields).map {
+          case (lf, pf) =>
+            (if (lf.dataType == pf.dataType) col(s"`${lf.name}`")
+             else col(s"`${lf.name}`").cast(pf.dataType)).as(pf.name)
+        }: _*)
+      }
     val cdcP = shaped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cdcP.count()

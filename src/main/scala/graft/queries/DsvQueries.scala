@@ -144,6 +144,25 @@ object DsvQueries {
     "dsv2_partitioned" -> partitioned,
     "dsv2_partitioned_multi" -> partitionedMulti,
 
+    "dsv2_table_changes" -> ((s, dir) => {
+      // the CDF through SQL: CALL <cat>.system.table_changes returns the
+      // captured change file of one commit — pre/post image pairs for the
+      // UPDATE, checked against the relational recomputation
+      val cat = sqlCatalog(s, dir)
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.tchg (" +
+        "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING) " +
+        "TBLPROPERTIES ('key'='c_custkey', 'cdf'='true')")
+      if (s.table(s"$cat.db.tchg").isEmpty) {
+        s.sql(s"INSERT INTO $cat.db.tchg SELECT c_custkey, c_acctbal, " +
+          s"c_mktsegment FROM parquet.`$dir/customer.parquet`")
+        s.sql(s"UPDATE $cat.db.tchg SET c_acctbal = c_acctbal + 500.0 " +
+          "WHERE c_mktsegment = 'MACHINERY'")
+      }
+      s.sql(s"CALL $cat.system.table_changes(" +
+        "table => 'db.tchg', from_version => 2, to_version => 2)")
+        .select(col("c_custkey"), col("c_acctbal"), col("_change_type"))
+    }),
+
     "dsv2_colocated_join" -> ((s, dir) => {
       // storage-partitioned join over co-bucketed tables: both sides are
       // PARTITIONED BY (bucket(8, c_custkey)), the scans report
@@ -743,6 +762,14 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // the SQL CALL surface must return exactly the UPDATE's pre/post pairs
+    "dsv2_table_changes" ->
+      """SELECT c_custkey, c_acctbal, 'update_preimage' AS _change_type
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal + 500.0, 'update_postimage'
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
 
     // the multi-column overwrite must negate exactly the
     // (AUTOMOBILE, ngrp=1) cell's balances, with all three layout gates true

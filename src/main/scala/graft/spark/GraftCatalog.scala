@@ -250,15 +250,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames().length == 1,
-          "graft ALTER TABLE supports top-level RENAME COLUMN only, got " +
-            ren.fieldNames().mkString("."))
-        renames += (ren.fieldNames().head -> ren.newName())
+        require(ren.fieldNames().length <= 2,
+          "graft ALTER TABLE supports RENAME of top-level columns and " +
+            "one-level struct leaves, got " + ren.fieldNames().mkString("."))
+        renames += (ren.fieldNames().mkString(".") -> ren.newName())
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1,
-          "graft ALTER TABLE supports top-level DROP COLUMN only, got " +
-            del.fieldNames().mkString("."))
-        drops += del.fieldNames().head
+        require(del.fieldNames().length <= 2,
+          "graft ALTER TABLE supports DROP of top-level columns and " +
+            "one-level struct leaves, got " + del.fieldNames().mkString("."))
+        drops += del.fieldNames().mkString(".")
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft ALTER TABLE supports top-level ADD COLUMN only, got " +
@@ -465,7 +465,8 @@ private[spark] object GraftProcedures {
     "vacuum"   -> (c => new VacuumProcedure(c)),
     "history"  -> (c => new HistoryProcedure(c)),
     "zorder"   -> (c => new ZorderProcedure(c)),
-    "detail"   -> (c => new DetailProcedure(c)))
+    "detail"   -> (c => new DetailProcedure(c)),
+    "table_changes" -> (c => new TableChangesProcedure(c)))
 
   private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -581,6 +582,60 @@ private[spark] object GraftProcedures {
         utf8(ManifestStore.readTableProps(st.root)
           .getOrElse("partitioncol", "")),
         st.cdfEnabled, m.colMap.size)
+    }
+  }
+
+  /** `CALL graft.system.table_changes(table => 'ns.t', from_version => 2
+    * [, to_version => 5][, max_rows => 100000])` — the change data feed as
+    * a SQL surface (Delta's `table_changes` TVF; Spark 4.1 has no public
+    * TVF extension point, so it ships as a stored procedure). Returns the
+    * captured feed rows — data columns + `_change_type` +
+    * `_commit_version` — for versions [from_version, to_version]
+    * (to_version = -1 means current). `from_version` 0 includes the
+    * initial snapshot as inserts.
+    *
+    * CALL results are driver-local by Spark's procedure contract
+    * (`InvokeProcedures` materializes a LocalRelation), so the feed is
+    * collected and hard-capped at `max_rows` — past the cap the call
+    * FAILS loudly and names the distributed spelling
+    * (`spark.read.format("graft").option("readChangeFeed", "true")`),
+    * which streams the same change files with no cap. The cap bounds
+    * driver memory at O(max_rows), never O(changed rows).
+    */
+  final class TableChangesProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "table_changes") {
+    override def description(): String =
+      "change data feed rows between two versions (driver-local, capped)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("from_version", LongType),
+      inDefault("to_version", LongType, "-1"),
+      inDefault("max_rows", LongType, "100000"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val from = input.getLong(1)
+      val to = input.getLong(2)
+      val maxRows = input.getLong(3)
+      require(maxRows >= 1, s"max_rows must be >= 1, got $maxRows")
+      val spark = SparkSession.active
+      val reader = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        // from_version 0 = "from the beginning" (snapshot as inserts) —
+        // spelled as startingTimestamp 0, the reader's documented form
+        .option(if (from == 0L) "startingTimestamp" else "startingVersion",
+          from.toString)
+      val df = (if (to >= 0) reader.option("endingVersion", to.toString)
+                else reader).load(st.root)
+      val schema = df.schema
+      val rows = df.limit(math.min(maxRows, Int.MaxValue - 1).toInt + 1)
+        .collect()
+      require(rows.length <= maxRows,
+        s"table_changes would return more than max_rows=$maxRows rows; " +
+          "read the feed distributed instead: spark.read.format(\"graft\")" +
+          ".option(\"readChangeFeed\", \"true\").option(\"startingVersion\"," +
+          s" $from).load('${st.root}'), or raise max_rows")
+      val internal = rows.map(r => org.apache.spark.sql.graft
+        .ParquetWriteBridge.toInternalRow(schema, r.toSeq): InternalRow)
+      java.util.List.of[Scan](ResultScan(schema, internal)).iterator()
     }
   }
 

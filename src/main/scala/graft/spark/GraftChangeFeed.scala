@@ -195,8 +195,8 @@ object GraftCdf {
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
       dataSchema, Array.empty, options, manifestSchemaDDL,
       allColumnar = false, colMap = colMap)
-    val cdcSchema = StructType(dataSchema.fields.map(f =>
-      f.copy(name = colMap.getOrElse(f.name, f.name))) :+
+    val cdcSchema = StructType(
+      ManifestStore.toPhysical(dataSchema, colMap).fields :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
     GraftCdfReaderFactory(inner,
       ParquetReadBridge.rowReader(spark, cdcSchema, cdcSchema, Nil, options))

@@ -434,10 +434,10 @@ object GraftPartitions {
     // filter pushdown (v1 Filters carry logical names); Spark's residual
     // re-evaluation keeps answers exact, zone-map pruning still applies.
     val logicalData = StructType.fromDDL(manifestSchemaDDL)
+    // top-level AND one-level struct-leaf mapping: rows are positional, so
+    // renaming nested leaves is purely a parquet name-matching concern
     def toPhys(s: StructType): StructType =
-      if (colMap.isEmpty) s
-      else StructType(s.fields.map(f =>
-        f.copy(name = colMap.getOrElse(f.name, f.name))))
+      ManifestStore.toPhysical(s, colMap)
     val dataSchema = toPhys(logicalData)
     val pushedEff: Seq[Filter] = if (colMap.isEmpty) pushed.toSeq else Nil
     val hasKey = keyField.nonEmpty && logicalData.fieldNames.contains(keyField)

@@ -211,6 +211,85 @@ class GraftCatalogSpec extends SparkSpec {
       .get("partitioncol").contains("v,w"))
   }
 
+  test("nested column mapping: struct-leaf RENAME/DROP are metadata commits") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.nst")
+    sql("CREATE TABLE gct.db.nst (id BIGINT, meta STRUCT<a: DOUBLE, b: STRING>) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.nst SELECT id, " +
+      "named_struct('a', CAST(id AS DOUBLE), 'b', concat('v', id)) " +
+      "FROM range(0, 100)")
+    val root = java.nio.file.Paths.get(warehouse, "db", "nst").toString
+    val st = new graft.cdc.ManifestStore(root, spark, "id")
+    val filesBefore = st.currentManifest.get.files.map(_.name).toSet
+    // RENAME of a struct leaf: pure metadata, pre-DDL files read back
+    sql("ALTER TABLE gct.db.nst RENAME COLUMN meta.a TO alpha")
+    assert(st.currentManifest.get.files.map(_.name).toSet === filesBefore,
+      "nested RENAME must not touch data files")
+    assert(st.currentManifest.get.colMap.get("meta.alpha").contains("a"))
+    val r = sql("SELECT id, meta.alpha FROM gct.db.nst WHERE id = 7")
+      .collect().head
+    assert(r.getDouble(1) === 7.0, "pre-DDL bytes must read under the new name")
+    // writes after the rename physicalize the leaf back to 'a'
+    sql("INSERT INTO gct.db.nst SELECT id, " +
+      "named_struct('alpha', CAST(-1.0 AS DOUBLE), 'b', 'new') " +
+      "FROM range(1000, 1003)")
+    assert(sql("SELECT meta.alpha FROM gct.db.nst WHERE id = 1000")
+      .collect().head.getDouble(0) === -1.0)
+    assert(sql("SELECT count(*) AS c FROM gct.db.nst").collect()
+      .head.getLong(0) === 103L)
+    // DROP of a struct leaf: metadata-only, tombstoned under the parent
+    val filesBeforeDrop = st.currentManifest.get.files.map(_.name).toSet
+    sql("ALTER TABLE gct.db.nst DROP COLUMN meta.b")
+    assert(st.currentManifest.get.files.map(_.name).toSet === filesBeforeDrop,
+      "nested DROP must not touch data files")
+    assert(st.currentManifest.get.droppedPhys.contains("meta.b"))
+    val fields = spark.table("gct.db.nst").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields === Seq("alpha"), s"got $fields")
+    assert(sql("SELECT sum(meta.alpha) AS s FROM gct.db.nst").collect()
+      .head.getDouble(0) === (0 until 100).map(_.toDouble).sum - 3.0)
+    // renaming the PARENT keeps the leaf mapping attached
+    sql("ALTER TABLE gct.db.nst RENAME COLUMN meta TO info")
+    assert(st.currentManifest.get.colMap.get("info.alpha").contains("a"))
+    assert(sql("SELECT info.alpha FROM gct.db.nst WHERE id = 7")
+      .collect().head.getDouble(0) === 7.0)
+    // time travel still shows the pre-DDL shape
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(root)
+      .select("meta.a").count() === 100L)
+  }
+
+  test("CALL table_changes surfaces the CDF to SQL; cap and option-rejection") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.tcf")
+    sql("CREATE TABLE gct.db.tcf (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id', 'cdf'='true')")
+    sql("INSERT INTO gct.db.tcf VALUES (1, 'a'), (2, 'b'), (3, 'c')") // v1
+    sql("UPDATE gct.db.tcf SET v = 'B' WHERE id = 2")                 // v2
+    sql("DELETE FROM gct.db.tcf WHERE id = 3")                        // v3
+    val feed = sql(
+      "CALL gct.system.table_changes(table => 'db.tcf', from_version => 2)")
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 3L)), s"got $feed")
+    // from_version 0: the whole history, initial inserts included
+    val all = sql("CALL gct.system.table_changes(" +
+      "table => 'db.tcf', from_version => 0)")
+    assert(all.filter("_change_type = 'insert'").count() === 3L)
+    // the driver-memory cap fails loudly and names the distributed reader
+    val err = intercept[Exception](sql("CALL gct.system.table_changes(" +
+      "table => 'db.tcf', from_version => 0, max_rows => 2)").collect())
+    assert(err.getMessage.contains("readChangeFeed"))
+    // the scan OPTION on a catalog table is rejected, pointing here
+    val err2 = intercept[Exception](
+      spark.read.option("readChangeFeed", "true").table("gct.db.tcf")
+        .collect())
+    assert(err2.getMessage.contains("table_changes"))
+  }
+
   test("CALL graft.system procedures: history, optimize, vacuum") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("CREATE TABLE gct.db.m (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")
