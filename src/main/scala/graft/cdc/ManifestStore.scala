@@ -877,6 +877,96 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (values.exists(_.isEmpty)) None else Some(values.flatten)
   }
 
+  /** [[aggFromStats]]' GROUP BY sibling: `SELECT g1, g2, agg... GROUP BY
+    * g1, g2` answered from manifest metadata alone, when every
+    * exactly-decided candidate file is GROUP-PURE in every group column —
+    * recorded min == max AND zero nulls (min/max ignore nulls, so the
+    * null count is load-bearing), so each file belongs to exactly one
+    * group. Partition-identity and bucket-pure layouts produce exactly
+    * such files, which makes `SELECT pcol, count(*) ... GROUP BY pcol` on
+    * a partitioned table an O(#files) metadata answer — Delta answers the
+    * same shape from its add-file stats. Per-aggregate answerability
+    * mirrors the ungrouped path (count(*) absorbs DV masks via liveRows;
+    * count(col)/min/max need unmasked files with recorded stats). The
+    * whole evaluation is ONE local job over the O(#files) stats frame:
+    * group keys deserialize through their column's own type, mins/maxes
+    * combine with all-null files excluded by their null count. Returns
+    * rows shaped `groupCols ++ aggs` (Spark's complete-pushdown contract);
+    * None = not provable, callers run the real scan.
+    */
+  private[graft] def aggFromStatsGrouped(m: Manifest,
+                                         preds: Seq[(String, String, Any)],
+                                         groupCols: Seq[String],
+                                         aggs: Seq[ManifestStore.StatAgg])
+      : Option[Seq[Seq[Any]]] = {
+    import ManifestStore.StatAgg
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    if (groupCols.isEmpty || aggs.isEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDDL)
+    val candidates = exactlyDecidedFiles(m, preds) match {
+      case Some(cs) => cs
+      case None     => return None
+    }
+    def statted(c: String): Boolean = c == keyField || m.statsCols.contains(c)
+    val pure = groupCols.forall(g => statted(g) &&
+      schema.fieldNames.contains(g) &&
+      candidates.forall(f => nullsOf(m, f, g).contains(0L) &&
+        colRange(m, f, g).exists { case (mn, mx) => mn != null && mn == mx }))
+    if (!pure) return None
+    val masked = candidates.exists(_.dv.isDefined)
+    def colAnswerable(c: String, needRange: Boolean): Boolean =
+      schema.fieldNames.contains(c) && !masked &&
+        (!needRange || statted(c)) &&
+        candidates.forall(f => nullsOf(m, f, c).isDefined &&
+          (!needRange || colRange(m, f, c).isDefined))
+    val answerable = aggs.forall {
+      case StatAgg.CountStar   => true
+      case StatAgg.CountCol(c) => colAnswerable(c, needRange = false)
+      case StatAgg.MinCol(c)   => colAnswerable(c, needRange = true)
+      case StatAgg.MaxCol(c)   => colAnswerable(c, needRange = true)
+    }
+    if (!answerable) return None
+    if (candidates.isEmpty) return Some(Seq.empty)
+    val aggCols: Seq[String] = aggs.collect {
+      case StatAgg.CountCol(c) => c
+      case StatAgg.MinCol(c)   => c
+      case StatAgg.MaxCol(c)   => c
+    }.distinct
+    val rows: Seq[org.apache.spark.sql.Row] = candidates.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        groupCols.map(g => colRange(m, f, g).get._1) ++
+          Seq(f.rows, f.liveRows) ++
+          aggCols.flatMap { c =>
+            val r = colRange(m, f, c)
+            Seq(r.map(_._1).orNull, r.map(_._2).orNull,
+              nullsOf(m, f, c).map(java.lang.Long.valueOf).orNull)
+          })
+    }
+    val st = StructType(
+      groupCols.map(g => StructField(s"_g_$g", StringType, nullable = true)) ++
+        Seq(StructField("_rows", LongType, nullable = false),
+          StructField("_live", LongType, nullable = false)) ++
+        aggCols.flatMap(c => Seq(
+          StructField(s"_min_$c", StringType, nullable = true),
+          StructField(s"_max_$c", StringType, nullable = true),
+          StructField(s"_nulls_$c", LongType, nullable = true))))
+    val df = spark.createDataFrame(rows.asJava, st)
+    val gexprs = groupCols.map(g =>
+      statDeserialize(col(s"_g_$g"), schema(g).dataType).as(g))
+    val aexprs: Seq[Column] = aggs.zipWithIndex.map {
+      case (StatAgg.CountStar, i) => sum(col("_live")).as(s"_a$i")
+      case (StatAgg.CountCol(c), i) =>
+        sum(col("_rows") - col(s"_nulls_$c")).as(s"_a$i")
+      case (StatAgg.MinCol(c), i) => min(when(col(s"_nulls_$c") < col("_rows"),
+        statDeserialize(col(s"_min_$c"), schema(c).dataType))).as(s"_a$i")
+      case (StatAgg.MaxCol(c), i) => max(when(col(s"_nulls_$c") < col("_rows"),
+        statDeserialize(col(s"_max_$c"), schema(c).dataType))).as(s"_a$i")
+    }
+    val out = df.groupBy(gexprs: _*).agg(aexprs.head, aexprs.tail: _*)
+      .collect() // O(#groups) ≤ O(#files) — metadata-sized by construction
+    Some(out.toSeq.map(_.toSeq))
+  }
+
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a
     * [[Changelog.KeyCol]] column, any size — nothing collects beyond the

@@ -242,6 +242,31 @@ object DsvQueries {
       whole.crossJoin(filtered).withColumn("agg_stats_answered",
         lit(statsAnswered(whole) && statsAnswered(filtered)))
     }),
+    "dsv2_agg_pushdown_grouped" -> ((s, dir) => {
+      // the GROUP BY sibling: partition-identity files are group-pure in
+      // the partition column, so a grouped COUNT/MIN/MAX over it answers
+      // from the same manifest stats — one metadata row per partition,
+      // still zero file scans (Delta answers this shape from add-file
+      // stats; at 100 TB it's the difference between a catalog lookup
+      // and a full shuffle-aggregate over the table)
+      val root = scratch("aggp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("partitioncol" -> "c_mktsegment"))
+        st.commit(customer(s, dir), batchId = 0, nFiles = 16,
+          statsCols = Seq("c_mktsegment"))
+      }
+      val t = s.read.format("graft").load(root)
+      val grouped = t.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .withColumnRenamed("c_mktsegment", "seg")
+      val p = grouped.queryExecution.executedPlan.toString
+      grouped.withColumn("grouped_stats_answered",
+        lit(p.contains("LocalTableScan") && !p.contains("BatchScan")))
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -799,6 +824,13 @@ object DsvQueries {
         |        WHERE c_mktsegment = 'BUILDING') AS cnt_building,
         |       TRUE AS agg_stats_answered
         |FROM customer""".stripMargin,
+
+    // the grouped shape: one stats row per partition value, no file scan
+    "dsv2_agg_pushdown_grouped" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt,
+        |       min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |       TRUE AS grouped_stats_answered
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     // rename reads old bytes under the new name; the dropped-then-re-added
     // segment column reads NULL (fresh physical storage, no resurrection)

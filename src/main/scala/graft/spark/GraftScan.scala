@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,19 +71,22 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
     if (aggPush.isEmpty) required = requiredSchema
 
   // ------------------------------------------------- aggregate pushdown
-  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col), answered from manifest
-  // metadata with NO file scan ([[graft.cdc.ManifestStore.aggFromStats]]),
-  // exactly like Delta/Iceberg: per-file row counts, DV counts, column
-  // min/max and null counts already live in the manifest. COMPLETE
-  // pushdown only — when any aggregate (or the exactness of the pushed
-  // filters at file granularity) cannot be answered from stats, nothing
-  // pushes and the normal scan runs. The evaluation collects O(#files)
-  // metadata; cached so supportCompletePushDown + pushAggregation pay once.
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — optionally GROUP BY
+  // group-pure columns — answered from manifest metadata with NO file
+  // scan ([[graft.cdc.ManifestStore.aggFromStats]] /
+  // [[graft.cdc.ManifestStore.aggFromStatsGrouped]]), exactly like
+  // Delta/Iceberg: per-file row counts, DV counts, column min/max and
+  // null counts already live in the manifest. COMPLETE pushdown only —
+  // when any aggregate (or the exactness of the pushed filters at file
+  // granularity, or the group-purity of the grouping columns) cannot be
+  // answered from stats, nothing pushes and the normal scan runs. The
+  // evaluation collects O(#files) metadata; cached so
+  // supportCompletePushDown + pushAggregation pay once.
 
-  private var aggPush: Option[(StructType, Seq[Any])] = None
+  private var aggPush: Option[(StructType, Seq[Seq[Any]])] = None
   private var aggEvalCache:
     Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-      Option[(StructType, Seq[Any])])] = None
+      Option[(StructType, Seq[Seq[Any]])])] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -99,7 +102,7 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
 
   private def evalAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     aggEvalCache match {
       case Some((a, r)) if a == agg => return r
       case _ => ()
@@ -111,15 +114,25 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import graft.cdc.ManifestStore.StatAgg
-    if (agg.groupByExpressions().nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         Some(nr.fieldNames().head).filter(tableSchema.fieldNames.contains)
       case _ => None
+    }
+    // GROUP BY plain columns only; [[ManifestStore.aggFromStatsGrouped]]
+    // proves group-purity (or refuses). Complete-pushdown output layout
+    // is groupBy columns first, then the aggregates.
+    val groupColsOpt: Option[Seq[String]] = {
+      val gs = agg.groupByExpressions().toSeq.map(colOf)
+      if (gs.exists(_.isEmpty)) None else Some(gs.flatten)
+    }
+    val groupCols = groupColsOpt match {
+      case Some(gs) => gs
+      case None     => return None
     }
     val parsed: Seq[Option[(StatAgg, org.apache.spark.sql.types.StructField)]] =
       agg.aggregateExpressions().toSeq.map {
@@ -139,31 +152,42 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
         case _ => None
       }
     if (parsed.exists(_.isEmpty)) return None
+    val groupFields = groupCols.map(g =>
+      // group-purity proof = zero recorded nulls in every file
+      org.apache.spark.sql.types.StructField(g, tableSchema(g).dataType,
+        nullable = false))
     for {
       conj <- GraftScan.exactConjuncts(pushed.toSeq)
       m = GraftTable.manifestFor(root, options)
       store = new ManifestStore(root, SparkSession.active,
         GraftTable.resolve(root, options)._2)
-      values <- store.aggFromStats(m, conj, parsed.flatten.map(_._1))
-    } yield (StructType(parsed.flatten.map(_._2)), values)
+      rows <-
+        if (groupCols.isEmpty)
+          store.aggFromStats(m, conj, parsed.flatten.map(_._1)).map(Seq(_))
+        else store.aggFromStatsGrouped(m, conj, groupCols,
+          parsed.flatten.map(_._1))
+    } yield (StructType(groupFields ++ parsed.flatten.map(_._2)), rows)
   }
 
   override def build(): Scan = aggPush match {
-    case Some((schema, values)) => new GraftAggScan(root, schema, values)
+    case Some((schema, rows)) => new GraftAggScan(root, schema, rows)
     case None => new GraftScan(root, tableSchema, required, pushed, options,
       filtersConsumed)
   }
 }
 
-/** The stats-answered aggregate result: one driver-local row, planned by
-  * Spark as a `LocalTableScanExec` — the physical plan contains NO file
-  * scan at all (the `dsv2_agg_pushdown` gate asserts exactly this).
+/** The stats-answered aggregate result: driver-local rows (one for the
+  * ungrouped shape, one per group for GROUP BY), planned by Spark as a
+  * `LocalTableScanExec` — the physical plan contains NO file scan at all
+  * (the `dsv2_agg_pushdown` gate asserts exactly this).
   */
-final class GraftAggScan(root: String, schema: StructType, values: Seq[Any])
+final class GraftAggScan(root: String, schema: StructType,
+                         rowValues: Seq[Seq[Any]])
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(
+  override def rows(): Array[InternalRow] = rowValues.map(values =>
     org.apache.spark.sql.graft.ParquetWriteBridge.toInternalRow(schema, values))
+    .toArray
   override def description(): String = s"graft stats-answered aggregate $root"
 }
 
@@ -382,6 +406,52 @@ final class GraftConcatReader[T](parts: Array[() => PartitionReader[T]])
 object GraftPartitions {
   import java.nio.file.{Files, Paths}
 
+  /** Rewrite a pushed v1 [[Filter]]'s attribute names logical→physical so
+    * it can ride into the parquet reader of a column-mapped table. The
+    * rewrite is ALL-OR-NOTHING per filter tree: any node this function
+    * doesn't recognize drops the whole filter (returned None) rather than
+    * pushing a partially-rewritten — and therefore possibly wrong —
+    * predicate; dropped filters are still re-evaluated by Spark's
+    * residual, so answers never change, only row-group pruning weakens.
+    *
+    * Nested leaves: the colMap keys a struct leaf as logical
+    * `parent.leaf` → PHYSICAL LEAF name only (the parent's own mapping is
+    * a separate top-level entry), so a dotted attribute rewrites each
+    * segment independently. One-level structs only, matching
+    * [[ManifestStore.toPhysical]].
+    */
+  private[spark] def toPhysicalFilter(f: Filter,
+                                      colMap: Map[String, String])
+      : Option[Filter] = {
+    def attr(a: String): String = {
+      val i = a.indexOf('.')
+      if (i < 0) colMap.getOrElse(a, a)
+      else {
+        val (p, l) = (a.substring(0, i), a.substring(i + 1))
+        s"${colMap.getOrElse(p, p)}.${colMap.getOrElse(a, l)}"
+      }
+    }
+    def go(f: Filter): Option[Filter] = f match {
+      case EqualTo(a, v)            => Some(EqualTo(attr(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(attr(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(attr(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(attr(a), v))
+      case LessThan(a, v)           => Some(LessThan(attr(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(attr(a), v))
+      case In(a, vs)                => Some(In(attr(a), vs))
+      case IsNull(a)                => Some(IsNull(attr(a)))
+      case IsNotNull(a)             => Some(IsNotNull(attr(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(attr(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(attr(a), v))
+      case StringContains(a, v)     => Some(StringContains(attr(a), v))
+      case And(l, r)                => for (a <- go(l); b <- go(r)) yield And(a, b)
+      case Or(l, r)                 => for (a <- go(l); b <- go(r)) yield Or(a, b)
+      case Not(c)                   => go(c).map(Not)
+      case _                        => None
+    }
+    go(f)
+  }
+
   def forFiles(root: String, files: Seq[ManifestStore.FileEntry])
       : Seq[GraftInputPartition] =
     files.map { f =>
@@ -430,16 +500,20 @@ object GraftPartitions {
     // COLUMN MAPPING translates at exactly this boundary: the parquet
     // readers are handed PHYSICAL names (what the files contain), while
     // everything above stays logical — rows are positional, so only the
-    // parquet name matching cares. Renamed tables skip parquet-level
-    // filter pushdown (v1 Filters carry logical names); Spark's residual
-    // re-evaluation keeps answers exact, zone-map pruning still applies.
+    // parquet name matching cares. Pushed v1 Filters carry logical names,
+    // so they cross the same boundary: attribute names are rewritten to
+    // physical before reaching the parquet readers (row-group pruning
+    // works on mapped tables too); a filter that can't be fully rewritten
+    // is dropped — Spark's residual re-evaluation keeps answers exact.
     val logicalData = StructType.fromDDL(manifestSchemaDDL)
     // top-level AND one-level struct-leaf mapping: rows are positional, so
     // renaming nested leaves is purely a parquet name-matching concern
     def toPhys(s: StructType): StructType =
       ManifestStore.toPhysical(s, colMap)
     val dataSchema = toPhys(logicalData)
-    val pushedEff: Seq[Filter] = if (colMap.isEmpty) pushed.toSeq else Nil
+    val pushedEff: Seq[Filter] =
+      if (colMap.isEmpty) pushed.toSeq
+      else pushed.toSeq.flatMap(GraftPartitions.toPhysicalFilter(_, colMap))
     val hasKey = keyField.nonEmpty && logicalData.fieldNames.contains(keyField)
     val plus: StructType =
       if (!hasKey || required.fieldNames.contains(keyField)) required

@@ -127,7 +127,7 @@ class GraftAggPushdownSpec extends SparkSpec {
     assert(qf.as[Long].head() == 120L) // correct either way
   }
 
-  test("sum and group-by do not push; results stay correct") {
+  test("sum and non-group-pure group-by do not push; results stay correct") {
     val root = Files.createTempDirectory("aggp_sum").toString
     val st = new ManifestStore(root, spark, "id")
     st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
@@ -136,8 +136,54 @@ class GraftAggPushdownSpec extends SparkSpec {
     val qs = t.agg(sum(col("id")).as("s"))
     assertNotPushed(qs)
     assert(qs.as[Long].head() == 4950L)
+    // 'name' is per-row distinct: files are nowhere near group-pure, so
+    // the grouped pushdown refuses and the real scan answers
     val qg = t.groupBy(col("name")).agg(count(lit(1))).agg(count(lit(1)))
     assertNotPushed(qg)
+  }
+
+  test("GROUP BY a partition-pure column answers from stats, no file scan") {
+    val root = Files.createTempDirectory("aggp_grp").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 1200L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3L).toInt), s"n$i")).toDF("id", "seg", "name")
+    st.commit(df, batchId = 0, nFiles = 6, statsCols = Seq("seg"))
+    val t = spark.read.format("graft").load(root)
+    val q = t.groupBy(col("seg")).agg(count(lit(1)).as("cnt"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assertPushed(q)
+    val got = q.orderBy("seg").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 400L, 0L, 1197L), ("b", 400L, 1L, 1198L),
+      ("c", 400L, 2L, 1199L)), s"got $got")
+    // grouped + a file-granular-exact filter composes: the pruned
+    // survivors regroup from their own stats
+    val qf = t.filter(col("seg").isin("a", "b")).groupBy(col("seg"))
+      .agg(count(lit(1)).as("cnt"))
+    assertPushed(qf)
+    assert(qf.orderBy("seg").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 400L), ("b", 400L)))
+  }
+
+  test("grouped count(*) absorbs deletion vectors; grouped min/max bail") {
+    val root = Files.createTempDirectory("aggp_grp_dv").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 600L).map(i =>
+      (i, Seq("a", "b")((i % 2L).toInt), s"n$i")).toDF("id", "seg", "name")
+    st.commit(df, batchId = 0, nFiles = 4, statsCols = Seq("seg"))
+    // mask two even-id ('a') rows behind a deletion-vector sidecar
+    st.deleteWhere(col("id").isin(0L, 2L), batchId = 1)
+    val t = spark.read.format("graft").load(root)
+    val qc = t.groupBy(col("seg")).agg(count(lit(1)).as("cnt"))
+    assertPushed(qc)
+    assert(qc.orderBy("seg").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 298L), ("b", 300L)))
+    // a masked row might BE a group's recorded extreme
+    val qm = t.groupBy(col("seg")).agg(min(col("id")).as("mn"))
+    assertNotPushed(qm)
+    assert(qm.orderBy("seg").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 4L), ("b", 1L)))
   }
 
   test("min/max keep answering through a column rename (physical stats)") {

@@ -259,6 +259,47 @@ class GraftCatalogSpec extends SparkSpec {
       .select("meta.a").count() === 100L)
   }
 
+  test("pushed filters rewrite logical→physical on mapped tables") {
+    // unit: the rewriter maps top-level, nested, and composite trees
+    import org.apache.spark.sql.sources._
+    val cm = Map("label" -> "v", "meta" -> "m0", "meta.alpha" -> "a")
+    def phys(f: Filter) = GraftPartitions.toPhysicalFilter(f, cm)
+    assert(phys(EqualTo("label", "x")) === Some(EqualTo("v", "x")))
+    assert(phys(GreaterThan("meta.alpha", 1.0)) ===
+      Some(GreaterThan("m0.a", 1.0)))
+    assert(phys(In("other", Array(1, 2))) === Some(In("other", Array(1, 2))))
+    assert(phys(And(IsNotNull("label"), Or(StringStartsWith("label", "p"),
+      Not(LessThan("meta.alpha", 0.5))))) ===
+      Some(And(IsNotNull("v"), Or(StringStartsWith("v", "p"),
+        Not(LessThan("m0.a", 0.5))))))
+    // end-to-end: a renamed column's predicate still answers exactly (the
+    // rewritten filter rides into the parquet reader; a wrong physical
+    // name would row-group-prune live rows away on this disjoint layout)
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.fpush")
+    sql("CREATE TABLE gct.db.fpush (id BIGINT, v STRING, s STRUCT<a: BIGINT>) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.fpush SELECT id, concat('low', id), " +
+      "named_struct('a', id) FROM range(0, 50)")
+    sql("INSERT INTO gct.db.fpush SELECT id, concat('high', id), " +
+      "named_struct('a', id) FROM range(1000, 1050)")
+    sql("ALTER TABLE gct.db.fpush RENAME COLUMN v TO label")
+    sql("ALTER TABLE gct.db.fpush RENAME COLUMN s.a TO alpha")
+    assert(sql("SELECT count(*) AS c FROM gct.db.fpush " +
+      "WHERE label LIKE 'high%'").collect().head.getLong(0) === 50L)
+    assert(sql("SELECT count(*) AS c FROM gct.db.fpush " +
+      "WHERE s.alpha >= 1000").collect().head.getLong(0) === 50L)
+    assert(sql("SELECT label FROM gct.db.fpush WHERE id = 1007")
+      .collect().head.getString(0) === "high1007")
+    // filter on a post-rename ADDed column: absent from old files, the
+    // per-file parquet pushdown skips it there, answers stay exact
+    sql("ALTER TABLE gct.db.fpush ADD COLUMN extra BIGINT")
+    sql("INSERT INTO gct.db.fpush SELECT id, 'tail', named_struct('alpha', id), " +
+      "7L FROM range(2000, 2010)")
+    assert(sql("SELECT count(*) AS c FROM gct.db.fpush WHERE extra = 7")
+      .collect().head.getLong(0) === 10L)
+  }
+
   test("CALL table_changes surfaces the CDF to SQL; cap and option-rejection") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("DROP TABLE IF EXISTS gct.db.tcf")
