@@ -267,6 +267,25 @@ object DsvQueries {
       grouped.withColumn("grouped_stats_answered",
         lit(p.contains("LocalTableScan") && !p.contains("BatchScan")))
     }),
+    "dsv2_limit_pushdown" -> ((s, dir) => {
+      // LIMIT n plans only a prefix of the manifest's files (exact
+      // live-row counts cover n) instead of a task per file — on a
+      // 100 TB table `SELECT * LIMIT 10` becomes one task, not a
+      // cluster-wide scan. The gate pins the planned-partition count of
+      // the scan under the limit.
+      val root = scratch("limp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) st.commit(customer(s, dir), batchId = 0, nFiles = 16)
+      val t = s.read.format("graft").load(root)
+      val lim = t.limit(100)
+      val parts = lim.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.headOption.getOrElse(-1)
+      import s.implicits._
+      Seq((lim.count(), parts >= 1 && parts <= 3))
+        .toDF("cnt", "limit_planned_prefix")
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -831,6 +850,11 @@ object DsvQueries {
         |       min(c_custkey) AS min_key, max(c_custkey) AS max_key,
         |       TRUE AS grouped_stats_answered
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // LIMIT answers exactly while the plan gate pins the file-prefix scan
+    "dsv2_limit_pushdown" ->
+      """SELECT count(*) AS cnt, TRUE AS limit_planned_prefix
+        |FROM (SELECT * FROM customer LIMIT 100)""".stripMargin,
 
     // rename reads old bytes under the new name; the dropped-then-re-added
     // segment column reads NULL (fresh physical storage, no resurrection)

@@ -34,7 +34,23 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
                              options: Map[String, String])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  // ------------------------------------------------------ limit pushdown
+  // `SELECT ... LIMIT n` plans only a PREFIX of the manifest's files —
+  // enough that their exact live-row counts cover n — instead of one
+  // partition per file (Spark only offers the limit when no residual
+  // Filter sits between it and the scan, so every planned row counts).
+  // Partial push: Spark keeps its own Limit on top (isPartiallyPushed),
+  // this just stops a 2000-file table from scheduling 2000 tasks to
+  // answer LIMIT 10. At 100 TB that is the difference between one task
+  // and a cluster-wide scan.
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -172,7 +188,7 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
   override def build(): Scan = aggPush match {
     case Some((schema, rows)) => new GraftAggScan(root, schema, rows)
     case None => new GraftScan(root, tableSchema, required, pushed, options,
-      filtersConsumed)
+      filtersConsumed, pushedLimit)
   }
 }
 
@@ -233,7 +249,8 @@ object GraftScan {
 final class GraftScan(root: String, tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       options: Map[String, String],
-                      filtersConsumed: Boolean = false)
+                      filtersConsumed: Boolean = false,
+                      pushedLimit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -288,7 +305,8 @@ final class GraftScan(root: String, tableSchema: StructType,
     new GraftMicroBatchStream(root, keyField, tableSchema, required,
       pushed, options)
   override def description(): String =
-    s"graft $root, pushed=[${pushed.mkString(", ")}]"
+    s"graft $root, pushed=[${pushed.mkString(", ")}]" +
+      pushedLimit.map(n => s", limit=$n").getOrElse("")
 
   /** Manifest-derived stats of exactly the pruned scan — what AQE and the
     * join planner size broadcast decisions with.
@@ -327,6 +345,23 @@ final class GraftScan(root: String, tableSchema: StructType,
           .UnknownPartitioning(0)
     }
 
+  /** Truncate `files` to the shortest prefix whose EXACT live-row counts
+    * cover the pushed limit — any subset of files yields a subset of the
+    * scan's rows, and Spark's own Limit (kept on top: partial push) takes
+    * the first n of them. Skipped under runtime filters (a limit never
+    * sits directly above a runtime-filtered join scan, so the combination
+    * shouldn't arise — refuse it conservatively if it does) and on
+    * bucketed scans (the SPJ contract needs all N buckets present).
+    */
+  private def limited(files: Seq[ManifestStore.FileEntry])
+      : Seq[ManifestStore.FileEntry] =
+    pushedLimit match {
+      case Some(n) if runtimeFilters.isEmpty =>
+        var acc = 0L
+        files.takeWhile { f => val need = acc < n; acc += f.liveRows; need }
+      case _ => files
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     bucketSpec match {
       case Some(n) =>
@@ -338,7 +373,8 @@ final class GraftScan(root: String, tableSchema: StructType,
         (0 until n).map(b => GraftBucketedPartition(b,
           byBucket.getOrElse(b, Nil).map(_._2).toArray): InputPartition)
           .toArray
-      case None => GraftPartitions.forFiles(root, effectivePlanned).toArray
+      case None =>
+        GraftPartitions.forFiles(root, limited(effectivePlanned)).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -55,6 +55,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).rdd.getNumPartitions == 8)
   }
 
+  test("pushed LIMIT plans only enough files to cover it") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8) // 400 rows -> 8 files of ~50
+    val t = spark.read.format("graft").load(root)
+    // the SCAN's planned partitions (the query's own RDD is CollectLimit's
+    // single partition — not what the limit pushdown controls)
+    def scanParts(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.head
+    val lim = t.limit(10)
+    assert(scanParts(lim) == 1,
+      s"LIMIT 10 should plan 1 file, got ${scanParts(lim)}")
+    assert(lim.count() == 10L)
+    // a limit past the table plans everything and returns everything
+    assert(scanParts(t.limit(1000)) == 8)
+    assert(t.limit(1000).count() == 400L)
+    // ORDER BY blocks the push (no TopN support): full scan, exact answer
+    val sorted = t.orderBy(col("id").desc).limit(3)
+    assert(sorted.select("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(399L, 398L, 397L))
+    // deletion vectors shrink a file's live count; the prefix still covers
+    st.deleteWhere(col("id") < 45L, batchId = 1) // file 1 drops to ~5 live
+    val t2 = spark.read.format("graft").load(root)
+    val lim2 = t2.limit(10)
+    assert(lim2.count() == 10L)
+    assert(scanParts(lim2) <= 2)
+  }
+
   test("deletion-vector masks apply per file inside the reader — no join, no broadcast") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
