@@ -967,6 +967,74 @@ final class ManifestStore(val root: String, spark: SparkSession,
     Some(out.toSeq.map(_.toSeq))
   }
 
+  /** The files that can contain the global top-`n` rows under `ORDER BY
+    * colName [ASC|DESC]` — the planning-time file cut behind TopN
+    * pushdown. A file F is skippable iff at least `n` live rows provably
+    * sort at-or-before EVERY row of F: `covered(F)` = Σ liveRows of files
+    * G whose LAST value (max for ASC, min for DESC) sorts ≤ F's FIRST
+    * value, G ≠ F. On the store's key-range-clustered layout consecutive
+    * files rarely overlap, so `ORDER BY key LIMIT n` keeps roughly
+    * ceil(n / rowsPerFile) files out of thousands. Everything is
+    * conservative toward keeping files: a file without stats for the
+    * column is always kept (and contributes nothing to covered); any file
+    * that may hold nulls in the column vetoes pruning entirely (min/max
+    * know nothing about where null rows live, and either null ordering
+    * can put them in the top-n); deletion-vector staleness only ever
+    * over-keeps (a masked extreme widens F's apparent range). ONE local
+    * job: a sorted sweep over bound events (a file's last value carrying
+    * its liveRows) and probe events (a file's first value), bounds
+    * sorting before probes on ties — the running bound mass at each
+    * probe IS covered, minus the file's own single-value contribution.
+    */
+  private[graft] def topNFiles(m: Manifest, files: Seq[FileEntry],
+                               colName: String, asc: Boolean,
+                               n: Int): Seq[FileEntry] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    val schema = StructType.fromDDL(m.schemaDDL)
+    if (files.isEmpty || n <= 0) return files
+    if (!(colName == keyField || m.statsCols.contains(colName)) ||
+        !schema.fieldNames.contains(colName)) return files
+    if (colName != keyField &&
+        !files.forall(f => nullsOf(m, f, colName).contains(0L))) return files
+    val (statted, unstatted) =
+      files.partition(f => colRange(m, f, colName).isDefined)
+    if (statted.size <= 1) return files
+    val dt = schema(colName).dataType
+    // (name, firstStat, lastStat, live): first/last in the sort direction
+    val rows: Seq[org.apache.spark.sql.Row] = statted.flatMap { f =>
+      val (mn, mx) = colRange(m, f, colName).get
+      if (mn == null || mx == null) return files // stats of an all-null file
+      val (first, last) = if (asc) (mn, mx) else (mx, mn)
+      Seq(
+        org.apache.spark.sql.Row(f.name, first, last, f.liveRows, 1), // probe
+        org.apache.spark.sql.Row(f.name, first, last, f.liveRows, 0)) // bound
+    }
+    val st = StructType(Seq(
+      StructField("_f", StringType, nullable = false),
+      StructField("_first", StringType, nullable = false),
+      StructField("_last", StringType, nullable = false),
+      StructField("_live", LongType, nullable = false),
+      StructField("_probe", IntegerType, nullable = false)))
+    val ev = spark.createDataFrame(rows.asJava, st)
+      .withColumn("_v", statDeserialize(
+        when(col("_probe") === 1, col("_first")).otherwise(col("_last")), dt))
+      .withColumn("_mass", when(col("_probe") === 0, col("_live"))
+        .otherwise(lit(0L)))
+    val order = Seq(if (asc) col("_v").asc else col("_v").desc,
+      col("_probe").asc) // bounds before probes on equal values
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept: Set[String] = ev
+      .withColumn("_cum", sum(col("_mass")).over(w))
+      .filter(col("_probe") === 1)
+      // a single-value file's own bound sorts before its probe: uncount it
+      .withColumn("_covered", col("_cum") -
+        when(col("_first") === col("_last"), col("_live")).otherwise(lit(0L)))
+      .filter(col("_covered") < n)
+      .select("_f").collect().map(_.getString(0)).toSet
+    unstatted ++ statted.filter(f => kept(f.name))
+  }
+
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a
     * [[Changelog.KeyCol]] column, any size — nothing collects beyond the

@@ -286,6 +286,22 @@ object DsvQueries {
       Seq((lim.count(), parts >= 1 && parts <= 3))
         .toDF("cnt", "limit_planned_prefix")
     }),
+    "dsv2_topn_pushdown" -> ((s, dir) => {
+      // ORDER BY key LIMIT n plans only the files that can CONTAIN the
+      // top-n (covered-mass file cut over the key-clustered layout) —
+      // `latest 50 by id` on a 100 TB table reads ~1 file, not the table
+      val root = scratch("limp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) st.commit(customer(s, dir), batchId = 0, nFiles = 16)
+      val t = s.read.format("graft").load(root)
+      val top = t.orderBy(col("c_custkey").desc)
+        .select(col("c_custkey"), col("c_name")).limit(50)
+      val parts = top.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.headOption.getOrElse(-1)
+      top.withColumn("topn_planned_cut", lit(parts >= 1 && parts <= 2))
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -855,6 +871,11 @@ object DsvQueries {
     "dsv2_limit_pushdown" ->
       """SELECT count(*) AS cnt, TRUE AS limit_planned_prefix
         |FROM (SELECT * FROM customer LIMIT 100)""".stripMargin,
+
+    // TopN answers exactly (unique key -> deterministic) under the cut gate
+    "dsv2_topn_pushdown" ->
+      """SELECT c_custkey, c_name, TRUE AS topn_planned_cut
+        |FROM customer ORDER BY c_custkey DESC LIMIT 50""".stripMargin,
 
     // rename reads old bytes under the new name; the dropped-then-re-added
     // segment column reads NULL (fresh physical storage, no resurrection)

@@ -35,7 +35,31 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+
+  // ------------------------------------------------------ topN pushdown
+  // `ORDER BY col LIMIT n` plans only the files that can CONTAIN the
+  // top-n ([[graft.cdc.ManifestStore.topNFiles]]): on the key-clustered
+  // layout that is ~ceil(n / rowsPerFile) files, not the table. Partial
+  // push — Spark keeps its Sort+Limit on top, so answers stay exact; the
+  // file cut only skips files provably preceded by n rows.
+  private var pushedTopN: Option[(String, Boolean, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (orders.length != 1) return false
+    orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          tableSchema.fieldNames.contains(nr.fieldNames().head) =>
+        pushedTopN = Some((nr.fieldNames().head,
+          orders.head.direction() == SortDirection.ASCENDING, limit))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // ------------------------------------------------------ limit pushdown
   // `SELECT ... LIMIT n` plans only a PREFIX of the manifest's files —
@@ -188,7 +212,7 @@ final class GraftScanBuilder(root: String, tableSchema: StructType,
   override def build(): Scan = aggPush match {
     case Some((schema, rows)) => new GraftAggScan(root, schema, rows)
     case None => new GraftScan(root, tableSchema, required, pushed, options,
-      filtersConsumed, pushedLimit)
+      filtersConsumed, pushedLimit, pushedTopN)
   }
 }
 
@@ -250,7 +274,8 @@ final class GraftScan(root: String, tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       options: Map[String, String],
                       filtersConsumed: Boolean = false,
-                      pushedLimit: Option[Int] = None)
+                      pushedLimit: Option[Int] = None,
+                      pushedTopN: Option[(String, Boolean, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -306,7 +331,9 @@ final class GraftScan(root: String, tableSchema: StructType,
       pushed, options)
   override def description(): String =
     s"graft $root, pushed=[${pushed.mkString(", ")}]" +
-      pushedLimit.map(n => s", limit=$n").getOrElse("")
+      pushedLimit.map(n => s", limit=$n").getOrElse("") +
+      pushedTopN.map { case (c, asc, n) =>
+        s", top=$n by $c ${if (asc) "asc" else "desc"}" }.getOrElse("")
 
   /** Manifest-derived stats of exactly the pruned scan — what AQE and the
     * join planner size broadcast decisions with.
@@ -355,10 +382,12 @@ final class GraftScan(root: String, tableSchema: StructType,
     */
   private def limited(files: Seq[ManifestStore.FileEntry])
       : Seq[ManifestStore.FileEntry] =
-    pushedLimit match {
-      case Some(n) if runtimeFilters.isEmpty =>
+    (pushedLimit, pushedTopN) match {
+      case (Some(n), _) if runtimeFilters.isEmpty =>
         var acc = 0L
         files.takeWhile { f => val need = acc < n; acc += f.liveRows; need }
+      case (_, Some((c, asc, n))) if runtimeFilters.isEmpty =>
+        store.topNFiles(manifest, files, c, asc, n)
       case _ => files
     }
 

@@ -55,18 +55,20 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).rdd.getNumPartitions == 8)
   }
 
+  /** The SCAN's planned partitions (the query's own RDD is CollectLimit's
+    * single partition — not what limit/topN pushdown controls).
+    */
+  private def scanParts(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.head
+
   test("pushed LIMIT plans only enough files to cover it") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
     st.commit(seedDf, batchId = 0, nFiles = 8) // 400 rows -> 8 files of ~50
     val t = spark.read.format("graft").load(root)
-    // the SCAN's planned partitions (the query's own RDD is CollectLimit's
-    // single partition — not what the limit pushdown controls)
-    def scanParts(df: DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.size
-      }.head
     val lim = t.limit(10)
     assert(scanParts(lim) == 1,
       s"LIMIT 10 should plan 1 file, got ${scanParts(lim)}")
@@ -74,16 +76,38 @@ class GraftDataSourceSpec extends SparkSpec {
     // a limit past the table plans everything and returns everything
     assert(scanParts(t.limit(1000)) == 8)
     assert(t.limit(1000).count() == 400L)
-    // ORDER BY blocks the push (no TopN support): full scan, exact answer
-    val sorted = t.orderBy(col("id").desc).limit(3)
-    assert(sorted.select("id").collect().map(_.getLong(0)).toSeq ===
-      Seq(399L, 398L, 397L))
     // deletion vectors shrink a file's live count; the prefix still covers
     st.deleteWhere(col("id") < 45L, batchId = 1) // file 1 drops to ~5 live
     val t2 = spark.read.format("graft").load(root)
     val lim2 = t2.limit(10)
     assert(lim2.count() == 10L)
     assert(scanParts(lim2) <= 2)
+  }
+
+  test("pushed TopN plans only the files that can hold the top-n") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8) // 400 keys -> 8 files of ~50
+    val t = spark.read.format("graft").load(root)
+    val asc3 = t.orderBy(col("id")).limit(3)
+    assert(scanParts(asc3) == 1,
+      s"top-3 by clustered key should plan 1 file, got ${scanParts(asc3)}")
+    assert(asc3.select("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(0L, 1L, 2L))
+    val desc3 = t.orderBy(col("id").desc).limit(3)
+    assert(scanParts(desc3) == 1)
+    assert(desc3.select("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(399L, 398L, 397L))
+    // a top-n spanning several files keeps exactly the covering prefix
+    val asc120 = t.orderBy(col("id")).limit(120)
+    assert(scanParts(asc120) == 3, s"got ${scanParts(asc120)}")
+    assert(asc120.select("id").collect().map(_.getLong(0)).toSeq ===
+      (0L until 120L).toSeq)
+    // the key never holds nulls, so the veto path needs a stats column:
+    // order by an unstatted column -> no pruning, exact answer
+    val byName = t.orderBy(col("name")).limit(5)
+    assert(scanParts(byName) == 8)
+    assert(byName.count() == 5L)
   }
 
   test("deletion-vector masks apply per file inside the reader — no join, no broadcast") {
