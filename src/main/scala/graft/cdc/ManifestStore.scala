@@ -1035,6 +1035,131 @@ final class ManifestStore(val root: String, spark: SparkSession,
     unstatted ++ statted.filter(f => kept(f.name))
   }
 
+  /** RESTORE TABLE to `targetVersion` — Delta's RESTORE semantics: ONE
+    * new commit whose file set, schema, stats columns and column mapping
+    * are the target version's, so history is PRESERVED (time travel still
+    * sees every version, including the pre-restore present, and a restore
+    * can itself be undone by another restore). Pure metadata — zero data
+    * I/O — UNLESS the table captures a change data feed: then the commit
+    * also captures the keyed diff present→target (delete / update / insert
+    * images), one scan of each side, so feed consumers see the restore as
+    * the data change it is (Delta emits the same). Columns renamed
+    * between the two versions diff through their PHYSICAL identity (same
+    * storage = same column). Refuses loudly when any target file was
+    * vacuumed or the target fell off the retained log.
+    */
+  def restore(targetVersion: Long, streamId: String = "restore"): Long =
+    SnapshotStore.withCommitLock(root) {
+      val cur = currentManifest.getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to restore"))
+      require(targetVersion >= 0 && targetVersion < cur.version,
+        s"restore target must be a past version: asked $targetVersion, " +
+          s"current is ${cur.version}")
+      val tgt = manifest(targetVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $targetVersion of $root is not in the retained log " +
+            "(expired past the checkpoint horizon)"))
+      tgt.files.foreach(f => (f.name +: f.dv.toSeq).foreach(n =>
+        if (!Files.exists(Paths.get(root, "files", n)))
+          throw new IllegalStateException(
+            s"cannot restore $root to version $targetVersion: " +
+              s"file $n was vacuumed")))
+      val cdc = if (!cdfEnabled) None else {
+        val sch = StructType.fromDDL(tgt.schemaDDL)
+        // project BOTH sides onto the target's logical shape, resolving
+        // columns by physical name (a rename between the versions is the
+        // same storage; a column that genuinely didn't exist reads null)
+        def proj(m: Manifest, a: String) = {
+          val df = readFiles(m, m.files)
+          val physToLogical: Map[String, String] = StructType
+            .fromDDL(m.schemaDDL).fieldNames.map(c => m.phys(c) -> c).toMap
+          df.select(sch.fieldNames.toSeq.map { c =>
+            (physToLogical.get(tgt.phys(c)) match {
+              case Some(lc) if df.columns.contains(lc) => col(s"`$lc`")
+              case _                                   => lit(null)
+            }).cast(sch(c).dataType).as(c)
+          }: _*).alias(a)
+        }
+        val c = proj(cur, "c")
+        val t = proj(tgt, "t")
+        val ck = col(s"c.$keyField")
+        val tk = col(s"t.$keyField")
+        val joined = c.join(t, ck === tk, "full_outer")
+        def side(a: String) =
+          struct(sch.fieldNames.toSeq.map(f => col(s"$a.`$f`")): _*)
+        def img(a: String, tag: String) =
+          sch.fieldNames.toSeq.map(f => col(s"$a.`$f`").as(f)) :+
+            lit(tag).as(ManifestStore.ChangeTypeCol)
+        val deletes = joined.filter(tk.isNull)
+          .select(img("c", ManifestStore.CdfDelete): _*)
+        val inserts = joined.filter(ck.isNull)
+          .select(img("t", ManifestStore.CdfInsert): _*)
+        val changed = joined.filter(ck.isNotNull && tk.isNotNull &&
+          !(side("c") <=> side("t")))
+        writeCdcFile(deletes
+          .unionByName(inserts)
+          .unionByName(changed.select(img("c", ManifestStore.CdfUpdatePre): _*))
+          .unionByName(changed.select(img("t", ManifestStore.CdfUpdatePost): _*)),
+          tgt.colMap)
+      }
+      // fresh statement lineage, like every SQL write path
+      writeManifestAndSwap(cur.version + 1, cur.version + 1, streamId,
+        tgt.schemaDDL, tgt.files, tgt.statsCols, cdc = cdc,
+        mappingOverride = Some((tgt.colMap, tgt.droppedPhys)))
+      cur.version + 1
+    }
+
+  /** SHALLOW CLONE: seed a NEW table at `targetRoot` whose version 0 is
+    * this table's current content — ZERO data copy. Data files and
+    * deletion-vector sidecars are HARDLINKED (same filesystem: an
+    * O(#files) metadata operation regardless of table size; a filesystem
+    * that refuses links degrades to a per-file copy, loudly slower but
+    * correct). The link makes both tables fully independent afterwards:
+    * either side's writes, optimize or vacuum never touch the other
+    * (deleting a link only drops its own directory entry). Table-level
+    * properties (_TBLPROPS: partitioning, buckets, key, cdf) travel;
+    * history and captured change files do NOT — the clone starts fresh at
+    * version 0, exactly like Delta's CLONE. Refuses an existing target.
+    */
+  def cloneTo(targetRoot: String, streamId: String = "clone"): Long = {
+    val m = currentManifest.getOrElse(throw new IllegalStateException(
+      s"no current version at $root — nothing to clone"))
+    val tgt = Paths.get(targetRoot)
+    require(!Files.exists(tgt.resolve("_CURRENT")),
+      s"clone target $targetRoot is already a graft table")
+    Files.createDirectories(tgt.resolve("files"))
+    def linkOne(src: Path, dst: Path): Unit =
+      if (!Files.exists(dst)) {
+        try { Files.createLink(dst, src); () }
+        catch {
+          case _: UnsupportedOperationException | _: SecurityException =>
+            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    def link(rel: String): Unit = {
+      val src = Paths.get(root, "files", rel)
+      val dst = tgt.resolve("files").resolve(rel)
+      if (Files.isDirectory(src)) { // a deletion-vector sidecar directory
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.iterator().asScala.foreach(p =>
+          linkOne(p, dst.resolve(p.getFileName.toString)))
+        finally s.close()
+      } else linkOne(src, dst)
+    }
+    m.files.foreach { f => link(f.name); f.dv.foreach(link) }
+    val props = Paths.get(root, "_TBLPROPS")
+    if (Files.exists(props)) {
+      Files.copy(props, tgt.resolve("_TBLPROPS"),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    val target = new ManifestStore(targetRoot, spark, keyField)
+    target.writeManifestAndSwap(0L, 0L, streamId, m.schemaDDL, m.files,
+      m.statsCols, mappingOverride = Some((m.colMap, m.droppedPhys)))
+    0L
+  }
+
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a
     * [[Changelog.KeyCol]] column, any size — nothing collects beyond the

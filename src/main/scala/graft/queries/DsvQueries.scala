@@ -302,6 +302,31 @@ object DsvQueries {
       }.headOption.getOrElse(-1)
       top.withColumn("topn_planned_cut", lit(parts >= 1 && parts <= 2))
     }),
+    "dsv2_restore_clone" -> ((s, dir) => {
+      // table lifecycle: RESTORE resets content to a past version as one
+      // metadata commit (history intact), CLONE hardlinks the current
+      // content into an independent zero-copy table — both O(#files), no
+      // data I/O, which is what makes them usable on a 100 TB table
+      val root = scratch("rstc", dir)
+      val cloneRoot = scratch("rstc_clone", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8) // v0
+        st.deleteWhere(col("c_custkey") <= 100, batchId = 1) // v1
+        st.restore(0L)                                       // v2 = v0 again
+        st.cloneTo(cloneRoot)                                // clone of v2
+        st.deleteWhere(col("c_custkey") <= 100, batchId = 3) // v3 diverges
+      }
+      val restored = s.read.format("graft")
+        .option("versionAsOf", "2").load(root).count()
+      val cloneRows = s.read.format("graft").load(cloneRoot).count()
+      val srcRows = s.read.format("graft").load(root).count()
+      val histOk = s.read.format("graft")
+        .option("versionAsOf", "1").load(root).count() == srcRows
+      import s.implicits._
+      Seq((restored, cloneRows, srcRows, histOk))
+        .toDF("restored_rows", "clone_rows", "src_rows", "independent")
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -876,6 +901,15 @@ object DsvQueries {
     "dsv2_topn_pushdown" ->
       """SELECT c_custkey, c_name, TRUE AS topn_planned_cut
         |FROM customer ORDER BY c_custkey DESC LIMIT 50""".stripMargin,
+
+    // restore brings every row back; the clone keeps them after the
+    // source diverges; history stays addressable
+    "dsv2_restore_clone" ->
+      """SELECT (SELECT count(*) FROM customer) AS restored_rows,
+        |       (SELECT count(*) FROM customer) AS clone_rows,
+        |       (SELECT count(*) FROM customer
+        |        WHERE c_custkey > 100) AS src_rows,
+        |       TRUE AS independent""".stripMargin,
 
     // rename reads old bytes under the new name; the dropped-then-re-added
     // segment column reads NULL (fresh physical storage, no resurrection)

@@ -441,6 +441,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val key = GraftTable.resolve(root, Map.empty)._2
     new ManifestStore(root, SparkSession.active, key)
   }
+
+  /** The warehouse directory a NEW table named `table` would occupy —
+    * for CLONE targets: the namespace must exist, the table must not.
+    */
+  private[spark] def newTableRoot(table: String): String = {
+    val ident = table.split('.') match {
+      case Array(t)     => Identifier.of(Array("default"), t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be 'tbl' or 'ns.tbl', got '$table'")
+    }
+    val dir = tableDir(ident)
+    if (!Files.isDirectory(dir.getParent))
+      throw new NoSuchNamespaceException(ident.namespace())
+    require(!isTable(dir), s"table $table already exists")
+    dir.toString
+  }
 }
 
 object GraftCatalog {
@@ -466,6 +483,8 @@ private[spark] object GraftProcedures {
     "history"  -> (c => new HistoryProcedure(c)),
     "zorder"   -> (c => new ZorderProcedure(c)),
     "detail"   -> (c => new DetailProcedure(c)),
+    "restore"  -> (c => new RestoreProcedure(c)),
+    "clone"    -> (c => new CloneProcedure(c)),
     "table_changes" -> (c => new TableChangesProcedure(c)))
 
   private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -602,6 +621,52 @@ private[spark] object GraftProcedures {
     * which streams the same change files with no cap. The cap bounds
     * driver memory at O(max_rows), never O(changed rows).
     */
+  /** `CALL graft.system.restore(table => 'ns.t', version => 3)` — reset
+    * the table's content to a past version as ONE new commit; history
+    * stays intact (the restore is itself undoable). See
+    * [[graft.cdc.ManifestStore.restore]].
+    */
+  final class RestoreProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "restore") {
+    override def description(): String =
+      "reset table content to a past version (history preserved)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("version", LongType))
+    private val outSchema = StructType(Seq(
+      StructField("restored_to", LongType),
+      StructField("new_version", LongType),
+      StructField("files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val target = input.getLong(1)
+      val v = st.restore(target)
+      one(outSchema, target, v,
+        st.currentManifest.map(_.files.size).getOrElse(0))
+    }
+  }
+
+  /** `CALL graft.system.clone(source => 'ns.t', target => 'ns.t2')` —
+    * shallow clone: a new table whose version 0 is the source's current
+    * content, hardlinked (zero data copy). See
+    * [[graft.cdc.ManifestStore.cloneTo]].
+    */
+  final class CloneProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "clone") {
+    override def description(): String =
+      "shallow-clone a table's current content into a new table (zero copy)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("source", StringType), in("target", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("cloned_files", IntegerType),
+      StructField("target_version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val targetRoot = catalog.newTableRoot(input.getUTF8String(1).toString)
+      val v = st.cloneTo(targetRoot)
+      one(outSchema, st.currentManifest.map(_.files.size).getOrElse(0), v)
+    }
+  }
+
   final class TableChangesProcedure(catalog: GraftCatalog)
     extends GraftProcedure(catalog, "table_changes") {
     override def description(): String =

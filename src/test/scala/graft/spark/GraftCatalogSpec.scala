@@ -370,6 +370,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(det.head.getLong(6) > 0L)      // bytes from the manifest
   }
 
+  test("CALL restore resets content to a past version; history survives") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.rst")
+    sql("CREATE TABLE gct.db.rst (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")                       // version 0, empty
+    sql("INSERT INTO gct.db.rst VALUES (1, 'a'), (2, 'b')") // version 1
+    sql("INSERT INTO gct.db.rst VALUES (3, 'c')")           // version 2
+    sql("DELETE FROM gct.db.rst WHERE id = 1")              // version 3
+    assert(sql("SELECT count(*) FROM gct.db.rst").head.getLong(0) === 2L)
+    val r = sql("CALL gct.system.restore(table => 'db.rst', version => 1)")
+      .collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 4L)
+    assert(sql("SELECT v FROM gct.db.rst ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    // history intact: the pre-restore present is still addressable...
+    assert(sql("SELECT count(*) FROM gct.db.rst VERSION AS OF 3")
+      .head.getLong(0) === 2L)
+    // ...which makes the restore itself undoable
+    sql("CALL gct.system.restore(table => 'db.rst', version => 3)")
+    assert(sql("SELECT count(*) FROM gct.db.rst").head.getLong(0) === 2L)
+    assert(sql("SELECT max(id) FROM gct.db.rst").head.getLong(0) === 3L)
+    // writes continue normally on the restored state
+    sql("INSERT INTO gct.db.rst VALUES (4, 'd')")
+    assert(sql("SELECT count(*) FROM gct.db.rst").head.getLong(0) === 3L)
+    // a non-past target is refused
+    val err = intercept[Exception](
+      sql("CALL gct.system.restore(table => 'db.rst', version => 99)"))
+    assert(err.getMessage.contains("past version"), err.getMessage)
+  }
+
+  test("CALL clone creates an independent zero-copy table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.csrc")
+    sql("DROP TABLE IF EXISTS gct.db.cdst")
+    sql("CREATE TABLE gct.db.csrc (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.csrc SELECT id, concat('v', id) FROM range(0, 200)")
+    sql("DELETE FROM gct.db.csrc WHERE id < 10") // a DV sidecar travels too
+    val r = sql("CALL gct.system.clone(source => 'db.csrc', " +
+      "target => 'db.cdst')").collect().head
+    assert(r.getLong(1) === 0L, "clone starts at version 0")
+    assert(sql("SELECT count(*) FROM gct.db.cdst").head.getLong(0) === 190L)
+    // the sides are independent: diverging writes never cross
+    sql("INSERT INTO gct.db.cdst VALUES (1000, 'clone-only')")
+    sql("DELETE FROM gct.db.csrc WHERE id >= 100")
+    assert(sql("SELECT count(*) FROM gct.db.cdst").head.getLong(0) === 191L)
+    assert(sql("SELECT count(*) FROM gct.db.csrc").head.getLong(0) === 90L)
+    // vacuuming the source must not break the clone's hardlinked files
+    sql("CALL gct.system.optimize(table => 'db.csrc', target_files => 2)")
+    sql("CALL gct.system.vacuum(table => 'db.csrc', keep_last => 1)")
+    assert(sql("SELECT count(*) FROM gct.db.cdst").head.getLong(0) === 191L)
+    // an existing target is refused
+    val err = intercept[Exception](
+      sql("CALL gct.system.clone(source => 'db.csrc', target => 'db.cdst')"))
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+  }
+
   test("predicate pushdown prunes catalog-resolved scans at planning time") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("CREATE TABLE gct.db.p (id BIGINT, v STRING) TBLPROPERTIES ('key'='id')")

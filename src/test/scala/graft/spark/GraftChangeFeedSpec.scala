@@ -296,4 +296,33 @@ class GraftChangeFeedSpec extends SparkSpec {
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(replica == source)
   }
+
+  test("restore on a CDF table captures the keyed diff as feed rows") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4) // v0: ids 0..99
+    // v1: update 0, insert 200, delete 1
+    st.merge(netDf(Seq(
+      (0L, "u", Some("v1"), 100L), (200L, "u", Some("fresh"), 100L),
+      (1L, "d", None, 100L))), fields, batchId = 1)
+    // v2: restore to v0 — the diff UNDOES v1: 0 back to n0 (update),
+    // 200 gone (delete), 1 back (insert)
+    val v = st.restore(0L)
+    assert(v === 2L)
+    assert(rowsOf(feed(st.root, 2, 2)) === Set(
+      (0L, "v1", "update_preimage", 2L),
+      (0L, "n0", "update_postimage", 2L),
+      (200L, "fresh", "delete", 2L),
+      (1L, "n1", "insert", 2L)))
+    // content is v0's again; history (and its feed) intact
+    assert(st.read().get.count() === 100L)
+    assert(rowsOf(feed(st.root, 1, 1))
+      .exists(_ == (200L, "fresh", "insert", 1L)))
+    // restore on a NON-cdf table is pure metadata and still correct
+    val plain = store(cdf = false)
+    plain.commit(seedDf, batchId = 0, nFiles = 2)
+    plain.merge(netDf(Seq((5L, "d", None, 50L))), fields, batchId = 1)
+    assert(plain.read().get.count() === 99L)
+    plain.restore(0L)
+    assert(plain.read().get.count() === 100L)
+  }
 }
