@@ -325,12 +325,21 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
                                      dataSchema: StructType,
                                      options: Map[String, String])
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
   private val ignoreChanges =
     options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
+
+  /** `Trigger.AvailableNow`: drain the feed up to the version current at
+    * query start (paced by `maxVersionsPerTrigger` if capped), then
+    * terminate — same contract as the tail source.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.current.map(_._1).getOrElse(-1L))
   private val maxVersions: Option[Long] = options.collectFirst {
     case (k, v) if k.equalsIgnoreCase("maxversionspertrigger") => v.toLong
   }.map { n =>
@@ -343,7 +352,8 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val cur = store.current.map(_._1).getOrElse(-1L)
+    val live = store.current.map(_._1).getOrElse(-1L)
+    val cur = availableNowCap.fold(live)(math.min(live, _))
     val s = start.asInstanceOf[GraftOffset].version
     GraftOffset(maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)

@@ -40,7 +40,8 @@ final class GraftMicroBatchStream(root: String, keyField: String,
                                   pushed: Array[Filter],
                                   options: Map[String, String])
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
@@ -48,6 +49,15 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
   private val ignoreDeletes =
     options.exists(kv => kv._1.equalsIgnoreCase("ignoredeletes") && kv._2.toBoolean)
+
+  /** `Trigger.AvailableNow`: pin the batch horizon to the version current
+    * AT QUERY START — the run drains up to it (in `maxVersionsPerTrigger`
+    * paced batches if capped) and terminates; commits landing mid-run
+    * wait for the next scheduled run. Delta's backfill contract.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.current.map(_._1).getOrElse(-1L))
   private val maxVersions: Option[Long] = options.collectFirst {
     case (k, v) if k.equalsIgnoreCase("maxversionspertrigger") => v.toLong
   }.map { n =>
@@ -77,7 +87,8 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val cur = store.current.map(_._1).getOrElse(-1L)
+    val live = store.current.map(_._1).getOrElse(-1L)
+    val cur = availableNowCap.fold(live)(math.min(live, _))
     val s = start.asInstanceOf[GraftOffset].version
     GraftOffset(maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)

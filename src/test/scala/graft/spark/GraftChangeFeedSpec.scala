@@ -297,6 +297,41 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(replica == source)
   }
 
+  test("Trigger.AvailableNow drains the feed in paced batches, then stops") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    (1 to 3).foreach(i => st.merge(
+      netDf(Seq((i.toLong, "u", Some(s"a$i"), i * 10L))), fields,
+      batchId = i))
+    val ckpt = Files.createTempDirectory("cdfan_ck").toString
+    val out = Files.createTempDirectory("cdfan_out").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load(st.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    val q = run()
+    // AvailableNow terminates BY ITSELF once the prepared horizon drains
+    assert(q.awaitTermination(120000), "AvailableNow query must self-stop")
+    assert(spark.read.parquet(out).count() === 6L) // 3 epochs x (pre+post)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >= 3 paced batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    // a fresh AvailableNow run resumes from the checkpoint and drains
+    // exactly the commits that landed after the first run
+    st.merge(netDf(Seq((7L, "u", Some("late"), 99L))), fields, batchId = 9)
+    val q2 = run()
+    assert(q2.awaitTermination(120000))
+    assert(spark.read.parquet(out).count() === 8L,
+      "second drain must add just the late epoch's pre+post images")
+  }
+
   test("restore on a CDF table captures the keyed diff as feed rows") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4) // v0: ids 0..99

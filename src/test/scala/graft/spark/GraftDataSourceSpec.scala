@@ -214,6 +214,30 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: Trigger.AvailableNow drains the tail and self-stops") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    st.merge(netDf((100L until 110L).map(i => (i, "c", Some(s"n$i"), 5L))),
+      fields, batchId = 1)
+    val ckpt = Files.createTempDirectory("avnow_ck").toString
+    val out = Files.createTempDirectory("avnow_out").toString
+    def run() = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val q = run()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-stop")
+    assert(spark.read.parquet(out).count() === 110L)
+    // the next scheduled run picks up exactly what landed in between
+    st.merge(netDf(Seq((500L, "c", Some("late"), 9L))), fields, batchId = 2)
+    val q2 = run()
+    assert(q2.awaitTermination(120000))
+    assert(spark.read.parquet(out).count() === 111L)
+  }
+
   test("streaming: rewriting commits throw without ignoreChanges, pass with it") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
