@@ -234,6 +234,29 @@ object ManifestStore {
     * without an entry pass through unchanged, so the helper is safe on
     * pruned subsets and on frames carrying writer-internal columns.
     */
+  /** Driver-side parser + ordering for serialized per-file stats, when the
+    * type's string form is primitively parseable — the fast path of
+    * [[ManifestStore.topNFiles]]. Timestamps serialize as epoch micros
+    * (see `statDeserialize`), ISO dates order lexicographically. Types
+    * not listed (decimals, binaries) return None and callers fall back to
+    * the typed in-Spark compare.
+    */
+  private[cdc] def statParser(dt: org.apache.spark.sql.types.DataType)
+      : Option[(String => Any, Ordering[Any])] = {
+    import org.apache.spark.sql.types._
+    def ord[T](implicit o: Ordering[T]): Ordering[Any] =
+      o.asInstanceOf[Ordering[Any]]
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+        Some(((s: String) => s.toLong, ord[Long]))
+      case FloatType | DoubleType =>
+        Some(((s: String) => s.toDouble, ord[Double]))
+      case StringType | DateType =>
+        Some(((s: String) => s, ord[String]))
+      case _ => None
+    }
+  }
+
   def toPhysical(logical: StructType, colMap: Map[String, String]): StructType =
     if (colMap.isEmpty) logical
     else StructType(logical.fields.map { f =>
@@ -1000,39 +1023,75 @@ final class ManifestStore(val root: String, spark: SparkSession,
       files.partition(f => colRange(m, f, colName).isDefined)
     if (statted.size <= 1) return files
     val dt = schema(colName).dataType
-    // (name, firstStat, lastStat, live): first/last in the sort direction
-    val rows: Seq[org.apache.spark.sql.Row] = statted.flatMap { f =>
+    // (file, firstStat, lastStat): first/last in the sort direction
+    val pairs: Seq[(FileEntry, String, String)] = statted.map { f =>
       val (mn, mx) = colRange(m, f, colName).get
       if (mn == null || mx == null) return files // stats of an all-null file
-      val (first, last) = if (asc) (mn, mx) else (mx, mn)
-      Seq(
-        org.apache.spark.sql.Row(f.name, first, last, f.liveRows, 1), // probe
-        org.apache.spark.sql.Row(f.name, first, last, f.liveRows, 0)) // bound
+      if (asc) (f, mn, mx) else (f, mx, mn)
     }
-    val st = StructType(Seq(
-      StructField("_f", StringType, nullable = false),
-      StructField("_first", StringType, nullable = false),
-      StructField("_last", StringType, nullable = false),
-      StructField("_live", LongType, nullable = false),
-      StructField("_probe", IntegerType, nullable = false)))
-    val ev = spark.createDataFrame(rows.asJava, st)
-      .withColumn("_v", statDeserialize(
-        when(col("_probe") === 1, col("_first")).otherwise(col("_last")), dt))
-      .withColumn("_mass", when(col("_probe") === 0, col("_live"))
-        .otherwise(lit(0L)))
-    val order = Seq(if (asc) col("_v").asc else col("_v").desc,
-      col("_probe").asc) // bounds before probes on equal values
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val kept: Set[String] = ev
-      .withColumn("_cum", sum(col("_mass")).over(w))
-      .filter(col("_probe") === 1)
-      // a single-value file's own bound sorts before its probe: uncount it
-      .withColumn("_covered", col("_cum") -
-        when(col("_first") === col("_last"), col("_live")).otherwise(lit(0L)))
-      .filter(col("_covered") < n)
-      .select("_f").collect().map(_.getString(0)).toSet
-    unstatted ++ statted.filter(f => kept(f.name))
+    // DRIVER fast path for primitively-parseable stat types: the sweep is
+    // O(F log F) local work, no Spark job on the planning path. Types the
+    // parser doesn't know fall back to the typed Spark-job sweep below —
+    // identical semantics through statDeserialize.
+    ManifestStore.statParser(dt) match {
+      case Some((parse, baseOrd)) =>
+        val ord = if (asc) baseOrd else baseOrd.reverse
+        // events: (value, kind) — bounds (kind 0, carrying live mass)
+        // sort before probes (kind 1) on equal values
+        val events: Seq[(Any, Int, FileEntry)] = pairs.flatMap {
+          case (fe, first, last) =>
+            Seq((parse(last), 0, fe), (parse(first), 1, fe))
+        }
+        val sorted = events.sortWith { case ((v1, k1, _), (v2, k2, _)) =>
+          val c = ord.compare(v1, v2)
+          if (c != 0) c < 0 else k1 < k2
+        }
+        // a single-value file's own bound sweeps before its probe: uncount
+        val selfMass: Map[String, Long] = pairs.collect {
+          case (fe, a, b) if a == b => fe.name -> fe.liveRows
+        }.toMap
+        var cum = 0L
+        val kept = Set.newBuilder[String]
+        sorted.foreach {
+          case (_, 0, fe) => cum += fe.liveRows
+          case (_, _, fe) =>
+            if (cum - selfMass.getOrElse(fe.name, 0L) < n) kept += fe.name
+        }
+        val keptSet = kept.result()
+        unstatted ++ statted.filter(f => keptSet(f.name))
+      case None =>
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+        val rows: Seq[org.apache.spark.sql.Row] = pairs.flatMap {
+          case (fe, first, last) => Seq(
+            org.apache.spark.sql.Row(fe.name, first, last, fe.liveRows, 1),
+            org.apache.spark.sql.Row(fe.name, first, last, fe.liveRows, 0))
+        }
+        val st = StructType(Seq(
+          StructField("_f", StringType, nullable = false),
+          StructField("_first", StringType, nullable = false),
+          StructField("_last", StringType, nullable = false),
+          StructField("_live", LongType, nullable = false),
+          StructField("_probe", IntegerType, nullable = false)))
+        val ev = spark.createDataFrame(rows.asJava, st)
+          .withColumn("_v", statDeserialize(
+            when(col("_probe") === 1, col("_first")).otherwise(col("_last")), dt))
+          .withColumn("_mass", when(col("_probe") === 0, col("_live"))
+            .otherwise(lit(0L)))
+        val order = Seq(if (asc) col("_v").asc else col("_v").desc,
+          col("_probe").asc)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val kept: Set[String] = ev
+          .withColumn("_cum", sum(col("_mass")).over(w))
+          .filter(col("_probe") === 1)
+          .withColumn("_covered", col("_cum") -
+            when(col("_first") === col("_last"), col("_live"))
+              .otherwise(lit(0L)))
+          .filter(col("_covered") < n)
+          .select("_f").collect().map(_.getString(0)).toSet
+        unstatted ++ statted.filter(f => kept(f.name))
+    }
   }
 
   /** RESTORE TABLE to `targetVersion` — Delta's RESTORE semantics: ONE

@@ -327,6 +327,22 @@ object DsvQueries {
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
     }),
+    "dsv2_file_metadata" -> ((s, dir) => {
+      // `_file` metadata column: per-row provenance synthesized by the
+      // reader as a per-file constant — the handle maintenance queries
+      // (skew diagnosis, bad-file quarantine) need, same role as Delta's
+      // _metadata.file_name
+      val root = scratch("limp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) st.commit(customer(s, dir), batchId = 0, nFiles = 16)
+      val t = s.read.format("graft").load(root)
+      val perFile = t.select(col("c_custkey"), col("_file"))
+        .groupBy(col("_file")).count()
+      val filesOk = perFile.count() == 16L
+      import s.implicits._
+      Seq((t.select(col("_file")).count(), filesOk))
+        .toDF("cnt", "provenance_ok")
+    }),
     "dsv2_column_mapping" -> columnMapping)
 
   /** The reference's WHOLE pipeline as one declarative streaming query:
@@ -901,6 +917,11 @@ object DsvQueries {
     "dsv2_topn_pushdown" ->
       """SELECT c_custkey, c_name, TRUE AS topn_planned_cut
         |FROM customer ORDER BY c_custkey DESC LIMIT 50""".stripMargin,
+
+    // every row reports a provenance file; the file census is exact
+    "dsv2_file_metadata" ->
+      """SELECT count(*) AS cnt, TRUE AS provenance_ok
+        |FROM customer""".stripMargin,
 
     // restore brings every row back; the clone keeps them after the
     // source diverges; history stays addressable

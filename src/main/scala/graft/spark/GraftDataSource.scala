@@ -220,16 +220,32 @@ final class GraftTable(val root: String, tableSchema: StructType,
     else base
   }
 
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (!hiddenTs) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = graft.cdc.Merge.LastTsCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        tableSchema(graft.cdc.Merge.LastTsCol).dataType
-      override def isNullable: Boolean = true
-      override def comment(): String =
-        "store-maintained CDC row version (merge timestamp guard)"
-    })
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val lastTs =
+      if (!hiddenTs) Nil
+      else Seq(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = graft.cdc.Merge.LastTsCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          tableSchema(graft.cdc.Merge.LastTsCol).dataType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "store-maintained CDC row version (merge timestamp guard)"
+      })
+    // `_file`: per-row provenance, synthesized by the reader as a
+    // per-file constant. Shadowed by a data column of the same name;
+    // absent on feed reads (the CDF scan has its own column set).
+    val file =
+      if (cdfRead || effSchema.fieldNames.contains(GraftPartitions.FileCol)) Nil
+      else Seq(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftPartitions.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "name of the graft data file this row came from"
+      })
+    (lastTs ++ file).toArray
+  }
   /** Identity partitioning (`PARTITIONED BY (col)` / table property
     * `partitioncol`): reported so Spark plans `INSERT OVERWRITE` under
     * partitionOverwriteMode=dynamic as OverwritePartitionsDynamic —

@@ -471,6 +471,12 @@ final class GraftConcatReader[T](parts: Array[() => PartitionReader[T]])
 object GraftPartitions {
   import java.nio.file.{Files, Paths}
 
+  /** The `_file` METADATA column (per-row provenance: which data file the
+    * row came from — maintenance and skew diagnostics). Synthesized by
+    * the reader as a per-file constant, never read from parquet.
+    */
+  val FileCol = "_file"
+
   /** Rewrite a pushed v1 [[Filter]]'s attribute names logical→physical so
     * it can ride into the parquet reader of a column-mapped table. The
     * rewrite is ALL-OR-NOTHING per filter tree: any node this function
@@ -579,26 +585,35 @@ object GraftPartitions {
     val pushedEff: Seq[Filter] =
       if (colMap.isEmpty) pushed.toSeq
       else pushed.toSeq.flatMap(GraftPartitions.toPhysicalFilter(_, colMap))
+    // `_file` METADATA column: stripped here so the parquet readers never
+    // look for it in the files; the reader factory splices the per-file
+    // constant back at its ordinal. Row mode only (the splice is a row
+    // projection), so its presence turns the columnar path off.
+    val fileOrd = required.fieldNames.indexOf(GraftPartitions.FileCol)
+    val innerReq =
+      if (fileOrd < 0) required
+      else StructType(required.fields.filterNot(_.name == GraftPartitions.FileCol))
     val hasKey = keyField.nonEmpty && logicalData.fieldNames.contains(keyField)
     val plus: StructType =
-      if (!hasKey || required.fieldNames.contains(keyField)) required
-      else StructType(required.fields :+ logicalData(keyField))
+      if (!hasKey || innerReq.fieldNames.contains(keyField)) innerReq
+      else StructType(innerReq.fields :+ logicalData(keyField))
     val keyOrd = if (hasKey) plus.fieldIndex(keyField) else -1
     val keyDt: DataType = if (hasKey) logicalData(keyField).dataType else StringType
     val dvSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_file", StringType),
       org.apache.spark.sql.types.StructField("_key", keyDt)))
     GraftReaderFactory(
-      required = required, plus = plus, keyOrd = keyOrd, keyDt = keyDt,
-      rowPlain = ParquetReadBridge.rowReader(spark, dataSchema, toPhys(required),
+      required = innerReq, plus = plus, keyOrd = keyOrd, keyDt = keyDt,
+      fileOrd = fileOrd,
+      rowPlain = ParquetReadBridge.rowReader(spark, dataSchema, toPhys(innerReq),
         pushedEff, options),
       rowMasked = ParquetReadBridge.rowReader(spark, dataSchema, toPhys(plus),
         pushedEff, options),
       dvReader = ParquetReadBridge.rowReader(spark, dvSchema, dvSchema,
         Nil, options),
       columnar =
-        if (allColumnar)
-          ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(required),
+        if (allColumnar && fileOrd < 0)
+          ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(innerReq),
             pushedEff, options)
         else None)
   }
@@ -609,7 +624,8 @@ final case class GraftReaderFactory(
     rowPlain: PartitionedFile => Iterator[InternalRow],
     rowMasked: PartitionedFile => Iterator[InternalRow],
     dvReader: PartitionedFile => Iterator[InternalRow],
-    columnar: Option[PartitionedFile => Iterator[ColumnarBatch]])
+    columnar: Option[PartitionedFile => Iterator[ColumnarBatch]],
+    fileOrd: Int = -1)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -633,15 +649,30 @@ final case class GraftReaderFactory(
         b.inner.map(p => () => createReader(p)))
     case _ =>
     val p = partition.asInstanceOf[GraftInputPartition]
-    if (p.dvParts.isEmpty)
-      new GraftIteratorReader[InternalRow](
-        rowPlain(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
-    else {
-      require(keyOrd >= 0, s"graft: file ${p.fileName} carries a deletion " +
-        "vector but the store records no key column — pass option(\"key\", ...)")
-      new GraftMaskedReader(p, this)
-    }
+    val base: PartitionReader[InternalRow] =
+      if (p.dvParts.isEmpty)
+        new GraftIteratorReader[InternalRow](
+          rowPlain(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+      else {
+        require(keyOrd >= 0, s"graft: file ${p.fileName} carries a deletion " +
+          "vector but the store records no key column — pass option(\"key\", ...)")
+        new GraftMaskedReader(p, this)
+      }
+    if (fileOrd < 0) base
+    else new GraftSplicedReader(base, ParquetReadBridge.spliceProjection(
+      required, fileOrd, UTF8String.fromString(p.fileName)))
   }
+}
+
+/** Wraps a row reader, splicing the per-file constant `_file` metadata
+  * value into each row at its requested ordinal.
+  */
+final class GraftSplicedReader(inner: PartitionReader[InternalRow],
+                               proj: InternalRow => InternalRow)
+  extends PartitionReader[InternalRow] {
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = proj(inner.get())
+  override def close(): Unit = inner.close()
 }
 
 /** PartitionReader over a prepared iterator; closes Closeable iterators. */

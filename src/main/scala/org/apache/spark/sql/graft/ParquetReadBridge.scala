@@ -93,6 +93,28 @@ object ParquetReadBridge {
     row => proj(row)
   }
 
+  /** Codegen'd projection splicing a CONSTANT string at ordinal `ord`
+    * into rows shaped like `inner` — how the reader materializes the
+    * `_file` metadata column (per-file constant, never read from
+    * parquet). Built on the EXECUTOR, like [[prefixProjection]]. Output
+    * rows reuse the projection buffer (consumers copy when they buffer).
+    */
+  def spliceProjection(inner: StructType, ord: Int,
+                       value: org.apache.spark.unsafe.types.UTF8String)
+      : InternalRow => InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+    import org.apache.spark.sql.types.StringType
+    val exprs = (0 to inner.length).map { j =>
+      if (j == ord) Literal(value, StringType)
+      else {
+        val i = if (j < ord) j else j - 1
+        BoundReference(i, inner(i).dataType, inner(i).nullable)
+      }
+    }
+    val proj = UnsafeProjection.create(exprs)
+    row => proj(row)
+  }
+
   /** A whole-file `PartitionedFile` (no splitting: graft data files are
     * written clustered and row-group pruning inside a file is the parquet
     * reader's job).

@@ -214,6 +214,27 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("_file metadata column gives per-row provenance") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    val t = spark.read.format("graft").load(root)
+    assert(!t.columns.contains("_file"), "metadata column must not leak into *")
+    val perFile = t.select(col("id"), col("_file"))
+      .groupBy("_file").count().collect()
+    assert(perFile.length === 4, s"got ${perFile.length} files")
+    assert(perFile.map(_.getLong(1)).sum === 400L)
+    // filterable (residual evaluation over the spliced constant)
+    val one = perFile.head
+    assert(t.select(col("id"), col("_file"))
+      .filter(col("_file") === one.getString(0)).count() === one.getLong(1))
+    // deletion-vector-masked files report provenance for LIVE rows only
+    st.deleteWhere(col("id") < 10L, batchId = 1)
+    val t2 = spark.read.format("graft").load(root)
+    assert(t2.select(col("_file")).count() === 390L)
+    assert(t2.select(col("_file")).distinct().count() === 4L)
+  }
+
   test("streaming: Trigger.AvailableNow drains the tail and self-stops") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
