@@ -117,7 +117,13 @@ object PlanDump {
     "dsv2_read_pruned" ->
       "DSv2 pruned scan: ONE BatchScan node whose partition list holds only the stats-surviving files — zone-map pruning ran at PLANNING time from the pushed-down BETWEEN; the same predicates re-apply in-reader (parquet row-group pruning) and as the residual Filter above the scan.",
     "dsv2_read_mor" ->
-      "DSv2 merge-on-read scan: ONE BatchScan, NO Join, NO BroadcastExchange — each masked file's partition reader loads its own sidecar into a local hash set and subtracts in place, so table-wide mask totals never cross the driver or an exchange (compare cdc_manifest_merge_mor's plan, the store-API read of the same shape).")
+      "DSv2 merge-on-read scan: ONE BatchScan, NO Join, NO BroadcastExchange — each masked file's partition reader loads its own sidecar into a local hash set and subtracts in place, so table-wide mask totals never cross the driver or an exchange (compare cdc_manifest_merge_mor's plan, the store-API read of the same shape).",
+    "dsv2_colocated_join" ->
+      "Storage-partitioned join: both co-bucketed graft scans report KeyGroupedPartitioning(bucket(N, key)), so the keyed join plans with ZERO Exchange on either side — the only shuffle traffic is the final count's O(#buckets) partials.",
+    "dsv2_agg_pushdown_grouped" ->
+      "Stats-answered GROUP BY: the whole grouped COUNT/MIN/MAX collapses to a LocalTableScan (one row per partition value from manifest metadata) — NO file scan, no shuffle; the plan IS the answer.",
+    "dsv2_topn_pushdown" ->
+      "TopN pushdown: the BatchScan's partition list holds only the files that can contain the top-n (covered-mass cut over per-file min/max at PLANNING time); Spark's TakeOrderedAndProject re-sorts the survivors, so the partial push stays exact.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

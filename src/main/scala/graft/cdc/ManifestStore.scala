@@ -1168,6 +1168,23 @@ final class ManifestStore(val root: String, spark: SparkSession,
       cur.version + 1
     }
 
+  /** Validate a new CHECK constraint against the CURRENT table content —
+    * what `ALTER TABLE ... SET TBLPROPERTIES ('check.<name>' = <expr>)`
+    * runs BEFORE persisting the property (Delta's ADD CONSTRAINT pays the
+    * same one-scan bill): stops at the first violating row. With add-time
+    * validation in place, the write-path guard ([[writeDataFiles]]) only
+    * ever fires on genuinely new violations — maintenance rewrites of old
+    * rows stay no-ops.
+    */
+  def validateCheck(name: String, exprS: String): Unit =
+    currentManifest.foreach { m =>
+      val bad = readFiles(m, m.files)
+        .filter(!coalesce(expr(exprS), lit(false))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($exprS): an existing row " +
+          s"violates it: ${bad.head}")
+    }
+
   /** SHALLOW CLONE: seed a NEW table at `targetRoot` whose version 0 is
     * this table's current content — ZERO data copy. Data files and
     * deletion-vector sidecars are HARDLINKED (same filesystem: an
@@ -1306,6 +1323,27 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // files; the DUPLICATED `_pval` column is stripped into directory
     // names while the real column stays in the data (Iceberg's layout).
     val tableProps = ManifestStore.readTableProps(root)
+    // CHECK constraints (table properties `check.<name>` = boolean SQL
+    // expression over LOGICAL column names): enforced INLINE in the write
+    // pass — the guard is a filter predicate that passes satisfying rows
+    // and raises on the first violation, so enforcement is codegen'd and
+    // costs zero extra jobs (Delta enforces its CHECK constraints the
+    // same way). NULL results violate, per SQL CHECK semantics as Delta
+    // applies them to enforcement. A constraint referencing a column the
+    // frame doesn't carry fails the write loudly (drop constraints before
+    // dropping their columns). Maintenance rewrites (optimize/recluster)
+    // re-validate old rows: add-time validation keeps that a no-op.
+    val checks: Seq[(String, String)] = tableProps.toSeq.collect {
+      case (k, v) if k.startsWith("check.") => (k.stripPrefix("check."), v)
+    }
+    val dfG = checks.foldLeft(df) { case (d, (name, ex)) =>
+      d.filter(coalesce(
+        when(coalesce(expr(ex), lit(false)), lit(true)),
+        raise_error(concat(
+          lit(s"CHECK constraint '$name' ($ex) violated by row: "),
+          to_json(struct(d.columns.map(c => col(s"`$c`")): _*))))
+          .cast("boolean")))
+    }
     // `partitioncol` is a comma list since round 11: (date, source)-style
     // composite identity partitioning, each column partition-pure per file
     val partCols: Seq[String] = tableProps
@@ -1331,20 +1369,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val clustered = (clusterBy, partCol, bucketsN) match {
       case (Some(zc), _, _) =>
         // the projection dropping zc is narrow: partitioning and order survive
-        df.repartitionByRange(math.max(1, nFiles), col(zc))
+        dfG.repartitionByRange(math.max(1, nFiles), col(zc))
           .sortWithinPartitions(zc).drop(zc)
       case (None, Some(_), _) if !partCols.contains(keyField) =>
-        df.repartitionByRange(math.max(1, nFiles),
+        dfG.repartitionByRange(math.max(1, nFiles),
           partCols.map(col) :+ col(keyField): _*)
           .sortWithinPartitions(partCols :+ keyField map col: _*)
       case (None, None, Some(n)) =>
         // one task per bucket (collisions split at the writer), rows
         // key-sorted within the bucket so row-group stats stay tight
-        df.withColumn("_bucket", pmod(hash(col(keyField)), lit(n)))
+        dfG.withColumn("_bucket", pmod(hash(col(keyField)), lit(n)))
           .repartition(n, col("_bucket"))
           .sortWithinPartitions("_bucket", keyField)
       case _ =>
-        df.repartitionByRange(math.max(1, nFiles), col(keyField))
+        dfG.repartitionByRange(math.max(1, nFiles), col(keyField))
           .sortWithinPartitions(keyField)
     }
     (partCol, bucketsN) match {

@@ -302,6 +302,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     drops.foreach(c => st.dropColumn(c))
     if (schemaChanged) { st.evolveSchema(schema); () }
     if (setProps.nonEmpty || removeProps.nonEmpty) {
+      // a new CHECK constraint must hold on the EXISTING data before it
+      // can be persisted — otherwise the first maintenance rewrite of an
+      // old row would fail the table's own content
+      setProps.foreach { case (k, v) =>
+        if (k.startsWith("check.")) st.validateCheck(k.stripPrefix("check."), v)
+      }
       val finalProps = GraftCatalog.readProps(root) ++ setProps -- removeProps
       java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
       GraftCatalog.writeProps(root, finalProps)

@@ -370,6 +370,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(det.head.getLong(6) > 0L)      // bytes from the manifest
   }
 
+  test("CHECK constraints: validated on add, enforced on every write path") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.chk")
+    sql("CREATE TABLE gct.db.chk (id BIGINT, amt DOUBLE, seg STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.chk VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    // adding a constraint the existing data violates is refused
+    val bad = intercept[Exception](sql(
+      "ALTER TABLE gct.db.chk SET TBLPROPERTIES ('check.big' = 'amt > 15')"))
+    assert(bad.getMessage.contains("existing row"), bad.getMessage)
+    assert(!sql("SHOW TBLPROPERTIES gct.db.chk").collect()
+      .exists(_.getString(0) == "check.big"), "refused constraint must not persist")
+    // a satisfiable constraint persists and gates every later write
+    sql("ALTER TABLE gct.db.chk SET TBLPROPERTIES ('check.pos' = 'amt > 0')")
+    sql("INSERT INTO gct.db.chk VALUES (3, 30.0, 'c')") // passes
+    val ins = intercept[Exception](
+      sql("INSERT INTO gct.db.chk VALUES (4, -1.0, 'd')"))
+    assert(ins.getMessage.contains("check") ||
+      ins.getMessage.contains("CHECK"), ins.getMessage)
+    val upd = intercept[Exception](
+      sql("UPDATE gct.db.chk SET amt = -5.0 WHERE id = 1"))
+    assert(upd.getMessage.contains("CHECK") || upd.getMessage.contains("check"),
+      upd.getMessage)
+    // NULL violates (SQL CHECK enforcement semantics, as Delta applies them)
+    val nul = intercept[Exception](
+      sql("INSERT INTO gct.db.chk VALUES (5, CAST(NULL AS DOUBLE), 'e')"))
+    assert(nul.getMessage.contains("CHECK") || nul.getMessage.contains("check"),
+      nul.getMessage)
+    // the failed writes left no trace
+    assert(sql("SELECT count(*) FROM gct.db.chk").head.getLong(0) === 3L)
+    assert(sql("SELECT min(amt) FROM gct.db.chk").head.getDouble(0) === 10.0)
+    // UNSET lifts the gate
+    sql("ALTER TABLE gct.db.chk UNSET TBLPROPERTIES ('check.pos')")
+    sql("INSERT INTO gct.db.chk VALUES (6, -7.0, 'f')")
+    assert(sql("SELECT count(*) FROM gct.db.chk").head.getLong(0) === 4L)
+  }
+
   test("CALL restore resets content to a past version; history survives") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("DROP TABLE IF EXISTS gct.db.rst")
