@@ -2986,7 +2986,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * derivation time so staged files age past it only after their commit
     * or eager cleanup.
     */
-  def vacuum(keepLast: Int = 2, minAgeMillis: Long = 0L): Seq[String] = {
+  /** `dryRun = true` returns exactly what a real run would reap — log
+    * entries excluded (they are version bookkeeping, not data) — without
+    * touching anything: the audit step before reclaiming a 100 TB
+    * table's storage.
+    */
+  def vacuum(keepLast: Int = 2, minAgeMillis: Long = 0L,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     SnapshotStore.withCommitLock(root) {
       current.toSeq.flatMap { case (cur, _, _) =>
@@ -3006,7 +3012,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             n.path("type").asText("checkpoint") == "delta"))
           chainBase -= 1
         val logDir = Paths.get(root, "_LOG")
-        if (Files.isDirectory(logDir)) {
+        if (Files.isDirectory(logDir) && !dryRun) {
           val s = Files.list(logDir)
           try s.toArray.toSeq.map(_.asInstanceOf[Path])
             .filter(_.getFileName.toString.stripSuffix(".json")
@@ -3043,7 +3049,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               p.getFileName.toString.startsWith(_)))
             .filter(p => newestMtime(p) <= cutoff)
           finally rs.close()
-        stageVictims.foreach(deleteRecursively)
+        if (!dryRun) stageVictims.foreach(deleteRecursively)
         val dir = Paths.get(root, "files")
         val dataVictims =
           if (!Files.isDirectory(dir)) Seq.empty
@@ -3054,7 +3060,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 .filterNot(p => referenced(p.getFileName.toString))
                 .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
               finally s.close()
-            victims.foreach(deleteRecursively) // sidecars are directories
+            if (!dryRun)
+              victims.foreach(deleteRecursively) // sidecars are directories
             victims.map(_.getFileName.toString)
           }
         (stageVictims.map(_.getFileName.toString) ++ dataVictims).sorted

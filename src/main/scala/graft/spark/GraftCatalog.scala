@@ -548,12 +548,16 @@ private[spark] object GraftProcedures {
       "delete files unreferenced by the last keep_last versions"
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType), inDefault("keep_last", IntegerType, "2"),
-      inDefault("min_age_ms", LongType, "0"))
+      inDefault("min_age_ms", LongType, "0"),
+      inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false"))
     private val outSchema = StructType(Seq(
-      StructField("deleted_files", IntegerType)))
-    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      StructField("deleted_files", IntegerType),
+      StructField("dry_run", org.apache.spark.sql.types.BooleanType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dry = input.getBoolean(3)
       one(outSchema,
-        store(input).vacuum(input.getInt(1), input.getLong(2)).size)
+        store(input).vacuum(input.getInt(1), input.getLong(2), dry).size, dry)
+    }
   }
 
   /** `CALL graft.system.zorder(table => 'ns.t', long_col => 'a',

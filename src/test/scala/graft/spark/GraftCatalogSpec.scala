@@ -349,6 +349,13 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()
     assert(opt.length === 1 && opt.head.getLong(0) === 5L)
     assert(opt.head.getInt(1) === 4, "all four small files compacted")
+    // dry run: report the reclaim, touch nothing
+    val dry = sql("CALL gct.system.vacuum(table => 'db.m', keep_last => 1, " +
+      "dry_run => true)").collect()
+    assert(dry.length === 1 && dry.head.getInt(0) >= 4 &&
+      dry.head.getBoolean(1))
+    assert(sql("SELECT count(*) FROM gct.db.m VERSION AS OF 4")
+      .head.getLong(0) === 4000L, "dry run must not reap anything")
     val vac = sql("CALL gct.system.vacuum(table => 'db.m', keep_last => 1)")
       .collect()
     assert(vac.length === 1 && vac.head.getInt(0) >= 4)
