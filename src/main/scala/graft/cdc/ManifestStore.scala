@@ -2866,25 +2866,43 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * fraction >= F (pigeonhole), so every triggered pass folds something
     * and the debt decreases instead of the trigger spinning.
     */
+  /** `scope`: equality conjuncts (`col = value`) restricting maintenance
+    * to the files whose stats ADMIT the value — on a partitioned table,
+    * `OPTIMIZE ... WHERE day = X` compacts one partition's files and
+    * carries every other file by reference untouched. At 100 TB,
+    * maintenance scoped to the hot partition is the only affordable kind;
+    * an out-of-scope file never costs I/O. Straddling legacy files whose
+    * range admits the value are conservatively IN scope.
+    */
   def optimize(targetFiles: Int,
-               dvFold: Double = 0.5): Option[ManifestStore.OptimizeStats] =
-    optimizeHook(targetFiles, dvFold)(() => ())
+               dvFold: Double = 0.5,
+               scope: Seq[(String, Any)] = Nil)
+      : Option[ManifestStore.OptimizeStats] =
+    optimizeHook(targetFiles, dvFold, scope)(() => ())
 
   /** [[optimize]] with the same pre-commit interleave probe as
     * [[mergeOptimisticHook]]/[[reclusterHook]].
     */
-  private[cdc] def optimizeHook(targetFiles: Int, dvFold: Double = 0.5)
+  private[cdc] def optimizeHook(targetFiles: Int, dvFold: Double = 0.5,
+                                scope: Seq[(String, Any)] = Nil)
                                (onDerived: () => Unit)
       : Option[ManifestStore.OptimizeStats] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(dvFold > 0, s"dvFold must be > 0, got $dvFold")
     currentManifest.filter(_.files.nonEmpty).flatMap { m =>
-      val grp = overlapGroups(m.files, keyTypeOf(m))
+      // scope cut first: out-of-scope files carry by reference, whole
+      val inScope: Seq[FileEntry] =
+        if (scope.isEmpty) m.files
+        else prunedFiles(m, scope.map { case (c, v) => (c, "=", v) })
+      val inScopeNames = inScope.map(_.name).toSet
+      val outScope = m.files.filterNot(f => inScopeNames(f.name))
+      if (inScope.isEmpty) return None
+      val grp = overlapGroups(inScope, keyTypeOf(m))
       // groups in key order; bin-pack adjacent groups toward target size
       // (packing arithmetic uses LIVE rows — masked keys are debt, not data)
-      val groups: Seq[Seq[FileEntry]] = m.files.groupBy(f => grp(f.name))
+      val groups: Seq[Seq[FileEntry]] = inScope.groupBy(f => grp(f.name))
         .toSeq.sortBy(_._1).map(_._2)
-      val targetRows = math.max(1L, m.files.map(_.liveRows).sum / targetFiles)
+      val targetRows = math.max(1L, inScope.map(_.liveRows).sum / targetFiles)
       val bins = groups.foldLeft(Vector.empty[Vector[FileEntry]]) { (acc, g) =>
         val gRows = g.map(_.liveRows).sum
         acc.lastOption match {
@@ -2900,7 +2918,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         b.size > 1 || b.exists(f => f.rows > 0 && f.dvRows >= dvFold * f.rows))
       if (compactBins.isEmpty) None // layout already clean — commit nothing
       else {
-        val carried = carryBins.flatten
+        val carried = outScope ++ carryBins.flatten
         // per-bin rewrite: each bin re-clusters WITHIN its own key hull, so
         // outputs cannot overlap the carried neighbors; the effective read
         // applies sidecars, so compaction folds masks into the data files

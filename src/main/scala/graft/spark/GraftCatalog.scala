@@ -527,16 +527,28 @@ private[spark] object GraftProcedures {
     override def description(): String =
       "compact small/overlapping files and fold deletion vectors"
     override def parameters(): Array[ProcedureParameter] = Array(
-      in("table", StringType), inDefault("target_files", IntegerType, "8"))
+      in("table", StringType), inDefault("target_files", IntegerType, "8"),
+      inDefault("where_col", StringType, "''"),
+      inDefault("where_value", StringType, "''"))
     private val outSchema = StructType(Seq(
       StructField("version", LongType), StructField("compacted_files", IntegerType),
       StructField("carried_files", IntegerType), StructField("new_files", IntegerType)))
-    override def call(input: InternalRow): java.util.Iterator[Scan] =
-      store(input).optimize(targetFiles = input.getInt(1)) match {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // partition-scoped maintenance: OPTIMIZE only the files whose stats
+      // admit where_col = where_value; everything else carries untouched
+      val scope: Seq[(String, Any)] =
+        (Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty),
+          Option(input.getUTF8String(3)).map(_.toString)) match {
+          case (Some(c), Some(v)) => Seq(c -> v)
+          case _                  => Nil
+        }
+      store(input).optimize(targetFiles = input.getInt(1),
+        scope = scope) match {
         case Some(st) =>
           one(outSchema, st.version, st.compactedFiles, st.carriedFiles, st.newFiles)
         case None => one(outSchema, -1L, 0, 0, 0) // empty store or lost race
       }
+    }
   }
 
   /** `CALL graft.system.vacuum(table => 'ns.t', keep_last => 2)` —

@@ -165,6 +165,29 @@ class GraftAggPushdownSpec extends SparkSpec {
       Seq(("a", 400L), ("b", 400L)))
   }
 
+  test("GROUP BY two partition columns answers from stats cell-wise") {
+    val root = Files.createTempDirectory("aggp_grp2").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "day,src"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 800L).map(i => (i,
+      s"d${i % 2}", Seq("a", "b")(((i / 2) % 2L).toInt), s"n$i"))
+      .toDF("id", "day", "src", "name")
+    st.commit(df, batchId = 0, nFiles = 4, statsCols = Seq("day", "src"))
+    val t = spark.read.format("graft").load(root)
+    val q = t.groupBy(col("day"), col("src")).agg(count(lit(1)).as("cnt"))
+    assertPushed(q)
+    val got = q.orderBy("day", "src").as[(String, String, Long)]
+      .collect().toSeq
+    assert(got === Seq(("d0", "a", 200L), ("d0", "b", 200L),
+      ("d1", "a", 200L), ("d1", "b", 200L)), s"got $got")
+    // grouping by only ONE of the two cell columns still groups exactly
+    // (each cell-pure file is also pure in each single column)
+    val q1 = t.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+    assertPushed(q1)
+    assert(q1.orderBy("src").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 400L), ("b", 400L)))
+  }
+
   test("grouped count(*) absorbs deletion vectors; grouped min/max bail") {
     val root = Files.createTempDirectory("aggp_grp_dv").toString
     ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))

@@ -377,6 +377,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(det.head.getLong(6) > 0L)      // bytes from the manifest
   }
 
+  test("CALL optimize scoped to one partition leaves the rest untouched") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.po")
+    sql("CREATE TABLE gct.db.po (id BIGINT, day STRING, v STRING) " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('key'='id')")
+    // three disjoint-key inserts x two partitions -> a small-file pileup
+    // in BOTH partitions
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO gct.db.po SELECT id, " +
+        s"CASE WHEN id % 2 = 0 THEN 'd0' ELSE 'd1' END, CAST(id AS STRING) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val root = java.nio.file.Paths.get(warehouse, "db", "po").toString
+    val st = new graft.cdc.ManifestStore(root, spark, "id")
+    def byDay(d: String): Set[String] = st.currentManifest.get.files
+      .filter(_.cols.get("day").exists(_._1 == d)).map(_.name).toSet
+    val d0Before = byDay("d0"); val d1Before = byDay("d1")
+    assert(d0Before.size >= 3 && d1Before.size >= 3,
+      s"pileup expected, got d0=${d0Before.size} d1=${d1Before.size}")
+    val r = sql("CALL gct.system.optimize(table => 'db.po', " +
+      "target_files => 1, where_col => 'day', where_value => 'd0')")
+      .collect().head
+    assert(r.getLong(0) > 0L, "scoped optimize must commit")
+    // d1's files carried BY NAME; d0's compacted
+    assert(byDay("d1") === d1Before, "out-of-scope files must not move")
+    assert(byDay("d0").size < d0Before.size, "in-scope files must compact")
+    assert(byDay("d0").intersect(d0Before).isEmpty)
+    assert(sql("SELECT count(*) FROM gct.db.po").head.getLong(0) === 3000L)
+    assert(sql("SELECT count(*) FROM gct.db.po WHERE day = 'd0'")
+      .head.getLong(0) === 1500L)
+  }
+
   test("CHECK constraints: validated on add, enforced on every write path") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("DROP TABLE IF EXISTS gct.db.chk")
