@@ -183,23 +183,43 @@ object GraftCdf {
     * is the commit's data columns + `_change_type` (older, narrower
     * vintages read through with typed nulls).
     */
+  /** `required`: the feed scan's pruned output schema (a subset of
+    * dataSchema ++ the two CDF metadata columns, order preserved) — a
+    * consumer re-syncing two columns of a wide table reads two columns,
+    * not the row. None = the full feed shape (streams).
+    */
   private[spark] def factory(spark: SparkSession, root: String,
                              keyField: String, dataSchema: StructType,
                              options: Map[String, String],
                              manifestSchemaDDL: String,
-                             colMap: Map[String, String] = Map.empty)
+                             colMap: Map[String, String] = Map.empty,
+                             required: Option[StructType] = None)
       : GraftCdfReaderFactory = {
+    val dataReq: StructType = required match {
+      case None => dataSchema
+      case Some(r) => StructType(dataSchema.fields.filter(f =>
+        r.fieldNames.contains(f.name)))
+    }
+    val wantChangeType = required.forall(
+      _.fieldNames.contains(ManifestStore.ChangeTypeCol))
+    val wantVersion = required.forall(
+      _.fieldNames.contains(ManifestStore.CommitVersionCol))
     // change files carry PHYSICAL column names, exactly like data files —
     // both readers translate through the same mapping, so a feed captured
     // before a RENAME reads fully after it (physical names never change)
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
-      dataSchema, Array.empty, options, manifestSchemaDDL,
+      dataReq, Array.empty, options, manifestSchemaDDL,
       allColumnar = false, colMap = colMap)
-    val cdcSchema = StructType(
+    val cdcFull = StructType(
       ManifestStore.toPhysical(dataSchema, colMap).fields :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+    val cdcReq = StructType(
+      ManifestStore.toPhysical(dataReq, colMap).fields ++
+      (if (wantChangeType) Seq(StructField(ManifestStore.ChangeTypeCol,
+        StringType, nullable = false)) else Nil))
     GraftCdfReaderFactory(inner,
-      ParquetReadBridge.rowReader(spark, cdcSchema, cdcSchema, Nil, options))
+      ParquetReadBridge.rowReader(spark, cdcFull, cdcReq, Nil, options),
+      wantChangeType = wantChangeType, wantVersion = wantVersion)
   }
 }
 
@@ -212,23 +232,31 @@ final case class GraftCdfPartition(inner: GraftInputPartition,
 
 final case class GraftCdfReaderFactory(
     inner: GraftReaderFactory,
-    cdcReader: PartitionedFile => Iterator[InternalRow])
+    cdcReader: PartitionedFile => Iterator[InternalRow],
+    wantChangeType: Boolean = true,
+    wantVersion: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfPartition]
-    if (p.isCdc)
-      // change-file rows already end with _change_type; append the version
-      new GraftAppendingReader(
-        new GraftIteratorReader[InternalRow](cdcReader(
-          ParquetReadBridge.wholeFile(p.inner.path, p.inner.bytes, 0L))),
-        Array[Any](p.commitVersion))
-    else
-      // data-file rows are bare images; append _change_type + version
-      new GraftAppendingReader(inner.createReader(p.inner),
-        Array[Any](UTF8String.fromString(ManifestStore.CdfInsert),
-          p.commitVersion))
+    if (p.isCdc) {
+      // change-file rows already end with _change_type (when requested);
+      // append the version (when requested)
+      val base = new GraftIteratorReader[InternalRow](cdcReader(
+        ParquetReadBridge.wholeFile(p.inner.path, p.inner.bytes, 0L)))
+      if (wantVersion)
+        new GraftAppendingReader(base, Array[Any](p.commitVersion))
+      else base
+    } else {
+      // data-file rows are bare images; append the requested CDF columns
+      val appendix: Array[Any] =
+        (if (wantChangeType)
+          Seq[Any](UTF8String.fromString(ManifestStore.CdfInsert)) else Nil)
+          .++(if (wantVersion) Seq[Any](p.commitVersion) else Nil).toArray
+      if (appendix.isEmpty) inner.createReader(p.inner)
+      else new GraftAppendingReader(inner.createReader(p.inner), appendix)
+    }
   }
 }
 
@@ -246,15 +274,23 @@ final class GraftAppendingReader(inner: PartitionReader[InternalRow],
 }
 
 final class GraftCdfScanBuilder(root: String, options: Map[String, String])
-  extends ScanBuilder {
-  override def build(): Scan = new GraftCdfScan(root, options)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+  override def build(): Scan = new GraftCdfScan(root, options, required)
 }
 
 /** The CDF scan: batch over an explicit version range, or the micro-batch
-  * stream. No filter pushdown or column pruning — the feed is a changelog,
-  * read whole; Spark applies residual filters and projections above.
+  * stream. COLUMN PRUNING reaches both reader kinds (change files and
+  * snapshot files) — a consumer re-syncing two columns of a wide table
+  * reads two columns — and the CDF metadata columns are synthesized or
+  * projected only when asked for. No filter pushdown: the feed is a
+  * changelog; Spark applies residual filters above.
   */
-final class GraftCdfScan(root: String, options: Map[String, String])
+final class GraftCdfScan(root: String, options: Map[String, String],
+                         required: Option[StructType] = None)
   extends Scan with Batch {
 
   private def spark = SparkSession.active
@@ -264,9 +300,11 @@ final class GraftCdfScan(root: String, options: Map[String, String])
   private val ignoreChanges =
     GraftTable.opt(options, "ignorechanges").exists(_.toBoolean)
 
-  override def readSchema(): StructType = GraftCdf.cdfSchema(dataSchema)
+  override def readSchema(): StructType =
+    required.getOrElse(GraftCdf.cdfSchema(dataSchema))
   override def toBatch: Batch = this
-  override def description(): String = s"graft change feed $root"
+  override def description(): String = s"graft change feed $root" +
+    required.map(r => s", cols=[${r.fieldNames.mkString(", ")}]").getOrElse("")
 
   /** Batch form: `startingVersion` or `startingTimestamp` (required — the
     * feed has no "all of history" default; version 0 is the initial
@@ -304,7 +342,8 @@ final class GraftCdfScan(root: String, options: Map[String, String])
     val cur = store.currentManifest
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
-      colMap = cur.map(_.colMap).getOrElse(Map.empty))
+      colMap = cur.map(_.colMap).getOrElse(Map.empty),
+      required = required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

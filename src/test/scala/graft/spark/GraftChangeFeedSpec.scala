@@ -241,6 +241,32 @@ class GraftChangeFeedSpec extends SparkSpec {
       (0L, "n0", "update_preimage", 1L), (0L, "v1", "update_postimage", 1L)))
   }
 
+  test("feed column pruning reads only the requested columns, both reader kinds") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    st.merge(netDf(Seq((0L, "u", Some("v1"), 100L),
+      (300L, "c", Some("ins"), 100L), (1L, "d", None, 100L))), fields,
+      batchId = 1)
+    // change-file partitions, pruned to (id, _change_type)
+    val pruned = feed(st.root, 1, 1).select("id", "_change_type")
+    assert(pruned.queryExecution.executedPlan.toString.contains("cols=["),
+      "the scan description must show the pruned column set")
+    assert(pruned.as[(Long, String)].collect().toSet === Set(
+      (0L, "update_preimage"), (0L, "update_postimage"),
+      (300L, "insert"), (1L, "delete")))
+    // metadata-only projection
+    assert(feed(st.root, 1, 1).select("_commit_version").distinct()
+      .as[Long].collect().toSeq === Seq(1L))
+    // snapshot partitions (timestamp-resolved version 0) prune too
+    val snap = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "0").load(st.root)
+      .select("id", "_change_type")
+    assert(snap.filter(col("_change_type") === "insert").count() === 101L)
+    // data column without any metadata column
+    assert(feed(st.root, 1, 1).select("name").count() === 4L)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)
