@@ -440,6 +440,15 @@ class GraftCatalogSpec extends SparkSpec {
     // the failed writes left no trace
     assert(sql("SELECT count(*) FROM gct.db.chk").head.getLong(0) === 3L)
     assert(sql("SELECT min(amt) FROM gct.db.chk").head.getDouble(0) === 10.0)
+    // merge-on-read DML routes its upsert file through the same gate
+    sql("ALTER TABLE gct.db.chk SET TBLPROPERTIES ('mor'='true')")
+    val mor = intercept[Exception](
+      sql("UPDATE gct.db.chk SET amt = -9.0 WHERE id = 2"))
+    assert(mor.getMessage.contains("CHECK") || mor.getMessage.contains("check"),
+      mor.getMessage)
+    sql("UPDATE gct.db.chk SET amt = 99.0 WHERE id = 2") // passing MoR write
+    assert(sql("SELECT amt FROM gct.db.chk WHERE id = 2")
+      .head.getDouble(0) === 99.0)
     // UNSET lifts the gate
     sql("ALTER TABLE gct.db.chk UNSET TBLPROPERTIES ('check.pos')")
     sql("INSERT INTO gct.db.chk VALUES (6, -7.0, 'f')")
