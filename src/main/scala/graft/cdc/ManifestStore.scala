@@ -237,24 +237,51 @@ object ManifestStore {
   /** Driver-side parser + ordering for serialized per-file stats, when the
     * type's string form is primitively parseable — the fast path of
     * [[ManifestStore.topNFiles]]. Timestamps serialize as epoch micros
-    * (see `statDeserialize`), ISO dates order lexicographically. Types
-    * not listed (decimals, binaries) return None and callers fall back to
-    * the typed in-Spark compare.
+    * (see `statDeserialize`). Strings compare as UTF8String (UTF-8 byte
+    * order) — Spark's sort order, which diverges from JVM
+    * `Ordering[String]` (UTF-16 code units) once supplementary characters
+    * mix with BMP chars above U+E000. ISO dates parse to epoch days so
+    * signed and 5-digit years order numerically, not lexicographically.
+    * Types not listed (decimals, binaries) return None and callers fall
+    * back to the typed in-Spark compare.
     */
   private[cdc] def statParser(dt: org.apache.spark.sql.types.DataType)
       : Option[(String => Any, Ordering[Any])] = {
     import org.apache.spark.sql.types._
     def ord[T](implicit o: Ordering[T]): Ordering[Any] =
       o.asInstanceOf[Ordering[Any]]
+    val utf8Ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    }
     dt match {
       case ByteType | ShortType | IntegerType | LongType | TimestampType =>
         Some(((s: String) => s.toLong, ord[Long]))
       case FloatType | DoubleType =>
         Some(((s: String) => s.toDouble, ord[Double]))
-      case StringType | DateType =>
-        Some(((s: String) => s, ord[String]))
+      case StringType =>
+        Some(((s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), utf8Ord))
+      case DateType =>
+        Some(((s: String) => parseIsoDateToEpochDay(s), ord[Long]))
       case _ => None
     }
+  }
+
+  /** Epoch day of a date in the store's serialized form (Spark's
+    * date→string cast: `[+|-]y+-MM-dd` with a sign for BCE and an
+    * unbounded year width), parsed by splitting fields rather than a
+    * fixed-width pattern so any year the cast can emit round-trips.
+    */
+  private[cdc] def parseIsoDateToEpochDay(s: String): Long = {
+    val neg = s.startsWith("-")
+    val body = if (neg || s.startsWith("+")) s.substring(1) else s
+    val parts = body.split("-")
+    require(parts.length == 3, s"not an ISO date stat: $s")
+    java.time.LocalDate.of(
+      parts(0).toInt * (if (neg) -1 else 1), parts(1).toInt, parts(2).toInt
+    ).toEpochDay
   }
 
   def toPhysical(logical: StructType, colMap: Map[String, String]): StructType =
@@ -926,8 +953,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     if (groupCols.isEmpty || aggs.isEmpty) return None
     val schema = StructType.fromDDL(m.schemaDDL)
+    // Fully-masked files (liveRows == 0 — every row deleted by a DV, kept
+    // by the merge-on-read commit paths) contribute no rows to ANY group:
+    // a real GROUP BY scan never emits their group, so they must not seed
+    // a phantom `(g, cnt=0)` row here. Drop them before purity/answerable
+    // checks — a dead file's stats should neither veto nor answer.
     val candidates = exactlyDecidedFiles(m, preds) match {
-      case Some(cs) => cs
+      case Some(cs) => cs.filter(_.liveRows > 0L)
       case None     => return None
     }
     def statted(c: String): Boolean = c == keyField || m.statsCols.contains(c)
@@ -1198,6 +1230,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * version 0, exactly like Delta's CLONE. Refuses an existing target.
     */
   def cloneTo(targetRoot: String, streamId: String = "clone"): Long = {
+    // The SOURCE commit lock covers the manifest read + link pass: a
+    // concurrent vacuum could otherwise delete a data file between
+    // reading currentManifest and hardlinking it, aborting the clone
+    // mid-way with a partially-populated target. The pass is O(#files)
+    // metadata work, so the lock hold is planning-scale, not data-scale.
+    SnapshotStore.withCommitLock(root) {
     val m = currentManifest.getOrElse(throw new IllegalStateException(
       s"no current version at $root — nothing to clone"))
     val tgt = Paths.get(targetRoot)
@@ -1234,6 +1272,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     target.writeManifestAndSwap(0L, 0L, streamId, m.schemaDDL, m.files,
       m.statsCols, mappingOverride = Some((m.colMap, m.droppedPhys)))
     0L
+    }
   }
 
   /** Distributed bulk lookup: the table rows from ONLY the files whose key

@@ -376,18 +376,32 @@ object SnapshotStore {
   // lock below only arbitrates across processes
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private[cdc] def withCommitLock[A](root: String)(body: => A): A = {
-    val mon = monitors.computeIfAbsent(root, _ => new Object)
-    mon.synchronized {
-      Files.createDirectories(Paths.get(root))
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(root, "_COMMIT_LOCK"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
-    }
+  // roots whose commit lock THIS thread already holds: JVM FileLock is not
+  // reentrant (a nested lock() on the same file throws
+  // OverlappingFileLockException), so a caller composing two locked
+  // operations on one root re-enters the body directly
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
   }
+
+  private[graft] def withCommitLock[A](root: String)(body: => A): A =
+    if (held.get()(root)) body
+    else {
+      val mon = monitors.computeIfAbsent(root, _ => new Object)
+      mon.synchronized {
+        Files.createDirectories(Paths.get(root))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, "_COMMIT_LOCK"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          held.set(held.get() + root)
+          try body finally {
+            held.set(held.get() - root)
+            lock.release()
+          }
+        } finally ch.close()
+      }
+    }
 }

@@ -199,9 +199,12 @@ object DsvQueries {
         val out = j.withColumn("colocated", lit(exchanges == 0))
         // materialize INSIDE the conf window so the executed plan is the
         // storage-partitioned one the gate asserted (the confs restore in
-        // the finally; the later driver write reads the cached result)
-        out.persist(); out.count()
-        out
+        // the finally) — to a scratch parquet, not .persist(): a cached
+        // result would outlive the query across bench re-runs and
+        // accumulate in the CacheManager
+        val outPath = scratch("coloc_out", dir) + "/joined"
+        out.write.mode("overwrite").parquet(outPath)
+        s.read.parquet(outPath)
       } finally {
         prevB match {
           case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
@@ -326,6 +329,39 @@ object DsvQueries {
       import s.implicits._
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
+    }),
+    "dsv2_time_travel_ts" -> ((s, dir) => {
+      // Delta's `timestampAsOf` spelling on the batch reader: an instant
+      // between two commits resolves to the EARLIER version (at-or-before),
+      // instants outside the retained range error loudly instead of
+      // silently snapping, and the two time-travel spellings are mutually
+      // exclusive — all O(#versions) driver metadata, no data I/O to plan
+      val root = scratch("ttts", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8)
+        Thread.sleep(15) // distinct commit instants
+        st.deleteWhere(col("c_mktsegment") === lit("MACHINERY"), batchId = 1)
+      }
+      val t0 = st.manifest(0L).get.tsMillis
+      val t1 = st.manifest(1L).get.tsMillis
+      def reads(ts: String) =
+        s.read.format("graft").option("timestampAsOf", ts).load(root)
+      val beforeErr =
+        scala.util.Try(reads((t0 - 10).toString).count()).isFailure
+      val afterErr =
+        scala.util.Try(reads((t1 + 3600000L).toString).count()).isFailure
+      val bothErr = scala.util.Try(
+        s.read.format("graft").option("versionAsOf", "0")
+          .option("timestampAsOf", t0.toString).load(root).count()).isFailure
+      val v1Newer = reads(t1.toString).count() < reads(t0.toString).count()
+      reads((t1 - 1).toString) // between the commits -> the full v0 table
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .withColumn("tt_before_err", lit(beforeErr))
+        .withColumn("tt_after_err", lit(afterErr))
+        .withColumn("tt_both_err", lit(bothErr))
+        .withColumn("tt_v1_newer", lit(v1Newer))
     }),
     "dsv2_file_metadata" -> ((s, dir) => {
       // `_file` metadata column: per-row provenance synthesized by the
@@ -863,6 +899,14 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // a timestamp between commit 0 and commit 1 must read the FULL v0
+    // table, with every boundary-behavior gate true
+    "dsv2_time_travel_ts" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       TRUE AS tt_before_err, TRUE AS tt_after_err,
+        |       TRUE AS tt_both_err, TRUE AS tt_v1_newer
+        |FROM customer""".stripMargin,
 
     // the SQL CALL surface must return exactly the UPDATE's pre/post pairs
     "dsv2_table_changes" ->

@@ -304,13 +304,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (setProps.nonEmpty || removeProps.nonEmpty) {
       // a new CHECK constraint must hold on the EXISTING data before it
       // can be persisted — otherwise the first maintenance rewrite of an
-      // old row would fail the table's own content
-      setProps.foreach { case (k, v) =>
-        if (k.startsWith("check.")) st.validateCheck(k.stripPrefix("check."), v)
+      // old row would fail the table's own content. Validation and the
+      // property write share ONE commit-lock hold: a write committing
+      // between them could land rows violating the about-to-exist CHECK
+      // (the write-path guard only fires once the property is visible).
+      graft.cdc.SnapshotStore.withCommitLock(root) {
+        setProps.foreach { case (k, v) =>
+          if (k.startsWith("check.")) st.validateCheck(k.stripPrefix("check."), v)
+        }
+        val finalProps = GraftCatalog.readProps(root) ++ setProps -- removeProps
+        java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
+        GraftCatalog.writeProps(root, finalProps)
       }
-      val finalProps = GraftCatalog.readProps(root) ++ setProps -- removeProps
-      java.nio.file.Files.deleteIfExists(Paths.get(root, "_TBLPROPS"))
-      GraftCatalog.writeProps(root, finalProps)
     }
     loadTable(ident)
   }

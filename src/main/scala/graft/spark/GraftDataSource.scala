@@ -137,14 +137,77 @@ object GraftTable {
       opt(options, "key").getOrElse(""))
     val cur = probe.currentManifest.getOrElse(throw new IllegalArgumentException(
       s"no graft store at $root (missing or unreadable _CURRENT/_LOG)"))
-    opt(options, "versionAsOf") match {
-      case None => cur
-      case Some(vs) =>
+    (opt(options, "versionAsOf"), opt(options, "timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set either versionAsOf or timestampAsOf, not both")
+      case (None, None) => cur
+      case (Some(vs), None) =>
         val v = vs.toLong
         if (v > cur.version) throw new IllegalArgumentException(
           s"versionAsOf $v is beyond current version ${cur.version} of $root")
         probe.manifest(v).getOrElse(throw new IllegalArgumentException(
           s"version $v of $root is gone (vacuumed past log retention)"))
+      case (None, Some(ts)) =>
+        // Delta's `timestampAsOf` resolution: the LATEST version whose
+        // commit time is at or before the asked instant; an instant after
+        // the newest commit or before the retained range errors loudly
+        // (naming the usable bound) instead of silently snapping. The
+        // walk is an O(#versions) driver metadata pass — planning-scale.
+        val target = parseTimestampAsOf(ts)
+        if (target > cur.tsMillis) throw new IllegalArgumentException(
+          s"timestampAsOf '$ts' is after the latest commit of $root " +
+            s"(version ${cur.version} at " +
+            s"${java.time.Instant.ofEpochMilli(cur.tsMillis)}); omit the " +
+            "option to read the current version")
+        var v = cur.version
+        var res: Option[ManifestStore.Manifest] = None
+        var belowRetention = false
+        while (v >= 0 && res.isEmpty && !belowRetention) {
+          probe.manifest(v) match {
+            case Some(m) if m.tsMillis <= target => res = Some(m)
+            case Some(_)                         => v -= 1
+            case None                            => belowRetention = true
+          }
+        }
+        res.getOrElse(throw new IllegalArgumentException(
+          if (belowRetention)
+            s"timestampAsOf '$ts' is below the retained log range of " +
+              s"$root (earliest readable version is ${v + 1})"
+          else s"timestampAsOf '$ts' is before the first commit of $root " +
+            s"(version 0 at ${java.time.Instant.ofEpochMilli(
+              probe.manifest(0L).map(_.tsMillis).getOrElse(0L))})"))
+    }
+  }
+
+  /** A `timestampAsOf` option value as epoch millis: raw epoch millis,
+    * ISO instants with an explicit offset, `yyyy-MM-dd[ HH:mm:ss[.f]]`
+    * in the SESSION time zone (Delta interprets zoneless literals the
+    * same way — a table written under one zone must time-travel
+    * identically under another only when the literal carries its zone).
+    */
+  private[spark] def parseTimestampAsOf(s: String): Long = {
+    val t = s.trim
+    if (t.matches("[+-]?\\d+")) return t.toLong
+    def zone = java.time.ZoneId.of(
+      SparkSession.active.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val norm = t.replace(' ', 'T')
+    try java.time.Instant.parse(norm).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(norm)
+          .atZone(zone).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDate.parse(t)
+              .atStartOfDay(zone).toInstant.toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"cannot parse timestampAsOf '$s' — use epoch millis, " +
+                    "an ISO instant, 'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd'")
+            }
+        }
     }
   }
 }

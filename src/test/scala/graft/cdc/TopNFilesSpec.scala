@@ -105,4 +105,54 @@ class TopNFilesSpec extends SparkSpec {
     assert(store.topNFiles(m2, withNulls, "d", asc = true, n = 15)
       .size === 6, "possible nulls must veto the cut")
   }
+
+  test("string stats order as UTF-8 bytes (Spark's order), not UTF-16") {
+    // U+1F600 GRINNING FACE: UTF-16 surrogate pair (0xD83D 0xDE00), UTF-8
+    // F0 9F 98 80. U+FF01 FULLWIDTH EXCLAMATION: UTF-16 0xFF01, UTF-8
+    // EF BC 81. JVM Ordering[String] puts the emoji FIRST
+    // (0xD83D < 0xFF01); Spark's UTF8String binary order puts it LAST.
+    val emoji = "😀"
+    val fullwidth = "！"
+    assert(emoji < fullwidth, "JVM order (the wrong one) sanity")
+    // Spark itself is the oracle for the right order
+    import spark.implicits._
+    val sparkMax = Seq(emoji, fullwidth, "a").toDF("s")
+      .orderBy(org.apache.spark.sql.functions.col("s").desc)
+      .as[String].head()
+    assert(sparkMax === emoji, "Spark sorts the emoji last (UTF-8 order)")
+    val files = Seq(
+      FileEntry("plain", "a", "b", 10),
+      FileEntry("fw", fullwidth, fullwidth, 1),
+      FileEntry("emoji", emoji, emoji, 1))
+    val m = Manifest(0L, 0L, "t", 0L, schemaDDL = "id STRING",
+      files = files, statsCols = Nil, keyField = "id")
+    // ORDER BY id DESC LIMIT 1: the true max row lives in "emoji". Under
+    // UTF-16 ordering the sweep counts "fw"'s mass as covering it and
+    // cuts the file holding the real answer.
+    val kept = store.topNFiles(m, files, "id", asc = false, n = 1)
+    assert(kept.map(_.name).contains("emoji"),
+      s"UTF-8 top file was cut: kept ${kept.map(_.name)}")
+    // and ascending still prunes the non-answer files
+    val keptAsc = store.topNFiles(m, files, "id", asc = true, n = 5)
+    assert(keptAsc.map(_.name) === Seq("plain"), s"got ${keptAsc.map(_.name)}")
+  }
+
+  test("date stats order numerically: 5-digit and BCE years") {
+    // lexicographically "+10000-01-01" < "9999-12-31" would be wrong;
+    // epoch-day parsing orders them correctly
+    assert(ManifestStore.parseIsoDateToEpochDay("9999-12-31") <
+      ManifestStore.parseIsoDateToEpochDay("+10000-01-01"))
+    assert(ManifestStore.parseIsoDateToEpochDay("-0044-03-15") <
+      ManifestStore.parseIsoDateToEpochDay("0001-01-01"))
+    assert(ManifestStore.parseIsoDateToEpochDay("2026-08-15") ===
+      java.time.LocalDate.of(2026, 8, 15).toEpochDay)
+    val files = Seq(
+      FileEntry("old", "1990-01-01", "9999-12-31", 10),
+      FileEntry("far", "+10000-01-01", "+10000-01-01", 1))
+    val m = Manifest(0L, 0L, "t", 0L, schemaDDL = "id DATE",
+      files = files, statsCols = Nil, keyField = "id")
+    val kept = store.topNFiles(m, files, "id", asc = false, n = 1)
+    assert(kept.map(_.name).contains("far"),
+      s"the 5-digit-year file holds the max and was cut: ${kept.map(_.name)}")
+  }
 }

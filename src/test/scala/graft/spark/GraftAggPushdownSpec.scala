@@ -209,6 +209,32 @@ class GraftAggPushdownSpec extends SparkSpec {
       Seq(("a", 4L), ("b", 1L)))
   }
 
+  test("a fully-masked partition emits NO phantom group (MoR keeps dead files)") {
+    val root = Files.createTempDirectory("aggp_dead").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 300L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3L).toInt), s"n$i")).toDF("id", "seg", "name")
+    st.commit(df, batchId = 0, nFiles = 3, statsCols = Seq("seg"))
+    // MoR-delete EVERY 'b' row: unlike deleteWhere, the merge-on-read
+    // commit keeps the dead files in the manifest (liveRows == 0)
+    val net = (0L until 300L).filter(_ % 3L == 1L)
+      .map(k => (k, "d", Option.empty[Long], Option.empty[String],
+        Option.empty[String], 10L))
+      .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_seg",
+        "after_name", Changelog.TsCol)
+    st.mergeOnRead(net, Seq("id", "seg", "name"), batchId = 1)
+    assert(st.currentManifest.get.files.exists(_.liveRows == 0L),
+      "premise: the MoR commit keeps fully-masked files")
+    val t = spark.read.format("graft").load(root)
+    val qc = t.groupBy(col("seg")).agg(count(lit(1)).as("cnt"))
+    assertPushed(qc)
+    // a real GROUP BY scan never emits the dead partition's group; the
+    // stats answer must not invent a ('b', 0) row
+    assert(qc.orderBy("seg").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 100L), ("c", 100L)))
+  }
+
   test("min/max keep answering through a column rename (physical stats)") {
     val root = Files.createTempDirectory("aggp_ren").toString
     val st = new ManifestStore(root, spark, "id")

@@ -303,6 +303,48 @@ class GraftDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("timestampAsOf resolves at-or-before; boundaries error loudly") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    Thread.sleep(15) // distinct commit instants (tsMillis granularity)
+    st.deleteWhere(col("id") < 100L, batchId = 1)
+    val m0 = st.manifest(0L).get
+    val m1 = st.manifest(1L).get
+    assert(m0.tsMillis < m1.tsMillis, "premise: distinct commit instants")
+    def read(ts: String) =
+      spark.read.format("graft").option("timestampAsOf", ts).load(root)
+    // exactly at v0, and anywhere between the commits → v0
+    assert(read(m0.tsMillis.toString).count() == 400L)
+    assert(read((m1.tsMillis - 1).toString).count() == 400L)
+    // at v1's own instant → v1
+    assert(read(m1.tsMillis.toString).count() == 300L)
+    // an ISO instant spelling resolves identically
+    assert(read(java.time.Instant.ofEpochMilli(m0.tsMillis).toString)
+      .count() == 400L)
+    // before-creation errors (no silent snap to v0)
+    val e1 = intercept[IllegalArgumentException] {
+      read((m0.tsMillis - 10).toString).count()
+    }
+    assert(e1.getMessage.contains("before the first commit"))
+    // after-current errors, naming the newest commit
+    val e2 = intercept[IllegalArgumentException] {
+      read((m1.tsMillis + 60000).toString).count()
+    }
+    assert(e2.getMessage.contains("after the latest commit"))
+    // the two time-travel spellings are mutually exclusive
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .option("timestampAsOf", m0.tsMillis.toString).load(root).count()
+    }
+    assert(e3.getMessage.contains("not both"))
+    // an unparseable value names the accepted forms
+    val e4 = intercept[IllegalArgumentException] {
+      read("not-a-time").count()
+    }
+    assert(e4.getMessage.contains("cannot parse timestampAsOf"))
+  }
+
   test("streaming startingVersion tails from a version, skipping the snapshot") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
