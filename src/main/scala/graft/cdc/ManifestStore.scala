@@ -93,6 +93,29 @@ object ManifestStore {
     def liveRows: Long = rows - dvRows
   }
 
+  /** A data file STAGED by a DSv2 clustered task writer, carrying the
+    * stats the writer folded while writing: raw EXTERNAL JVM values
+    * (String/Long/java.sql.Timestamp/...), min/max per statted column with
+    * its null count, plus the file's partition cell. [[ManifestStore
+    * .adoptStagedFiles]] turns these into manifest [[FileEntry]]s by
+    * serializing the values through the store's exact stat casts and
+    * RENAMING the bytes into `files/` — the 1x-write commit path: the
+    * task output IS the table file, nothing is re-read or re-written.
+    */
+  final case class StagedColStat(col: String, min: Any, max: Any,
+                                 nulls: Long)
+  final case class StagedFile(path: String, rows: Long,
+                              partVals: Seq[Any],
+                              keyMin: Any, keyMax: Any,
+                              cols: Seq[StagedColStat])
+
+  /** Process-lifetime count of staged files ADOPTED by rename (the
+    * 1x-write path) — an observable for specs and bench forensics: a
+    * commit that promoted moved this counter, one that fell back to the
+    * rewriting writer did not.
+    */
+  val adoptedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** `from` can be read through a reader schema of `to` without loss —
     * the same widening lattice the streaming drift path accepts
     * ([[graft.cdc.Envelope.isLosslessWidening]]), at Spark-type grain.
@@ -228,11 +251,12 @@ object ManifestStore {
   }
 
   /** Apply a column mapping to `logical`, producing the PHYSICAL (on-disk)
-    * schema: top-level names map via their own entries; STRUCT LEAVES map
-    * via dotted "parent.leaf" entries (one level deep — the mapping Delta
-    * calls nested column mapping; deeper nesting stays identity). Columns
-    * without an entry pass through unchanged, so the helper is safe on
-    * pruned subsets and on frames carrying writer-internal columns.
+    * schema: top-level names map via their own entries; STRUCT FIELDS map
+    * via dotted full-path entries at ANY depth ("a.b.c" — the mapping
+    * Delta calls nested column mapping; map/array element contents never
+    * map, their DDL is refused at the ALTER surface). Columns without an
+    * entry pass through unchanged, so the helper is safe on pruned
+    * subsets and on frames carrying writer-internal columns.
     */
   /** Driver-side parser + ordering for serialized per-file stats, when the
     * type's string form is primitively parseable — the fast path of
@@ -286,16 +310,21 @@ object ManifestStore {
 
   def toPhysical(logical: StructType, colMap: Map[String, String]): StructType =
     if (colMap.isEmpty) logical
-    else StructType(logical.fields.map { f =>
-      val mappedType = f.dataType match {
-        case st: StructType =>
-          StructType(st.fields.map(leaf =>
-            leaf.copy(name =
-              colMap.getOrElse(s"${f.name}.${leaf.name}", leaf.name))))
-        case other => other
-      }
-      f.copy(name = colMap.getOrElse(f.name, f.name), dataType = mappedType)
-    })
+    else {
+      // recursive: entries key the FULL dotted logical path at any struct
+      // depth ("a.b.c" -> physical leaf name); map/array element contents
+      // never map (their DDL is refused at the ALTER surface)
+      def mapStruct(st: StructType, prefix: String): StructType =
+        StructType(st.fields.map { f =>
+          val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          val dt = f.dataType match {
+            case s: StructType => mapStruct(s, path)
+            case other         => other
+          }
+          f.copy(name = colMap.getOrElse(path, f.name), dataType = dt)
+        })
+      mapStruct(logical, "")
+    }
 
   /** The change-file column naming Delta's CDF established (public
     * contract): one row per changed-row image, tagged with how it changed.
@@ -1502,6 +1531,72 @@ final class ManifestStore(val root: String, spark: SparkSession,
     entries
   }
 
+  /** Adopt DSv2-staged, stats-carrying data files as manifest entries —
+    * the 1x-write sibling of [[writeDataFiles]]: the task writers already
+    * clustered the rows, split files cell-pure and folded min/max/null
+    * stats while writing, so the commit's only data work is RENAMING each
+    * file into `files/`. The raw stat values serialize through the exact
+    * [[statSerialize]] casts in ONE O(#files) local job (stat strings
+    * must be bit-identical to the clustering writer's, or pruning
+    * would diverge between promoted and rewritten files). Refused on
+    * column-mapped tables (staged files carry logical names; callers
+    * fall back to the rewriting path).
+    */
+  private[graft] def adoptStagedFiles(staged: Seq[ManifestStore.StagedFile],
+                                      schema: StructType,
+                                      statsCols: Seq[String],
+                                      colMap: Map[String, String])
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.types.StructField
+    require(colMap.isEmpty,
+      "staged-file adoption needs identity column mapping (staged files " +
+        "carry logical column names) — use the rewriting commit path")
+    if (staged.isEmpty) return Nil
+    val keyDt = schema(keyField).dataType
+    val sCols = statsCols.filter(c => c != keyField &&
+      schema.fieldNames.contains(c))
+    // one row per staged file; columns typed as the REAL column types so
+    // statSerialize applies the same casts as the clustering writer
+    val fields = Seq(
+      StructField("_kmin", keyDt, nullable = true),
+      StructField("_kmax", keyDt, nullable = true)) ++
+      sCols.flatMap(c => Seq(
+        StructField(s"_min_$c", schema(c).dataType, nullable = true),
+        StructField(s"_max_$c", schema(c).dataType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] = staged.map { f =>
+      val byCol = f.cols.map(cs => cs.col -> cs).toMap
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(f.keyMin, f.keyMax) ++ sCols.flatMap { c =>
+          val cs = byCol.get(c)
+          Seq(cs.map(_.min).orNull, cs.map(_.max).orNull)
+        })
+    }
+    val serCols =
+      statSerialize(col("_kmin"), keyDt).as("_kmin") +:
+        statSerialize(col("_kmax"), keyDt).as("_kmax") +:
+        sCols.flatMap(c => Seq(
+          statSerialize(col(s"_min_$c"), schema(c).dataType).as(s"_min_$c"),
+          statSerialize(col(s"_max_$c"), schema(c).dataType).as(s"_max_$c")))
+    val ser = spark.createDataFrame(rows.asJava, StructType(fields))
+      .select(serCols: _*)
+      .collect() // O(#staged files) — planning-scale, no data read
+    Files.createDirectories(Paths.get(root, "files"))
+    ManifestStore.adoptedFiles.addAndGet(staged.size.toLong)
+    staged.zip(ser.toSeq).map { case (f, r) =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val dest = Paths.get(root, "files", name)
+      Files.move(Paths.get(f.path), dest, StandardCopyOption.ATOMIC_MOVE)
+      val byCol = f.cols.map(cs => cs.col -> cs).toMap
+      val cols = sCols.zipWithIndex.flatMap { case (c, i) =>
+        byCol.get(c).map(_ =>
+          c -> ((r.getString(2 + 2 * i), r.getString(3 + 2 * i))))
+      }.toMap
+      val nulls = sCols.flatMap(c => byCol.get(c).map(cs => c -> cs.nulls)).toMap
+      FileEntry(name, r.getString(0), r.getString(1), f.rows,
+        cols = cols, bytes = Files.size(dest), colNulls = nulls)
+    }
+  }
+
   private def fileEntryNode(f: FileEntry): com.fasterxml.jackson.databind.node.ObjectNode = {
     val fn = mapper.createObjectNode()
     fn.put("name", f.name); fn.put("minKey", f.minKey)
@@ -1627,6 +1722,31 @@ final class ManifestStore(val root: String, spark: SparkSession,
     true
   }
 
+  /** [[commit]]'s 1x-write sibling for DSv2-staged output: the version's
+    * content is the staged files themselves, renamed in by
+    * [[adoptStagedFiles]] — no data is re-read or re-written. Same replay
+    * guard, same manifest protocol. Returns false (and deletes the staged
+    * files — they are this writer's own uncommitted bytes) on a replayed
+    * (batchId, streamId).
+    */
+  private[graft] def commitStaged(staged: Seq[ManifestStore.StagedFile],
+                                  schema: StructType, batchId: Long,
+                                  streamId: String,
+                                  statsCols: Seq[String]): Boolean = {
+    val cur = current
+    if (replayed(batchId, streamId)) {
+      staged.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      return false
+    }
+    Files.createDirectories(Paths.get(root))
+    val entries = adoptStagedFiles(staged, schema, statsCols,
+      colMap = cur.flatMap(c => manifest(c._1)).map(_.colMap)
+        .getOrElse(Map.empty))
+    writeManifestAndSwap(cur.map(_._1 + 1).getOrElse(0L), batchId, streamId,
+      schema.toDDL, entries, statsCols)
+    true
+  }
+
   /** DDL schema change (ALTER TABLE ADD COLUMN surface): commit
     * version+1 with the SAME file list under an EXTENDED schema. The
     * manifest schema is already the read-through superset for every data
@@ -1677,8 +1797,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * its own schema + mapping). The key column is the row identity and
     * cannot be renamed.
     */
-  /** `from` may be a top-level column or a one-level STRUCT LEAF as
-    * "parent.leaf" (nested column mapping — a struct leaf rename is a
+  /** `from` may be a top-level column or a dotted struct path of ANY
+    * depth ("a.b.c" — nested column mapping; a struct-field rename is a
     * metadata commit too; `to` is the new leaf name, bare or dotted).
     */
   def renameColumn(from: String, to: String, streamId: String = "ddl"): Long =
@@ -1726,8 +1846,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * naturally rewritten (merge/optimize) — Delta's drop-with-mapping
     * trade. Time travel to pre-drop versions still shows the column.
     */
-  /** `name` may be a top-level column or a one-level struct leaf as
-    * "parent.leaf" (the leaf vanishes from the logical schema; its
+  /** `name` may be a top-level column or a dotted struct path of ANY
+    * depth ("a.b.c" — the field vanishes from the logical schema; its
     * physical bytes stay until the parent's files rewrite).
     */
   def dropColumn(name: String, streamId: String = "ddl"): Long =
@@ -1749,25 +1869,52 @@ final class ManifestStore(val root: String, spark: SparkSession,
       m.version + 1
     }
 
-  /** Locate the struct parent + leaf a dotted path names, with the same
-    * validation shape the top-level DDL paths use.
+  /** Resolve a dotted logical path of ANY struct depth to (the parent
+    * chain, the struct holding the leaf, the leaf name). Paths through
+    * map/array elements are refused loudly — their contents have no
+    * per-field physical identity to remap.
     */
   private def structLeaf(schema: StructType, path: String)
-      : (String, StructType, String) = {
-    val parts = path.split('.')
-    require(parts.length == 2,
-      s"nested column mapping supports one-level struct leaves " +
-        s"('parent.leaf'), got $path")
-    val (parent, leaf) = (parts(0), parts(1))
-    require(schema.fieldNames.contains(parent), s"no such column: $parent")
-    val st = schema(parent).dataType match {
-      case t: StructType => t
-      case other => throw new IllegalArgumentException(
-        s"$parent is ${other.sql}, not a struct — nested DDL needs a struct")
+      : (Seq[String], StructType, String) = {
+    val parts = path.split('.').toSeq
+    require(parts.length >= 2,
+      s"nested column mapping needs a dotted struct path, got $path")
+    val parents = parts.dropRight(1)
+    val leaf = parts.last
+    var cur: StructType = schema
+    parents.zipWithIndex.foreach { case (p, i) =>
+      require(cur.fieldNames.contains(p),
+        s"no such column: ${parents.take(i + 1).mkString(".")} (in $path)")
+      cur = cur(p).dataType match {
+        case t: StructType => t
+        case _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType =>
+          throw new IllegalArgumentException(
+            s"nested column mapping does not reach through map/array " +
+              s"elements: $path (at ${parents.take(i + 1).mkString(".")})")
+        case other => throw new IllegalArgumentException(
+          s"${parents.take(i + 1).mkString(".")} is ${other.sql}, not a " +
+            "struct — nested DDL needs a struct path")
+      }
     }
-    require(st.fieldNames.contains(leaf), s"no such field: $path")
-    (parent, st, leaf)
+    require(cur.fieldNames.contains(leaf), s"no such field: $path")
+    (parents, cur, leaf)
   }
+
+  /** Rebuild `schema` with the struct at the end of `parents` replaced by
+    * `f(struct)` — the schema-edit half of nested RENAME/DROP.
+    */
+  private def rebuildAt(schema: StructType, parents: Seq[String],
+                        f: StructType => StructType): StructType =
+    parents match {
+      case Seq() => f(schema)
+      case head +: tail =>
+        StructType(schema.fields.map(fd =>
+          if (fd.name == head)
+            fd.copy(dataType = rebuildAt(
+              fd.dataType.asInstanceOf[StructType], tail, f))
+          else fd))
+    }
 
   /** ALTER TABLE RENAME COLUMN s.a TO b — metadata commit via a dotted
     * "parent.leaf" mapping entry; data files keep the physical leaf name
@@ -1776,19 +1923,24 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def renameNested(m: Manifest, old: StructType, from: String,
                            to: String, streamId: String): Long = {
-    val (parent, st, leaf) = structLeaf(old, from)
+    val (parents, st, leaf) = structLeaf(old, from)
     val toLeaf = to.split('.').last
+    val newPath = (parents :+ toLeaf).mkString(".")
     require(!st.fieldNames.contains(toLeaf),
-      s"field $parent.$toLeaf already exists")
+      s"field $newPath already exists")
     val physLeaf = m.colMap.getOrElse(from, leaf)
-    val newStruct = StructType(st.fields.map(f =>
-      if (f.name == leaf) f.copy(name = toLeaf) else f))
-    val newSchema = StructType(old.fields.map(f =>
-      if (f.name == parent) f.copy(dataType = newStruct) else f))
+    val newSchema = rebuildAt(old, parents, s => StructType(s.fields.map(f =>
+      if (f.name == leaf) f.copy(name = toLeaf) else f)))
+    // entries for fields NESTED UNDER the renamed one (it may itself be a
+    // struct) follow it: their keys are logical paths and a prefix of
+    // theirs just changed
+    val childKeys = m.colMap.keys.filter(_.startsWith(s"$from.")).toSeq
+    val movedChildren = childKeys.map(k =>
+      s"$newPath.${k.stripPrefix(s"$from.")}" -> m.colMap(k))
     writeManifestAndSwap(m.version + 1, m.batchId, streamId,
       newSchema.toDDL, m.files, m.statsCols,
-      mappingOverride = Some(((m.colMap - from) +
-        (s"$parent.$toLeaf" -> physLeaf), m.droppedPhys)))
+      mappingOverride = Some(((m.colMap - from) -- childKeys ++
+        movedChildren + (newPath -> physLeaf), m.droppedPhys)))
     m.version + 1
   }
 
@@ -1798,17 +1950,19 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def dropNested(m: Manifest, old: StructType, name: String,
                          streamId: String): Long = {
-    val (parent, st, leaf) = structLeaf(old, name)
+    val (parents, st, leaf) = structLeaf(old, name)
     require(st.fields.length > 1,
-      s"cannot drop the last field of struct $parent (drop the column)")
+      s"cannot drop the last field of struct ${parents.mkString(".")} " +
+        "(drop the parent instead)")
     val physLeaf = m.colMap.getOrElse(name, leaf)
-    val newStruct = StructType(st.fields.filterNot(_.name == leaf))
-    val newSchema = StructType(old.fields.map(f =>
-      if (f.name == parent) f.copy(dataType = newStruct) else f))
+    val newSchema = rebuildAt(old, parents,
+      s => StructType(s.fields.filterNot(_.name == leaf)))
+    // mapping entries nested under the dropped field die with it
+    val childKeys = m.colMap.keys.filter(_.startsWith(s"$name.")).toSeq
     writeManifestAndSwap(m.version + 1, m.batchId, streamId,
       newSchema.toDDL, m.files, m.statsCols,
-      mappingOverride = Some((m.colMap - name,
-        m.droppedPhys :+ s"$parent.$physLeaf")))
+      mappingOverride = Some(((m.colMap - name) -- childKeys,
+        m.droppedPhys :+ s"${parents.mkString(".")}.$physLeaf")))
     m.version + 1
   }
 
@@ -2345,30 +2499,63 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def overwritePartitions(df: DataFrame, batchId: Long,
                           streamId: String = "default",
                           nFiles: Int = 16,
-                          staticValues: Option[Seq[Seq[Any]]] = None): Option[Long] = {
+                          staticValues: Option[Seq[Seq[Any]]] = None): Option[Long] =
+    overwritePartitionsImpl(Some(df), Nil, batchId, streamId, nFiles,
+      staticValues)
+
+  /** Dynamic partition overwrite whose new content was STAGED by the DSv2
+    * clustered task writers ([[adoptStagedFiles]]): identical replacement
+    * semantics to [[overwritePartitions]], but the new files are renamed
+    * in instead of re-written — the overwrite's data I/O drops to the one
+    * write the tasks already did. The replaced cells are the distinct
+    * partition tuples the staged stats carry.
+    */
+  private[graft] def overwritePartitionsStaged(
+      staged: Seq[ManifestStore.StagedFile], batchId: Long,
+      streamId: String): Option[Long] =
+    overwritePartitionsImpl(None, staged, batchId, streamId, nFiles = 0,
+      staticValues = None)
+
+  private def overwritePartitionsImpl(
+      dfOpt: Option[DataFrame], staged: Seq[ManifestStore.StagedFile],
+      batchId: Long, streamId: String, nFiles: Int,
+      staticValues: Option[Seq[Seq[Any]]]): Option[Long] = {
     val pcs: Seq[String] = ManifestStore.readTableProps(root)
       .get("partitioncol")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
       .getOrElse(throw new IllegalStateException(
         s"overwritePartitions needs the 'partitioncol' table property at $root"))
-    pcs.foreach(pc => require(df.columns.contains(pc),
-      s"overwrite batch must carry the partition column '$pc'"))
+    dfOpt.foreach(df => pcs.foreach(pc => require(df.columns.contains(pc),
+      s"overwrite batch must carry the partition column '$pc'")))
+    staged.foreach(f => require(f.partVals.size == pcs.size,
+      s"staged file ${f.path} carries ${f.partVals.size} partition values, " +
+        s"table has ${pcs.size} partition columns"))
     // the replaced set is a list of partition-VALUE TUPLES, one per
     // (multi-column) partition cell — (date, source) overwrites replace
     // exactly the cells present in the batch, never the cross product
-    val tuples: Seq[Seq[Any]] = staticValues.getOrElse(
-      df.select(pcs.map(col): _*).distinct().collect().map(_.toSeq).toSeq)
+    val tuples: Seq[Seq[Any]] = staticValues.getOrElse(dfOpt match {
+      case Some(df) =>
+        df.select(pcs.map(col): _*).distinct().collect().map(_.toSeq).toSeq
+      case None => staged.map(_.partVals).distinct
+    })
     if (tuples.isEmpty) return None
     require(tuples.forall(t => t.size == pcs.size && t.forall(_ != null)),
       s"partition overwrite with NULL ${pcs.mkString("(", ", ", ")")} " +
         "values is not supported")
+    // partition-column types: from the batch frame when one exists, else
+    // from the current manifest (types are commit-stable for a column)
+    val pdtSchema: StructType = dfOpt.map(_.schema).getOrElse(
+      StructType.fromDDL(currentManifest.getOrElse(
+        throw new IllegalStateException(
+          s"no current version at $root — commit an initial snapshot first"))
+        .schemaDDL))
     // row-tuple membership as ONE wide exists over an array of named
     // structs — flat however many cells the batch carries (a reduced
     // OR-chain is O(#tuples) DEEP and blows the driver stack; see the
     // same discipline in prunedFiles' IN handling)
     def typedStruct(vals: Seq[Any]): Column = struct(pcs.zip(vals).map {
-      case (c, v) => lit(v).cast(df.schema(c).dataType).as(c) }: _*)
+      case (c, v) => lit(v).cast(pdtSchema(c).dataType).as(c) }: _*)
     val tupleArr = array(tuples.map(typedStruct): _*)
     val rowStruct = struct(pcs.map(c => col(c).as(c)): _*)
     val replaceCond = org.apache.spark.sql.functions.exists(
@@ -2377,6 +2564,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // the partitions it replaces, or rows would land without clearing
     // their partition first (a NULL partition row is outside by definition)
     staticValues.foreach { _ =>
+      val df = dfOpt.getOrElse(throw new IllegalStateException(
+        "static overwrite requires the batch DataFrame form"))
       require(df.filter(!coalesce(replaceCond, lit(false))).isEmpty,
         s"static overwrite batch contains rows outside " +
           s"PARTITION (${pcs.mkString(", ")})")
@@ -2430,16 +2619,27 @@ final class ManifestStore(val root: String, spark: SparkSession,
           colRange(m, f, c).exists { case (mn, mx) =>
             mn != null && mn == mx } &&
             nullsOf(m, f, c).contains(0L)))
+      // new content first: the staged form adopts the task output by
+      // rename (1x write), the DataFrame form runs the clustering writer;
+      // CDF inserts then read the ADOPTED files instead of recomputing
+      // the batch frame
+      val newEntries = dfOpt match {
+        case Some(df) =>
+          writeDataFiles(df, nFiles, m.statsCols, colMap = m.colMap)
+        case None =>
+          adoptStagedFiles(staged, schema, m.statsCols, m.colMap)
+      }
       val cdc = if (!cdfEnabled) None else {
         val deletes = (if (candidates.isEmpty)
-            df.filter(lit(false)) // schema donor: no old rows
+            readFiles(m, Nil) // schema donor: no old rows
           else readFiles(m, candidates).filter(replaceCond))
           .select(schema.fieldNames.toSeq.map(c => col(c)): _*)
           .withColumn(ManifestStore.ChangeTypeCol,
             lit(ManifestStore.CdfDelete))
-        val inserts = df
+        val insertSrc = dfOpt.getOrElse(readFiles(m, newEntries))
+        val inserts = insertSrc
           .select(schema.fieldNames.toSeq.map(c =>
-            if (df.columns.contains(c)) col(c)
+            if (insertSrc.columns.contains(c)) col(c)
             else lit(null).cast(schema(c).dataType)): _*)
           .withColumn(ManifestStore.ChangeTypeCol,
             lit(ManifestStore.CdfInsert))
@@ -2454,8 +2654,6 @@ final class ManifestStore(val root: String, spark: SparkSession,
           readFiles(m, straddlers).filter(
             pcs.map(col(_).isNull).reduce(_ || _) || !replaceCond),
           math.max(1, straddlers.size), m.statsCols, colMap = m.colMap)
-      val newEntries = writeDataFiles(df, nFiles, m.statsCols,
-        colMap = m.colMap)
       val _ = dropped // replaced wholesale; vacuum reclaims their bytes
       writeManifestAndSwap(m.version + 1, batchId, streamId, m.schemaDDL,
         carried ++ remainderEntries ++ newEntries, m.statsCols, cdc = cdc)

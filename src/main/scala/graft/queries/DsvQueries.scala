@@ -330,6 +330,45 @@ object DsvQueries {
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
     }),
+    "dsv2_partition_evolution" -> ((s, dir) => {
+      // Iceberg-style partition-spec evolution as a METADATA change: the
+      // table starts partitioned by (c_mktsegment), evolves to
+      // (c_mktsegment, ngrp) — old files keep their layout (pure in seg,
+      // straddling ngrp) and stay prunable under their ORIGINAL spec via
+      // the zone map, while a post-evolution overwrite of one (seg, ngrp)
+      // cell rewrites exactly the straddlers minus that cell. At 100 TB
+      // this is what keeps partitioning adjustable over a table's life
+      // without rewriting history.
+      val root = scratch("pev", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val base = customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), (col("c_nationkey") % 3).as("ngrp"))
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("partitioncol" -> "c_mktsegment"))
+        st.commit(base, batchId = 0, nFiles = 8,
+          statsCols = Seq("c_mktsegment", "ngrp"))
+        // spec evolution: one property commit, zero data I/O
+        ManifestStore.writeTableProps(root,
+          Map("partitioncol" -> "c_mktsegment,ngrp"))
+        st.overwritePartitions(
+          base.filter(col("c_mktsegment") === "BUILDING" &&
+            col("ngrp") === 1)
+            .withColumn("c_acctbal", -col("c_acctbal")),
+          batchId = 1, nFiles = 2)
+        ()
+      }
+      // old-spec pruning still works: a seg filter plans a strict subset
+      val m = st.currentManifest.get
+      val prunedParts = s.read.format("graft").load(root)
+        .filter(col("c_mktsegment") === "MACHINERY").rdd.getNumPartitions
+      val oldPruned = prunedParts > 0 && prunedParts < m.files.size
+      s.read.format("graft").load(root)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("ngrp"))
+        .withColumn("pe_old_pruned", lit(oldPruned))
+    }),
     "dsv2_time_travel_ts" -> ((s, dir) => {
       // Delta's `timestampAsOf` spelling on the batch reader: an instant
       // between two commits resolves to the EARLIER version (at-or-before),
@@ -899,6 +938,18 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // the two-spec table must equal the relational recomputation: the
+    // evolved (BUILDING, ngrp=1) cell negated, everything else intact,
+    // with the old-spec pruning gate true
+    "dsv2_partition_evolution" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_mktsegment = 'BUILDING'
+        |                 AND c_nationkey % 3 = 1 THEN -c_acctbal
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment, c_nationkey % 3 AS ngrp,
+        |       TRUE AS pe_old_pruned
+        |FROM customer""".stripMargin,
 
     // a timestamp between commit 0 and commit 1 must read the FULL v0
     // table, with every boundary-behavior gate true

@@ -250,14 +250,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames().length <= 2,
-          "graft ALTER TABLE supports RENAME of top-level columns and " +
-            "one-level struct leaves, got " + ren.fieldNames().mkString("."))
+        // any struct depth; paths through map/array elements are refused
+        // by the store's path resolver
         renames += (ren.fieldNames().mkString(".") -> ren.newName())
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length <= 2,
-          "graft ALTER TABLE supports DROP of top-level columns and " +
-            "one-level struct leaves, got " + del.fieldNames().mkString("."))
         drops += del.fieldNames().mkString(".")
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,

@@ -296,7 +296,11 @@ final class GraftCdfScan(root: String, options: Map[String, String],
   private def spark = SparkSession.active
   private val keyField: String = GraftTable.resolve(root, options)._2
   private lazy val store = new ManifestStore(root, spark, keyField)
-  private lazy val dataSchema: StructType = GraftTable.resolve(root, options)._1
+  // honors the `columns` read option (the streaming pruning knob — see
+  // GraftDataSource.inferSchema); the factory reads the key internally
+  // where deletion-vector masking needs it
+  private lazy val dataSchema: StructType = GraftTable.subsetColumns(
+    GraftTable.resolve(root, options)._1, options)
   private val ignoreChanges =
     GraftTable.opt(options, "ignorechanges").exists(_.toBoolean)
 
@@ -347,7 +351,8 @@ final class GraftCdfScan(root: String, options: Map[String, String],
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdfMicroBatchStream(root, keyField, dataSchema, options)
+    new GraftCdfMicroBatchStream(root, keyField, dataSchema, options,
+      required)
 }
 
 /** Streaming form: offsets are manifest versions (same WAL discipline as
@@ -362,7 +367,8 @@ final class GraftCdfScan(root: String, options: Map[String, String],
   */
 final class GraftCdfMicroBatchStream(root: String, keyField: String,
                                      dataSchema: StructType,
-                                     options: Map[String, String])
+                                     options: Map[String, String],
+                                     required: Option[StructType] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -427,8 +433,12 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
+    // column pruning parity with the batch form: Spark prunes streaming
+    // scans through the same ScanBuilder, so the per-version readers of a
+    // two-column stream over a wide table read two columns
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
-      colMap = cur.map(_.colMap).getOrElse(Map.empty))
+      colMap = cur.map(_.colMap).getOrElse(Map.empty),
+      required = required)
   }
 }

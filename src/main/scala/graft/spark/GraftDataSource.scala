@@ -53,7 +53,14 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = GraftTable.resolve(root(options), options.asScala.toMap)._1
+    val full = GraftTable.resolve(root(options), options.asScala.toMap)._1
+    // `columns` (comma list): restrict the READ to these data columns at
+    // the source — the reader-level pruning knob for STREAMING consumers:
+    // Spark's optimizer never calls pruneColumns on a micro-batch scan
+    // (the projection stays above a full-width read), so a two-column
+    // stream over a wide table needs the subset declared at load time.
+    // Batch reads prune automatically and don't need it.
+    val base = GraftTable.subsetColumns(full, options.asScala.toMap)
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
       GraftCdf.cdfSchema(base)
     else base
@@ -129,6 +136,25 @@ object GraftTable {
     (StructType.fromDDL(m.schemaDDL),
       opt(options, "key").getOrElse(m.keyField))
   }
+
+  /** `schema` restricted to the `columns` option's comma list (order
+    * preserved from the table schema); unknown names refuse loudly. No
+    * option = the full schema.
+    */
+  private[spark] def subsetColumns(schema: StructType,
+                                   options: Map[String, String]): StructType =
+    opt(options, "columns") match {
+      case None => schema
+      case Some(cs) =>
+        val want = cs.split(",").map(_.trim).filter(_.nonEmpty)
+        require(want.nonEmpty, "columns option must name at least one column")
+        val missing = want.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"columns option names unknown columns: ${missing.mkString(", ")} " +
+            s"(table has ${schema.fieldNames.mkString(", ")})")
+        val set = want.toSet
+        StructType(schema.fields.filter(f => set(f.name)))
+    }
 
   /** The manifest a read of `root` under `options` addresses. */
   private[spark] def manifestFor(root: String, options: Map[String, String])
@@ -335,11 +361,16 @@ final class GraftTable(val root: String, tableSchema: StructType,
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION enables SQL `MERGE ... WITH SCHEMA
+    // EVOLUTION`: the analyzer turns the source's new columns into
+    // catalog AddColumn changes (an evolveSchema metadata commit) before
+    // planning the row-level write; without the clause nothing changes
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = options ++ caseInsensitive.asScala.toMap
@@ -461,27 +492,112 @@ final class GraftWriteBuilder(root: String, options: Map[String, String],
     // (OverwritePartitionsDynamicExec drives a real BatchWrite), so that
     // path stages executor-side like the streaming sink; everything else
     // stays on the V1 fallback the driver-side store API serves
-    if (dynamicPartitions)
-      new Write {
-        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new GraftOverwriteBatchWrite(root, options, info.schema())
+    if (dynamicPartitions) {
+      // 1x-write promotion: ask Spark to deliver (partCols..., key)
+      // range-clustered, sorted task output so the staged files can be
+      // adopted directly (ClusteredStaging); spec = None falls back to
+      // the rewriting commit (bucketed/mapped/CHECK'd tables, or the
+      // spark.graft.write.promote=false escape hatch)
+      val spec: Option[ClusterWriteSpec] = {
+        val enabled = SparkSession.active.conf
+          .getOption("spark.graft.write.promote").forall(_ != "false")
+        val m = if (enabled) scala.util.Try(
+          GraftTable.manifestFor(root, options)).toOption else None
+        m.filter(_.colMap.isEmpty).flatMap(mm =>
+          ClusteredStaging.specFor(root, info.schema(),
+            GraftTable.resolve(root, options)._2, mm.statsCols,
+            GraftTable.opt(options, "files").map(_.toInt).getOrElse(16)))
       }
-    else new V1Write {
-      override def toInsertableRelation: InsertableRelation =
-        new InsertableRelation {
-          override def insert(data: DataFrame, ignored: Boolean): Unit =
-            staticPartitionFilters match {
-              case Some(fs) =>
-                GraftWriteBuilder.runStaticOverwrite(root, options, data, fs)
-              case None =>
-                GraftWriteBuilder.run(root, options, data, overwrite)
-            }
+      spec match {
+        case Some(s) =>
+          new Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              s.distribution
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              s.sortOrders
+            override def requiredNumPartitions(): Int = s.nFiles
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new GraftOverwriteBatchWrite(root, options, info.schema(), Some(s))
+          }
+        case None =>
+          new Write {
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new GraftOverwriteBatchWrite(root, options, info.schema(), None)
+          }
+      }
+    }
+    else {
+      // streaming 1x-write promotion: an epoch that will COMMIT (initial
+      // snapshot to a fresh store, or Complete-mode re-commit) rather
+      // than MERGE can adopt clustered task output directly. The spec is
+      // decided at query start; merge-mode streams (existing store,
+      // Append/Update) keep unclustered staging — their epochs feed the
+      // pruned merge, where a pre-sort would be pure overhead.
+      val streamSpec: Option[ClusterWriteSpec] = {
+        val enabled = SparkSession.active.conf
+          .getOption("spark.graft.write.promote").forall(_ != "false")
+        val existing = scala.util.Try(
+          GraftTable.manifestFor(root, options)).toOption
+        val eligible = enabled &&
+          GraftWriteBuilder.opt(options, "opcol").isEmpty &&
+          (existing.isEmpty || overwrite) &&
+          existing.forall(_.colMap.isEmpty)
+        if (!eligible) None
+        else {
+          val key = existing.map(_.keyField).filter(_.nonEmpty)
+            .orElse(GraftWriteBuilder.opt(options, "key")).getOrElse("")
+          if (key.isEmpty) None
+          else {
+            val statsCols = existing.map(_.statsCols).getOrElse(
+              GraftWriteBuilder.opt(options, "statscols").toSeq
+                .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+            ClusteredStaging.specFor(root, info.schema(), key, statsCols,
+              GraftWriteBuilder.opt(options, "files").map(_.toInt)
+                .getOrElse(16))
+          }
         }
-      // writeStream.format("graft") — see GraftStreamingWrite: staged
-      // epochs + the store's (epochId, queryId) replay guard = exactly-once
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftStreamingWrite(root, options, info.schema(), info.queryId(),
-          overwrite)
+      }
+      def v1Body = new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          staticPartitionFilters match {
+            case Some(fs) =>
+              GraftWriteBuilder.runStaticOverwrite(root, options, data, fs)
+            case None =>
+              GraftWriteBuilder.run(root, options, data, overwrite)
+          }
+      }
+      streamSpec match {
+        case Some(s) =>
+          new V1Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              s.distribution
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              s.sortOrders
+            override def requiredNumPartitions(): Int = s.nFiles
+            override def toInsertableRelation: InsertableRelation = v1Body
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new GraftStreamingWrite(root, options, info.schema(),
+                info.queryId(), overwrite, Some(s))
+          }
+        case None =>
+          new V1Write {
+            override def toInsertableRelation: InsertableRelation = v1Body
+            // writeStream.format("graft") — see GraftStreamingWrite: staged
+            // epochs + the store's (epochId, queryId) replay guard =
+            // exactly-once
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new GraftStreamingWrite(root, options, info.schema(),
+                info.queryId(), overwrite, None)
+          }
+      }
     }
 }
 
@@ -493,7 +609,8 @@ final class GraftWriteBuilder(root: String, options: Map[String, String],
   */
 final class GraftOverwriteBatchWrite(root: String,
                                      options: Map[String, String],
-                                     schema: org.apache.spark.sql.types.StructType)
+                                     schema: org.apache.spark.sql.types.StructType,
+                                     spec: Option[ClusterWriteSpec])
   extends org.apache.spark.sql.connector.write.BatchWrite {
   import java.nio.file.{Files, Paths}
 
@@ -508,21 +625,56 @@ final class GraftOverwriteBatchWrite(root: String,
     val writers = org.apache.spark.sql.graft.ParquetWriteBridge
       .taskWriters(spark, schema)
     val stage = staging
+    val sp = spec
     new org.apache.spark.sql.connector.write.DataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-        new GraftStreamTaskWriter(stage, writers, partitionId, taskId)
+        sp match {
+          case Some(s) =>
+            new GraftClusteredTaskWriter(stage, writers, s, partitionId, taskId)
+          case None =>
+            new GraftStreamTaskWriter(stage, writers, partitionId, taskId)
+        }
     }
   }
 
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val stagedStats = messages.collect {
+      case GraftStagedFilesMessage(fs) => fs
+    }.flatten.toSeq
     val files = messages.collect {
       case GraftDeltaCommitMessage(path) if path.nonEmpty => path
     }
     try {
-      if (files.isEmpty) return // overwrite of nothing replaces nothing
-      val data = spark.read.schema(schema).parquet(files: _*)
-      GraftWriteBuilder.runOverwritePartitions(root, options, data)
+      if (spec.isDefined) {
+        // 1x-write path: the clustered, cell-pure, stats-carrying task
+        // output is adopted directly — no re-read, no re-write
+        if (stagedStats.isEmpty) return
+        val key = GraftTable.resolve(root, options)._2
+        require(key.nonEmpty, "graft dynamic partition overwrite needs " +
+          "the store's key column (write with a keyed commit first)")
+        val st = new graft.cdc.ManifestStore(root, spark, key)
+        val m = st.currentManifest.getOrElse(throw new IllegalStateException(
+          s"no graft store at $root"))
+        if (m.colMap.nonEmpty) {
+          // a RENAME landed between planning and commit: the staged files
+          // carry logical names — fall back to the rewriting commit, which
+          // physicalizes
+          val data = spark.read.schema(schema)
+            .parquet(stagedStats.map(_.path): _*)
+          GraftWriteBuilder.runOverwritePartitions(root, options, data)
+        } else {
+          // "owp1x" marks the adopted (1x-write) lineage in the commit
+          // log — forensics can tell promoted from rewritten statements
+          st.overwritePartitionsStaged(stagedStats, batchId = m.version + 1,
+            streamId = s"dsv2-owp1x-${java.util.UUID.randomUUID()}")
+          ()
+        }
+      } else {
+        if (files.isEmpty) return // overwrite of nothing replaces nothing
+        val data = spark.read.schema(schema).parquet(files: _*)
+        GraftWriteBuilder.runOverwritePartitions(root, options, data)
+      }
     } finally deleteStaging()
   }
 

@@ -577,7 +577,7 @@ object GraftPartitions {
     // works on mapped tables too); a filter that can't be fully rewritten
     // is dropped — Spark's residual re-evaluation keeps answers exact.
     val logicalData = StructType.fromDDL(manifestSchemaDDL)
-    // top-level AND one-level struct-leaf mapping: rows are positional, so
+    // top-level AND any-depth struct-field mapping: rows are positional, so
     // renaming nested leaves is purely a parquet name-matching concern
     def toPhys(s: StructType): StructType =
       ManifestStore.toPhysical(s, colMap)

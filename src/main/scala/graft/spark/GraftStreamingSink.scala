@@ -42,7 +42,8 @@ import java.nio.file.{Files, Paths}
   */
 final class GraftStreamingWrite(root: String, options: Map[String, String],
                                 schema: StructType, queryId: String,
-                                overwrite: Boolean)
+                                overwrite: Boolean,
+                                spec: Option[ClusterWriteSpec])
   extends StreamingWrite {
 
   private def spark = SparkSession.active
@@ -50,14 +51,26 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root))
-    GraftStreamWriterFactory(s"$root/_stream_stage_$queryId",
-      ParquetWriteBridge.taskWriters(spark, schema))
+    spec match {
+      case Some(s) =>
+        // promotion-eligible query (initial snapshot / Complete mode):
+        // cell-rolling, stats-folding writers so commit can adopt the
+        // epoch's files by rename instead of re-writing them
+        GraftClusteredStreamWriterFactory(s"$root/_stream_stage_$queryId",
+          ParquetWriteBridge.taskWriters(spark, schema), s)
+      case None =>
+        GraftStreamWriterFactory(s"$root/_stream_stage_$queryId",
+          ParquetWriteBridge.taskWriters(spark, schema))
+    }
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stagedStats = messages.collect {
+      case GraftStagedFilesMessage(fs) => fs
+    }.flatten.toSeq
     val files = messages.collect {
       case GraftDeltaCommitMessage(path) if path.nonEmpty => path
-    }
+    } ++ stagedStats.map(_.path)
     val epochDir = Paths.get(s"$root/_stream_stage_$queryId/epoch-$epochId")
     try {
       val keyOpt = GraftTable.opt(options, "key")
@@ -96,12 +109,29 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
           st.currentManifest
         case _ => existing
       }
+      // promotion: a COMMIT epoch (initial snapshot / Complete re-commit)
+      // whose tasks staged clustered, stats-carrying files adopts them by
+      // rename (1x write). Falls back to the rewriting commit when the
+      // table acquired column mapping mid-query (the staged files carry
+      // logical names) or the epoch staged through plain writers.
+      def promotable(colMap: Map[String, String]): Boolean =
+        spec.isDefined && stagedStats.nonEmpty && colMap.isEmpty
       effective match {
+        case None if promotable(Map.empty) =>
+          st.commitStaged(stagedStats, schema, batchId = epochId,
+            streamId = queryId,
+            statsCols = GraftTable.opt(options, "statscols").toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+          ()
         case None =>
           st.commit(staged, batchId = epochId, nFiles = nFiles,
             streamId = queryId,
             statsCols = GraftTable.opt(options, "statscols").toSeq
               .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+          ()
+        case Some(m) if overwrite && promotable(m.colMap) =>
+          st.commitStaged(stagedStats, schema, batchId = epochId,
+            streamId = queryId, statsCols = m.statsCols)
           ()
         case Some(m) if overwrite => // Complete mode: epoch = full result
           st.commit(staged, batchId = epochId, nFiles = nFiles,
@@ -182,6 +212,21 @@ final case class GraftStreamWriterFactory(stageRoot: String,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftStreamTaskWriter(s"$stageRoot/epoch-$epochId", writers,
       partitionId, taskId)
+}
+
+/** The promotion-eligible sibling: cell-rolling, stats-folding writers
+  * ([[GraftClusteredTaskWriter]]) whose epoch output the commit adopts by
+  * rename — see [[ClusteredStaging]].
+  */
+final case class GraftClusteredStreamWriterFactory(
+    stageRoot: String, writers: ParquetWriteBridge.TaskWriters,
+    spec: ClusterWriteSpec)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftClusteredTaskWriter(s"$stageRoot/epoch-$epochId", writers,
+      spec, partitionId, taskId)
 }
 
 final class GraftStreamTaskWriter(epochDir: String,

@@ -62,6 +62,23 @@ object ParquetWriteBridge {
     conv(org.apache.spark.sql.Row.fromSeq(values)).asInstanceOf[InternalRow]
   }
 
+  /** Spark's own interpreted ordering for `dt` — the comparison semantics
+    * of its min/max aggregates and sorts (NaN greatest, binary UTF-8 for
+    * strings). Needed executor-side by the clustered task writers to fold
+    * per-file stats while writing; `TypeUtils` is sql-private.
+    */
+  def orderingFor(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** Catalyst value -> external JVM value converter for `dt`
+    * (UTF8String -> String, micros -> java.sql.Timestamp, ...): the staged
+    * stats travel to the driver as external values so the commit can
+    * re-serialize them through the store's exact stat casts.
+    */
+  def toScalaConverter(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(dt)
+
   def taskWriters(spark: SparkSession, schema: StructType): TaskWriters = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sqlConf = cs.sessionState.conf

@@ -259,6 +259,60 @@ class GraftCatalogSpec extends SparkSpec {
       .select("meta.a").count() === 100L)
   }
 
+  test("nested column mapping beyond one level: deep RENAME/DROP, " +
+      "map/array paths refused") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.deep")
+    sql("CREATE TABLE gct.db.deep (id BIGINT, " +
+      "outer STRUCT<mid: STRUCT<x: DOUBLE, y: STRING>, z: BIGINT>, " +
+      "tags MAP<STRING, STRING>, arr ARRAY<STRUCT<q: DOUBLE>>) " +
+      "TBLPROPERTIES ('key'='id')")
+    sql("INSERT INTO gct.db.deep SELECT id, " +
+      "named_struct('mid', named_struct('x', CAST(id AS DOUBLE), " +
+      "'y', concat('y', id)), 'z', id * 10), " +
+      "map('k', 'v'), array(named_struct('q', CAST(id AS DOUBLE))) " +
+      "FROM range(0, 50)")
+    val root = java.nio.file.Paths.get(warehouse, "db", "deep").toString
+    val st = new graft.cdc.ManifestStore(root, spark, "id")
+    val filesBefore = st.currentManifest.get.files.map(_.name).toSet
+    // RENAME two levels down: pure metadata, pre-DDL bytes read back
+    sql("ALTER TABLE gct.db.deep RENAME COLUMN outer.mid.x TO ex")
+    assert(st.currentManifest.get.files.map(_.name).toSet === filesBefore,
+      "deep RENAME must not touch data files")
+    assert(st.currentManifest.get.colMap.get("outer.mid.ex").contains("x"))
+    assert(sql("SELECT outer.mid.ex FROM gct.db.deep WHERE id = 7")
+      .collect().head.getDouble(0) === 7.0)
+    // writes after the deep rename physicalize back to 'x'
+    sql("INSERT INTO gct.db.deep SELECT id, " +
+      "named_struct('mid', named_struct('ex', CAST(-1.0 AS DOUBLE), " +
+      "'y', 'n'), 'z', CAST(0 AS BIGINT)), map('k','v'), " +
+      "array(named_struct('q', CAST(0.0 AS DOUBLE))) FROM range(500, 502)")
+    assert(sql("SELECT outer.mid.ex FROM gct.db.deep WHERE id = 500")
+      .collect().head.getDouble(0) === -1.0)
+    assert(sql("SELECT count(*) FROM gct.db.deep").collect()
+      .head.getLong(0) === 52L)
+    // renaming a MID-LEVEL struct carries its children's mappings along
+    sql("ALTER TABLE gct.db.deep RENAME COLUMN outer.mid TO core")
+    assert(st.currentManifest.get.colMap.get("outer.core.ex").contains("x"))
+    assert(st.currentManifest.get.colMap.get("outer.core").contains("mid"))
+    assert(sql("SELECT outer.core.ex FROM gct.db.deep WHERE id = 7")
+      .collect().head.getDouble(0) === 7.0)
+    // DROP two levels down: metadata-only, tombstoned at its full path
+    val beforeDrop = st.currentManifest.get.files.map(_.name).toSet
+    sql("ALTER TABLE gct.db.deep DROP COLUMN outer.core.y")
+    assert(st.currentManifest.get.files.map(_.name).toSet === beforeDrop)
+    assert(sql("SELECT outer.core.ex FROM gct.db.deep WHERE id = 7")
+      .collect().head.getDouble(0) === 7.0)
+    // refusal ONLY for map/array element paths
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE gct.db.deep RENAME COLUMN arr.element.q TO p"))
+    assert(e1.getMessage.contains("map/array") ||
+      e1.getMessage.toLowerCase.contains("not a struct"), e1.getMessage)
+    // and the pre-DDL shape still time-travels
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(root)
+      .select("outer.mid.x").count() === 50L)
+  }
+
   test("pushed filters rewrite logical→physical on mapped tables") {
     // unit: the rewriter maps top-level, nested, and composite trees
     import org.apache.spark.sql.sources._

@@ -267,6 +267,67 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(feed(st.root, 1, 1).select("name").count() === 4L)
   }
 
+  test("streaming CDF prunes to the `columns` option: two-column stream " +
+      "of a wide table reads two columns") {
+    val st = store()
+    // a WIDE table: the stream wants two data columns. Spark's optimizer
+    // never calls pruneColumns on a micro-batch scan (the projection sits
+    // ABOVE a full-width read — pinned below), so the subset is declared
+    // at load time with the `columns` option; batch CDF reads prune
+    // automatically and need no option.
+    val wide = (0L until 50L).map { i =>
+      (i, s"n$i", s"a$i", s"b$i", s"c$i", s"d$i", s"e$i", s"f$i", s"g$i",
+        s"h$i", s"i$i", s"j$i")
+    }.toDF("id", "name", "w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8",
+      "w9", "w10")
+    st.commit(wide, batchId = 0, nFiles = 2)
+    def run(opts: Map[String, String], name: String): String = {
+      val ck = java.nio.file.Files.createTempDirectory("cdfprune").toString
+      var r = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(st.root)
+        .select("id", "_change_type")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        org.apache.spark.sql.graft.StreamingPlanBridge.lastExecutedPlan(q)
+      } finally q.stop()
+    }
+    // without the option: Spark leaves the scan full-width (the
+    // limitation this knob exists for)
+    val planFull = run(Map.empty, "graft_cdf_prune_full")
+    assert(planFull.contains("w7"),
+      s"premise: micro-batch scans don't prune through the optimizer:\n$planFull")
+    // with it: the scan itself is two data columns + the metadata column
+    val planPruned = run(Map("columns" -> "id"), "graft_cdf_prune")
+    assert(!planPruned.contains("w7") && !planPruned.contains("name#"),
+      s"the micro-batch scan must not read unselected columns:\n$planPruned")
+    val got = spark.table("graft_cdf_prune").as[(Long, String)]
+      .collect().toSet
+    assert(got === (0L until 50L).map(i => (i, "insert")).toSet)
+    // the tail source honors the same option
+    val ck2 = java.nio.file.Files.createTempDirectory("tailprune").toString
+    val q2 = spark.readStream.format("graft").option("columns", "id,name")
+      .load(st.root)
+      .writeStream.format("memory").queryName("graft_tail_prune")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      val p2 = org.apache.spark.sql.graft.StreamingPlanBridge
+        .lastExecutedPlan(q2)
+      assert(!p2.contains("w7"), s"tail stream must prune too:\n$p2")
+      assert(spark.table("graft_tail_prune").columns.toSeq ===
+        Seq("id", "name"))
+      assert(spark.table("graft_tail_prune").count() === 50L)
+    } finally q2.stop()
+    // unknown names refuse loudly
+    val e = intercept[Exception](spark.read.format("graft")
+      .option("columns", "nope").load(st.root).count())
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

@@ -101,6 +101,38 @@ class GraftRowLevelSpec extends SparkSpec {
       === 1000L - 10L + 50L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a new source column evolves the table") {
+    val t = freshTable("sev", n = 100, files = 2)
+    // source carries a column the target has never seen
+    spark.sql("SELECT id, CONCAT('ev_', id) AS v, " +
+      "CAST(id AS DOUBLE) AS amt, CONCAT('tag', id) AS tag " +
+      "FROM range(50, 120)").createOrReplaceTempView("sev_src")
+    // WITHOUT the clause, the unknown column refuses (no silent evolution)
+    val e = intercept[Exception](sql(
+      s"""MERGE INTO $t AS tgt USING sev_src AS src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v, tag = src.tag
+         |WHEN NOT MATCHED THEN INSERT (id, v, amt, tag)
+         |VALUES (src.id, src.v, src.amt, src.tag)""".stripMargin))
+    assert(e.getMessage != null)
+    sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS tgt
+         |USING sev_src AS src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v, tag = src.tag
+         |WHEN NOT MATCHED THEN INSERT (id, v, amt, tag)
+         |VALUES (src.id, src.v, src.amt, src.tag)""".stripMargin)
+    // the new column landed: matched rows carry it, pre-existing
+    // unmatched rows read NULL, inserts carry it
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) === 120L)
+    assert(sql(s"SELECT tag FROM $t WHERE id = 60").collect()
+      .head.getString(0) === "tag60")
+    assert(sql(s"SELECT tag FROM $t WHERE id = 110").collect()
+      .head.getString(0) === "tag110")
+    assert(sql(s"SELECT tag FROM $t WHERE id = 10").collect()
+      .head.isNullAt(0), "pre-existing rows read NULL for the new column")
+    // the evolution is a metadata commit in the table's own history
+    assert(spark.table(t).schema.fieldNames.contains("tag"))
+  }
+
   test("row-level commits are pruned merges: untouched files carry over") {
     val t = freshTable("p1", n = 4000, files = 4)
     val root = java.nio.file.Paths.get(warehouse, "db", "p1").toString

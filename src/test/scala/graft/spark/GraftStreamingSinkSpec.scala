@@ -14,6 +14,80 @@ class GraftStreamingSinkSpec extends SparkSpec {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_sink_$tag").toString
 
+  test("initial-snapshot epoch promotes: staged files adopted, clustered") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("pr") + "/store"
+    val ck = tmp("prck")
+    val ms = MemoryStream[(Long, String)]
+    val before = ManifestStore.adoptedFiles.get()
+    val q = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("files", "4")
+      .option("checkpointLocation", ck)
+      .start(root)
+    try {
+      // shuffled input: disjoint per-file key ranges can then only come
+      // from the write's required (range) distribution being applied
+      ms.addData(new scala.util.Random(42L)
+        .shuffle((0L until 400L).toVector).map(i => (i, s"n$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ManifestStore.adoptedFiles.get() > before,
+      "the initial snapshot epoch must adopt its staged files (1x write)")
+    val m = new ManifestStore(root, spark, "id").currentManifest.get
+    assert(m.files.size > 1)
+    // the required ordering reached the micro-batch write: adopted files
+    // hold disjoint, range-clustered keys exactly like the rewriting path
+    val ranges = m.files.map(f => (f.minKey.toLong, f.maxKey.toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"adopted snapshot files overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.format("graft").load(root).count() === 400L)
+    // later epochs MERGE (no promotion) and stay correct
+    val q2 = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", ck)
+      .start(root)
+    try {
+      ms.addData((0L, "updated"), (400L, "new"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.format("graft").load(root)
+    assert(rows.count() === 401L)
+    assert(rows.filter(col("id") === 0L).select("v").head().getString(0)
+      === "updated")
+  }
+
+  test("Complete-mode epochs promote: each recommit adopts staged files") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("prc") + "/store"
+    val ck = tmp("prcck")
+    val ms = MemoryStream[(Long, Long)]
+    val before = ManifestStore.adoptedFiles.get()
+    val q = ms.toDF().toDF("k", "n")
+      .groupBy(col("k")).agg(sum("n").as("total"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("key", "k").option("checkpointLocation", ck)
+      .start(root)
+    try {
+      ms.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      ms.addData((1L, 5L), (3L, 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ManifestStore.adoptedFiles.get() > before,
+      "Complete-mode recommits must adopt their staged files")
+    val got = spark.read.format("graft").load(root)
+      .select("k", "total").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 15L, 2L -> 20L, 3L -> 7L))
+  }
+
   test("multi-epoch upsert; restart from checkpoint continues the lineage") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
