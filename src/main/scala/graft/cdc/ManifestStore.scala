@@ -83,15 +83,44 @@ object ManifestStore {
     * DSv2 scan report KeyGroupedPartitioning and Spark plan
     * storage-partitioned (shuffle-free) joins. None on unbucketed tables.
     */
+  /** `bloom`: the file's per-file KEY Bloom filter (base64 of the
+    * [[graft.functions.BloomSketch]] blob), present when the table
+    * property `bloomfilter` was set at write time — Delta's Bloom index
+    * idea at manifest grain. Built over the manifest STRING serialization
+    * of every key the file holds, so probes serialize through the same
+    * [[ManifestStore.statSerialize]] cast and NO FALSE NEGATIVES holds:
+    * a point lookup / merge prune may keep a file the key isn't in (the
+    * configured false-positive residue costs a wasted read), never skip
+    * one it is. DV-masked keys stay in the filter (a superset is safe).
+    * Absent on files written before the property was set — they simply
+    * never Bloom-skip. The payoff is where zone maps go blind: BUCKETED
+    * tables (hash buckets scatter key ranges, so every file's [min,max]
+    * covers almost any probe) and merge-grown overlapping files.
+    */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
                              dvRows: Long = 0L,
                              cols: Map[String, (String, String)] = Map.empty,
                              bytes: Long = 0L,
                              colNulls: Map[String, Long] = Map.empty,
-                             bucket: Option[Int] = None) {
+                             bucket: Option[Int] = None,
+                             bloom: Option[String] = None) {
     def liveRows: Long = rows - dvRows
   }
+
+  /** Parse the `bloomfilter` table property: `true` (default sizing) or
+    * the bits-per-file as an int (rounded up to a multiple of 64, floored
+    * at 64). Returns (numBits, numHashes). Default 65536 bits (8 KiB/file)
+    * at 6 hashes ≈ 1.5% FPP at 8 bits/key (~8k keys/file); larger files
+    * degrade gracefully (more false positives, never false negatives).
+    */
+  def bloomParams(props: Map[String, String]): Option[(Int, Int)] =
+    props.get("bloomfilter").map { v =>
+      val bits =
+        if (v.equalsIgnoreCase("true")) 65536
+        else math.max(64, ((v.trim.toInt + 63) / 64) * 64)
+      (bits, 6)
+    }
 
   /** A data file STAGED by a DSv2 clustered task writer, carrying the
     * stats the writer folded while writing: raw EXTERNAL JVM values
@@ -107,7 +136,8 @@ object ManifestStore {
   final case class StagedFile(path: String, rows: Long,
                               partVals: Seq[Any],
                               keyMin: Any, keyMax: Any,
-                              cols: Seq[StagedColStat])
+                              cols: Seq[StagedColStat],
+                              bloom: Option[Array[Byte]] = None)
 
   /** Process-lifetime count of staged files ADOPTED by rename (the
     * 1x-write path) — an observable for specs and bench forensics: a
@@ -466,7 +496,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
       f.path("dvRows").asLong(0L), cols, f.path("bytes").asLong(0L),
       colNulls,
-      Option(f.get("bucket")).filterNot(_.isNull).map(_.asInt()))
+      Option(f.get("bucket")).filterNot(_.isNull).map(_.asInt()),
+      Option(f.get("bloom")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
@@ -735,19 +766,38 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (statted.isEmpty || m.files.isEmpty) m.files
     else {
       val colsRef = statted.map(_._1).distinct
+      // per-file key Bloom probe: only wired in when some file carries a
+      // filter AND the conjunction tests the key by equality/membership
+      // (range predicates can't use a Bloom). False positives read a
+      // file; false negatives are impossible (build covers every key the
+      // file ever held), so pruning stays sound.
+      val useBloom = m.files.exists(_.bloom.isDefined) &&
+        statted.exists { case (c, op, _) =>
+          c == keyField && (op == "=" || op == "in") }
       val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
-        org.apache.spark.sql.Row.fromSeq(f.name +: colsRef.flatMap { c =>
+        org.apache.spark.sql.Row.fromSeq((f.name +: colsRef.flatMap { c =>
           colRange(m, f, c) match {
             case Some((mn, mx)) => Seq(mn, mx)
             case None           => Seq(null, null)
           }
-        })
+        }) ++ (if (useBloom)
+          Seq(f.bloom.map(java.util.Base64.getDecoder.decode).orNull)
+        else Nil))
       }
-      val st = StructType(StructField("_f", StringType, nullable = false) +:
+      val st = StructType((StructField("_f", StringType, nullable = false) +:
         colsRef.flatMap(c => Seq(
           StructField(s"_min_$c", StringType, nullable = true),
-          StructField(s"_max_$c", StringType, nullable = true))))
+          StructField(s"_max_$c", StringType, nullable = true)))) ++
+        (if (useBloom)
+          Seq(StructField("_bloom",
+            org.apache.spark.sql.types.BinaryType, nullable = true))
+        else Nil))
       val statsDf = spark.createDataFrame(rows.asJava, st)
+      // true iff this file's Bloom admits the probe (or it has no Bloom /
+      // the predicate column is not the key)
+      def bloomOk(c: String, probeStr: Column): Column =
+        if (!useBloom || c != keyField) lit(true)
+        else col("_bloom").isNull || bloomMayContain(col("_bloom"), probeStr)
       val cond = statted.map { case (c, op, v) =>
         val dt = schema(c).dataType
         val mn = statDeserialize(col(s"_min_$c"), dt)
@@ -758,7 +808,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case ">=" => mx >= value
           case "<"  => mn < value
           case "<=" => mn <= value
-          case "="  => mn <= value && mx >= value
+          case "="  => mn <= value && mx >= value &&
+            bloomOk(c, statSerialize(value, dt))
           case "in" =>
             // FLAT, not folded: a reduce(_ || _) chain is O(#values) DEEP
             // and a DSv2 runtime filter (DPP) can hand thousands of join
@@ -770,7 +821,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             if (vs.size <= InPruneMaxValues)
               org.apache.spark.sql.functions.exists(
                 array(vs.map(x => lit(x).cast(dt)): _*),
-                x => mn <= x && mx >= x)
+                x => mn <= x && mx >= x && bloomOk(c, statSerialize(x, dt)))
             else {
               val cmp = new Ordering[Any] {
                 def compare(a: Any, b: Any): Int =
@@ -1434,6 +1485,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val bucketsN: Option[Int] = tableProps.get("buckets")
       .flatMap(_.toIntOption).filter(_ > 0)
       .filter(_ => clusterBy.isEmpty && partCol.isEmpty)
+    val bloomCfg: Option[(Int, Int)] = ManifestStore.bloomParams(tableProps)
     val clustered = (clusterBy, partCol, bucketsN) match {
       case (Some(zc), _, _) =>
         // the projection dropping zc is narrow: partitioning and order survive
@@ -1499,11 +1551,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // first() is exact because files are bucket-pure by construction
         val bucketStat = bucketsN.toSeq.map(_ =>
           first(col("_bucket")).as("_bkt"))
+        // per-file key Bloom filter (table property `bloomfilter`): the
+        // native bloom_build aggregate over the key's MANIFEST string
+        // serialization, folded in the same single stats pass — probes
+        // (prunedFiles / hitFileNames) serialize through the identical
+        // cast, which is what makes no-false-negatives hold
+        val bloomStat = bloomCfg.toSeq.map { case (bits, hashes) =>
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          org.apache.spark.sql.graft.ParquetWriteBridge.column(
+            graft.functions.BloomBuild(
+              org.apache.spark.sql.graft.ParquetWriteBridge.expression(
+                statSerialize(col(keyField), keyDt)),
+              Literal(bits), Literal(hashes)).toAggregateExpression())
+            .as("_bloom")
+        }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
             (statSerialize(max(col(keyField)), keyDt).as("_max") +:
-              count(lit(1)).as("_rows") +: (extra ++ bucketStat)): _*)
+              count(lit(1)).as("_rows") +:
+              (extra ++ bucketStat ++ bloomStat)): _*)
           .collect() // O(#files) — bounded by the clustering, not the data
       }
     Files.createDirectories(Paths.get(root, "files"))
@@ -1523,9 +1590,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // physical size goes into the manifest so a scan planner never has
       // to stat data files — at 100k files that listing IS the planning cost
       val bkt = bucketsN.map(_ => r.getInt(4 + 3 * sCols.size))
+      val bloomB64 = bloomCfg.map(_ => java.util.Base64.getEncoder
+        .encodeToString(r.getAs[Array[Byte]](
+          4 + 3 * sCols.size + bucketsN.size)))
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bucket = bkt)
+        bucket = bkt, bloom = bloomB64)
     }
     deleteRecursively(stage)
     entries
@@ -1593,7 +1663,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }.toMap
       val nulls = sCols.flatMap(c => byCol.get(c).map(cs => c -> cs.nulls)).toMap
       FileEntry(name, r.getString(0), r.getString(1), f.rows,
-        cols = cols, bytes = Files.size(dest), colNulls = nulls)
+        cols = cols, bytes = Files.size(dest), colNulls = nulls,
+        bloom = f.bloom.map(java.util.Base64.getEncoder.encodeToString))
     }
   }
 
@@ -1603,6 +1674,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     fn.put("maxKey", f.maxKey); fn.put("rows", f.rows)
     if (f.bytes > 0L) fn.put("bytes", f.bytes)
     f.bucket.foreach { b => fn.put("bucket", b); () }
+    f.bloom.foreach { b => fn.put("bloom", b); () }
     f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
     if (f.cols.nonEmpty) {
       val cn = mapper.createObjectNode()
@@ -2671,15 +2743,36 @@ final class ManifestStore(val root: String, spark: SparkSession,
                            keyType: org.apache.spark.sql.types.DataType): Set[String] =
     if (files.isEmpty) Set.empty
     else {
+      // per-file key Bloom filters sharpen the range intersection where
+      // zone maps are blind (bucketed layouts, merge-grown overlap): a
+      // file survives only if its range holds the key AND its Bloom says
+      // maybe. No false negatives (the filter covers every key the file
+      // ever held, DV-masked included), so pruning stays sound; files
+      // without a filter (older vintage, property off) keep range-only.
+      val anyBloom = files.exists(_.bloom.isDefined)
       val statsDf = spark.createDataFrame(
-        files.map(f => (f.name, f.minKey, f.maxKey)))
-        .toDF("_f", "_min", "_max")
-      broadcast(statsDf)
+        files.map(f => (f.name, f.minKey, f.maxKey,
+          f.bloom.map(java.util.Base64.getDecoder.decode).orNull)))
+        .toDF("_f", "_min", "_max", "_b")
+      val rangeCond = col("_k") >= statDeserialize(col("_min"), keyType) &&
+        col("_k") <= statDeserialize(col("_max"), keyType)
+      val cond = if (!anyBloom) rangeCond
+        else rangeCond && (col("_b").isNull ||
+          bloomMayContain(col("_b"), statSerialize(col("_k"), keyType)))
+      broadcast(if (anyBloom) statsDf else statsDf.drop("_b"))
         .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k")).distinct(),
-          col("_k") >= statDeserialize(col("_min"), keyType) &&
-            col("_k") <= statDeserialize(col("_max"), keyType), "left_semi")
+          cond, "left_semi")
         .collect().map(_.getString(0)).toSet
     }
+
+  /** `BloomBlobContains` over a per-file blob column — Column-API wrap of
+    * the native expression, no session function registration needed.
+    */
+  private def bloomMayContain(blob: Column, probeStr: Column): Column = {
+    import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+    column(graft.functions.BloomBlobContains(
+      expression(blob), expression(probeStr)))
+  }
 
   /** Grow `snap` with typed-null columns for any field the net carries
     * that the stored schema has never seen (additive drift).

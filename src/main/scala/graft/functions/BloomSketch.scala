@@ -139,6 +139,42 @@ case class BloomMaybeContains(left: Expression, right: Expression)
   override def prettyName: String = "bloom_maybe_contains"
 }
 
+/** Membership probe where the blob is a per-row COLUMN, not a foldable
+  * literal — the shape the manifest's per-FILE key Bloom filters need: a
+  * planning-time pruning join carries one blob per data file (a tiny
+  * broadcast side), and each (file, probe-key) pair tests membership
+  * against THAT file's blob. Probing reads the bits straight out of the
+  * byte array ([[BloomSketch.containsBlob]]) — no per-row decode into a
+  * long array, no allocation — so a runtime join-key filter handing
+  * thousands of keys to the pruner stays O(pairs · numHashes) byte reads.
+  */
+case class BloomBlobContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_blob_contains expects a binary blob column, got ${left.dataType.catalogString}")
+    else if (right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_blob_contains expects a string probe, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(blob: Any, v: Any): Any =
+    BloomSketch.containsBlob(blob.asInstanceOf[Array[Byte]],
+      v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (blobCode, vCode) =>
+      s"graft.functions.BloomSketch.containsBlob($blobCode, $vCode)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BloomBlobContains = copy(left = l, right = r)
+  override def prettyName: String = "bloom_blob_contains"
+}
+
 object BloomSketch {
   private val Seed1 = 0x9747b28cL
   private val Seed2 = 0x5bd1e995L
@@ -161,6 +197,32 @@ object BloomSketch {
     out.writeInt(numBits); out.writeInt(numHashes)
     words.foreach(out.writeLong)
     out.flush(); bytes.toByteArray
+  }
+
+  /** Probe an ENCODED blob in place — the exact bit layout [[encode]]
+    * produces (big-endian ints, then big-endian longs), read byte-wise so
+    * no long array materializes per probe. Bit j of word w lives at byte
+    * `8 + w*8 + (7 - (j >>> 3))` (big-endian long), bit `j & 7` within it.
+    * Must agree with [[add]]/[[Decoded.contains]] bit-for-bit — pinned by
+    * a property spec over random items.
+    */
+  def containsBlob(blob: Array[Byte], v: UTF8String): Boolean = {
+    def readInt(off: Int): Int =
+      ((blob(off) & 0xff) << 24) | ((blob(off + 1) & 0xff) << 16) |
+        ((blob(off + 2) & 0xff) << 8) | (blob(off + 3) & 0xff)
+    val numBits = readInt(0)
+    val numHashes = readInt(4)
+    val h1 = XXH64.hashUTF8String(v, Seed1)
+    val h2 = XXH64.hashUTF8String(v, Seed2)
+    var i = 0
+    while (i < numHashes) {
+      val bit = (((h1 + i * h2) & Long.MaxValue) % numBits).toInt
+      val inLong = bit & 63
+      val b = blob(8 + (bit >>> 6) * 8 + (7 - (inLong >>> 3)))
+      if (((b >> (inLong & 7)) & 1) == 0) return false
+      i += 1
+    }
+    true
   }
 
   def decode(blob: Array[Byte]): (Array[Long], Int, Int) = {

@@ -330,6 +330,43 @@ object DsvQueries {
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
     }),
+    "dsv2_bloom_skip" -> ((s, dir) => {
+      // per-file key Bloom filters (table property `bloomfilter`) where
+      // zone maps are blind: a BUCKETED table's files each span ~the whole
+      // key range (hash buckets scatter ranges), so a 3-key point lookup
+      // without blooms reads every bucket file; with them the pruner
+      // probes each file's manifest blob and plans only the owning
+      // buckets. At 100 TB that is a primary-key GET costing ~1 file read
+      // instead of a bucket-set scan — and soundness never depends on the
+      // filter (no false negatives by construction; a false positive just
+      // reads a file).
+      val root = scratch("blm", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("buckets" -> "8", "bloomfilter" -> "true"))
+        st.commit(cust, batchId = 0, nFiles = 8)
+      }
+      val mm = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val probes = Seq(lo, (lo + hi) / 2, hi)
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_custkey").isin(probes: _*))
+      // bucketed scans always emit all 8 bucket partitions (the SPJ
+      // contract); pruning shows as buckets carrying zero FILES
+      val files = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.map {
+            case gb: graft.spark.GraftBucketedPartition => gb.inner.length
+            case _ => 1
+          }.sum
+      }.getOrElse(-1)
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"),
+        lit(files >= 1 && files <= 5).as("bloom_skipped"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -938,6 +975,16 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM ins""".stripMargin,
+
+    // the 3-key point lookup must return exactly those customers, with
+    // the bloom file-cut gate true (files planned <= 5 of 8)
+    "dsv2_bloom_skip" ->
+      """WITH mm AS (SELECT min(c_custkey) AS lo, max(c_custkey) AS hi
+        |           FROM customer)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+        |       TRUE AS bloom_skipped
+        |FROM customer c, mm
+        |WHERE c.c_custkey IN (mm.lo, (mm.lo + mm.hi) // 2, mm.hi)""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

@@ -67,16 +67,22 @@ object ClusteredStaging {
     val sCols = statsCols.filter(c => c != key && schema.fieldNames.contains(c))
     val typed = (key +: (partCols ++ sCols)).distinct
     if (typed.exists(c => !statSupported(schema(c).dataType))) return None
-    Some(ClusterWriteSpec(key, partCols, sCols, math.max(1, nFiles)))
+    Some(ClusterWriteSpec(key, partCols, sCols, math.max(1, nFiles),
+      ManifestStore.bloomParams(props)))
   }
 }
 
 /** How the write must cluster for direct promotion: ordered (range)
   * distribution on (partCols..., key) — mirroring the store's
   * `repartitionByRange + sortWithinPartitions` — into `nFiles` partitions.
+  * `bloom` = (numBits, numHashes) when the table's `bloomfilter` property
+  * asks for per-file key Bloom filters: the task writers fold them while
+  * writing, over the SAME serialized key strings the stats-pass
+  * `bloom_build` aggregate hashes.
   */
 final case class ClusterWriteSpec(key: String, partCols: Seq[String],
-                                  statsCols: Seq[String], nFiles: Int) {
+                                  statsCols: Seq[String], nFiles: Int,
+                                  bloom: Option[(Int, Int)] = None) {
   def sortOrders: Array[SortOrder] =
     (partCols :+ key).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
@@ -147,6 +153,12 @@ final class GraftClusteredTaskWriter(stageDir: String,
   private var keyMin: Any = _
   private var keyMax: Any = _
   private var cell: Array[Any] = _ // copied catalyst values, null slots ok
+  // per-file key Bloom fold (spec.bloom): key catalyst value -> the same
+  // manifest stat string the stats-pass bloom_build hashes -> bitset
+  private val keyStr: Any => org.apache.spark.unsafe.types.UTF8String =
+    if (spec.bloom.isDefined) ParquetWriteBridge.statStringifier(keyDt)
+    else null
+  private var bloomWords: Array[Long] = _
   private val done = scala.collection.mutable.ArrayBuffer
     .empty[ManifestStore.StagedFile]
 
@@ -179,6 +191,9 @@ final class GraftClusteredTaskWriter(stageDir: String,
         ManifestStore.StagedColStat(t.name,
           if (t.min == null) null else conv(t.min),
           if (t.max == null) null else conv(t.max), t.nulls)
+      },
+      bloom = spec.bloom.map { case (bits, hashes) =>
+        graft.functions.BloomSketch.encode(bloomWords, bits, hashes)
       })
     out = null
     path = ""
@@ -192,6 +207,8 @@ final class GraftClusteredTaskWriter(stageDir: String,
     out = writers.open(path, partitionId, taskId)
     rows = 0L
     keyMin = null; keyMax = null
+    spec.bloom.foreach { case (bits, _) =>
+      bloomWords = new Array[Long](bits / 64) }
     colTracks.foreach(_.reset())
     cell = partIdx.indices.map(i =>
       if (row.isNullAt(partIdx(i))) null
@@ -206,6 +223,9 @@ final class GraftClusteredTaskWriter(stageDir: String,
       val k = row.get(keyIdx, keyDt)
       if (keyMin == null || keyOrd.compare(k, keyMin) < 0) keyMin = deepCopy(k)
       if (keyMax == null || keyOrd.compare(k, keyMax) > 0) keyMax = deepCopy(k)
+      spec.bloom.foreach { case (bits, hashes) =>
+        graft.functions.BloomSketch.add(bloomWords, bits, hashes, keyStr(k))
+      }
     }
     var i = 0
     while (i < colTracks.length) { colTracks(i).update(row); i += 1 }

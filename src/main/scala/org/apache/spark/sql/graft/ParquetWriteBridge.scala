@@ -79,6 +79,48 @@ object ParquetWriteBridge {
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(dt)
 
+  /** Wrap a raw Catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
+    * as a [[org.apache.spark.sql.Column]] (the constructor is sql-private
+    * in Spark 4). Lets the manifest's pruning/stat jobs use graft's native
+    * expressions (Bloom build/probe) without requiring the session to have
+    * the [[graft.GraftExtensions]] function registrations.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (sql-private in Spark 4). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Per-value serializer matching `ManifestStore.statSerialize` exactly:
+    * TimestampType renders as epoch MICROS (zone-free; catalyst timestamps
+    * already are micros), everything else through Spark's own Cast-to-
+    * string — so a Bloom filter folded in a write task hashes the very
+    * same strings the stats-pass `bloom_build` aggregate does. Input is a
+    * CATALYST value of `dt`; null maps to null.
+    */
+  def statStringifier(dt: org.apache.spark.sql.types.DataType)
+      : Any => org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        v => if (v == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+      case _ =>
+        val cast = Cast(BoundReference(0, dt, nullable = true),
+          org.apache.spark.sql.types.StringType, Some("UTC"))
+        val row = new GenericInternalRow(1)
+        v => if (v == null) null
+          else {
+            row.update(0, v)
+            cast.eval(row).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          }
+    }
+  }
+
   def taskWriters(spark: SparkSession, schema: StructType): TaskWriters = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sqlConf = cs.sessionState.conf

@@ -1,0 +1,173 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.functions.BloomSketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.Files
+
+/** Per-file key Bloom filters (table property `bloomfilter`) — Delta's
+  * Bloom index idea at manifest grain. The value proposition is exactly
+  * where zone maps go blind: on a BUCKETED table every file's key range
+  * covers nearly the whole domain (hash buckets scatter ranges), so a
+  * point lookup reads every bucket file; with per-file Blooms it plans
+  * ~1. Soundness invariant: NO FALSE NEGATIVES — a file that holds (or
+  * ever held) a key always survives pruning; false positives only cost a
+  * wasted read.
+  */
+class BloomFileSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 4000L
+  private val Buckets = 8
+
+  private def mkBucketed(bloom: Boolean): (String, ManifestStore) = {
+    val root = Files.createTempDirectory(
+      if (bloom) "bloomy" else "plain").toString
+    val props = Map("buckets" -> Buckets.toString) ++
+      (if (bloom) Map("bloomfilter" -> "8192") else Map.empty)
+    ManifestStore.writeTableProps(root, props)
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until N).map(i => (i, s"name$i", i % 7))
+      .toDF("id", "name", "grp"), batchId = 0, nFiles = Buckets)
+    (root, st)
+  }
+
+  /** Data FILES the scan planned. A bucketed scan always emits all N
+    * bucket partitions (the storage-partitioned-join contract needs the
+    * full partition-value set), so pruning shows up as buckets carrying
+    * ZERO files — count the files, not the partitions.
+    */
+  private def plannedFiles(df: DataFrame): Int = {
+    df.collect() // force planning through AQE
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputPartitions.map {
+        case gb: graft.spark.GraftBucketedPartition => gb.inner.length
+        case _ => 1
+      }.sum
+    }.getOrElse(-1)
+  }
+
+  test("blob probe agrees with the decoded probe bit-for-bit") {
+    val bits = 1024; val hashes = 6
+    val words = new Array[Long](bits / 64)
+    val members = (0 until 300).map(i => s"key-$i-${i * 31}")
+    members.foreach(m =>
+      BloomSketch.add(words, bits, hashes, UTF8String.fromString(m)))
+    val blob = BloomSketch.encode(words, bits, hashes)
+    val (w2, b2, h2) = BloomSketch.decode(blob)
+    val dec = new BloomSketch.Decoded(w2, b2, h2)
+    members.foreach { m =>
+      val u = UTF8String.fromString(m)
+      assert(BloomSketch.containsBlob(blob, u), s"false negative on $m")
+      assert(dec.contains(u))
+    }
+    // absent probes: both probers must agree exactly (same bits read)
+    (0 until 2000).foreach { i =>
+      val u = UTF8String.fromString(s"absent-$i-${i * 97}")
+      assert(BloomSketch.containsBlob(blob, u) == dec.contains(u),
+        s"probe divergence on $u")
+    }
+  }
+
+  test("bucketed point lookup plans ~1 file with blooms, all without") {
+    val (rootB, _) = mkBucketed(bloom = true)
+    val (rootP, _) = mkBucketed(bloom = false)
+
+    def pointRead(root: String, k: Long): DataFrame =
+      spark.read.format("graft").load(root).filter(col("id") === k)
+
+    // without blooms every bucket file's range covers the probe
+    assert(plannedFiles(pointRead(rootP, 1234L)) == Buckets)
+    // with blooms only the owning bucket (plus FP residue) plans
+    val withBloom = plannedFiles(pointRead(rootB, 1234L))
+    assert(withBloom >= 1 && withBloom <= 2,
+      s"expected ~1 planned file with blooms, got $withBloom")
+    // and answers stay exact
+    assert(pointRead(rootB, 1234L).select("name").as[String].head() == "name1234")
+    assert(pointRead(rootB, N + 50).count() == 0)
+  }
+
+  test("IN-list pruning probes each sought key against each file's bloom") {
+    val (root, _) = mkBucketed(bloom = true)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("id").isin(17L, 2900L))
+    val planned = plannedFiles(df)
+    assert(planned >= 1 && planned <= 4,
+      s"expected <=4 planned files for a 2-key IN, got $planned")
+    assert(df.count() == 2)
+  }
+
+  test("no false negatives: every sampled key's row is found") {
+    val (root, st) = mkBucketed(bloom = true)
+    val keys = 0L.until(N, 97L)
+    keys.foreach { k =>
+      val got = spark.read.format("graft").load(root)
+        .filter(col("id") === k).count()
+      assert(got == 1L, s"bloom pruning lost key $k")
+    }
+    // the bulk-lookup path (hitFileNames) agrees
+    val looked = st.lookup(keys).get.select("id").as[Long].collect().sorted
+    assert(looked.toSeq == keys.toSeq)
+  }
+
+  test("merge prune: a one-key upsert rewrites ~1 bucket file, not all") {
+    val (_, stB) = mkBucketed(bloom = true)
+    val (_, stP) = mkBucketed(bloom = false)
+    def oneKeyNet(k: Long): DataFrame =
+      Seq((k.toString, "u", k, s"upd$k", k % 7, 99L))
+        .toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_name",
+          "after_grp", Changelog.TsCol)
+    val fields = Seq("id", "name", "grp")
+
+    val outB = stB.mergeOptimistic(oneKeyNet(2048L), fields, batchId = 1,
+      tsGuard = false)
+    val statsB = outB.asInstanceOf[ManifestStore.MergedAt].stats
+    assert(statsB.rewrittenFiles <= 2,
+      s"bloom-pruned merge touched ${statsB.rewrittenFiles} files")
+
+    val outP = stP.mergeOptimistic(oneKeyNet(2048L), fields, batchId = 1,
+      tsGuard = false)
+    val statsP = outP.asInstanceOf[ManifestStore.MergedAt].stats
+    assert(statsP.rewrittenFiles == Buckets,
+      s"range-only merge should touch every bucket file, got ${statsP.rewrittenFiles}")
+
+    // both converge to the same content
+    assert(stB.read().get.filter(col("id") === 2048L)
+      .select("name").as[String].head() == "upd2048")
+  }
+
+  test("rewrites rebuild blooms; DV masks keep them sound (superset)") {
+    val (root, st) = mkBucketed(bloom = true)
+    // every committed file carries a bloom
+    assert(st.currentManifest.get.files.forall(_.bloom.isDefined))
+    // MoR delete: data files unchanged, blooms still valid (masked keys
+    // remain in the filter — a safe superset); the masked key reads 0 rows
+    st.deleteWhere(col("id") === 77L, batchId = 1)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("id") === 77L).count() == 0)
+    // optimize/recluster rewrites build fresh blooms
+    st.optimize(targetFiles = 4)
+    val after = st.currentManifest.get.files
+    assert(after.forall(_.bloom.isDefined),
+      "a rewrite dropped the per-file blooms")
+    assert(spark.read.format("graft").load(root)
+      .filter(col("id") === 78L).count() == 1)
+  }
+
+  test("clustered (non-bucketed) table: blooms present, answers exact") {
+    val root = Files.createTempDirectory("bloomc").toString
+    ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 1000L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    assert(st.currentManifest.get.files.forall(_.bloom.isDefined))
+    val df = spark.read.format("graft").load(root).filter(col("id") === 500L)
+    // disjoint ranges already plan 1 file; bloom must not lose it
+    assert(plannedFiles(df) == 1)
+    assert(df.count() == 1)
+  }
+}

@@ -194,4 +194,36 @@ class GraftPromotedWriteSpec extends SparkSpec {
     }
     assert(zone(mp) === zone(mr))
   }
+
+  test("promoted writes fold per-file key blooms the probes can't miss on") {
+    sql("DROP TABLE IF EXISTS gpw.db.t6")
+    sql("CREATE TABLE gpw.db.t6 (id BIGINT, seg STRING, v DOUBLE) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES " +
+      "('key'='id', 'bloomfilter'='8192')")
+    sql("INSERT INTO gpw.db.t6 SELECT id, 'A', CAST(id AS DOUBLE) " +
+      "FROM range(0, 500)")
+    dynOverwrite("INSERT OVERWRITE gpw.db.t6 " +
+      "SELECT id, 'B', CAST(id AS DOUBLE) FROM range(1000, 1500)")
+    val m = store("t6").currentManifest.get
+    // the overwrite PROMOTED (bloom fold must not force the rewrite path)
+    assert(m.streamId.startsWith("dsv2-owp1x-"), s"got '${m.streamId}'")
+    assert(m.files.forall(_.bloom.isDefined),
+      "an adopted file is missing its key bloom")
+    // task-writer-folded blooms hash the same strings the stats-pass
+    // builder does: every key present in a file must probe TRUE against
+    // that file's blob (no false negatives, across both build sites)
+    m.files.foreach { f =>
+      val blob = java.util.Base64.getDecoder.decode(f.bloom.get)
+      val keys = spark.read.parquet(s"${root("t6")}/files/${f.name}")
+        .select("id").as[Long].collect()
+      keys.foreach { k =>
+        assert(graft.functions.BloomSketch.containsBlob(blob,
+          org.apache.spark.unsafe.types.UTF8String.fromString(k.toString)),
+          s"promoted bloom lost key $k of file ${f.name}")
+      }
+    }
+    // and the scan stays exact through the bloom-probing pruner
+    assert(spark.table("gpw.db.t6").filter($"id" === 1250L).count() === 1L)
+    assert(spark.table("gpw.db.t6").filter($"id" === 750L).count() === 0L)
+  }
 }
