@@ -83,19 +83,25 @@ object ManifestStore {
     * DSv2 scan report KeyGroupedPartitioning and Spark plan
     * storage-partitioned (shuffle-free) joins. None on unbucketed tables.
     */
-  /** `bloom`: the file's per-file KEY Bloom filter (base64 of the
-    * [[graft.functions.BloomSketch]] blob), present when the table
-    * property `bloomfilter` was set at write time — Delta's Bloom index
-    * idea at manifest grain. Built over the manifest STRING serialization
-    * of every key the file holds, so probes serialize through the same
-    * [[ManifestStore.statSerialize]] cast and NO FALSE NEGATIVES holds:
-    * a point lookup / merge prune may keep a file the key isn't in (the
-    * configured false-positive residue costs a wasted read), never skip
-    * one it is. DV-masked keys stay in the filter (a superset is safe).
-    * Absent on files written before the property was set — they simply
-    * never Bloom-skip. The payoff is where zone maps go blind: BUCKETED
-    * tables (hash buckets scatter key ranges, so every file's [min,max]
-    * covers almost any probe) and merge-grown overlapping files.
+  /** `bloom`: the name of the file's KEY Bloom-filter SIDECAR under
+    * `files/` (a raw [[graft.functions.BloomSketch]] blob), present when
+    * the table property `bloomfilter` was set at write time — Delta's
+    * Bloom index / Iceberg's Puffin idea, stored like the deletion-vector
+    * sidecars: the MANIFEST carries only the name, the blob is a separate
+    * immutable binary loaded lazily (and LRU-cached) by the pruners, so a
+    * production-sized filter (MBs per 1M-key file) never bloats the
+    * commit log or its parse cost. Built over the manifest STRING
+    * serialization of every key the file holds, so probes serialize
+    * through the same [[ManifestStore.statSerialize]] cast and NO FALSE
+    * NEGATIVES holds: a point lookup / merge prune may keep a file the
+    * key isn't in (the configured false-positive residue costs a wasted
+    * read), never skip one it is. DV-masked keys stay in the filter (a
+    * superset is safe). Absent on files written before the property was
+    * set — they simply never Bloom-skip; a vacuumed/missing sidecar
+    * degrades the same way. The payoff is where zone maps go blind:
+    * BUCKETED tables (hash buckets scatter key ranges, so every file's
+    * [min,max] covers almost any probe) and merge-grown overlapping
+    * files.
     */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
@@ -133,11 +139,14 @@ object ManifestStore {
     */
   final case class StagedColStat(col: String, min: Any, max: Any,
                                  nulls: Long)
+  /** `bloomPath`: the task-side STAGED Bloom sidecar (written next to the
+    * staged data file); adoption renames it into `files/` beside the data.
+    */
   final case class StagedFile(path: String, rows: Long,
                               partVals: Seq[Any],
                               keyMin: Any, keyMax: Any,
                               cols: Seq[StagedColStat],
-                              bloom: Option[Array[Byte]] = None)
+                              bloomPath: Option[String] = None)
 
   /** Process-lifetime count of staged files ADOPTED by rename (the
     * 1x-write path) — an observable for specs and bench forensics: a
@@ -145,6 +154,88 @@ object ManifestStore {
     * rewriting writer did not.
     */
   val adoptedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Process-wide manifest LRU (see [[ManifestStore.manifest]]): access-
+    * ordered, bounded by ENTRY COUNT of cached file lists (a checkpoint
+    * manifest is O(#files) objects — bounding by manifests alone would let
+    * a few 100k-file tables pin arbitrary memory). Hits validate against
+    * the log file's (size, mtime) — one stat — before trusting the entry.
+    */
+  private val ManifestCacheMaxFileEntries = 1000000L
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long),
+      (Long, java.nio.file.attribute.FileTime, Manifest)](64, 0.75f, true)
+  private var manifestCacheEntries = 0L
+  private[cdc] val manifestCacheHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[cdc] def manifestCacheGet(key: (String, Long), size: Long,
+                                    mtime: java.nio.file.attribute.FileTime)
+      : Option[Manifest] = manifestCache.synchronized {
+    Option(manifestCache.get(key)) match {
+      case Some((s, t, m)) if s == size && t == mtime =>
+        manifestCacheHits.incrementAndGet()
+        Some(m)
+      case Some(_) => // stale identity: recreated root or rewritten log
+        manifestCacheEntries -= manifestCache.remove(key)._3.files.size
+        None
+      case None => None
+    }
+  }
+
+  /** Process-wide LRU for Bloom SIDECAR blobs, keyed (canonical root,
+    * sidecar name) — sidecar files are immutable and fresh-named per
+    * write, so no per-hit validation is needed (a recreated root mints
+    * new names). Byte-bounded: production blobs are MBs each; the cap
+    * keeps a wide prune (hundreds of candidate files) from pinning
+    * unbounded heap. A missing sidecar (vacuumed early, partial copy)
+    * loads as None and the file simply never Bloom-skips.
+    */
+  private val BloomCacheMaxBytes = 256L * 1024 * 1024
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, String), Array[Byte]](64, 0.75f, true)
+  private var bloomCacheBytes = 0L
+
+  private[cdc] def loadBloom(rootKey: String, dir: java.nio.file.Path,
+                             name: String): Option[Array[Byte]] = {
+    val key = (rootKey, name)
+    bloomCache.synchronized(Option(bloomCache.get(key))) match {
+      case hit @ Some(_) => hit
+      case None =>
+        val bytes =
+          try Some(Files.readAllBytes(dir.resolve(name)))
+          catch { case _: Exception => None }
+        bytes.foreach { b =>
+          bloomCache.synchronized {
+            Option(bloomCache.put(key, b))
+              .foreach(old => bloomCacheBytes -= old.length)
+            bloomCacheBytes += b.length
+            val it = bloomCache.entrySet().iterator()
+            while (bloomCacheBytes > BloomCacheMaxBytes &&
+              bloomCache.size() > 1 && it.hasNext) {
+              bloomCacheBytes -= it.next().getValue.length
+              it.remove()
+            }
+          }
+        }
+        bytes
+    }
+  }
+
+  private[cdc] def manifestCachePut(key: (String, Long), size: Long,
+                                    mtime: java.nio.file.attribute.FileTime,
+                                    m: Manifest): Unit =
+    manifestCache.synchronized {
+      Option(manifestCache.put(key, (size, mtime, m)))
+        .foreach(old => manifestCacheEntries -= old._3.files.size)
+      manifestCacheEntries += m.files.size
+      val it = manifestCache.entrySet().iterator()
+      while (manifestCacheEntries > ManifestCacheMaxFileEntries &&
+        manifestCache.size() > 1 && it.hasNext) {
+        manifestCacheEntries -= it.next().getValue._3.files.size
+        it.remove()
+      }
+    }
 
   /** `from` can be read through a reader schema of `to` without loss —
     * the same widening lattice the streaming drift path accepts
@@ -506,7 +597,42 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * [[ManifestStore.CheckpointInterval]] hops to a checkpoint). Entries
     * without a `type` field are pre-delta-log checkpoints.
     */
-  def manifest(v: Long): Option[Manifest] = readLogNode(v).flatMap { n =>
+  /** Reconstruct version `v` with a process-wide LRU cache in front.
+    * Manifests are IMMUTABLE per (root, version) — [[writeManifestAndSwap]]
+    * never rewrites a log entry — so the cache is sound as long as the
+    * entry still matches the log FILE's identity (size + mtime), checked
+    * with one stat per hit: a vacuumed log entry or a deleted-and-
+    * recreated root (tests, re-seeds) invalidates naturally. This is what
+    * keeps planning cost at 100 TB sane: a 100k-file checkpoint is an
+    * O(#files) JSON parse, and one query's scan build consults the
+    * manifest several times (filter pushdown, aggregate probe, scan
+    * construction) — with the cache those re-reads are a stat call each.
+    * Delta-log reconstruction compounds the win: version v's entry parses
+    * only its own O(changed) delta and takes the parent from cache.
+    */
+  def manifest(v: Long): Option[Manifest] = {
+    val p = Paths.get(root, "_LOG", v.toString + ".json")
+    val attrs =
+      try Some(Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]))
+      catch { case _: Exception => None }
+    attrs.flatMap { a =>
+      val key = (rootKey, v)
+      ManifestStore.manifestCacheGet(key, a.size, a.lastModifiedTime)
+        .orElse {
+          val m = manifestUncached(v)
+          m.foreach(mm => ManifestStore.manifestCachePut(key, a.size,
+            a.lastModifiedTime, mm))
+          m
+        }
+    }
+  }
+
+  /** Canonical root for cache keys: "t" and "./t" must not alias apart. */
+  private lazy val rootKey: String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  private def manifestUncached(v: Long): Option[Manifest] = readLogNode(v).flatMap { n =>
     val statsCols = Option(n.get("statsCols")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val colMap = Option(n.get("colMap")).filterNot(_.isNull).map { cm =>
@@ -781,7 +907,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
             case None           => Seq(null, null)
           }
         }) ++ (if (useBloom)
-          Seq(f.bloom.map(java.util.Base64.getDecoder.decode).orNull)
+          Seq(f.bloom.flatMap(loadBloomSidecar).orNull)
         else Nil))
       }
       val st = StructType((StructField("_f", StringType, nullable = false) +:
@@ -1341,7 +1467,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
         finally s.close()
       } else linkOne(src, dst)
     }
-    m.files.foreach { f => link(f.name); f.dv.foreach(link) }
+    m.files.foreach { f =>
+      link(f.name); f.dv.foreach(link); f.bloom.foreach(link)
+    }
     val props = Paths.get(root, "_TBLPROPS")
     if (Files.exists(props)) {
       Files.copy(props, tgt.resolve("_TBLPROPS"),
@@ -1590,12 +1718,19 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // physical size goes into the manifest so a scan planner never has
       // to stat data files — at 100k files that listing IS the planning cost
       val bkt = bucketsN.map(_ => r.getInt(4 + 3 * sCols.size))
-      val bloomB64 = bloomCfg.map(_ => java.util.Base64.getEncoder
-        .encodeToString(r.getAs[Array[Byte]](
-          4 + 3 * sCols.size + bucketsN.size)))
+      // the Bloom blob lands as a SIDECAR binary next to the data file
+      // (like the DV sidecars): the manifest carries only its name, so a
+      // production-sized blob never bloats the commit log. Driver-side
+      // write is bounded by THIS COMMIT's file count, not the table's.
+      val bloomName = bloomCfg.map { _ =>
+        val bn = s"$name.bloom"
+        Files.write(Paths.get(root, "files", bn),
+          r.getAs[Array[Byte]](4 + 3 * sCols.size + bucketsN.size))
+        bn
+      }
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bucket = bkt, bloom = bloomB64)
+        bucket = bkt, bloom = bloomName)
     }
     deleteRecursively(stage)
     entries
@@ -1662,9 +1797,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
           c -> ((r.getString(2 + 2 * i), r.getString(3 + 2 * i))))
       }.toMap
       val nulls = sCols.flatMap(c => byCol.get(c).map(cs => c -> cs.nulls)).toMap
+      // the task writer staged the Bloom sidecar next to its data file;
+      // adoption renames both — still zero re-read, zero driver bytes
+      val bloomName = f.bloomPath.map { bp =>
+        val bn = s"$name.bloom"
+        Files.move(Paths.get(bp), Paths.get(root, "files", bn),
+          StandardCopyOption.ATOMIC_MOVE)
+        bn
+      }
       FileEntry(name, r.getString(0), r.getString(1), f.rows,
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bloom = f.bloom.map(java.util.Base64.getEncoder.encodeToString))
+        bloom = bloomName)
     }
   }
 
@@ -2183,8 +2326,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     d.updatedTouched.filter(f => d.maskCounts.contains(f.name))
       .flatMap(_.dv).foreach(dv =>
         deleteRecursively(Paths.get(root, "files", dv)))
-    d.newEntries.foreach(e =>
-      Files.deleteIfExists(Paths.get(root, "files", e.name)))
+    d.newEntries.foreach(deleteEntryFiles)
     d.cdc.filter(_._1.nonEmpty).foreach(c =>
       deleteRecursively(Paths.get(root, "files", c._1)))
   }
@@ -2413,9 +2555,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * sidecar changes via (name, dv) identity, exactly as for a
     * merge-on-read commit.
     */
+  /** `pruneConjuncts`: optional (column, op, value) triples PROVABLY
+    * implied by `cond` (the SQL DELETE path passes its pushed v1 filters)
+    * — candidate files prune through the same zone-map + Bloom pass as a
+    * scan ([[prunedFiles]]), so `DELETE FROM t WHERE key = v` on a
+    * 100k-file table reads the files that can hold v, not the table.
+    * Soundness is the caller's contract: a file excluded by the conjuncts
+    * must hold no `cond` rows. Empty = scan every file (arbitrary
+    * `cond`s, retention maintenance).
+    */
   def deleteWhere(cond: Column, batchId: Long, streamId: String = "default",
-                  maxAttempts: Int = 3): Option[ManifestStore.MorStats] =
-    deleteWhereHook(cond, Some((batchId, streamId)), maxAttempts)(() => ())
+                  maxAttempts: Int = 3,
+                  pruneConjuncts: Seq[(String, String, Any)] = Nil)
+      : Option[ManifestStore.MorStats] =
+    deleteWhereHook(cond, Some((batchId, streamId)), maxAttempts,
+      pruneConjuncts)(() => ())
 
   /** MAINTENANCE form of [[deleteWhere]]: new version, SAME
     * batchId/streamId as the current manifest — invisible to replay
@@ -2437,7 +2591,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private[cdc] def deleteWhereHook(cond: Column,
                                    replay: Option[(Long, String)],
-                                   maxAttempts: Int)
+                                   maxAttempts: Int,
+                                   pruneConjuncts: Seq[(String, String, Any)] = Nil)
                                   (onDerived: () => Unit)
       : Option[ManifestStore.MorStats] = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -2458,21 +2613,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // version-churning sidecar rewrite — deleteWhere is idempotent per
       // predicate
       val schema = StructType.fromDDL(m.schemaDDL)
+      // candidate pruning (zone map + per-file key Blooms): only the files
+      // that can hold a `cond` row are scanned; everything else carries
+      // with its masks untouched. A pruned-empty candidate set means no
+      // row matches at all.
+      val candidates =
+        if (pruneConjuncts.isEmpty) m.files else prunedFiles(m, pruneConjuncts)
+      if (candidates.isEmpty) return None
       // physical read + logical rename: `cond` references logical names
       val physSchema = ManifestStore.toPhysical(schema, m.colMap)
       val data = spark.read.schema(physSchema)
-        .parquet(m.files.map(e => s"$root/files/${e.name}"): _*)
+        .parquet(candidates.map(e => s"$root/files/${e.name}"): _*)
         .withColumn("_file", fileBasename)
         .select(schema.fields.toSeq.zip(physSchema.fields).map {
           case (lf, pf) =>
             (if (lf.dataType == pf.dataType) col(s"`${pf.name}`")
              else col(s"`${pf.name}`").cast(lf.dataType)).as(lf.name)
         } :+ col("_file"): _*)
-      val dvPaths = m.files.flatMap(_.dv).map(d => s"$root/files/$d")
+      val dvPaths = candidates.flatMap(_.dv).map(d => s"$root/files/$d")
       val live =
         if (dvPaths.isEmpty) data
         else {
-          val dvDf = dvSide(dvPaths, m.files.map(_.dvRows).sum)
+          val dvDf = dvSide(dvPaths, candidates.map(_.dvRows).sum)
           data.join(dvDf,
             data("_file") === dvDf("_file") &&
               data(keyField) === dvDf("_key"), "left_anti")
@@ -2752,7 +2914,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val anyBloom = files.exists(_.bloom.isDefined)
       val statsDf = spark.createDataFrame(
         files.map(f => (f.name, f.minKey, f.maxKey,
-          f.bloom.map(java.util.Base64.getDecoder.decode).orNull)))
+          f.bloom.flatMap(loadBloomSidecar).orNull)))
         .toDF("_f", "_min", "_max", "_b")
       val rangeCond = col("_k") >= statDeserialize(col("_min"), keyType) &&
         col("_k") <= statDeserialize(col("_max"), keyType)
@@ -2764,6 +2926,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
           cond, "left_semi")
         .collect().map(_.getString(0)).toSet
     }
+
+  /** Eagerly reclaim a lost-race attempt's data file AND its Bloom
+    * sidecar — both are referenced by no manifest.
+    */
+  private def deleteEntryFiles(e: FileEntry): Unit = {
+    Files.deleteIfExists(Paths.get(root, "files", e.name))
+    e.bloom.foreach(b => Files.deleteIfExists(Paths.get(root, "files", b)))
+    ()
+  }
+
+  /** This table's Bloom sidecar blob, via the process-wide byte-bounded
+    * LRU ([[ManifestStore.loadBloom]]); None (missing/vacuumed sidecar)
+    * just means the file never Bloom-skips.
+    */
+  private def loadBloomSidecar(name: String): Option[Array[Byte]] =
+    ManifestStore.loadBloom(rootKey, Paths.get(root, "files"), name)
 
   /** `BloomBlobContains` over a per-file blob column — Column-API wrap of
     * the native expression, no session function registration needed.
@@ -3023,8 +3201,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case c: ManifestStore.MergeConflict =>
             // this attempt's data files are referenced by no manifest —
             // reclaim them now instead of leaving them for vacuum
-            d.newEntries.foreach(e =>
-              Files.deleteIfExists(Paths.get(root, "files", e.name)))
+            d.newEntries.foreach(deleteEntryFiles)
             d.cdc.filter(_._1.nonEmpty).foreach(c2 =>
               deleteRecursively(Paths.get(root, "files", c2._1)))
             last = c
@@ -3108,11 +3285,83 @@ final class ManifestStore(val root: String, spark: SparkSession,
           }
         }
         if (!won) {
-          entries.foreach(e =>
-            Files.deleteIfExists(Paths.get(root, "files", e.name)))
+          entries.foreach(deleteEntryFiles)
           None
         } else Some(m.version + 1)
       }
+    }
+
+  /** N-column Z-order recluster with RANK (equi-depth) binning — the
+    * generalization of [[reclusterZorder]] Delta's `OPTIMIZE ZORDER BY
+    * (a, b, c)` users expect. Any number of numeric / date / timestamp
+    * columns (n·bits <= 63); each column's bin boundaries are its
+    * 2^bits - 1 approximate quantiles (ONE `approxQuantile` pass over the
+    * table, O(n · 2^bits) driver values), rows bin by binary search
+    * ([[graft.functions.QuantileBin]], codegen'd) and cluster by the
+    * n-ary Morton value. Rank binning is what survives skew at 100 TB:
+    * equi-width binning collapses a heavy-tailed column into one hot bin
+    * and the Z-value degenerates to a sort on the others; equi-depth
+    * fills every bin by construction, so per-file zone ranges stay tight
+    * in EVERY dimension and the zone map prunes box predicates on any
+    * subset of the columns. Layout-only machinery: bin ids and Z-values
+    * never reach answers — approximate quantiles cannot affect
+    * correctness, only tightness. Same contention-free-rewrite + CAS-swap
+    * discipline as [[recluster]]; nulls bin as 0 (they cluster together).
+    */
+  def reclusterZorderCols(cols: Seq[String], nFiles: Int,
+                          bits: Int = 8): Option[Long] =
+    currentManifest.flatMap { m =>
+      import org.apache.spark.sql.types._
+      require(cols.size >= 2, s"zorder needs >= 2 columns, got $cols")
+      require(cols.size * bits <= 63,
+        s"${cols.size} cols x $bits bits exceeds 63 result bits")
+      val schema = StructType.fromDDL(m.schemaDDL)
+      // normalize each dimension to DOUBLE rank space (zone-free casts:
+      // dates through epoch days, timestamps through epoch micros)
+      def norm(c: String): Column = schema(c).dataType match {
+        case DateType => unix_date(col(c)).cast("double")
+        case TimestampType => unix_micros(col(c)).cast("double")
+        case _: NumericType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorder column '$c' must be numeric/date/timestamp, " +
+            s"got ${other.sql}")
+      }
+      val qNames = cols.indices.map(i => s"_zq$i")
+      val df = readFiles(m, m.files)
+      val withQ = cols.zip(qNames).foldLeft(df) { case (d, (c, q)) =>
+        d.withColumn(q, norm(c))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nBins = 1 << bits
+        val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+        // one pass for every dimension's boundary set; nulls are ignored
+        // by the sketch (they bin as 0 below)
+        val qs = withQ.stat.approxQuantile(qNames.toArray, probs, 0.001)
+        if (qs.exists(_.isEmpty)) None // empty table or an all-null dim
+        else {
+          import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+          val bins = qNames.zip(qs).map { case (q, bounds) =>
+            coalesce(column(graft.functions.QuantileBin(
+              expression(col(q)), bounds.toSeq)), lit(0L))
+          }
+          val z = graft.ops.Layout.interleaveBitsN(bins, bits)
+          val df2 = withQ.withColumn("_z", z).drop(qNames: _*)
+          val newStats = (m.statsCols ++ cols).distinct
+          val entries = writeDataFiles(df2, nFiles, newStats,
+            clusterBy = Some("_z"), colMap = m.colMap)
+          val won = SnapshotStore.withCommitLock(root) {
+            current.exists(_._1 == m.version) && {
+              writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+                m.schemaDDL, entries, newStats)
+              true
+            }
+          }
+          if (!won) {
+            entries.foreach(deleteEntryFiles)
+            None
+          } else Some(m.version + 1)
+        }
+      } finally withQ.unpersist()
     }
 
   /** [[recluster]] with the same interleave probe as
@@ -3132,8 +3381,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         true
       }
     }
-    if (!won) entries.foreach(e =>
-      Files.deleteIfExists(Paths.get(root, "files", e.name)))
+    if (!won) entries.foreach(deleteEntryFiles)
     if (won) Some(m.version + 1) else None
   }
 
@@ -3267,8 +3515,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           }
         }
         if (!won) {
-          newEntries.foreach(e =>
-            Files.deleteIfExists(Paths.get(root, "files", e.name)))
+          newEntries.foreach(deleteEntryFiles)
           None
         } else Some(ManifestStore.OptimizeStats(m.version + 1,
           compactBins.map(_.size).sum, carried.size, newEntries.size))
@@ -3348,7 +3595,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val referenced = (floor to cur)
           .flatMap(manifest(_).toSeq.flatMap(m =>
             m.cdcFile.toSeq ++ m.files.flatMap(f =>
-              f.name +: f.dv.toSeq))).toSet
+              f.name +: (f.dv.toSeq ++ f.bloom.toSeq)))).toSet
         // reap the manifests below the retained window (crashed-writer
         // debris beyond _CURRENT is left for its writer to resolve) — but
         // a DELTA entry at the floor replays from the nearest checkpoint

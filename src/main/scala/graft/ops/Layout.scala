@@ -31,6 +31,23 @@ object Layout {
         .plus(shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1))
     }.reduce(_ + _)
 
+  /** N-ary Morton interleave of pre-binned long columns in [0, 2^bits):
+    * result bit (n*j + k) is bit j of column k. Pure integer expression
+    * tree (n·bits shift/mask/or nodes — codegen'd flat). The result must
+    * fit a signed Long: n * bits <= 63.
+    */
+  def interleaveBitsN(bs: Seq[Column], bits: Int): Column = {
+    require(bs.nonEmpty, "interleaveBitsN needs at least one column")
+    require(bs.size * bits <= 63,
+      s"${bs.size} cols x $bits bits = ${bs.size * bits} > 63 result bits")
+    val n = bs.size
+    (0 until bits).flatMap { j =>
+      bs.zipWithIndex.map { case (b, k) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), n * j + k)
+      }
+    }.reduce(_ + _)
+  }
+
   /** Fixed-width bin of a long column given global [lo, hi]: integer
     * arithmetic only, (x - lo) * 2^bits DIV (hi - lo + 1).
     *

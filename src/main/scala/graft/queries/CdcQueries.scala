@@ -427,6 +427,32 @@ object CdcQueries {
         lit(skip.nSkipped > 0 && skip.nRead < skip.nFiles).as("zorder_skip"))
     }),
 
+    "cdc_zorder_rank" -> ((s, dir) => {
+      // N-column RANK-binned Z-order ([[ManifestStore.reclusterZorderCols]],
+      // Delta's OPTIMIZE ZORDER BY (a,b,c) shape): recluster customer by
+      // (c_nationkey, c_acctbal, c_custkey) with equi-DEPTH bins — each
+      // dimension's 2^bits-1 approximate quantiles from ONE pass. Unlike
+      // the equi-width pair form, rank bins keep pruning power on skewed
+      // distributions; layout never reaches answers, so the oracle checks
+      // exact BETWEEN content and the gate checks the skip engaged on a
+      // NON-key dimension.
+      val st = new ManifestStore(
+        QueryUtil.scratchDir(
+          s"zrank_${dir.replaceAll("[^A-Za-z0-9]", "_")}"), s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 16,
+          statsCols = Seq("c_nationkey", "c_acctbal"))
+        st.reclusterZorderCols(
+          Seq("c_nationkey", "c_acctbal", "c_custkey"), nFiles = 16, bits = 6)
+        ()
+      }
+      val (df, skip) = st.readWhere("c_acctbal", 1000.0, 3000.0).get
+      df.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        lit(skip.nSkipped > 0 && skip.nRead < skip.nFiles).as("zrank_skip"))
+    }),
+
     "cdc_manifest_delete_where" -> ((s, dir) => {
       // Predicate DELETE on deletion vectors ([[ManifestStore.deleteWhere]])
       // — the retention/GDPR erasure primitive: one effective scan, every
@@ -919,6 +945,12 @@ object CdcQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |       TRUE AS zorder_skip
         |FROM customer WHERE c_nationkey BETWEEN 3 AND 7""".stripMargin,
+
+    // rank-binned N-col Z layout's non-key range read = the exact BETWEEN
+    "cdc_zorder_rank" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       TRUE AS zrank_skip
+        |FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0""".stripMargin,
 
     // DV-masked predicate delete must read back as the exact complement
     "cdc_manifest_delete_where" ->

@@ -192,8 +192,14 @@ final class GraftClusteredTaskWriter(stageDir: String,
           if (t.min == null) null else conv(t.min),
           if (t.max == null) null else conv(t.max), t.nulls)
       },
-      bloom = spec.bloom.map { case (bits, hashes) =>
-        graft.functions.BloomSketch.encode(bloomWords, bits, hashes)
+      // the Bloom blob stages as a SIDECAR next to the data file (never
+      // through the commit message — a production blob is MBs) and
+      // adoption renames both into files/
+      bloomPath = spec.bloom.map { case (bits, hashes) =>
+        val bp = s"$path.bloom"
+        Files.write(Paths.get(bp),
+          graft.functions.BloomSketch.encode(bloomWords, bits, hashes))
+        bp
       })
     out = null
     path = ""
@@ -239,8 +245,10 @@ final class GraftClusteredTaskWriter(stageDir: String,
 
   override def abort(): Unit = {
     if (out != null) out.close()
-    (done.map(_.path) ++ Some(path).filter(_.nonEmpty)).foreach(p =>
-      Files.deleteIfExists(Paths.get(p)))
+    (done.map(_.path) ++ Some(path).filter(_.nonEmpty)).foreach { p =>
+      Files.deleteIfExists(Paths.get(p))
+      Files.deleteIfExists(Paths.get(s"$p.bloom"))
+    }
     ()
   }
 

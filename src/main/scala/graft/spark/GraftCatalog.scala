@@ -578,21 +578,48 @@ private[spark] object GraftProcedures {
     * interleaved-bit Morton value of the two columns so both join the
     * zone map and either prunes reads.
     */
+  /** Two spellings: `cols => 'a,b,c'` (ANY number of numeric/date/
+    * timestamp columns, rank-binned — Delta's `OPTIMIZE ZORDER BY` shape,
+    * skew-robust) or the original exact-mirror pair
+    * `long_col => .., double_col => ..` (equi-width bins, SQL-replayable
+    * bit-for-bit). Exactly one form must be given.
+    */
   final class ZorderProcedure(catalog: GraftCatalog)
     extends GraftProcedure(catalog, "zorder") {
     override def description(): String =
-      "recluster by the Morton value of (long_col, double_col)"
+      "recluster by a Morton value: cols => 'a,b,c' (rank bins) or " +
+        "(long_col, double_col) (equi-width bins)"
     override def parameters(): Array[ProcedureParameter] = Array(
-      in("table", StringType), in("long_col", StringType),
-      in("double_col", StringType), inDefault("target_files", IntegerType, "16"))
+      in("table", StringType), inDefault("long_col", StringType, "''"),
+      inDefault("double_col", StringType, "''"),
+      inDefault("target_files", IntegerType, "16"),
+      inDefault("cols", StringType, "''"),
+      inDefault("bits", IntegerType, "8"))
     private val outSchema = StructType(Seq(StructField("version", LongType)))
-    override def call(input: InternalRow): java.util.Iterator[Scan] =
-      store(input).reclusterZorder(
-        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
-        input.getInt(3)) match {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (lc, dc) = (input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)
+      val colsArg = input.getUTF8String(4).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val out = (colsArg.nonEmpty, lc.nonEmpty || dc.nonEmpty) match {
+        case (true, true) => throw new IllegalArgumentException(
+          "zorder: give either cols => 'a,b,...' or (long_col, " +
+            "double_col), not both")
+        case (true, false) =>
+          store(input).reclusterZorderCols(colsArg, input.getInt(3),
+            input.getInt(5))
+        case (false, true) =>
+          require(lc.nonEmpty && dc.nonEmpty,
+            "zorder: the pair form needs BOTH long_col and double_col")
+          store(input).reclusterZorder(lc, dc, input.getInt(3))
+        case (false, false) => throw new IllegalArgumentException(
+          "zorder: give cols => 'a,b,...' or (long_col, double_col)")
+      }
+      out match {
         case Some(v) => one(outSchema, v)
         case None    => one(outSchema, -1L) // empty store or lost CAS race
       }
+    }
   }
 
   /** `CALL graft.system.detail(table => 'ns.t')` — DESCRIBE DETAIL: the

@@ -432,7 +432,12 @@ final class GraftTable(val root: String, tableSchema: StructType,
     val st = new ManifestStore(root, spark, key)
     val cur = st.currentManifest.getOrElse(throw new IllegalStateException(
       s"no graft store at $root"))
-    st.deleteWhere(cond, batchId = cur.version + 1, streamId = "dsv2-delete")
+    // the pushed filters double as candidate-pruning conjuncts (sound:
+    // cond is their conjunction), so the delete scans only the files the
+    // zone map + key Blooms admit — a point DELETE masks ~1 file, not
+    // the table
+    st.deleteWhere(cond, batchId = cur.version + 1, streamId = "dsv2-delete",
+      pruneConjuncts = GraftScan.conjuncts(filters.toSeq))
   }
 }
 

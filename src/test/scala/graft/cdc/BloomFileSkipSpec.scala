@@ -158,6 +158,71 @@ class BloomFileSkipSpec extends SparkSpec {
       .filter(col("id") === 78L).count() == 1)
   }
 
+  test("pruned DELETE: conjuncts cut the candidate scan, answers unchanged") {
+    val (rootB, stB) = mkBucketed(bloom = true)
+    val (rootP, stP) = mkBucketed(bloom = false)
+    // the pruned form (what SQL DELETE passes) and the unpruned form must
+    // land the identical manifest shape and content
+    val sB = stB.deleteWhere(col("id") === 2048L, batchId = 1,
+      pruneConjuncts = Seq(("id", "=", 2048L))).get
+    val sP = stP.deleteWhere(col("id") === 2048L, batchId = 1).get
+    assert(sB.maskedFiles == 1 && sB.maskedRows == 1)
+    assert(sP.maskedFiles == 1 && sP.maskedRows == 1)
+    assert(spark.read.format("graft").load(rootB).count() == N - 1)
+    assert(spark.read.format("graft").load(rootB)
+      .filter(col("id") === 2048L).count() == 0)
+    // absent key: the bloom-pruned candidate set is EMPTY, so the delete
+    // is a no-op decided from metadata alone (no version churn)
+    val vBefore = stB.current.get._1
+    assert(stB.deleteWhere(col("id") === (N + 999), batchId = 2,
+      pruneConjuncts = Seq(("id", "=", N + 999))).isEmpty)
+    assert(stB.current.get._1 == vBefore)
+  }
+
+  test("SQL DELETE wires its filters into the candidate prune") {
+    val wh = Files.createTempDirectory("bloomsql").toString
+    spark.conf.set("spark.sql.catalog.gblm", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gblm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gblm.db")
+    spark.sql("CREATE TABLE gblm.db.pts (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, id)) " +
+      "TBLPROPERTIES ('key'='id', 'bloomfilter'='8192')")
+    spark.sql("INSERT INTO gblm.db.pts SELECT id, concat('n', id) " +
+      "FROM range(0, 4000)")
+    spark.sql("DELETE FROM gblm.db.pts WHERE id = 1234")
+    assert(spark.table("gblm.db.pts").count() == 3999L)
+    assert(spark.table("gblm.db.pts").filter(col("id") === 1234L).count() == 0)
+    val st = new ManifestStore(
+      java.nio.file.Paths.get(wh, "db", "pts").toString, spark, "id")
+    val masked = st.currentManifest.get.files.filter(_.dv.isDefined)
+    assert(masked.size == 1, s"expected 1 masked file, got ${masked.size}")
+  }
+
+  test("sidecar lifecycle: clone links them, vacuum reaps only dead ones") {
+    val (root, st) = mkBucketed(bloom = true)
+    val liveBefore = st.currentManifest.get.files.flatMap(_.bloom).toSet
+    // a rewrite strands v0's sidecars once retention passes
+    st.optimize(targetFiles = 4)
+    val liveAfter = st.currentManifest.get.files.flatMap(_.bloom).toSet
+    assert(liveAfter.nonEmpty && liveAfter.intersect(liveBefore).isEmpty)
+    val clone = Files.createTempDirectory("bloomclone").toString
+    st.cloneTo(clone)
+    liveAfter.foreach(b => assert(
+      Files.exists(java.nio.file.Paths.get(clone, "files", b)),
+      s"clone is missing bloom sidecar $b"))
+    st.vacuum(keepLast = 1)
+    liveBefore.foreach(b => assert(
+      !Files.exists(java.nio.file.Paths.get(root, "files", b)),
+      s"vacuum left the dead sidecar $b"))
+    liveAfter.foreach(b => assert(
+      Files.exists(java.nio.file.Paths.get(root, "files", b)),
+      s"vacuum reaped the LIVE sidecar $b"))
+    // and the probe path still works (cache must not serve reaped blobs
+    // for fresh names; live ones still skip)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("id") === 123L).count() == 1)
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))

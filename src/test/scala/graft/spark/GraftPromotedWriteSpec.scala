@@ -213,7 +213,8 @@ class GraftPromotedWriteSpec extends SparkSpec {
     // builder does: every key present in a file must probe TRUE against
     // that file's blob (no false negatives, across both build sites)
     m.files.foreach { f =>
-      val blob = java.util.Base64.getDecoder.decode(f.bloom.get)
+      val blob = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root("t6"), "files", f.bloom.get))
       val keys = spark.read.parquet(s"${root("t6")}/files/${f.name}")
         .select("id").as[Long].collect()
       keys.foreach { k =>
