@@ -103,6 +103,11 @@ object ManifestStore {
     * [min,max] covers almost any probe) and merge-grown overlapping
     * files.
     */
+  /** `colBlooms`: sidecar names of SECONDARY-column Bloom filters (table
+    * property `bloomfiltercols`), keyed by PHYSICAL column name like the
+    * stats — same storage, probing, lifecycle, and no-false-negative
+    * contract as the key's `bloom`.
+    */
   final case class FileEntry(name: String, minKey: String, maxKey: String,
                              rows: Long, dv: Option[String] = None,
                              dvRows: Long = 0L,
@@ -110,7 +115,8 @@ object ManifestStore {
                              bytes: Long = 0L,
                              colNulls: Map[String, Long] = Map.empty,
                              bucket: Option[Int] = None,
-                             bloom: Option[String] = None) {
+                             bloom: Option[String] = None,
+                             colBlooms: Map[String, String] = Map.empty) {
     def liveRows: Long = rows - dvRows
   }
 
@@ -128,6 +134,22 @@ object ManifestStore {
       (bits, 6)
     }
 
+  /** SECONDARY-column Bloom filters (table property `bloomfiltercols` — a
+    * comma list of LOGICAL column names, Delta's per-column Bloom index):
+    * each listed column gets its own per-file sidecar, probed by the scan
+    * pruner for pushed `=`/`IN` predicates on that column. Sized by the
+    * same `bloomfilter` value (or the 65536-bit default when only
+    * `bloomfiltercols` is set). Listed columns must be zone-map columns
+    * (`statsCols`) — the pruner only consults stats-tracked columns, so a
+    * bloom on an untracked column could never fire ([[writeDataFiles]]
+    * enforces this loudly).
+    */
+  def bloomColParams(props: Map[String, String]): (Seq[String], (Int, Int)) = {
+    val cols = props.get("bloomfiltercols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (cols, bloomParams(props).getOrElse((65536, 6)))
+  }
+
   /** A data file STAGED by a DSv2 clustered task writer, carrying the
     * stats the writer folded while writing: raw EXTERNAL JVM values
     * (String/Long/java.sql.Timestamp/...), min/max per statted column with
@@ -141,12 +163,14 @@ object ManifestStore {
                                  nulls: Long)
   /** `bloomPath`: the task-side STAGED Bloom sidecar (written next to the
     * staged data file); adoption renames it into `files/` beside the data.
+    * `colBloomPaths`: same, per SECONDARY bloom column (logical name).
     */
   final case class StagedFile(path: String, rows: Long,
                               partVals: Seq[Any],
                               keyMin: Any, keyMax: Any,
                               cols: Seq[StagedColStat],
-                              bloomPath: Option[String] = None)
+                              bloomPath: Option[String] = None,
+                              colBloomPaths: Map[String, String] = Map.empty)
 
   /** Process-lifetime count of staged files ADOPTED by rename (the
     * 1x-write path) — an observable for specs and bench forensics: a
@@ -582,13 +606,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
           .map(n => fc -> n.asLong())
       }.toMap
     }.getOrElse(Map.empty[String, Long])
+    val colBlooms = Option(f.get("colBlooms")).filterNot(_.isNull).map { cb =>
+      cb.fieldNames().asScala.map(c => c -> cb.path(c).asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     FileEntry(f.path("name").asText(), f.path("minKey").asText(),
       f.path("maxKey").asText(), f.path("rows").asLong(),
       Option(f.get("dv")).filterNot(_.isNull).map(_.asText()),
       f.path("dvRows").asLong(0L), cols, f.path("bytes").asLong(0L),
       colNulls,
       Option(f.get("bucket")).filterNot(_.isNull).map(_.asInt()),
-      Option(f.get("bloom")).filterNot(_.isNull).map(_.asText()))
+      Option(f.get("bloom")).filterNot(_.isNull).map(_.asText()),
+      colBlooms)
   }
 
   /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
@@ -900,6 +928,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val useBloom = m.files.exists(_.bloom.isDefined) &&
         statted.exists { case (c, op, _) =>
           c == keyField && (op == "=" || op == "in") }
+      // SECONDARY columns probed by =/IN that carry per-file blooms
+      // (property `bloomfiltercols`) — each gets its own blob column
+      val bloomProbeCols: Seq[String] = statted.collect {
+        case (c, op, _) if (op == "=" || op == "in") && c != keyField &&
+          m.files.exists(_.colBlooms.contains(m.phys(c))) => c
+      }.distinct
       val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
         org.apache.spark.sql.Row.fromSeq((f.name +: colsRef.flatMap { c =>
           colRange(m, f, c) match {
@@ -908,7 +942,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
           }
         }) ++ (if (useBloom)
           Seq(f.bloom.flatMap(loadBloomSidecar).orNull)
-        else Nil))
+        else Nil) ++ bloomProbeCols.map(c =>
+          f.colBlooms.get(m.phys(c)).flatMap(loadBloomSidecar).orNull))
       }
       val st = StructType((StructField("_f", StringType, nullable = false) +:
         colsRef.flatMap(c => Seq(
@@ -917,13 +952,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
         (if (useBloom)
           Seq(StructField("_bloom",
             org.apache.spark.sql.types.BinaryType, nullable = true))
-        else Nil))
+        else Nil) ++ bloomProbeCols.map(c =>
+          StructField(s"_bloomc_$c",
+            org.apache.spark.sql.types.BinaryType, nullable = true)))
       val statsDf = spark.createDataFrame(rows.asJava, st)
       // true iff this file's Bloom admits the probe (or it has no Bloom /
-      // the predicate column is not the key)
-      def bloomOk(c: String, probeStr: Column): Column =
-        if (!useBloom || c != keyField) lit(true)
-        else col("_bloom").isNull || bloomMayContain(col("_bloom"), probeStr)
+      // the predicate column carries none)
+      def bloomOk(c: String, probeStr: Column): Column = {
+        val blobCol =
+          if (c == keyField && useBloom) Some(col("_bloom"))
+          else if (bloomProbeCols.contains(c)) Some(col(s"_bloomc_$c"))
+          else None
+        blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
+          .getOrElse(lit(true))
+      }
       val cond = statted.map { case (c, op, v) =>
         val dt = schema(c).dataType
         val mn = statDeserialize(col(s"_min_$c"), dt)
@@ -1469,6 +1511,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     }
     m.files.foreach { f =>
       link(f.name); f.dv.foreach(link); f.bloom.foreach(link)
+      f.colBlooms.values.foreach(link)
     }
     val props = Paths.get(root, "_TBLPROPS")
     if (Files.exists(props)) {
@@ -1614,6 +1657,19 @@ final class ManifestStore(val root: String, spark: SparkSession,
       .flatMap(_.toIntOption).filter(_ > 0)
       .filter(_ => clusterBy.isEmpty && partCol.isEmpty)
     val bloomCfg: Option[(Int, Int)] = ManifestStore.bloomParams(tableProps)
+    // secondary-column blooms: only zone-map columns can ever be probed
+    // (the pruner consults stats-tracked columns), so an unlisted column
+    // is a misconfiguration, not a silent no-op. A drift-evolved frame
+    // that doesn't carry the column yet skips it for THIS write.
+    val (bloomColsRaw, bloomColCfg) = ManifestStore.bloomColParams(tableProps)
+    bloomColsRaw.filter(df.columns.contains).foreach { c =>
+      require(c != keyField, s"bloomfiltercols lists the key column '$c' " +
+        "— the key always gets a Bloom via the bloomfilter property")
+      require(sCols.contains(c), s"bloomfiltercols column '$c' is not a " +
+        s"zone-map column (statsCols = ${sCols.mkString(",")}) — the " +
+        "pruner could never probe it; add it to statsCols first")
+    }
+    val bloomCols: Seq[String] = bloomColsRaw.filter(sCols.contains)
     val clustered = (clusterBy, partCol, bucketsN) match {
       case (Some(zc), _, _) =>
         // the projection dropping zc is narrow: partitioning and order survive
@@ -1684,21 +1740,31 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // serialization, folded in the same single stats pass — probes
         // (prunedFiles / hitFileNames) serialize through the identical
         // cast, which is what makes no-false-negatives hold
-        val bloomStat = bloomCfg.toSeq.map { case (bits, hashes) =>
+        def bloomAgg(input: Column, dt: org.apache.spark.sql.types.DataType,
+                     bits: Int, hashes: Int, as: String): Column = {
           import org.apache.spark.sql.catalyst.expressions.Literal
           org.apache.spark.sql.graft.ParquetWriteBridge.column(
             graft.functions.BloomBuild(
               org.apache.spark.sql.graft.ParquetWriteBridge.expression(
-                statSerialize(col(keyField), keyDt)),
+                statSerialize(input, dt)),
               Literal(bits), Literal(hashes)).toAggregateExpression())
-            .as("_bloom")
+            .as(as)
+        }
+        val bloomStat = bloomCfg.toSeq.map { case (bits, hashes) =>
+          bloomAgg(col(keyField), keyDt, bits, hashes, "_bloom")
+        }
+        // secondary-column blooms fold in the SAME single stats pass
+        val bloomColStat = bloomCols.map { c =>
+          val (bits, hashes) = bloomColCfg
+          bloomAgg(col(s"`${physName(c)}`"), df.schema(c).dataType,
+            bits, hashes, s"_bloomc_$c")
         }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
             (statSerialize(max(col(keyField)), keyDt).as("_max") +:
               count(lit(1)).as("_rows") +:
-              (extra ++ bucketStat ++ bloomStat)): _*)
+              (extra ++ bucketStat ++ bloomStat ++ bloomColStat)): _*)
           .collect() // O(#files) — bounded by the clustering, not the data
       }
     Files.createDirectories(Paths.get(root, "files"))
@@ -1718,19 +1784,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // physical size goes into the manifest so a scan planner never has
       // to stat data files — at 100k files that listing IS the planning cost
       val bkt = bucketsN.map(_ => r.getInt(4 + 3 * sCols.size))
-      // the Bloom blob lands as a SIDECAR binary next to the data file
-      // (like the DV sidecars): the manifest carries only its name, so a
+      // Bloom blobs land as SIDECAR binaries next to the data file
+      // (like the DV sidecars): the manifest carries only names, so a
       // production-sized blob never bloats the commit log. Driver-side
       // write is bounded by THIS COMMIT's file count, not the table's.
+      val bloomBase = 4 + 3 * sCols.size + bucketsN.size
       val bloomName = bloomCfg.map { _ =>
         val bn = s"$name.bloom"
         Files.write(Paths.get(root, "files", bn),
-          r.getAs[Array[Byte]](4 + 3 * sCols.size + bucketsN.size))
+          r.getAs[Array[Byte]](bloomBase))
         bn
       }
+      val colBloomNames = bloomCols.zipWithIndex.map { case (c, i) =>
+        val bn = s"$name.${physName(c)}.bloom"
+        Files.write(Paths.get(root, "files", bn),
+          r.getAs[Array[Byte]](bloomBase + bloomCfg.size + i))
+        physName(c) -> bn
+      }.toMap
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bucket = bkt, bloom = bloomName)
+        bucket = bkt, bloom = bloomName, colBlooms = colBloomNames)
     }
     deleteRecursively(stage)
     entries
@@ -1797,17 +1870,23 @@ final class ManifestStore(val root: String, spark: SparkSession,
           c -> ((r.getString(2 + 2 * i), r.getString(3 + 2 * i))))
       }.toMap
       val nulls = sCols.flatMap(c => byCol.get(c).map(cs => c -> cs.nulls)).toMap
-      // the task writer staged the Bloom sidecar next to its data file;
-      // adoption renames both — still zero re-read, zero driver bytes
+      // the task writer staged Bloom sidecars next to its data file;
+      // adoption renames them all — still zero re-read, zero driver bytes
       val bloomName = f.bloomPath.map { bp =>
         val bn = s"$name.bloom"
         Files.move(Paths.get(bp), Paths.get(root, "files", bn),
           StandardCopyOption.ATOMIC_MOVE)
         bn
       }
+      val colBloomNames = f.colBloomPaths.map { case (c, bp) =>
+        val bn = s"$name.$c.bloom" // identity colMap: logical == physical
+        Files.move(Paths.get(bp), Paths.get(root, "files", bn),
+          StandardCopyOption.ATOMIC_MOVE)
+        c -> bn
+      }
       FileEntry(name, r.getString(0), r.getString(1), f.rows,
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bloom = bloomName)
+        bloom = bloomName, colBlooms = colBloomNames)
     }
   }
 
@@ -1818,6 +1897,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (f.bytes > 0L) fn.put("bytes", f.bytes)
     f.bucket.foreach { b => fn.put("bucket", b); () }
     f.bloom.foreach { b => fn.put("bloom", b); () }
+    if (f.colBlooms.nonEmpty) {
+      val cb = mapper.createObjectNode()
+      f.colBlooms.foreach { case (c, n) => cb.put(c, n); () }
+      fn.set[com.fasterxml.jackson.databind.node.ObjectNode]("colBlooms", cb)
+    }
     f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
     if (f.cols.nonEmpty) {
       val cn = mapper.createObjectNode()
@@ -2932,7 +3016,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def deleteEntryFiles(e: FileEntry): Unit = {
     Files.deleteIfExists(Paths.get(root, "files", e.name))
-    e.bloom.foreach(b => Files.deleteIfExists(Paths.get(root, "files", b)))
+    (e.bloom.toSeq ++ e.colBlooms.values).foreach(b =>
+      Files.deleteIfExists(Paths.get(root, "files", b)))
     ()
   }
 
@@ -3595,7 +3680,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val referenced = (floor to cur)
           .flatMap(manifest(_).toSeq.flatMap(m =>
             m.cdcFile.toSeq ++ m.files.flatMap(f =>
-              f.name +: (f.dv.toSeq ++ f.bloom.toSeq)))).toSet
+              f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++
+                f.colBlooms.values)))).toSet
         // reap the manifests below the retained window (crashed-writer
         // debris beyond _CURRENT is left for its writer to resolve) — but
         // a DELTA entry at the floor replays from the nearest checkpoint

@@ -367,6 +367,32 @@ object DsvQueries {
         lit(files >= 1 && files <= 5).as("bloom_skipped"))
     }),
 
+    "dsv2_bloom_col_skip" -> ((s, dir) => {
+      // SECONDARY-column Bloom filters (`bloomfiltercols`, Delta's
+      // per-column Bloom index): on a KEY-clustered table, c_acctbal is
+      // scattered across the key order — every file's [min,max] box on it
+      // covers any probe, so an equality lookup reads all 8 files on zone
+      // maps alone; the per-file c_acctbal blooms cut it to the owning
+      // file(s). The probe value is a real row's balance (deterministic:
+      // the minimum key's).
+      val root = scratch("blmc", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("bloomfiltercols" -> "c_acctbal"))
+        st.commit(cust, batchId = 0, nFiles = 8,
+          statsCols = Seq("c_acctbal"))
+      }
+      val probe = cust.orderBy(col("c_custkey")).select(col("c_acctbal"))
+        .head().getDouble(0)
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_acctbal") === probe)
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(files >= 1 && files <= 4).as("col_bloom_skipped"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -985,6 +1011,15 @@ object DsvQueries {
         |       TRUE AS bloom_skipped
         |FROM customer c, mm
         |WHERE c.c_custkey IN (mm.lo, (mm.lo + mm.hi) // 2, mm.hi)""".stripMargin,
+
+    // the secondary-column equality must return exactly the rows sharing
+    // the min-key row's balance, with the bloom file-cut gate true
+    "dsv2_bloom_col_skip" ->
+      """WITH p AS (SELECT c_acctbal AS b FROM customer
+        |           ORDER BY c_custkey LIMIT 1)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal,
+        |       TRUE AS col_bloom_skipped
+        |FROM customer c, p WHERE c.c_acctbal = p.b""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

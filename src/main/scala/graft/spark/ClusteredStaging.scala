@@ -67,8 +67,15 @@ object ClusteredStaging {
     val sCols = statsCols.filter(c => c != key && schema.fieldNames.contains(c))
     val typed = (key +: (partCols ++ sCols)).distinct
     if (typed.exists(c => !statSupported(schema(c).dataType))) return None
+    // secondary bloom columns fold in-task like the key's; a column the
+    // rewriting writer would REFUSE (not a zone-map column) falls back so
+    // the loud error fires there, not a silent promoted no-op
+    val (bcRaw, bcCfg) = ManifestStore.bloomColParams(props)
+    val bloomCols = bcRaw.filter(schema.fieldNames.contains)
+    if (bloomCols.exists(c => c == key || !sCols.contains(c))) return None
     Some(ClusterWriteSpec(key, partCols, sCols, math.max(1, nFiles),
-      ManifestStore.bloomParams(props)))
+      ManifestStore.bloomParams(props),
+      if (bloomCols.isEmpty) Nil else bloomCols.map(_ -> bcCfg)))
   }
 }
 
@@ -82,7 +89,8 @@ object ClusteredStaging {
   */
 final case class ClusterWriteSpec(key: String, partCols: Seq[String],
                                   statsCols: Seq[String], nFiles: Int,
-                                  bloom: Option[(Int, Int)] = None) {
+                                  bloom: Option[(Int, Int)] = None,
+                                  bloomCols: Seq[(String, (Int, Int))] = Nil) {
   def sortOrders: Array[SortOrder] =
     (partCols :+ key).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
@@ -159,6 +167,20 @@ final class GraftClusteredTaskWriter(stageDir: String,
     if (spec.bloom.isDefined) ParquetWriteBridge.statStringifier(keyDt)
     else null
   private var bloomWords: Array[Long] = _
+  // secondary-column Bloom folds (spec.bloomCols): index, type-matched
+  // stringifier and per-file bitset per column
+  private case class ColBloom(name: String, idx: Int, bits: Int, hashes: Int,
+                              dt: DataType,
+                              str: Any => org.apache.spark.unsafe.types.UTF8String) {
+    var words: Array[Long] = _
+    def reset(): Unit = words = new Array[Long](bits / 64)
+  }
+  private val colBlooms: Array[ColBloom] = spec.bloomCols.toArray.map {
+    case (c, (bits, hashes)) =>
+      val dt = schema(c).dataType
+      ColBloom(c, schema.fieldIndex(c), bits, hashes, dt,
+        ParquetWriteBridge.statStringifier(dt))
+  }
   private val done = scala.collection.mutable.ArrayBuffer
     .empty[ManifestStore.StagedFile]
 
@@ -200,7 +222,13 @@ final class GraftClusteredTaskWriter(stageDir: String,
         Files.write(Paths.get(bp),
           graft.functions.BloomSketch.encode(bloomWords, bits, hashes))
         bp
-      })
+      },
+      colBloomPaths = colBlooms.map { cb =>
+        val bp = s"$path.${cb.name}.bloom"
+        Files.write(Paths.get(bp),
+          graft.functions.BloomSketch.encode(cb.words, cb.bits, cb.hashes))
+        cb.name -> bp
+      }.toMap)
     out = null
     path = ""
   }
@@ -215,6 +243,7 @@ final class GraftClusteredTaskWriter(stageDir: String,
     keyMin = null; keyMax = null
     spec.bloom.foreach { case (bits, _) =>
       bloomWords = new Array[Long](bits / 64) }
+    colBlooms.foreach(_.reset())
     colTracks.foreach(_.reset())
     cell = partIdx.indices.map(i =>
       if (row.isNullAt(partIdx(i))) null
@@ -235,6 +264,14 @@ final class GraftClusteredTaskWriter(stageDir: String,
     }
     var i = 0
     while (i < colTracks.length) { colTracks(i).update(row); i += 1 }
+    i = 0
+    while (i < colBlooms.length) {
+      val cb = colBlooms(i)
+      if (!row.isNullAt(cb.idx))
+        graft.functions.BloomSketch.add(cb.words, cb.bits, cb.hashes,
+          cb.str(row.get(cb.idx, cb.dt)))
+      i += 1
+    }
     out.write(row)
   }
 
@@ -248,6 +285,8 @@ final class GraftClusteredTaskWriter(stageDir: String,
     (done.map(_.path) ++ Some(path).filter(_.nonEmpty)).foreach { p =>
       Files.deleteIfExists(Paths.get(p))
       Files.deleteIfExists(Paths.get(s"$p.bloom"))
+      colBlooms.foreach(cb =>
+        Files.deleteIfExists(Paths.get(s"$p.${cb.name}.bloom")))
     }
     ()
   }

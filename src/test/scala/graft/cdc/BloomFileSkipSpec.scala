@@ -223,6 +223,55 @@ class BloomFileSkipSpec extends SparkSpec {
       .filter(col("id") === 123L).count() == 1)
   }
 
+  test("secondary-column blooms prune a scattered non-key equality") {
+    // key-clustered table: `tag` is high-cardinality and SCATTERED across
+    // the key order, so every file's [min,max] on tag covers any probe —
+    // only a per-file tag bloom can cut the file set
+    def mk(withBloom: Boolean): (String, ManifestStore) = {
+      val root = Files.createTempDirectory("bloomsc").toString
+      if (withBloom) ManifestStore.writeTableProps(root,
+        Map("bloomfiltercols" -> "tag", "bloomfilter" -> "8192"))
+      val st = new ManifestStore(root, spark, "id")
+      st.commit((0L until N).map(i =>
+        (i, s"n$i", s"tag-${(i * 2654435761L) % 100000}"))
+        .toDF("id", "name", "tag"),
+        batchId = 0, nFiles = 8, statsCols = Seq("tag"))
+      (root, st)
+    }
+    val (rootB, stB) = mk(withBloom = true)
+    val (rootP, _) = mk(withBloom = false)
+    val m = stB.currentManifest.get
+    assert(m.files.forall(f => f.colBlooms.contains("tag") &&
+      f.bloom.isDefined))
+
+    val probe = s"tag-${(1234L * 2654435761L) % 100000}"
+    def q(root: String) = spark.read.format("graft").load(root)
+      .filter(col("tag") === probe)
+    assert(plannedFiles(q(rootP)) == 8,
+      "zone map alone should be blind on the scattered tag")
+    val cut = plannedFiles(q(rootB))
+    assert(cut >= 1 && cut <= 3, s"tag bloom should cut files, planned $cut")
+    assert(q(rootB).count() == q(rootP).count())
+    // no false negatives on a sample of tags
+    0L.until(N, 389L).foreach { i =>
+      val t = s"tag-${(i * 2654435761L) % 100000}"
+      assert(spark.read.format("graft").load(rootB)
+        .filter(col("tag") === t).count() ==
+        spark.read.format("graft").load(rootP)
+          .filter(col("tag") === t).count(), s"lost rows for $t")
+    }
+    // misconfiguration refuses loudly: bloom col not in statsCols
+    val badRoot = Files.createTempDirectory("bloombad").toString
+    ManifestStore.writeTableProps(badRoot,
+      Map("bloomfiltercols" -> "name"))
+    val bad = new ManifestStore(badRoot, spark, "id")
+    val err = intercept[IllegalArgumentException] {
+      bad.commit((0L until 10L).map(i => (i, s"n$i")).toDF("id", "name"),
+        batchId = 0, nFiles = 1)
+    }
+    assert(err.getMessage.contains("zone-map column"))
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))

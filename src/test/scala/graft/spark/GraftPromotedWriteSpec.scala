@@ -227,4 +227,32 @@ class GraftPromotedWriteSpec extends SparkSpec {
     assert(spark.table("gpw.db.t6").filter($"id" === 1250L).count() === 1L)
     assert(spark.table("gpw.db.t6").filter($"id" === 750L).count() === 0L)
   }
+
+  test("promoted writes fold SECONDARY-column blooms too") {
+    sql("DROP TABLE IF EXISTS gpw.db.t7")
+    sql("CREATE TABLE gpw.db.t7 (id BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('key'='id', 'statscols'='v', " +
+      "'bloomfiltercols'='v', 'bloomfilter'='8192')")
+    sql("INSERT INTO gpw.db.t7 SELECT id, 'A', (id * 2654435761) % 100000 " +
+      "FROM range(0, 500)")
+    dynOverwrite("INSERT OVERWRITE gpw.db.t7 " +
+      "SELECT id, 'B', (id * 2654435761) % 100000 FROM range(1000, 1500)")
+    val m = store("t7").currentManifest.get
+    assert(m.streamId.startsWith("dsv2-owp1x-"), s"got '${m.streamId}'")
+    assert(m.files.forall(_.colBlooms.contains("v")),
+      "an adopted file is missing its secondary-column bloom")
+    // every v value present in a file probes TRUE against that file's blob
+    m.files.foreach { f =>
+      val blob = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root("t7"), "files", f.colBlooms("v")))
+      spark.read.parquet(s"${root("t7")}/files/${f.name}")
+        .select("v").as[Long].collect().foreach { v =>
+          assert(graft.functions.BloomSketch.containsBlob(blob,
+            org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)),
+            s"promoted secondary bloom lost v=$v of file ${f.name}")
+        }
+    }
+    assert(spark.table("gpw.db.t7")
+      .filter($"v" === (1250L * 2654435761L) % 100000).count() >= 1L)
+  }
 }
