@@ -165,12 +165,18 @@ object ManifestStore {
     * staged data file); adoption renames it into `files/` beside the data.
     * `colBloomPaths`: same, per SECONDARY bloom column (logical name).
     */
+  /** `bucket`: the file's hash bucket on a bucketed table — computed by
+    * the TASK WRITER itself (pmod(murmur3(key), N) per row, rolling to a
+    * new file on change), so bucket-purity never depends on how Spark
+    * satisfied the required distribution.
+    */
   final case class StagedFile(path: String, rows: Long,
                               partVals: Seq[Any],
                               keyMin: Any, keyMax: Any,
                               cols: Seq[StagedColStat],
                               bloomPath: Option[String] = None,
-                              colBloomPaths: Map[String, String] = Map.empty)
+                              colBloomPaths: Map[String, String] = Map.empty,
+                              bucket: Option[Int] = None)
 
   /** Process-lifetime count of staged files ADOPTED by rename (the
     * 1x-write path) — an observable for specs and bench forensics: a
@@ -1886,7 +1892,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }
       FileEntry(name, r.getString(0), r.getString(1), f.rows,
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bloom = bloomName, colBlooms = colBloomNames)
+        bloom = bloomName, colBlooms = colBloomNames, bucket = f.bucket)
     }
   }
 
@@ -2034,7 +2040,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
                                   statsCols: Seq[String]): Boolean = {
     val cur = current
     if (replayed(batchId, streamId)) {
-      staged.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      staged.foreach { f =>
+        Files.deleteIfExists(Paths.get(f.path))
+        (f.bloomPath.toSeq ++ f.colBloomPaths.values).foreach(b =>
+          Files.deleteIfExists(Paths.get(b)))
+      }
       return false
     }
     Files.createDirectories(Paths.get(root))

@@ -30,12 +30,16 @@ import java.nio.file.{Files, Paths}
   *      which re-serializes them through the store's exact stat casts and
   *      RENAMES the files into `files/` — the task output IS the table.
   *
+  * Bucketed tables promote too (since round 12): the distribution flips
+  * to CLUSTERED-by-key into exactly N partitions (= the store's bucket
+  * placement) and the task writer rolls files on its OWN per-row bucket
+  * computation, so bucket purity never rests on the engine's partitioner.
+  *
   * Falls back to the rewriting path (spec = None) whenever the layout
   * demands machinery the task writer does not reproduce: column-mapped
-  * tables (files must carry physical names), bucketed tables (bucket
-  * transform distribution), CHECK constraints (enforced row-by-row inside
-  * the clustering writer), or a stat column whose type the in-task
-  * ordering does not cover.
+  * tables (files must carry physical names), CHECK constraints (enforced
+  * row-by-row inside the clustering writer), or a stat column whose type
+  * the in-task ordering does not cover.
   */
 object ClusteredStaging {
 
@@ -58,11 +62,20 @@ object ClusteredStaging {
   def specFor(root: String, schema: StructType, key: String,
               statsCols: Seq[String], nFiles: Int): Option[ClusterWriteSpec] = {
     val props = ManifestStore.readTableProps(root)
-    if (props.get("buckets").exists(_.toIntOption.exists(_ > 0))) return None
     if (props.keys.exists(_.startsWith("check."))) return None
     if (!schema.fieldNames.contains(key)) return None
+    // BUCKETED tables promote too: the write asks for CLUSTERED-by-key
+    // distribution into exactly N partitions — Spark satisfies that with
+    // HashPartitioning(key, N), whose placement (pmod(murmur3(key), N))
+    // IS the store's bucket function, so each task receives one whole
+    // bucket. The task writer still computes every row's bucket itself
+    // and rolls on change, so bucket-PURITY (the storage-partitioned-join
+    // invariant) holds even if the engine's placement ever differs — a
+    // mismatch only costs extra files, never a mixed bucket.
+    val bucketsN = props.get("buckets").flatMap(_.toIntOption).filter(_ > 0)
     val partCols = props.get("partitioncol").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(_ => bucketsN.isEmpty)
     if (partCols.exists(pc => !schema.fieldNames.contains(pc))) return None
     val sCols = statsCols.filter(c => c != key && schema.fieldNames.contains(c))
     val typed = (key +: (partCols ++ sCols)).distinct
@@ -73,9 +86,11 @@ object ClusteredStaging {
     val (bcRaw, bcCfg) = ManifestStore.bloomColParams(props)
     val bloomCols = bcRaw.filter(schema.fieldNames.contains)
     if (bloomCols.exists(c => c == key || !sCols.contains(c))) return None
-    Some(ClusterWriteSpec(key, partCols, sCols, math.max(1, nFiles),
+    Some(ClusterWriteSpec(key, partCols, sCols,
+      bucketsN.getOrElse(math.max(1, nFiles)),
       ManifestStore.bloomParams(props),
-      if (bloomCols.isEmpty) Nil else bloomCols.map(_ -> bcCfg)))
+      if (bloomCols.isEmpty) Nil else bloomCols.map(_ -> bcCfg),
+      buckets = bucketsN))
   }
 }
 
@@ -90,11 +105,19 @@ object ClusteredStaging {
 final case class ClusterWriteSpec(key: String, partCols: Seq[String],
                                   statsCols: Seq[String], nFiles: Int,
                                   bloom: Option[(Int, Int)] = None,
-                                  bloomCols: Seq[(String, (Int, Int))] = Nil) {
+                                  bloomCols: Seq[(String, (Int, Int))] = Nil,
+                                  buckets: Option[Int] = None) {
   def sortOrders: Array[SortOrder] =
     (partCols :+ key).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-  def distribution: Distribution = Distributions.ordered(sortOrders)
+  /** Bucketed: co-locate same-key rows (hash) into exactly `buckets`
+    * partitions — one whole bucket per task; rows key-sorted within.
+    * Unbucketed: the store's (partCols, key) RANGE clustering.
+    */
+  def distribution: Distribution =
+    if (buckets.isDefined)
+      Distributions.clustered(Array(Expressions.column(key)))
+    else Distributions.ordered(sortOrders)
 }
 
 /** One task's commit message: the staged files it wrote, with their
@@ -161,6 +184,21 @@ final class GraftClusteredTaskWriter(stageDir: String,
   private var keyMin: Any = _
   private var keyMax: Any = _
   private var cell: Array[Any] = _ // copied catalyst values, null slots ok
+  // bucketed layout: the writer computes every row's bucket itself
+  // (catalyst murmur3, the exact expression `pmod(hash(key), n)` the
+  // rewriting writer uses) and rolls on change — purity by construction
+  private val bucketHash: org.apache.spark.sql.catalyst.expressions.Murmur3Hash =
+    if (spec.buckets.isDefined)
+      org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          keyIdx, keyDt, nullable = true)), 42)
+    else null
+  private var curBucket: Int = -1
+  private def bucketOf(row: InternalRow): Int = {
+    val n = spec.buckets.get
+    val h = bucketHash.eval(row).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
   // per-file key Bloom fold (spec.bloom): key catalyst value -> the same
   // manifest stat string the stats-pass bloom_build hashes -> bitset
   private val keyStr: Any => org.apache.spark.unsafe.types.UTF8String =
@@ -228,7 +266,8 @@ final class GraftClusteredTaskWriter(stageDir: String,
         Files.write(Paths.get(bp),
           graft.functions.BloomSketch.encode(cb.words, cb.bits, cb.hashes))
         cb.name -> bp
-      }.toMap)
+      }.toMap,
+      bucket = spec.buckets.map(_ => curBucket))
     out = null
     path = ""
   }
@@ -248,10 +287,12 @@ final class GraftClusteredTaskWriter(stageDir: String,
     cell = partIdx.indices.map(i =>
       if (row.isNullAt(partIdx(i))) null
       else deepCopy(row.get(partIdx(i), partDts(i)))).toArray
+    if (bucketHash != null) curBucket = bucketOf(row)
   }
 
   override def write(row: InternalRow): Unit = {
-    if (out == null || !sameCell(row)) roll(row)
+    if (out == null || !sameCell(row) ||
+      (bucketHash != null && bucketOf(row) != curBucket)) roll(row)
     rows += 1
     if (row.isNullAt(keyIdx)) () // key nulls: no range contribution
     else {

@@ -260,4 +260,59 @@ class GraftStreamingSinkSpec extends SparkSpec {
       assert(r2 === Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
     } finally q.stop()
   }
+
+  test("BUCKETED initial snapshot promotes: bucket-pure adopted files, SPJ-ready") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("bkt") + "/store"
+    val ck = tmp("bktck")
+    val n = 4
+    ManifestStore.writeTableProps(root,
+      Map("buckets" -> n.toString, "bloomfilter" -> "8192"))
+    val ms = MemoryStream[(Long, String)]
+    val before = ManifestStore.adoptedFiles.get()
+    val q = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id")
+      .option("checkpointLocation", ck)
+      .start(root)
+    try {
+      ms.addData(new scala.util.Random(7L)
+        .shuffle((0L until 400L).toVector).map(i => (i, s"n$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ManifestStore.adoptedFiles.get() > before,
+      "the bucketed snapshot epoch must adopt its staged files (1x write)")
+    val m = new ManifestStore(root, spark, "id").currentManifest.get
+    // every adopted file carries its bucket id and is bucket-PURE under
+    // the store's own hash (the storage-partitioned-join invariant)
+    assert(m.files.forall(_.bucket.isDefined))
+    assert(m.files.forall(_.bloom.isDefined), "key blooms fold too")
+    m.files.foreach { f =>
+      val got = spark.read.parquet(s"$root/files/${f.name}")
+        .select(pmod(hash(col("id")), lit(n)).as("b"))
+        .distinct().as[Int].collect().toSeq
+      assert(got == Seq(f.bucket.get),
+        s"file ${f.name} mixes buckets: $got vs ${f.bucket}")
+    }
+    // the scan reports KeyGroupedPartitioning over the adopted layout
+    val df = spark.read.format("graft").load(root)
+    df.collect()
+    val parts = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions
+    }.get
+    assert(parts.forall(_.isInstanceOf[GraftBucketedPartition]),
+      "adopted bucketed layout must plan as bucket partitions")
+    assert(parts.size == n)
+    assert(df.count() === 400L)
+    // a later keyed upsert keeps the layout mergeable and correct
+    val q2 = ms.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", ck)
+      .start(root)
+    try { ms.addData((0L, "UPD")); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.format("graft").load(root)
+      .filter(col("id") === 0L).select("v").as[String].head() == "UPD")
+  }
 }
