@@ -926,92 +926,112 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (statted.isEmpty || m.files.isEmpty) m.files
     else {
       val colsRef = statted.map(_._1).distinct
-      // per-file key Bloom probe: only wired in when some file carries a
-      // filter AND the conjunction tests the key by equality/membership
-      // (range predicates can't use a Bloom). False positives read a
-      // file; false negatives are impossible (build covers every key the
-      // file ever held), so pruning stays sound.
-      val useBloom = m.files.exists(_.bloom.isDefined) &&
-        statted.exists { case (c, op, _) =>
-          c == keyField && (op == "=" || op == "in") }
-      // SECONDARY columns probed by =/IN that carry per-file blooms
-      // (property `bloomfiltercols`) — each gets its own blob column
-      val bloomProbeCols: Seq[String] = statted.collect {
-        case (c, op, _) if (op == "=" || op == "in") && c != keyField &&
-          m.files.exists(_.colBlooms.contains(m.phys(c))) => c
-      }.distinct
-      val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
-        org.apache.spark.sql.Row.fromSeq((f.name +: colsRef.flatMap { c =>
-          colRange(m, f, c) match {
-            case Some((mn, mx)) => Seq(mn, mx)
-            case None           => Seq(null, null)
-          }
-        }) ++ (if (useBloom)
-          Seq(f.bloom.flatMap(loadBloomSidecar).orNull)
-        else Nil) ++ bloomProbeCols.map(c =>
-          f.colBlooms.get(m.phys(c)).flatMap(loadBloomSidecar).orNull))
-      }
-      val st = StructType((StructField("_f", StringType, nullable = false) +:
-        colsRef.flatMap(c => Seq(
-          StructField(s"_min_$c", StringType, nullable = true),
-          StructField(s"_max_$c", StringType, nullable = true)))) ++
-        (if (useBloom)
-          Seq(StructField("_bloom",
-            org.apache.spark.sql.types.BinaryType, nullable = true))
-        else Nil) ++ bloomProbeCols.map(c =>
-          StructField(s"_bloomc_$c",
-            org.apache.spark.sql.types.BinaryType, nullable = true)))
-      val statsDf = spark.createDataFrame(rows.asJava, st)
-      // true iff this file's Bloom admits the probe (or it has no Bloom /
-      // the predicate column carries none)
-      def bloomOk(c: String, probeStr: Column): Column = {
-        val blobCol =
-          if (c == keyField && useBloom) Some(col("_bloom"))
-          else if (bloomProbeCols.contains(c)) Some(col(s"_bloomc_$c"))
-          else None
-        blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
-          .getOrElse(lit(true))
-      }
-      val cond = statted.map { case (c, op, v) =>
-        val dt = schema(c).dataType
-        val mn = statDeserialize(col(s"_min_$c"), dt)
-        val mx = statDeserialize(col(s"_max_$c"), dt)
-        def value = lit(v).cast(dt)
-        val survive = op match {
-          case ">"  => mx > value
-          case ">=" => mx >= value
-          case "<"  => mn < value
-          case "<=" => mn <= value
-          case "="  => mn <= value && mx >= value &&
-            bloomOk(c, statSerialize(value, dt))
-          case "in" =>
-            // FLAT, not folded: a reduce(_ || _) chain is O(#values) DEEP
-            // and a DSv2 runtime filter (DPP) can hand thousands of join
-            // keys here — the fold blew the driver stack at ~a few hundred
-            // values. array(...) is one node wide-N; exists adds O(1).
-            // Past InPruneMaxValues, degrade to the values' range envelope
-            // (two comparisons) so cost stays bounded at ANY key count.
-            val vs = v.asInstanceOf[Seq[Any]]
-            if (vs.size <= InPruneMaxValues)
-              org.apache.spark.sql.functions.exists(
-                array(vs.map(x => lit(x).cast(dt)): _*),
-                x => mn <= x && mx >= x && bloomOk(c, statSerialize(x, dt)))
-            else {
-              val cmp = new Ordering[Any] {
-                def compare(a: Any, b: Any): Int =
-                  a.asInstanceOf[Comparable[Any]].compareTo(b)
-              }
-              scala.util.Try((vs.min(cmp), vs.max(cmp))).toOption match {
-                case Some((lo, hi)) =>
-                  mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt)
-                case None => lit(true) // non-comparable values: no pruning
-              }
+      // One pruning pass over `files`; blob columns attach only when
+      // `withBlooms` (phase 2). `bloomKey`/`bloomCols` say which blob
+      // columns exist in this pass.
+      def runPrune(files: Seq[FileEntry], withBlooms: Boolean)
+          : Seq[FileEntry] = {
+        val bloomKey = withBlooms && files.exists(_.bloom.isDefined) &&
+          statted.exists { case (c, op, _) =>
+            c == keyField && (op == "=" || op == "in") }
+        val bloomCols: Seq[String] =
+          if (!withBlooms) Nil
+          else statted.collect {
+            case (c, op, _) if (op == "=" || op == "in") && c != keyField &&
+              files.exists(_.colBlooms.contains(m.phys(c))) => c
+          }.distinct
+        val rows: Seq[org.apache.spark.sql.Row] = files.map { f =>
+          org.apache.spark.sql.Row.fromSeq((f.name +: colsRef.flatMap { c =>
+            colRange(m, f, c) match {
+              case Some((mn, mx)) => Seq(mn, mx)
+              case None           => Seq(null, null)
             }
+          }) ++ (if (bloomKey)
+            Seq(f.bloom.flatMap(loadBloomSidecar).orNull)
+          else Nil) ++ bloomCols.map(c =>
+            f.colBlooms.get(m.phys(c)).flatMap(loadBloomSidecar).orNull))
         }
-        col(s"_min_$c").isNull || survive
-      }.reduce(_ && _)
-      val keep = statsDf.filter(cond).collect().map(_.getString(0)).toSet
-      m.files.filter(f => keep(f.name))
+        val st = StructType((StructField("_f", StringType, nullable = false) +:
+          colsRef.flatMap(c => Seq(
+            StructField(s"_min_$c", StringType, nullable = true),
+            StructField(s"_max_$c", StringType, nullable = true)))) ++
+          (if (bloomKey)
+            Seq(StructField("_bloom",
+              org.apache.spark.sql.types.BinaryType, nullable = true))
+          else Nil) ++ bloomCols.map(c =>
+            StructField(s"_bloomc_$c",
+              org.apache.spark.sql.types.BinaryType, nullable = true)))
+        val statsDf = spark.createDataFrame(rows.asJava, st)
+        // true iff this file's Bloom admits the probe (or it has no Bloom
+        // / the predicate column carries none in this pass)
+        def bloomOk(c: String, probeStr: Column): Column = {
+          val blobCol =
+            if (c == keyField && bloomKey) Some(col("_bloom"))
+            else if (bloomCols.contains(c)) Some(col(s"_bloomc_$c"))
+            else None
+          blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
+            .getOrElse(lit(true))
+        }
+        val cond = statted.map { case (c, op, v) =>
+          val dt = schema(c).dataType
+          val mn = statDeserialize(col(s"_min_$c"), dt)
+          val mx = statDeserialize(col(s"_max_$c"), dt)
+          def value = lit(v).cast(dt)
+          val survive = op match {
+            case ">"  => mx > value
+            case ">=" => mx >= value
+            case "<"  => mn < value
+            case "<=" => mn <= value
+            case "="  => mn <= value && mx >= value &&
+              bloomOk(c, statSerialize(value, dt))
+            case "in" =>
+              // FLAT, not folded: a reduce(_ || _) chain is O(#values)
+              // DEEP and a DSv2 runtime filter (DPP) can hand thousands
+              // of join keys here — the fold blew the driver stack at ~a
+              // few hundred values. array(...) is one node wide-N;
+              // exists adds O(1). Past InPruneMaxValues, degrade to the
+              // values' range envelope (two comparisons) so cost stays
+              // bounded at ANY key count.
+              val vs = v.asInstanceOf[Seq[Any]]
+              if (vs.size <= InPruneMaxValues)
+                org.apache.spark.sql.functions.exists(
+                  array(vs.map(x => lit(x).cast(dt)): _*),
+                  x => mn <= x && mx >= x && bloomOk(c, statSerialize(x, dt)))
+              else {
+                val cmp = new Ordering[Any] {
+                  def compare(a: Any, b: Any): Int =
+                    a.asInstanceOf[Comparable[Any]].compareTo(b)
+                }
+                scala.util.Try((vs.min(cmp), vs.max(cmp))).toOption match {
+                  case Some((lo, hi)) =>
+                    mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt)
+                  case None => lit(true) // non-comparable: no pruning
+                }
+              }
+          }
+          col(s"_min_$c").isNull || survive
+        }.reduce(_ && _)
+        val keep = statsDf.filter(cond).collect().map(_.getString(0)).toSet
+        files.filter(f => keep(f.name))
+      }
+      // PHASE 1: ranges only — stats already in memory, zero sidecar I/O.
+      val ranged = runPrune(m.files, withBlooms = false)
+      // PHASE 2: Bloom probes over the range SURVIVORS only, so sidecar
+      // loads are bounded by the files a scan would otherwise read, never
+      // the table (a point lookup on a 100k-file clustered table loads ~1
+      // blob, not 100k; on a bucketed table, ~#buckets). The full
+      // conjunction re-evaluates — for IN lists the per-value (range AND
+      // bloom) coupling must hold jointly, so a file can't survive on one
+      // value's range and another's bloom. False positives read a file;
+      // false negatives are impossible (the build covers every key the
+      // file ever held), so pruning stays sound.
+      val probeNeeded = ranged.exists(f =>
+        (f.bloom.isDefined && statted.exists { case (c, op, _) =>
+          c == keyField && (op == "=" || op == "in") }) ||
+        statted.exists { case (c, op, _) =>
+          (op == "=" || op == "in") && c != keyField &&
+            f.colBlooms.contains(m.phys(c)) })
+      if (!probeNeeded) ranged else runPrune(ranged, withBlooms = true)
     }
   }
 
@@ -2999,26 +3019,41 @@ final class ManifestStore(val root: String, spark: SparkSession,
                            keyType: org.apache.spark.sql.types.DataType): Set[String] =
     if (files.isEmpty) Set.empty
     else {
-      // per-file key Bloom filters sharpen the range intersection where
-      // zone maps are blind (bucketed layouts, merge-grown overlap): a
-      // file survives only if its range holds the key AND its Bloom says
-      // maybe. No false negatives (the filter covers every key the file
-      // ever held, DV-masked included), so pruning stays sound; files
-      // without a filter (older vintage, property off) keep range-only.
-      val anyBloom = files.exists(_.bloom.isDefined)
-      val statsDf = spark.createDataFrame(
-        files.map(f => (f.name, f.minKey, f.maxKey,
-          f.bloom.flatMap(loadBloomSidecar).orNull)))
-        .toDF("_f", "_min", "_max", "_b")
-      val rangeCond = col("_k") >= statDeserialize(col("_min"), keyType) &&
-        col("_k") <= statDeserialize(col("_max"), keyType)
-      val cond = if (!anyBloom) rangeCond
-        else rangeCond && (col("_b").isNull ||
-          bloomMayContain(col("_b"), statSerialize(col("_k"), keyType)))
-      broadcast(if (anyBloom) statsDf else statsDf.drop("_b"))
-        .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k")).distinct(),
-          cond, "left_semi")
-        .collect().map(_.getString(0)).toSet
+      // PHASE 1 — range intersection over stats already in memory: a file
+      // survives iff some batch key lands in its [min,max].
+      def rangeJoin(fs: Seq[FileEntry], withBloom: Boolean): Set[String] = {
+        val statsDf = spark.createDataFrame(
+          fs.map(f => (f.name, f.minKey, f.maxKey,
+            if (withBloom) f.bloom.flatMap(loadBloomSidecar).orNull
+            else null)))
+          .toDF("_f", "_min", "_max", "_b")
+        val rangeCond = col("_k") >= statDeserialize(col("_min"), keyType) &&
+          col("_k") <= statDeserialize(col("_max"), keyType)
+        val cond = if (!withBloom) rangeCond
+          else rangeCond && (col("_b").isNull ||
+            bloomMayContain(col("_b"), statSerialize(col("_k"), keyType)))
+        broadcast(if (withBloom) statsDf else statsDf.drop("_b"))
+          .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k"))
+            .distinct(), cond, "left_semi")
+          .collect().map(_.getString(0)).toSet
+      }
+      val rangeHits = rangeJoin(files, withBloom = false)
+      // PHASE 2 — per-file key Blooms sharpen the intersection where zone
+      // maps are blind (bucketed layouts, merge-grown overlap): a
+      // RANGE-SURVIVING file is kept only if its Bloom also says maybe.
+      // Probing only survivors keeps sidecar I/O bounded by the files a
+      // scan would otherwise READ, never the table (a 100k-file clustered
+      // table's point merge loads ~1 blob, not 100k). No false negatives
+      // (the filter covers every key the file ever held, DV-masked
+      // included), so pruning stays sound; files without a filter (older
+      // vintage, property off, vacuumed sidecar) keep their range verdict.
+      val probeable = files.filter(f =>
+        rangeHits(f.name) && f.bloom.isDefined)
+      if (probeable.isEmpty) rangeHits
+      else {
+        val probed = rangeJoin(probeable, withBloom = true)
+        (rangeHits -- probeable.map(_.name)) ++ probed
+      }
     }
 
   /** Eagerly reclaim a lost-race attempt's data file AND its Bloom
