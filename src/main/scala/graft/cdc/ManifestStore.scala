@@ -912,6 +912,25 @@ final class ManifestStore(val root: String, spark: SparkSession,
     import org.apache.spark.sql.types.{StringType, StructField}
     val schema = StructType.fromDDL(m.schemaDDL)
     def litable(v: Any) = scala.util.Try(lit(v)).isSuccess
+    // NULL-predicate pruning from the recorded per-file null counts —
+    // pure driver-side metadata, no job: `c IS NULL` drops files whose
+    // recorded null count for c is ZERO; `c IS NOT NULL` drops files
+    // where every RAW row is null (masked rows only shrink the live set,
+    // so both directions stay conservative under deletion vectors).
+    // Unknown counts (pre-r11 vintage, untracked column) never prune.
+    val nullPreds = preds.filter { case (c, op, _) =>
+      (op == "isnull" || op == "notnull") && m.statsCols.contains(c) &&
+        schema.fieldNames.contains(c)
+    }
+    val nullPruned: Seq[FileEntry] =
+      if (nullPreds.isEmpty) m.files
+      else m.files.filter(f => nullPreds.forall { case (c, op, _) =>
+        (op, f.colNulls.get(m.phys(c))) match {
+          case ("isnull", Some(0L))                   => false
+          case ("notnull", Some(n)) if n >= f.rows    => false
+          case _                                      => true
+        }
+      })
     val statted = preds.filter { case (c, op, v) =>
       (c == keyField || m.statsCols.contains(c)) &&
         schema.fieldNames.contains(c) && (op match {
@@ -923,7 +942,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case _ => false
         })
     }
-    if (statted.isEmpty || m.files.isEmpty) m.files
+    if (statted.isEmpty || nullPruned.isEmpty) nullPruned
     else {
       val colsRef = statted.map(_._1).distinct
       // One pruning pass over `files`; blob columns attach only when
@@ -1015,7 +1034,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
         files.filter(f => keep(f.name))
       }
       // PHASE 1: ranges only — stats already in memory, zero sidecar I/O.
-      val ranged = runPrune(m.files, withBlooms = false)
+      val ranged = runPrune(nullPruned, withBlooms = false)
       // PHASE 2: Bloom probes over the range SURVIVORS only, so sidecar
       // loads are bounded by the files a scan would otherwise read, never
       // the table (a point lookup on a 100k-file clustered table loads ~1

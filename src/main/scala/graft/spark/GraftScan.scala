@@ -242,6 +242,8 @@ object GraftScan {
     case LessThan(a, v)           => Seq((a, "<", v))
     case LessThanOrEqual(a, v)    => Seq((a, "<=", v))
     case In(a, vs)                => Seq((a, "in", vs.toSeq))
+    case IsNull(a)                => Seq((a, "isnull", null))
+    case IsNotNull(a)             => Seq((a, "notnull", null))
     case And(l, r)                => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
     case _                        => Nil
   }
