@@ -96,6 +96,15 @@ object BloomBench {
       case _                         => -1
     }
 
+    // one-key DELETE: with prune conjuncts the effective scan covers only
+    // the bloom-admitted files; without, every file pays the read
+    val dk = n / 4
+    val (delB, tDelB) = timed(stB.deleteWhere(col("id") === dk, batchId = 2,
+      pruneConjuncts = Seq(("id", "=", dk))))
+    val (delP, tDelP) = timed(stP.deleteWhere(col("id") === dk, batchId = 2))
+    def masked(o: Option[ManifestStore.MorStats]): Int =
+      o.map(_.maskedFiles).getOrElse(-1)
+
     def f(d: Double): String = "%.3f".format(d)
     println(
       s"""{"bench":"bloom","rows":$n,"buckets":$buckets,""" +
@@ -105,7 +114,10 @@ object BloomBench {
         s""""point_s_bloom":${f(tPointB)},"point_s_plain":${f(tPointP)},""" +
         s""""merge1_rewritten_bloom":${rewritten(outB)},""" +
         s""""merge1_rewritten_plain":${rewritten(outP)},""" +
-        s""""merge1_s_bloom":${f(tMergeB)},"merge1_s_plain":${f(tMergeP)}}""")
+        s""""merge1_s_bloom":${f(tMergeB)},"merge1_s_plain":${f(tMergeP)},""" +
+        s""""delete1_masked_bloom":${masked(delB)},""" +
+        s""""delete1_masked_plain":${masked(delP)},""" +
+        s""""delete1_s_bloom":${f(tDelB)},"delete1_s_plain":${f(tDelP)}}""")
     spark.stop()
   }
 }
