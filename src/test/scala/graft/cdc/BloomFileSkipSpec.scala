@@ -272,6 +272,42 @@ class BloomFileSkipSpec extends SparkSpec {
     assert(err.getMessage.contains("zone-map column"))
   }
 
+  test("randomized lifecycle: bloom table stays lookup-equal to its twin") {
+    // deterministic fuzz of the whole soundness claim: whatever sequence
+    // of scattered upserts and point deletes runs, a bloom-pruned table
+    // must answer every point lookup exactly like its bloom-less twin
+    // (blooms may only skip files, never answers)
+    val rng = new scala.util.Random(4242L)
+    val (rootB, stB) = mkBucketed(bloom = true)
+    val (rootP, stP) = mkBucketed(bloom = false)
+    val fields = Seq("id", "name", "grp")
+    def upsertBatch(round: Int): DataFrame = {
+      val keys = Seq.fill(25)(rng.nextLong(2 * N)).distinct
+      keys.map(k => (k.toString, "u", k, s"r$round-$k", k % 7,
+        100L + round)).toDF(Changelog.KeyCol, Changelog.OpCol, "after_id",
+        "after_name", "after_grp", Changelog.TsCol)
+    }
+    (1 to 4).foreach { r =>
+      val batch = upsertBatch(r)
+      stB.mergeOptimistic(batch, fields, batchId = r, tsGuard = false)
+      stP.mergeOptimistic(batch, fields, batchId = r, tsGuard = false)
+      val dk = rng.nextLong(2 * N)
+      stB.deleteWhere(col("id") === dk, batchId = 100 + r,
+        pruneConjuncts = Seq(("id", "=", dk)))
+      stP.deleteWhere(col("id") === dk, batchId = 100 + r)
+      // sampled point lookups must agree exactly
+      Seq.fill(15)(rng.nextLong(2 * N)).foreach { k =>
+        val a = spark.read.format("graft").load(rootB)
+          .filter(col("id") === k).select("name").as[String].collect().sorted
+        val b = spark.read.format("graft").load(rootP)
+          .filter(col("id") === k).select("name").as[String].collect().sorted
+        assert(a.toSeq == b.toSeq, s"round $r key $k: bloom $a vs plain $b")
+      }
+      assert(spark.read.format("graft").load(rootB).count() ==
+        spark.read.format("graft").load(rootP).count(), s"round $r counts")
+    }
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))
