@@ -126,12 +126,37 @@ object ManifestStore {
     * at 6 hashes ≈ 1.5% FPP at 8 bits/key (~8k keys/file); larger files
     * degrade gracefully (more false positives, never false negatives).
     */
+  /** The least string STRICTLY GREATER than every string with prefix `p`
+    * (in UTF-8 binary order, which equals code-point order): drop trailing
+    * max code points, then increment the last remaining one; None when `p`
+    * is empty or all max code points (no finite upper bound — prefix
+    * pruning then keeps only the lower bound). The surrogate gap is jumped
+    * (0xD7FF + 1 -> 0xE000): valid UTF-8 data can't hold a lone surrogate,
+    * so the bound stays sound and tight.
+    */
+  def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val next0 = cps(i) + 1
+      val head = java.util.Arrays.copyOf(cps, i + 1)
+      head(i) = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+      Some(new String(head, 0, i + 1))
+    }
+  }
+
   def bloomParams(props: Map[String, String]): Option[(Int, Int)] =
-    props.get("bloomfilter").map { v =>
-      val bits =
-        if (v.equalsIgnoreCase("true")) 65536
-        else math.max(64, ((v.trim.toInt + 63) / 64) * 64)
-      (bits, 6)
+    props.get("bloomfilter").map(_.trim).flatMap {
+      case v if v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off") =>
+        None // the natural way to disable — not a parse error
+      case v if v.equalsIgnoreCase("true") => Some((65536, 6))
+      case v =>
+        val bits = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"table property bloomfilter must be true/false/off or a bit " +
+            s"count, got '$v'"))
+        Some((math.max(64, ((bits + 63) / 64) * 64), 6))
     }
 
   /** SECONDARY-column Bloom filters (table property `bloomfiltercols` — a
@@ -194,20 +219,33 @@ object ManifestStore {
   private val ManifestCacheMaxFileEntries = 1000000L
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Long),
-      (Long, java.nio.file.attribute.FileTime, Manifest)](64, 0.75f, true)
+      (Long, java.nio.file.attribute.FileTime, AnyRef, Manifest)](64, 0.75f, true)
   private var manifestCacheEntries = 0L
   private[cdc] val manifestCacheHits =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** A cached manifest occupies max(1, files) entry slots in the LRU
+    * bound: counting raw file entries alone would let a long-lived process
+    * touching many EMPTY tables/versions accumulate unbounded zero-cost
+    * manifests (schema DDL strings and all).
+    */
+  private def manifestWeight(m: Manifest): Long = math.max(1L, m.files.size.toLong)
+
   private[cdc] def manifestCacheGet(key: (String, Long), size: Long,
-                                    mtime: java.nio.file.attribute.FileTime)
+                                    mtime: java.nio.file.attribute.FileTime,
+                                    fileKey: AnyRef)
       : Option[Manifest] = manifestCache.synchronized {
     Option(manifestCache.get(key)) match {
-      case Some((s, t, m)) if s == size && t == mtime =>
+      // fileKey (inode identity, null on filesystems that don't expose
+      // one) guards the coarse-mtime hole: a deleted-and-recreated root
+      // can re-mint a same-size log file (UUID names are fixed-length)
+      // inside one mtime tick — size+mtime alone would then serve a stale
+      // manifest referencing reclaimed data files.
+      case Some((s, t, fk, m)) if s == size && t == mtime && fk == fileKey =>
         manifestCacheHits.incrementAndGet()
         Some(m)
       case Some(_) => // stale identity: recreated root or rewritten log
-        manifestCacheEntries -= manifestCache.remove(key)._3.files.size
+        manifestCacheEntries -= manifestWeight(manifestCache.remove(key)._4)
         None
       case None => None
     }
@@ -254,15 +292,15 @@ object ManifestStore {
 
   private[cdc] def manifestCachePut(key: (String, Long), size: Long,
                                     mtime: java.nio.file.attribute.FileTime,
-                                    m: Manifest): Unit =
+                                    fileKey: AnyRef, m: Manifest): Unit =
     manifestCache.synchronized {
-      Option(manifestCache.put(key, (size, mtime, m)))
-        .foreach(old => manifestCacheEntries -= old._3.files.size)
-      manifestCacheEntries += m.files.size
+      Option(manifestCache.put(key, (size, mtime, fileKey, m)))
+        .foreach(old => manifestCacheEntries -= manifestWeight(old._4))
+      manifestCacheEntries += manifestWeight(m)
       val it = manifestCache.entrySet().iterator()
       while (manifestCacheEntries > ManifestCacheMaxFileEntries &&
         manifestCache.size() > 1 && it.hasNext) {
-        manifestCacheEntries -= it.next().getValue._3.files.size
+        manifestCacheEntries -= manifestWeight(it.next().getValue._4)
         it.remove()
       }
     }
@@ -652,11 +690,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
       catch { case _: Exception => None }
     attrs.flatMap { a =>
       val key = (rootKey, v)
-      ManifestStore.manifestCacheGet(key, a.size, a.lastModifiedTime)
+      ManifestStore.manifestCacheGet(key, a.size, a.lastModifiedTime, a.fileKey)
         .orElse {
           val m = manifestUncached(v)
           m.foreach(mm => ManifestStore.manifestCachePut(key, a.size,
-            a.lastModifiedTime, mm))
+            a.lastModifiedTime, a.fileKey, mm))
           m
         }
     }
@@ -931,32 +969,65 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case _                                      => true
         }
       })
-    val statted = preds.filter { case (c, op, v) =>
+    // ---- predicate tree: a pred is either a LEAF triple (col, op, value)
+    // or an OR node ("", "or", Seq[branch]) where each branch is itself a
+    // Seq of preds forming a conjunction ([[graft.spark.GraftScan.conjuncts]]'
+    // Or translation; nesting is arbitrary). A branch's conjunct list is
+    // an OVER-approximation of the branch (lossy leaves dropped), so the
+    // union of branch file sets over-approximates the disjunction — sound.
+    def orBranches(v: Any): Seq[Seq[(String, String, Any)]] =
+      v.asInstanceOf[Seq[Seq[(String, String, Any)]]]
+    def leafCanPrune(c: String, op: String, v: Any): Boolean =
       (c == keyField || m.statsCols.contains(c)) &&
         schema.fieldNames.contains(c) && (op match {
           case ">" | ">=" | "<" | "<=" | "=" => litable(v)
+          case "startswith" =>
+            schema(c).dataType == StringType && v.isInstanceOf[String]
           case "in" => v match {
             case vs: Seq[_] => vs.nonEmpty && vs.forall(litable)
             case _ => false
           }
           case _ => false
         })
+    def canPrune(p: (String, String, Any)): Boolean = p match {
+      case (_, "or", bs) =>
+        // an OR prunes only if EVERY branch can reject files on its own
+        // (a branch with no stats-decidable leaf admits all files, which
+        // makes the whole disjunction admit all files)
+        orBranches(bs).forall(_.exists(canPrune))
+      case (c, op, v) => leafCanPrune(c, op, v)
     }
+    val statted = preds.filter(canPrune)
     if (statted.isEmpty || nullPruned.isEmpty) nullPruned
     else {
-      val colsRef = statted.map(_._1).distinct
+      // columns whose [min,max] the pruning pass consults — every
+      // decidable leaf, OR branches included
+      def pruneCols(p: (String, String, Any)): Seq[String] = p match {
+        case (_, "or", bs) =>
+          orBranches(bs).flatten.filter(canPrune).flatMap(pruneCols)
+        case (c, _, _) => Seq(c)
+      }
+      val colsRef = statted.flatMap(pruneCols).distinct
+      // every =/IN leaf (OR branches included) — what decides which Bloom
+      // blob columns a probing pass attaches
+      def eqLeaves(p: (String, String, Any)): Seq[(String, String)] = p match {
+        case (_, "or", bs) =>
+          orBranches(bs).flatten.filter(canPrune).flatMap(eqLeaves)
+        case (c, op, _) if op == "=" || op == "in" => Seq((c, op))
+        case _ => Nil
+      }
+      val allEq = statted.flatMap(eqLeaves)
       // One pruning pass over `files`; blob columns attach only when
       // `withBlooms` (phase 2). `bloomKey`/`bloomCols` say which blob
       // columns exist in this pass.
       def runPrune(files: Seq[FileEntry], withBlooms: Boolean)
           : Seq[FileEntry] = {
         val bloomKey = withBlooms && files.exists(_.bloom.isDefined) &&
-          statted.exists { case (c, op, _) =>
-            c == keyField && (op == "=" || op == "in") }
+          allEq.exists(_._1 == keyField)
         val bloomCols: Seq[String] =
           if (!withBlooms) Nil
-          else statted.collect {
-            case (c, op, _) if (op == "=" || op == "in") && c != keyField &&
+          else allEq.collect {
+            case (c, _) if c != keyField &&
               files.exists(_.colBlooms.contains(m.phys(c))) => c
           }.distinct
         val rows: Seq[org.apache.spark.sql.Row] = files.map { f =>
@@ -991,7 +1062,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
             .getOrElse(lit(true))
         }
-        val cond = statted.map { case (c, op, v) =>
+        def leafCond(c: String, op: String, v: Any): Column = {
           val dt = schema(c).dataType
           val mn = statDeserialize(col(s"_min_$c"), dt)
           val mx = statDeserialize(col(s"_max_$c"), dt)
@@ -1003,6 +1074,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
             case "<=" => mn <= value
             case "="  => mn <= value && mx >= value &&
               bloomOk(c, statSerialize(value, dt))
+            case "startswith" =>
+              // prefix range [p, succ(p)): a file can hold a p-prefixed
+              // string iff its [min,max] intersects it. String stats are
+              // FULL values (never truncated) and compare as UTF8String
+              // binary = code-point order — the order succ() increments in.
+              ManifestStore.prefixSuccessor(v.asInstanceOf[String]) match {
+                case Some(u) => mx >= value && mn < lit(u)
+                case None    => mx >= value // all-max prefix: no upper bound
+              }
             case "in" =>
               // FLAT, not folded: a reduce(_ || _) chain is O(#values)
               // DEEP and a DSv2 runtime filter (DPP) can hand thousands
@@ -1010,7 +1090,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
               // few hundred values. array(...) is one node wide-N;
               // exists adds O(1). Past InPruneMaxValues, degrade to the
               // values' range envelope (two comparisons) so cost stays
-              // bounded at ANY key count.
+              // bounded at ANY key count — phase 3 below restores Bloom
+              // pruning for that case driver-side.
               val vs = v.asInstanceOf[Seq[Any]]
               if (vs.size <= InPruneMaxValues)
                 org.apache.spark.sql.functions.exists(
@@ -1029,7 +1110,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
               }
           }
           col(s"_min_$c").isNull || survive
-        }.reduce(_ && _)
+        }
+        // OR nodes recurse: a file survives the node iff it survives ANY
+        // branch's decidable conjuncts (each branch re-using the same leaf
+        // machinery, so `=` leaves inside OR branches Bloom-probe too);
+        // undecidable leaves inside a branch contribute lit(true).
+        def predCond(p: (String, String, Any)): Column = p match {
+          case (_, "or", bs) =>
+            orBranches(bs).map { b =>
+              val ls = b.filter(canPrune)
+              if (ls.isEmpty) lit(true)
+              else ls.map(predCond).reduce(_ && _)
+            }.reduce(_ || _)
+          case (c, op, v) => leafCond(c, op, v)
+        }
+        val cond = statted.map(predCond).reduce(_ && _)
         val keep = statsDf.filter(cond).collect().map(_.getString(0)).toSet
         files.filter(f => keep(f.name))
       }
@@ -1045,14 +1140,61 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // false negatives are impossible (the build covers every key the
       // file ever held), so pruning stays sound.
       val probeNeeded = ranged.exists(f =>
-        (f.bloom.isDefined && statted.exists { case (c, op, _) =>
-          c == keyField && (op == "=" || op == "in") }) ||
-        statted.exists { case (c, op, _) =>
-          (op == "=" || op == "in") && c != keyField &&
-            f.colBlooms.contains(m.phys(c)) })
-      if (!probeNeeded) ranged else runPrune(ranged, withBlooms = true)
+        (f.bloom.isDefined && allEq.exists(_._1 == keyField)) ||
+        allEq.exists { case (c, _) =>
+          c != keyField && f.colBlooms.contains(m.phys(c)) })
+      val bloomed =
+        if (!probeNeeded) ranged else runPrune(ranged, withBlooms = true)
+      // PHASE 3 (driver-side): IN lists past InPruneMaxValues degraded to
+      // their range envelope in the Column pass — exactly the DPP /
+      // runtime-filter case the sidecars were built for (on a
+      // hash-clustered/bucketed table a range envelope admits almost any
+      // join-key set). Probe each surviving file's blob against the full
+      // key set directly: double-hashes precomputed once per value, so the
+      // cost is O(survivors x values x numHashes) byte reads, bounded by
+      // the phase-1/2 survivors, never the table. Top-level conjuncts only
+      // — inside an OR one branch's Bloom miss can't veto a file.
+      val oversized = statted.collect {
+        case (c, "in", vs: Seq[_]) if vs.size > InPruneMaxValues => (c, vs)
+      }
+      if (oversized.isEmpty || bloomed.isEmpty) bloomed
+      else oversized.foldLeft(bloomed) { case (files, (c, vs)) =>
+        def blobOf(f: FileEntry): Option[String] =
+          if (c == keyField) f.bloom else f.colBlooms.get(m.phys(c))
+        if (!files.exists(blobOf(_).isDefined)) files
+        else {
+          val probes = serializeInProbes(vs, schema(c).dataType)
+          files.filter { f =>
+            blobOf(f).flatMap(loadBloomSidecar) match {
+              case Some(blob) => probes.exists { case (h1, h2) =>
+                graft.functions.BloomSketch.containsBlobHashed(blob, h1, h2) }
+              case None => true // blob-less file never Bloom-skips
+            }
+          }
+        }
+      }
     }
   }
+
+  /** The [[statSerialize]] renderings of an IN list's values, as
+    * precomputed Bloom double-hash pairs — rendered through the SAME cast
+    * expressions the Column-side probe uses (a driver-side
+    * reimplementation of Spark's cast-to-string would risk disagreeing on
+    * e.g. decimal/timestamp rendering and turn a formatting quirk into a
+    * missed file). Chunked so no single expression tree holds more than
+    * InPruneMaxValues literals; each chunk is one driver-local job.
+    */
+  private def serializeInProbes(vs: Seq[Any],
+                                dt: org.apache.spark.sql.types.DataType)
+      : Array[(Long, Long)] =
+    vs.grouped(InPruneMaxValues).flatMap { chunk =>
+      spark.range(1).select(explode(array(chunk.map(x =>
+        statSerialize(lit(x).cast(dt), dt)): _*)).as("s"))
+        .collect()
+        .collect { case r if !r.isNullAt(0) =>
+          graft.functions.BloomSketch.probeHashes(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))) }
+    }.toArray
 
   /** Answer simple aggregates (COUNT(*) / COUNT(col) / MIN(col) /
     * MAX(col)) from manifest METADATA alone — Delta/Iceberg's

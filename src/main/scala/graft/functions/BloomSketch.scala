@@ -232,6 +232,34 @@ object BloomSketch {
     (words, numBits, numHashes)
   }
 
+  /** The (h1, h2) double-hash pair of `v` — precompute ONCE per probe
+    * value when the same value probes many blobs (the driver-side
+    * oversized-IN pass: O(files x values) probes would otherwise re-hash
+    * the value per file).
+    */
+  def probeHashes(v: UTF8String): (Long, Long) =
+    (XXH64.hashUTF8String(v, Seed1), XXH64.hashUTF8String(v, Seed2))
+
+  /** [[containsBlob]] with the value's double-hash pair already computed
+    * ([[probeHashes]]) — per call only numHashes byte reads remain.
+    */
+  def containsBlobHashed(blob: Array[Byte], h1: Long, h2: Long): Boolean = {
+    def readInt(off: Int): Int =
+      ((blob(off) & 0xff) << 24) | ((blob(off + 1) & 0xff) << 16) |
+        ((blob(off + 2) & 0xff) << 8) | (blob(off + 3) & 0xff)
+    val numBits = readInt(0)
+    val numHashes = readInt(4)
+    var i = 0
+    while (i < numHashes) {
+      val bit = (((h1 + i * h2) & Long.MaxValue) % numBits).toInt
+      val inLong = bit & 63
+      val b = blob(8 + (bit >>> 6) * 8 + (7 - (inLong >>> 3)))
+      if (((b >> (inLong & 7)) & 1) == 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Decoded probe-side bitset; public + Serializable because generated
     * code calls `contains` and the codegen reference ships to executors.
     */

@@ -393,6 +393,43 @@ object DsvQueries {
         lit(files >= 1 && files <= 4).as("col_bloom_skipped"))
     }),
 
+    "dsv2_prefix_prune" -> ((s, dir) => {
+      // manifest-level `LIKE 'prefix%'` FILE pruning: on a key-clustered
+      // table c_name correlates with c_custkey ("Customer#%09d"), so the
+      // 7-zero prefix (keys 1..99) bounds to ~1 of 8 files via the string
+      // min/max stats — the most common string predicate a user writes
+      // previously pruned parquet row groups but scanned every file; at
+      // 100 TB that is one task vs a cluster-wide scan
+      val root = scratch("pfx", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists)
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8,
+          statsCols = Seq("c_name"))
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_name").startsWith("Customer#0000000"))
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(files >= 1 && files <= 2).as("prefix_pruned"))
+    }),
+
+    "dsv2_or_prune" -> ((s, dir) => {
+      // OR-tree FILE pruning: the scan plans the UNION of the branches'
+      // file sets — two range branches at opposite ends of the key space
+      // plan the 2 edge files of 8, where an OR previously disabled
+      // manifest pruning entirely
+      val root = scratch("orp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) st.commit(cust, batchId = 0, nFiles = 8)
+      val mm = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_custkey") < lo + 50 || col("c_custkey") > hi - 50)
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(files >= 1 && files <= 2).as("or_pruned"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -1020,6 +1057,21 @@ object DsvQueries {
         |SELECT c.c_custkey, c.c_name, c.c_acctbal,
         |       TRUE AS col_bloom_skipped
         |FROM customer c, p WHERE c.c_acctbal = p.b""".stripMargin,
+
+    // the prefix scan must return exactly the LIKE rows, with the string
+    // zone-map file-cut gate true (<= 2 of 8 files planned)
+    "dsv2_prefix_prune" ->
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS prefix_pruned
+        |FROM customer WHERE c_name LIKE 'Customer#0000000%'""".stripMargin,
+
+    // the OR of two edge ranges must return exactly those rows, with the
+    // union-of-branches file-cut gate true (<= 2 of 8 files planned)
+    "dsv2_or_prune" ->
+      """WITH mm AS (SELECT min(c_custkey) AS lo, max(c_custkey) AS hi
+        |           FROM customer)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal, TRUE AS or_pruned
+        |FROM customer c, mm
+        |WHERE c.c_custkey < mm.lo + 50 OR c.c_custkey > mm.hi - 50""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

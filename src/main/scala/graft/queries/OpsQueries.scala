@@ -147,11 +147,15 @@ object OpsQueries {
       // queries): MinHash-estimated Jaccard (matching signature fraction)
       // against the exact shingle Jaccard, per verified pair
       val d = docs(s, dir)
-      // pinned: both self-join sides read the signature frame (the shingle
-      // explode + two md5s per shingle) — same discipline as the Dedup
-      // one-shots
-      val sigs = Dedup.minHashSignatures(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialized once: both self-join sides read the signature frame
+      // (the shingle explode + two md5s per shingle) — to a scratch
+      // parquet, not .persist(): a cached frame would outlive the query
+      // across bench re-runs and accumulate in the CacheManager (same
+      // discipline as dsv2_colocated_join)
+      val sigPath = QueryUtil.scratchDir(
+        s"minhash_est_sigs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      Dedup.minHashSignatures(d).write.mode("overwrite").parquet(sigPath)
+      val sigs = s.read.parquet(sigPath)
       val k = Dedup.MinHashK
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until k).map(i => col(s"m$i").as(s"_a$i")): _*)

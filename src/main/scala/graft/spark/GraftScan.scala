@@ -244,7 +244,16 @@ object GraftScan {
     case In(a, vs)                => Seq((a, "in", vs.toSeq))
     case IsNull(a)                => Seq((a, "isnull", null))
     case IsNotNull(a)             => Seq((a, "notnull", null))
+    case StringStartsWith(a, p)   => Seq((a, "startswith", p))
     case And(l, r)                => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
+    case Or(l, r) =>
+      // an OR node: each branch over-approximates to its convertible
+      // conjuncts, and the pruner keeps the UNION of the branches' file
+      // sets. A branch converting to NOTHING admits every file, so the
+      // whole disjunction stops pruning — dropped here. Sound either way:
+      // pruning only ever skips files NO branch can hit.
+      val lc = conjuncts(Seq(l)); val rc = conjuncts(Seq(r))
+      if (lc.isEmpty || rc.isEmpty) Nil else Seq(("", "or", Seq(lc, rc)))
     case _                        => Nil
   }
 
