@@ -33,11 +33,14 @@ object Bench {
 
     // Calibration control: a FIXED, plan-independent job — generated
     // data, hash agg + sort, no graft code, no file I/O — timed
-    // best-of-3 before the suite (and once after it). Its
+    // best-of-3 before the suite and SAMPLED THROUGHOUT it. Its
     // round-over-round drift measures the MACHINE, not the plans: r11
     // burned judge+builder hours proving a uniform 1.26x fleet-wide
-    // inflation was a slower VM. Query deltas below are reported raw AND
-    // normalized by this drift.
+    // inflation was a slower VM, and r12's driver run degraded 3.3x
+    // MID-run (control 3.5 -> 11.6 s) so a single up-front probe
+    // mis-normalized 33 phantom deltas on a docs-only diff. The probe now
+    // interleaves every ~15 queries; each query timestamps its run and
+    // normalizes by the PIECEWISE-INTERPOLATED control at that instant.
     def controlOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -49,8 +52,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val suiteT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
+    // (suite-relative instant, control seconds) samples, in time order
+    val controlSamples = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def sampleControl(bestOf: Int): Double = {
+      val c = (1 to bestOf).map(_ => controlOnce()).min
+      controlSamples += ((elapsed(), c))
+      c
+    }
     controlOnce() // its own warmup
-    val control = (1 to 3).map(_ => controlOnce()).min
+    val control = sampleControl(bestOf = 3)
 
     // best-of-3 per query: the first timed run still pays residual JIT for
     // sf-specific plan shapes, and this VM shows heavy run-to-run noise
@@ -106,8 +118,35 @@ object Bench {
       """"control":(-?[0-9.eE+-]+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble).filter(_ > 0.0))
     val drift: Double = priorControl.map(pc => control / pc).getOrElse(1.0)
+    // the control curve at instant t (piecewise-linear between samples,
+    // clamped at the ends) and the LOCAL machine drift vs the prior
+    // round's control at that instant — what every per-query
+    // normalization below divides by. Floored: a pathological near-zero
+    // sample must not explode a normalized time.
+    def controlAt(t: Double): Double = {
+      val ss = controlSamples.toSeq
+      if (ss.isEmpty) control
+      else if (t <= ss.head._1) ss.head._2
+      else if (t >= ss.last._1) ss.last._2
+      else {
+        val i = ss.lastIndexWhere(_._1 <= t)
+        val (t0, c0) = ss(i); val (t1, c1) = ss(i + 1)
+        if (t1 <= t0) c1 else c0 + (c1 - c0) * ((t - t0) / (t1 - t0))
+      }
+    }
+    def driftAt(t: Double): Double =
+      priorControl.map(pc => math.max(0.25, controlAt(t) / pc)).getOrElse(1.0)
 
-    val firstPass = SparkEntry.queries.map { case (name, fn) => name -> bestOf3(name, fn) }
+    // timestamp of the run that produced each query's reported time (the
+    // re-time pass updates it when its rerun wins min-of-passes)
+    val queryTs = collection.mutable.Map.empty[String, Double]
+    var sinceProbe = 0
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      if (sinceProbe >= 15) { sampleControl(bestOf = 1); sinceProbe = 0 }
+      sinceProbe += 1
+      queryTs(name) = elapsed()
+      name -> bestOf3(name, fn)
+    }
     // Session-degradation self-defense: best-of-3 inside one JVM window
     // doesn't protect against a session-wide slump (GC/code-cache state) —
     // one round recorded a 36x phantom that re-measured at 0.83s. Any query
@@ -140,15 +179,24 @@ object Bench {
         ((t > p * 1.3 && t - p > 0.15) || (p > t * 1.3 && p - t > 0.15))
     // regressed past the criterion vs the prior round's artifact -> re-time
     // before letting the regression land (most such entries are phantoms).
-    // DRIFT-NORMALIZED: a query that moved in lockstep with the control is
-    // the machine, not the plan, and re-timing it buys nothing
+    // LOCALLY drift-normalized: a query that moved in lockstep with the
+    // control curve AT ITS OWN INSTANT is the machine, not the plan, and
+    // re-timing it buys nothing
     val trendFlagged = firstPass.filter { case (n, t) =>
-      t >= 0.0 && prior.get(n).exists(p =>
-        moved(p, t / drift) && t / drift > p)
+      t >= 0.0 && prior.get(n).exists { p =>
+        val norm = t / driftAt(queryTs.getOrElse(n, 0.0))
+        moved(p, norm) && norm > p
+      }
     }.keys.toSeq
     val suspects = (estFlagged ++ topSlow ++ trendFlagged).distinct
+    // the re-time pass gets its OWN fresh control: it used to run at the
+    // end of the suite — on a mid-run-degrading VM, exactly the slowest
+    // point, so min-of-passes couldn't recover (r12 adjudication)
+    if (suspects.nonEmpty) sampleControl(bestOf = 2)
     val results = firstPass ++ suspects.map { n =>
+      val ts2 = elapsed()
       val rerun = bestOf3(n, SparkEntry.queries(n))
+      if (rerun >= 0.0 && rerun < firstPass(n)) queryTs(n) = ts2
       n -> (if (rerun >= 0.0) math.min(firstPass(n), rerun) else firstPass(n))
     }
 
@@ -169,18 +217,20 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // post-re-time deltas vs the prior artifact: entries that moved past
-    // the verdict criterion RAW or DRIFT-NORMALIZED, each carrying both
-    // numbers (`now` raw, `now_norm` = now / control drift) so machine
-    // drift and plan movement separate at a glance. Full block in
+    // post-re-time deltas vs the prior artifact: ONLY entries that moved
+    // past the verdict criterion after LOCAL drift normalization (now_norm
+    // = now / interpolated control drift at the query's own instant) —
+    // raw-only movement is the machine and is visible in the control
+    // samples instead. Each entry carries both numbers so machine drift
+    // and plan movement separate at a glance. Full block in
     // BENCH_FULL.json; stdout carries the 8 largest normalized ratios
     // (the 2000-char driver window).
-    val controlEnd = controlOnce() // intra-run drift bound
+    val controlEnd = sampleControl(bestOf = 1) // closes the control curve
     val changed = results.toSeq.collect {
       case (n, t) if t >= 0.0 && prior.get(n).exists(p =>
-          moved(p, t) || moved(p, t / drift)) =>
+          moved(p, t / driftAt(queryTs.getOrElse(n, 0.0)))) =>
         val p = prior(n)
-        val norm = t / drift
+        val norm = t / driftAt(queryTs.getOrElse(n, 0.0))
         (n, p, t, norm, math.max(norm / p, p / norm))
     }
     def deltaJson(xs: Seq[(String, Double, Double, Double, Double)]) = xs
@@ -194,8 +244,12 @@ object Bench {
       s""""control":${fmtC(control)},"control_end":${fmtC(controlEnd)},""" +
         s""""control_prev":${priorControl.map(fmtC).getOrElse(-1)},""" +
         s""""drift":${fmtC(drift)}"""
+    // the full control curve (suite-relative instant, seconds) — the
+    // evidence behind every now_norm; file artifact only (stdout budget)
+    val samplesJson = controlSamples
+      .map { case (t, c) => s"[${fmt(t)},${fmt(c)}]" }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(benchPath,
-      s"""{"metric":"total","value":$total,"unit":"sec",$controlBlock,"queries":$full,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"deltas":$deltasFull}""")
+      s"""{"metric":"total","value":$total,"unit":"sec",$controlBlock,"control_samples":$samplesJson,"queries":$full,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"deltas":$deltasFull}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$controlBlock,"queries":$top,"sf":"$sfDir","failed":$failed,"reruns":${suspects.length},"deltas":$deltasTop,"queries_full":"BENCH_FULL.json"}""")
     spark.stop()
   }

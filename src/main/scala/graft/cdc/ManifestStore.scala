@@ -116,7 +116,8 @@ object ManifestStore {
                              colNulls: Map[String, Long] = Map.empty,
                              bucket: Option[Int] = None,
                              bloom: Option[String] = None,
-                             colBlooms: Map[String, String] = Map.empty) {
+                             colBlooms: Map[String, String] = Map.empty,
+                             kmv: Option[String] = None) {
     def liveRows: Long = rows - dvRows
   }
 
@@ -201,7 +202,8 @@ object ManifestStore {
                               cols: Seq[StagedColStat],
                               bloomPath: Option[String] = None,
                               colBloomPaths: Map[String, String] = Map.empty,
-                              bucket: Option[Int] = None)
+                              bucket: Option[Int] = None,
+                              kmvPath: Option[String] = None)
 
   /** Process-lifetime count of staged files ADOPTED by rename (the
     * 1x-write path) — an observable for specs and bench forensics: a
@@ -660,7 +662,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       colNulls,
       Option(f.get("bucket")).filterNot(_.isNull).map(_.asInt()),
       Option(f.get("bloom")).filterNot(_.isNull).map(_.asText()),
-      colBlooms)
+      colBlooms,
+      Option(f.get("kmv")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Reconstruct version `v`: a CHECKPOINT log entry carries the full file
@@ -930,6 +933,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private val InPruneMaxValues = 10000
 
+  /** [[ndvStats]] merges one tiny sidecar per planned file; past this
+    * width the scan is table-scale (row counts already size it) and the
+    * sidecar I/O would dominate planning.
+    */
+  private val NdvStatsMaxFiles = 8192
+
   /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
     * predicates: the files of `m` that can hold a row satisfying ALL of
     * `preds` — (column, op, value) triples with op one of > >= < <= = in
@@ -1174,6 +1183,35 @@ final class ManifestStore(val root: String, spark: SparkSession,
         }
       }
     }
+  }
+
+  /** Merged KMV NDV per LOGICAL column over `files` — the scan-level
+    * distinct-count estimates the DSv2 `columnStats()` reports to Spark's
+    * CBO (when `files` is a pruned subset, the NDV is of exactly what the
+    * scan emits). None when any file lacks a sketch sidecar (pre-KMV
+    * vintage, vacuumed early): an estimate from a partial union
+    * UNDERCOUNTS, and a silently-low NDV makes the optimizer size joins
+    * wrong — no stat beats a wrong stat. Deletion vectors only shrink the
+    * live set, so a sketch over raw rows can only OVERestimate live NDV
+    * (the conservative direction for join sizing). O(#files) sidecar
+    * loads through the process-wide blob LRU, capped at
+    * [[ManifestStore.NdvStatsMaxFiles]] planned files — past that the
+    * scan is table-scale and row counts already size it.
+    */
+  private[graft] def ndvStats(m: Manifest, files: Seq[FileEntry])
+      : Option[Map[String, (Long, Long)]] = {
+    if (files.size > NdvStatsMaxFiles) return None
+    if (files.isEmpty) return Some(Map.empty)
+    val blobs = files.map(f => f.kmv.flatMap(loadBloomSidecar))
+    if (blobs.exists(_.isEmpty)) return None
+    val perFile: Seq[Map[String, Array[Byte]]] = blobs.map { b =>
+      try graft.functions.KmvSketch.decodeMulti(b.get)
+      catch { case _: Exception => return None }
+    }
+    val logical = (keyField +: m.statsCols).distinct
+      .filter(c => c.nonEmpty && perFile.forall(_.contains(m.phys(c))))
+    Some(logical.map(c => c -> graft.functions.KmvSketch.estimateNdvBlobs(
+      perFile.map(_(m.phys(c))))).toMap)
   }
 
   /** The [[statSerialize]] renderings of an IN list's values, as
@@ -1698,7 +1736,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     }
     m.files.foreach { f =>
       link(f.name); f.dv.foreach(link); f.bloom.foreach(link)
-      f.colBlooms.values.foreach(link)
+      f.colBlooms.values.foreach(link); f.kmv.foreach(link)
     }
     val props = Paths.get(root, "_TBLPROPS")
     if (Files.exists(props)) {
@@ -1899,6 +1937,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
       try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
+    // (physical/staged column name, type) of every NDV-sketched column:
+    // the key plus each zone-map column the KMV hasher covers
+    val kmvSidecarCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      (keyField +: sCols).distinct
+        .map(c => (c, df.schema(c).dataType))
+        .collect { case (c, dt) if graft.functions.KmvSketch.supported(dt) =>
+          physName(c) -> dt }
     // per-file stats in ONE pass over the staged output; input_file_name
     // ties each row to the physical file the writer placed it in. min/max
     // run in the key's NATIVE type (native ordering), then serialize via
@@ -1946,12 +1991,26 @@ final class ManifestStore(val root: String, spark: SparkSession,
           bloomAgg(col(s"`${physName(c)}`"), df.schema(c).dataType,
             bits, hashes, s"_bloomc_$c")
         }
+        // per-file KMV NDV sketches (key + every zone-map column the
+        // sketch covers) fold in the same pass too — O(k) state per
+        // column; the blobs land in ONE .kmv sidecar per file, keyed by
+        // PHYSICAL column name like the zone-map stats
+        def kmvAgg(input: Column, as: String): Column = {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          org.apache.spark.sql.graft.ParquetWriteBridge.column(
+            graft.functions.KmvBuild(
+              org.apache.spark.sql.graft.ParquetWriteBridge.expression(input),
+              Literal(graft.functions.KmvSketch.DefaultK))
+              .toAggregateExpression()).as(as)
+        }
+        val kmvStat = kmvSidecarCols.zipWithIndex.map { case ((pn, _), i) =>
+          kmvAgg(col(s"`$pn`"), s"_kmv_$i") }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
             (statSerialize(max(col(keyField)), keyDt).as("_max") +:
               count(lit(1)).as("_rows") +:
-              (extra ++ bucketStat ++ bloomStat ++ bloomColStat)): _*)
+              (extra ++ bucketStat ++ bloomStat ++ bloomColStat ++ kmvStat)): _*)
           .collect() // O(#files) — bounded by the clustering, not the data
       }
     Files.createDirectories(Paths.get(root, "files"))
@@ -1988,9 +2047,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
           r.getAs[Array[Byte]](bloomBase + bloomCfg.size + i))
         physName(c) -> bn
       }.toMap
+      // the KMV NDV sketches land in ONE .kmv sidecar per data file
+      val kmvBase = bloomBase + bloomCfg.size + bloomCols.size
+      val kmvName =
+        if (kmvSidecarCols.isEmpty) None
+        else {
+          val kn = s"$name.kmv"
+          Files.write(Paths.get(root, "files", kn),
+            graft.functions.KmvSketch.encodeMulti(
+              kmvSidecarCols.zipWithIndex.map { case ((pn, _), i) =>
+                pn -> r.getAs[Array[Byte]](kmvBase + i) }))
+          Some(kn)
+        }
       FileEntry(name, r.getString(1), r.getString(2), r.getLong(3),
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bucket = bkt, bloom = bloomName, colBlooms = colBloomNames)
+        bucket = bkt, bloom = bloomName, colBlooms = colBloomNames,
+        kmv = kmvName)
     }
     deleteRecursively(stage)
     entries
@@ -2071,9 +2143,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
           StandardCopyOption.ATOMIC_MOVE)
         c -> bn
       }
+      val kmvName = f.kmvPath.map { kp =>
+        val kn = s"$name.kmv"
+        Files.move(Paths.get(kp), Paths.get(root, "files", kn),
+          StandardCopyOption.ATOMIC_MOVE)
+        kn
+      }
       FileEntry(name, r.getString(0), r.getString(1), f.rows,
         cols = cols, bytes = Files.size(dest), colNulls = nulls,
-        bloom = bloomName, colBlooms = colBloomNames, bucket = f.bucket)
+        bloom = bloomName, colBlooms = colBloomNames, bucket = f.bucket,
+        kmv = kmvName)
     }
   }
 
@@ -2084,6 +2163,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     if (f.bytes > 0L) fn.put("bytes", f.bytes)
     f.bucket.foreach { b => fn.put("bucket", b); () }
     f.bloom.foreach { b => fn.put("bloom", b); () }
+    f.kmv.foreach { s => fn.put("kmv", s); () }
     if (f.colBlooms.nonEmpty) {
       val cb = mapper.createObjectNode()
       f.colBlooms.foreach { case (c, n) => cb.put(c, n); () }
@@ -3887,7 +3967,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           .flatMap(manifest(_).toSeq.flatMap(m =>
             m.cdcFile.toSeq ++ m.files.flatMap(f =>
               f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++
-                f.colBlooms.values)))).toSet
+                f.colBlooms.values ++ f.kmv.toSeq)))).toSet
         // reap the manifests below the retained window (crashed-writer
         // debris beyond _CURRENT is left for its writer to resolve) — but
         // a DELTA entry at the floor replays from the nearest checkpoint

@@ -430,6 +430,40 @@ object DsvQueries {
         lit(files >= 1 && files <= 2).as("or_pruned"))
     }),
 
+    "dsv2_ndv_stats" -> ((s, dir) => {
+      // column-level statistics to the optimizer: per-file KMV sketches
+      // (folded by BOTH writers) merge into scan-level distinct counts,
+      // ride the DSv2 columnStats() surface, and land in the logical
+      // plan's attributeStats under CBO — join sizing then sees NDV, not
+      // bare row counts. Gates: the key's distinctCount lands within the
+      // sketch error bar of the true count WITH a nullCount riding along
+      // (the CBO ignores NDV without one), and the stats column's
+      // nullCount is exact.
+      val root = scratch("ndv", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists)
+        st.commit(cust, batchId = 0, nFiles = 8,
+          statsCols = Seq("c_mktsegment"))
+      val n = cust.count().toDouble
+      val df = s.read.format("graft").load(root)
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val (ndvOk, segOk) = try {
+        val attr = df.queryExecution.optimizedPlan.stats.attributeStats
+        val key = attr.toSeq.collectFirst {
+          case (a, cs) if a.name == "c_custkey" => cs }
+        val seg = attr.toSeq.collectFirst {
+          case (a, cs) if a.name == "c_mktsegment" => cs }
+        (key.exists(cs => cs.distinctCount.exists(dc =>
+          math.abs(dc.toDouble - n) / n < 0.3) && cs.nullCount.isDefined),
+          seg.exists(_.nullCount.contains(BigInt(0))))
+      } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      df.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .select(col("c_mktsegment"), col("cnt"),
+          lit(ndvOk).as("ndv_ok"), lit(segOk).as("seg_nulls_ok"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -1072,6 +1106,13 @@ object DsvQueries {
         |SELECT c.c_custkey, c.c_name, c.c_acctbal, TRUE AS or_pruned
         |FROM customer c, mm
         |WHERE c.c_custkey < mm.lo + 50 OR c.c_custkey > mm.hi - 50""".stripMargin,
+
+    // the per-segment counts must be exact, with both CBO column-stat
+    // gates true (key NDV within the sketch error bar + null counts flow)
+    "dsv2_ndv_stats" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       TRUE AS ndv_ok, TRUE AS seg_nulls_ok
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

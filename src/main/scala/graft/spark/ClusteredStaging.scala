@@ -219,6 +219,26 @@ final class GraftClusteredTaskWriter(stageDir: String,
       ColBloom(c, schema.fieldIndex(c), bits, hashes, dt,
         ParquetWriteBridge.statStringifier(dt))
   }
+  // per-file KMV NDV sketches (key + every stats column the hasher
+  // covers), folded per row like the stats and Blooms — O(k) state per
+  // column, a hash + one unsigned compare per row once saturated. Same
+  // hash domain as the stats-pass kmv_build aggregate (catalyst-internal
+  // values through KmvSketch.hasherFor), so promoted and rewritten files'
+  // sketches union soundly.
+  private case class ColKmv(name: String, idx: Int, dt: DataType,
+                            hasher: Any => Long) {
+    var state: graft.functions.KmvSketch.State = _
+    def reset(): Unit =
+      state = new graft.functions.KmvSketch.State(
+        graft.functions.KmvSketch.DefaultK)
+  }
+  private val kmvTracks: Array[ColKmv] =
+    (spec.key +: spec.statsCols).distinct.toArray
+      .map(c => (c, schema(c).dataType))
+      .collect { case (c, dt) if graft.functions.KmvSketch.supported(dt) =>
+        ColKmv(c, schema.fieldIndex(c), dt,
+          graft.functions.KmvSketch.hasherFor(dt)) }
+
   private val done = scala.collection.mutable.ArrayBuffer
     .empty[ManifestStore.StagedFile]
 
@@ -267,7 +287,16 @@ final class GraftClusteredTaskWriter(stageDir: String,
           graft.functions.BloomSketch.encode(cb.words, cb.bits, cb.hashes))
         cb.name -> bp
       }.toMap,
-      bucket = spec.buckets.map(_ => curBucket))
+      bucket = spec.buckets.map(_ => curBucket),
+      kmvPath = if (kmvTracks.isEmpty) None else {
+        val kp = s"$path.kmv"
+        Files.write(Paths.get(kp), graft.functions.KmvSketch.encodeMulti(
+          kmvTracks.toSeq.map(t => t.name ->
+            graft.functions.KmvSketch.encode(
+              graft.functions.KmvSketch.DefaultK, t.state.nulls,
+              t.state.toSortedArray))))
+        Some(kp)
+      })
     out = null
     path = ""
   }
@@ -284,6 +313,7 @@ final class GraftClusteredTaskWriter(stageDir: String,
       bloomWords = new Array[Long](bits / 64) }
     colBlooms.foreach(_.reset())
     colTracks.foreach(_.reset())
+    kmvTracks.foreach(_.reset())
     cell = partIdx.indices.map(i =>
       if (row.isNullAt(partIdx(i))) null
       else deepCopy(row.get(partIdx(i), partDts(i)))).toArray
@@ -313,6 +343,13 @@ final class GraftClusteredTaskWriter(stageDir: String,
           cb.str(row.get(cb.idx, cb.dt)))
       i += 1
     }
+    i = 0
+    while (i < kmvTracks.length) {
+      val t = kmvTracks(i)
+      if (!row.isNullAt(t.idx)) t.state.add(t.hasher(row.get(t.idx, t.dt)))
+      else t.state.nulls += 1
+      i += 1
+    }
     out.write(row)
   }
 
@@ -326,6 +363,7 @@ final class GraftClusteredTaskWriter(stageDir: String,
     (done.map(_.path) ++ Some(path).filter(_.nonEmpty)).foreach { p =>
       Files.deleteIfExists(Paths.get(p))
       Files.deleteIfExists(Paths.get(s"$p.bloom"))
+      Files.deleteIfExists(Paths.get(s"$p.kmv"))
       colBlooms.foreach(cb =>
         Files.deleteIfExists(Paths.get(s"$p.${cb.name}.bloom")))
     }

@@ -347,14 +347,93 @@ final class GraftScan(root: String, tableSchema: StructType,
         s", top=$n by $c ${if (asc) "asc" else "desc"}" }.getOrElse("")
 
   /** Manifest-derived stats of exactly the pruned scan — what AQE and the
-    * join planner size broadcast decisions with.
+    * join planner size broadcast decisions with. Column-level statistics
+    * ride along for the CBO (`spark.sql.cbo.enabled`): distinct counts
+    * from the merged per-file KMV sidecars, null counts from the
+    * manifest, fixed-width-numeric min/max parsed from the zone maps —
+    * all of exactly the PLANNED (pruned) file set, so what the optimizer
+    * sizes is what the scan emits. Join cardinality then comes from NDV
+    * (n1*n2 / max(ndv)), not bare row counts — on a 100 TB fact-dim plan
+    * the difference between a broadcast and a sort-merge of the world.
     */
+  private lazy val columnStatsMap: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import org.apache.spark.sql.types._
+    val res = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val ndv: Map[String, (Long, Long)] =
+      scala.util.Try(store.ndvStats(manifest, planned)).toOption.flatten
+        .getOrElse(Map.empty)
+    val cols = ((if (keyField.nonEmpty) Seq(keyField) else Nil) ++
+      manifest.statsCols).distinct.filter(tableSchema.fieldNames.contains)
+    cols.foreach { c =>
+      val dc = ndv.get(c).map(_._1)
+      // null counts: the manifest's per-file counts where EVERY planned
+      // file records one, else the KMV sidecars' (which cover the key
+      // too); unknown must not read as zero
+      val nulls: Option[Long] = {
+        val fromManifest =
+          if (!manifest.statsCols.contains(c)) None
+          else {
+            val per = planned.map(_.colNulls.get(manifest.phys(c)))
+            if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+            else None
+          }
+        fromManifest.orElse(ndv.get(c).map(_._2))
+      }
+      // min/max for types whose catalyst-internal form parses straight
+      // out of the manifest stat string (timestamps serialize as micros =
+      // the internal long); strings/dates/decimals skip — a wrongly-typed
+      // bound would mis-estimate range selectivity
+      val ranges: Seq[(String, String)] =
+        if (c == keyField) planned.map(f => (f.minKey, f.maxKey))
+        else planned.flatMap(_.cols.get(manifest.phys(c)))
+      def agg[T](parse: String => T, lt: (T, T) => Boolean)
+          : Option[(Any, Any)] =
+        if (ranges.size != planned.size ||
+          ranges.exists(r => r._1 == null || r._2 == null || r._1.isEmpty))
+          None
+        else scala.util.Try {
+          val mins = ranges.map(r => parse(r._1))
+          val maxs = ranges.map(r => parse(r._2))
+          (mins.reduce((a, b) => if (lt(a, b)) a else b).asInstanceOf[Any],
+            maxs.reduce((a, b) => if (lt(a, b)) b else a).asInstanceOf[Any])
+        }.toOption
+      val minMax: Option[(Any, Any)] = tableSchema(c).dataType match {
+        case ByteType      => agg[Byte](_.toByte, _ < _)
+        case ShortType     => agg[Short](_.toShort, _ < _)
+        case IntegerType   => agg[Int](_.toInt, _ < _)
+        case LongType | TimestampType => agg[Long](_.toLong, _ < _)
+        case FloatType     => agg[Float](_.toFloat, _ < _)
+        case DoubleType    => agg[Double](_.toDouble, _ < _)
+        case _             => None
+      }
+      if (dc.isDefined || nulls.isDefined || minMax.isDefined)
+        res.put(Expressions.column(c), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            dc.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+          override def nullCount(): OptionalLong =
+            nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+          override def min(): java.util.Optional[Object] =
+            minMax.map(m => java.util.Optional.of(m._1.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            minMax.map(m => java.util.Optional.of(m._2.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+        })
+    }
+    res
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(planned.map(f =>
         if (f.bytes > 0) f.bytes else f.rows * 128L).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(planned.map(_.liveRows).sum)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      columnStatsMap
   }
 
   /** BUCKETED tables (every planned file bucket-pure under table property
