@@ -127,6 +127,36 @@ object ManifestStore {
     * at 6 hashes ≈ 1.5% FPP at 8 bits/key (~8k keys/file); larger files
     * degrade gracefully (more false positives, never false negatives).
     */
+  /** Resolve a (possibly dotted) stats-column path to its leaf type:
+    * a top-level field wins verbatim (so a column literally named "a.b"
+    * keeps working), else the dotted path walks struct fields at any
+    * depth. Array/map steps don't resolve — no per-file scalar range
+    * exists through them.
+    */
+  def leafType(schema: org.apache.spark.sql.types.StructType, path: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    schema.fields.find(_.name == path).map(_.dataType).orElse {
+      if (!path.contains('.')) None
+      else {
+        def walk(dt: org.apache.spark.sql.types.DataType,
+                 parts: List[String])
+            : Option[org.apache.spark.sql.types.DataType] = (dt, parts) match {
+          case (d, Nil) => Some(d)
+          case (s: org.apache.spark.sql.types.StructType, p :: rest) =>
+            s.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+          case _ => None
+        }
+        walk(schema, path.split('.').toList)
+      }
+    }
+
+  /** The Column selecting `path` — backticked for a literal top-level
+    * name, dotted traversal for a struct leaf.
+    */
+  def leafCol(schema: org.apache.spark.sql.types.StructType, path: String)
+      : Column =
+    if (schema.fieldNames.contains(path)) col(s"`$path`") else col(path)
+
   /** The least string STRICTLY GREATER than every string with prefix `p`
     * (in UTF-8 binary order, which equals code-point order): drop trailing
     * max code points, then increment the last remaining one; None when `p`
@@ -898,7 +928,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def readWhere(colName: String, lo: Any, hi: Any)
       : Option[(DataFrame, ManifestStore.SkipStats)] =
     currentManifest.map { m =>
-      val dt = StructType.fromDDL(m.schemaDDL)(colName).dataType
+      val dt = ManifestStore.leafType(StructType.fromDDL(m.schemaDDL), colName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"readWhere column '$colName' does not resolve to an atomic leaf"))
       val (statted, statless) = m.files.partition(f =>
         colRange(m, f, colName).isDefined)
       val survivors: Set[String] =
@@ -965,9 +997,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // where every RAW row is null (masked rows only shrink the live set,
     // so both directions stay conservative under deletion vectors).
     // Unknown counts (pre-r11 vintage, untracked column) never prune.
+    def leafDt(c: String): Option[org.apache.spark.sql.types.DataType] =
+      ManifestStore.leafType(schema, c)
     val nullPreds = preds.filter { case (c, op, _) =>
       (op == "isnull" || op == "notnull") && m.statsCols.contains(c) &&
-        schema.fieldNames.contains(c)
+        leafDt(c).isDefined
     }
     val nullPruned: Seq[FileEntry] =
       if (nullPreds.isEmpty) m.files
@@ -988,10 +1022,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
       v.asInstanceOf[Seq[Seq[(String, String, Any)]]]
     def leafCanPrune(c: String, op: String, v: Any): Boolean =
       (c == keyField || m.statsCols.contains(c)) &&
-        schema.fieldNames.contains(c) && (op match {
+        leafDt(c).isDefined && (op match {
           case ">" | ">=" | "<" | "<=" | "=" => litable(v)
           case "startswith" =>
-            schema(c).dataType == StringType && v.isInstanceOf[String]
+            leafDt(c).contains(StringType) && v.isInstanceOf[String]
           case "in" => v match {
             case vs: Seq[_] => vs.nonEmpty && vs.forall(litable)
             case _ => false
@@ -1066,15 +1100,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
         def bloomOk(c: String, probeStr: Column): Column = {
           val blobCol =
             if (c == keyField && bloomKey) Some(col("_bloom"))
-            else if (bloomCols.contains(c)) Some(col(s"_bloomc_$c"))
+            else if (bloomCols.contains(c)) Some(col(s"`_bloomc_$c`"))
             else None
           blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
             .getOrElse(lit(true))
         }
         def leafCond(c: String, op: String, v: Any): Column = {
-          val dt = schema(c).dataType
-          val mn = statDeserialize(col(s"_min_$c"), dt)
-          val mx = statDeserialize(col(s"_max_$c"), dt)
+          val dt = leafDt(c).get
+          val mn = statDeserialize(col(s"`_min_$c`"), dt)
+          val mx = statDeserialize(col(s"`_max_$c`"), dt)
           def value = lit(v).cast(dt)
           val survive = op match {
             case ">"  => mx > value
@@ -1118,7 +1152,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 }
               }
           }
-          col(s"_min_$c").isNull || survive
+          col(s"`_min_$c`").isNull || survive
         }
         // OR nodes recurse: a file survives the node iff it survives ANY
         // branch's decidable conjuncts (each branch re-using the same leaf
@@ -1172,7 +1206,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
           if (c == keyField) f.bloom else f.colBlooms.get(m.phys(c))
         if (!files.exists(blobOf(_).isDefined)) files
         else {
-          val probes = serializeInProbes(vs, schema(c).dataType)
+          val probes = serializeInProbes(vs, leafDt(c).get)
           files.filter { f =>
             blobOf(f).flatMap(loadBloomSidecar) match {
               case Some(blob) => probes.exists { case (h1, h2) =>
@@ -1299,7 +1333,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // every predicate must be on a statted column with a recognized op
     val predsOk = preds.forall { case (c, op, v) =>
       (c == keyField || m.statsCols.contains(c)) &&
-        schema.fieldNames.contains(c) && (op match {
+        ManifestStore.leafType(schema, c).isDefined && (op match {
           case ">" | ">=" | "<" | "<=" | "=" => litable(v)
           case "in" => v match {
             case vs: Seq[_] =>
@@ -1331,9 +1365,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
             StructField(s"_min_$c", SStr, nullable = true),
             StructField(s"_max_$c", SStr, nullable = true))))
           val fullCond = pruning.map { case (c, op, v) =>
-            val dt = schema(c).dataType
-            val mn = statDeserialize(col(s"_min_$c"), dt)
-            val mx = statDeserialize(col(s"_max_$c"), dt)
+            val dt = ManifestStore.leafType(schema, c).get
+            val mn = statDeserialize(col(s"`_min_$c`"), dt)
+            val mx = statDeserialize(col(s"`_max_$c`"), dt)
             def value = lit(v).cast(dt)
             op match {
               case ">"  => mn > value
@@ -1825,9 +1859,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
              else col(s"`${lf.name}`").cast(pf.dataType)).as(pf.name)
         }: _*)
       }
-    // a drift-evolved frame may not carry every tracked column yet
-    val sCols = statsCols.filter(df.columns.contains)
-    sCols.foreach(c => requireStatKeyType(c, df.schema(c).dataType))
+    // a drift-evolved frame may not carry every tracked column yet.
+    // Stats columns may be DOTTED STRUCT-LEAF paths at any depth
+    // ("meta.lang" — the multimodal/text tables' shape): the leaf
+    // resolves through [[ManifestStore.leafType]] and every consumer
+    // below selects it via [[ManifestStore.leafCol]].
+    val sCols = statsCols.filter(c =>
+      ManifestStore.leafType(df.schema, c).isDefined)
+    def statDt(c: String): org.apache.spark.sql.types.DataType =
+      ManifestStore.leafType(df.schema, c).get
+    sCols.foreach(c => requireStatKeyType(c, statDt(c)))
     val stage = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     // PARTITIONED tables (table property `partitioncol`): files must be
     // partition-PURE — each data file holds exactly one partition value —
@@ -1937,13 +1978,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
       try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
-    // (physical/staged column name, type) of every NDV-sketched column:
-    // the key plus each zone-map column the KMV hasher covers
-    val kmvSidecarCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+    // (sidecar/physical name, logical path) of every NDV-sketched column:
+    // the key plus each zone-map column (struct leaves included) the KMV
+    // hasher covers
+    val kmvSidecarCols: Seq[(String, String)] =
       (keyField +: sCols).distinct
-        .map(c => (c, df.schema(c).dataType))
-        .collect { case (c, dt) if graft.functions.KmvSketch.supported(dt) =>
-          physName(c) -> dt }
+        .collect { case c if graft.functions.KmvSketch.supported(
+            ManifestStore.leafType(df.schema, c).get) => physName(c) -> c }
     // per-file stats in ONE pass over the staged output; input_file_name
     // ties each row to the physical file the writer placed it in. min/max
     // run in the key's NATIVE type (native ordering), then serialize via
@@ -1956,11 +1997,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // SQL semantics) and the NULL count, which stats-answered
         // aggregates and exact filtered counts need (a min=max "pure"
         // file can still hide null rows)
+        // staged (physical) selection: top-level names backticked, dotted
+        // struct leaves traverse — decided against the LOGICAL frame (the
+        // physicalized stage parallels its shape)
+        def statCol(c: String): Column =
+          if (df.columns.contains(c)) col(s"`${physName(c)}`")
+          else col(physName(c))
         val extra = sCols.flatMap { c =>
-          val dt = df.schema(c).dataType
-          Seq(statSerialize(min(col(s"`${physName(c)}`")), dt).as(s"_min_$c"),
-            statSerialize(max(col(s"`${physName(c)}`")), dt).as(s"_max_$c"),
-            sum(when(col(s"`${physName(c)}`").isNull, 1L).otherwise(0L))
+          val dt = statDt(c)
+          Seq(statSerialize(min(statCol(c)), dt).as(s"_min_$c"),
+            statSerialize(max(statCol(c)), dt).as(s"_max_$c"),
+            sum(when(statCol(c).isNull, 1L).otherwise(0L))
               .as(s"_nulls_$c"))
         }
         // bucketed stages carry `_bucket` as a partition directory column;
@@ -2003,8 +2050,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
               Literal(graft.functions.KmvSketch.DefaultK))
               .toAggregateExpression()).as(as)
         }
-        val kmvStat = kmvSidecarCols.zipWithIndex.map { case ((pn, _), i) =>
-          kmvAgg(col(s"`$pn`"), s"_kmv_$i") }
+        val kmvStat = kmvSidecarCols.zipWithIndex.map { case ((_, c), i) =>
+          kmvAgg(statCol(c), s"_kmv_$i") }
         spark.read.parquet(stage.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(statSerialize(min(col(keyField)), keyDt).as("_min"),
@@ -3302,7 +3349,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def deleteEntryFiles(e: FileEntry): Unit = {
     Files.deleteIfExists(Paths.get(root, "files", e.name))
-    (e.bloom.toSeq ++ e.colBlooms.values).foreach(b =>
+    (e.bloom.toSeq ++ e.colBlooms.values ++ e.kmv.toSeq).foreach(b =>
       Files.deleteIfExists(Paths.get(root, "files", b)))
     ()
   }
@@ -3693,8 +3740,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
         case DateType => unix_date(col(c)).cast("double")
         case TimestampType => unix_micros(col(c)).cast("double")
         case _: NumericType => col(c).cast("double")
+        // strings rank by their first 8 UTF-8 bytes (URL/domain/path
+        // dimensions): equi-depth bins on the truncated rank, so prefix
+        // predicates and leading-byte ranges prune after the recluster;
+        // order beyond the 8-byte prefix is NOT preserved (documented in
+        // [[graft.functions.StringPrefixRank]])
+        case StringType => {
+          import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+          column(graft.functions.StringPrefixRank(expression(col(c))))
+        }
         case other => throw new IllegalArgumentException(
-          s"zorder column '$c' must be numeric/date/timestamp, " +
+          s"zorder column '$c' must be numeric/date/timestamp/string, " +
             s"got ${other.sql}")
       }
       val qNames = cols.indices.map(i => s"_zq$i")

@@ -64,3 +64,54 @@ object QuantileBin {
     if (idx >= 0) (idx + 1).toLong else (-idx - 1).toLong
   }
 }
+
+/** A string's first 8 UTF-8 bytes as a big-endian unsigned rank, mapped
+  * monotonically into DOUBLE — what lets Z-order rank-bin STRING
+  * dimensions (URL/path/domain columns, exactly what LLM-pipeline users
+  * cluster on) through the same `approxQuantile` + [[QuantileBin]] path
+  * as numerics. The truncation is the documented locality trade: strings
+  * sharing their first 8 bytes rank EQUAL and land in one bin — beyond
+  * the prefix the layout preserves no order (prefix predicates and
+  * range scans on the leading bytes still prune; mid-string selectivity
+  * does not). Double's 53-bit mantissa keeps ~6.6 leading bytes of
+  * resolution, plenty for 2^bits <= 4096 bins. Layout-only like the
+  * binning itself: rank values order rows inside one rewrite and never
+  * reach answers.
+  */
+case class StringPrefixRank(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"string_prefix_rank expects a string, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any =
+    StringPrefixRank.rank(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, vCode =>
+      s"graft.functions.StringPrefixRank.rank($vCode)")
+
+  override protected def withNewChildInternal(c: Expression): StringPrefixRank =
+    copy(child = c)
+  override def prettyName: String = "string_prefix_rank"
+}
+
+object StringPrefixRank {
+  /** Big-endian unsigned value of the first min(8, len) bytes,
+    * zero-padded, then unsigned-long -> double (monotone up to double
+    * rounding — consistent on both the data and boundary sides, which is
+    * all equi-depth binning needs).
+    */
+  def rank(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val n = math.min(8, s.numBytes())
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (s.getByte(i) & 0xffL); i += 1 }
+    v <<= 8 * (8 - n)
+    if (v >= 0L) v.toDouble else (v >>> 1).toDouble * 2.0 + (v & 1L)
+  }
+}

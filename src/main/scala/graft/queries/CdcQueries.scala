@@ -453,6 +453,35 @@ object CdcQueries {
         lit(skip.nSkipped > 0 && skip.nRead < skip.nFiles).as("zrank_skip"))
     }),
 
+    "cdc_zorder_rank_str" -> ((s, dir) => {
+      // STRING-dimension rank-binned Z-order: c_phone rank-bins on its
+      // first 8 UTF-8 bytes ("25-989-7..." — the country-code prefix is
+      // where URLs/domains/paths carry their selectivity too), so after
+      // reclustering by (c_phone, c_custkey) a LIKE '25-%' prefix scan
+      // plans a few files instead of all 16 — composing the string
+      // Z-order with the manifest's prefix file pruning. Content is
+      // oracle-exact; the gate pins the file cut.
+      val root = QueryUtil.scratchDir(
+        s"zrankstr_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"),
+          concat(lit("host"),
+            lpad(col("c_nationkey").cast("string"), 3, "0"),
+            lit("/"), col("c_name")).as("url"))
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 16, statsCols = Seq("url"))
+        st.reclusterZorderCols(Seq("url", "c_custkey"),
+          nFiles = 16, bits = 6)
+        ()
+      }
+      val df = s.read.format("graft").load(root)
+        .filter(col("url").startsWith("host003"))
+      val planned = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"), col("url"),
+        lit(planned >= 1 && planned <= 8).as("zstr_pruned"))
+    }),
+
     "cdc_manifest_delete_where" -> ((s, dir) => {
       // Predicate DELETE on deletion vectors ([[ManifestStore.deleteWhere]])
       // — the retention/GDPR erasure primitive: one effective scan, every
@@ -951,6 +980,17 @@ object CdcQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |       TRUE AS zrank_skip
         |FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0""".stripMargin,
+
+    // string-dim Z-order + prefix file pruning must return the exact
+    // LIKE rows, with the file-cut gate true
+    "cdc_zorder_rank_str" ->
+      """SELECT c_custkey, c_name,
+        |       'host' || lpad(CAST(c_nationkey AS VARCHAR), 3, '0') ||
+        |         '/' || c_name AS url,
+        |       TRUE AS zstr_pruned
+        |FROM customer
+        |WHERE 'host' || lpad(CAST(c_nationkey AS VARCHAR), 3, '0') ||
+        |        '/' || c_name LIKE 'host003%'""".stripMargin,
 
     // DV-masked predicate delete must read back as the exact complement
     "cdc_manifest_delete_where" ->

@@ -464,6 +464,31 @@ object DsvQueries {
           lit(ndvOk).as("ndv_ok"), lit(segOk).as("seg_nulls_ok"))
     }),
 
+    "dsv2_nested_stats" -> ((s, dir) => {
+      // STRUCT-LEAF zone-map stats: statsCols name dotted paths
+      // ("meta.band", "meta.seg" — the multimodal/text tables' shape),
+      // the stats pass folds their min/max/nulls + KMV sketches through
+      // leafCol, and a pushed nested predicate prunes FILES — before
+      // this, a meta.lang filter scanned every file even though column
+      // mapping could already rename nested leaves
+      val root = scratch("nst", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) {
+        val nested = cust.select(col("c_custkey"), col("c_name"),
+          struct((col("c_custkey") / lit(200)).cast("long").as("band"),
+            col("c_mktsegment").as("seg")).as("meta"))
+        st.commit(nested, batchId = 0, nFiles = 8,
+          statsCols = Seq("meta.band", "meta.seg"))
+      }
+      val df = s.read.format("graft").load(root)
+        .filter(col("meta.band") === 3L)
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"),
+        col("meta.band").as("band"),
+        lit(files >= 1 && files <= 3).as("nested_pruned"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -1113,6 +1138,13 @@ object DsvQueries {
       """SELECT c_mktsegment, count(*) AS cnt,
         |       TRUE AS ndv_ok, TRUE AS seg_nulls_ok
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // the nested-leaf range must return exactly band 3's rows, with the
+    // struct-leaf file-cut gate true
+    "dsv2_nested_stats" ->
+      """SELECT c_custkey, c_name, c_custkey // 200 AS band,
+        |       TRUE AS nested_pruned
+        |FROM customer WHERE c_custkey // 200 = 3""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

@@ -77,6 +77,11 @@ object ClusteredStaging {
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .filter(_ => bucketsN.isEmpty)
     if (partCols.exists(pc => !schema.fieldNames.contains(pc))) return None
+    // DOTTED struct-leaf stats columns: the rewriting writer folds their
+    // zone maps (ManifestStore.leafCol), the task writer does not reach
+    // into nested rows — fall back so the files stay fully statted
+    if (statsCols.exists(c => !schema.fieldNames.contains(c) &&
+      ManifestStore.leafType(schema, c).isDefined)) return None
     val sCols = statsCols.filter(c => c != key && schema.fieldNames.contains(c))
     val typed = (key +: (partCols ++ sCols)).distinct
     if (typed.exists(c => !statSupported(schema(c).dataType))) return None

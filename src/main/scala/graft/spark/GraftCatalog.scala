@@ -199,8 +199,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val statsCols = props.collectFirst {
       case (k, v) if k.equalsIgnoreCase("statscols") => v
     }.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    statsCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"statscols column '$c' is not in the table schema"))
+    // statscols may name struct leaves at any depth ("meta.lang")
+    statsCols.foreach(c => require(
+      graft.cdc.ManifestStore.leafType(schema, c).isDefined,
+      s"statscols column '$c' does not resolve to a column or struct " +
+        "leaf of the table schema"))
     // the partition column always joins the zone map: its min=max per-file
     // stats ARE the partition index (pruning + overwrite classification)
     val effStats = (statsCols ++

@@ -252,9 +252,10 @@ class ManifestStoreSpec extends SparkSpec {
     assert(m.files.size == 7) // the emptied file left the manifest
     assert(m.files.forall(_.dv.isEmpty))
     assert(st.read().get.count() == 175L)
-    // vacuum (keepLast=1) reclaims the dropped file and its sidecar
+    // vacuum (keepLast=1) reclaims the dropped file and its DV + KMV
+    // sidecars
     val deleted = st.vacuum(keepLast = 1)
-    assert(deleted.size == 2)
+    assert(deleted.size == 3)
     assert(st.read().get.count() == 175L)
   }
 
@@ -325,10 +326,13 @@ class ManifestStoreSpec extends SparkSpec {
     assert(raced.isEmpty)
     assert(st.read().get.filter(col("id") === 6L).select("name")
       .as[String].collect().toSeq == Seq("u6"))
-    // no orphaned attempt files linger beyond the live set
-    val live = st.currentManifest.get.files.map(_.name).toSet ++
+    // no orphaned attempt files linger beyond the live set (sidecars
+    // included: every data file now carries a .kmv)
+    def names(f: ManifestStore.FileEntry): Seq[String] =
+      f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++ f.colBlooms.values ++ f.kmv.toSeq)
+    val live = st.currentManifest.get.files.flatMap(names).toSet ++
       (0L to st.current.get._1).flatMap(v =>
-        st.manifest(v).toSeq.flatMap(_.files.map(_.name)))
+        st.manifest(v).toSeq.flatMap(_.files.flatMap(names)))
     val onDisk = java.nio.file.Files.list(
       java.nio.file.Paths.get(st.root, "files"))
     try assert(onDisk.iterator().asScala.forall(p =>
@@ -427,7 +431,9 @@ class ManifestStoreSpec extends SparkSpec {
     // the losing attempt's files were reclaimed: every on-disk file is
     // referenced by some retained manifest
     val referenced = (0L to st.current.get._1)
-      .flatMap(st.manifest(_).toSeq.flatMap(_.files.map(_.name))).toSet
+      .flatMap(st.manifest(_).toSeq.flatMap(_.files.flatMap(f =>
+        f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++ f.colBlooms.values ++
+          f.kmv.toSeq)))).toSet
     val s = Files.list(java.nio.file.Paths.get(st.root, "files"))
     val onDisk =
       try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])

@@ -78,16 +78,47 @@ class ZorderColsSpec extends SparkSpec {
       java.sql.Date.valueOf("1970-02-10")).get._2.nSkipped > 0)
     assert(st.read().get.count() == N)
 
-    // a string dimension refuses (rank binning needs an ordered numeric
-    // normalization; silent hash-binning would destroy locality)
-    val err = intercept[IllegalArgumentException] {
-      st.reclusterZorderCols(Seq("name", "day"), nFiles = 8)
-    }
-    assert(err.getMessage.contains("numeric/date/timestamp"))
     // result-bit overflow refuses
     intercept[IllegalArgumentException] {
       st.reclusterZorderCols(Seq("day", "ts"), nFiles = 8, bits = 32)
     }
     ()
+  }
+
+  test("string dims rank-bin by 8-byte prefix: prefix predicates prune after recluster") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def plannedFiles(df: DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.size
+      }.getOrElse(-1)
+    }
+    val N = 4096L
+    val root = Files.createTempDirectory("zstr").toString
+    val st = new ManifestStore(root, spark, "id")
+    // url's host is UNcorrelated with the key, so key clustering leaves
+    // every file's url range table-wide — the prefix scan reads all 16
+    val df = (0L until N).map(i =>
+      (i, f"host${i % 20}%03d/page$i", i % 7)).toDF("id", "url", "grp")
+    st.commit(df, batchId = 0, nFiles = 16, statsCols = Seq("url"))
+    val before = spark.read.format("graft").load(root)
+      .filter(col("url").startsWith("host003"))
+    assert(plannedFiles(before) == 16, "pre-recluster: url scattered, no pruning")
+
+    // Z-order on (url, id): the string dim rank-bins on its first 8
+    // bytes ("host003/..." differs inside the prefix), so post-recluster
+    // zone maps bound prefix predicates to a few files
+    assert(st.reclusterZorderCols(Seq("url", "id"), nFiles = 16, bits = 6)
+      .isDefined)
+    val after = spark.read.format("graft").load(root)
+      .filter(col("url").startsWith("host003"))
+    val planned = plannedFiles(after)
+    assert(planned >= 1 && planned <= 8,
+      s"post-recluster prefix scan should prune files, got $planned of 16")
+    // content exactly preserved (layout never reaches answers)
+    assert(after.select("id").as[Long].collect().toSet ==
+      (0L until N).filter(_ % 20 == 3).toSet)
+    assert(st.read().get.count() == N)
   }
 }
