@@ -169,6 +169,9 @@ final class GraftStreamingWrite(root: String, options: Map[String, String],
             case _ => ()
           }
       }
+      // opt-in auto-compaction (table property `autocompact.files=N`):
+      // probe off-thread, never inline — epoch commit latency untouched
+      GraftMaintenance.maybeSchedule(root, spark, key)
     } finally {
       deleteDir(epochDir)
       dropStageRootIfEmpty()

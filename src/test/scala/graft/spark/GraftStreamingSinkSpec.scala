@@ -315,4 +315,53 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root)
       .filter(col("id") === 0L).select("v").as[String].head() == "UPD")
   }
+
+  test("autocompact.files bounds ingest file counts across epochs; data intact") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val epochs = 40
+    // one run per leg: identical 40-epoch disjoint-key MoR ingest, the
+    // only difference the opt-in table property
+    def run(bound: Option[Int]): (Int, Long, String) = {
+      val tag = if (bound.isDefined) "ac" else "nac"
+      val root = tmp(tag) + "/store"
+      val ck = tmp(tag + "ck")
+      bound.foreach(b => ManifestStore.writeTableProps(root,
+        Map("autocompact.files" -> b.toString)))
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("id", "v")
+        .writeStream.format("graft")
+        .option("key", "id").option("mor", "true")
+        .option("checkpointLocation", ck)
+        .start(root)
+      try {
+        (0 until epochs).foreach { e =>
+          ms.addData((0L until 5L).map(i => (e * 5L + i, s"v$e-$i")): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(GraftMaintenance.drain(), "maintenance pool did not drain")
+      val m = new ManifestStore(root, spark, "id").currentManifest.get
+      (m.files.size, spark.read.format("graft").load(root).count(), root)
+    }
+    val (unbounded, n1, _) = run(None)
+    val before = GraftMaintenance.compactions.get()
+    val (boundedFiles, n2, acRoot) = run(Some(6))
+    // correctness first: both legs hold every ingested row
+    assert(n1 === epochs * 5L)
+    assert(n2 === epochs * 5L)
+    val got = spark.read.format("graft").load(acRoot)
+      .filter(col("id") === 123L).select("v").as[String].head()
+    assert(got == "v24-3", s"compacted store corrupted a row: $got")
+    // without the property the per-epoch files accrete unboundedly
+    assert(unbounded > 12,
+      s"fixture too weak: unbounded leg only reached $unbounded files")
+    // with it, the async passes ran and the final layout sits at/under
+    // the bound (the post-final-epoch probe settles any overshoot)
+    assert(GraftMaintenance.compactions.get() > before,
+      "no auto-compaction pass ran with autocompact.files set")
+    assert(boundedFiles <= 6,
+      s"autocompact leg ended at $boundedFiles files (bound 6, " +
+        s"unbounded leg: $unbounded)")
+  }
 }
