@@ -47,15 +47,13 @@ object AutoCompactBench {
       (1 to epochs).foreach { e =>
         // scattered arrivals: epoch e's keys stride across [base, base+64M)
         // so every epoch file's (min,max) hull spans the whole insert range
+        val k = lit(base) + lit(e.toLong) + col("id") * 3209L
         val net = spark.range(perEpoch).select(
-          (lit(base) + lit(e.toLong) + col("id") * 3209L)
-            .cast("string").as(graft.cdc.Changelog.KeyCol),
+          k.cast("string").as(graft.cdc.Changelog.KeyCol),
           lit("u").as(graft.cdc.Changelog.OpCol),
-          lit(e.toLong).as(graft.cdc.Changelog.TsCol))
-          .withColumn("after_id",
-            (lit(base) + lit(e.toLong) + col("id") * 3209L))
-          .withColumn("after_name", concat(lit("e"), lit(e), lit("-"), col("id")))
-          .drop("id")
+          lit(e.toLong).as(graft.cdc.Changelog.TsCol),
+          k.as("after_id"),
+          concat(lit("e"), lit(e), lit("-"), col("id")).as("after_name"))
         st.mergeOnReadLocked(net, fields, batchId = e.toLong,
           streamId = "acb-ingest", tsGuard = false)
         // exactly the sink's post-commit hook: off-thread probe, never inline

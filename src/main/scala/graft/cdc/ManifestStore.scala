@@ -609,6 +609,69 @@ final class ManifestStore(val root: String, spark: SparkSession,
 
   def exists: Boolean = current.isDefined
 
+  // ---- named version references (Iceberg's tags) -------------------------
+
+  private val tagsFile = Paths.get(root, "_TAGS")
+
+  /** Named version references — immutable pointers into the retained log
+    * (Iceberg's tags, ref: spark_client/src/cdc_stream.py has no
+    * counterpart — beyond-parity): `versionAsOf` / SQL `VERSION AS OF`
+    * accept a tag name wherever they accept a number, and [[vacuum]] PINS
+    * every tagged version (its manifest chain and data files survive any
+    * `keepLast`), so an audit/reproducibility read stays valid until the
+    * tag is deleted — at 100 TB, "the exact table the model trained on"
+    * is a tag, not a copy. Stored as `name=version` lines in
+    * `<root>/_TAGS`, rewritten atomically under the commit lock —
+    * O(#tags) metadata, planning-scale.
+    */
+  def tags: Map[String, Long] =
+    if (!Files.exists(tagsFile)) Map.empty
+    else Files.readAllLines(tagsFile).asScala.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(n, v) if n.nonEmpty => v.toLongOption.map(n -> _)
+        case _                         => None
+      }
+    }.toMap
+
+  /** Tag `version` as `name` (re-pointing an existing name is allowed —
+    * Iceberg's replace-tag). Names must not parse as a bare integer so
+    * the `versionAsOf` surface stays unambiguous.
+    */
+  def setTag(name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+      !name.matches("[+-]?\\d+"),
+      s"tag name '$name' must match [A-Za-z0-9][A-Za-z0-9._-]* and not " +
+        "be a bare integer (that is a version number)")
+    SnapshotStore.withCommitLock(root) {
+      val cur = current.map(_._1).getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to tag"))
+      require(version >= 0 && version <= cur,
+        s"tag '$name' names version $version, but $root is at $cur")
+      require(manifest(version).isDefined,
+        s"version $version of $root is gone (vacuumed past log retention)")
+      writeTags(tags + (name -> version))
+    }
+  }
+
+  /** Drop tag `name`; the pinned version rejoins normal vacuum retention.
+    * Unknown names are a no-op (idempotent cleanup).
+    */
+  def deleteTag(name: String): Unit =
+    SnapshotStore.withCommitLock(root) { writeTags(tags - name) }
+
+  private def writeTags(t: Map[String, Long]): Unit = {
+    if (t.isEmpty) { Files.deleteIfExists(tagsFile); () }
+    else {
+      val tmp = Paths.get(root, s"_TAGS.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, t.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n=$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, tagsFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
+
   /** Replayed(batchId, streamId): the exactly-once guard. Checks the
     * CURRENT commit first (the overwhelmingly common replay shape — the
     * stream is this store's only writer), then falls back to a lineage
@@ -4019,7 +4082,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
     SnapshotStore.withCommitLock(root) {
       current.toSeq.flatMap { case (cur, _, _) =>
         val floor = cur - keepLast + 1
-        val referenced = (floor to cur)
+        // TAGGED versions are pinned: their files and manifest chains
+        // survive any keepLast until the tag is deleted (the audit /
+        // "exact training snapshot" contract of setTag)
+        val pinned = tags.values.toSet.filter(v => v < floor && v >= 0)
+        val referenced = ((floor to cur) ++ pinned)
           .flatMap(manifest(_).toSeq.flatMap(m =>
             m.cdcFile.toSeq ++ m.files.flatMap(f =>
               f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++
@@ -4029,17 +4096,24 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // a DELTA entry at the floor replays from the nearest checkpoint
         // at or below it, so that chain must survive: at most
         // CheckpointInterval-1 extra entries. Walk the directory, not
-        // version numbers — O(live log entries).
-        var chainBase = math.max(0L, floor)
-        while (chainBase > 0 && readLogNode(chainBase).exists(n =>
-            n.path("type").asText("checkpoint") == "delta"))
-          chainBase -= 1
+        // version numbers — O(live log entries). Each pinned version
+        // keeps its own replay chain the same way.
+        def chainBaseOf(v: Long): Long = {
+          var b = v
+          while (b > 0 && readLogNode(b).exists(n =>
+              n.path("type").asText("checkpoint") == "delta"))
+            b -= 1
+          b
+        }
+        val chainBase = chainBaseOf(math.max(0L, floor))
+        val pinnedRanges = pinned.toSeq.map(v => (chainBaseOf(v), v))
         val logDir = Paths.get(root, "_LOG")
         if (Files.isDirectory(logDir) && !dryRun) {
           val s = Files.list(logDir)
           try s.toArray.toSeq.map(_.asInstanceOf[Path])
             .filter(_.getFileName.toString.stripSuffix(".json")
-              .toLongOption.exists(_ < chainBase))
+              .toLongOption.exists(v => v < chainBase &&
+                !pinnedRanges.exists { case (lo, hi) => v >= lo && v <= hi }))
             .foreach(Files.deleteIfExists(_))
           finally s.close()
         }

@@ -561,6 +561,41 @@ object DsvQueries {
         .withColumn("tt_both_err", lit(bothErr))
         .withColumn("tt_v1_newer", lit(v1Newer))
     }),
+    "dsv2_time_travel_tag" -> ((s, dir) => {
+      // Iceberg's tags: a NAMED, vacuum-pinned version reference — SQL
+      // `VERSION AS OF 'name'` / option("versionAsOf", name) read the
+      // pinned version ("the exact table the model trained on" is a tag,
+      // not a copy). Gates: the tag resolves to the pre-delete content,
+      // the tagged version stays readable after vacuum, an unknown name
+      // refuses loudly naming the known tags, and the tag list
+      // round-trips.
+      val root = scratch("tttag", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8)
+        st.setTag("pre-delete", 0L)
+        st.deleteWhere(col("c_mktsegment") === lit("MACHINERY"), batchId = 1)
+        st.vacuum(keepLast = 1)
+      }
+      def taggedRead = s.read.format("graft")
+        .option("versionAsOf", "pre-delete").load(root)
+      val survivesVacuum = st.readVersion(0L).isDefined
+      val unknownErr = scala.util.Try(s.read.format("graft")
+        .option("versionAsOf", "no-such-tag").load(root).count()) match {
+        case scala.util.Failure(e) => e.getMessage.contains("pre-delete")
+        case _ => false
+      }
+      val tagSeesMore = taggedRead.count() >
+        s.read.format("graft").load(root).count()
+      val listed = st.tags == Map("pre-delete" -> 0L)
+      taggedRead
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .withColumn("tag_survives_vacuum", lit(survivesVacuum))
+        .withColumn("tag_unknown_err", lit(unknownErr))
+        .withColumn("tag_sees_more", lit(tagSeesMore))
+        .withColumn("tag_listed", lit(listed))
+    }),
     "dsv2_file_metadata" -> ((s, dir) => {
       // `_file` metadata column: per-row provenance synthesized by the
       // reader as a per-file constant — the handle maintenance queries
@@ -1164,6 +1199,13 @@ object DsvQueries {
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
         |       TRUE AS tt_before_err, TRUE AS tt_after_err,
         |       TRUE AS tt_both_err, TRUE AS tt_v1_newer
+        |FROM customer""".stripMargin,
+
+    // the tag must read the FULL pre-delete table, with all four gates true
+    "dsv2_time_travel_tag" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       TRUE AS tag_survives_vacuum, TRUE AS tag_unknown_err,
+        |       TRUE AS tag_sees_more, TRUE AS tag_listed
         |FROM customer""".stripMargin,
 
     // the SQL CALL surface must return exactly the UPDATE's pre/post pairs

@@ -495,6 +495,9 @@ private[spark] object GraftProcedures {
     "detail"   -> (c => new DetailProcedure(c)),
     "restore"  -> (c => new RestoreProcedure(c)),
     "clone"    -> (c => new CloneProcedure(c)),
+    "tag"      -> (c => new TagProcedure(c)),
+    "untag"    -> (c => new UntagProcedure(c)),
+    "tags"     -> (c => new TagsProcedure(c)),
     "table_changes" -> (c => new TableChangesProcedure(c)))
 
   private[spark] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -760,6 +763,72 @@ private[spark] object GraftProcedures {
   /** `CALL graft.system.history(table => 'ns.t')` — DESCRIBE HISTORY: one
     * row per retained version, newest first.
     */
+  /** `CALL graft.system.tag(table => 'ns.t', name => 'prod-2026-08'
+    * [, version => N])` — pin a named reference to a version (default:
+    * current). Tagged versions survive vacuum until untagged, and
+    * `VERSION AS OF 'name'` / option("versionAsOf", name) read them.
+    */
+  final class TagProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "tag") {
+    override def description(): String =
+      "pin a named, vacuum-protected reference to a table version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("name", StringType),
+      inDefault("version", LongType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val name = input.getUTF8String(1).toString
+      val v = input.getLong(2) match {
+        case -1L => st.current.map(_._1).getOrElse(
+          throw new IllegalStateException("cannot tag an empty table"))
+        case x => x
+      }
+      st.setTag(name, v)
+      one(outSchema, utf8(name), v)
+    }
+  }
+
+  /** `CALL graft.system.untag(table => 'ns.t', name => 'prod-2026-08')` —
+    * drop a tag; the version rejoins normal vacuum retention.
+    */
+  final class UntagProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "untag") {
+    override def description(): String = "drop a named version reference"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("name", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("existed", org.apache.spark.sql.types.BooleanType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val name = input.getUTF8String(1).toString
+      val existed = st.tags.contains(name)
+      st.deleteTag(name)
+      one(outSchema, utf8(name), existed)
+    }
+  }
+
+  /** `CALL graft.system.tags(table => 'ns.t')` — list the table's named
+    * version references.
+    */
+  final class TagsProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "tags") {
+    override def description(): String = "list named version references"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rows = store(input).tags.toSeq.sortBy(_._1).map { case (n, v) =>
+        new GenericInternalRow(Array[Any](utf8(n), v)): InternalRow
+      }
+      java.util.List.of[Scan](
+        ResultScan(outSchema, rows.toArray)).iterator()
+    }
+  }
+
   final class HistoryProcedure(catalog: GraftCatalog)
     extends GraftProcedure(catalog, "history") {
     override def description(): String = "per-version commit history"

@@ -168,7 +168,17 @@ object GraftTable {
         "set either versionAsOf or timestampAsOf, not both")
       case (None, None) => cur
       case (Some(vs), None) =>
-        val v = vs.toLong
+        // a non-numeric value is a TAG (named version reference): SQL
+        // `VERSION AS OF 'name'` and option("versionAsOf", name) resolve
+        // through the store's _TAGS file — Iceberg's tag-read spelling
+        val v = vs.trim.toLongOption.getOrElse(
+          probe.tags.getOrElse(vs.trim, {
+            val known = probe.tags.keys.toSeq.sorted
+            throw new IllegalArgumentException(
+              s"versionAsOf '$vs' is neither a version number nor a tag of " +
+                s"$root (" + (if (known.isEmpty) "no tags set"
+                else s"tags: ${known.mkString(", ")}") + ")")
+          }))
         if (v > cur.version) throw new IllegalArgumentException(
           s"versionAsOf $v is beyond current version ${cur.version} of $root")
         probe.manifest(v).getOrElse(throw new IllegalArgumentException(
