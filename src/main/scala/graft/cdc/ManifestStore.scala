@@ -460,6 +460,37 @@ object ManifestStore {
       ()
     }
 
+  /** Hardlink (copy on filesystems without link support) every artifact a
+    * manifest entry references — data file, DV sidecar (a directory),
+    * Bloom blobs, KMV sketch — from `fromRoot/files` into `toRoot/files`,
+    * skipping names already present (shared files). Zero data I/O on any
+    * POSIX filesystem; the clone/publish metadata paths ride on it.
+    */
+  private[cdc] def linkEntryArtifacts(fromRoot: String, toRoot: String,
+                                      f: FileEntry): Unit = {
+    def linkOne(src: Path, dst: Path): Unit =
+      if (!Files.exists(dst)) {
+        try { Files.createLink(dst, src); () }
+        catch {
+          case _: UnsupportedOperationException | _: SecurityException =>
+            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    def link(rel: String): Unit = {
+      val src = Paths.get(fromRoot, "files", rel)
+      val dst = Paths.get(toRoot, "files", rel)
+      if (Files.isDirectory(src)) { // a deletion-vector sidecar directory
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.iterator().asScala.foreach(p =>
+          linkOne(p, dst.resolve(p.getFileName.toString)))
+        finally s.close()
+      } else linkOne(src, dst)
+    }
+    link(f.name); f.dv.foreach(link); f.bloom.foreach(link)
+    f.colBlooms.values.foreach(link); f.kmv.foreach(link)
+  }
+
   def readTableProps(root: String): Map[String, String] = {
     val p = Paths.get(root, "_TBLPROPS")
     if (!Files.exists(p)) Map.empty
@@ -1812,41 +1843,66 @@ final class ManifestStore(val root: String, spark: SparkSession,
     require(!Files.exists(tgt.resolve("_CURRENT")),
       s"clone target $targetRoot is already a graft table")
     Files.createDirectories(tgt.resolve("files"))
-    def linkOne(src: Path, dst: Path): Unit =
-      if (!Files.exists(dst)) {
-        try { Files.createLink(dst, src); () }
-        catch {
-          case _: UnsupportedOperationException | _: SecurityException =>
-            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
-        }
-      }
-    def link(rel: String): Unit = {
-      val src = Paths.get(root, "files", rel)
-      val dst = tgt.resolve("files").resolve(rel)
-      if (Files.isDirectory(src)) { // a deletion-vector sidecar directory
-        Files.createDirectories(dst)
-        val s = Files.list(src)
-        try s.iterator().asScala.foreach(p =>
-          linkOne(p, dst.resolve(p.getFileName.toString)))
-        finally s.close()
-      } else linkOne(src, dst)
-    }
-    m.files.foreach { f =>
-      link(f.name); f.dv.foreach(link); f.bloom.foreach(link)
-      f.colBlooms.values.foreach(link); f.kmv.foreach(link)
-    }
-    val props = Paths.get(root, "_TBLPROPS")
-    if (Files.exists(props)) {
-      Files.copy(props, tgt.resolve("_TBLPROPS"),
-        StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+    m.files.foreach(f =>
+      ManifestStore.linkEntryArtifacts(root, targetRoot, f))
+    // WAP provenance: the clone records where it was cut from and at
+    // which version, so [[publishFrom]] can later adopt its audited
+    // manifest back into the source iff the source has not moved
+    ManifestStore.writeTableProps(targetRoot,
+      ManifestStore.readTableProps(root) +
+        ("wap.source" -> Paths.get(root).toAbsolutePath.normalize.toString,
+          "wap.base" -> m.version.toString))
     val target = new ManifestStore(targetRoot, spark, keyField)
     target.writeManifestAndSwap(0L, 0L, streamId, m.schemaDDL, m.files,
       m.statsCols, mappingOverride = Some((m.colMap, m.droppedPhys)))
     0L
     }
   }
+
+  /** Write-audit-publish (Iceberg's WAP, done with [[cloneTo]]'s
+    * zero-copy clones instead of branches): cut a staging clone, run any
+    * writes and audits against it in isolation, then PUBLISH — adopt the
+    * staging table's CURRENT manifest as this table's next version. The
+    * publish is pure metadata: files the staging table added are
+    * hardlinked in (O(#new files) link calls, zero data I/O), files it
+    * shares with this table are already here under the same names, and
+    * the manifest swap is the store's usual atomic commit. Refuses
+    * loudly when this table moved since the clone was cut (the audit's
+    * verdict no longer describes a publishable state — re-clone,
+    * re-audit), or when `stagingRoot` was not cloned from this table.
+    */
+  def publishFrom(stagingRoot: String): Long =
+    SnapshotStore.withCommitLock(root) {
+      val sProps = ManifestStore.readTableProps(stagingRoot)
+      val thisRoot = Paths.get(root).toAbsolutePath.normalize.toString
+      val srcRec = sProps.getOrElse("wap.source",
+        throw new IllegalArgumentException(
+          s"$stagingRoot is not a WAP staging clone (no wap.source " +
+            "recorded — cut one with cloneTo / CALL graft.system.clone)"))
+      require(srcRec == thisRoot,
+        s"staging clone $stagingRoot was cut from $srcRec, not $thisRoot")
+      val baseV = sProps.get("wap.base").flatMap(_.toLongOption).getOrElse(
+        throw new IllegalArgumentException(
+          s"$stagingRoot carries no parseable wap.base version"))
+      val curV = current.map(_._1).getOrElse(throw new IllegalStateException(
+        s"no current version at $root — nothing to publish onto"))
+      if (curV != baseV) throw new IllegalStateException(
+        s"cannot publish $stagingRoot onto $root: the table moved from " +
+          s"version $baseV (the clone's base) to $curV — the audited " +
+          "state is stale; re-clone, re-audit, re-publish")
+      val staging = new ManifestStore(stagingRoot, spark, keyField)
+      val sm = staging.currentManifest.getOrElse(
+        throw new IllegalStateException(
+          s"staging clone $stagingRoot has no current version"))
+      require(sm.keyField == keyField,
+        s"staging key '${sm.keyField}' != target key '$keyField'")
+      sm.files.foreach(f =>
+        ManifestStore.linkEntryArtifacts(stagingRoot, root, f))
+      writeManifestAndSwap(curV + 1, curV + 1, "wap-publish",
+        sm.schemaDDL, sm.files, sm.statsCols,
+        mappingOverride = Some((sm.colMap, sm.droppedPhys)))
+      curV + 1
+    }
 
   /** Distributed bulk lookup: the table rows from ONLY the files whose key
     * range intersects the key set in `keys` (a DataFrame with a

@@ -330,6 +330,42 @@ object DsvQueries {
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
     }),
+    "dsv2_wap_publish" -> ((s, dir) => {
+      // write-audit-publish over zero-copy clones (Iceberg's WAP without
+      // branches): cut a staging clone, run the risky write + audits
+      // against it in isolation, then PUBLISH — adopt the audited
+      // manifest as the table's next version, pure metadata (new files
+      // hardlink in, shared files are already present). Gates: the
+      // published manifest is byte-identical to the staged one
+      // (metadata-only adoption), the pre-publish version stays
+      // time-travel readable, and a second publish from the now-stale
+      // clone refuses loudly (the base moved).
+      val root = scratch("wap", dir)
+      val stage = scratch("wap_stage", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8) // v0
+        st.cloneTo(stage)                                    // staging @ v0
+        val sg = new ManifestStore(stage, s, "c_custkey")
+        sg.deleteWhere(col("c_mktsegment") === lit("MACHINERY"),
+          batchId = 1)                                       // audited write
+        st.publishFrom(stage)                                // v1 = audited
+      }
+      val sg = new ManifestStore(stage, s, "c_custkey")
+      val metadataOnly = st.currentManifest.get.files.map(_.name).toSet ==
+        sg.currentManifest.get.files.map(_.name).toSet
+      val preserved = s.read.format("graft")
+        .option("versionAsOf", "0").load(root).count() >
+        s.read.format("graft").load(root).count()
+      val staleRefused = scala.util.Try(st.publishFrom(stage))
+        .failed.toOption.exists(_.getMessage.contains("moved"))
+      s.read.format("graft").load(root)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .withColumn("wap_metadata_only", lit(metadataOnly))
+        .withColumn("wap_history_preserved", lit(preserved))
+        .withColumn("wap_stale_refused", lit(staleRefused))
+    }),
     "dsv2_bloom_skip" -> ((s, dir) => {
       // per-file key Bloom filters (table property `bloomfilter`) where
       // zone maps are blind: a BUCKETED table's files each span ~the whole
@@ -1200,6 +1236,14 @@ object DsvQueries {
         |       TRUE AS tt_before_err, TRUE AS tt_after_err,
         |       TRUE AS tt_both_err, TRUE AS tt_v1_newer
         |FROM customer""".stripMargin,
+
+    // the published table must hold exactly the audited (post-delete)
+    // content, with all three WAP gates true
+    "dsv2_wap_publish" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       TRUE AS wap_metadata_only, TRUE AS wap_history_preserved,
+        |       TRUE AS wap_stale_refused
+        |FROM customer WHERE c_mktsegment <> 'MACHINERY'""".stripMargin,
 
     // the tag must read the FULL pre-delete table, with all four gates true
     "dsv2_time_travel_tag" ->

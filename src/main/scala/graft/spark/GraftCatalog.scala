@@ -495,6 +495,7 @@ private[spark] object GraftProcedures {
     "detail"   -> (c => new DetailProcedure(c)),
     "restore"  -> (c => new RestoreProcedure(c)),
     "clone"    -> (c => new CloneProcedure(c)),
+    "publish"  -> (c => new PublishProcedure(c)),
     "tag"      -> (c => new TagProcedure(c)),
     "untag"    -> (c => new UntagProcedure(c)),
     "tags"     -> (c => new TagsProcedure(c)),
@@ -720,6 +721,31 @@ private[spark] object GraftProcedures {
       val targetRoot = catalog.newTableRoot(input.getUTF8String(1).toString)
       val v = st.cloneTo(targetRoot)
       one(outSchema, st.currentManifest.map(_.files.size).getOrElse(0), v)
+    }
+  }
+
+  /** `CALL graft.system.publish(table => 'db.t', staging => 'db.t_wap')`
+    * — write-audit-publish: adopt the audited staging clone's current
+    * manifest as the table's next version (pure metadata — new files
+    * hardlink in, shared files are already present). Refuses when the
+    * table moved since the clone was cut or the clone came from another
+    * table.
+    */
+  final class PublishProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "publish") {
+    override def description(): String =
+      "adopt an audited staging clone's state as the table's next version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("staging", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("published_files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val target = store(input)
+      val staging = catalog.storeFor(input.getUTF8String(1).toString)
+      val v = target.publishFrom(staging.root)
+      one(outSchema, v,
+        target.currentManifest.map(_.files.size).getOrElse(0))
     }
   }
 
