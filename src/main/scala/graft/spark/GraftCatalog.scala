@@ -688,14 +688,26 @@ private[spark] object GraftProcedures {
     override def description(): String =
       "reset table content to a past version (history preserved)"
     override def parameters(): Array[ProcedureParameter] = Array(
-      in("table", StringType), in("version", LongType))
+      in("table", StringType), inDefault("version", LongType, "-1"),
+      inDefault("tag", StringType, "''"))
     private val outSchema = StructType(Seq(
       StructField("restored_to", LongType),
       StructField("new_version", LongType),
       StructField("files", IntegerType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val st = store(input)
-      val target = input.getLong(1)
+      // exactly one of version / tag names the restore point
+      val tagName = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty)
+      val target = (input.getLong(1), tagName) match {
+        case (v, None) if v >= 0 => v
+        case (-1L, Some(t)) => st.tags.getOrElse(t,
+          throw new IllegalArgumentException(
+            s"'$t' is not a tag of the table (tags: " +
+              s"${st.tags.keys.toSeq.sorted.mkString(", ")})"))
+        case _ => throw new IllegalArgumentException(
+          "pass exactly one of version => N or tag => 'name'")
+      }
       val v = st.restore(target)
       one(outSchema, target, v,
         st.currentManifest.map(_.files.size).getOrElse(0))

@@ -98,7 +98,13 @@ object GraftCdf {
   private[spark] def resolveStart(store: ManifestStore, root: String,
                                   options: Map[String, String]): Option[Long] = {
     val sv = options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("startingversion") => v.toLong }
+      // a non-numeric value is a TAG (named version reference) — the
+      // same resolution the batch reader's versionAsOf does
+      case (k, v) if k.equalsIgnoreCase("startingversion") =>
+        v.trim.toLongOption.getOrElse(store.tags.getOrElse(v.trim,
+          throw new IllegalArgumentException(
+            s"startingVersion '$v' is neither a version number nor a " +
+              s"tag of $root"))) }
     val st = options.collectFirst {
       case (k, v) if k.equalsIgnoreCase("startingtimestamp") => v }
     require(sv.isEmpty || st.isEmpty,

@@ -3,8 +3,11 @@ package graft.spark
 import graft.cdc.ManifestStore
 import org.apache.spark.sql.SparkSession
 
-/** Opt-in auto-compaction for streaming ingest (table property
-  * `autocompact.files=N`): every sink epoch commits files, and at
+/** Opt-in maintenance window for streaming ingest — auto-compaction
+  * (table property `autocompact.files=N`) and snapshot retention
+  * (`retention.versions=N` [+ `retention.minagems`], which runs
+  * `vacuum(keepLast = N)` in the same off-thread window; tagged versions
+  * stay pinned regardless). Every sink epoch commits files, and at
   * production trigger rates the accreting small files are the classic
   * ingest killer — `CALL graft.system.optimize` exists but only by hand.
   * After each epoch commit the sink asks this scheduler to probe the
@@ -53,9 +56,14 @@ object GraftMaintenance {
     */
   def maybeSchedule(root: String, spark: SparkSession, key: String): Unit = {
     val props = ManifestStore.readTableProps(root)
-    val boundOpt = props.get("autocompact.files").flatMap(_.toIntOption)
+    val bound = props.get("autocompact.files").flatMap(_.toIntOption)
       .filter(_ > 0)
-    val bound = boundOpt.getOrElse(return)
+    // retention.versions=N: the same maintenance window also runs
+    // vacuum(keepLast = N) — tagged versions stay pinned regardless, so
+    // "keep the last N plus every tag" is the combined retention policy
+    val keep = props.get("retention.versions").flatMap(_.toIntOption)
+      .filter(_ >= 1)
+    if (bound.isEmpty && keep.isEmpty) return
     val rootKey = java.nio.file.Paths.get(root)
       .toAbsolutePath.normalize.toString
     val n = slots.compute(rootKey, (_, v) => if (v == null) 1 else v + 1)
@@ -66,7 +74,22 @@ object GraftMaintenance {
     inFlight.incrementAndGet()
     pool.submit(new Runnable {
       override def run(): Unit =
-        try compactIfNeeded(root, spark, key, bound, props)
+        try {
+          bound.foreach(b => compactIfNeeded(root, spark, key, b, props))
+          keep.foreach { k =>
+            // minAge guards LIVE writers: vacuum reaps stage dirs and
+            // unreferenced files older than the cutoff, and an in-flight
+            // epoch's staging is exactly that at minAge=0 (observed: the
+            // reaper deleted a task's staged parquet mid-commit). Default
+            // 10 min — far above any epoch's derivation time; override
+            // via retention.minagems only with slower-than-that writers
+            // in mind
+            new ManifestStore(root, spark, key).vacuum(keepLast = k,
+              minAgeMillis = props.get("retention.minagems")
+                .flatMap(_.toLongOption).getOrElse(600000L))
+            ()
+          }
+        }
         catch { case _: Throwable => () } // lost CAS / vanished table: next epoch re-probes
         finally {
           slots.compute(rootKey, (_, v) => if (v <= 1) null else v - 1)

@@ -102,4 +102,28 @@ class WapSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM wpc.db.t WHERE id = 3").collect()
       .head.getString(0) === "c")
   }
+
+  test("publish adopts staging schema evolution (audited ADD COLUMN)") {
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_wap_se_wh_").toString
+    spark.conf.set("spark.sql.catalog.wse", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wse.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wse.db")
+    spark.sql("CREATE TABLE wse.db.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO wse.db.t VALUES (1, 'a')")
+    spark.sql("CALL wse.system.clone(source => 'db.t', target => 'db.t_se')")
+    // the risky DDL + backfill happen on the staging table, audited there
+    spark.sql("ALTER TABLE wse.db.t_se ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO wse.db.t_se VALUES (2, 'b', 0.5)")
+    assert(spark.sql("DESCRIBE wse.db.t").collect()
+      .count(_.getString(0) == "score") === 0,
+      "the DDL must stay isolated until publish")
+    spark.sql("CALL wse.system.publish(table => 'db.t', staging => 'db.t_se')")
+    val rows = spark.sql(
+      "SELECT id, v, score FROM wse.db.t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 0.5)
+  }
 }

@@ -327,7 +327,8 @@ class GraftStreamingSinkSpec extends SparkSpec {
       val root = tmp(tag) + "/store"
       val ck = tmp(tag + "ck")
       bound.foreach(b => ManifestStore.writeTableProps(root,
-        Map("autocompact.files" -> b.toString)))
+        Map("autocompact.files" -> b.toString,
+          "retention.versions" -> "3")))
       val ms = MemoryStream[(Long, String)]
       val q = ms.toDF().toDF("id", "v")
         .writeStream.format("graft")
@@ -363,5 +364,11 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(boundedFiles <= 6,
       s"autocompact leg ended at $boundedFiles files (bound 6, " +
         s"unbounded leg: $unbounded)")
+    // retention.versions=3 ran vacuum in the same maintenance window:
+    // the earliest versions' manifests are reaped on the bounded leg
+    val acStore = new ManifestStore(acRoot, spark, "id")
+    assert(acStore.manifest(0L).isEmpty,
+      "retention.versions must reap versions below the keep window")
+    assert(acStore.manifest(acStore.current.get._1).isDefined)
   }
 }
