@@ -113,10 +113,18 @@ object Bench {
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
     // the prior round's control time, for the drift normalization; a
-    // baseline without one (first round after this lands) means drift 1.0
-    val priorControl: Option[Double] = baselineTxt.flatMap(txt =>
-      """"control":(-?[0-9.eE+-]+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble).filter(_ > 0.0))
+    // baseline without one (first round after this lands) means drift 1.0.
+    // MIN of the prior run's start/end controls: the control measures
+    // machine capability, so its BEST sample is the least
+    // load-contaminated one (the r12 close recorded 3.367 at start and
+    // 1.846 at end — the 3.367 was load, and dividing today's 1.1 s
+    // control by it manufactured a phantom 3x "speedup")
+    val priorControl: Option[Double] = baselineTxt.flatMap { txt =>
+      val vals = Seq("control", "control_end", "control_min").flatMap(k =>
+        (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0.0))
+      if (vals.isEmpty) None else Some(vals.min)
+    }
     val drift: Double = priorControl.map(pc => control / pc).getOrElse(1.0)
     // the control curve at instant t (piecewise-linear between samples,
     // clamped at the ends) and the LOCAL machine drift vs the prior
@@ -134,8 +142,17 @@ object Bench {
         if (t1 <= t0) c1 else c0 + (c1 - c0) * ((t - t0) / (t1 - t0))
       }
     }
+    // FLOORED AT 1.0: the divisor below may only ever DEFLATE a time.
+    // drift > 1 (machine slower now) explains away apparent regressions
+    // that co-moved with the control — the r12 mid-run 3.3x slump case.
+    // drift < 1 (machine faster now) must NOT inflate times: the
+    // control-to-query transfer of a speedup factor is unreliable
+    // (observed this round: raw drift 0.335 inflated every query 3x and
+    // flagged 8 phantom regressions on an untouched suite); with the
+    // floor, a faster machine falls back to the absolute-move criterion,
+    // which still catches any real >1.3x regression.
     def driftAt(t: Double): Double =
-      priorControl.map(pc => math.max(0.25, controlAt(t) / pc)).getOrElse(1.0)
+      priorControl.map(pc => math.max(1.0, controlAt(t) / pc)).getOrElse(1.0)
 
     // timestamp of the run that produced each query's reported time (the
     // re-time pass updates it when its rerun wins min-of-passes)
@@ -242,6 +259,7 @@ object Bench {
     def fmtC(v: Double) = fmt(v)
     val controlBlock =
       s""""control":${fmtC(control)},"control_end":${fmtC(controlEnd)},""" +
+        s""""control_min":${fmtC((controlSamples.map(_._2) :+ controlEnd).min)},""" +
         s""""control_prev":${priorControl.map(fmtC).getOrElse(-1)},""" +
         s""""drift":${fmtC(drift)}"""
     // the full control curve (suite-relative instant, seconds) — the

@@ -446,6 +446,27 @@ object ManifestStore {
     */
   val CheckpointInterval = 10L
 
+  /** Validate the typed table properties at the WRITE boundary — a
+    * malformed `autocompact.files` must fail the CREATE/ALTER that set
+    * it, not silently disable maintenance at ingest time (the same
+    * fail-fast contract `bloomfilter` got in round 13's ADVICE fix).
+    * Unknown keys pass through: user metadata is legal.
+    */
+  private def validateTableProps(props: Map[String, String]): Unit = {
+    def posInt(k: String): Unit = props.get(k).foreach(v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"table property $k must be a positive integer, got '$v'"))
+    posInt("autocompact.files")
+    posInt("retention.versions")
+    posInt("buckets")
+    props.get("retention.minagems").foreach(v =>
+      require(v.toLongOption.exists(_ >= 0L),
+        s"table property retention.minagems must be a non-negative " +
+          s"integer of milliseconds, got '$v'"))
+    bloomParams(props) // throws its own typed error on junk
+    ()
+  }
+
   /** Table properties live in `<root>/_TBLPROPS` as one `k=v` per line
     * (keys lowercased) — table metadata IS the filesystem, like the rest
     * of the store. Shared by the SQL catalog (TBLPROPERTIES) and the store
@@ -453,6 +474,7 @@ object ManifestStore {
     */
   def writeTableProps(root: String, props: Map[String, String]): Unit =
     if (props.nonEmpty) {
+      validateTableProps(props.map { case (k, v) => k.toLowerCase -> v })
       Files.createDirectories(Paths.get(root))
       Files.write(Paths.get(root, "_TBLPROPS"),
         props.map { case (k, v) => s"${k.toLowerCase}=$v" }

@@ -672,6 +672,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("mor").contains("true"))
   }
 
+  test("malformed maintenance properties fail at DDL time, not ingest time") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("DROP TABLE IF EXISTS gct.db.bp")
+    sql("CREATE TABLE gct.db.bp (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    // a typo'd value must refuse HERE — silently disabling maintenance
+    // at ingest time is the failure mode this guards against
+    intercept[Exception](sql("ALTER TABLE gct.db.bp SET TBLPROPERTIES " +
+      "('autocompact.files'='soon')"))
+    intercept[Exception](sql("ALTER TABLE gct.db.bp SET TBLPROPERTIES " +
+      "('retention.versions'='0')"))
+    intercept[Exception](sql("CREATE TABLE gct.db.bp2 (id BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'autocompact.files'='yes')"))
+    // valid values still land
+    sql("ALTER TABLE gct.db.bp SET TBLPROPERTIES " +
+      "('autocompact.files'='8', 'retention.versions'='3')")
+    val props = sql("SHOW TBLPROPERTIES gct.db.bp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("autocompact.files").contains("8"))
+    assert(props.get("retention.versions").contains("3"))
+  }
+
   private def storeFiles(rel: String): Int = {
     val d = java.nio.file.Paths.get(warehouse, rel, "files")
     if (!java.nio.file.Files.isDirectory(d)) 0
