@@ -31,11 +31,15 @@ class ManifestStoreConcurrencySpec extends SparkSpec {
     st
   }
 
-  /** Every data file or sidecar on disk that no retained manifest references. */
+  /** Every data file or sidecar on disk that no retained manifest
+    * references — ALL sidecar kinds count (dv, bloom, column blooms,
+    * kmv), or a live sketch reads as an orphan.
+    */
   private def orphans(st: ManifestStore): Seq[String] = {
     val referenced = (0L to st.current.get._1)
       .flatMap(st.manifest(_).toSeq.flatMap(_.files.flatMap(f =>
-        f.name +: f.dv.toSeq))).toSet
+        f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++ f.colBlooms.values ++
+          f.kmv.toSeq)))).toSet
     val s = Files.list(Paths.get(st.root, "files"))
     try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
       .map(_.getFileName.toString).filterNot(referenced)

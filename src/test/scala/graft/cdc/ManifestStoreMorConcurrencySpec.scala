@@ -37,7 +37,9 @@ class ManifestStoreMorConcurrencySpec extends SparkSpec {
   private def orphans(st: ManifestStore): Seq[String] = {
     val referenced = (0L to st.current.get._1)
       .flatMap(st.manifest(_).toSeq.flatMap(m =>
-        m.cdcFile.toSeq ++ m.files.flatMap(f => f.name +: f.dv.toSeq))).toSet
+        m.cdcFile.toSeq ++ m.files.flatMap(f =>
+          f.name +: (f.dv.toSeq ++ f.bloom.toSeq ++ f.colBlooms.values ++
+            f.kmv.toSeq)))).toSet
     val s = Files.list(Paths.get(st.root, "files"))
     try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
       .map(_.getFileName.toString).filterNot(referenced)
