@@ -330,6 +330,42 @@ object DsvQueries {
       Seq((restored, cloneRows, srcRows, histOk))
         .toDF("restored_rows", "clone_rows", "src_rows", "independent")
     }),
+    "dsv2_autocompact" -> ((s, dir) => {
+      // the streaming maintenance window (table property
+      // `autocompact.files=N`): 8 scattered MoR insert epochs, each
+      // followed by the sink's off-thread probe — content must be EXACT
+      // and the final layout bounded, with compaction never inline on
+      // the commit path (GraftMaintenanceSpec/AutoCompactBench carry the
+      // scoping and scale evidence; this row puts the feature under the
+      // DuckDB gate)
+      val root = scratch("acq", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists) {
+        graft.cdc.ManifestStore.writeTableProps(root,
+          Map("autocompact.files" -> "4"))
+        st.commit(customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+          batchId = 0, nFiles = 4)
+        (1 to 8).foreach { e =>
+          import s.implicits._
+          st.mergeOnReadLocked(
+            (0 until 10).map { j =>
+              val k = 100000L + (e - 1) * 10 + j
+              (k.toString, "u", e.toLong, k, e.toDouble)
+            }.toDF(graft.cdc.Changelog.KeyCol, graft.cdc.Changelog.OpCol,
+              graft.cdc.Changelog.TsCol, "after_c_custkey",
+              "after_c_acctbal"),
+            Seq("c_custkey", "c_acctbal"), batchId = e.toLong,
+            streamId = "acq", tsGuard = false)
+          graft.spark.GraftMaintenance.maybeSchedule(root, s, "c_custkey")
+        }
+        graft.spark.GraftMaintenance.drain()
+        ()
+      }
+      val bounded = st.currentManifest.get.files.size <= 8
+      s.read.format("graft").load(root)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("ac_files_bounded", lit(bounded))
+    }),
     "dsv2_wap_publish" -> ((s, dir) => {
       // write-audit-publish over zero-copy clones (Iceberg's WAP without
       // branches): cut a staging clone, run the risky write + audits
@@ -1236,6 +1272,15 @@ object DsvQueries {
         |       TRUE AS tt_before_err, TRUE AS tt_after_err,
         |       TRUE AS tt_both_err, TRUE AS tt_v1_newer
         |FROM customer""".stripMargin,
+
+    // maintained-under-compaction content: the base table plus every
+    // synthetic epoch row, acctbal = its epoch, layout gate true
+    "dsv2_autocompact" ->
+      """SELECT c_custkey, c_acctbal, TRUE AS ac_files_bounded FROM customer
+        |UNION ALL
+        |SELECT 100000 + i, CAST(FLOOR(i / 10) + 1 AS DOUBLE),
+        |       TRUE AS ac_files_bounded
+        |FROM range(80) t(i)""".stripMargin,
 
     // the published table must hold exactly the audited (post-delete)
     // content, with all three WAP gates true
