@@ -206,6 +206,84 @@ object ManifestStore {
     (cols, bloomParams(props).getOrElse((65536, 6)))
   }
 
+  /** Parse the `stats.truncate` table property: the UTF-8 byte budget a
+    * STRING zone-map stat may occupy in the manifest (Iceberg's
+    * `write.metadata.metrics.*=truncate(N)`). Without it, string min/max
+    * store FULL values — on a 100 TB text corpus whose zone map tracks a
+    * document column, that puts two document-sized strings per file into
+    * every checkpoint (100k files x KBs = GB-scale manifests whose parse
+    * IS the planning cost). With it, over-budget values store WIDENED
+    * bounds: min truncates to a codepoint-boundary prefix (<= the real
+    * min), max truncates and INCREMENTS its last codepoint (> every value
+    * sharing the prefix, [[truncMax]]) — so every range/prefix/equality
+    * pruning consumer stays sound by over-keeping, while consumers that
+    * need EXACT values (string MIN/MAX aggregate pushdown) refuse via
+    * [[aggFromStats]]' gate. One-way: the catalog refuses UNSET, because
+    * files already carrying widened bounds would then be trusted as
+    * exact. Partition columns are exempt ([[writeDataFiles]]): their
+    * per-file min==max purity is load-bearing for overwrite
+    * classification and grouped pushdown, and a pure file stores one
+    * value either way. Validated by [[validateTableProps]].
+    */
+  def statsTruncate(props: Map[String, String]): Option[Int] =
+    props.get("stats.truncate").flatMap(_.trim.toIntOption).filter(_ > 0)
+
+  /** The longest codepoint-boundary prefix of `s` whose UTF-8 encoding
+    * fits `n` bytes — a sound LOWER bound (binary UTF-8 order, which is
+    * codepoint order) for `s` and every string extending the prefix. A
+    * value that already fits returns unchanged (exact).
+    */
+  def truncMin(s: String, n: Int): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4
+      if (bytes + w > n) return sb.toString
+      sb.appendCodePoint(cp)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s // fits — exact
+  }
+
+  /** A sound UPPER bound for `s` within ~`n` UTF-8 bytes: truncate to the
+    * codepoint-boundary prefix, then increment the last incrementable
+    * codepoint and drop everything after it — the result sorts strictly
+    * ABOVE every string sharing the prefix (so above `s`). Values that
+    * fit return unchanged (exact); a prefix of all-U+10FFFF codepoints
+    * (no increment possible) falls back to the FULL value — soundness
+    * over size. The increment skips the surrogate hole (U+D7FF bumps to
+    * U+E000) so the stored stat stays valid UTF-8. Because an
+    * incremented bound is strictly greater than the real max while a
+    * truncated min is strictly smaller than the real min, a widened
+    * file can NEVER report min == max — so min==max keeps implying the
+    * stats are exact, which is what keeps group-purity and
+    * single-value-file reasoning sound with no extra gate.
+    */
+  def truncMax(s: String, n: Int): String = {
+    if (s == null) return null
+    val p = truncMin(s, n)
+    if (p eq s) return s // fits — exact
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < Character.MAX_CODE_POINT) {
+        val inc = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+        sb.appendCodePoint(inc)
+        return sb.toString
+      }
+      i -= 1
+    }
+    s // un-incrementable prefix — keep the full value (sound)
+  }
+
   /** A data file STAGED by a DSv2 clustered task writer, carrying the
     * stats the writer folded while writing: raw EXTERNAL JVM values
     * (String/Long/java.sql.Timestamp/...), min/max per statted column with
@@ -459,6 +537,12 @@ object ManifestStore {
     posInt("autocompact.files")
     posInt("retention.versions")
     posInt("buckets")
+    posInt("stats.truncate")
+    posInt("clustering.bits")
+    props.get("clustering.cols").foreach(v => require(
+      v.split(",").map(_.trim).count(_.nonEmpty) >= 2,
+      s"table property clustering.cols must list >= 2 comma-separated " +
+        s"columns, got '$v'"))
     props.get("retention.minagems").foreach(v =>
       require(v.toLongOption.exists(_ >= 0L),
         s"table property retention.minagems must be a non-negative " +
@@ -1514,9 +1598,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
       case Some(cs) => cs
       case None     => return None
     }
+    // a `stats.truncate` table turns string zone-map stats into WIDENED
+    // bounds — fine for pruning (over-keeps), fatal for MIN/MAX answers
+    // (the bound is not a value the column holds); the key's stats stay
+    // exact, so only non-key string columns lose the pushdown
+    lazy val truncOn = ManifestStore.statsTruncate(
+      ManifestStore.readTableProps(root)).isDefined
     def minMax(c: String, isMin: Boolean): Option[Any] = {
       if (!(c == keyField || m.statsCols.contains(c)) ||
           !schema.fieldNames.contains(c)) return None
+      if (c != keyField && truncOn &&
+          schema(c).dataType == org.apache.spark.sql.types.StringType)
+        return None
       if (candidates.exists(_.dv.isDefined)) return None
       if (!candidates.forall(f => colRange(m, f, c).isDefined &&
           nullsOf(m, f, c).isDefined)) return None
@@ -1586,6 +1679,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
       case None     => return None
     }
     def statted(c: String): Boolean = c == keyField || m.statsCols.contains(c)
+    // group PURITY stays sound under `stats.truncate` with no gate: a
+    // widened file's min is strictly below and its max strictly above the
+    // real bounds ([[ManifestStore.truncMax]]), so min == max still
+    // implies the stats are exact — but a string MIN/MAX AGGREGATE would
+    // combine widened bounds into a value the column never held, so
+    // needRange answers refuse on truncated string columns (key exempt)
+    lazy val truncOn = ManifestStore.statsTruncate(
+      ManifestStore.readTableProps(root)).isDefined
     val pure = groupCols.forall(g => statted(g) &&
       schema.fieldNames.contains(g) &&
       candidates.forall(f => nullsOf(m, f, g).contains(0L) &&
@@ -1594,7 +1695,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val masked = candidates.exists(_.dv.isDefined)
     def colAnswerable(c: String, needRange: Boolean): Boolean =
       schema.fieldNames.contains(c) && !masked &&
-        (!needRange || statted(c)) &&
+        (!needRange || (statted(c) && !(c != keyField && truncOn &&
+          schema(c).dataType == org.apache.spark.sql.types.StringType))) &&
         candidates.forall(f => nullsOf(m, f, c).isDefined &&
           (!needRange || colRange(m, f, c).isDefined))
     val answerable = aggs.forall {
@@ -2050,6 +2152,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
       .filter(df.columns.contains)
     val partCol: Option[String] = Some(partCols).filter(_.nonEmpty)
       .map(_ => partCols.mkString(","))
+    // STRING zone-map stats widen to `stats.truncate` UTF-8 bytes
+    // ([[ManifestStore.statsTruncate]]); partition columns stay exact on
+    // EVERY write path (including z-order rewrites, where partCols above
+    // is emptied by clusterBy) — their min==max purity classifies files
+    // for INSERT OVERWRITE and grouped pushdown
+    val statTrunc: Option[Int] = ManifestStore.statsTruncate(tableProps)
+    val truncExempt: Set[String] = tableProps.get("partitioncol").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    def truncStat(c: String, mn: String, mx: String): (String, String) =
+      statTrunc match {
+        case Some(n) if mn != null && !truncExempt.contains(c) &&
+            statDt(c) == org.apache.spark.sql.types.StringType =>
+          (ManifestStore.truncMin(mn, n), ManifestStore.truncMax(mx, n))
+        case _ => (mn, mx)
+      }
     // BUCKETED tables (table property `buckets=N`): rows hash-bucket by
     // pmod(murmur3(key), N) and files are bucket-PURE, so the DSv2 scan
     // reports KeyGroupedPartitioning and keyed self-joins / key-grouped
@@ -2210,7 +2327,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // stats keys are PHYSICAL names: stable across renames, so a
       // pre-rename file's zone map keeps answering post-rename queries
       val cols = sCols.zipWithIndex.map { case (c, i) =>
-        physName(c) -> (r.getString(4 + 3 * i), r.getString(5 + 3 * i))
+        physName(c) -> truncStat(c,
+          r.getString(4 + 3 * i), r.getString(5 + 3 * i))
       }.toMap
       val nulls = sCols.zipWithIndex.map { case (c, i) =>
         physName(c) -> r.getLong(6 + 3 * i)
@@ -2280,6 +2398,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val keyDt = schema(keyField).dataType
     val sCols = statsCols.filter(c => c != keyField &&
       schema.fieldNames.contains(c))
+    // the SAME `stats.truncate` widening as the clustering writer — stat
+    // strings must stay identical between promoted and rewritten files,
+    // and the partition-column exemption must match too
+    val adoptProps = ManifestStore.readTableProps(root)
+    val statTrunc = ManifestStore.statsTruncate(adoptProps)
+    val truncExempt: Set[String] = adoptProps.get("partitioncol").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    def truncStat(c: String, mn: String, mx: String): (String, String) =
+      statTrunc match {
+        case Some(n) if mn != null && !truncExempt.contains(c) &&
+            schema(c).dataType == org.apache.spark.sql.types.StringType =>
+          (ManifestStore.truncMin(mn, n), ManifestStore.truncMax(mx, n))
+        case _ => (mn, mx)
+      }
     // one row per staged file; columns typed as the REAL column types so
     // statSerialize applies the same casts as the clustering writer
     val fields = Seq(
@@ -2314,7 +2446,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val byCol = f.cols.map(cs => cs.col -> cs).toMap
       val cols = sCols.zipWithIndex.flatMap { case (c, i) =>
         byCol.get(c).map(_ =>
-          c -> ((r.getString(2 + 2 * i), r.getString(3 + 2 * i))))
+          c -> truncStat(c, r.getString(2 + 2 * i), r.getString(3 + 2 * i)))
       }.toMap
       val nulls = sCols.flatMap(c => byCol.get(c).map(cs => c -> cs.nulls)).toMap
       // the task writer staged Bloom sidecars next to its data file;
@@ -3870,67 +4002,95 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def reclusterZorderCols(cols: Seq[String], nFiles: Int,
                           bits: Int = 8): Option[Long] =
     currentManifest.flatMap { m =>
-      import org.apache.spark.sql.types._
-      require(cols.size >= 2, s"zorder needs >= 2 columns, got $cols")
-      require(cols.size * bits <= 63,
-        s"${cols.size} cols x $bits bits exceeds 63 result bits")
       val schema = StructType.fromDDL(m.schemaDDL)
-      // normalize each dimension to DOUBLE rank space (zone-free casts:
-      // dates through epoch days, timestamps through epoch micros)
-      def norm(c: String): Column = schema(c).dataType match {
-        case DateType => unix_date(col(c)).cast("double")
-        case TimestampType => unix_micros(col(c)).cast("double")
-        case _: NumericType => col(c).cast("double")
-        // strings rank by their first 8 UTF-8 bytes (URL/domain/path
-        // dimensions): equi-depth bins on the truncated rank, so prefix
-        // predicates and leading-byte ranges prune after the recluster;
-        // order beyond the 8-byte prefix is NOT preserved (documented in
-        // [[graft.functions.StringPrefixRank]])
-        case StringType => {
-          import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
-          column(graft.functions.StringPrefixRank(expression(col(c))))
-        }
-        case other => throw new IllegalArgumentException(
-          s"zorder column '$c' must be numeric/date/timestamp/string, " +
-            s"got ${other.sql}")
-      }
-      val qNames = cols.indices.map(i => s"_zq$i")
       val df = readFiles(m, m.files)
-      val withQ = cols.zip(qNames).foldLeft(df) { case (d, (c, q)) =>
-        d.withColumn(q, norm(c))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nBins = 1 << bits
-        val probs = (1 until nBins).map(_.toDouble / nBins).toArray
-        // one pass for every dimension's boundary set; nulls are ignored
-        // by the sketch (they bin as 0 below)
-        val qs = withQ.stat.approxQuantile(qNames.toArray, probs, 0.001)
-        if (qs.exists(_.isEmpty)) None // empty table or an all-null dim
-        else {
-          import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
-          val bins = qNames.zip(qs).map { case (q, bounds) =>
-            coalesce(column(graft.functions.QuantileBin(
-              expression(col(q)), bounds.toSeq)), lit(0L))
-          }
-          val z = graft.ops.Layout.interleaveBitsN(bins, bits)
-          val df2 = withQ.withColumn("_z", z).drop(qNames: _*)
-          val newStats = (m.statsCols ++ cols).distinct
-          val entries = writeDataFiles(df2, nFiles, newStats,
-            clusterBy = Some("_z"), colMap = m.colMap)
-          val won = SnapshotStore.withCommitLock(root) {
-            current.exists(_._1 == m.version) && {
-              writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
-                m.schemaDDL, entries, newStats)
-              true
+        zRankFrame(df, cols, bits, schema) match {
+          case None => None // empty table or an all-null dim
+          case Some(df2) =>
+            val newStats = (m.statsCols ++ cols).distinct
+            val entries = writeDataFiles(df2, nFiles, newStats,
+              clusterBy = Some("_z"), colMap = m.colMap)
+            val won = SnapshotStore.withCommitLock(root) {
+              current.exists(_._1 == m.version) && {
+                writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+                  m.schemaDDL, entries, newStats)
+                // record the clustering (table properties, under the same
+                // lock hold as the swap): [[optimize]]'s maintenance path
+                // folds small/masked files back into THIS order instead of
+                // re-sorting them by key — which would shred the layout
+                // the user just paid a full rewrite for
+                ManifestStore.writeTableProps(root,
+                  ManifestStore.readTableProps(root) +
+                    ("clustering.cols" -> cols.mkString(","),
+                      "clustering.bits" -> bits.toString))
+                true
+              }
             }
-          }
-          if (!won) {
-            entries.foreach(deleteEntryFiles)
-            None
-          } else Some(m.version + 1)
+            if (!won) {
+              entries.foreach(deleteEntryFiles)
+              None
+            } else Some(m.version + 1)
         }
-      } finally withQ.unpersist()
+      } finally df.unpersist()
     }
+
+  /** `df` with a `_z` N-ary Morton-rank column over `cols` — the
+    * clustering expression shared by [[reclusterZorderCols]] and
+    * [[optimize]]'s clustered maintenance path. Each dimension normalizes
+    * to DOUBLE rank space (zone-free casts: dates through epoch days,
+    * timestamps through epoch micros; strings through their first 8
+    * UTF-8 bytes, [[graft.functions.StringPrefixRank]]), rank-bins into
+    * 2^bits equi-depth bins via ONE `approxQuantile` pass over `df`
+    * (callers persist `df`; the norm projections re-run from cache), and
+    * the bins interleave bitwise. None when any dimension carries no
+    * quantile mass (empty input or an all-null dimension); nulls bin
+    * as 0.
+    */
+  private def zRankFrame(df: DataFrame, cols: Seq[String], bits: Int,
+                         schema: StructType): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2, s"zorder needs >= 2 columns, got $cols")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds 63 result bits")
+    def norm(c: String): Column = schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case _: NumericType => col(c).cast("double")
+      // strings rank by their first 8 UTF-8 bytes (URL/domain/path
+      // dimensions): equi-depth bins on the truncated rank, so prefix
+      // predicates and leading-byte ranges prune after the recluster;
+      // order beyond the 8-byte prefix is NOT preserved (documented in
+      // [[graft.functions.StringPrefixRank]])
+      case StringType => {
+        import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+        column(graft.functions.StringPrefixRank(expression(col(c))))
+      }
+      case other => throw new IllegalArgumentException(
+        s"zorder column '$c' must be numeric/date/timestamp/string, " +
+          s"got ${other.sql}")
+    }
+    val qNames = cols.indices.map(i => s"_zq$i")
+    val withQ = cols.zip(qNames).foldLeft(df) { case (d, (c, q)) =>
+      d.withColumn(q, norm(c))
+    }
+    val nBins = 1 << bits
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    // one pass for every dimension's boundary set; nulls are ignored
+    // by the sketch (they bin as 0 below)
+    val qs = withQ.stat.approxQuantile(qNames.toArray, probs, 0.001)
+    if (qs.exists(_.isEmpty)) None
+    else {
+      import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+      val bins = qNames.zip(qs).map { case (q, bounds) =>
+        coalesce(column(graft.functions.QuantileBin(
+          expression(col(q)), bounds.toSeq)), lit(0L))
+      }
+      val z = graft.ops.Layout.interleaveBitsN(bins, bits)
+      Some(withQ.withColumn("_z", z).drop(qNames: _*))
+    }
+  }
 
   /** [[recluster]] with the same interleave probe as
     * [[mergeOptimisticHook]] — `onDerived` fires between the rewrite and
@@ -4043,6 +4203,76 @@ final class ManifestStore(val root: String, spark: SparkSession,
       val inScopeNames = inScope.map(_.name).toSet
       val outScope = m.files.filterNot(f => inScopeNames(f.name))
       if (inScope.isEmpty) return None
+      // CLUSTERED tables (`clustering.cols`, recorded by
+      // [[reclusterZorderCols]]): the key-order bin-pack below would be
+      // catastrophic here — z-ordered files all overlap in raw key space,
+      // so overlapGroups lumps the whole table into ONE group and every
+      // optimize becomes a full rewrite SORTED BY KEY, shredding the
+      // layout the user paid a table-scale recluster for. Instead, fold
+      // only the DIRTY files (small ingest debt + DV-heavy) into fresh
+      // z-sorted replacements and carry every clean file untouched —
+      // Delta's incremental OPTIMIZE-on-clustered-tables shape. Guarded
+      // to plain layouts: partition/bucket purity owns the file shape on
+      // those tables and must not lose to a z-sort.
+      val zCfg: Option[(Seq[String], Int)] = {
+        val props = ManifestStore.readTableProps(root)
+        val zc = props.get("clustering.cols").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val zb = props.get("clustering.bits").flatMap(_.toIntOption)
+          .filter(_ > 0).getOrElse(8)
+        val parted = props.get("partitioncol").exists(_.trim.nonEmpty)
+        val bucketed = props.get("buckets").flatMap(_.toIntOption).exists(_ > 0)
+        if (zc.size >= 2 && !parted && !bucketed) Some((zc, zb)) else None
+      }
+      zCfg.foreach { case (zCols, zBits) =>
+        val schema = StructType.fromDDL(m.schemaDDL)
+        val missing = zCols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"clustering.cols name absent column(s) ${missing.mkString(", ")} " +
+            "— update or UNSET the property (ALTER TABLE ... UNSET " +
+            "TBLPROPERTIES ('clustering.cols')) before running optimize")
+        val targetRows = math.max(1L,
+          inScope.map(_.liveRows).sum / targetFiles)
+        // dirty = under HALF the target (Delta's minFileSize hysteresis:
+        // a file just under target must not be rewritten on every pass)
+        // or carrying enough deletion-vector debt to be worth folding
+        val (dirty, clean) = inScope.partition(f =>
+          f.liveRows < targetRows / 2 ||
+            (f.rows > 0 && f.dvRows >= dvFold * f.rows))
+        // same worth-it rule as the plain path: multiple foldable files,
+        // or a lone file carrying enough mask debt
+        val worth = dirty.size > 1 ||
+          dirty.exists(f => f.rows > 0 && f.dvRows >= dvFold * f.rows)
+        if (!worth) return None
+        val carried = outScope ++ clean
+        val nOut = math.max(1L,
+          (dirty.map(_.liveRows).sum + targetRows - 1) / targetRows)
+        val newStats = (m.statsCols ++ zCols).distinct
+        val dfD = readFiles(m, dirty)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newEntries =
+          try zRankFrame(dfD, zCols, zBits, schema) match {
+            case Some(z) => writeDataFiles(z, nOut.toInt, newStats,
+              clusterBy = Some("_z"), colMap = m.colMap)
+            // no quantile mass in some dimension (dirty rows all-null
+            // there): a key-clustered fold is still a correct compaction
+            case None => writeDataFiles(dfD, nOut.toInt, newStats,
+              colMap = m.colMap)
+          } finally dfD.unpersist()
+        onDerived()
+        val won = SnapshotStore.withCommitLock(root) {
+          current.exists(_._1 == m.version) && {
+            writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
+              m.schemaDDL, carried ++ newEntries, newStats)
+            true
+          }
+        }
+        return if (!won) {
+          newEntries.foreach(deleteEntryFiles)
+          None
+        } else Some(ManifestStore.OptimizeStats(m.version + 1,
+          dirty.size, carried.size, newEntries.size))
+      }
       val grp = overlapGroups(inScope, keyTypeOf(m))
       // groups in key order; bin-pack adjacent groups toward target size
       // (packing arithmetic uses LIVE rows — masked keys are debt, not data)

@@ -484,6 +484,68 @@ object DsvQueries {
         lit(files >= 1 && files <= 2).as("prefix_pruned"))
     }),
 
+    "dsv2_optimize_clustered" -> ((s, dir) => {
+      // clustering-aware maintenance end-to-end: a (c_nationkey,
+      // c_acctbal) z-ordered table takes scattered small appends (ingest
+      // debt), then OPTIMIZE folds ONLY the debt — z-sorted — instead of
+      // rewriting the whole table sorted by key, which would shred the
+      // layout the recluster paid a table-scale rewrite for (z-files all
+      // overlap in key space, so the key-order bin-pack sees ONE group).
+      // Gates: maintenance left a bounded file count, and a box predicate
+      // on a z dimension still cuts files AFTER the fold.
+      val root = scratch("zopt", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      if (!st.exists) {
+        st.commit(cust, batchId = 0, nFiles = 8,
+          statsCols = Seq("c_nationkey", "c_acctbal"))
+        st.reclusterZorderCols(Seq("c_nationkey", "c_acctbal"),
+          nFiles = 8, bits = 5)
+        (1 to 3).foreach { b =>
+          cust.filter(pmod(col("c_custkey"), lit(50)) === b)
+            .withColumn("c_custkey", col("c_custkey") + maxK)
+            .write.format("graft").mode("append").save(root)
+        }
+        st.optimize(targetFiles = 8)
+      }
+      val m = st.currentManifest.get
+      val folded = m.files.size <= 10
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_nationkey").between(5, 9))
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        lit(folded && files >= 1 && files < m.files.size).as("zopt_pruned"))
+    }),
+
+    "dsv2_stats_truncate" -> ((s, dir) => {
+      // truncated string zone-map stats (`stats.truncate=16`, Iceberg's
+      // truncate(N) metrics mode): the documents table's TEXT column is
+      // exactly the shape that bloats manifests at 100 TB — full min/max
+      // stats would store two document-sized strings per file, GB-scale
+      // checkpoints whose parse becomes the planning cost. Gates: every
+      // recorded text stat respects the byte budget (min a codepoint
+      // prefix, max a prefix with its last codepoint bumped — widened,
+      // sound), and pruning through the widened bounds stays exact: the
+      // filtered rows equal the oracle's.
+      val root = scratch("sttr", dir)
+      val st = new ManifestStore(root, s, "doc_id")
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root, Map("stats.truncate" -> "16"))
+        st.commit(s.read.parquet(s"$dir/documents.parquet"),
+          batchId = 0, nFiles = 8, statsCols = Seq("text", "lang"))
+      }
+      val bounded = st.currentManifest.get.files.forall(f =>
+        f.cols.get("text").forall { case (mn, mx) =>
+          (mn == null || mn.getBytes("UTF-8").length <= 16) &&
+            (mx == null || mx.getBytes("UTF-8").length <= 20) })
+      val df = s.read.format("graft").load(root)
+        .filter(col("lang") === "en" && length(col("text")) > 200)
+      df.select(col("doc_id"), col("lang"), col("n_chars"),
+        lit(bounded).as("stats_bounded"))
+    }),
+
     "dsv2_or_prune" -> ((s, dir) => {
       // OR-tree FILE pruning: the scan plans the UNION of the branches'
       // file sets — two range branches at opposite ends of the key space
@@ -1229,6 +1291,29 @@ object DsvQueries {
     "dsv2_prefix_prune" ->
       """SELECT c_custkey, c_name, c_acctbal, TRUE AS prefix_pruned
         |FROM customer WHERE c_name LIKE 'Customer#0000000%'""".stripMargin,
+
+    // the augmented table (base + 3 shifted-key append batches) filtered
+    // by the box predicate must match exactly, with the maintenance gates
+    // true: bounded file count after the clustered fold + the z-dim box
+    // still cutting files
+    "dsv2_optimize_clustered" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+        |aug AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c.c_custkey + mk.m, c.c_name, c.c_nationkey, c.c_acctbal
+        |  FROM customer c, mk WHERE c.c_custkey % 50 IN (1, 2, 3)
+        |)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       TRUE AS zopt_pruned
+        |FROM aug WHERE c_nationkey BETWEEN 5 AND 9""".stripMargin,
+
+    // the filtered read over the truncated-stats table must return
+    // exactly the oracle rows (widened bounds only ever over-keep), with
+    // the byte-budget gate true on every file's text stats
+    "dsv2_stats_truncate" ->
+      """SELECT doc_id, lang, n_chars, TRUE AS stats_bounded
+        |FROM documents WHERE lang = 'en' AND length(text) > 200""".stripMargin,
 
     // the OR of two edge ranges must return exactly those rows, with the
     // union-of-branches file-cut gate true (<= 2 of 8 files planned)

@@ -275,6 +275,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         setProps += (setp.property().toLowerCase -> setp.value())
         removeProps -= setp.property().toLowerCase
       case remp: TableChange.RemoveProperty =>
+        // stats.truncate is ONE-WAY: files written under it carry widened
+        // string bounds; unsetting it would make exact consumers (string
+        // MIN/MAX aggregate pushdown) trust those bounds as exact values
+        require(!remp.property().equalsIgnoreCase("stats.truncate"),
+          "stats.truncate cannot be unset: existing files may carry " +
+            "truncated (widened) string stats that exact consumers would " +
+            "then trust as exact — rewrite into a fresh table (CREATE " +
+            "TABLE ... AS SELECT) without the property instead")
         removeProps += remp.property().toLowerCase
         setProps -= remp.property().toLowerCase
       case up: TableChange.UpdateColumnType =>
@@ -491,6 +499,7 @@ private[spark] object GraftProcedures {
     "optimize" -> (c => new OptimizeProcedure(c)),
     "vacuum"   -> (c => new VacuumProcedure(c)),
     "history"  -> (c => new HistoryProcedure(c)),
+    "files"    -> (c => new FilesProcedure(c)),
     "zorder"   -> (c => new ZorderProcedure(c)),
     "detail"   -> (c => new DetailProcedure(c)),
     "restore"  -> (c => new RestoreProcedure(c)),
@@ -883,6 +892,42 @@ private[spark] object GraftProcedures {
         .map(m => new GenericInternalRow(Array[Any](
           m.version, m.batchId, utf8(m.streamId), m.tsMillis,
           m.files.size, m.files.map(_.liveRows).sum)): InternalRow)
+      java.util.List.of[Scan](
+        ResultScan(outSchema, rows.toArray)).iterator()
+    }
+  }
+
+  /** `CALL <cat>.system.files(table => 'ns.t')` — the current version's
+    * per-file manifest metadata (Delta's DESCRIBE DETAIL / Iceberg's
+    * `.files` metadata table): one row per live data file with its row /
+    * live-row / masked-row counts, size, key range, bucket id and sidecar
+    * count. Pure driver-side manifest read, O(#files) rows — the
+    * first-stop observability surface for "why is this table slow"
+    * (small-file debt, DV debt, skewed key ranges) without touching a
+    * single data file.
+    */
+  final class FilesProcedure(catalog: GraftCatalog)
+    extends GraftProcedure(catalog, "files") {
+    override def description(): String =
+      "per-file manifest metadata of the current version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("file", StringType), StructField("rows", LongType),
+      StructField("live_rows", LongType), StructField("dv_rows", LongType),
+      StructField("bytes", LongType), StructField("min_key", StringType),
+      StructField("max_key", StringType),
+      StructField("bucket", IntegerType, nullable = true),
+      StructField("sidecars", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val st = store(input)
+      val rows = st.currentManifest.toSeq.flatMap(_.files).map { f =>
+        val sidecars = f.dv.size + f.bloom.size + f.colBlooms.size + f.kmv.size
+        new GenericInternalRow(Array[Any](
+          utf8(f.name), f.rows, f.liveRows, f.dvRows, f.bytes,
+          utf8(f.minKey), utf8(f.maxKey),
+          f.bucket.map(Int.box).orNull, sidecars)): InternalRow
+      }
       java.util.List.of[Scan](
         ResultScan(outSchema, rows.toArray)).iterator()
     }

@@ -64,6 +64,25 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
   }
 
+  /** `maxBytesPerTrigger` (Delta's spelling) — bound each micro-batch by
+    * the ADDED data-file bytes it admits, the admission control that
+    * matters at 100 TB: version counts say nothing about size (one
+    * backfill commit can be the whole backlog), bytes bound executor
+    * memory and batch latency directly. Whole versions only (a version is
+    * the atomic unit of the tail), always at least one per batch (or the
+    * stream would stall on a single over-budget commit — same contract as
+    * Delta's). Admission is PURE METADATA: added bytes come from the
+    * manifest's per-file `bytes`, so pacing a 100k-commit backlog costs
+    * manifest-cache hits, not file I/O. Composes with
+    * `maxVersionsPerTrigger` (the tighter cap wins); the initial snapshot
+    * is one consistent version regardless, as with the version cap.
+    */
+  private val maxBytes: Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxbytespertrigger") => v.toLong
+  }.map { n =>
+    require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"); n
+  }
+
   /** Default: snapshot the current version first, then tail. With
     * `startingVersion` / `startingTimestamp` (Delta's spellings) the
     * snapshot is skipped and the tail begins at that version's OWN
@@ -90,10 +109,40 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     val live = store.current.map(_._1).getOrElse(-1L)
     val cur = availableNowCap.fold(live)(math.min(live, _))
     val s = start.asInstanceOf[GraftOffset].version
-    GraftOffset(maxVersions match {
+    val vCap = maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)
       case _ => cur
+    }
+    GraftOffset(maxBytes match {
+      case Some(budget) if s >= 0 && vCap > s =>
+        // admit whole versions while their added bytes fit the budget,
+        // always at least one; maintenance versions (same batch lineage,
+        // bytes moved but no data change) add 0 and ride along free
+        var last = s
+        var acc = 0L
+        var v = s + 1
+        var open = true
+        while (v <= vCap && open) {
+          val b = addedBytes(v)
+          if (last == s || acc + b <= budget) { acc += b; last = v; v += 1 }
+          else open = false
+        }
+        last
+      case _ => vCap
     })
+  }
+
+  /** Version `v`'s ADDED data-file bytes vs its parent, from manifest
+    * metadata alone (0 for maintenance commits — the tail skips them).
+    */
+  private def addedBytes(v: Long): Long = {
+    val mPrev = manifestOrExplain(v - 1)
+    val mV = manifestOrExplain(v)
+    if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId) 0L
+    else {
+      val prevNames = mPrev.files.map(_.name).toSet
+      mV.files.filterNot(f => prevNames(f.name)).map(_.bytes).sum
+    }
   }
   override def deserializeOffset(json: String): Offset =
     GraftOffset(GraftOffset.parse(json))

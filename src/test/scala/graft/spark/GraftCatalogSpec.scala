@@ -431,6 +431,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(det.head.getLong(6) > 0L)      // bytes from the manifest
   }
 
+  test("CALL graft.system.files lists per-file manifest metadata") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    sql("CREATE TABLE gct.db.fl (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id', 'bloomfilter'='true')")
+    sql("INSERT INTO gct.db.fl SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 1000)")
+    sql("DELETE FROM gct.db.fl WHERE id < 10")
+    val rows = sql("CALL gct.system.files(table => 'db.fl')").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum === 1000L, "rows")
+    assert(rows.map(_.getLong(2)).sum === 990L, "live rows net of the DV")
+    assert(rows.map(_.getLong(3)).sum === 10L, "dv debt visible")
+    assert(rows.forall(_.getLong(4) > 0L), "bytes from the manifest")
+    rows.foreach(r =>
+      assert(r.getString(5).toLong <= r.getString(6).toLong, "key range"))
+    // sidecar counts surface the key blooms (1/file) plus the delete's DV
+    assert(rows.map(_.getInt(8)).sum >= rows.length + 1,
+      s"sidecars: ${rows.map(_.getInt(8)).toSeq}")
+  }
+
   test("CALL optimize scoped to one partition leaves the rest untouched") {
     sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
     sql("DROP TABLE IF EXISTS gct.db.po")

@@ -235,6 +235,57 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(t2.select(col("_file")).distinct().count() === 4L)
   }
 
+  test("streaming: maxBytesPerTrigger paces the backlog by manifest bytes") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    // 4 append versions of ~equal size — the backlog to pace
+    (1 to 4).foreach { b =>
+      st.merge(netDf((100L + (b - 1) * 25 until 100L + b * 25)
+        .map(i => (i, "c", Some(s"n$i"), 5L))), fields, batchId = b.toLong)
+    }
+    // one version's added bytes, computed the way the source does: pure
+    // manifest metadata
+    val prev = st.manifest(0).get.files.map(_.name).toSet
+    val oneVersion = st.manifest(1).get.files
+      .filterNot(f => prev(f.name)).map(_.bytes).sum
+    assert(oneVersion > 0L)
+    def drain(budget: Option[Long]): (Long, Int) = {
+      val out = Files.createTempDirectory("mbt_out").toString
+      val r = spark.readStream.format("graft")
+        .option("startingVersion", "1") // tail the 4 versions individually
+      budget.foreach(b => r.option("maxBytesPerTrigger", b.toString))
+      val q = r.load(root).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("mbt_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+      (spark.read.parquet(out).count(),
+        q.recentProgress.count(_.numInputRows > 0))
+    }
+    // a one-version budget admits exactly one version per batch (the
+    // second version would blow the budget); nothing is lost to pacing
+    val (nPaced, paced) = drain(Some(oneVersion))
+    assert(nPaced == 100L, s"paced drain lost rows: $nPaced")
+    assert(paced >= 4, s"a one-version budget must pace 4 versions: $paced")
+    // uncapped: the whole backlog is one batch
+    val (nAll, unpaced) = drain(None)
+    assert(nAll == 100L)
+    assert(unpaced <= 2, s"uncapped drain should not pace: $unpaced")
+    // junk refuses loudly
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft").option("maxBytesPerTrigger", "0")
+        .load(root).writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("mbt_ck0").toString)
+        .start().processAllAvailable()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("streaming: Trigger.AvailableNow drains the tail and self-stops") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
