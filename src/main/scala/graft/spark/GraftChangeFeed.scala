@@ -215,7 +215,7 @@ object GraftCdf {
     // before a RENAME reads fully after it (physical names never change)
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
       dataReq, Array.empty, options, manifestSchemaDDL,
-      allColumnar = false, colMap = colMap)
+      wantColumnar = false, colMap = colMap)
     val cdcFull = StructType(
       ManifestStore.toPhysical(dataSchema, colMap).fields :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))

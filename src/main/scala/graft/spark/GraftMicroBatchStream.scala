@@ -194,7 +194,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // mixing modes, so the stream can't promise columnar for batches whose
     // files it hasn't planned yet
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
-      pushed, options, ddl, allColumnar = false,
+      pushed, options, ddl, wantColumnar = false,
       colMap = cur.map(_.colMap).getOrElse(Map.empty))
   }
 }

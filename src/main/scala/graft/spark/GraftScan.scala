@@ -511,7 +511,10 @@ final class GraftScan(root: String, tableSchema: StructType,
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
       if (filtersConsumed) Array.empty else pushed, options,
       manifest.schemaDDL,
-      allColumnar = planned.forall(_.dv.isEmpty),
+      wantColumnar = planned.forall(_.dv.isEmpty) ||
+        spark.conf.getOption("spark.graft.read.maskedColumnar")
+          .forall(_.toBoolean),
+      anyMasked = planned.exists(_.dv.isDefined),
       colMap = manifest.colMap)
 }
 
@@ -654,7 +657,8 @@ object GraftPartitions {
               tableSchema: StructType, required: StructType,
               pushed: Array[Filter], options: Map[String, String],
               manifestSchemaDDL: String,
-              allColumnar: Boolean,
+              wantColumnar: Boolean,
+              anyMasked: Boolean = false,
               colMap: Map[String, String] = Map.empty): GraftReaderFactory = {
     // data files may carry any vintage of the evolved schema; the manifest
     // schema (superset, widened types) is the read-through dataSchema.
@@ -692,6 +696,23 @@ object GraftPartitions {
     val dvSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_file", StringType),
       org.apache.spark.sql.types.StructField("_key", keyDt)))
+    // columnar gating is a WHOLE-SCAN decision (Spark forbids mixing
+    // modes): pristine-only scans batch when the projection supports it;
+    // a scan with masked survivors batches only when the masked reader
+    // can ALSO batch — the `plus` projection (required + key) must be
+    // batchable AND copyable by the per-batch survivor transform. Any
+    // doubt keeps the whole scan in row mode, exactly as before.
+    val colPlain =
+      if (wantColumnar && fileOrd < 0)
+        ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(innerReq),
+          pushedEff, options)
+      else None
+    val colMasked =
+      if (colPlain.isEmpty || !anyMasked) None
+      else if (hasKey && ParquetReadBridge.maskCopyable(plus))
+        ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(plus),
+          pushedEff, options)
+      else None
     GraftReaderFactory(
       required = innerReq, plus = plus, keyOrd = keyOrd, keyDt = keyDt,
       fileOrd = fileOrd,
@@ -701,11 +722,8 @@ object GraftPartitions {
         pushedEff, options),
       dvReader = ParquetReadBridge.rowReader(spark, dvSchema, dvSchema,
         Nil, options),
-      columnar =
-        if (allColumnar && fileOrd < 0)
-          ParquetReadBridge.columnarReader(spark, dataSchema, toPhys(innerReq),
-            pushedEff, options)
-        else None)
+      columnar = if (anyMasked && colMasked.isEmpty) None else colPlain,
+      columnarMasked = colMasked)
   }
 }
 
@@ -715,6 +733,7 @@ final case class GraftReaderFactory(
     rowMasked: PartitionedFile => Iterator[InternalRow],
     dvReader: PartitionedFile => Iterator[InternalRow],
     columnar: Option[PartitionedFile => Iterator[ColumnarBatch]],
+    columnarMasked: Option[PartitionedFile => Iterator[ColumnarBatch]] = None,
     fileOrd: Int = -1)
   extends PartitionReaderFactory {
 
@@ -728,8 +747,20 @@ final case class GraftReaderFactory(
         b.inner.map(p => () => createColumnarReader(p)))
     case _ =>
       val p = partition.asInstanceOf[GraftInputPartition]
-      new GraftIteratorReader[ColumnarBatch](
-        columnar.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+      if (p.dvParts.isEmpty)
+        new GraftIteratorReader[ColumnarBatch](
+          columnar.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L)))
+      else {
+        // masked file in a columnar scan: read `plus` batches and drop
+        // masked rows per batch (clean batches pass through zero-copy) —
+        // one masked file no longer demotes 100k pristine ones to rows
+        val transform = ParquetReadBridge.maskedBatchTransform(
+          plus, required.length, keyOrd, keyDt,
+          GraftMasks.load(p, dvReader, keyDt))
+        new GraftIteratorReader[ColumnarBatch](
+          columnarMasked.get(ParquetReadBridge.wholeFile(p.path, p.bytes, 0L))
+            .map(transform))
+      }
   }
 
   override def createReader(partition: InputPartition)
@@ -776,6 +807,37 @@ final class GraftIteratorReader[T](it: Iterator[T]) extends PartitionReader[T] {
   }
 }
 
+/** Loads a masked file's deletion-vector key set from its sidecar parts
+  * (filtered to this file's name — a sidecar row may target another
+  * file's key), members normalized to OWN their memory (UTF8String views
+  * from a reader buffer are copied; Decimal compares via BigDecimal).
+  * Shared by the row-mode ([[GraftMaskedReader]]) and columnar
+  * ([[org.apache.spark.sql.graft.ParquetReadBridge.maskedBatchTransform]])
+  * masked readers — one loader, one normalization, no drift.
+  */
+object GraftMasks {
+  private def setNorm(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case x => x
+  }
+  def load(p: GraftInputPartition,
+           dvReader: PartitionedFile => Iterator[InternalRow],
+           keyDt: DataType): java.util.HashSet[Any] = {
+    val fileNameU = UTF8String.fromString(p.fileName)
+    val set = new java.util.HashSet[Any]()
+    p.dvParts.foreach { case (path, bytes) =>
+      val it = dvReader(ParquetReadBridge.wholeFile(path, bytes, 0L))
+      it.foreach { r =>
+        if (r.getUTF8String(0) == fileNameU && !r.isNullAt(1))
+          set.add(setNorm(r.get(1, keyDt)))
+      }
+      it match { case c: java.io.Closeable => c.close(); case _ => () }
+    }
+    set
+  }
+}
+
 /** Merge-on-read applied PER FILE, inside the reader: load this file's
   * sidecar keys into a local hash set (O(this file's dvRows) — the fold
   * trigger `dvRows*2 >= rows` bounds it at half the file), stream the data
@@ -788,31 +850,13 @@ final class GraftIteratorReader[T](it: Iterator[T]) extends PartitionReader[T] {
 final class GraftMaskedReader(p: GraftInputPartition, f: GraftReaderFactory)
   extends PartitionReader[InternalRow] {
 
-  // values normalized so set members own their memory (UTF8String views
-  // from a reader buffer must be copied; Decimal compares via BigDecimal)
-  private def setNorm(v: Any): Any = v match {
-    case s: UTF8String => s.copy()
-    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
-    case x => x
-  }
   private def probeNorm(v: Any): Any = v match {
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
     case x => x
   }
 
-  private val fileNameU = UTF8String.fromString(p.fileName)
-  private lazy val maskedKeys: java.util.HashSet[Any] = {
-    val set = new java.util.HashSet[Any]()
-    p.dvParts.foreach { case (path, bytes) =>
-      val it = f.dvReader(ParquetReadBridge.wholeFile(path, bytes, 0L))
-      it.foreach { r =>
-        if (r.getUTF8String(0) == fileNameU && !r.isNullAt(1))
-          set.add(setNorm(r.get(1, f.keyDt)))
-      }
-      it match { case c: java.io.Closeable => c.close(); case _ => () }
-    }
-    set
-  }
+  private lazy val maskedKeys: java.util.HashSet[Any] =
+    GraftMasks.load(p, f.dvReader, f.keyDt)
 
   private lazy val project: InternalRow => InternalRow =
     if (f.plus.length == f.required.length) identity

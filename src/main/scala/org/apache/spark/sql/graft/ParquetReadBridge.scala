@@ -122,4 +122,126 @@ object ParquetReadBridge {
   def wholeFile(path: String, fileSize: Long, modTime: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L,
       fileSize, Array.empty, modTime, fileSize)
+
+  /** Can [[maskedBatchTransform]] copy this schema? Exactly the atomic
+    * types the vectorized parquet reader batches; anything else (nested,
+    * interval, UDT) sends the masked scan down the row path.
+    */
+  def maskCopyable(schema: StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.forall(_.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+  }
+
+  /** COLUMNAR deletion-vector masking: transform each `ColumnarBatch`
+    * (projected as `plus` = required columns + the key appended when the
+    * query didn't select it) into a batch of the first `requiredLen`
+    * columns with masked rows dropped. The economics at 100 TB: deletion
+    * vectors are tiny relative to their files, so almost every batch of a
+    * masked file contains NO masked key — those pass through ZERO-COPY
+    * (at most re-wrapped to drop the appended key column); only batches
+    * that actually hold a masked row pay a survivor copy into fresh
+    * on-heap vectors. This is what lets ONE masked file among 100k keep
+    * the whole scan vectorized instead of demoting every pristine file to
+    * row-at-a-time reads (the pre-r13 behavior).
+    */
+  def maskedBatchTransform(plus: StructType, requiredLen: Int, keyOrd: Int,
+                           keyDt: org.apache.spark.sql.types.DataType,
+                           masked: java.util.HashSet[Any])
+      : ColumnarBatch => ColumnarBatch = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.vectorized.ColumnVector
+    val keyGet: (ColumnVector, Int) => Any = keyDt match {
+      case BooleanType => (c, i) => c.getBoolean(i)
+      case ByteType    => (c, i) => c.getByte(i)
+      case ShortType   => (c, i) => c.getShort(i)
+      case IntegerType | DateType => (c, i) => c.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => (c, i) => c.getLong(i)
+      case FloatType   => (c, i) => c.getFloat(i)
+      case DoubleType  => (c, i) => c.getDouble(i)
+      case StringType  => (c, i) => c.getUTF8String(i)
+      case BinaryType  => (c, i) => c.getBinary(i)
+      case d: DecimalType =>
+        // the masked-key set normalizes Decimal to BigDecimal (see
+        // GraftMaskedReader.setNorm) — probe in the same space
+        (c, i) => c.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case other => throw new IllegalStateException(
+        s"graft masked columnar read: unsupported key type $other")
+    }
+    batch => {
+      val n = batch.numRows()
+      val keyCol = batch.column(keyOrd)
+      var kept = 0
+      val keep = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        val drop = !keyCol.isNullAt(i) && masked.contains(keyGet(keyCol, i))
+        keep(i) = !drop
+        if (!drop) kept += 1
+        i += 1
+      }
+      if (kept == n) {
+        // clean batch: zero-copy (re-wrap only to hide the appended key)
+        if (plus.length == requiredLen) batch
+        else new ColumnarBatch(
+          Array.tabulate[ColumnVector](requiredLen)(batch.column), n)
+      } else {
+        val out = new Array[ColumnVector](requiredLen)
+        var c = 0
+        while (c < requiredLen) {
+          val dt = plus(c).dataType
+          val dst = new OnHeapColumnVector(math.max(kept, 1), dt)
+          val src = batch.column(c)
+          var o = 0
+          var r = 0
+          while (r < n) {
+            if (keep(r)) {
+              if (src.isNullAt(r)) dst.putNull(o)
+              else copyVal(src, r, dst, o, dt)
+              o += 1
+            }
+            r += 1
+          }
+          out(c) = dst
+          c += 1
+        }
+        new ColumnarBatch(out, kept)
+      }
+    }
+  }
+
+  private def copyVal(src: org.apache.spark.sql.vectorized.ColumnVector,
+                      r: Int,
+                      dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                      o: Int,
+                      dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => dst.putBoolean(o, src.getBoolean(r)); ()
+      case ByteType    => dst.putByte(o, src.getByte(r)); ()
+      case ShortType   => dst.putShort(o, src.getShort(r)); ()
+      case IntegerType | DateType => dst.putInt(o, src.getInt(r)); ()
+      case LongType | TimestampType | TimestampNTZType =>
+        dst.putLong(o, src.getLong(r)); ()
+      case FloatType   => dst.putFloat(o, src.getFloat(r)); ()
+      case DoubleType  => dst.putDouble(o, src.getDouble(r)); ()
+      case StringType  =>
+        val u = src.getUTF8String(r); val b = u.getBytes
+        dst.putByteArray(o, b, 0, b.length); ()
+      case BinaryType  =>
+        val b = src.getBinary(r)
+        dst.putByteArray(o, b, 0, b.length); ()
+      case d: DecimalType =>
+        dst.putDecimal(o, src.getDecimal(r, d.precision, d.scale), d.precision)
+        ()
+      case other => throw new IllegalStateException(
+        s"graft masked columnar read: unsupported copy type $other")
+    }
+  }
 }

@@ -235,6 +235,44 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(t2.select(col("_file")).distinct().count() === 4L)
   }
 
+  test("deletion-vector masked scans stay COLUMNAR; escape hatch falls to rows") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 4000L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "v"), batchId = 0, nFiles = 8)
+    // scattered masks: 4 of 8 files carry a deletion vector, so the
+    // pre-r13 whole-scan demotion would put ALL files on the row path
+    st.deleteWhere(col("id") % 1000 === 7, batchId = 1)
+    assert(new ManifestStore(root, spark, "id").currentManifest.get
+      .files.count(_.dv.isDefined) >= 3)
+    val t = spark.read.format("graft").load(root)
+    t.collect()
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"masked scan must stay vectorized:\n$plan")
+    // exact complement — masked rows dropped inside the batch transform
+    assert(t.count() === 3996L)
+    assert(t.select("id").as[Long].collect().toSet ===
+      (0L until 4000L).filterNot(_ % 1000 == 7).toSet)
+    // a projection WITHOUT the key still masks (the reader appends the
+    // key into the batch and drops it again after filtering)
+    val names = t.select("name").as[String].collect().toSet
+    assert(names.size === 3996 && !names.contains("n7") &&
+      !names.contains("n2007"))
+    // aggregates over the masked columnar scan agree with the complement
+    assert(t.agg(sum($"v")).head().getDouble(0) ===
+      (0L until 4000L).filterNot(_ % 1000 == 7).map(_.toDouble).sum)
+    // escape hatch: conf off restores the row-mode masked scan
+    spark.conf.set("spark.graft.read.maskedColumnar", "false")
+    try {
+      val t2 = spark.read.format("graft").load(root)
+      t2.collect()
+      assert(!t2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "escape hatch must fall back to row mode")
+      assert(t2.count() === 3996L)
+    } finally spark.conf.unset("spark.graft.read.maskedColumnar")
+  }
+
   test("streaming: maxBytesPerTrigger paces the backlog by manifest bytes") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
