@@ -548,6 +548,10 @@ object ManifestStore {
         s"table property retention.minagems must be a non-negative " +
           s"integer of milliseconds, got '$v'"))
     bloomParams(props) // throws its own typed error on junk
+    props.get("bloomfiltercols").foreach(v => require(!v.contains("."),
+      s"bloomfiltercols lists a struct leaf in '$v' — per-column Bloom " +
+        "sidecars cover TOP-LEVEL columns only (zone-map stats and column " +
+        "mapping do cover leaves)"))
     ()
   }
 
@@ -2186,6 +2190,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // is a misconfiguration, not a silent no-op. A drift-evolved frame
     // that doesn't carry the column yet skips it for THIS write.
     val (bloomColsRaw, bloomColCfg) = ManifestStore.bloomColParams(tableProps)
+    // struct leaves refuse LOUDLY here too (belt to the DDL-time brace in
+    // validateTableProps): a dotted name would otherwise reach
+    // df.schema(c) below and die with an unrelated field-not-found error
+    bloomColsRaw.foreach(c => require(!c.contains("."),
+      s"bloomfiltercols column '$c' is a struct leaf — per-column Bloom " +
+        "sidecars cover TOP-LEVEL columns only"))
     bloomColsRaw.filter(df.columns.contains).foreach { c =>
       require(c != keyField, s"bloomfiltercols lists the key column '$c' " +
         "— the key always gets a Bloom via the bloomfilter property")

@@ -71,6 +71,14 @@ class NestedStatsSpec extends SparkSpec {
     assert(ndv("meta.tag")._2 == 1000L, "nested null count rides the sidecar")
   }
 
+  test("bloomfiltercols refuses struct leaves loudly at DDL time") {
+    val root = Files.createTempDirectory("nestedb").toString
+    val ex = intercept[IllegalArgumentException](
+      ManifestStore.writeTableProps(root,
+        Map("bloomfiltercols" -> "meta.grp")))
+    assert(ex.getMessage.contains("TOP-LEVEL"), ex.getMessage)
+  }
+
   test("DSv2 scan prunes files on a pushed struct-leaf predicate") {
     val root = Files.createTempDirectory("nested2").toString
     seed(root)

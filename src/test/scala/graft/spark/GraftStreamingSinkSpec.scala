@@ -126,6 +126,40 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(streamId.nonEmpty && batchId >= 1L)
   }
 
+  test("a restarted query with a WIDER schema evolves the table additively") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("ev") + "/store"
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = ms1.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", tmp("evck1"))
+      .start(root)
+    try {
+      ms1.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a NEW query (fresh checkpoint — Spark fixes a query's schema for
+    // its lifetime) writes the evolved, wider shape: the upsert merge's
+    // additive-drift path widens the table; pre-drift rows read NULL
+    val ms2 = MemoryStream[(Long, String, Double)]
+    val q2 = ms2.toDF().toDF("id", "v", "score")
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", tmp("evck2"))
+      .start(root)
+    try {
+      ms2.addData((2L, "B", 2.5), (3L, "c", 3.5))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val t = spark.read.format("graft").load(root)
+    assert(t.columns.contains("score"), t.columns.mkString(","))
+    val rows = t.select("id", "v", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(rows === Map(1L -> (("a", null)), 2L -> (("B", 2.5)),
+      3L -> (("c", 3.5))), rows.toString)
+  }
+
   test("epoch replay is a no-op: re-committing an applied epoch changes nothing") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
