@@ -72,8 +72,12 @@ object DsvQueries {
       val df = s.read.format("graft").load(root)
       val plan = df.queryExecution.executedPlan.toString
       val local = !plan.contains("Join") && !plan.contains("BroadcastExchange")
+      // r13: masked scans stay VECTORIZED (per-batch sidecar probe) —
+      // the gate pins that a DV no longer demotes the scan to row mode
+      val vectorized = plan.contains("ColumnarToRow")
       df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-        col("c_mktsegment"), lit(masked && local).as("dsv2_local_masks"))
+        col("c_mktsegment"),
+        lit(masked && local && vectorized).as("dsv2_local_masks"))
     }),
 
     "dsv2_write_upsert" -> ((s, dir) => {
