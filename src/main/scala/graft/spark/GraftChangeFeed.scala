@@ -199,7 +199,8 @@ object GraftCdf {
                              options: Map[String, String],
                              manifestSchemaDDL: String,
                              colMap: Map[String, String] = Map.empty,
-                             required: Option[StructType] = None)
+                             required: Option[StructType] = None,
+                             columnarOk: Boolean = false)
       : GraftCdfReaderFactory = {
     val dataReq: StructType = required match {
       case None => dataSchema
@@ -213,9 +214,16 @@ object GraftCdf {
     // change files carry PHYSICAL column names, exactly like data files —
     // both readers translate through the same mapping, so a feed captured
     // before a RENAME reads fully after it (physical names never change)
+    // `columnarOk` (the BATCH form — backfills read whole tables through
+    // this scan, so the vectorized path matters at 100 TB): the inner
+    // factory is asked for columnar WITH masked support (anyMasked=true:
+    // snapshot parts may carry deletion vectors), and change-file parts
+    // get their own batch reader; the CDF metadata columns append as
+    // constant vectors, zero-copy on the data columns. All-or-nothing:
+    // if any piece can't batch, the whole feed stays on rows.
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
       dataReq, Array.empty, options, manifestSchemaDDL,
-      wantColumnar = false, colMap = colMap)
+      wantColumnar = columnarOk, anyMasked = columnarOk, colMap = colMap)
     val cdcFull = StructType(
       ManifestStore.toPhysical(dataSchema, colMap).fields :+
       StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
@@ -225,7 +233,12 @@ object GraftCdf {
         StringType, nullable = false)) else Nil))
     GraftCdfReaderFactory(inner,
       ParquetReadBridge.rowReader(spark, cdcFull, cdcReq, Nil, options),
-      wantChangeType = wantChangeType, wantVersion = wantVersion)
+      wantChangeType = wantChangeType, wantVersion = wantVersion,
+      cdcColumnar =
+        if (columnarOk)
+          ParquetReadBridge.columnarReader(spark, cdcFull, cdcReq, Nil,
+            options)
+        else None)
   }
 }
 
@@ -240,8 +253,51 @@ final case class GraftCdfReaderFactory(
     inner: GraftReaderFactory,
     cdcReader: PartitionedFile => Iterator[InternalRow],
     wantChangeType: Boolean = true,
-    wantVersion: Boolean = true)
+    wantVersion: Boolean = true,
+    cdcColumnar: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
   extends PartitionReaderFactory {
+
+  // whole-feed decision (Spark forbids mixing modes): batch only when the
+  // change-file reader AND the snapshot reader (incl. its masked path —
+  // the inner factory only reports columnar when masked files can batch
+  // too) both can
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    cdcColumnar.isDefined && inner.columnar.isDefined
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val p = partition.asInstanceOf[GraftCdfPartition]
+    if (p.isCdc) {
+      // change-file rows already end with _change_type (when requested);
+      // append the version as a constant vector (when requested)
+      val base = cdcColumnar.get(
+        ParquetReadBridge.wholeFile(p.inner.path, p.inner.bytes, 0L))
+      val it = if (wantVersion)
+        base.map(ParquetReadBridge.constAppendTransform(
+          Seq((LongType: DataType) -> Long.box(p.commitVersion))))
+      else base
+      new GraftIteratorReader[ColumnarBatch](it)
+    } else {
+      // data-file batches are bare images; append the requested CDF
+      // columns as constants (snapshot rows are all `insert`)
+      val appendix: Seq[(DataType, Any)] =
+        (if (wantChangeType) Seq((StringType: DataType) ->
+          UTF8String.fromString(ManifestStore.CdfInsert)) else Nil) ++
+        (if (wantVersion) Seq((LongType: DataType) ->
+          Long.box(p.commitVersion)) else Nil)
+      val base = inner.createColumnarReader(p.inner)
+      if (appendix.isEmpty) base
+      else new PartitionReader[ColumnarBatch] {
+        private val t = ParquetReadBridge.constAppendTransform(appendix)
+        override def next(): Boolean = base.next()
+        override def get(): ColumnarBatch = t(base.get())
+        override def close(): Unit = base.close()
+      }
+    }
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -350,10 +406,12 @@ final class GraftCdfScan(root: String, options: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
+    // batch form: backfills scan whole tables through this reader — go
+    // vectorized (the streaming form below stays row-mode by design)
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
-      required = required)
+      required = required, columnarOk = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

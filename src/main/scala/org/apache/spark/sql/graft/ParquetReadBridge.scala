@@ -216,6 +216,41 @@ object ParquetReadBridge {
     }
   }
 
+  /** Append CONSTANT trailing columns to every batch — the columnar
+    * sibling of the row path's JoinedRow idiom (how Spark's own file scan
+    * attaches partition values to batches). Zero-copy on the data
+    * columns: the returned batch re-wraps the source vectors plus one
+    * `ConstantColumnVector` per appended column (created per batch —
+    * numRows varies). Used by the change feed's batch form to synthesize
+    * `_change_type` / `_commit_version` without leaving the vectorized
+    * path.
+    */
+  def constAppendTransform(
+      appendix: Seq[(org.apache.spark.sql.types.DataType, Any)])
+      : ColumnarBatch => ColumnarBatch = {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.vectorized.ColumnVector
+    batch => {
+      val n = batch.numRows()
+      val extra: Seq[ColumnVector] = appendix.map { case (dt, v) =>
+        val c = new ConstantColumnVector(n, dt)
+        (dt, v) match {
+          case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+            c.setUtf8String(s)
+          case (LongType, l: java.lang.Long) => c.setLong(l)
+          case (IntegerType, i: java.lang.Integer) => c.setInt(i)
+          case other => throw new IllegalStateException(
+            s"graft constAppendTransform: unsupported constant $other")
+        }
+        c
+      }
+      new ColumnarBatch(
+        Array.tabulate[ColumnVector](batch.numCols())(batch.column) ++ extra,
+        n)
+    }
+  }
+
   private def copyVal(src: org.apache.spark.sql.vectorized.ColumnVector,
                       r: Int,
                       dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,

@@ -94,8 +94,11 @@ class NestedStatsSpec extends SparkSpec {
     val eq = spark.read.format("graft").load(root)
       .filter(col("meta.grp") === "g5")
     val plannedEq = plannedFiles(eq)
-    assert(plannedEq >= 1 && plannedEq <= 2,
-      s"nested equality should plan ~1 of 8 files, got $plannedEq")
+    // <= 3: repartitionByRange samples boundaries, so one 500-row group
+    // can straddle up to 3 of the 8 files on an unlucky sample — the gate
+    // is "a small slice, not the table", not an exact file count
+    assert(plannedEq >= 1 && plannedEq <= 3,
+      s"nested equality should plan ~1-3 of 8 files, got $plannedEq")
     assert(eq.count() == 500L)
 
     // IS NULL pruning on the nested tag (null-free files drop)

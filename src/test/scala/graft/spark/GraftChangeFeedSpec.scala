@@ -77,6 +77,51 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(rowsOf(feed(st.root, 1, 2)) == (f1 ++ f2))
   }
 
+  test("batch feed reads COLUMNAR: change files, snapshot parts, masked parts") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4)
+    st.merge(netDf(Seq(
+      (0L, "u", Some("v0"), 100L), (300L, "c", Some("fresh"), 100L))),
+      fields, batchId = 1)
+    st.deleteWhere(col("id").between(5L, 7L), batchId = 2)
+    // from the beginning (startingTimestamp 0 resolves to the initial
+    // snapshot): data files with constant-appended CDF columns + captured
+    // change files, one vectorized scan
+    def fromStart(r: String) = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "0").load(r)
+    val df = fromStart(st.root)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"batch feed must read vectorized:\n$plan")
+    val rows = rowsOf(df)
+    // snapshot-as-inserts at v0 covers ALL 100 seed keys (the masked
+    // version only affects the PRESENT table, not v0's images)
+    assert(rows.count(_._3 == "insert") === 101) // 100 seed + 1 fresh
+    assert(rows.filter(_._4 == 2L) === Set(
+      (5L, "n5", "delete", 2L), (6L, "n6", "delete", 2L),
+      (7L, "n7", "delete", 2L)))
+    assert(rows((0L, "v0", "update_postimage", 1L)))
+    // the pruned form (no CDF metadata columns) stays columnar and exact
+    val pruned = fromStart(st.root).select("id", "name")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(pruned.count() === rows.size.toLong)
+    // MASKED snapshot parts (a clone carries the source's DV sidecars as
+    // its own version 0): the columnar feed must subtract them too
+    val cloneRoot = Files.createTempDirectory("cdfclone").toString + "/c"
+    st.cloneTo(cloneRoot)
+    val cf = fromStart(cloneRoot)
+    cf.collect()
+    assert(cf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "masked snapshot parts must batch too")
+    val cRows = rowsOf(cf)
+    assert(cRows.size === 98, s"clone feed: ${cRows.size}") // 101 - 3 masked
+    assert(!cRows.exists(r => r._1 >= 5L && r._1 <= 7L))
+    assert(cRows.forall(_._3 == "insert"))
+  }
+
   test("merge-on-read commits capture the same feed as copy-on-write") {
     val stCow = store(); val stMor = store()
     val net = netDf(Seq(
