@@ -79,12 +79,31 @@ object CdfBench {
         .option("startingVersion", "1").load(capt.root).count()
     }
 
+    // BACKFILL side (r13, columnar feed): a from-the-beginning feed read
+    // scans the whole 60M snapshot as inserts — timed against the direct
+    // table scan of the same data; ~1x means the feed's constant-vector
+    // CDF columns add no reader tax on a backfill
+    def agg(df: org.apache.spark.sql.DataFrame): Double = {
+      var s = 0.0
+      val t = timed { s = df.agg(sum(col("val"))).head().getDouble(0) }
+      require(s > 0); t
+    }
+    val tBackfill = (1 to 3).map(_ => agg(
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingTimestamp", "0").load(capt.root)
+        .filter(col(ManifestStore.ChangeTypeCol) === "insert")
+        .filter(col(ManifestStore.CommitVersionCol) === 0L))).min
+    val tDirect = (1 to 3).map(_ => agg(
+      spark.read.format("graft").load(capt.root))).min
+
     println(
       s"""{"bench":"cdf_capture","rows":$n,"batch":$batch,"rounds":$rounds,""" +
       s""""mor_commit_sec_plain":[${tPlain.map(t => f"$t%.1f").mkString(",")}],""" +
       s""""mor_commit_sec_cdf":[${tCapt.map(t => f"$t%.1f").mkString(",")}],""" +
       s""""cdc_rows":$cdcRows,"cdc_mb":${f"$cdcMb%.1f"},""" +
-      s""""feed_read_sec":${f"$tFeed%.1f"},"feed_rows":$feedRows}""")
+      s""""feed_read_sec":${f"$tFeed%.1f"},"feed_rows":$feedRows,""" +
+      s""""backfill_feed_sec":${f"$tBackfill%.2f"},""" +
+      s""""direct_scan_sec":${f"$tDirect%.2f"}}""")
     spark.stop()
   }
 }
