@@ -455,6 +455,22 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
   }
 
+  /** `maxRowsPerTrigger` — bound each micro-batch by the FEED ROWS it
+    * admits: the CDF sibling of the tail source's `maxBytesPerTrigger`
+    * (change-file byte sizes are not manifest metadata, but per-version
+    * feed row counts are — `cdcRows`, plus added-file live rows for
+    * append versions), so a consumer re-deriving state from a bursty
+    * feed bounds its per-batch state-update work. Whole versions only,
+    * always at least one; composes with `maxVersionsPerTrigger` (the
+    * tighter cap wins); the initial snapshot stays one batch. Admission
+    * is PURE METADATA through the manifest LRU.
+    */
+  private val maxRows: Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxrowspertrigger") => v.toLong
+  }.map { n =>
+    require(n >= 1, s"maxRowsPerTrigger must be >= 1, got $n"); n
+  }
+
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
@@ -464,10 +480,45 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     val live = store.current.map(_._1).getOrElse(-1L)
     val cur = availableNowCap.fold(live)(math.min(live, _))
     val s = start.asInstanceOf[GraftOffset].version
-    GraftOffset(maxVersions match {
+    val vCap = maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)
       case _ => cur // snapshot batch (or no cap): everything available
+    }
+    GraftOffset(maxRows match {
+      case Some(budget) if s >= 0 && vCap > s =>
+        var last = s
+        var acc = 0L
+        var v = s + 1
+        var open = true
+        while (v <= vCap && open) {
+          val rows = feedRows(v)
+          if (last == s || acc + rows <= budget) {
+            acc += rows; last = v; v += 1
+          } else open = false
+        }
+        last
+      case _ => vCap
     })
+  }
+
+  /** Version `v`'s feed row count from manifest metadata alone: captured
+    * versions record `cdcRows`; capture-less versions feed their added
+    * files' live rows (the append-as-inserts path) or nothing
+    * (maintenance).
+    */
+  private def feedRows(v: Long): Long = {
+    val mV = GraftCdf.manifestOrExplain(store, root, v)
+    mV.cdcFile match {
+      case Some("") => 0L // guarded-empty capture
+      case Some(_)  => mV.cdcRows
+      case None =>
+        val mPrev = GraftCdf.manifestOrExplain(store, root, v - 1)
+        if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId) 0L
+        else {
+          val prevNames = mPrev.files.map(_.name).toSet
+          mV.files.filterNot(f => prevNames(f.name)).map(_.liveRows).sum
+        }
+    }
   }
 
   override def initialOffset(): Offset =

@@ -400,6 +400,40 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger paces the feed by manifest row counts") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    // 4 captured versions of 2 feed rows each (pre + post per update)
+    (1 to 4).foreach(i => st.merge(
+      netDf(Seq((i.toLong, "u", Some(s"e$i"), i * 10L))), fields,
+      batchId = i))
+    def drain(budget: Option[Long]): (Long, Int) = {
+      val tbl = s"cdf_rows_${math.abs(st.root.hashCode)}_${budget.getOrElse(0L)}"
+      val r = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+      budget.foreach(b => r.option("maxRowsPerTrigger", b.toString))
+      val q = r.load(st.root)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cdfrows").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        (spark.table(tbl).count(),
+          q.recentProgress.count(_.numInputRows > 0))
+      } finally q.stop()
+    }
+    // a 2-row budget admits exactly one version per batch; nothing lost
+    val (nPaced, paced) = drain(Some(2L))
+    assert(nPaced === 8L, s"paced drain lost rows: $nPaced")
+    assert(paced >= 4, s"a 2-row budget must pace 4 versions: $paced")
+    // uncapped: the backlog is one batch
+    val (nAll, unpaced) = drain(None)
+    assert(nAll === 8L)
+    assert(unpaced <= 2, s"uncapped drain should not pace: $unpaced")
+  }
+
   test("re-applying the feed through the native sink reproduces the table") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 4)
