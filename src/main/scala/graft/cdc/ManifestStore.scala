@@ -4173,6 +4173,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * an idle table pays nothing. Same CAS discipline as [[recluster]]: a
     * lost race discards the attempt's files. New version, same
     * batchId/streamId: maintenance, invisible to replay detection.
+    *
+    * CLUSTERED tables (`clustering.cols` recorded by
+    * [[reclusterZorderCols]], plain layouts only) take a different path:
+    * fold only the DIRTY files (below half the target size, or DV-heavy)
+    * into fresh z-sorted replacements and carry every clean file — the
+    * key-order bin-pack above would see one giant overlap group on a
+    * z-table and rewrite the whole thing sorted by key, shredding the
+    * layout.
     */
   /** `dvFold`: a lone file also compacts once its masked fraction reaches
     * this (default: half — Delta's DV-compaction threshold). Callers
