@@ -142,6 +142,67 @@ class ClusteredOptimizeSpec extends SparkSpec {
       ex.getMessage.contains("clustering.cols"), ex.getMessage)
   }
 
+  test("composition: truncate + string z-order + clustered fold vs plain twin") {
+    // the round's features stacked on the documents-table shape: truncated
+    // text stats, a (lang, text-prefix) rank z-order, ingest debt, and the
+    // clustered maintenance fold — every answer must equal a twin with
+    // NONE of it, and the featured side must still prune text prefixes
+    val N = 4000L
+    def txt(i: Long) =
+      f"doc-${i % 40}%03d-" + ("lorem ipsum dolor sit amet " * 8) + i
+    def lang(i: Long) = Seq("en", "de", "fr", "es")(((i / 10) % 4).toInt)
+    val seed = (0L until N).map(i => (i, lang(i), txt(i)))
+      .toDF("id", "lang", "txt")
+    def mk(featured: Boolean): (String, ManifestStore) = {
+      val root = Files.createTempDirectory(s"comp$featured").toString
+      if (featured)
+        ManifestStore.writeTableProps(root, Map("stats.truncate" -> "12"))
+      val st = new ManifestStore(root, spark, "id")
+      st.commit(seed, batchId = 0, nFiles = 8, statsCols = Seq("lang", "txt"))
+      if (featured)
+        assert(st.reclusterZorderCols(Seq("lang", "txt"), nFiles = 8,
+          bits = 5).isDefined)
+      (root, st)
+    }
+    val (rootX, stX) = mk(featured = true)
+    val (rootP, stP) = mk(featured = false)
+    val flds = Seq("id", "lang", "txt")
+    (1 to 3).foreach { r =>
+      val batch = (0 until 16).map { i =>
+        val k = N + (r - 1) * 16 + i
+        (k.toString, "c", k, lang(k), txt(k), 50L + r)
+      }.toDF(Changelog.KeyCol, Changelog.OpCol, "after_id", "after_lang",
+        "after_txt", Changelog.TsCol)
+      stX.mergeOptimistic(batch, flds, batchId = r, tsGuard = false)
+      stP.mergeOptimistic(batch, flds, batchId = r, tsGuard = false)
+    }
+    assert(stX.optimize(targetFiles = 8).isDefined) // clustered fold
+    stP.optimize(targetFiles = 8)                   // key-order pack
+    val tX = spark.read.format("graft").load(rootX)
+    val tP = spark.read.format("graft").load(rootP)
+    assert(tX.count() === tP.count())
+    // prefix answers equal; the featured side still CUTS files through
+    // its truncated, fold-survived zone map ("doc-007-" is exactly the
+    // 8-byte rank prefix and within the 12-byte stat budget)
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    assert(idsOf(tX.filter(col("txt").startsWith("doc-007-"))) ===
+      idsOf(tP.filter(col("txt").startsWith("doc-007-"))))
+    val skip = stX.readWhere("txt", "doc-007-", "doc-007-\uFFFF").get._2
+    assert(skip.nSkipped > 0, s"featured side must prune the prefix: $skip")
+    // equality + aggregate parity (featured MIN/MAX gated onto a scan)
+    assert(idsOf(tX.filter(col("lang") === "de")) ===
+      idsOf(tP.filter(col("lang") === "de")))
+    assert(tX.agg(min("txt"), max("txt")).head() ===
+      tP.agg(min("txt"), max("txt")).head())
+    // the featured manifest's text stats respect the byte budget
+    stX.currentManifest.get.files.foreach { f =>
+      val (mn, mx) = f.cols("txt")
+      assert(mn.getBytes("UTF-8").length <= 12, s"min over budget: '$mn'")
+      assert(mx.getBytes("UTF-8").length <= 16, s"max over budget: '$mx'")
+    }
+  }
+
   test("bucketed tables keep the plain path: purity beats clustering") {
     val root = Files.createTempDirectory("zoptb").toString
     ManifestStore.writeTableProps(root,
