@@ -1544,6 +1544,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
               vs.nonEmpty && vs.size <= InPruneMaxValues && vs.forall(litable)
             case _ => false
           }
+          case "startswith" => v.isInstanceOf[String] &&
+            ManifestStore.leafType(schema, c)
+              .contains(org.apache.spark.sql.types.StringType)
           case "notnull" => true
           case _ => false
         })
@@ -1583,6 +1586,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 val vs = v.asInstanceOf[Seq[Any]]
                 mn <=> mx && org.apache.spark.sql.functions.exists(
                   array(vs.map(x => lit(x).cast(dt)): _*), x => mn <=> x)
+              case "startswith" =>
+                // min and max sharing the prefix pins EVERY row between
+                // them to it (bytewise UTF8 order fixes the first |p|
+                // bytes) — sound under stats.truncate too: widened
+                // bounds still BRACKET the rows, so a shared prefix on
+                // the bounds is a shared prefix on the data
+                val p = v.asInstanceOf[String]
+                mn.startsWith(lit(p)) && mx.startsWith(lit(p))
             }
           }.reduce(_ && _)
           spark.createDataFrame(rows.asJava, st)

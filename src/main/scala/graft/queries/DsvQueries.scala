@@ -488,6 +488,26 @@ object DsvQueries {
         lit(files >= 1 && files <= 2).as("prefix_pruned"))
     }),
 
+    "dsv2_prefix_count" -> ((s, dir) => {
+      // filtered COUNT under `LIKE 'prefix%'` answered from manifest
+      // stats: when min and max share the prefix, every row between them
+      // shares it (bytewise UTF8 order), so whole-file-decided candidates
+      // answer the aggregate with NO scan — the prefix sibling of the
+      // range-decided pushdown, and the common "how many docs from this
+      // domain" query at 100 TB
+      val root = scratch("pfc", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists)
+        st.commit(customer(s, dir), batchId = 0, nFiles = 8,
+          statsCols = Seq("c_name"))
+      val df = s.read.format("graft").load(root)
+        .filter(col("c_name").startsWith("Customer#"))
+        .agg(count(lit(1)).as("cnt"))
+      val noScan =
+        !df.queryExecution.executedPlan.toString.contains("BatchScan")
+      df.select(col("cnt"), lit(noScan).as("stats_answered"))
+    }),
+
     "dsv2_optimize_clustered" -> ((s, dir) => {
       // clustering-aware maintenance end-to-end: a (c_nationkey,
       // c_acctbal) z-ordered table takes scattered small appends (ingest
@@ -1295,6 +1315,12 @@ object DsvQueries {
     "dsv2_prefix_prune" ->
       """SELECT c_custkey, c_name, c_acctbal, TRUE AS prefix_pruned
         |FROM customer WHERE c_name LIKE 'Customer#0000000%'""".stripMargin,
+
+    // the prefix-filtered count must be exact, with the no-scan gate true
+    // (every file whole-file decided by its shared-prefix name bounds)
+    "dsv2_prefix_count" ->
+      """SELECT count(*) AS cnt, TRUE AS stats_answered
+        |FROM customer WHERE c_name LIKE 'Customer#%'""".stripMargin,
 
     // the augmented table (base + 3 shifted-key append batches) filtered
     // by the box predicate must match exactly, with the maintenance gates

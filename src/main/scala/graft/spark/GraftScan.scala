@@ -272,6 +272,7 @@ object GraftScan {
       case LessThan(a, v)           => Some(Seq((a, "<", v)))
       case LessThanOrEqual(a, v)    => Some(Seq((a, "<=", v)))
       case In(a, vs)                => Some(Seq((a, "in", vs.toSeq)))
+      case StringStartsWith(a, p)   => Some(Seq((a, "startswith", p)))
       case IsNotNull(a)             => Some(Seq((a, "notnull", null)))
       case And(l, r) => for (a <- one(l); b <- one(r)) yield a ++ b
       case _ => None

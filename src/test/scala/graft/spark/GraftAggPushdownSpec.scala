@@ -247,6 +247,41 @@ class GraftAggPushdownSpec extends SparkSpec {
     assert(q.as[(Double, Double)].head() == ((0.0, 198.0)))
   }
 
+  test("filtered COUNT under LIKE 'prefix%' pushes when whole-file decided") {
+    val root = Files.createTempDirectory("aggpfx").toString
+    val st = new ManifestStore(root, spark, "id")
+    // name correlates with the key, so key clustering gives each file a
+    // tight name range — the layout prefix predicates are decided on
+    val df = (0L until 4000L).map(i => (i, f"g${i / 500}%02d-n$i"))
+      .toDF("id", "name")
+    st.commit(df, batchId = 0, nFiles = 8, statsCols = Seq("name"))
+    val t = spark.read.format("graft").load(root)
+    // a prefix every row matches: every candidate file is whole-file
+    // decided TRUE — the count answers from stats, filter consumed
+    val all = t.filter(col("name").startsWith("g")).agg(count(lit(1)))
+    assertPushed(all)
+    assert(all.head().getLong(0) === 4000L)
+    // a prefix nothing matches: candidates prune to NOTHING — still a
+    // stats answer (zero), no scan
+    val none = t.filter(col("name").startsWith("zz")).agg(count(lit(1)))
+    assertPushed(none)
+    assert(none.head().getLong(0) === 0L)
+    // a prefix whose span straddles a file boundary is NOT whole-file
+    // decided: fall back to the real scan, answer stays exact
+    val some = t.filter(col("name").startsWith("g03")).agg(count(lit(1)))
+    assert(some.head().getLong(0) === 500L)
+    // composes with truncated stats: widened bounds that still share the
+    // prefix keep the proof (bounds bracket the rows)
+    val rootT = Files.createTempDirectory("aggpfxt").toString
+    ManifestStore.writeTableProps(rootT, Map("stats.truncate" -> "6"))
+    val stT = new ManifestStore(rootT, spark, "id")
+    stT.commit(df, batchId = 0, nFiles = 8, statsCols = Seq("name"))
+    val tT = spark.read.format("graft").load(rootT)
+    val allT = tT.filter(col("name").startsWith("g")).agg(count(lit(1)))
+    assertPushed(allT)
+    assert(allT.head().getLong(0) === 4000L)
+  }
+
   test("empty table: count 0, min/max null, still no scan") {
     val root = Files.createTempDirectory("aggp_empty").toString
     val st = new ManifestStore(root, spark, "id")
