@@ -1227,7 +1227,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     def leafCanPrune(c: String, op: String, v: Any): Boolean =
       (c == keyField || m.statsCols.contains(c)) &&
         leafDt(c).isDefined && (op match {
-          case ">" | ">=" | "<" | "<=" | "=" => litable(v)
+          case ">" | ">=" | "<" | "<=" | "=" | "!=" => litable(v)
           case "startswith" =>
             leafDt(c).contains(StringType) && v.isInstanceOf[String]
           case "in" => v match {
@@ -1321,11 +1321,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
             case "<=" => mn <= value
             case "="  => mn <= value && mx >= value &&
               bloomOk(c, statSerialize(value, dt))
+            case "!=" =>
+              // only a SINGLE-VALUE file at exactly v prunes — its
+              // non-null rows are all v (excluded) and its null rows fail
+              // `!= v` too (NULL semantics), so the whole file drops. On
+              // partition/bucket-pure layouts this is `part != 'x'`
+              // skipping the x-partition wholesale. Under stats.truncate
+              // min==max still implies exactness, so the cut stays sound.
+              !(mn <=> value && mx <=> value)
             case "startswith" =>
               // prefix range [p, succ(p)): a file can hold a p-prefixed
-              // string iff its [min,max] intersects it. String stats are
-              // FULL values (never truncated) and compare as UTF8String
-              // binary = code-point order — the order succ() increments in.
+              // string iff its [min,max] intersects it. String stats
+              // compare as UTF8String binary = code-point order — the
+              // order succ() increments in; `stats.truncate`d stats only
+              // WIDEN the range (bounds still bracket the rows), so the
+              // intersection test over-keeps, never over-prunes.
               ManifestStore.prefixSuccessor(v.asInstanceOf[String]) match {
                 case Some(u) => mx >= value && mn < lit(u)
                 case None    => mx >= value // all-max prefix: no upper bound
@@ -1538,7 +1548,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val predsOk = preds.forall { case (c, op, v) =>
       (c == keyField || m.statsCols.contains(c)) &&
         ManifestStore.leafType(schema, c).isDefined && (op match {
-          case ">" | ">=" | "<" | "<=" | "=" => litable(v)
+          case ">" | ">=" | "<" | "<=" | "=" | "!=" => litable(v)
           case "in" => v match {
             case vs: Seq[_] =>
               vs.nonEmpty && vs.size <= InPruneMaxValues && vs.forall(litable)
@@ -1586,6 +1596,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 val vs = v.asInstanceOf[Seq[Any]]
                 mn <=> mx && org.apache.spark.sql.functions.exists(
                   array(vs.map(x => lit(x).cast(dt)): _*), x => mn <=> x)
+              case "!=" =>
+                // all rows provably differ from v iff the file's range
+                // excludes v (nulls are excluded separately by the
+                // zero-null requirement above)
+                mx < value || mn > value
               case "startswith" =>
                 // min and max sharing the prefix pins EVERY row between
                 // them to it (bytewise UTF8 order fixes the first |p|

@@ -242,6 +242,7 @@ object GraftScan {
     case LessThan(a, v)           => Seq((a, "<", v))
     case LessThanOrEqual(a, v)    => Seq((a, "<=", v))
     case In(a, vs)                => Seq((a, "in", vs.toSeq))
+    case Not(EqualTo(a, v))       => Seq((a, "!=", v))
     case IsNull(a)                => Seq((a, "isnull", null))
     case IsNotNull(a)             => Seq((a, "notnull", null))
     case StringStartsWith(a, p)   => Seq((a, "startswith", p))
@@ -272,6 +273,7 @@ object GraftScan {
       case LessThan(a, v)           => Some(Seq((a, "<", v)))
       case LessThanOrEqual(a, v)    => Some(Seq((a, "<=", v)))
       case In(a, vs)                => Some(Seq((a, "in", vs.toSeq)))
+      case Not(EqualTo(a, v))       => Some(Seq((a, "!=", v)))
       case StringStartsWith(a, p)   => Some(Seq((a, "startswith", p)))
       case IsNotNull(a)             => Some(Seq((a, "notnull", null)))
       case And(l, r) => for (a <- one(l); b <- one(r)) yield a ++ b

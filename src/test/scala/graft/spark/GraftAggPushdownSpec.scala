@@ -282,6 +282,42 @@ class GraftAggPushdownSpec extends SparkSpec {
     assert(allT.head().getLong(0) === 4000L)
   }
 
+  test("!= prunes single-value files; partition-excluding counts push") {
+    val root = Files.createTempDirectory("aggneq").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "seg"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 4000L).map(i => (i, f"a${i / 500}%02d"))
+      .toDF("id", "seg")
+    st.commit(df, batchId = 0, nFiles = 8, statsCols = Seq("seg"))
+    assert(st.currentManifest.get.files.forall(f =>
+      f.cols("seg")._1 == f.cols("seg")._2), "fixture needs pure files")
+    val t = spark.read.format("graft").load(root)
+    // the a03 partition's files drop at PLANNING time
+    val q = t.filter(col("seg") =!= "a03")
+    q.collect()
+    val planned = graft.queries.QueryUtil.plannedPartitions(q)
+    val total = st.currentManifest.get.files.size
+    assert(planned < total, s"!= must cut the a03 files: $planned of $total")
+    assert(q.count() === 3500L)
+    // every candidate file provably excludes the value: the filtered
+    // count answers from stats with no scan
+    val cnt = t.filter(col("seg") =!= "a03").agg(count(lit(1)))
+    assertPushed(cnt)
+    assert(cnt.head().getLong(0) === 3500L)
+    // with NULLs in the column the decided proof fails (a null row does
+    // not match !=): real scan, exact answer
+    val rootN = Files.createTempDirectory("aggneqn").toString
+    val stN = new ManifestStore(rootN, spark, "id")
+    stN.commit((0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) None else Some(f"b${i / 250}%02d")))
+      .toDF("id", "seg"), batchId = 0, nFiles = 4, statsCols = Seq("seg"))
+    val tN = spark.read.format("graft").load(rootN)
+    val cntN = tN.filter(col("seg") =!= "b01").agg(count(lit(1)))
+    assertNotPushed(cntN)
+    assert(cntN.head().getLong(0) ===
+      (0L until 1000L).count(i => i % 10 != 0 && i / 250 != 1).toLong)
+  }
+
   test("empty table: count 0, min/max null, still no scan") {
     val root = Files.createTempDirectory("aggp_empty").toString
     val st = new ManifestStore(root, spark, "id")
