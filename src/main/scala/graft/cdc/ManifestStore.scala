@@ -543,15 +543,27 @@ object ManifestStore {
       v.split(",").map(_.trim).count(_.nonEmpty) >= 2,
       s"table property clustering.cols must list >= 2 comma-separated " +
         s"columns, got '$v'"))
+    // internal drift counter (files written by clustered maintenance
+    // folds since the last full re-zorder) — non-negative integer
+    props.get("clustering.foldfiles").foreach(v =>
+      require(v.toLongOption.exists(_ >= 0L),
+        s"table property clustering.foldfiles must be a non-negative " +
+          s"integer, got '$v'"))
+    props.get("clustering.refreshratio").foreach(v => require(
+      v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false") ||
+        v.toDoubleOption.exists(_ > 0),
+      s"table property clustering.refreshratio must be a positive ratio " +
+        s"or off/false, got '$v'"))
     props.get("retention.minagems").foreach(v =>
       require(v.toLongOption.exists(_ >= 0L),
         s"table property retention.minagems must be a non-negative " +
           s"integer of milliseconds, got '$v'"))
     bloomParams(props) // throws its own typed error on junk
-    props.get("bloomfiltercols").foreach(v => require(!v.contains("."),
-      s"bloomfiltercols lists a struct leaf in '$v' — per-column Bloom " +
-        "sidecars cover TOP-LEVEL columns only (zone-map stats and column " +
-        "mapping do cover leaves)"))
+    // `bloomfiltercols` entries may be dotted struct-LEAF paths
+    // ("meta.lang") or top-level columns whose name literally contains a
+    // dot — only a schema can tell them apart, so validation happens at
+    // write time ([[writeDataFiles]] resolves through [[leafType]], where
+    // a top-level field wins verbatim); no shape check here.
     ()
   }
 
@@ -2216,20 +2228,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
     // is a misconfiguration, not a silent no-op. A drift-evolved frame
     // that doesn't carry the column yet skips it for THIS write.
     val (bloomColsRaw, bloomColCfg) = ManifestStore.bloomColParams(tableProps)
-    // struct leaves refuse LOUDLY here too (belt to the DDL-time brace in
-    // validateTableProps): a dotted name would otherwise reach
-    // df.schema(c) below and die with an unrelated field-not-found error
-    bloomColsRaw.foreach(c => require(!c.contains("."),
-      s"bloomfiltercols column '$c' is a struct leaf — per-column Bloom " +
-        "sidecars cover TOP-LEVEL columns only"))
-    bloomColsRaw.filter(df.columns.contains).foreach { c =>
+    // entries may be dotted struct-LEAF paths ("meta.lang") or top-level
+    // columns literally named with a dot — [[ManifestStore.leafType]]
+    // decides (a verbatim top-level field wins), exactly like the
+    // zone-map stats columns above. Unresolvable entries skip for THIS
+    // write (drift-evolution semantics, same as sCols).
+    val bloomResolved: Seq[String] = bloomColsRaw.filter(c =>
+      ManifestStore.leafType(df.schema, c).isDefined)
+    bloomResolved.foreach { c =>
       require(c != keyField, s"bloomfiltercols lists the key column '$c' " +
         "— the key always gets a Bloom via the bloomfilter property")
       require(sCols.contains(c), s"bloomfiltercols column '$c' is not a " +
         s"zone-map column (statsCols = ${sCols.mkString(",")}) — the " +
         "pruner could never probe it; add it to statsCols first")
     }
-    val bloomCols: Seq[String] = bloomColsRaw.filter(sCols.contains)
+    val bloomCols: Seq[String] = bloomResolved
     val clustered = (clusterBy, partCol, bucketsN) match {
       case (Some(zc), _, _) =>
         // the projection dropping zc is narrow: partitioning and order survive
@@ -2326,11 +2339,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val bloomStat = bloomCfg.toSeq.map { case (bits, hashes) =>
           bloomAgg(col(keyField), keyDt, bits, hashes, "_bloom")
         }
-        // secondary-column blooms fold in the SAME single stats pass
+        // secondary-column blooms fold in the SAME single stats pass —
+        // struct leaves select through the dotted physical path like the
+        // zone-map stats (statCol) and hash their LEAF type's stat string
         val bloomColStat = bloomCols.map { c =>
           val (bits, hashes) = bloomColCfg
-          bloomAgg(col(s"`${physName(c)}`"), df.schema(c).dataType,
-            bits, hashes, s"_bloomc_$c")
+          bloomAgg(statCol(c), statDt(c), bits, hashes, s"_bloomc_$c")
         }
         // per-file KMV NDV sketches (key + every zone-map column the
         // sketch covers) fold in the same pass too — O(k) state per
@@ -2432,8 +2446,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
         "carry logical column names) — use the rewriting commit path")
     if (staged.isEmpty) return Nil
     val keyDt = schema(keyField).dataType
+    // stats columns may be dotted struct-LEAF paths — resolve their types
+    // through [[ManifestStore.leafType]] exactly like the rewriting writer
     val sCols = statsCols.filter(c => c != keyField &&
-      schema.fieldNames.contains(c))
+      ManifestStore.leafType(schema, c).isDefined)
+    def adoptDt(c: String): org.apache.spark.sql.types.DataType =
+      ManifestStore.leafType(schema, c).get
     // the SAME `stats.truncate` widening as the clustering writer — stat
     // strings must stay identical between promoted and rewritten files,
     // and the partition-column exemption must match too
@@ -2444,7 +2462,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     def truncStat(c: String, mn: String, mx: String): (String, String) =
       statTrunc match {
         case Some(n) if mn != null && !truncExempt.contains(c) &&
-            schema(c).dataType == org.apache.spark.sql.types.StringType =>
+            adoptDt(c) == org.apache.spark.sql.types.StringType =>
           (ManifestStore.truncMin(mn, n), ManifestStore.truncMax(mx, n))
         case _ => (mn, mx)
       }
@@ -2454,8 +2472,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       StructField("_kmin", keyDt, nullable = true),
       StructField("_kmax", keyDt, nullable = true)) ++
       sCols.flatMap(c => Seq(
-        StructField(s"_min_$c", schema(c).dataType, nullable = true),
-        StructField(s"_max_$c", schema(c).dataType, nullable = true)))
+        StructField(s"_min_$c", adoptDt(c), nullable = true),
+        StructField(s"_max_$c", adoptDt(c), nullable = true)))
     val rows: Seq[org.apache.spark.sql.Row] = staged.map { f =>
       val byCol = f.cols.map(cs => cs.col -> cs).toMap
       org.apache.spark.sql.Row.fromSeq(
@@ -2468,8 +2486,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       statSerialize(col("_kmin"), keyDt).as("_kmin") +:
         statSerialize(col("_kmax"), keyDt).as("_kmax") +:
         sCols.flatMap(c => Seq(
-          statSerialize(col(s"_min_$c"), schema(c).dataType).as(s"_min_$c"),
-          statSerialize(col(s"_max_$c"), schema(c).dataType).as(s"_max_$c")))
+          statSerialize(col(s"`_min_$c`"), adoptDt(c)).as(s"_min_$c"),
+          statSerialize(col(s"`_max_$c`"), adoptDt(c)).as(s"_max_$c")))
     val ser = spark.createDataFrame(rows.asJava, StructType(fields))
       .select(serCols: _*)
       .collect() // O(#staged files) — planning-scale, no data read
@@ -4057,10 +4075,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 // folds small/masked files back into THIS order instead of
                 // re-sorting them by key — which would shred the layout
                 // the user just paid a full rewrite for
+                // a FULL re-zorder rank-bins over the whole table, so the
+                // fold-drift counter resets — GraftMaintenance's freshness
+                // trigger reads it against the live file count
                 ManifestStore.writeTableProps(root,
                   ManifestStore.readTableProps(root) +
                     ("clustering.cols" -> cols.mkString(","),
-                      "clustering.bits" -> bits.toString))
+                      "clustering.bits" -> bits.toString,
+                      "clustering.foldfiles" -> "0"))
                 true
               }
             }
@@ -4308,6 +4330,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
           current.exists(_._1 == m.version) && {
             writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
               m.schemaDDL, carried ++ newEntries, newStats)
+            // drift bookkeeping: the fold's bin boundaries came from the
+            // DIRTY subset only, so its output files accrue in
+            // clustering.foldfiles until a full re-zorder resets it —
+            // GraftMaintenance triggers that once the fold-written
+            // fraction passes clustering.refreshratio
+            val tp = ManifestStore.readTableProps(root)
+            val prev = tp.get("clustering.foldfiles")
+              .flatMap(_.toLongOption).getOrElse(0L)
+            ManifestStore.writeTableProps(root, tp +
+              ("clustering.foldfiles" -> (prev + newEntries.size).toString))
             true
           }
         }

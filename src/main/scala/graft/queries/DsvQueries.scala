@@ -647,6 +647,37 @@ object DsvQueries {
         lit(files >= 1 && files <= 3).as("nested_pruned"))
     }),
 
+    "dsv2_bloom_nested" -> ((s, dir) => {
+      // struct-LEAF Bloom sidecars: `bloomfiltercols` names a dotted path
+      // ("meta.tag" — the documents/multimodal shape) whose values are
+      // hash-SCATTERED across the key clustering, so every file's leaf
+      // zone map covers any probe and only the per-file leaf bloom can
+      // cut the file set; the gate asserts a pushed nested equality plans
+      // a strict few of 8 files (before this round, bloomfiltercols
+      // refused dotted paths at DDL time)
+      val root = scratch("bln", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      if (!st.exists) {
+        ManifestStore.writeTableProps(root,
+          Map("bloomfiltercols" -> "meta.tag", "bloomfilter" -> "8192"))
+        val nested = cust.select(col("c_custkey"), col("c_name"),
+          struct(
+            concat(lit("t"), ((col("c_custkey") * 2654435761L) % 9973L)
+              .cast("string")).as("tag"),
+            col("c_mktsegment").as("seg")).as("meta"))
+        st.commit(nested, batchId = 0, nFiles = 8,
+          statsCols = Seq("meta.tag", "meta.seg"))
+      }
+      val probe = s"t${(500L * 2654435761L) % 9973L}"
+      val df = s.read.format("graft").load(root)
+        .filter(col("meta.tag") === probe)
+      val files = QueryUtil.plannedPartitions(df)
+      df.select(col("c_custkey"), col("c_name"),
+        col("meta.tag").as("tag"),
+        lit(files >= 1 && files <= 3).as("leaf_bloom_cut"))
+    }),
+
     "dsv2_partition_evolution" -> ((s, dir) => {
       // Iceberg-style partition-spec evolution as a METADATA change: the
       // table starts partitioned by (c_mktsegment), evolves to
@@ -1367,6 +1398,18 @@ object DsvQueries {
       """SELECT c_custkey, c_name, c_custkey // 200 AS band,
         |       TRUE AS nested_pruned
         |FROM customer WHERE c_custkey // 200 = 3""".stripMargin,
+
+    // the nested point probe must return exactly the rows whose scattered
+    // leaf tag collides with custkey 500's, with the leaf-bloom file-cut
+    // gate true (<= 3 of 8 files planned)
+    "dsv2_bloom_nested" ->
+      """SELECT c_custkey, c_name,
+        |       't' || CAST((c_custkey * 2654435761) % 9973 AS VARCHAR)
+        |         AS tag,
+        |       TRUE AS leaf_bloom_cut
+        |FROM customer
+        |WHERE (c_custkey * 2654435761) % 9973
+        |      = (500 * 2654435761) % 9973""".stripMargin,
 
     // the two-spec table must equal the relational recomputation: the
     // evolved (BUILDING, ngrp=1) cell negated, everything else intact,

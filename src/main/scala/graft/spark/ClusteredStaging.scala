@@ -77,19 +77,22 @@ object ClusteredStaging {
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .filter(_ => bucketsN.isEmpty)
     if (partCols.exists(pc => !schema.fieldNames.contains(pc))) return None
-    // DOTTED struct-leaf stats columns: the rewriting writer folds their
-    // zone maps (ManifestStore.leafCol), the task writer does not reach
-    // into nested rows — fall back so the files stay fully statted
-    if (statsCols.exists(c => !schema.fieldNames.contains(c) &&
-      ManifestStore.leafType(schema, c).isDefined)) return None
-    val sCols = statsCols.filter(c => c != key && schema.fieldNames.contains(c))
+    // stats columns may be DOTTED struct-leaf paths ("meta.lang"): the
+    // task writer reaches into nested rows through the same
+    // [[ManifestStore.leafType]] resolution the rewriting writer uses
+    // (a verbatim top-level field wins), so leaf-statted tables promote
+    // too — no 2x-write fallback for the documents/multimodal shape
+    val sCols = statsCols.filter(c => c != key &&
+      ManifestStore.leafType(schema, c).isDefined)
     val typed = (key +: (partCols ++ sCols)).distinct
-    if (typed.exists(c => !statSupported(schema(c).dataType))) return None
+    if (typed.exists(c =>
+      !statSupported(ManifestStore.leafType(schema, c).get))) return None
     // secondary bloom columns fold in-task like the key's; a column the
     // rewriting writer would REFUSE (not a zone-map column) falls back so
     // the loud error fires there, not a silent promoted no-op
     val (bcRaw, bcCfg) = ManifestStore.bloomColParams(props)
-    val bloomCols = bcRaw.filter(schema.fieldNames.contains)
+    val bloomCols = bcRaw.filter(c =>
+      ManifestStore.leafType(schema, c).isDefined)
     if (bloomCols.exists(c => c == key || !sCols.contains(c))) return None
     Some(ClusterWriteSpec(key, partCols, sCols,
       bucketsN.getOrElse(math.max(1, nFiles)),
@@ -155,23 +158,72 @@ final class GraftClusteredTaskWriter(stageDir: String,
   private val partIdx = spec.partCols.map(schema.fieldIndex).toArray
   private val partDts = spec.partCols.map(schema(_).dataType).toArray
   private val partOrds = partDts.map(ParquetWriteBridge.orderingFor)
-  private case class ColTrack(name: String, idx: Int, dt: DataType,
-                              ord: Ordering[Any]) {
+  /** Catalyst accessor + leaf type for a (possibly dotted) stats path: a
+    * top-level field wins verbatim (even with a literal dot in its name),
+    * else the dotted path walks struct ordinals — a NULL at ANY step
+    * yields SQL NULL, matching the Column traversal the rewriting
+    * writer's stats pass uses ([[ManifestStore.leafCol]]), so promoted
+    * and rewritten leaf stats agree bit-for-bit.
+    */
+  private def leafOf(path: String): (InternalRow => Any, DataType) =
+    if (schema.fieldNames.contains(path)) {
+      val i = schema.fieldIndex(path)
+      val dt = schema(i).dataType
+      ((r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt), dt)
+    } else {
+      def steps(st: StructType, ps: List[String]): List[(Int, DataType)] =
+        ps match {
+          case Nil => Nil
+          case p :: rest =>
+            val i = st.fieldIndex(p)
+            st(i).dataType match {
+              case s: StructType if rest.nonEmpty =>
+                (i, s) :: steps(s, rest)
+              case dt =>
+                require(rest.isEmpty,
+                  s"stats path '$path' descends through non-struct '$p'")
+                List((i, dt))
+            }
+        }
+      val chain = steps(schema, path.split('.').toList).toArray
+      val leafDt = chain.last._2
+      val get = (r: InternalRow) => {
+        var cur = r
+        var v: Any = null
+        var i = 0
+        var miss = false
+        while (i < chain.length && !miss) {
+          val (idx, dt) = chain(i)
+          if (cur.isNullAt(idx)) miss = true
+          else if (i == chain.length - 1) v = cur.get(idx, dt)
+          else cur = cur.getStruct(idx,
+            dt.asInstanceOf[StructType].fields.length)
+          i += 1
+        }
+        v
+      }
+      (get, leafDt)
+    }
+
+  private case class ColTrack(name: String, get: InternalRow => Any,
+                              dt: DataType, ord: Ordering[Any]) {
     var min: Any = _
     var max: Any = _
     var nulls: Long = 0L
     def reset(): Unit = { min = null; max = null; nulls = 0L }
-    def update(row: InternalRow): Unit =
-      if (row.isNullAt(idx)) nulls += 1
+    def update(row: InternalRow): Unit = {
+      val v = get(row)
+      if (v == null) nulls += 1
       else {
-        val v = row.get(idx, dt)
         if (min == null || ord.compare(v, min) < 0) min = deepCopy(v)
         if (max == null || ord.compare(v, max) > 0) max = deepCopy(v)
       }
+    }
   }
-  private val colTracks: Array[ColTrack] = spec.statsCols.toArray.map(c =>
-    ColTrack(c, schema.fieldIndex(c), schema(c).dataType,
-      ParquetWriteBridge.orderingFor(schema(c).dataType)))
+  private val colTracks: Array[ColTrack] = spec.statsCols.toArray.map { c =>
+    val (get, dt) = leafOf(c)
+    ColTrack(c, get, dt, ParquetWriteBridge.orderingFor(dt))
+  }
 
   // a catalyst value detached from the (buffer-reusing) incoming row
   private def deepCopy(v: Any): Any = v match {
@@ -210,18 +262,19 @@ final class GraftClusteredTaskWriter(stageDir: String,
     if (spec.bloom.isDefined) ParquetWriteBridge.statStringifier(keyDt)
     else null
   private var bloomWords: Array[Long] = _
-  // secondary-column Bloom folds (spec.bloomCols): index, type-matched
-  // stringifier and per-file bitset per column
-  private case class ColBloom(name: String, idx: Int, bits: Int, hashes: Int,
-                              dt: DataType,
+  // secondary-column Bloom folds (spec.bloomCols): leaf accessor,
+  // type-matched stringifier and per-file bitset per column — dotted
+  // struct-leaf paths fold exactly like top-level columns
+  private case class ColBloom(name: String, get: InternalRow => Any,
+                              bits: Int, hashes: Int, dt: DataType,
                               str: Any => org.apache.spark.unsafe.types.UTF8String) {
     var words: Array[Long] = _
     def reset(): Unit = words = new Array[Long](bits / 64)
   }
   private val colBlooms: Array[ColBloom] = spec.bloomCols.toArray.map {
     case (c, (bits, hashes)) =>
-      val dt = schema(c).dataType
-      ColBloom(c, schema.fieldIndex(c), bits, hashes, dt,
+      val (get, dt) = leafOf(c)
+      ColBloom(c, get, bits, hashes, dt,
         ParquetWriteBridge.statStringifier(dt))
   }
   // per-file KMV NDV sketches (key + every stats column the hasher
@@ -230,8 +283,8 @@ final class GraftClusteredTaskWriter(stageDir: String,
   // hash domain as the stats-pass kmv_build aggregate (catalyst-internal
   // values through KmvSketch.hasherFor), so promoted and rewritten files'
   // sketches union soundly.
-  private case class ColKmv(name: String, idx: Int, dt: DataType,
-                            hasher: Any => Long) {
+  private case class ColKmv(name: String, get: InternalRow => Any,
+                            dt: DataType, hasher: Any => Long) {
     var state: graft.functions.KmvSketch.State = _
     def reset(): Unit =
       state = new graft.functions.KmvSketch.State(
@@ -239,10 +292,10 @@ final class GraftClusteredTaskWriter(stageDir: String,
   }
   private val kmvTracks: Array[ColKmv] =
     (spec.key +: spec.statsCols).distinct.toArray
-      .map(c => (c, schema(c).dataType))
-      .collect { case (c, dt) if graft.functions.KmvSketch.supported(dt) =>
-        ColKmv(c, schema.fieldIndex(c), dt,
-          graft.functions.KmvSketch.hasherFor(dt)) }
+      .map(c => (c, leafOf(c)))
+      .collect { case (c, (get, dt))
+          if graft.functions.KmvSketch.supported(dt) =>
+        ColKmv(c, get, dt, graft.functions.KmvSketch.hasherFor(dt)) }
 
   private val done = scala.collection.mutable.ArrayBuffer
     .empty[ManifestStore.StagedFile]
@@ -343,15 +396,17 @@ final class GraftClusteredTaskWriter(stageDir: String,
     i = 0
     while (i < colBlooms.length) {
       val cb = colBlooms(i)
-      if (!row.isNullAt(cb.idx))
+      val v = cb.get(row)
+      if (v != null)
         graft.functions.BloomSketch.add(cb.words, cb.bits, cb.hashes,
-          cb.str(row.get(cb.idx, cb.dt)))
+          cb.str(v))
       i += 1
     }
     i = 0
     while (i < kmvTracks.length) {
       val t = kmvTracks(i)
-      if (!row.isNullAt(t.idx)) t.state.add(t.hasher(row.get(t.idx, t.dt)))
+      val v = t.get(row)
+      if (v != null) t.state.add(t.hasher(v))
       else t.state.nulls += 1
       i += 1
     }

@@ -49,6 +49,12 @@ object GraftMaintenance {
     */
   val compactions = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Process-lifetime count of maintenance-triggered FULL re-zorders
+    * (clustered-table bin-boundary refreshes) — same observability role
+    * as [[compactions]].
+    */
+  val rezorders = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Probe `root`'s manifest and, if the `autocompact.files` bound is
     * exceeded, enqueue a scoped bin-pack. O(#files) driver metadata when
     * the property is set; free otherwise. Never blocks on the compaction
@@ -63,7 +69,18 @@ object GraftMaintenance {
     // "keep the last N plus every tag" is the combined retention policy
     val keep = props.get("retention.versions").flatMap(_.toIntOption)
       .filter(_ >= 1)
-    if (bound.isEmpty && keep.isEmpty) return
+    // clustered tables additionally refresh their bin boundaries: the
+    // incremental fold rank-bins over the DIRTY subset, so repeated folds
+    // drift from table-wide boundaries and box-prune tightness decays —
+    // once the fold-written file fraction passes the threshold, a FULL
+    // re-zorder runs in the same off-thread, CAS'd window. Active inside
+    // an autocompact/retention window by default (ratio 0.5); an explicit
+    // clustering.refreshratio opens the window on its own, and off/false
+    // disables the trigger.
+    val zRefreshOpen = zRefreshRatio(props).isDefined &&
+      (bound.nonEmpty || keep.nonEmpty ||
+        props.contains("clustering.refreshratio"))
+    if (bound.isEmpty && keep.isEmpty && !zRefreshOpen) return
     val rootKey = java.nio.file.Paths.get(root)
       .toAbsolutePath.normalize.toString
     val n = slots.compute(rootKey, (_, v) => if (v == null) 1 else v + 1)
@@ -76,6 +93,7 @@ object GraftMaintenance {
       override def run(): Unit =
         try {
           bound.foreach(b => compactIfNeeded(root, spark, key, b, props))
+          if (zRefreshOpen) rezorderIfStale(root, spark, key)
           keep.foreach { k =>
             // minAge guards LIVE writers: vacuum reaps stage dirs and
             // unreferenced files older than the cutoff, and an in-flight
@@ -98,6 +116,56 @@ object GraftMaintenance {
         }
     })
     ()
+  }
+
+  /** The clustered-refresh threshold for `props`, or None when the table
+    * is not rank-clustered / the trigger is disabled. Partitioned and
+    * bucketed layouts never z-refresh (purity owns their file shape —
+    * the same guard as [[ManifestStore.optimize]]'s clustered branch).
+    */
+  private def zRefreshRatio(props: Map[String, String]): Option[Double] = {
+    val zc = props.get("clustering.cols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val parted = props.get("partitioncol").exists(_.trim.nonEmpty)
+    val bucketed = props.get("buckets").flatMap(_.toIntOption).exists(_ > 0)
+    if (zc.size < 2 || parted || bucketed) None
+    else props.get("clustering.refreshratio") match {
+      case Some(v) if v.equalsIgnoreCase("off") ||
+        v.equalsIgnoreCase("false") => None
+      case Some(v) => v.toDoubleOption.filter(_ > 0)
+      case None => Some(0.5)
+    }
+  }
+
+  /** FULL re-zorder when the fold-drift counter says the incremental
+    * maintenance folds have rewritten `ratio` of the table with
+    * dirty-subset bin boundaries. Re-reads props (the fold bumps
+    * `clustering.foldfiles` under the commit lock after the caller's
+    * snapshot) and keeps the current file-count granularity. A lost CAS
+    * just returns None — the counter survives and the next window
+    * re-probes.
+    */
+  private def rezorderIfStale(root: String, spark: SparkSession,
+                              key: String): Unit = {
+    spark.sparkContext.setJobGroup("graft-maintenance",
+      s"clustered-refresh probe: $root", interruptOnCancel = false)
+    val props = ManifestStore.readTableProps(root)
+    val ratio = zRefreshRatio(props).getOrElse(return)
+    val folded = props.get("clustering.foldfiles")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (folded <= 0L) return
+    val st = new ManifestStore(root, spark, key)
+    val m = st.currentManifest.getOrElse(return)
+    if (folded.toDouble / math.max(1, m.files.size) < ratio) return
+    val zc = props("clustering.cols").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val bits = props.get("clustering.bits").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(8)
+    if (st.reclusterZorderCols(zc, nFiles = math.max(1, m.files.size),
+        bits = bits).isDefined) {
+      rezorders.incrementAndGet()
+      ()
+    }
   }
 
   private def compactIfNeeded(root: String, spark: SparkSession, key: String,

@@ -272,6 +272,61 @@ class BloomFileSkipSpec extends SparkSpec {
     assert(err.getMessage.contains("zone-map column"))
   }
 
+  test("struct-LEAF blooms prune a scattered nested equality") {
+    // the documents/multimodal shape: `meta.tag` is hash-scattered across
+    // the key clustering, so every file's leaf zone map covers any probe —
+    // only a per-file bloom on the DOTTED leaf path can cut the file set
+    def mk(withBloom: Boolean): (String, ManifestStore) = {
+      val root = Files.createTempDirectory("bloomnst").toString
+      if (withBloom) ManifestStore.writeTableProps(root,
+        Map("bloomfiltercols" -> "meta.tag", "bloomfilter" -> "8192"))
+      val st = new ManifestStore(root, spark, "id")
+      st.commit((0L until N).map(i =>
+        (i, s"n$i", s"tag-${(i * 2654435761L) % 100000}", i % 5))
+        .toDF("id", "name", "tag", "grp")
+        .select(col("id"), col("name"),
+          struct(col("tag"), col("grp")).as("meta")),
+        batchId = 0, nFiles = 8, statsCols = Seq("meta.tag", "meta.grp"))
+      (root, st)
+    }
+    val (rootB, stB) = mk(withBloom = true)
+    val (rootP, _) = mk(withBloom = false)
+    val m = stB.currentManifest.get
+    assert(m.files.forall(_.colBlooms.contains("meta.tag")),
+      "a committed file is missing its struct-leaf bloom sidecar")
+
+    val probe = s"tag-${(1234L * 2654435761L) % 100000}"
+    def q(root: String) = spark.read.format("graft").load(root)
+      .filter(col("meta.tag") === probe)
+    assert(plannedFiles(q(rootP)) == 8,
+      "the leaf zone map alone should be blind on the scattered tag")
+    val cut = plannedFiles(q(rootB))
+    assert(cut >= 1 && cut <= 3,
+      s"leaf bloom should cut files, planned $cut")
+    assert(q(rootB).count() == q(rootP).count())
+    // no false negatives on a sample of leaf values
+    0L.until(N, 389L).foreach { i =>
+      val t = s"tag-${(i * 2654435761L) % 100000}"
+      assert(spark.read.format("graft").load(rootB)
+        .filter(col("meta.tag") === t).count() ==
+        spark.read.format("graft").load(rootP)
+          .filter(col("meta.tag") === t).count(), s"lost rows for $t")
+    }
+    // an unresolvable leaf path still refuses loudly (not in statsCols)
+    val badRoot = Files.createTempDirectory("bloomnstbad").toString
+    ManifestStore.writeTableProps(badRoot,
+      Map("bloomfiltercols" -> "meta.tag"))
+    val bad = new ManifestStore(badRoot, spark, "id")
+    val err = intercept[IllegalArgumentException] {
+      bad.commit((0L until 10L).map(i => (i, s"t$i", i))
+        .toDF("id", "tag", "grp")
+        .select(col("id"),
+          struct(col("tag"), col("grp")).as("meta")),
+        batchId = 0, nFiles = 1)
+    }
+    assert(err.getMessage.contains("zone-map column"))
+  }
+
   test("randomized lifecycle: bloom table stays lookup-equal to its twin") {
     // deterministic fuzz of the whole soundness claim: whatever sequence
     // of scattered upserts and point deletes runs, a bloom-pruned table

@@ -71,12 +71,22 @@ class NestedStatsSpec extends SparkSpec {
     assert(ndv("meta.tag")._2 == 1000L, "nested null count rides the sidecar")
   }
 
-  test("bloomfiltercols refuses struct leaves loudly at DDL time") {
+  test("bloomfiltercols accepts struct leaves at DDL time (write validates)") {
+    // the round-13 refusal is gone: only a schema can distinguish a leaf
+    // path from a top-level column literally named with a dot, so DDL
+    // accepts and the WRITE validates (resolvable + zone-mapped)
     val root = Files.createTempDirectory("nestedb").toString
+    ManifestStore.writeTableProps(root,
+      Map("bloomfiltercols" -> "meta.grp"))
+    assert(ManifestStore.readTableProps(root)("bloomfiltercols") == "meta.grp")
+    // a resolvable leaf NOT in statsCols still refuses loudly at write
+    val st = new ManifestStore(root, spark, "id")
     val ex = intercept[IllegalArgumentException](
-      ManifestStore.writeTableProps(root,
-        Map("bloomfiltercols" -> "meta.grp")))
-    assert(ex.getMessage.contains("TOP-LEVEL"), ex.getMessage)
+      st.commit(Seq((1L, ("a", 2L))).toDF("id", "m")
+        .select(col("id"), struct(col("m._1").as("grp"),
+          col("m._2").as("score")).as("meta")),
+        batchId = 0, nFiles = 1))
+    assert(ex.getMessage.contains("zone-map column"), ex.getMessage)
   }
 
   test("DSv2 scan prunes files on a pushed struct-leaf predicate") {
@@ -107,7 +117,7 @@ class NestedStatsSpec extends SparkSpec {
     assert(nn.count() == 125L)
   }
 
-  test("promoted write falls back on nested statsCols, files stay statted") {
+  test("promoted write folds nested-leaf stats in-task (1x-write)") {
     val warehouse = Files.createTempDirectory("nested_wh").toString
     spark.conf.set("spark.sql.catalog.gns", "graft.spark.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gns.warehouse", warehouse)
@@ -128,12 +138,24 @@ class NestedStatsSpec extends SparkSpec {
     val root = java.nio.file.Paths.get(warehouse, "db", "t").toString
     val st = new ManifestStore(root, spark, "id")
     val m = st.currentManifest.get
-    // the rewriting path ran (no promoted lineage), and the nested leaf
-    // is fully statted — complete stats beat 1x-write here
-    assert(!m.streamId.startsWith("dsv2-owp1x-"),
-      s"nested statsCols must fall back, got '${m.streamId}'")
+    // the PROMOTED path ran (1x-write — nested statsCols no longer force
+    // the 2x rewriting fallback), and the task-folded leaf stats are
+    // bit-identical to a recompute through the store's serialization
+    assert(m.streamId.startsWith("dsv2-owp1x-"),
+      s"nested statsCols must promote, got '${m.streamId}'")
     assert(m.files.forall(_.cols.contains("meta.score")),
-      "fallback files must carry the nested stat")
+      "promoted files must carry the nested stat")
+    m.files.foreach { f =>
+      val real = spark.read.parquet(s"$root/files/${f.name}")
+        .agg(min(col("meta.score")).cast("string"),
+          max(col("meta.score")).cast("string"),
+          sum(when(col("meta.score").isNull, 1L).otherwise(0L))).head()
+      assert(f.cols("meta.score") ==
+        ((real.getString(0), real.getString(1))),
+        s"leaf stat parity: manifest ${f.cols("meta.score")} vs file " +
+          s"${(real.getString(0), real.getString(1))}")
+      assert(f.colNulls("meta.score") == real.getLong(2))
+    }
     val (_, skip) = st.readWhere("meta.score", 0L, 300L).get
     assert(skip.nSkipped > 0)
   }

@@ -1,0 +1,121 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.spark.GraftMaintenance
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Clustered bin-boundary freshness: the incremental maintenance fold
+  * ([[ManifestStore.optimize]]'s clustered branch) rank-bins over the
+  * DIRTY subset only, so when ingest is skewed (the production shape — a
+  * hot corner plus a scattered tail) every folded file's bins come from
+  * the skewed distribution, its (x, y) hull goes table-wide, and box-prune
+  * tightness decays fold after fold. The fix under test: each fold accrues
+  * its output count in `clustering.foldfiles`; once the fold-written
+  * fraction passes `clustering.refreshratio` the maintenance window runs a
+  * FULL table-wide re-zorder (same off-thread, CAS'd discipline as
+  * autocompact) and the counter resets.
+  */
+class ZorderFreshnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 4096L
+  private val BaseN = 16000L
+
+  // scattered base: x and y decorrelated from the key and each other
+  private def base = (0L until BaseN).map { i =>
+    (i, (i * 2654435761L) % Dim, (i * 40503L) % Dim, s"n$i")
+  }.toDF("id", "x", "y", "name")
+
+  /** One skewed ingest epoch: 80% of rows in the hot corner
+    * ([0, 64)^2), 20% scattered table-wide — the mix that makes a
+    * dirty-subset quantile pass allocate nearly every bin to the corner
+    * and lump the scattered tail into wide-hull files.
+    */
+  private def epoch(e: Int, n: Long = 256L) = (0L until n).map { j =>
+    val id = 1000000L + e * 100000L + j
+    val (x, y) =
+      if (j % 5 == 4) ((id * 2654435761L) % Dim, (id * 40503L) % Dim)
+      else ((id * 7L) % 64L, (id * 11L) % 64L)
+    (id.toString, "u", e.toLong, id, x, y, s"e$e-$j")
+  }.toDF(Changelog.KeyCol, Changelog.OpCol, Changelog.TsCol,
+    "after_id", "after_x", "after_y", "after_name")
+
+  private val fields = Seq("id", "x", "y", "name")
+
+  /** Files the manifest pruner plans for a box probe far from the hot
+    * corner — the tightness measure.
+    */
+  private def plannedBox(st: ManifestStore): Int = {
+    val m = st.currentManifest.get
+    st.prunedFiles(m, Seq(("x", ">=", 2000L), ("x", "<=", 2100L),
+      ("y", ">=", 2000L), ("y", "<=", 2100L))).size
+  }
+
+  test("fold drift decays tightness; the maintenance trigger restores it") {
+    val root = Files.createTempDirectory("zfresh").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(base, batchId = 0, nFiles = 16, statsCols = Seq("x", "y"))
+    assert(st.reclusterZorderCols(Seq("x", "y"), nFiles = 16, bits = 6)
+      .isDefined)
+    val tight0 = plannedBox(st)
+    assert(tight0 >= 1 && tight0 <= 8,
+      s"fresh z-order should bound the box probe, planned $tight0 of 16")
+    assert(ManifestStore.readTableProps(root)
+      .get("clustering.foldfiles").contains("0"),
+      "a full re-zorder must reset the drift counter")
+
+    // N fold cycles WITHOUT the trigger: skewed epochs land small files,
+    // optimize folds them with dirty-subset boundaries
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) +
+        ("clustering.refreshratio" -> "off"))
+    var batch = 1L
+    (1 to 4).foreach { cycle =>
+      (1 to 4).foreach { _ =>
+        st.mergeOnReadLocked(epoch(batch.toInt), fields, batchId = batch,
+          tsGuard = false)
+        batch += 1
+      }
+      st.optimize(targetFiles = 16)
+      // the trigger is OFF: the window must not re-zorder
+      GraftMaintenance.maybeSchedule(root, spark, "id")
+      ()
+    }
+    assert(GraftMaintenance.drain(), "maintenance window did not drain")
+    val props = ManifestStore.readTableProps(root)
+    val folded = props.get("clustering.foldfiles")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    assert(folded > 0L, "clustered folds must accrue the drift counter")
+    val tightDecayed = plannedBox(st)
+    assert(tightDecayed > tight0,
+      s"skewed folds should decay box tightness: $tight0 -> $tightDecayed")
+    val rezBefore = GraftMaintenance.rezorders.get()
+
+    // same window, trigger ON past the accrued ratio: the next probe runs
+    // a FULL re-zorder off-thread, resets the counter, restores tightness
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) +
+        ("clustering.refreshratio" -> "0.05"))
+    GraftMaintenance.maybeSchedule(root, spark, "id")
+    assert(GraftMaintenance.drain(), "re-zorder window did not drain")
+    assert(GraftMaintenance.rezorders.get() > rezBefore,
+      "the freshness trigger must run a full re-zorder")
+    assert(ManifestStore.readTableProps(root)
+      .get("clustering.foldfiles").contains("0"),
+      "the triggered re-zorder must reset the drift counter")
+    val tightAfter = plannedBox(st)
+    assert(tightAfter < tightDecayed,
+      s"re-zorder must restore tightness: $tightDecayed -> $tightAfter")
+    // content untouched by any of it (layout never reaches answers)
+    assert(st.read().get.count() == BaseN + 16 * 256L)
+
+    // below-threshold: a fresh probe must NOT re-zorder again
+    val rezAfter = GraftMaintenance.rezorders.get()
+    GraftMaintenance.maybeSchedule(root, spark, "id")
+    assert(GraftMaintenance.drain())
+    assert(GraftMaintenance.rezorders.get() == rezAfter,
+      "a fresh table must not re-zorder")
+  }
+}

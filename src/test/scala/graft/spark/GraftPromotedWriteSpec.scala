@@ -255,4 +255,40 @@ class GraftPromotedWriteSpec extends SparkSpec {
     assert(spark.table("gpw.db.t7")
       .filter($"v" === (1250L * 2654435761L) % 100000).count() >= 1L)
   }
+
+  test("promoted writes fold struct-LEAF secondary blooms (dotted paths)") {
+    sql("DROP TABLE IF EXISTS gpw.db.t8")
+    sql("CREATE TABLE gpw.db.t8 (id BIGINT, seg STRING, " +
+      "meta STRUCT<lang: STRING, score: BIGINT>) PARTITIONED BY (seg) " +
+      "TBLPROPERTIES ('key'='id', 'statscols'='meta.lang,meta.score', " +
+      "'bloomfiltercols'='meta.lang', 'bloomfilter'='8192')")
+    sql("INSERT INTO gpw.db.t8 SELECT id, 'A', named_struct(" +
+      "'lang', concat('l', CAST((id * 2654435761) % 37 AS STRING)), " +
+      "'score', id * 3) FROM range(0, 500)")
+    dynOverwrite("INSERT OVERWRITE gpw.db.t8 SELECT id, 'B', named_struct(" +
+      "'lang', concat('m', CAST((id * 2654435761) % 37 AS STRING)), " +
+      "'score', id * 3) FROM range(1000, 1500)")
+    val m = store("t8").currentManifest.get
+    // the leaf-bloom fold must not force the 2x rewriting path
+    assert(m.streamId.startsWith("dsv2-owp1x-"), s"got '${m.streamId}'")
+    assert(m.files.forall(_.colBlooms.contains("meta.lang")),
+      "an adopted file is missing its struct-leaf bloom")
+    // parity with the stats-pass builder: every leaf value present in a
+    // file probes TRUE against that file's blob (no false negatives)
+    m.files.foreach { f =>
+      val blob = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root("t8"), "files",
+          f.colBlooms("meta.lang")))
+      spark.read.parquet(s"${root("t8")}/files/${f.name}")
+        .select($"meta.lang").as[String].collect().foreach { l =>
+          assert(graft.functions.BloomSketch.containsBlob(blob,
+            org.apache.spark.unsafe.types.UTF8String.fromString(l)),
+            s"promoted leaf bloom lost lang=$l of file ${f.name}")
+        }
+    }
+    // and the nested point predicate stays exact through the pruner
+    assert(spark.table("gpw.db.t8")
+      .filter($"meta.lang" === "m5").count() ===
+      (1000L until 1500L).count(i => (i * 2654435761L) % 37 == 5).toLong)
+  }
 }
