@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dumps formatted physical plans of the flagship queries to PLANS.md —
+  * the plan-shape evidence for the scale contract (broadcasts not
+  * sort-merge, pushed filters, pruned schemas).
+  *
+  * Run: sbt "runMain graft.PlanDump" (writes /root/repo/PLANS.md)
+  */
+object PlanDump {
+  val Flagships = Seq(
+    "cdc_apply_changelog" ->
+      "Merge path: every snapshot pass must be a BroadcastHashJoin (batch side broadcast); snapshot never shuffles.",
+    "cdc_dedup_latest" ->
+      "Core argmax dedup: one hash-partition Exchange with partial_max_by before it (map-side combine).",
+    "rel_pricing_summary" ->
+      "Big-scan aggregate: shipdate filter in PushedFilters; partial+final HashAggregate.",
+    "rel_top_customers" ->
+      "Fact-to-dims: both joins BroadcastHashJoin; the 600k-row lineitem side streams.",
+    "emb_near_dup" ->
+      "Native cosine_sim expression inline in join condition and projection.",
+    "ann_ivf_topk" ->
+      "IVF: centroid argmax is a pure projection over the corpus scan (no join/shuffle for assignment).",
+    "text_token_stats" ->
+      "Narrow text analysis: ReadSchema pruned to (doc_id, text); no aggregation exchange.",
+    "events_asof_join" ->
+      "As-of join: ONE hash-partition Exchange on the key feeding one Sort + Window (union+last formulation) — no range-join blowup. (r8 re-time: the r7 0.76->1.25 s drift was session noise — standalone best-of-3 1.08 s on this identical plan, BENCH_r08 0.83 s; there was never a broadcast to lose. The trend gate now diffs the round-close BENCH_BASELINE.json, which is how the drift escaped it in r7.)",
+    "ann_rhp_topk" ->
+      "RHP-LSH: signatures are pure projections; the collision join carries (id, band key) only; vectors re-attach after pair dedup.",
+    "pipeline_pack" ->
+      "Sequence packing: one Exchange on the shard key, running-sum window per shard; scan stays pruned to (doc_id, text).",
+    "cdc_validate_drift" ->
+      "Consistency validator: ONE full-outer join on the key; the first-differing-column search is a per-row array expression, not per-column joins.",
+    "text_decontaminate" ->
+      "Decontamination: the eval gram set is the BROADCAST side of the hit join; the corpus grams never shuffle except the doc_id-keyed count.",
+    "pipeline_stratified_sample" ->
+      "Stratified sampling: scan-only hash-threshold Filter — no Exchange except scanParallel's local under-split guard (absent at production file counts).",
+    "text_repetition" ->
+      "Repetition stats: pure per-row projection (same scanParallel caveat); ReadSchema pruned to (doc_id, text).",
+    "dedup_spans" ->
+      "Span dedup: span-df is a Window over the exploded grams (one Exchange on g) + one doc_id groupBy — counting, no self-join, so hot spans are linear skew never quadratic pairs.",
+    "dedup_incremental" ->
+      "Incremental near-dup: the verify join must be BroadcastHashJoin with the post-Bloom candidate set broadcast — the history band index never shuffles.",
+    "text_pii_redact" ->
+      "PII redaction: pure per-row regex projection — no Exchange at all (scanParallel caveat aside); ReadSchema pruned to (doc_id, text).",
+    "emb_kmeans" ->
+      "K-means final assignment: centroid argmax is a pure projection over the corpus scan (no join/shuffle); iteration updates are separate k*dim-row jobs not shown here.",
+    "text_perplexity" ->
+      "Unigram LM: tf and vocab are keyed integer aggregates with partial (map-side) halves; the tf-vocab join is keyed by word; the per-doc fold is one doc_id-keyed collect_list agg.",
+    "pipeline_upsample" ->
+      "Epoch upsampling: weight lookup + sequence explode as per-row Generate — zero Exchange; output row count is the only cost.",
+    "pipeline_shuffle" ->
+      "Epoch shuffle: ONE corpus Exchange on the hash-prefix bucket (window rank); offsets are an O(#buckets) aggregate BROADCAST back — no single-partition window over the corpus.",
+    "pipeline_chunk" ->
+      "Chunking: per-row count expression + Generate(explode) — zero Exchange; output size is the only cost.",
+    "emb_semdedup" ->
+      "SemDeDup: assignment is a pure projection (inlined centroids); the ONLY corpus shuffle is the cluster-keyed self-join; anti-join drops the dominated members.",
+    "events_interval_join" ->
+      "Interval join: key-equi join with the time-range as a join-side filter; in streaming the same plan gets watermark-bounded state.",
+    "source_partition_prune" ->
+      "Partitioned layout: the event_type filter must appear in PartitionFilters (planning-time pruning), NOT as a post-scan Filter.",
+    "dsv2_partitioned" ->
+      "Identity-partitioned graft table after a dynamic partition overwrite: ONE graft BatchScan over partition-pure files (the in-query gates assert min=max zones, file-level pruning of a partition filter, and carry-by-reference across the overwrite at plan time).",
+    "dsv2_column_mapping" ->
+      "Column mapping: the renamed/re-added columns resolve through the manifest's logical->physical map inside the scan factory — the plan is a plain graft BatchScan, no projection layer for the rename.",
+    "dedup_containment" ->
+      "Containment: same df-capped shingle self-join core as ngram Jaccard; only the final measure differs — no extra shuffle.",
+    "pipeline_outlier_filter" ->
+      "Outlier gate: two stratum-keyed window+agg passes (median, then MAD), each O(#strata) result broadcast-joined back.",
+    "rel_nation_top_suppliers" ->
+      "Top-k per group: broadcast dim join -> supplier-grain partial+final agg -> ranking window over AGGREGATED rows only.",
+    "cdc_change_feed" ->
+      "Change data feed: ONE key-keyed join of the two versions (AQE picks broadcast when a side is small); the cell comparison is a per-row expression, never per-column joins.",
+    "ann_pq_topk" ->
+      "PQ-ADC search: codes (m small ints per vector) cross join the broadcast query set; scoring is codebook lookups + folds — nothing vector-sized shuffles. The row_number<=k filter must plan a WindowGroupLimit below the per-query Exchange (partial top-k per partition), so no query's full candidate list ever materializes on one reducer.",
+    "ann_cosine_topk" ->
+      "Brute-force cosine top-k: queries broadcast; scoring is a per-row native cosine_sim projection. The row_number<=k filter must plan a WindowGroupLimit below the per-query Exchange — each partition forwards only its local top-k, the property that keeps per-query partitions from materializing the whole corpus at scale.",
+    "rel_salted_join" ->
+      "Salted join: dim side Generate(explode)-replicated per salt, fact keys spread across (key, salt) reducers; aggregation unchanged.",
+    "rel_pivot" ->
+      "Pivot: ONE partial+final HashAggregate with per-value filters — no distinct-values pre-job, no per-value scans.",
+    "rel_sql_correlated" ->
+      "Correlated scalar subquery DECORRELATED by Catalyst: one aggregate per brand + one join — no per-row subplan.",
+    "pipeline_curriculum" ->
+      "Curriculum bucketing: quantile thresholds from the value-histogram (windows over distinct-value counts only) BROADCAST back — the corpus never enters a rank window.",
+    "text_perplexity_heldout" ->
+      "Held-out LM: train-split counts join the held-out terms BY WORD (left join keeps OOV); the 1-row totals broadcast.",
+    "cdc_incremental_agg" ->
+      "Incremental view maintenance: the removed-side snapshot pass is a BroadcastHashJoin LeftSemi (batch keys broadcast, snapshot streams); the delta agg and the state outer join touch batch-sized / O(#groups) rows only.",
+    "sketch_heavy_hitters" ->
+      "Misra-Gries: ObjectHashAggregate with partial_misra_gries before the 1-row Exchange — O(k) state per partition rides the shuffle, never the item universe.",
+    "graph_pagerank" ->
+      "PageRank round: edges pre-partitioned by src (persisted) join the rank vector, then one dst-keyed partial+final agg — the canonical two-shuffle iteration; localCheckpoint keeps the plan O(1) per round.",
+    "graph_triangles" ->
+      "Triangle census: all three joins are equi-joins on vertex ids; the (degree, id) orientation rides as post-join filters, so hub wedges never fan out.",
+    "dedup_prefix_jaccard" ->
+      "Prefix-filtered Jaccard: candidate join keyed on PREFIX shingles only (rarest per doc); verification joins are doc-id-keyed on the pinned shingle frame.",
+    "layout_zorder_zonemap" ->
+      "Z-order zone map: bin + interleave are pure per-row integer projections; ONE file-id-keyed partial+final aggregate produces the min/max boxes.",
+    "bloom_decontaminate" ->
+      "Bloom scrub: the probe is an inline bloom_maybe_contains expression INSIDE WholeStageCodegen (no UDF boundary); the clean half is scan+Filter with no Exchange, and only maybe-hits reach the anti-join (dirty side broadcast).",
+    "sketch_count_min" ->
+      "Count-min: ObjectHashAggregate with partial_count_min_sketch before a 1-row (resp. per-day) Exchange — O(eps,delta) counter state rides the shuffle, never the key universe.",
+    "sketch_kmv_overlap" ->
+      "KMV bottom-k: each sketch plans as TakeOrderedAndProject (per-partition partial top-k) — no global Sort, no full-corpus Exchange; the overlap joins touch O(k) rows.",
+    "emb_contamination_scan" ->
+      "Contamination scan: test set broadcast; per-train-vector argmax via row_number<=1 must plan a WindowGroupLimit below the Exchange, so each partition forwards one candidate per train vector.",
+    "dedup_streaming_index" ->
+      "Streaming dedup verdicts: the persisted fingerprint index joins the corpus BY KEY; at batch grain (processBatch, not shown) the index STREAMS past the broadcast batch fingerprints (LeftSemi semi-reduction) and only the batch-sized hit set joins back — the index never shuffles and is never broadcast.",
+    "dedup_streaming_bands" ->
+      "Streaming near-dup verdicts: band-keyed join of corpus bands against the persisted claim index, then ONE doc_id-keyed partial+final aggregate — no pairwise join anywhere, so a hot band is linear rows, never quadratic pairs.",
+    "cdc_manifest_skip_read" ->
+      "Zone-map range read: the parquet scan lists ONLY the stats-surviving files (1-2 of 16 here — file pruning happened at PLANNING time, before the scan node existed); the exact predicate re-applies as a post-scan Filter.",
+    "cdc_manifest_merge_mor" ->
+      "Merge-on-read table scan: union of the sidecar-less files' plain scan and the masked files' scan minus a BroadcastHashJoin LeftAnti against the (batch-sized, compaction-bounded) sidecar union, matched per (file, key) — the data files stream, only sidecars broadcast.",
+    "dsv2_read_pruned" ->
+      "DSv2 pruned scan: ONE BatchScan node whose partition list holds only the stats-surviving files — zone-map pruning ran at PLANNING time from the pushed-down BETWEEN; the same predicates re-apply in-reader (parquet row-group pruning) and as the residual Filter above the scan.",
+    "dsv2_read_mor" ->
+      "DSv2 merge-on-read scan: ONE BatchScan, NO Join, NO BroadcastExchange — each masked file's partition reader loads its own sidecar into a local hash set and subtracts in place, so table-wide mask totals never cross the driver or an exchange (compare cdc_manifest_merge_mor's plan, the store-API read of the same shape).",
+    "dsv2_colocated_join" ->
+      "Storage-partitioned join: both co-bucketed graft scans report KeyGroupedPartitioning(bucket(N, key)), so the keyed join plans with ZERO Exchange on either side — the only shuffle traffic is the final count's O(#buckets) partials.",
+    "dsv2_agg_pushdown_grouped" ->
+      "Stats-answered GROUP BY: the whole grouped COUNT/MIN/MAX collapses to a LocalTableScan (one row per partition value from manifest metadata) — NO file scan, no shuffle; the plan IS the answer.",
+    "dsv2_topn_pushdown" ->
+      "TopN pushdown: the BatchScan's partition list holds only the files that can contain the top-n (covered-mass cut over per-file min/max at PLANNING time); Spark's TakeOrderedAndProject re-sorts the survivors, so the partial push stays exact.",
+    "dsv2_bloom_nested" ->
+      "Struct-leaf Bloom pruning: the pushed nested equality (meta.tag = probe) cut the BatchScan's partition list to the bloom-admitting files at PLANNING time — the leaf values are hash-scattered, so the leaf zone map alone admits every file and the per-file leaf sidecar is what does the cutting.")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = args.headOption.getOrElse(
+      Paths.get(sys.props.getOrElse("user.dir", "."), "PLANS.md").toString)
+    val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans of flagship queries\n\n")
+    sb.append(s"Generated by `graft.PlanDump` over `$sfDir`. AQE initial plans\n")
+    sb.append("(`isFinalPlan=false`): codegen stages are inserted per query stage at\n")
+    sb.append("execution; join/exchange/scan shapes shown here are what AQE starts from.\n")
+    Flagships.foreach { case (name, note) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n$note\n\n```\n")
+      // truncate at line boundaries, not mid-tree
+      val lines = df.queryExecution.executedPlan.toString.linesIterator
+      var budget = 8000
+      lines.takeWhile { l => budget -= l.length + 1; budget > 0 }
+        .foreach(l => sb.append(l).append('\n'))
+      if (budget <= 0) sb.append("... (truncated)\n")
+      sb.append("```\n")
+    }
+    // SQL row-level rewrite plans (UPDATE / MERGE INTO / subquery DELETE)
+    // via EXPLAIN against a scratch catalog table: these are commands, not
+    // queries, so they can't ride the Flagships DF loop above.
+    val wh = Files.createTempDirectory("plandump_wh").toString
+    spark.conf.set("spark.sql.catalog.gplan", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gplan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gplan.db")
+    spark.sql("CREATE TABLE gplan.db.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO gplan.db.t " +
+      "SELECT id, CAST(id AS STRING) FROM range(100000)")
+    spark.range(0, 100).selectExpr("id AS sid", "'s' AS sv")
+      .createOrReplaceTempView("plan_src")
+    val ddl: Seq[(String, String, String)] = Seq(
+      ("sql UPDATE (row-level delta rewrite)",
+        "WriteDelta over ONE scan of the target: the WHERE pushes into the " +
+          "graft scan (zone-map file pruning — only intersecting files are " +
+          "read), matched rows stage as O(matched) update verdicts, and the " +
+          "commit is the store's pruned CoW merge. No second scan, no " +
+          "full-table rewrite node.",
+        "EXPLAIN UPDATE gplan.db.t SET v = 'x' WHERE id BETWEEN 100 AND 200"),
+      ("sql MERGE INTO (row-level delta rewrite)",
+        "WriteDelta over the target scan joined to the source (RightOuter " +
+          "from the target's side, so NOT MATCHED source rows survive as " +
+          "inserts). The AQE initial plan shows the SortMergeJoin shape; " +
+          "a batch-sized source converts to a broadcast join at runtime " +
+          "from its measured size. Only per-row verdicts reach the staged " +
+          "write — join cost is O(target ⋈ source), write cost O(changed).",
+        "EXPLAIN MERGE INTO gplan.db.t t USING plan_src s ON t.id = s.sid " +
+          "WHEN MATCHED THEN UPDATE SET v = s.sv " +
+          "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)"),
+      ("sql DELETE with subquery (row-level delta rewrite)",
+        "Inexpressible-as-metadata DELETE falls through to WriteDelta: " +
+          "LeftSemi against the subquery produces delete verdicts (key " +
+          "only); a pushable predicate would instead take the " +
+          "deletion-vector metadata path and never plan a write at all.",
+        "EXPLAIN DELETE FROM gplan.db.t WHERE id IN (SELECT sid FROM plan_src)"))
+    ddl.foreach { case (title, note, sql) =>
+      sb.append(s"\n## $title\n\n$note\n\n```\n")
+      sb.append(spark.sql(sql).collect().head.getString(0).take(8000))
+      sb.append("\n```\n")
+    }
+    // masked-columnar evidence (round 13): a full-scan aggregate over a
+    // table where half the files carry deletion vectors must stay
+    // VECTORIZED (ColumnarToRow above BatchScan inside whole-stage
+    // codegen) — before r13 any masked file demoted the entire scan to
+    // row-at-a-time readers. Executed (AQE-final) plan, since the
+    // columnar transition only shows post-execution.
+    locally {
+      import org.apache.spark.sql.functions.{col, sum}
+      val mroot = Files.createTempDirectory("plandump_mor").toString + "/t"
+      val mst = new graft.cdc.ManifestStore(mroot, spark, "id")
+      mst.commit(spark.range(80000L)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        batchId = 0, nFiles = 8)
+      mst.deleteWhere(col("id") < 40000L && col("id") % 97L === 0L,
+        batchId = 1)
+      val mdf = spark.read.format("graft").load(mroot).agg(sum(col("v")))
+      mdf.collect()
+      sb.append("\n## masked scan stays columnar (deletion vectors)\n\n")
+      sb.append("Full-scan aggregate over a table where half the files " +
+        "carry deletion\nvectors: the scan reads VECTORIZED (ColumnarToRow " +
+        "above BatchScan) and\nwhole-stage codegen spans the aggregate — " +
+        "before r13 any masked file\ndemoted the entire scan to " +
+        "row-at-a-time readers with no codegen'd\ncolumnar stage. The " +
+        "masking happens inside the batch iterator (per-file\nsidecar " +
+        "hash set, clean batches zero-copy), so the plan carries no\n" +
+        "join, no broadcast, and no residual filter for it.\n\n```\n")
+      sb.append(mdf.queryExecution.executedPlan.toString.take(8000))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[plandump] wrote $out (${Flagships.size + ddl.size + 1} plans)")
+    spark.stop()
+  }
+}

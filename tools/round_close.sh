@@ -8,6 +8,9 @@ cd "$(dirname "$0")/.."
 SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.1}" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench"
 sbt -batch test 2>&1 | tee target/test_summary.log | tail -4
+# regenerate the plan-shape evidence at HEAD (PLANS.md is the scale
+# contract's paper trail; a stale dump is worse than none)
+sbt -batch "runMain graft.PlanDump"
 python3 tools/gen_readme.py
 cp BENCH_FULL.json BENCH_BASELINE.json
 echo "round_close: done"
