@@ -96,6 +96,26 @@ object CdfBench {
     val tDirect = (1 to 3).map(_ => agg(
       spark.read.format("graft").load(capt.root))).min
 
+    // STREAMING side (r14, vectorized micro-batches): drain the snapshot
+    // + captured feed through the STREAMING source with the columnar
+    // path off vs on — the delta is the row-iterator tax a consumer
+    // paid per epoch before r14. AvailableNow terminates when drained.
+    def drainStream(tag: String, columnar: Boolean): Double = {
+      spark.conf.set("spark.graft.read.streamColumnar", columnar.toString)
+      try timed {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingTimestamp", "0").load(capt.root)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ck_$tag")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.unset("spark.graft.read.streamColumnar")
+    }
+    val tStreamRow = drainStream("row", columnar = false)
+    val tStreamCol = drainStream("col", columnar = true)
+
     println(
       s"""{"bench":"cdf_capture","rows":$n,"batch":$batch,"rounds":$rounds,""" +
       s""""mor_commit_sec_plain":[${tPlain.map(t => f"$t%.1f").mkString(",")}],""" +
@@ -103,7 +123,9 @@ object CdfBench {
       s""""cdc_rows":$cdcRows,"cdc_mb":${f"$cdcMb%.1f"},""" +
       s""""feed_read_sec":${f"$tFeed%.1f"},"feed_rows":$feedRows,""" +
       s""""backfill_feed_sec":${f"$tBackfill%.2f"},""" +
-      s""""direct_scan_sec":${f"$tDirect%.2f"}}""")
+      s""""direct_scan_sec":${f"$tDirect%.2f"},""" +
+      s""""stream_drain_sec_row":${f"$tStreamRow%.2f"},""" +
+      s""""stream_drain_sec_columnar":${f"$tStreamCol%.2f"}}""")
     spark.stop()
   }
 }

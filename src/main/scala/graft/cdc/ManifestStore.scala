@@ -530,6 +530,47 @@ object ManifestStore {
     * fail-fast contract `bloomfilter` got in round 13's ADVICE fix).
     * Unknown keys pass through: user metadata is legal.
     */
+  /** Bounded deletion pool for vacuum reclaims: the unlinks are
+    * independent, and on an object store each is a round-trip — a serial
+    * driver loop makes vacuum wall time O(dead files). A small fixed
+    * daemon pool caps in-flight deletes (never a thundering herd against
+    * the store) while cutting wall time ~poolwise; the caller still
+    * blocks until EVERY victim is gone, so the returned reclaim list and
+    * the retention guards are exactly the serial semantics. Tiny victim
+    * sets (and `-Dgraft.vacuum.serial=true`, the bench's A/B control)
+    * stay on the serial loop.
+    */
+  private val DeletePoolSize = 12
+  private lazy val deletePool =
+    java.util.concurrent.Executors.newFixedThreadPool(DeletePoolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-vacuum-delete")
+        t.setDaemon(true)
+        t
+      })
+
+  private[cdc] def deleteAll(paths: Seq[Path])(delete: Path => Unit): Unit =
+    if (paths.sizeIs <= 2 ||
+      sys.props.get("graft.vacuum.serial").exists(_.toBoolean))
+      paths.foreach(delete)
+    else {
+      // chunked, not per-file: one pool task per ~(size / 4x pool) slice
+      // keeps submission overhead negligible on fast filesystems while a
+      // latency-bound store still sees the full pool width in flight
+      val chunkSize = math.max(1, paths.size / (DeletePoolSize * 4))
+      val futures = paths.grouped(chunkSize).toSeq.map(chunk =>
+        deletePool.submit(new Runnable {
+          override def run(): Unit = chunk.foreach(delete)
+        }))
+      futures.foreach { f =>
+        try f.get()
+        catch { // surface the I/O error as the serial loop would
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    }
+
   private def validateTableProps(props: Map[String, String]): Unit = {
     def posInt(k: String): Unit = props.get(k).foreach(v =>
       require(v.toIntOption.exists(_ > 0),
@@ -4530,7 +4571,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
               p.getFileName.toString.startsWith(_)))
             .filter(p => newestMtime(p) <= cutoff)
           finally rs.close()
-        if (!dryRun) stageVictims.foreach(deleteRecursively)
+        if (!dryRun) ManifestStore.deleteAll(stageVictims)(deleteRecursively)
         val dir = Paths.get(root, "files")
         val dataVictims =
           if (!Files.isDirectory(dir)) Seq.empty
@@ -4541,8 +4582,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
                 .filterNot(p => referenced(p.getFileName.toString))
                 .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
               finally s.close()
-            if (!dryRun)
-              victims.foreach(deleteRecursively) // sidecars are directories
+            if (!dryRun) // sidecars are directories
+              ManifestStore.deleteAll(victims)(deleteRecursively)
             victims.map(_.getFileName.toString)
           }
         (stageVictims.map(_.getFileName.toString) ++ dataVictims).sorted

@@ -407,7 +407,7 @@ final class GraftCdfScan(root: String, options: Map[String, String],
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
     // batch form: backfills scan whole tables through this reader — go
-    // vectorized (the streaming form below stays row-mode by design)
+    // vectorized (the streaming form vectorizes too, per micro-batch)
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
@@ -490,35 +490,38 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
         var acc = 0L
         var v = s + 1
         var open = true
+        // the admission walk is sequential, so version v's manifest IS
+        // version v+1's parent: carry it (and its lazily-built name set)
+        // forward instead of re-deriving both per version — otherwise a
+        // byte/row-paced backlog over a large table pays
+        // O(admitted x #files) driver work per trigger. The name set
+        // builds only when an uncaptured non-maintenance version needs it
+        // (captured feeds answer from cdcRows alone).
+        var mPrev = GraftCdf.manifestOrExplain(store, root, s)
+        var prevNames: Set[String] = null
         while (v <= vCap && open) {
-          val rows = feedRows(v)
+          val mV = GraftCdf.manifestOrExplain(store, root, v)
+          val rows = mV.cdcFile match {
+            case Some("") => 0L // guarded-empty capture
+            case Some(_)  => mV.cdcRows
+            case None =>
+              if (mV.batchId == mPrev.batchId &&
+                mV.streamId == mPrev.streamId) 0L
+              else {
+                if (prevNames == null)
+                  prevNames = mPrev.files.map(_.name).toSet
+                mV.files.iterator.filterNot(f => prevNames(f.name))
+                  .map(_.liveRows).sum
+              }
+          }
           if (last == s || acc + rows <= budget) {
             acc += rows; last = v; v += 1
+            mPrev = mV; prevNames = null
           } else open = false
         }
         last
       case _ => vCap
     })
-  }
-
-  /** Version `v`'s feed row count from manifest metadata alone: captured
-    * versions record `cdcRows`; capture-less versions feed their added
-    * files' live rows (the append-as-inserts path) or nothing
-    * (maintenance).
-    */
-  private def feedRows(v: Long): Long = {
-    val mV = GraftCdf.manifestOrExplain(store, root, v)
-    mV.cdcFile match {
-      case Some("") => 0L // guarded-empty capture
-      case Some(_)  => mV.cdcRows
-      case None =>
-        val mPrev = GraftCdf.manifestOrExplain(store, root, v - 1)
-        if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId) 0L
-        else {
-          val prevNames = mPrev.files.map(_.name).toSet
-          mV.files.filterNot(f => prevNames(f.name)).map(_.liveRows).sum
-        }
-    }
   }
 
   override def initialOffset(): Offset =
@@ -550,10 +553,18 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     val cur = store.currentManifest
     // column pruning parity with the batch form: Spark prunes streaming
     // scans through the same ScanBuilder, so the per-version readers of a
-    // two-column stream over a wide table read two columns
+    // two-column stream over a wide table read two columns.
+    // VECTORIZED like the batch form (since round 14): the factory is
+    // built per micro-batch, and its columnar promise is decided from the
+    // SCHEMA alone (the masked columnar reader covers any DV'd snapshot
+    // part, change-file parts get their own batch reader, CDF metadata
+    // columns append as constant vectors) — so the promise holds for any
+    // future version's files and a high-rate consumer stops paying the
+    // ~4x row-iterator tax per epoch.
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
-      required = required)
+      required = required,
+      columnarOk = GraftMicroBatchStream.streamColumnarOk(spark))
   }
 }

@@ -117,32 +117,37 @@ final class GraftMicroBatchStream(root: String, keyField: String,
       case Some(budget) if s >= 0 && vCap > s =>
         // admit whole versions while their added bytes fit the budget,
         // always at least one; maintenance versions (same batch lineage,
-        // bytes moved but no data change) add 0 and ride along free
+        // bytes moved but no data change) add 0 and ride along free.
+        // The walk is sequential, so version v's manifest IS version
+        // v+1's parent: carry it (and its lazily-built name set) forward
+        // instead of re-deriving both per version — otherwise a
+        // byte-paced backlog over a large table pays
+        // O(admitted x #files) driver work per trigger.
         var last = s
         var acc = 0L
         var v = s + 1
         var open = true
+        var mPrev = manifestOrExplain(s)
+        var prevNames: Set[String] = null
         while (v <= vCap && open) {
-          val b = addedBytes(v)
-          if (last == s || acc + b <= budget) { acc += b; last = v; v += 1 }
-          else open = false
+          val mV = manifestOrExplain(v)
+          val b =
+            if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
+              0L
+            else {
+              if (prevNames == null)
+                prevNames = mPrev.files.map(_.name).toSet
+              mV.files.iterator.filterNot(f => prevNames(f.name))
+                .map(_.bytes).sum
+            }
+          if (last == s || acc + b <= budget) {
+            acc += b; last = v; v += 1
+            mPrev = mV; prevNames = null
+          } else open = false
         }
         last
       case _ => vCap
     })
-  }
-
-  /** Version `v`'s ADDED data-file bytes vs its parent, from manifest
-    * metadata alone (0 for maintenance commits — the tail skips them).
-    */
-  private def addedBytes(v: Long): Long = {
-    val mPrev = manifestOrExplain(v - 1)
-    val mV = manifestOrExplain(v)
-    if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId) 0L
-    else {
-      val prevNames = mPrev.files.map(_.name).toSet
-      mV.files.filterNot(f => prevNames(f.name)).map(_.bytes).sum
-    }
   }
   override def deserializeOffset(json: String): Offset =
     GraftOffset(GraftOffset.parse(json))
@@ -190,13 +195,33 @@ final class GraftMicroBatchStream(root: String, keyField: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
     val ddl = cur.map(_.schemaDDL).getOrElse(tableSchema.toDDL)
-    // row mode: the factory outlives any one micro-batch and Spark forbids
-    // mixing modes, so the stream can't promise columnar for batches whose
-    // files it hasn't planned yet
+    // VECTORIZED (since round 14): the columnar promise must hold for
+    // batches whose files aren't planned yet (Spark forbids mixing
+    // modes), and it now can — the decision is SCHEMA-level (the factory
+    // returns no columnar reader for types the vectorized parquet path
+    // can't batch, which is stable across versions), and anyMasked=true
+    // routes any future DV'd file through the masked columnar reader
+    // instead of demoting the scan. Pre-r13 the masked path was row-only,
+    // which is why this stream was row-mode.
+    // `spark.graft.read.streamColumnar=false|off` is the escape hatch
+    // (and the bench's A/B control); junk values must not throw.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
-      pushed, options, ddl, wantColumnar = false,
+      pushed, options, ddl,
+      wantColumnar = GraftMicroBatchStream.streamColumnarOk(spark),
+      anyMasked = true,
       colMap = cur.map(_.colMap).getOrElse(Map.empty))
   }
+}
+
+object GraftMicroBatchStream {
+  /** The streaming-vectorization escape hatch: only an explicit
+    * `spark.graft.read.streamColumnar=false|off` disables (defensive
+    * parse — junk never throws at planning time). Shared by the tail
+    * source and the CDF stream.
+    */
+  private[spark] def streamColumnarOk(spark: SparkSession): Boolean =
+    !spark.conf.getOption("spark.graft.read.streamColumnar")
+      .exists(v => v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off"))
 }
 
 final case class GraftOffset(version: Long) extends Offset {

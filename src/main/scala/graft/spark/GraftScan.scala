@@ -514,9 +514,13 @@ final class GraftScan(root: String, tableSchema: StructType,
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
       if (filtersConsumed) Array.empty else pushed, options,
       manifest.schemaDDL,
+      // kill switch parses defensively: only an explicit false/off
+      // disables — junk must not throw a bare NumberFormat-style error
+      // at planning time with no mention of the conf key
       wantColumnar = planned.forall(_.dv.isEmpty) ||
-        spark.conf.getOption("spark.graft.read.maskedColumnar")
-          .forall(_.toBoolean),
+        !spark.conf.getOption("spark.graft.read.maskedColumnar")
+          .exists(v => v.equalsIgnoreCase("false") ||
+            v.equalsIgnoreCase("off")),
       anyMasked = planned.exists(_.dv.isDefined),
       colMap = manifest.colMap)
 }

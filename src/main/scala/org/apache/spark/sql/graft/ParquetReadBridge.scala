@@ -174,6 +174,11 @@ object ParquetReadBridge {
       case other => throw new IllegalStateException(
         s"graft masked columnar read: unsupported key type $other")
     }
+    // per-column copiers hoisted ONCE per transform (the keyGet idiom):
+    // a dirty batch's copy loop pays one virtual call per surviving
+    // cell, not a DataType pattern match per row per column
+    val copiers: Array[Copier] =
+      Array.tabulate(requiredLen)(c => copierFor(plus(c).dataType))
     batch => {
       val n = batch.numRows()
       val keyCol = batch.column(keyOrd)
@@ -198,12 +203,13 @@ object ParquetReadBridge {
           val dt = plus(c).dataType
           val dst = new OnHeapColumnVector(math.max(kept, 1), dt)
           val src = batch.column(c)
+          val cp = copiers(c)
           var o = 0
           var r = 0
           while (r < n) {
             if (keep(r)) {
               if (src.isNullAt(r)) dst.putNull(o)
-              else copyVal(src, r, dst, o, dt)
+              else cp(src, r, dst, o)
               o += 1
             }
             r += 1
@@ -251,30 +257,37 @@ object ParquetReadBridge {
     }
   }
 
-  private def copyVal(src: org.apache.spark.sql.vectorized.ColumnVector,
-                      r: Int,
-                      dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
-                      o: Int,
-                      dt: org.apache.spark.sql.types.DataType): Unit = {
+  /** One surviving cell's copy, with the type dispatch done ONCE at
+    * transform build time ([[maskedBatchTransform]]'s copier array).
+    */
+  private type Copier = (org.apache.spark.sql.vectorized.ColumnVector, Int,
+    org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+    Int) => Unit
+
+  private def copierFor(dt: org.apache.spark.sql.types.DataType): Copier = {
     import org.apache.spark.sql.types._
     dt match {
-      case BooleanType => dst.putBoolean(o, src.getBoolean(r)); ()
-      case ByteType    => dst.putByte(o, src.getByte(r)); ()
-      case ShortType   => dst.putShort(o, src.getShort(r)); ()
-      case IntegerType | DateType => dst.putInt(o, src.getInt(r)); ()
+      case BooleanType => (src, r, dst, o) => dst.putBoolean(o, src.getBoolean(r))
+      case ByteType    => (src, r, dst, o) => dst.putByte(o, src.getByte(r))
+      case ShortType   => (src, r, dst, o) => dst.putShort(o, src.getShort(r))
+      case IntegerType | DateType =>
+        (src, r, dst, o) => dst.putInt(o, src.getInt(r))
       case LongType | TimestampType | TimestampNTZType =>
-        dst.putLong(o, src.getLong(r)); ()
-      case FloatType   => dst.putFloat(o, src.getFloat(r)); ()
-      case DoubleType  => dst.putDouble(o, src.getDouble(r)); ()
-      case StringType  =>
-        val u = src.getUTF8String(r); val b = u.getBytes
+        (src, r, dst, o) => dst.putLong(o, src.getLong(r))
+      case FloatType   => (src, r, dst, o) => dst.putFloat(o, src.getFloat(r))
+      case DoubleType  => (src, r, dst, o) => dst.putDouble(o, src.getDouble(r))
+      case StringType  => (src, r, dst, o) => {
+        val b = src.getUTF8String(r).getBytes
         dst.putByteArray(o, b, 0, b.length); ()
-      case BinaryType  =>
+      }
+      case BinaryType  => (src, r, dst, o) => {
         val b = src.getBinary(r)
         dst.putByteArray(o, b, 0, b.length); ()
-      case d: DecimalType =>
+      }
+      case d: DecimalType => (src, r, dst, o) => {
         dst.putDecimal(o, src.getDecimal(r, d.precision, d.scale), d.precision)
         ()
+      }
       case other => throw new IllegalStateException(
         s"graft masked columnar read: unsupported copy type $other")
     }

@@ -199,6 +199,47 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming feed reads VECTORIZED; kill switch reverts; rows identical") {
+    def lastBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+      q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+    // one FRESH store per drain so both runs see the identical history
+    def drain(tbl: String): (Set[(Long, String, String, Long)], String) = {
+      val st = store()
+      st.commit(seedDf, batchId = 0, nFiles = 4)
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "0").load(st.root)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cdfvck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // a merge epoch lands mid-stream so the LAST batch is a captured
+        // change file — the vectorization claim must cover change-file
+        // parts, not just the snapshot batch
+        st.merge(netDf(Seq((7L, "u", Some("vec"), 100L))), fields,
+          batchId = 1)
+        q.processAllAvailable()
+        (rowsOf(spark.table(tbl)), lastBatchPlan(q))
+      } finally q.stop()
+    }
+    val (colRows, colPlan) = drain("cdf_vec_on")
+    assert(colPlan.contains("ColumnarToRow"),
+      s"streaming feed must read vectorized:\n$colPlan")
+    // the escape hatch reverts to row-mode and the rows stay identical
+    spark.conf.set("spark.graft.read.streamColumnar", "off")
+    val (rowRows, rowPlan) = try drain("cdf_vec_off")
+    finally spark.conf.unset("spark.graft.read.streamColumnar")
+    assert(!rowPlan.contains("ColumnarToRow"),
+      s"kill switch must revert the stream to row-mode:\n$rowPlan")
+    assert(colRows.nonEmpty &&
+      colRows.count(_._3 == "update_postimage") == 1)
+    assert(colRows == rowRows,
+      s"columnar vs row streaming rows diverge:\n$colRows\nvs\n$rowRows")
+  }
+
   test("feed captured before a RENAME COLUMN reads fully after it") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

@@ -214,6 +214,45 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tail reads VECTORIZED, masked snapshot included; kill switch reverts") {
+    def lastBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+      q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+    def drain(tbl: String): (Long, String) = {
+      val root = newRoot
+      val st = new ManifestStore(root, spark, "id")
+      st.commit((0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+        batchId = 0, nFiles = 4)
+      // the snapshot batch carries a MASKED file: vectorized streaming
+      // must route it through the masked columnar reader, not demote
+      st.deleteWhere(col("id") === 7L, batchId = 1)
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation",
+          Files.createTempDirectory("vtck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // a tail epoch after the snapshot: the per-epoch batches
+        // vectorize too (fresh keys, pure adds)
+        st.merge(netDf((200L until 230L).map(i => (i, "c", Some(s"n$i"), 5L))),
+          fields, batchId = 2)
+        q.processAllAvailable()
+        (spark.table(tbl).count(), lastBatchPlan(q))
+      } finally q.stop()
+    }
+    val (colCount, colPlan) = drain("graft_tail_vec_on")
+    assert(colPlan.contains("ColumnarToRow"),
+      s"streaming tail must read vectorized:\n$colPlan")
+    assert(colCount == 129L) // 100 - 1 masked + 30 tail adds
+    spark.conf.set("spark.graft.read.streamColumnar", "false")
+    val (rowCount, rowPlan) = try drain("graft_tail_vec_off")
+    finally spark.conf.unset("spark.graft.read.streamColumnar")
+    assert(!rowPlan.contains("ColumnarToRow"),
+      s"kill switch must revert the stream to row-mode:\n$rowPlan")
+    assert(rowCount == colCount)
+  }
+
   test("_file metadata column gives per-row provenance") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
