@@ -1228,6 +1228,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private val NdvStatsMaxFiles = 8192
 
+  /** The oversized-IN Bloom fold's total per-value probe budget (phase 3
+    * of [[prunedFiles]]) — ~20M double-hash bit reads is a few hundred
+    * driver milliseconds; past it the remaining files keep conservatively
+    * on their phase-1 range envelope instead of stalling planning.
+    */
+  private val InProbeBudget = 20000000L
+
   /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
     * predicates: the files of `m` that can hold a row satisfying ALL of
     * `preds` — (column, op, value) triples with op one of > >= < <= = in
@@ -1284,6 +1291,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
           case "startswith" =>
             leafDt(c).contains(StringType) && v.isInstanceOf[String]
           case "in" => v match {
+            // oversized lists only ever reach Try-guarded paths (range
+            // envelope, row-based probe serialization), so a bounded
+            // SAMPLE decides litability — a 100k-key runtime filter must
+            // not pay 100k lit() constructions just to be classified
+            case vs: Seq[_] if vs.sizeIs > InPruneMaxValues =>
+              vs.nonEmpty && vs.take(16).forall(litable)
             case vs: Seq[_] => vs.nonEmpty && vs.forall(litable)
             case _ => false
           }
@@ -1468,17 +1481,46 @@ final class ManifestStore(val root: String, spark: SparkSession,
         case (c, "in", vs: Seq[_]) if vs.size > InPruneMaxValues => (c, vs)
       }
       if (oversized.isEmpty || bloomed.isEmpty) bloomed
-      else oversized.foldLeft(bloomed) { case (files, (c, vs)) =>
-        def blobOf(f: FileEntry): Option[String] =
-          if (c == keyField) f.bloom else f.colBlooms.get(m.phys(c))
-        if (!files.exists(blobOf(_).isDefined)) files
-        else {
-          val probes = serializeInProbes(vs, leafDt(c).get)
-          files.filter { f =>
-            blobOf(f).flatMap(loadBloomSidecar) match {
-              case Some(blob) => probes.exists { case (h1, h2) =>
-                graft.functions.BloomSketch.containsBlobHashed(blob, h1, h2) }
-              case None => true // blob-less file never Bloom-skips
+      else {
+        // driver-bill cap: the worst case (a file holding NONE of the
+        // keys) pays O(keys x numHashes) bit reads before it can be
+        // dropped, and the fold's total is O(survivors x keys x hashes)
+        // single-threaded — a 100k-key DPP filter over a 1k-file scan
+        // would otherwise stall planning for seconds. One shared budget
+        // of per-value probes across the WHOLE fold; once spent, the
+        // remaining files keep conservatively (their range envelope
+        // already held in phase 1 — skipping the probe loses pruning,
+        // never answers). A containing file exits on its FIRST hit
+        // (`exists` short-circuits), so budget burns fastest exactly
+        // where files don't contain the keys — the case worth capping.
+        var budget = InProbeBudget
+        oversized.foldLeft(bloomed) { case (files, (c, vs)) =>
+          def blobOf(f: FileEntry): Option[String] =
+            if (c == keyField) f.bloom else f.colBlooms.get(m.phys(c))
+          if (budget <= 0L || !files.exists(blobOf(_).isDefined)) files
+          else {
+            val probes = serializeInProbes(vs, leafDt(c).get)
+            // zero probes (all-null list, or every value refused the stat
+            // cast): Spark's residual filter owns the semantics — keep
+            // everything rather than reason about cast edge cases here
+            if (probes.isEmpty) files
+            else files.filter { f =>
+              if (budget <= 0L) true // spent: keep, range envelope held
+              else blobOf(f).flatMap(loadBloomSidecar) match {
+                case Some(blob) =>
+                  var i = 0
+                  var hit = false
+                  while (i < probes.length && !hit && budget > 0L) {
+                    val (h1, h2) = probes(i)
+                    hit = graft.functions.BloomSketch
+                      .containsBlobHashed(blob, h1, h2)
+                    budget -= 1L
+                    i += 1
+                  }
+                  // an undecided file (budget died mid-probe) keeps
+                  hit || (i < probes.length && !hit)
+                case None => true // blob-less file never Bloom-skips
+              }
             }
           }
         }
@@ -1525,15 +1567,37 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def serializeInProbes(vs: Seq[Any],
                                 dt: org.apache.spark.sql.types.DataType)
-      : Array[(Long, Long)] =
-    vs.grouped(InPruneMaxValues).flatMap { chunk =>
-      spark.range(1).select(explode(array(chunk.map(x =>
-        statSerialize(lit(x).cast(dt), dt)): _*)).as("s"))
-        .collect()
-        .collect { case r if !r.isNullAt(0) =>
-          graft.functions.BloomSketch.probeHashes(
-            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))) }
-    }.toArray
+      : Array[(Long, Long)] = {
+    def hashed(rows: Seq[org.apache.spark.sql.Row]): Array[(Long, Long)] =
+      rows.collect { case r if !r.isNullAt(0) =>
+        graft.functions.BloomSketch.probeHashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+      }.toArray
+    val nonNull = vs.filterNot(_ == null) // NULL never IN-matches
+    if (nonNull.isEmpty) return Array.empty
+    // FAST path: the values ride as ROWS of one local single-column
+    // relation, so the plan is O(1) wide however many join keys a runtime
+    // filter hands over — the previous chunked-literal form paid seconds
+    // of ANALYSIS on ten 10k-literal trees for a 100k-key IN (the r13 #7
+    // driver-bill finding). Same statSerialize cast as every other probe.
+    scala.util.Try {
+      val litT = org.apache.spark.sql.catalyst.expressions.Literal(nonNull.head).dataType
+      val df = spark.createDataFrame(
+        nonNull.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(org.apache.spark.sql.types.StructField(
+          "v", litT, nullable = true))))
+      hashed(df.select(statSerialize(col("v").cast(dt), dt).as("s"))
+        .collect().toSeq)
+    }.getOrElse {
+      // fallback: chunked literal arrays, for values whose external form
+      // only lit() understands
+      vs.grouped(InPruneMaxValues).flatMap { chunk =>
+        spark.range(1).select(explode(array(chunk.map(x =>
+          statSerialize(lit(x).cast(dt), dt)): _*)).as("s"))
+          .collect().toSeq
+      }.toSeq match { case rows => hashed(rows) }
+    }
+  }
 
   /** Answer simple aggregates (COUNT(*) / COUNT(col) / MIN(col) /
     * MAX(col)) from manifest METADATA alone — Delta/Iceberg's

@@ -326,9 +326,24 @@ final class GraftScan(root: String, tableSchema: StructType,
     * other pruning here: a filter that can't prune changes nothing.
     */
   private var runtimeFilters: Array[Filter] = Array.empty
+  /** Only columns the scan actually OUTPUTS: Spark's PartitionPruning
+    * resolves these references against the relation output, so reporting
+    * a pruned-out column (the key of a projection that doesn't select it,
+    * a statsCol the query never reads) threw AnalysisException at
+    * planning for any join on a non-key column — found by the r14 CBO
+    * join gate. Runtime filters only ever arrive on join keys the plan
+    * carries, so restricting to the output loses nothing. Top-level
+    * names reference verbatim (a column literally named "a.b" must not
+    * parse as a struct path); dotted struct leaves parse multi-part.
+    */
   override def filterAttributes(): Array[NamedReference] =
     ((if (keyField.nonEmpty) Seq(keyField) else Nil) ++ manifest.statsCols)
-      .map(Expressions.column).toArray
+      .distinct
+      .filter(c => ManifestStore.leafType(required, c).isDefined)
+      .map(c =>
+        if (required.fieldNames.contains(c))
+          Expressions.column(s"`${c.replace("`", "``")}`")
+        else Expressions.column(c)).toArray
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 

@@ -363,6 +363,44 @@ class BloomFileSkipSpec extends SparkSpec {
     }
   }
 
+  test("oversized IN stays under a pinned wall bound: 100k keys, 256 bucket files") {
+    // the worst case the r13 advice named: every key ABSENT but inside
+    // every file's range envelope (even keys committed, odd keys probed
+    // on a bucketed layout whose file hulls span the domain) — phase 3
+    // would pay O(files x keys x hashes) single-threaded without the
+    // probe budget. The budget trips mid-fold; undecided files keep
+    // conservatively, decided ones still drop, answers stay exact.
+    val root = Files.createTempDirectory("bloombig").toString
+    ManifestStore.writeTableProps(root,
+      Map("buckets" -> "256", "bloomfilter" -> "8192"))
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(spark.range(100000L)
+      .selectExpr("id * 2 AS id", "concat('n', id) AS name"),
+      batchId = 0, nFiles = 256)
+    val m = st.currentManifest.get
+    assert(m.files.size >= 256)
+    val absent: Seq[Any] = (0L until 100000L).map(i => i * 2 + 1)
+    val t0 = System.nanoTime()
+    val kept = st.prunedFiles(m, Seq(("id", "in", absent)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 5.0,
+      f"oversized-IN prune must stay bounded, took $sec%.1f s")
+    // decided files dropped (the budget covers a good prefix), undecided
+    // kept — never MORE than the range envelope admits
+    assert(kept.size <= m.files.size)
+    // no false negatives through the capped fold: present keys keep
+    // their owning file and read back exactly
+    val present: Seq[Any] = (0L until 100000L by 9973L).map(_ * 2)
+    val keptP = st.prunedFiles(m, Seq(("id", "in", present)))
+    assert(keptP.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    present.take(4).foreach { k =>
+      assert(spark.read.format("graft").load(root)
+        .filter(col("id") === k.asInstanceOf[Long]).count() == 1L,
+        s"capped fold lost key $k")
+    }
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))

@@ -151,4 +151,73 @@ class KmvStatsSpec extends SparkSpec {
         s"join rowCount estimate ${rc.get} should reflect NDV ~6000")
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
+
+  test("NDV flips a real join decision: broadcast with stats, sort-merge without") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // 3-table shape: (A ⋈ B on id) ⋈ C on k2. A and B are 6k rows each —
+    // with key NDV the intermediate estimates ~6k rows (n1*n2/max(ndv),
+    // a few hundred KB) and becomes the BROADCAST side of the C join;
+    // without column stats CBO falls back to the size PRODUCT for the
+    // intermediate (~GBs), so the C join plans sort-merge. C itself sits
+    // above the threshold so only the NDV-sized intermediate can flip it.
+    val rootA = Files.createTempDirectory("kmv_ja").toString
+    val rootB = Files.createTempDirectory("kmv_jb").toString
+    val rootC = Files.createTempDirectory("kmv_jc").toString
+    new ManifestStore(rootA, spark, "id").commit(
+      (0L until 6000L).map(i => (i, s"pa-$i")).toDF("id", "pa"),
+      batchId = 0, nFiles = 4)
+    new ManifestStore(rootB, spark, "id").commit(
+      (0L until 6000L).map(i => (i, i % 50L, s"pb-$i")).toDF("id", "k2", "pb"),
+      batchId = 0, nFiles = 4, statsCols = Seq("k2"))
+    new ManifestStore(rootC, spark, "cid").commit(
+      (0L until 50000L).map(i =>
+        (i, i % 50L, s"payload-$i-${i * 2654435761L}-${i * 40503L}"))
+        .toDF("cid", "k2", "payload"),
+      batchId = 0, nFiles = 4, statsCols = Seq("k2"))
+
+    // the NO-STATS control: identical clones of A and B with their .kmv
+    // sidecars stripped — ndvStats refuses partial unions, so the scan
+    // reports NO columnStats on exactly the same data
+    val rootA0 = Files.createTempDirectory("kmv_ja0").toString + "/t"
+    val rootB0 = Files.createTempDirectory("kmv_jb0").toString + "/t"
+    new ManifestStore(rootA, spark, "id").cloneTo(rootA0)
+    new ManifestStore(rootB, spark, "id").cloneTo(rootB0)
+    Seq(rootA0, rootB0).foreach { r =>
+      val s = Files.list(java.nio.file.Paths.get(r, "files"))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".kmv"))
+        .foreach(Files.delete)
+      finally s.close()
+    }
+
+    def secondJoin(aRoot: String, bRoot: String)
+        : org.apache.spark.sql.execution.SparkPlan = {
+      val a = spark.read.format("graft").load(aRoot)
+      val b = spark.read.format("graft").load(bRoot)
+      val c = spark.read.format("graft").load(rootC)
+      val j = a.join(b, "id").join(c, "k2")
+      assert(j.count() == 6000L * 1000L) // 6000 ids x (50000/50) C rows per k2
+      // sparkPlan = the STATIC planner's choice (CBO stats), before AQE
+      // re-plans from runtime sizes — the decision under test
+      j.queryExecution.sparkPlan
+    }
+
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024 * 1024).toString)
+    try {
+      val withStats = secondJoin(rootA, rootB)
+      assert(withStats.collect { case _: SortMergeJoinExec => 1 }.isEmpty,
+        s"with NDV the intermediate must broadcast:\n$withStats")
+      assert(withStats.collect { case _: BroadcastHashJoinExec => 1 }.size == 2,
+        s"expected both joins broadcast under NDV:\n$withStats")
+      val noStats = secondJoin(rootA0, rootB0)
+      assert(noStats.collect { case _: SortMergeJoinExec => 1 }.nonEmpty,
+        s"without column stats the C join must stay sort-merge:\n$noStats")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }
