@@ -96,16 +96,29 @@ object CdfBench {
     val tDirect = (1 to 3).map(_ => agg(
       spark.read.format("graft").load(capt.root))).min
 
+    // PRUNED side (r14, filter pushdown): a consumer re-syncing ONE key
+    // range reads O(matching files) of the feed, not the table — the
+    // pushed predicate zone-map-prunes the snapshot/append files at
+    // planning. Timed against the unpruned backfill above.
+    val hi = n / 64 // ~ the first key-clustered file's range
+    val tPruned = (1 to 3).map(_ => agg(
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingTimestamp", "0").load(capt.root)
+        .filter(col("id") < hi))).min
+
     // STREAMING side (r14, vectorized micro-batches): drain the snapshot
     // + captured feed through the STREAMING source with the columnar
     // path off vs on — the delta is the row-iterator tax a consumer
     // paid per epoch before r14. AvailableNow terminates when drained.
-    def drainStream(tag: String, columnar: Boolean): Double = {
+    def drainStream(tag: String, columnar: Boolean,
+                    pruneFilter: Option[String] = None): Double = {
       spark.conf.set("spark.graft.read.streamColumnar", columnar.toString)
       try timed {
-        val q = spark.readStream.format("graft")
+        var r = spark.readStream.format("graft")
           .option("readChangeFeed", "true")
-          .option("startingTimestamp", "0").load(capt.root)
+          .option("startingTimestamp", "0")
+        pruneFilter.foreach(p => r = r.option("pruneFilter", p))
+        val q = r.load(capt.root)
           .writeStream.format("noop")
           .option("checkpointLocation", s"$base/ck_$tag")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -115,6 +128,10 @@ object CdfBench {
     }
     val tStreamRow = drainStream("row", columnar = false)
     val tStreamCol = drainStream("col", columnar = true)
+    // a keyed consumer's drain: the pruneFilter option cuts the planned
+    // files of every micro-batch to the matching key range
+    val tStreamPruned = drainStream("pruned", columnar = true,
+      pruneFilter = Some(s"id < $hi"))
 
     println(
       s"""{"bench":"cdf_capture","rows":$n,"batch":$batch,"rounds":$rounds,""" +
@@ -124,8 +141,10 @@ object CdfBench {
       s""""feed_read_sec":${f"$tFeed%.1f"},"feed_rows":$feedRows,""" +
       s""""backfill_feed_sec":${f"$tBackfill%.2f"},""" +
       s""""direct_scan_sec":${f"$tDirect%.2f"},""" +
+      s""""pruned_feed_sec":${f"$tPruned%.2f"},""" +
       s""""stream_drain_sec_row":${f"$tStreamRow%.2f"},""" +
-      s""""stream_drain_sec_columnar":${f"$tStreamCol%.2f"}}""")
+      s""""stream_drain_sec_columnar":${f"$tStreamCol%.2f"},""" +
+      s""""stream_drain_sec_pruned":${f"$tStreamPruned%.2f"}}""")
     spark.stop()
   }
 }

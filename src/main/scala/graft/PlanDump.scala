@@ -125,7 +125,11 @@ object PlanDump {
     "dsv2_topn_pushdown" ->
       "TopN pushdown: the BatchScan's partition list holds only the files that can contain the top-n (covered-mass cut over per-file min/max at PLANNING time); Spark's TakeOrderedAndProject re-sorts the survivors, so the partial push stays exact.",
     "dsv2_bloom_nested" ->
-      "Struct-leaf Bloom pruning: the pushed nested equality (meta.tag = probe) cut the BatchScan's partition list to the bloom-admitting files at PLANNING time — the leaf values are hash-scattered, so the leaf zone map alone admits every file and the per-file leaf sidecar is what does the cutting.")
+      "Struct-leaf Bloom pruning: the pushed nested equality (meta.tag = probe) cut the BatchScan's partition list to the bloom-admitting files at PLANNING time — the leaf values are hash-scattered, so the leaf zone map alone admits every file and the per-file leaf sidecar is what does the cutting.",
+    "dsv2_cdf_pruned" ->
+      "Change-feed filter pushdown: the key predicate shows in the scan description's pushed=[...] and cut the feed's partition list at PLANNING time (snapshot files zone-map-pruned, out-of-range append files dropped, `_commit_version`/`_change_type` cuts gated in-query); every filter stays a residual above the scan — a changelog never claims exactness.",
+    "dsv2_histogram_stats" ->
+      "Histogram-informed estimate: the plan is a plain residual Filter over the graft BatchScan (the OR predicate is un-decidable from file stats by design); the histogram's work is invisible here and pinned by the in-query gates — estimate within 3x of truth vs >10x uniform underestimation on the identical plan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -486,10 +486,23 @@ object ManifestStore {
                             cdcFile: Option[String] = None,
                             cdcRows: Long = 0L,
                             colMap: Map[String, String] = Map.empty,
-                            droppedPhys: Seq[String] = Nil) {
+                            droppedPhys: Seq[String] = Nil,
+                            cdcMinKey: Option[String] = None,
+                            cdcMaxKey: Option[String] = None) {
     /** The physical (on-disk) name of logical column `c`. */
     def phys(c: String): String = colMap.getOrElse(c, c)
   }
+
+  /** A commit's captured change file: directory name, feed row count,
+    * and the captured KEY RANGE (manifest stat serialization, same
+    * typed round-trip as [[FileEntry]] min/max) — what lets a keyed
+    * change-feed consumer skip whole captured versions at planning
+    * time. None range on empty captures and pre-r14 vintages: readers
+    * keep those conservatively.
+    */
+  final case class CdcCapture(name: String, rows: Long,
+                              minKey: Option[String] = None,
+                              maxKey: Option[String] = None)
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -1008,7 +1021,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
         n.path("schema").asText(), files, statsCols,
         n.path("keyField").asText(""),
         Option(n.get("cdc")).filterNot(_.isNull).map(_.asText()),
-        n.path("cdcRows").asLong(0L), colMap, droppedPhys)
+        n.path("cdcRows").asLong(0L), colMap, droppedPhys,
+        Option(n.get("cdcMin")).filterNot(_.isNull).map(_.asText()),
+        Option(n.get("cdcMax")).filterNot(_.isNull).map(_.asText()))
     if (n.path("type").asText("checkpoint") == "delta")
       manifest(v - 1).map { parent =>
         val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
@@ -2675,7 +2690,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                                    streamId: String, schemaDDL: String,
                                    files: Seq[FileEntry],
                                    statsCols: Seq[String] = Nil,
-                                   cdc: Option[(String, Long)] = None,
+                                   cdc: Option[ManifestStore.CdcCapture] = None,
                                    mappingOverride: Option[(Map[String, String], Seq[String])] = None): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", version)
@@ -2684,8 +2699,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
     node.put("tsMillis", System.currentTimeMillis())
     node.put("schema", schemaDDL)
     node.put("keyField", keyField)
-    cdc.foreach { case (name, rows) =>
-      node.put("cdc", name); node.put("cdcRows", rows); ()
+    cdc.foreach { c =>
+      node.put("cdc", c.name); node.put("cdcRows", c.rows)
+      c.minKey.foreach(node.put("cdcMin", _))
+      c.maxKey.foreach(node.put("cdcMax", _)); ()
     }
     // column mapping carries forward from the parent on EVERY commit (a
     // merge must not silently wipe a rename); only the DDL paths
@@ -3099,7 +3116,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                                       maskCounts: Map[String, Long],
                                       newEntries: Seq[FileEntry],
                                       outSchema: String,
-                                      cdc: Option[(String, Long)])
+                                      cdc: Option[ManifestStore.CdcCapture])
 
   private def deriveMor(m: Manifest, netP: DataFrame, fields: Seq[String],
                         tsGuard: Boolean): MorDerived = {
@@ -3161,8 +3178,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
       .flatMap(_.dv).foreach(dv =>
         deleteRecursively(Paths.get(root, "files", dv)))
     d.newEntries.foreach(deleteEntryFiles)
-    d.cdc.filter(_._1.nonEmpty).foreach(c =>
-      deleteRecursively(Paths.get(root, "files", c._1)))
+    d.cdc.filter(_.name.nonEmpty).foreach(c =>
+      deleteRecursively(Paths.get(root, "files", c.name)))
   }
 
   def mergeOnRead(net: DataFrame, fields: Seq[String], batchId: Long,
@@ -3514,8 +3531,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
               updated.filter(f => maskCounts.contains(f.name))
                 .flatMap(_.dv).foreach(d =>
                   deleteRecursively(Paths.get(root, "files", d)))
-              cdc.filter(_._1.nonEmpty).foreach(c =>
-                deleteRecursively(Paths.get(root, "files", c._1)))
+              cdc.filter(_.name.nonEmpty).foreach(c =>
+                deleteRecursively(Paths.get(root, "files", c.name)))
             }
             committed
           }
@@ -3829,7 +3846,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                         keyType: org.apache.spark.sql.types.DataType,
                         outSchema: StructType,
                         colMap: Map[String, String] = Map.empty)
-      : Option[(String, Long)] = {
+      : Option[ManifestStore.CdcCapture] = {
     val ctc = ManifestStore.ChangeTypeCol
     val ev = live.select(col(Changelog.KeyCol).cast(keyType).as("_ck"),
       col(Changelog.OpCol).as("_cop"))
@@ -3876,7 +3893,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private def writeCdcFile(cdc: DataFrame,
                            colMap: Map[String, String] = Map.empty)
-      : Option[(String, Long)] = {
+      : Option[ManifestStore.CdcCapture] = {
     // change files store PHYSICAL column names, exactly like data files:
     // physical names never change, so a feed captured before a RENAME
     // still reads fully through the current mapping (logical-named change
@@ -3893,13 +3910,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }
     val cdcP = shaped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = cdcP.count()
-      if (n == 0L) Some(("", 0L))
+      // row count + the captured KEY RANGE in ONE pass (min/max serialize
+      // through the same typed stat cast as every zone map, so a keyed
+      // feed consumer prunes whole captured versions in the key's native
+      // ordering); a shape without the key column still captures, just
+      // without the range (conservative keep at read)
+      val physKey = colMap.getOrElse(keyField, keyField)
+      val stats = scala.util.Try {
+        val dt = shaped.schema(physKey).dataType
+        val r = cdcP.agg(count(lit(1)),
+          statSerialize(min(col(s"`$physKey`")), dt),
+          statSerialize(max(col(s"`$physKey`")), dt)).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))
+      }.getOrElse((cdcP.count(), None, None))
+      val (n, mn, mx) = stats
+      if (n == 0L) Some(ManifestStore.CdcCapture("", 0L))
       else {
         val name = s"_cdc_${java.util.UUID.randomUUID()}"
         Files.createDirectories(Paths.get(root, "files"))
         cdcP.write.parquet(Paths.get(root, "files", name).toString)
-        Some((name, n))
+        Some(ManifestStore.CdcCapture(name, n, mn, mx))
       }
     } finally cdcP.unpersist()
   }
@@ -3908,7 +3940,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                                    reused: Seq[FileEntry],
                                    newEntries: Seq[FileEntry],
                                    outSchema: String,
-                                   cdc: Option[(String, Long)] = None)
+                                   cdc: Option[ManifestStore.CdcCapture] = None)
 
   /** Prune + merge + write data files against a specific manifest —
     * entirely contention-free (no `_CURRENT` read or write); the caller
@@ -4052,8 +4084,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             // this attempt's data files are referenced by no manifest —
             // reclaim them now instead of leaving them for vacuum
             d.newEntries.foreach(deleteEntryFiles)
-            d.cdc.filter(_._1.nonEmpty).foreach(c2 =>
-              deleteRecursively(Paths.get(root, "files", c2._1)))
+            d.cdc.filter(_.name.nonEmpty).foreach(c2 =>
+              deleteRecursively(Paths.get(root, "files", c2.name)))
             last = c
           case done => return done
         }

@@ -167,6 +167,66 @@ object DsvQueries {
         .select(col("c_custkey"), col("c_acctbal"), col("_change_type"))
     }),
 
+    "dsv2_cdf_pruned" -> ((s, dir) => {
+      // CDF FILTER PUSHDOWN (round 14): a consumer re-syncing one key
+      // range of a 4-version feed plans only the partitions that can hold
+      // it. Three advisory cuts, each gated on planned-partition counts:
+      // data-column zone maps prune snapshot/append files, a
+      // `_commit_version` envelope cuts whole versions, and a
+      // `_change_type` predicate that excludes `insert` skips every
+      // snapshot/append partition. At 100 TB this is "changes to key
+      // range K since version V" touching O(matching files), not the feed.
+      val root = scratch("cdfprune", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      // fresh OUT-OF-RANGE key blocks: in-range keys would hit existing
+      // file ranges and turn the merge into a copy-on-write rewrite —
+      // only past-the-max appends classify append-only in the feed
+      def shifted(off: Long): DataFrame = cust.select(
+        (col("c_custkey") + off).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      def net(df: DataFrame, ts: Long) = df.select(
+        col("c_custkey").cast("string").as(Changelog.KeyCol) +:
+          lit("c").as(Changelog.OpCol) +: lit(ts).as(Changelog.TsCol) +:
+          names.map(n => col(n).as(s"after_$n")): _*)
+      // v0 snapshot: 8 key-clustered files; v1/v2: append-only merges of
+      // two shifted key blocks (no capture — the feed classifies them
+      // append-only); v3: a captured deletion-vector delete of every
+      // MACHINERY row across all three blocks
+      if (!st.exists)
+        st.commit(cust, batchId = 0, nFiles = 8)
+      if (st.current.get._1 < 1)
+        st.merge(net(shifted(maxK + 1), 1L), names, batchId = 1)
+      if (st.current.get._1 < 2)
+        st.merge(net(shifted(2L * (maxK + 1)), 2L), names, batchId = 2)
+      if (st.current.get._1 < 3) {
+        st.enableChangeFeed()
+        st.deleteWhere(col("c_mktsegment") === "MACHINERY", batchId = 3)
+      }
+      val bound = maxK / 8
+      def feed(f: DataFrame => DataFrame): DataFrame =
+        f(s.read.format("graft").option("readChangeFeed", "true")
+          .option("startingTimestamp", "0").load(root))
+      val all = QueryUtil.plannedPartitions(feed(identity))
+      val keyed = feed(_.filter(col("c_custkey") <= bound))
+      val keyParts = QueryUtil.plannedPartitions(keyed)
+      val verParts = QueryUtil.plannedPartitions(
+        feed(_.filter(col("_commit_version") === 2)))
+      val delParts = QueryUtil.plannedPartitions(
+        feed(_.filter(col("_change_type") === "delete")))
+      keyed.select(col("c_custkey"), col("c_acctbal"), col("_change_type"),
+        col("_commit_version"),
+        // snapshot 8 files -> <=2 under bound=max/8, both out-of-range
+        // append files -> 0: a real multi-file cut, not a wobble
+        lit(keyParts > 0 && keyParts <= all - 8).as("cdf_key_cut"),
+        // `_commit_version = 2` keeps exactly v2's single append file
+        lit(verParts > 0 && verParts < 3).as("cdf_version_cut"),
+        // deletes-only: all 8 snapshot files + both append files skipped,
+        // only v3's change-file parts remain
+        lit(delParts > 0 && delParts <= all - 10).as("cdf_type_cut"))
+    }),
+
     "dsv2_colocated_join" -> ((s, dir) => {
       // storage-partitioned join over co-bucketed tables: both sides are
       // PARTITIONED BY (bucket(8, c_custkey)), the scans report
@@ -620,6 +680,60 @@ object DsvQueries {
       df.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
         .select(col("c_mktsegment"), col("cnt"),
           lit(ndvOk).as("ndv_ok"), lit(segOk).as("seg_nulls_ok"))
+    }),
+
+    "dsv2_histogram_stats" -> ((s, dir) => {
+      // EQUI-HEIGHT HISTOGRAMS (round 14), synthesized at planning time
+      // from the per-file zone maps — no ANALYZE pass, no sample job:
+      // CBO range selectivity sees ACROSS-FILE skew instead of assuming
+      // uniform over [min, max]. Fixture: the dense customer key block
+      // plus an equal-mass block 1000x up-range. The gate predicate is
+      // an OR (dense range OR one far key) because a bare range here is
+      // DECIDED whole-file by the engine's own pushdown — the residual
+      // Filter vanishes and both estimates are exact; the histogram
+      // earns its keep on exactly the predicates file stats can't
+      // decide. Gates: the histogram lands in the scan's column stats,
+      // its estimate sits within 3x of truth, and disabling it
+      // (histogramBins=0) underestimates >10x on the same plan.
+      val root = scratch("hist", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      if (!st.exists)
+        st.commit(cust.unionByName(cust.select(
+          (col("c_custkey") + 1000L * maxK).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))),
+          batchId = 0, nFiles = 16)
+      val truth = cust.count().toDouble + 1
+      val pred = col("c_custkey") <= maxK ||
+        col("c_custkey") === 1001L * maxK
+      def estimate(bins: String): (Double, Boolean) = {
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.graft.stats.histogramBins", bins)
+        try {
+          val plan = s.read.format("graft").load(root).filter(pred)
+            .queryExecution.optimizedPlan
+          val hasHist = plan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r
+          }.exists(_.stats.attributeStats.toSeq.exists {
+            case (a, cs) => a.name == "c_custkey" && cs.histogram.isDefined })
+          (plan.stats.rowCount.map(_.toDouble).getOrElse(-1.0), hasHist)
+        } finally {
+          s.conf.set("spark.sql.cbo.enabled", prevCbo)
+          s.conf.unset("spark.graft.stats.histogramBins")
+        }
+      }
+      val (estHist, histPresent) = estimate("64")
+      val (estUniform, uniformHasHist) = estimate("0")
+      s.read.format("graft").load(root).filter(pred)
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(histPresent && !uniformHasHist).as("hist_present"),
+          lit(estHist / truth > 0.33 && estHist / truth < 3.0)
+            .as("hist_est_ok"),
+          lit(estUniform >= 0 && estUniform < truth / 10.0)
+            .as("uniform_underestimates"))
     }),
 
     "dsv2_nested_stats" -> ((s, dir) => {
@@ -1454,6 +1568,34 @@ object DsvQueries {
         |       TRUE AS tag_survives_vacuum, TRUE AS tag_unknown_err,
         |       TRUE AS tag_sees_more, TRUE AS tag_listed
         |FROM customer""".stripMargin,
+
+    // the OR-predicate keeps the dense block plus the single far key
+    // (the max customer's shifted twin), with the histogram-present /
+    // estimate-quality gates true
+    "dsv2_histogram_stats" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT c_custkey, c_acctbal, TRUE AS hist_present,
+        |       TRUE AS hist_est_ok, TRUE AS uniform_underestimates
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000 * mk.m, c_acctbal, TRUE, TRUE, TRUE
+        |FROM customer, mk WHERE c_custkey = mk.m""".stripMargin,
+
+    // the key-filtered feed must hold the three insert classes' rows under
+    // the bound (version = the key's mod class) plus the MACHINERY delete
+    // images, with all three partition-cut gates true
+    "dsv2_cdf_pruned" ->
+      """WITH b AS (SELECT max(c_custkey) // 8 AS bound FROM customer)
+        |SELECT c_custkey, c_acctbal, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version,
+        |       TRUE AS cdf_key_cut, TRUE AS cdf_version_cut,
+        |       TRUE AS cdf_type_cut
+        |FROM customer, b WHERE c_custkey <= b.bound
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, 'delete', CAST(3 AS BIGINT),
+        |       TRUE, TRUE, TRUE
+        |FROM customer, b
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey <= b.bound""".stripMargin,
 
     // the SQL CALL surface must return exactly the UPDATE's pre/post pairs
     "dsv2_table_changes" ->

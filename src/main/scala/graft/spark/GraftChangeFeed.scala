@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -117,15 +118,134 @@ object GraftCdf {
     sv.orElse(st.map(t => versionAtOrAfter(store, root, parseTsMillis(t))))
   }
 
+  // ------------------------------------------------ filter pushdown (r14)
+  // Every cut below is ADVISORY: the scan builder returns all pushed
+  // filters as residuals, so Spark re-evaluates the full predicate above
+  // the scan — pruning only removes partitions that provably contribute
+  // no qualifying row. Three independent cuts compose: a version envelope
+  // from `_commit_version` conjuncts (every row of version v carries the
+  // constant v, so out-of-envelope versions are exact drops), an
+  // insert-satisfiability test from `_change_type` conjuncts (snapshot
+  // and append-only partitions hold ONLY `insert` rows), and zone-map
+  // file pruning of snapshot/append data files from data-column
+  // conjuncts (the same [[graft.cdc.ManifestStore.prunedFiles]] the
+  // batch scan runs). Captured change-file parts carry no manifest stats
+  // — they prune at the parquet row-group level instead (the pushed
+  // filters ride into the readers).
+
+  /** Conjuncts over `_commit_version` alone → a version-keep predicate
+    * (inclusive envelope + optional exact set). Unrecognized shapes
+    * widen — they never tighten — so the cut stays conservative.
+    */
+  private[spark] def versionKeep(pushed: Seq[Filter]): Long => Boolean = {
+    val vc = ManifestStore.CommitVersionCol
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case b: java.lang.Byte    => Some(b.toLong)
+      case _                    => None
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var set: Option[Set[Long]] = None
+    pushed.filter(_.references.toSet == Set(vc)).foreach {
+      case EqualTo(_, v) => asLong(v).foreach { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l) }
+      case EqualNullSafe(_, v) => asLong(v).foreach { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(_, v) => asLong(v).foreach { l =>
+        if (l == Long.MaxValue) set = Some(Set.empty)
+        else lo = math.max(lo, l + 1) }
+      case GreaterThanOrEqual(_, v) => asLong(v).foreach(l =>
+        lo = math.max(lo, l))
+      case LessThan(_, v) => asLong(v).foreach { l =>
+        if (l == Long.MinValue) set = Some(Set.empty)
+        else hi = math.min(hi, l - 1) }
+      case LessThanOrEqual(_, v) => asLong(v).foreach(l =>
+        hi = math.min(hi, l))
+      case In(_, vs) =>
+        val ls = vs.toSeq.map(asLong)
+        if (ls.nonEmpty && ls.forall(_.isDefined)) {
+          val s0 = ls.flatten.toSet
+          set = Some(set.fold(s0)(_ intersect s0))
+        }
+      case IsNull(_) => set = Some(Set.empty) // the version is never null
+      case _         => () // IsNotNull / Or / Not: no envelope contribution
+    }
+    v => v >= lo && v <= hi && set.forall(_.contains(v))
+  }
+
+  /** Three-valued satisfiability of the pushed conjunction for a row
+    * whose `_change_type` is `t`: conjuncts referencing anything else
+    * evaluate unknown (satisfiable); a definite false on any conjunct
+    * means no row of that change type can qualify — which lets a
+    * deletes-only feed skip snapshot and append-only partitions (all
+    * `insert`) entirely. `_change_type` is non-null by construction.
+    */
+  private[spark] def typePossible(pushed: Seq[Filter], t: String): Boolean = {
+    val tc = ManifestStore.ChangeTypeCol
+    def ev(f: Filter): Option[Boolean] = f match {
+      case EqualTo(`tc`, v)          => Some(v == t)
+      case EqualNullSafe(`tc`, v)    => Some(v == t)
+      case In(`tc`, vs)              => Some(vs.contains(t))
+      case IsNull(`tc`)              => Some(false)
+      case IsNotNull(`tc`)           => Some(true)
+      case StringStartsWith(`tc`, p) => Some(t.startsWith(p))
+      case StringEndsWith(`tc`, p)   => Some(t.endsWith(p))
+      case StringContains(`tc`, p)   => Some(t.contains(p))
+      case Not(c)                    => ev(c).map(!_)
+      case And(l, r) => (ev(l), ev(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (ev(l), ev(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case _ => None
+    }
+    !pushed.exists(f => ev(f).contains(false))
+  }
+
+  /** Pushed filters whose every reference resolves in the DATA schema
+    * (top-level or dotted struct leaf) — the subset the zone-map pruner
+    * and the parquet row-group readers can act on. The CDF metadata
+    * columns never resolve here, so mixed-reference trees drop out whole
+    * (pruning on half an OR would be unsound).
+    */
+  private[spark] def dataFilters(pushed: Seq[Filter],
+                                 data: StructType): Seq[Filter] =
+    pushed.filter { f =>
+      val rs = f.references
+      rs.nonEmpty && rs.forall(r => ManifestStore.leafType(data, r).isDefined)
+    }
+
+  /** Pushed filters over `_change_type` alone — they ride into the
+    * change-file parquet readers verbatim (the column is stored under
+    * its own name), cutting row groups of single-type runs.
+    */
+  private[spark] def typeFilters(pushed: Seq[Filter]): Seq[Filter] =
+    pushed.filter(_.references.toSet == Set(ManifestStore.ChangeTypeCol))
+
   /** Plan the feed partitions for versions (s, e] — each version
     * contributes its change file's parts, or its added files as `insert`
     * rows when the commit is knowably append-only, or nothing when it is
     * maintenance / metadata-only / an empty captured feed.
+    *
+    * `vKeep` / `insertOk` / `dataConjs` are the pushdown cuts (see the
+    * block comment above) — the defaults plan everything.
     */
   private[spark] def planVersions(store: ManifestStore, root: String,
                                   s: Long, e: Long,
-                                  ignoreChanges: Boolean): Seq[InputPartition] =
-    ((s + 1) to e).flatMap { v =>
+                                  ignoreChanges: Boolean,
+                                  vKeep: Long => Boolean = _ => true,
+                                  insertOk: Boolean = true,
+                                  dataConjs: Seq[(String, String, Any)] = Nil)
+      : Seq[InputPartition] =
+    ((s + 1) to e).filter(vKeep).flatMap { v =>
       val mPrev = manifestOrExplain(store, root, v - 1)
       val mV = manifestOrExplain(store, root, v)
       // a captured change file ALWAYS wins over the maintenance heuristic:
@@ -135,7 +255,21 @@ object GraftCdf {
       mV.cdcFile match {
         case Some("") => Nil // captured feed, zero effective changes
         case Some(cdc) =>
-          cdcParts(root, cdc).map(p =>
+          // captured KEY RANGE (r14): the manifest records the change
+          // file's key min/max, so a keyed consumer skips whole captured
+          // versions — the same zone-map pruner decides, via a synthetic
+          // entry carrying only the key stats (every other conjunct keeps
+          // conservatively). Pre-range vintages (None) always keep.
+          val keepCdc = dataConjs.isEmpty ||
+            ((mV.cdcMinKey, mV.cdcMaxKey) match {
+              case (Some(lo), Some(hi)) =>
+                store.prunedFiles(mV.copy(files = Seq(
+                  ManifestStore.FileEntry(cdc, lo, hi, mV.cdcRows))),
+                  dataConjs).nonEmpty
+              case _ => true
+            })
+          if (!keepCdc) Nil
+          else cdcParts(root, cdc).map(p =>
             GraftCdfPartition(p, v, isCdc = true))
         case None
             if mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId =>
@@ -147,11 +281,17 @@ object GraftCdf {
           val appendOnly = adds.forall(f => !prevNames(f.name)) &&
             mPrev.files.forall(f => mV.files.exists(g =>
               g.name == f.name && g.dv == f.dv))
-          if (appendOnly || ignoreChanges)
-            GraftPartitions.forFiles(root,
-              adds.filterNot(f => prevNames(f.name)))
-              .map(p => GraftCdfPartition(p, v, isCdc = false))
-          else throw new IllegalStateException(
+          if (appendOnly || ignoreChanges) {
+            if (!insertOk) Nil // added files hold ONLY `insert` rows
+            else {
+              val addsLive = adds.filterNot(f => prevNames(f.name))
+              val kept =
+                if (dataConjs.isEmpty) addsLive
+                else store.prunedFiles(mV.copy(files = addsLive), dataConjs)
+              GraftPartitions.forFiles(root, kept)
+                .map(p => GraftCdfPartition(p, v, isCdc = false))
+            }
+          } else throw new IllegalStateException(
             s"graft change feed: version $v of $root merged or deleted " +
               "rows but captured no change file — enable capture first " +
               "(table property cdf=true / ManifestStore.enableChangeFeed), " +
@@ -200,7 +340,8 @@ object GraftCdf {
                              manifestSchemaDDL: String,
                              colMap: Map[String, String] = Map.empty,
                              required: Option[StructType] = None,
-                             columnarOk: Boolean = false)
+                             columnarOk: Boolean = false,
+                             pushed: Array[Filter] = Array.empty)
       : GraftCdfReaderFactory = {
     val dataReq: StructType = required match {
       case None => dataSchema
@@ -221,8 +362,19 @@ object GraftCdf {
     // get their own batch reader; the CDF metadata columns append as
     // constant vectors, zero-copy on the data columns. All-or-nothing:
     // if any piece can't batch, the whole feed stays on rows.
+    // pushed DATA-column filters reach both reader kinds for parquet
+    // row-group pruning (Spark still applies the residual above, so
+    // answers never change): the inner snapshot/append factory does its
+    // own logical->physical rewrite; the change-file readers take the
+    // rewrite here, plus `_change_type`-only filters verbatim (the
+    // column is stored under its own, unmapped name). Filters naming the
+    // CDF metadata columns never reach the inner factory (dataFilters
+    // resolves against the data schema alone).
+    val dataFs = dataFilters(pushed.toSeq, dataSchema)
+    val cdcFs = dataFs.flatMap(GraftPartitions.toPhysicalFilter(_, colMap)) ++
+      typeFilters(pushed.toSeq)
     val inner = GraftPartitions.factory(spark, root, keyField, dataSchema,
-      dataReq, Array.empty, options, manifestSchemaDDL,
+      dataReq, dataFs.toArray, options, manifestSchemaDDL,
       wantColumnar = columnarOk, anyMasked = columnarOk, colMap = colMap)
     val cdcFull = StructType(
       ManifestStore.toPhysical(dataSchema, colMap).fields :+
@@ -232,11 +384,11 @@ object GraftCdf {
       (if (wantChangeType) Seq(StructField(ManifestStore.ChangeTypeCol,
         StringType, nullable = false)) else Nil))
     GraftCdfReaderFactory(inner,
-      ParquetReadBridge.rowReader(spark, cdcFull, cdcReq, Nil, options),
+      ParquetReadBridge.rowReader(spark, cdcFull, cdcReq, cdcFs, options),
       wantChangeType = wantChangeType, wantVersion = wantVersion,
       cdcColumnar =
         if (columnarOk)
-          ParquetReadBridge.columnarReader(spark, cdcFull, cdcReq, Nil,
+          ParquetReadBridge.columnarReader(spark, cdcFull, cdcReq, cdcFs,
             options)
         else None)
   }
@@ -337,22 +489,40 @@ final class GraftAppendingReader(inner: PartitionReader[InternalRow],
 
 final class GraftCdfScanBuilder(root: String, options: Map[String, String])
   extends ScanBuilder
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: Option[StructType] = None
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
-  override def build(): Scan = new GraftCdfScan(root, options, required)
+  /** EVERYTHING stays residual (the return value): CDF pruning is
+    * advisory — version/file/row-group cuts that provably drop nothing
+    * qualifying — never an exactness claim over a changelog.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftCdfScan(root, options, required,
+    pushed)
 }
 
 /** The CDF scan: batch over an explicit version range, or the micro-batch
   * stream. COLUMN PRUNING reaches both reader kinds (change files and
   * snapshot files) — a consumer re-syncing two columns of a wide table
   * reads two columns — and the CDF metadata columns are synthesized or
-  * projected only when asked for. No filter pushdown: the feed is a
-  * changelog; Spark applies residual filters above.
+  * projected only when asked for. FILTER PUSHDOWN is advisory (all
+  * filters stay residual; see [[GraftCdf.versionKeep]] et al.): a
+  * `_commit_version` envelope cuts whole versions, a `_change_type`
+  * predicate that excludes `insert` cuts snapshot/append partitions, and
+  * data-column predicates zone-map-prune snapshot/append files and ride
+  * into every parquet reader for row-group pruning — so "changes to key
+  * range K since version V" touches O(matching files), not the feed.
   */
 final class GraftCdfScan(root: String, options: Map[String, String],
-                         required: Option[StructType] = None)
+                         required: Option[StructType] = None,
+                         pushed: Array[Filter] = Array.empty)
   extends Scan with Batch {
 
   private def spark = SparkSession.active
@@ -370,7 +540,8 @@ final class GraftCdfScan(root: String, options: Map[String, String],
     required.getOrElse(GraftCdf.cdfSchema(dataSchema))
   override def toBatch: Batch = this
   override def description(): String = s"graft change feed $root" +
-    required.map(r => s", cols=[${r.fieldNames.mkString(", ")}]").getOrElse("")
+    required.map(r => s", cols=[${r.fieldNames.mkString(", ")}]").getOrElse("") +
+    (if (pushed.isEmpty) "" else s", pushed=[${pushed.mkString(", ")}]")
 
   /** Batch form: `startingVersion` or `startingTimestamp` (required — the
     * feed has no "all of history" default; version 0 is the initial
@@ -395,13 +566,21 @@ final class GraftCdfScan(root: String, options: Map[String, String],
     // (Delta's CDF behavior) and then the feed from version 1 on.
     // startingVersion 0 is still rejected at resolveStart (documented as
     // 1-based), so this branch is the timestamp path only.
+    val vKeep = GraftCdf.versionKeep(pushed.toSeq)
+    val insertOk = GraftCdf.typePossible(pushed.toSeq, ManifestStore.CdfInsert)
+    val dataConjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(pushed.toSeq, dataSchema))
     val snapshotParts: Seq[InputPartition] =
-      if (sv > 0) Nil
-      else GraftPartitions.forFiles(root,
-        GraftCdf.manifestOrExplain(store, root, 0L).files)
-        .map(p => GraftCdfPartition(p, 0L, isCdc = false))
+      if (sv > 0 || !vKeep(0L) || !insertOk) Nil
+      else {
+        val m0 = GraftCdf.manifestOrExplain(store, root, 0L)
+        val kept = if (dataConjs.isEmpty) m0.files
+          else store.prunedFiles(m0, dataConjs)
+        GraftPartitions.forFiles(root, kept)
+          .map(p => GraftCdfPartition(p, 0L, isCdc = false))
+      }
     (snapshotParts ++ GraftCdf.planVersions(store, root, math.max(0L, sv - 1),
-      ev, ignoreChanges)).toArray
+      ev, ignoreChanges, vKeep, insertOk, dataConjs)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -411,12 +590,12 @@ final class GraftCdfScan(root: String, options: Map[String, String],
     GraftCdf.factory(spark, root, keyField, dataSchema, options,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
-      required = required, columnarOk = true)
+      required = required, columnarOk = true, pushed = pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftCdfMicroBatchStream(root, keyField, dataSchema, options,
-      required)
+      required, pushed)
 }
 
 /** Streaming form: offsets are manifest versions (same WAL discipline as
@@ -432,7 +611,8 @@ final class GraftCdfScan(root: String, options: Map[String, String],
 final class GraftCdfMicroBatchStream(root: String, keyField: String,
                                      dataSchema: StructType,
                                      options: Map[String, String],
-                                     required: Option[StructType] = None)
+                                     required: Option[StructType] = None,
+                                     pushed: Array[Filter] = Array.empty)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -441,6 +621,17 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
   private def store = new ManifestStore(root, spark, keyField)
   private val ignoreChanges =
     options.exists(kv => kv._1.equalsIgnoreCase("ignorechanges") && kv._2.toBoolean)
+
+  /** `pruneFilter` — the stream's stand-in for optimizer filter pushdown
+    * (which never reaches micro-batch scans; see
+    * [[GraftPartitions.parsePruneFilter]]). Parsed against the FEED
+    * schema, so `_commit_version` / `_change_type` predicates prune too.
+    */
+  private lazy val optFilters: Array[Filter] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("prunefilter") => v
+  }.map(GraftPartitions.parsePruneFilter(spark,
+    GraftCdf.cdfSchema(dataSchema), _)).getOrElse(Array.empty)
+  private def effPushed: Array[Filter] = pushed ++ optFilters
 
   /** `Trigger.AvailableNow`: drain the feed up to the version current at
     * query start (paced by `maxVersionsPerTrigger` if capped), then
@@ -542,11 +733,25 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     val e = end.asInstanceOf[GraftOffset].version
     if (e < 0 || e <= s) return Array.empty
     val st = store
-    if (s < 0) // first batch: the whole snapshot, as inserts at version e
-      return GraftPartitions.forFiles(root,
-        GraftCdf.manifestOrExplain(st, root, e).files)
+    // the same advisory pushdown cuts as the batch form, fed from the
+    // `pruneFilter` option (plus any pushed filters, should a future
+    // Spark push through streaming ScanBuilders): a keyed CDF consumer's
+    // per-epoch planning touches only the matching files
+    val vKeep = GraftCdf.versionKeep(effPushed.toSeq)
+    val insertOk = GraftCdf.typePossible(effPushed.toSeq,
+      ManifestStore.CdfInsert)
+    val dataConjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(effPushed.toSeq, dataSchema))
+    if (s < 0) { // first batch: the whole snapshot, as inserts at version e
+      if (!vKeep(e) || !insertOk) return Array.empty
+      val m = GraftCdf.manifestOrExplain(st, root, e)
+      val kept = if (dataConjs.isEmpty) m.files
+        else st.prunedFiles(m, dataConjs)
+      return GraftPartitions.forFiles(root, kept)
         .map(p => GraftCdfPartition(p, e, isCdc = false)).toArray
-    GraftCdf.planVersions(st, root, s, e, ignoreChanges).toArray
+    }
+    GraftCdf.planVersions(st, root, s, e, ignoreChanges, vKeep, insertOk,
+      dataConjs).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -565,6 +770,7 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
       required = required,
-      columnarOk = GraftMicroBatchStream.streamColumnarOk(spark))
+      columnarOk = GraftMicroBatchStream.streamColumnarOk(spark),
+      pushed = effPushed)
   }
 }

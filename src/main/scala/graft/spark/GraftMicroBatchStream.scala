@@ -50,6 +50,21 @@ final class GraftMicroBatchStream(root: String, keyField: String,
   private val ignoreDeletes =
     options.exists(kv => kv._1.equalsIgnoreCase("ignoredeletes") && kv._2.toBoolean)
 
+  /** `pruneFilter` — the stream's stand-in for optimizer filter pushdown
+    * (which never reaches micro-batch scans; see
+    * [[GraftPartitions.parsePruneFilter]]): a keyed consumer tailing one
+    * range of a key-clustered table plans only the added files whose
+    * zone maps can match, and the predicate rides into the parquet
+    * readers for row-group pruning. Parsed against the FULL table schema
+    * so stats-column predicates prune even when the `columns` option
+    * narrows the stream.
+    */
+  private lazy val optFilters: Array[Filter] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("prunefilter") => v
+  }.map(GraftPartitions.parsePruneFilter(spark, tableSchema, _))
+    .getOrElse(Array.empty)
+  private def effPushed: Array[Filter] = pushed ++ optFilters
+
   /** `Trigger.AvailableNow`: pin the batch horizon to the version current
     * AT QUERY START — the run drains up to it (in `maxVersionsPerTrigger`
     * paced batches if capped) and terminates; commits landing mid-run
@@ -165,8 +180,20 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
     if (e < 0 || e <= s) return Array.empty
-    if (s < 0) // first batch: full snapshot of the end version
-      return GraftPartitions.forFiles(root, manifestOrExplain(e).files).toArray
+    // advisory zone-map cut from `pruneFilter` (and any pushed filters) —
+    // applied AFTER the appends-only classification below, which must see
+    // the unpruned add set
+    val conjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(effPushed.toSeq, tableSchema))
+    val st = store
+    def cut(m: ManifestStore.Manifest,
+            fs: Seq[ManifestStore.FileEntry]): Seq[ManifestStore.FileEntry] =
+      if (conjs.isEmpty || fs.isEmpty) fs
+      else st.prunedFiles(m.copy(files = fs), conjs)
+    if (s < 0) { // first batch: full snapshot of the end version
+      val m = manifestOrExplain(e)
+      return GraftPartitions.forFiles(root, cut(m, m.files)).toArray
+    }
     val perVersion = ((s + 1) to e).flatMap { v =>
       val mPrev = manifestOrExplain(v - 1)
       val mV = manifestOrExplain(v)
@@ -186,7 +213,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
               "(merge/delete); this source tails appends — set option " +
               "ignoreChanges=true to emit its added files anyway, or " +
               "ignoreDeletes=true if only deletes run against this table")
-        adds
+        cut(mV, adds)
       }
     }
     GraftPartitions.forFiles(root, perVersion).toArray
@@ -206,7 +233,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // `spark.graft.read.streamColumnar=false|off` is the escape hatch
     // (and the bench's A/B control); junk values must not throw.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
-      pushed, options, ddl,
+      effPushed, options, ddl,
       wantColumnar = GraftMicroBatchStream.streamColumnarOk(spark),
       anyMasked = true,
       colMap = cur.map(_.colMap).getOrElse(Map.empty))

@@ -282,6 +282,76 @@ object GraftScan {
     val parts = fs.map(one)
     if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
   }
+
+  /** Equi-height histogram synthesis from per-file zone-map stats — pure
+    * driver metadata, no scan, no sample job (`ANALYZE ... FOR COLUMNS`
+    * on 100 TB is exactly the full pass this avoids): each planned file
+    * contributes a uniform mass of its non-null rows over its [min, max]
+    * (a point mass when min == max), the piecewise-linear CDF is swept
+    * once, and the bin cuts are its inverse at the k/n quantiles.
+    * O(F log F) in the planned file count. The within-file-uniform
+    * assumption is the standard zone-map trade: ACROSS files the skew is
+    * captured exactly (a hot range holds many file masses), which is the
+    * signal min/max-uniform estimation loses. Returns the common bin
+    * height and the (lo, hi) cuts; degenerate inputs return None.
+    */
+  def equiHeightBins(files: Seq[(Double, Double, Long)], nBins: Int)
+      : Option[(Double, Seq[(Double, Double)])] = {
+    val fs = files.filter(f => f._3 > 0 && !f._1.isNaN && !f._2.isNaN &&
+      f._2 >= f._1)
+    val total = fs.iterator.map(_._3.toDouble).sum
+    if (fs.isEmpty || nBins < 1 || total <= 0) return None
+    // sweep events per boundary: (density delta, point-mass jump)
+    val evs = scala.collection.mutable.HashMap.empty[Double, (Double, Double)]
+    def add(x: Double, d: Double, j: Double): Unit = {
+      val (d0, j0) = evs.getOrElse(x, (0.0, 0.0))
+      evs(x) = (d0 + d, j0 + j)
+    }
+    fs.foreach { case (lo, hi, m) =>
+      if (hi > lo) { val d = m / (hi - lo); add(lo, d, 0.0); add(hi, -d, 0.0) }
+      else add(lo, 0.0, m.toDouble)
+    }
+    val xs = evs.keys.toArray.sorted
+    // cum(i): mass at xs(i) AFTER its jump; dens(i): slope on (i, i+1)
+    val cum = new Array[Double](xs.length)
+    val dens = new Array[Double](xs.length)
+    var density = 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < xs.length) {
+      if (i > 0) acc += density * (xs(i) - xs(i - 1))
+      val (dd, j) = evs(xs(i))
+      acc += j
+      density += dd
+      cum(i) = acc
+      dens(i) = density
+      i += 1
+    }
+    val cuts = new Array[Double](nBins + 1)
+    cuts(0) = xs.head
+    cuts(nBins) = xs.last
+    var seg = 0
+    var k = 1
+    while (k < nBins) {
+      val t = total * k / nBins
+      while (seg < xs.length - 1 && cum(seg + 1) < t) seg += 1
+      cuts(k) =
+        if (seg >= xs.length - 1) xs.last
+        // a point mass at xs(seg) big enough to straddle several targets
+        else if (t <= cum(seg)) xs(seg)
+        else {
+          // t in (cum(seg), cum(seg+1)]: the linear part first, then the
+          // jump at the right endpoint
+          val linear = dens(seg) * (xs(seg + 1) - xs(seg))
+          if (t <= cum(seg) + linear && dens(seg) > 0)
+            xs(seg) + (t - cum(seg)) / dens(seg)
+          else xs(seg + 1)
+        }
+      k += 1
+    }
+    Some((total / nBins,
+      (1 to nBins).map(b => (cuts(b - 1), cuts(b)))))
+  }
 }
 
 final class GraftScan(root: String, tableSchema: StructType,
@@ -376,6 +446,7 @@ final class GraftScan(root: String, tableSchema: StructType,
     */
   private lazy val columnStatsMap: java.util.Map[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     import org.apache.spark.sql.types._
     val res = new java.util.HashMap[NamedReference, ColumnStatistics]()
@@ -426,7 +497,60 @@ final class GraftScan(root: String, tableSchema: StructType,
         case DoubleType    => agg[Double](_.toDouble, _ < _)
         case _             => None
       }
-      if (dc.isDefined || nulls.isDefined || minMax.isDefined)
+      // EQUI-HEIGHT HISTOGRAM, synthesized from the per-file zone maps of
+      // the planned set ([[GraftScan.equiHeightBins]]): what makes range
+      // selectivity see ACROSS-FILE skew instead of assuming uniform over
+      // [min, max] — without the full-table ANALYZE pass Spark's own
+      // histograms cost. Numeric types only (same exactness discipline as
+      // min/max); every planned file must record the column's stats and
+      // null count, or the estimate would silently misweight.
+      // `spark.graft.stats.histogramBins=0` disables; junk -> default.
+      val histBins = spark.conf.getOption("spark.graft.stats.histogramBins")
+        .flatMap(_.trim.toIntOption).filter(_ >= 0).getOrElse(64)
+      val parseD: Option[String => Double] = tableSchema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+          Some(s => s.toLong.toDouble)
+        case FloatType  => Some(s => s.toFloat.toDouble)
+        case DoubleType => Some(s => s.toDouble)
+        case _          => None
+      }
+      val hist: Option[colstats.Histogram] =
+        if (histBins < 1 || planned.isEmpty) None
+        else parseD.flatMap { p =>
+          val per: Seq[Option[(Double, Double, Long)]] = planned.map { f =>
+            val range = if (c == keyField) Some((f.minKey, f.maxKey))
+              else f.cols.get(manifest.phys(c))
+            range.flatMap { case (lo, hi) =>
+              if (lo == null || hi == null || lo.isEmpty || hi.isEmpty) None
+              else f.colNulls.get(manifest.phys(c))
+                .orElse(if (c == keyField) Some(0L) else None)
+                .flatMap(nn => scala.util.Try(
+                  (p(lo), p(hi), math.max(0L, f.liveRows - nn))).toOption)
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else GraftScan.equiHeightBins(per.flatten, histBins).map {
+            case (h, cutBins) =>
+              // per-bin NDV: the merged KMV estimate apportioned evenly
+              // (bins hold equal masses); bounded by the bin mass itself
+              val binNdv = math.max(1L, math.min(math.ceil(h).toLong,
+                dc.map(d => d / cutBins.size).getOrElse(math.ceil(h).toLong)))
+              val arr: Array[colstats.HistogramBin] =
+                cutBins.map { case (bl, bh) =>
+                  new colstats.HistogramBin {
+                    override def lo(): Double = bl
+                    override def hi(): Double = bh
+                    override def ndv(): Long = binNdv
+                  }: colstats.HistogramBin
+                }.toArray
+              new colstats.Histogram {
+                override def height(): Double = h
+                override def bins(): Array[colstats.HistogramBin] = arr
+              }
+          }
+        }
+      if (dc.isDefined || nulls.isDefined || minMax.isDefined ||
+        hist.isDefined)
         res.put(Expressions.column(c), new ColumnStatistics {
           override def distinctCount(): OptionalLong =
             dc.map(OptionalLong.of).getOrElse(OptionalLong.empty)
@@ -438,6 +562,9 @@ final class GraftScan(root: String, tableSchema: StructType,
           override def max(): java.util.Optional[Object] =
             minMax.map(m => java.util.Optional.of(m._2.asInstanceOf[Object]))
               .getOrElse(java.util.Optional.empty[Object]())
+          override def histogram(): java.util.Optional[colstats.Histogram] =
+            hist.map(h => java.util.Optional.of(h))
+              .getOrElse(java.util.Optional.empty[colstats.Histogram]())
         })
     }
     res
@@ -636,6 +763,55 @@ object GraftPartitions {
       case _                        => None
     }
     go(f)
+  }
+
+  /** Parse the `pruneFilter` load option — a SQL boolean expression over
+    * the source's columns — into v1 pushdown Filters. Streaming scans
+    * never receive optimizer pushdown (Spark builds micro-batch scans
+    * outside V2ScanRelationPushDown — the same limitation the `columns`
+    * option works around), so a stream's file/row-group pruning takes its
+    * predicate from this option instead. ADVISORY, like all pruning here:
+    * only provably-empty files and row groups are cut, so the emitted
+    * stream may still carry non-matching rows — consumers keep their own
+    * `.filter` for exactness. A predicate that translates to NOTHING
+    * pushable refuses loudly (a typo'd option silently pruning nothing
+    * would masquerade as working).
+    */
+  private[spark] def parsePruneFilter(spark: SparkSession,
+                                      schema: StructType,
+                                      sql: String): Array[Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, Expression}
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .filter(sql)
+    def split(e: Expression): Seq[Expression] = e match {
+      case CatalystAnd(l, r) => split(l) ++ split(r)
+      case x                 => Seq(x)
+    }
+    // the ANALYZED plan, not the optimized one: an empty local relation
+    // under the optimizer folds the Filter away, losing the condition.
+    // Constant-fold by hand instead (the analyzer wraps literals in
+    // casts — `id >= 600` analyzes as `id >= cast(600 as bigint)` —
+    // which the translator doesn't match; Spark's own pushdown sees
+    // conditions only after the optimizer has folded them)
+    val conds = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        split(f.condition)
+    }.flatten
+    val folded = conds.map(_.transformUp {
+      case e: Expression if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+            e.dataType)
+    })
+    val translated = folded.flatMap(c =>
+      org.apache.spark.sql.graft.ParquetReadBridge
+        .translateFilter(c, nestedPredicatePushdown = true))
+    require(translated.nonEmpty,
+      s"pruneFilter '$sql' translated to no pushable predicate — use " +
+        "comparisons / IN / LIKE 'p%' / AND / OR over the source's columns")
+    translated.toArray
   }
 
   def forFiles(root: String, files: Seq[ManifestStore.FileEntry])

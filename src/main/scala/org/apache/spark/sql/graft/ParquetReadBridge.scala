@@ -33,6 +33,16 @@ object ParquetReadBridge {
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
+  /** Forwarder for `DataSourceStrategy.translateFilter` (protected[sql]):
+    * Catalyst predicate → v1 pushdown [[Filter]], the same translation
+    * Spark's own scans run. Used by the `pruneFilter` streaming option.
+    */
+  def translateFilter(
+      predicate: org.apache.spark.sql.catalyst.expressions.Expression,
+      nestedPredicatePushdown: Boolean): Option[Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, nestedPredicatePushdown)
+
   /** Row-at-a-time reader: vectorization is disabled on a cloned session so
     * the closure yields true `InternalRow`s (never an erased
     * `ColumnarBatch`), which the masked-file path needs for its per-row

@@ -1,0 +1,131 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Planning-time equi-height histograms ([[GraftScan.equiHeightBins]]):
+  * synthesized from per-file zone-map stats — no ANALYZE pass, no sample
+  * job — reported through DSv2 `columnStats().histogram()`, and consumed
+  * by the CBO's range-selectivity estimation. The point: across-file
+  * skew (the signal a key-clustered layout records for free) survives
+  * into the optimizer, where min/max-uniform estimation loses it.
+  */
+class HistogramStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equiHeightBins: uniform, skewed, point masses, degenerate inputs") {
+    // one uniform file: bins split [0, 100] evenly
+    val Some((h1, b1)) = GraftScan.equiHeightBins(Seq((0.0, 100.0, 1000L)), 4)
+    assert(h1 === 250.0)
+    assert(b1.map(_._2) === Seq(25.0, 50.0, 75.0, 100.0))
+    assert(b1.head._1 === 0.0)
+
+    // skew: 900 rows in [0, 9], 100 rows in [1000, 1010] — 9 of 10 cuts
+    // land inside the dense block
+    val Some((h2, b2)) = GraftScan.equiHeightBins(
+      Seq((0.0, 9.0, 900L), (1000.0, 1010.0, 100L)), 10)
+    assert(h2 === 100.0)
+    assert(b2.count(_._2 <= 9.0) === 9, s"bins=$b2")
+    assert(b2.last._2 === 1010.0)
+
+    // a point mass straddling several targets: zero-width bins at it
+    val Some((_, b3)) = GraftScan.equiHeightBins(
+      Seq((5.0, 5.0, 900L), (0.0, 10.0, 100L)), 10)
+    assert(b3.count(b => b._1 == 5.0 && b._2 == 5.0) >= 7, s"bins=$b3")
+
+    // bins are contiguous and monotone for any mix
+    val Some((_, b4)) = GraftScan.equiHeightBins(
+      Seq((0.0, 50.0, 10L), (40.0, 60.0, 500L), (55.0, 55.0, 200L),
+        (90.0, 99.0, 30L)), 7)
+    b4.sliding(2).foreach { case Seq(a, b) => assert(a._2 === b._1) }
+    b4.foreach { case (lo, hi) => assert(lo <= hi) }
+
+    // degenerate: no rows / no bins
+    assert(GraftScan.equiHeightBins(Nil, 4).isEmpty)
+    assert(GraftScan.equiHeightBins(Seq((0.0, 1.0, 0L)), 4).isEmpty)
+    assert(GraftScan.equiHeightBins(Seq((0.0, 1.0, 5L)), 0).isEmpty)
+  }
+
+  test("histograms reach attributeStats and fix skewed range estimates") {
+    val root = Files.createTempDirectory("histstats").toString
+    val st = new ManifestStore(root, spark, "id")
+    // 8000 dense keys [0, 8000) + 8000 sparse keys 1000x up-range. The
+    // gate predicate is an OR (dense range OR one far key): a bare range
+    // is DECIDED whole-file by the engine's own pushdown — the residual
+    // Filter vanishes and both estimates are exact. The histogram earns
+    // its keep on exactly the predicates file stats can't decide.
+    val dense = (0L until 8000L).map(i => (i, i % 50L))
+    val sparse = (0L until 8000L).map(i => (8000000L + i * 1000L, i % 50L))
+    st.commit((dense ++ sparse).toDF("id", "grp"), batchId = 0, nFiles = 16,
+      statsCols = Seq("grp"))
+    val pred = col("id") < 8000L || col("id") === 15999000L
+    val truth = 8001L
+
+    def estimate(bins: String): (BigDecimal, Boolean) = {
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.graft.stats.histogramBins", bins)
+      try {
+        val plan = spark.read.format("graft").load(root)
+          .filter(pred).queryExecution.optimizedPlan
+        // histogram presence on the SCAN's stats (the Filter node above
+        // it re-estimates its own attributeStats)
+        val hasHist = plan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r
+        }.exists(_.stats.attributeStats.toSeq.exists {
+          case (a, cs) => a.name == "id" && cs.histogram.isDefined })
+        (plan.stats.rowCount.map(BigDecimal(_)).getOrElse(BigDecimal(-1)),
+          hasHist)
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+        spark.conf.unset("spark.graft.stats.histogramBins")
+      }
+    }
+    val (estHist, hasHist) = estimate("64")
+    val (estUniform, hasUniformHist) = estimate("0")
+    assert(hasHist, "histogram must land in the scan's column stat")
+    assert(!hasUniformHist, "histogramBins=0 must disable synthesis")
+    assert(estHist >= truth / 3 && estHist <= truth * 3,
+      s"histogram estimate must sit near the true $truth, got $estHist")
+    assert(estUniform >= 0 && estUniform < truth / 10,
+      s"uniform estimate must show the skew blindness, got $estUniform")
+
+    // answers are estimate-independent
+    assert(spark.read.format("graft").load(root)
+      .filter(pred).count() === truth)
+
+    // junk conf values fall back to the default instead of throwing
+    spark.conf.set("spark.graft.stats.histogramBins", "many")
+    try assert(spark.read.format("graft").load(root)
+      .filter(pred).count() === truth)
+    finally spark.conf.unset("spark.graft.stats.histogramBins")
+  }
+
+  test("histogram skips columns without full stats coverage; ndv bounded") {
+    val root = Files.createTempDirectory("histcov").toString
+    val st = new ManifestStore(root, spark, "id")
+    // strings can't histogram (no exact numeric form); grp can
+    st.commit((0L until 4000L).map(i => (i, i % 10L, s"s$i"))
+      .toDF("id", "grp", "name"), batchId = 0, nFiles = 4,
+      statsCols = Seq("grp", "name"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      val byName = stats.map { case (a, cs) => a.name -> cs }.toMap
+      assert(byName("id").histogram.isDefined)
+      assert(byName("grp").histogram.isDefined)
+      assert(byName.get("name").forall(_.histogram.isEmpty),
+        "string columns must not synthesize histograms")
+      // per-bin ndv never exceeds the bin mass and never hits zero
+      val bins = byName("grp").histogram.get.bins
+      val h = byName("grp").histogram.get.height
+      assert(bins.forall(b => b.ndv >= 1 && b.ndv <= math.ceil(h).toLong))
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+}
