@@ -43,7 +43,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale shape: planning is O(log entries) driver metadata; each feed
   * partition is one change-file part (or one snapshot data file for the
   * initial batch), read executor-side through the same parquet bridge as
-  * the main scan. Nothing scales with table width.
+  * the main scan. Nothing scales with table width. Since r14 the feed
+  * also PRUNES: pushed filters (batch) / the `pruneFilter` option
+  * (streams) cut whole versions by `_commit_version` envelope and
+  * captured key range, skip all-insert partitions when `_change_type`
+  * excludes inserts, zone-map-prune snapshot/append files (one pruning
+  * pass per plan, not per version), and ride into the parquet readers;
+  * and the initial snapshot PACES under the row budget (sub-version
+  * offsets) instead of being one table-sized batch.
   *
   * Ref provenance: the reference's consumers re-read the whole Delta
   * output per validation pass (ref: test/validate_cdc_data.py:92-118);
@@ -243,9 +250,18 @@ object GraftCdf {
                                   ignoreChanges: Boolean,
                                   vKeep: Long => Boolean = _ => true,
                                   insertOk: Boolean = true,
-                                  dataConjs: Seq[(String, String, Any)] = Nil)
-      : Seq[InputPartition] =
-    ((s + 1) to e).filter(vKeep).flatMap { v =>
+                                  dataConjs: Seq[(String, String, Any)] = Nil,
+                                  snapshot: Option[(Long,
+                                    Seq[ManifestStore.FileEntry])] = None)
+      : Seq[InputPartition] = {
+    // one version's contribution: its added files, or its captured change
+    // file plus the synthetic key-range entry the pruner can judge it by
+    // (captured KEY RANGE, r14: the manifest records the capture's key
+    // min/max, so a keyed consumer skips whole captured versions —
+    // pre-range vintages carry None and always keep)
+    final case class VPlan(v: Long, adds: Seq[ManifestStore.FileEntry],
+                           cdc: Option[(String, Option[ManifestStore.FileEntry])])
+    val plans: Seq[VPlan] = ((s + 1) to e).filter(vKeep).flatMap { v =>
       val mPrev = manifestOrExplain(store, root, v - 1)
       val mV = manifestOrExplain(store, root, v)
       // a captured change file ALWAYS wins over the maintenance heuristic:
@@ -253,27 +269,17 @@ object GraftCdf {
       // replay-invisible by design — yet deletes rows and captures them;
       // classifying on lineage first would silently skip those deletes
       mV.cdcFile match {
-        case Some("") => Nil // captured feed, zero effective changes
+        case Some("") => None // captured feed, zero effective changes
         case Some(cdc) =>
-          // captured KEY RANGE (r14): the manifest records the change
-          // file's key min/max, so a keyed consumer skips whole captured
-          // versions — the same zone-map pruner decides, via a synthetic
-          // entry carrying only the key stats (every other conjunct keeps
-          // conservatively). Pre-range vintages (None) always keep.
-          val keepCdc = dataConjs.isEmpty ||
-            ((mV.cdcMinKey, mV.cdcMaxKey) match {
-              case (Some(lo), Some(hi)) =>
-                store.prunedFiles(mV.copy(files = Seq(
-                  ManifestStore.FileEntry(cdc, lo, hi, mV.cdcRows))),
-                  dataConjs).nonEmpty
-              case _ => true
-            })
-          if (!keepCdc) Nil
-          else cdcParts(root, cdc).map(p =>
-            GraftCdfPartition(p, v, isCdc = true))
+          val synth = (mV.cdcMinKey, mV.cdcMaxKey) match {
+            case (Some(lo), Some(hi)) =>
+              Some(ManifestStore.FileEntry(cdc, lo, hi, mV.cdcRows))
+            case _ => None
+          }
+          Some(VPlan(v, Nil, Some((cdc, synth))))
         case None
             if mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId =>
-          Nil // true maintenance: bytes moved, data unchanged
+          None // true maintenance: bytes moved, data unchanged
         case None =>
           val prevIds = mPrev.files.map(f => (f.name, f.dv)).toSet
           val prevNames = mPrev.files.map(_.name).toSet
@@ -282,15 +288,8 @@ object GraftCdf {
             mPrev.files.forall(f => mV.files.exists(g =>
               g.name == f.name && g.dv == f.dv))
           if (appendOnly || ignoreChanges) {
-            if (!insertOk) Nil // added files hold ONLY `insert` rows
-            else {
-              val addsLive = adds.filterNot(f => prevNames(f.name))
-              val kept =
-                if (dataConjs.isEmpty) addsLive
-                else store.prunedFiles(mV.copy(files = addsLive), dataConjs)
-              GraftPartitions.forFiles(root, kept)
-                .map(p => GraftCdfPartition(p, v, isCdc = false))
-            }
+            if (!insertOk) None // added files hold ONLY `insert` rows
+            else Some(VPlan(v, adds.filterNot(f => prevNames(f.name)), None))
           } else throw new IllegalStateException(
             s"graft change feed: version $v of $root merged or deleted " +
               "rows but captured no change file — enable capture first " +
@@ -299,6 +298,40 @@ object GraftCdf {
               "inserts (rewritten rows may re-appear)")
       }
     }
+    // ONE pruning pass over every candidate entry across every version —
+    // the initial-snapshot files included when the caller plans them in
+    // the same batch (add/capture names are UUIDs and the snapshot
+    // predates every add, so names never collide) — under the END
+    // version's manifest: the current mapping/statsCols, the same
+    // read-through the scan applies to old-vintage files. Per-version
+    // prunedFiles calls each cost one local planning job — a
+    // 10k-version backfill must not pay 10k of them.
+    val snapFiles = snapshot.map(_._2).getOrElse(Nil)
+    val keep: String => Boolean =
+      if (dataConjs.isEmpty) _ => true
+      else {
+        val entries = snapFiles ++
+          plans.flatMap(p => p.adds ++ p.cdc.flatMap(_._2))
+        if (entries.isEmpty) _ => true
+        else store.prunedFiles(
+          manifestOrExplain(store, root, e).copy(files = entries),
+          dataConjs).map(_.name).toSet
+      }
+    val snapParts = snapshot.toSeq.flatMap { case (v0, fs) =>
+      GraftPartitions.forFiles(root, fs.filter(f => keep(f.name)))
+        .map(q => GraftCdfPartition(q, v0, isCdc = false))
+    }
+    snapParts ++ plans.flatMap { p =>
+      GraftPartitions.forFiles(root, p.adds.filter(f => keep(f.name)))
+        .map(q => GraftCdfPartition(q, p.v, isCdc = false)) ++
+        (p.cdc match {
+          case Some((name, synth)) if synth.forall(se => keep(se.name)) =>
+            cdcParts(root, name).map(q =>
+              GraftCdfPartition(q, p.v, isCdc = true))
+          case _ => Nil
+        })
+    }
+  }
 
   /** List a change-file directory's parquet parts, driver-side (same
     * discipline as deletion-vector sidecars: executors never list storage).
@@ -570,17 +603,12 @@ final class GraftCdfScan(root: String, options: Map[String, String],
     val insertOk = GraftCdf.typePossible(pushed.toSeq, ManifestStore.CdfInsert)
     val dataConjs = GraftScan.conjuncts(
       GraftCdf.dataFilters(pushed.toSeq, dataSchema))
-    val snapshotParts: Seq[InputPartition] =
-      if (sv > 0 || !vKeep(0L) || !insertOk) Nil
-      else {
-        val m0 = GraftCdf.manifestOrExplain(store, root, 0L)
-        val kept = if (dataConjs.isEmpty) m0.files
-          else store.prunedFiles(m0, dataConjs)
-        GraftPartitions.forFiles(root, kept)
-          .map(p => GraftCdfPartition(p, 0L, isCdc = false))
-      }
-    (snapshotParts ++ GraftCdf.planVersions(store, root, math.max(0L, sv - 1),
-      ev, ignoreChanges, vKeep, insertOk, dataConjs)).toArray
+    // the snapshot rides the SAME single pruning pass as the versions
+    val snapshot =
+      if (sv > 0 || !vKeep(0L) || !insertOk) None
+      else Some((0L, GraftCdf.manifestOrExplain(store, root, 0L).files))
+    GraftCdf.planVersions(store, root, math.max(0L, sv - 1),
+      ev, ignoreChanges, vKeep, insertOk, dataConjs, snapshot).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -666,11 +694,42 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  /** PACED INITIAL SNAPSHOT under the row budget — the CDF sibling of
+    * the tail source's byte-paced bootstrap ([[GraftMicroBatchStream]]):
+    * sub-version offsets slice the pinned snapshot version's immutable
+    * file list across batches by live-row weight; once drained, the
+    * captured feed takes over at version+1. At least one file per batch;
+    * pure manifest metadata.
+    */
+  private def snapshotAdvance(v: Long, from: Int, budget: Long)
+      : GraftOffset = {
+    val files = GraftCdf.manifestOrExplain(store, root, v).files
+    var j = from
+    var acc = 0L
+    while (j < files.size &&
+      (j == from || acc + files(j).liveRows <= budget)) {
+      acc += files(j).liveRows; j += 1
+    }
+    if (j >= files.size) GraftOffset(v) else GraftOffset(v, j.toLong)
+  }
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val live = store.current.map(_._1).getOrElse(-1L)
     val cur = availableNowCap.fold(live)(math.min(live, _))
-    val s = start.asInstanceOf[GraftOffset].version
+    val so = start.asInstanceOf[GraftOffset]
+    maxRows match {
+      // any parked (-1) start means snapshot-first — including a
+      // startingTimestamp that resolved to table creation
+      case Some(budget) if so.version < 0 && cur >= 0 =>
+        return snapshotAdvance(cur, 0, budget)
+      case Some(budget) if so.snap >= 0 =>
+        return snapshotAdvance(so.version, so.snap.toInt, budget)
+      case _ if so.snap >= 0 =>
+        return GraftOffset(so.version) // budget removed: finish in one
+      case _ => ()
+    }
+    val s = so.version
     val vCap = maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)
       case _ => cur // snapshot batch (or no cap): everything available
@@ -723,15 +782,16 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
   override def latestOffset(): Offset =
     GraftOffset(store.current.map(_._1).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset =
-    GraftOffset(GraftOffset.parse(json))
+    GraftOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].version
-    val e = end.asInstanceOf[GraftOffset].version
-    if (e < 0 || e <= s) return Array.empty
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    val s = so.version
+    val e = eo.version
     val st = store
     // the same advisory pushdown cuts as the batch form, fed from the
     // `pruneFilter` option (plus any pushed filters, should a future
@@ -742,6 +802,22 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       ManifestStore.CdfInsert)
     val dataConjs = GraftScan.conjuncts(
       GraftCdf.dataFilters(effPushed.toSeq, dataSchema))
+    // paced-snapshot slices carry sub-version offsets — handled before
+    // the ordinary e<=s guard (a mid-snapshot batch has e == s). Slicing
+    // indexes the RAW manifest list (restart-stable); pruning cuts the
+    // planned slice after.
+    if (so.snap >= 0 || (s < 0 && eo.snap >= 0)) {
+      if (!vKeep(e) || !insertOk) return Array.empty
+      val m = GraftCdf.manifestOrExplain(st, root, e)
+      val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
+      val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
+      val slice = m.files.slice(from, until)
+      val kept = if (dataConjs.isEmpty) slice
+        else st.prunedFiles(m.copy(files = slice), dataConjs)
+      return GraftPartitions.forFiles(root, kept)
+        .map(p => GraftCdfPartition(p, e, isCdc = false)).toArray
+    }
+    if (e < 0 || e <= s) return Array.empty
     if (s < 0) { // first batch: the whole snapshot, as inserts at version e
       if (!vKeep(e) || !insertOk) return Array.empty
       val m = GraftCdf.manifestOrExplain(st, root, e)

@@ -89,8 +89,10 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     * Delta's). Admission is PURE METADATA: added bytes come from the
     * manifest's per-file `bytes`, so pacing a 100k-commit backlog costs
     * manifest-cache hits, not file I/O. Composes with
-    * `maxVersionsPerTrigger` (the tighter cap wins); the initial snapshot
-    * is one consistent version regardless, as with the version cap.
+    * `maxVersionsPerTrigger` (the tighter cap wins). The byte budget also
+    * PACES THE INITIAL SNAPSHOT (r14, [[snapshotAdvance]]): sub-version
+    * offsets slice the pinned version's file list across batches, so a
+    * 100 TB bootstrap is bounded batches, not one table-sized one.
     */
   private val maxBytes: Option[Long] = options.collectFirst {
     case (k, v) if k.equalsIgnoreCase("maxbytespertrigger") => v.toLong
@@ -115,15 +117,46 @@ final class GraftMicroBatchStream(root: String, keyField: String,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
-  /** `maxVersionsPerTrigger` — bound each micro-batch to N commits; the
-    * initial snapshot is always one batch (one consistent version, not a
-    * backlog).
+  /** PACED INITIAL SNAPSHOT: under a byte budget, the first batch pins
+    * the snapshot version and each trigger admits the next budget's
+    * worth of its (immutable, manifest-ordered) file list — offsets
+    * carry (version, filesEmitted) until the list drains, then the tail
+    * takes over at version+1. At 100 TB this is the difference between
+    * bootstrapping a stream in bounded batches and one table-sized
+    * micro-batch. At least one file per batch (no stall on an
+    * over-budget file); admission is pure manifest metadata.
     */
+  private def snapshotAdvance(v: Long, from: Int, budget: Long,
+                              weight: ManifestStore.FileEntry => Long)
+      : GraftOffset = {
+    val files = manifestOrExplain(v).files
+    var j = from
+    var acc = 0L
+    while (j < files.size &&
+      (j == from || acc + weight(files(j)) <= budget)) {
+      acc += weight(files(j)); j += 1
+    }
+    if (j >= files.size) GraftOffset(v) else GraftOffset(v, j.toLong)
+  }
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val live = store.current.map(_._1).getOrElse(-1L)
     val cur = availableNowCap.fold(live)(math.min(live, _))
-    val s = start.asInstanceOf[GraftOffset].version
+    val so = start.asInstanceOf[GraftOffset]
+    maxBytes match {
+      case Some(budget) if so.version < 0 && cur >= 0 =>
+        // pin the snapshot version; pace its first slice
+        return snapshotAdvance(cur, 0, budget, f => math.max(0L, f.bytes))
+      case Some(budget) if so.snap >= 0 =>
+        return snapshotAdvance(so.version, so.snap.toInt, budget,
+          f => math.max(0L, f.bytes))
+      case _ if so.snap >= 0 =>
+        // budget removed mid-snapshot: finish it in one batch
+        return GraftOffset(so.version)
+      case _ => ()
+    }
+    val s = so.version
     val vCap = maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)
       case _ => cur
@@ -165,7 +198,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     })
   }
   override def deserializeOffset(json: String): Offset =
-    GraftOffset(GraftOffset.parse(json))
+    GraftOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -177,12 +210,15 @@ final class GraftMicroBatchStream(root: String, keyField: String,
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].version
-    val e = end.asInstanceOf[GraftOffset].version
-    if (e < 0 || e <= s) return Array.empty
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    val s = so.version
+    val e = eo.version
     // advisory zone-map cut from `pruneFilter` (and any pushed filters) —
     // applied AFTER the appends-only classification below, which must see
-    // the unpruned add set
+    // the unpruned add set (and after snapshot slicing: offsets index the
+    // RAW manifest list, so a changed pruneFilter across restarts can
+    // never shift slice boundaries)
     val conjs = GraftScan.conjuncts(
       GraftCdf.dataFilters(effPushed.toSeq, tableSchema))
     val st = store
@@ -190,6 +226,16 @@ final class GraftMicroBatchStream(root: String, keyField: String,
             fs: Seq[ManifestStore.FileEntry]): Seq[ManifestStore.FileEntry] =
       if (conjs.isEmpty || fs.isEmpty) fs
       else st.prunedFiles(m.copy(files = fs), conjs)
+    // paced-snapshot slices carry sub-version offsets — handle them
+    // before the ordinary e<=s guard (a mid-snapshot batch has e == s)
+    if (so.snap >= 0 || (s < 0 && eo.snap >= 0)) {
+      val m = manifestOrExplain(e)
+      val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
+      val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
+      return GraftPartitions.forFiles(root,
+        cut(m, m.files.slice(from, until))).toArray
+    }
+    if (e < 0 || e <= s) return Array.empty
     if (s < 0) { // first batch: full snapshot of the end version
       val m = manifestOrExplain(e)
       return GraftPartitions.forFiles(root, cut(m, m.files)).toArray
@@ -213,10 +259,14 @@ final class GraftMicroBatchStream(root: String, keyField: String,
               "(merge/delete); this source tails appends — set option " +
               "ignoreChanges=true to emit its added files anyway, or " +
               "ignoreDeletes=true if only deletes run against this table")
-        cut(mV, adds)
+        adds
       }
     }
-    GraftPartitions.forFiles(root, perVersion).toArray
+    // ONE cut over the whole range's adds (names are unique across
+    // versions) — per-version prunedFiles calls cost one local planning
+    // job each, which a long-range catch-up batch must not multiply
+    GraftPartitions.forFiles(root,
+      cut(manifestOrExplain(e), perVersion)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -251,14 +301,29 @@ object GraftMicroBatchStream {
       .exists(v => v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off"))
 }
 
-final case class GraftOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Stream offset: a manifest version, plus — during a PACED initial
+  * snapshot — the count of the pinned version's files already emitted
+  * (`snap`, -1 otherwise). Sub-version offsets are what keep a 100 TB
+  * bootstrap from being one monster micro-batch: the snapshot version is
+  * pinned by the offset itself, its immutable file list is sliced across
+  * budget-paced batches, and a restart replans the identical slice from
+  * the checkpoint. The unpaced JSON stays byte-identical to the legacy
+  * form, so existing checkpoints resume unchanged.
+  */
+final case class GraftOffset(version: Long, snap: Long = -1L)
+  extends Offset {
+  override def json(): String =
+    if (snap < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"snap":$snap}"""
 }
 
 object GraftOffset {
   private val re = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
-  def parse(json: String): Long = json.trim match {
-    case re(v) => v.toLong
+  private val reSnap =
+    """\{\s*"version"\s*:\s*(-?\d+)\s*,\s*"snap"\s*:\s*(\d+)\s*\}""".r
+  def parse(json: String): GraftOffset = json.trim match {
+    case re(v)        => GraftOffset(v.toLong)
+    case reSnap(v, k) => GraftOffset(v.toLong, k.toLong)
     case other => throw new IllegalArgumentException(
       s"not a graft offset: $other")
   }

@@ -495,6 +495,10 @@ final class GraftScan(root: String, tableSchema: StructType,
         case LongType | TimestampType => agg[Long](_.toLong, _ < _)
         case FloatType     => agg[Float](_.toFloat, _ < _)
         case DoubleType    => agg[Double](_.toDouble, _ < _)
+        // DATE stats serialize as ISO yyyy-MM-dd (zone-free by type), so
+        // the round-trip to the catalyst internal (epoch days) is exact
+        case DateType      => agg[Int](s =>
+          java.time.LocalDate.parse(s).toEpochDay.toInt, _ < _)
         case _             => None
       }
       // EQUI-HEIGHT HISTOGRAM, synthesized from the per-file zone maps of
@@ -512,6 +516,8 @@ final class GraftScan(root: String, tableSchema: StructType,
           Some(s => s.toLong.toDouble)
         case FloatType  => Some(s => s.toFloat.toDouble)
         case DoubleType => Some(s => s.toDouble)
+        case DateType   => Some(s =>
+          java.time.LocalDate.parse(s).toEpochDay.toDouble)
         case _          => None
       }
       val hist: Option[colstats.Histogram] =

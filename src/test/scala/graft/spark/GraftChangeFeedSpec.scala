@@ -414,6 +414,36 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown columns"))
   }
 
+  test("maxRowsPerTrigger paces the CDF initial snapshot; feed follows") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 4) // 100 rows over 4 files
+    val ck = java.nio.file.Files.createTempDirectory("cdfsnap").toString
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("maxRowsPerTrigger", "30")
+      .load(st.root)
+      .writeStream.format("memory").queryName("cdf_paced_snap")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable() // the bootstrap: ~25-row sub-version slices
+      val snapBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(snapBatches.length >= 3,
+        s"a 30-row budget must slice the 100-row snapshot: ${snapBatches.length}")
+      assert(snapBatches.map(_.numInputRows).max <= 60L,
+        s"no bootstrap batch may approach the table: " +
+          snapBatches.map(_.numInputRows).toSeq)
+      st.merge(netDf(Seq((5L, "u", Some("v1"), 100L))), fields, batchId = 1)
+      q.processAllAvailable() // the captured feed follows the bootstrap
+      val t = spark.table("cdf_paced_snap")
+      assert(t.count() === 102L) // 100 snapshot inserts + the update pair
+      // every snapshot slice is stamped with the PINNED version
+      assert(t.filter(col("_change_type") === "insert")
+        .select("_commit_version").distinct().as[Long].collect()
+        .toSeq === Seq(0L))
+      assert(rowsOf(t.filter(col("_commit_version") === 1L)) === Set(
+        (5L, "n5", "update_preimage", 1L), (5L, "v1", "update_postimage", 1L)))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

@@ -312,6 +312,53 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.read.maskedColumnar")
   }
 
+  test("streaming: maxBytesPerTrigger paces the INITIAL SNAPSHOT too") {
+    val root = newRoot
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(seedDf, batchId = 0, nFiles = 8) // 400 rows over 8 files
+    val oneFile = st.manifest(0).get.files.map(_.bytes).max
+    assert(oneFile > 0L)
+    // a one-file budget slices the bootstrap into ~8 sub-version batches
+    val out = Files.createTempDirectory("snp_out").toString
+    val ck = Files.createTempDirectory("snp_ck").toString
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", oneFile.toString)
+      .load(root).writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    assert(spark.read.parquet(out).count() === 400L,
+      "paced bootstrap must lose and duplicate nothing")
+    assert(prog.length >= 4,
+      s"a one-file budget must slice the snapshot, got ${prog.length} batches")
+    assert(prog.map(_.numInputRows).max <= 150L,
+      s"no batch may approach the whole table: ${prog.map(_.numInputRows).toSeq}")
+
+    // a restart MID-SNAPSHOT resumes from the checkpointed slice, and a
+    // commit landing mid-bootstrap arrives after the snapshot completes
+    val out2 = Files.createTempDirectory("snp_out2").toString
+    val ck2 = Files.createTempDirectory("snp_ck2").toString
+    def run(trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+      val q2 = spark.readStream.format("graft")
+        .option("maxBytesPerTrigger", oneFile.toString)
+        .load(root).writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ck2).trigger(trigger).start()
+      assert(q2.awaitTermination(120000))
+    }
+    run(org.apache.spark.sql.streaming.Trigger.Once()) // exactly one slice
+    val afterOne = spark.read.parquet(out2).count()
+    assert(afterOne > 0L && afterOne < 400L,
+      s"Trigger.Once must emit one paced slice, got $afterOne")
+    st.merge(netDf(Seq((1000L, "c", Some("late"), 9L))), fields, batchId = 1)
+    run(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val resumed = spark.read.parquet(out2)
+    assert(resumed.count() === 401L && resumed.select("id").distinct()
+      .count() === 401L,
+      "resume must complete the snapshot exactly once, then tail the merge")
+  }
+
   test("streaming: maxBytesPerTrigger paces the backlog by manifest bytes") {
     val root = newRoot
     val st = new ManifestStore(root, spark, "id")
@@ -582,9 +629,16 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(plan.contains("pushed=[LessThan(id,2000)]"), plan)
   }
 
-  test("offset json round-trips") {
-    assert(GraftOffset.parse(GraftOffset(42L).json()) == 42L)
-    assert(GraftOffset.parse("""{"version": -1}""") == -1L)
+  test("offset json round-trips; paced-snapshot offsets stay legacy-compatible") {
+    assert(GraftOffset.parse(GraftOffset(42L).json()) == GraftOffset(42L))
+    assert(GraftOffset.parse("""{"version": -1}""") == GraftOffset(-1L))
+    // an UNPACED offset's json is byte-identical to the legacy form, so
+    // pre-r14 checkpoints resume unchanged
+    assert(GraftOffset(42L).json() == """{"version":42}""")
+    // mid-snapshot offsets carry the emitted-file count
+    assert(GraftOffset.parse(GraftOffset(7L, 3L).json()) == GraftOffset(7L, 3L))
+    assert(GraftOffset(7L, 3L).json() == """{"version":7,"snap":3}""")
+    intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))
   }
 
   test("scan reports pruned-size statistics to catalyst") {

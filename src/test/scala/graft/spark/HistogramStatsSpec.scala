@@ -105,13 +105,52 @@ class HistogramStatsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.stats.histogramBins")
   }
 
+  test("histogram estimate flips a real join decision") {
+    val root = Files.createTempDirectory("histjoin").toString
+    val st = new ManifestStore(root, spark, "id")
+    val dense = (0L until 8000L).map(i => (i, i % 50L))
+    val sparse = (0L until 8000L).map(i => (8000000L + i * 1000L, i % 50L))
+    st.commit((dense ++ sparse).toDF("id", "grp"), batchId = 0, nFiles = 16,
+      statsCols = Seq("grp"))
+    val other = spark.range(0L, 50000L).toDF("id")
+    val pred = col("id") < 8000L || col("id") === 15999000L
+    def joinPlan(bins: String): String = {
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.graft.stats.histogramBins", bins)
+      // a threshold BETWEEN the two estimates: ~9 filtered rows under
+      // uniform estimation sit far below it, the true ~8001 far above
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+      try spark.read.format("graft").load(root).filter(pred)
+        .join(other, "id").queryExecution.executedPlan.toString
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.conf.unset("spark.graft.stats.histogramBins")
+      }
+    }
+    val without = joinPlan("0")
+    assert(without.contains("BroadcastHashJoin"),
+      s"uniform underestimation must (wrongly) broadcast the filtered " +
+        s"side:\n$without")
+    val withHist = joinPlan("64")
+    assert(!withHist.contains("BroadcastHashJoin") &&
+      withHist.contains("SortMergeJoin"),
+      s"the histogram's near-truth estimate must flip the same join to " +
+        s"sort-merge:\n$withHist")
+  }
+
   test("histogram skips columns without full stats coverage; ndv bounded") {
     val root = Files.createTempDirectory("histcov").toString
     val st = new ManifestStore(root, spark, "id")
-    // strings can't histogram (no exact numeric form); grp can
+    // strings can't histogram (no exact numeric form); grp and the DATE
+    // column can (ISO yyyy-MM-dd stats round-trip exactly to epoch days)
     st.commit((0L until 4000L).map(i => (i, i % 10L, s"s$i"))
-      .toDF("id", "grp", "name"), batchId = 0, nFiles = 4,
-      statsCols = Seq("grp", "name"))
+      .toDF("id", "grp", "name")
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 30L).cast("int"))),
+      batchId = 0, nFiles = 4, statsCols = Seq("grp", "name", "d"))
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
@@ -122,6 +161,12 @@ class HistogramStatsSpec extends SparkSpec {
       assert(byName("grp").histogram.isDefined)
       assert(byName.get("name").forall(_.histogram.isEmpty),
         "string columns must not synthesize histograms")
+      // DATE min/max land as exact epoch days, with a histogram
+      val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt
+      assert(byName("d").min.contains(d0) &&
+        byName("d").max.contains(d0 + 29),
+        s"date min/max=${(byName("d").min, byName("d").max)}")
+      assert(byName("d").histogram.isDefined)
       // per-bin ndv never exceeds the bin mass and never hits zero
       val bins = byName("grp").histogram.get.bins
       val h = byName("grp").histogram.get.height
