@@ -499,6 +499,10 @@ final class GraftScan(root: String, tableSchema: StructType,
         // the round-trip to the catalyst internal (epoch days) is exact
         case DateType      => agg[Int](s =>
           java.time.LocalDate.parse(s).toEpochDay.toInt, _ < _)
+        // DECIMAL stats serialize as plain decimal text — exact round-trip
+        // to the catalyst Decimal (what the estimator's toDouble expects)
+        case _: DecimalType => agg[Decimal](s =>
+          Decimal(new java.math.BigDecimal(s)), _ < _)
         case _             => None
       }
       // EQUI-HEIGHT HISTOGRAM, synthesized from the per-file zone maps of
@@ -518,6 +522,8 @@ final class GraftScan(root: String, tableSchema: StructType,
         case DoubleType => Some(s => s.toDouble)
         case DateType   => Some(s =>
           java.time.LocalDate.parse(s).toEpochDay.toDouble)
+        case _: DecimalType => Some(s =>
+          new java.math.BigDecimal(s).doubleValue())
         case _          => None
       }
       val hist: Option[colstats.Histogram] =

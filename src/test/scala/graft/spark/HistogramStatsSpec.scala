@@ -149,8 +149,9 @@ class HistogramStatsSpec extends SparkSpec {
     st.commit((0L until 4000L).map(i => (i, i % 10L, s"s$i"))
       .toDF("id", "grp", "name")
       .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
-        (col("id") % 30L).cast("int"))),
-      batchId = 0, nFiles = 4, statsCols = Seq("grp", "name", "d"))
+        (col("id") % 30L).cast("int")))
+      .withColumn("dec", ((col("id") % 100L) + lit(0.5)).cast("decimal(10,2)")),
+      batchId = 0, nFiles = 4, statsCols = Seq("grp", "name", "d", "dec"))
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
@@ -167,6 +168,12 @@ class HistogramStatsSpec extends SparkSpec {
         byName("d").max.contains(d0 + 29),
         s"date min/max=${(byName("d").min, byName("d").max)}")
       assert(byName("d").histogram.isDefined)
+      // DECIMAL min/max land as exact catalyst Decimals, with a histogram
+      import org.apache.spark.sql.types.Decimal
+      assert(byName("dec").min.contains(Decimal("0.50")) &&
+        byName("dec").max.contains(Decimal("99.50")),
+        s"decimal min/max=${(byName("dec").min, byName("dec").max)}")
+      assert(byName("dec").histogram.isDefined)
       // per-bin ndv never exceeds the bin mass and never hits zero
       val bins = byName("grp").histogram.get.bins
       val h = byName("grp").histogram.get.height
