@@ -1,0 +1,123 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.cdc.ManifestStore
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+import java.nio.file.Files
+
+/** The paced-bootstrap offset state machine, driven DIRECTLY (no real
+  * streams, so a whole budget grid runs in seconds): for any byte/row
+  * budget, the sub-version slices must exactly partition the pinned
+  * version's file list — no overlap, no gap, no reorder — with every
+  * slice non-empty, the budget respected except for single over-budget
+  * files, and the tail/feed taking over only after the list drains.
+  */
+class PacedSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def walk(next: GraftOffset => GraftOffset,
+                   parts: (GraftOffset, GraftOffset) => Seq[String])
+      : Seq[Seq[String]] = {
+    var off = GraftOffset(-1L)
+    val slices = Seq.newBuilder[Seq[String]]
+    var guard = 0
+    var done = false
+    while (!done && guard < 10000) {
+      guard += 1
+      val n = next(off)
+      if (n == off) done = true
+      else {
+        slices += parts(off, n)
+        off = n
+      }
+    }
+    assert(guard < 10000, "offset walk must terminate")
+    slices.result()
+  }
+
+  test("tail: byte-budget grid partitions the snapshot exactly") {
+    val root = Files.createTempDirectory("paced_tail").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 900L).map(i => (i, s"n$i" * (1 + (i % 3).toInt)))
+      .toDF("id", "name"), batchId = 0, nFiles = 9)
+    val m = st.currentManifest.get
+    val order = m.files.map(_.name)
+    val bytes = m.files.map(f => f.name -> f.bytes).toMap
+    val total = m.files.map(_.bytes).sum
+    val schema = spark.read.format("graft").load(root).schema
+    for (budget <- Seq(1L, bytes.values.min, bytes.values.max,
+      total / 3, total, total * 2)) {
+      val s = new GraftMicroBatchStream(root, "id", schema, schema,
+        Array.empty, Map("maxbytespertrigger" -> budget.toString))
+      val slices = walk(
+        o => s.latestOffset(o, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset],
+        (a, b) => s.planInputPartitions(a, b).toSeq
+          .map(_.asInstanceOf[GraftInputPartition].fileName))
+      assert(slices.flatten == order,
+        s"budget=$budget: slices must partition the file list in order")
+      assert(slices.forall(_.nonEmpty), s"budget=$budget: empty slice")
+      slices.foreach { sl =>
+        assert(sl.map(bytes).sum <= budget || sl.size == 1,
+          s"budget=$budget: over-budget multi-file slice $sl")
+      }
+      if (budget >= total) assert(slices.size == 1,
+        s"budget=$budget covers the table: one batch, got ${slices.size}")
+    }
+  }
+
+  test("cdf: row-budget grid partitions the snapshot; feed follows after") {
+    val root = Files.createTempDirectory("paced_cdf").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.enableChangeFeed()
+    st.commit((0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8) // 8 files of 100 rows
+    val m0 = st.manifest(0L).get
+    val order = m0.files.map(_.name)
+    val liveRows = m0.files.map(f => f.name -> f.liveRows).toMap
+    val schema = spark.read.format("graft").load(root).schema
+    for (budget <- Seq(1L, 99L, 100L, 399L, 800L, 5000L)) {
+      val s = new GraftCdfMicroBatchStream(root, "id", schema,
+        Map("maxrowspertrigger" -> budget.toString))
+      def label(a: GraftOffset, b: GraftOffset): Seq[String] =
+        s.planInputPartitions(a, b).toSeq.map { p =>
+          val c = p.asInstanceOf[GraftCdfPartition]
+          s"${c.commitVersion}:${if (c.isCdc) "cdc" else c.inner.fileName}"
+        }
+      val slices = walk(
+        o => s.latestOffset(o, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset], label)
+      assert(slices.flatten == order.map(n => s"0:$n"),
+        s"budget=$budget: slices must partition v0's file list in order, " +
+          s"stamped with the pinned version")
+      slices.foreach { sl =>
+        val rows = sl.map(x => liveRows(x.stripPrefix("0:"))).sum
+        assert(rows <= budget || sl.size == 1,
+          s"budget=$budget: over-budget multi-file slice $sl")
+      }
+      if (budget >= 800L) assert(slices.size == 1,
+        s"budget=$budget covers the table: one batch, got ${slices.size}")
+    }
+    // a captured version landing AFTER the bootstrap arrives as its own
+    // batch — the feed takes over exactly where the snapshot ended
+    st.merge(Seq((5L, "u", Some(5L), "upd", 100L))
+      .toDF(graft.cdc.Changelog.KeyCol, graft.cdc.Changelog.OpCol,
+        "after_id", "after_name", graft.cdc.Changelog.TsCol)
+      .withColumn("after_id",
+        org.apache.spark.sql.functions.col("after_id").cast("long")),
+      Seq("id", "name"), batchId = 1)
+    val s2 = new GraftCdfMicroBatchStream(root, "id", schema,
+      Map("maxrowspertrigger" -> "100"))
+    val drained = GraftOffset(0L) // the completed bootstrap's offset
+    val next = s2.latestOffset(drained, ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset]
+    assert(next == GraftOffset(1L))
+    val feedBatch = s2.planInputPartitions(drained, next).toSeq.map { p =>
+      val c = p.asInstanceOf[GraftCdfPartition]
+      (c.commitVersion, c.isCdc)
+    }
+    assert(feedBatch.nonEmpty && feedBatch.forall(_ == (1L, true)),
+      s"the post-bootstrap batch must be v1's capture alone: $feedBatch")
+  }
+}
