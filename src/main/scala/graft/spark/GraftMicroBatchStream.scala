@@ -100,6 +100,18 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"); n
   }
 
+  /** `maxFilesPerTrigger` (Delta's primary admission knob, same
+    * spelling): bound each micro-batch by the ADDED data files it
+    * admits — whole versions for the tail, file-sliced for the initial
+    * snapshot, exactly like the byte budget. All three caps compose;
+    * the tightest wins. Pure manifest metadata, like the others.
+    */
+  private val maxFiles: Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxfilespertrigger") => v.toLong
+  }.map { n =>
+    require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n"); n
+  }
+
   /** Default: snapshot the current version first, then tail. With
     * `startingVersion` / `startingTimestamp` (Delta's spellings) the
     * snapshot is skipped and the tail begins at that version's OWN
@@ -126,15 +138,14 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     * micro-batch. At least one file per batch (no stall on an
     * over-budget file); admission is pure manifest metadata.
     */
-  private def snapshotAdvance(v: Long, from: Int, budget: Long,
-                              weight: ManifestStore.FileEntry => Long)
-      : GraftOffset = {
+  private def snapshotAdvance(v: Long, from: Int): GraftOffset = {
     val files = manifestOrExplain(v).files
     var j = from
     var acc = 0L
-    while (j < files.size &&
-      (j == from || acc + weight(files(j)) <= budget)) {
-      acc += weight(files(j)); j += 1
+    while (j < files.size && (j == from ||
+      (maxBytes.forall(acc + math.max(0L, files(j).bytes) <= _) &&
+        maxFiles.forall(j - from + 1 <= _)))) {
+      acc += math.max(0L, files(j).bytes); j += 1
     }
     if (j >= files.size) GraftOffset(v) else GraftOffset(v, j.toLong)
   }
@@ -144,58 +155,57 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     val live = store.current.map(_._1).getOrElse(-1L)
     val cur = availableNowCap.fold(live)(math.min(live, _))
     val so = start.asInstanceOf[GraftOffset]
-    maxBytes match {
-      case Some(budget) if so.version < 0 && cur >= 0 =>
-        // pin the snapshot version; pace its first slice
-        return snapshotAdvance(cur, 0, budget, f => math.max(0L, f.bytes))
-      case Some(budget) if so.snap >= 0 =>
-        return snapshotAdvance(so.version, so.snap.toInt, budget,
-          f => math.max(0L, f.bytes))
-      case _ if so.snap >= 0 =>
-        // budget removed mid-snapshot: finish it in one batch
-        return GraftOffset(so.version)
-      case _ => ()
-    }
+    val paced = maxBytes.isDefined || maxFiles.isDefined
+    if (paced && so.version < 0 && cur >= 0)
+      return snapshotAdvance(cur, 0) // pin the snapshot; pace slice one
+    if (so.snap >= 0)
+      return if (paced) snapshotAdvance(so.version, so.snap.toInt)
+      else GraftOffset(so.version) // budget removed: finish in one batch
     val s = so.version
     val vCap = maxVersions match {
       case Some(n) if s >= 0 => math.min(cur, s + n)
       case _ => cur
     }
-    GraftOffset(maxBytes match {
-      case Some(budget) if s >= 0 && vCap > s =>
-        // admit whole versions while their added bytes fit the budget,
-        // always at least one; maintenance versions (same batch lineage,
-        // bytes moved but no data change) add 0 and ride along free.
-        // The walk is sequential, so version v's manifest IS version
-        // v+1's parent: carry it (and its lazily-built name set) forward
-        // instead of re-deriving both per version — otherwise a
-        // byte-paced backlog over a large table pays
-        // O(admitted x #files) driver work per trigger.
+    GraftOffset(
+      if (paced && s >= 0 && vCap > s) {
+        // admit whole versions while their added bytes AND file counts
+        // fit the budgets (the tightest cap wins), always at least one;
+        // maintenance versions (same batch lineage, bytes moved but no
+        // data change) add 0 and ride along free. The walk is
+        // sequential, so version v's manifest IS version v+1's parent:
+        // carry it (and its lazily-built name set) forward instead of
+        // re-deriving both per version — otherwise a paced backlog over
+        // a large table pays O(admitted x #files) driver work per
+        // trigger.
         var last = s
-        var acc = 0L
+        var accB = 0L
+        var accF = 0L
         var v = s + 1
         var open = true
         var mPrev = manifestOrExplain(s)
         var prevNames: Set[String] = null
         while (v <= vCap && open) {
           val mV = manifestOrExplain(v)
-          val b =
+          val (b, nf) =
             if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
-              0L
+              (0L, 0L)
             else {
               if (prevNames == null)
                 prevNames = mPrev.files.map(_.name).toSet
+              var bb = 0L
+              var ff = 0L
               mV.files.iterator.filterNot(f => prevNames(f.name))
-                .map(_.bytes).sum
+                .foreach { f => bb += f.bytes; ff += 1 }
+              (bb, ff)
             }
-          if (last == s || acc + b <= budget) {
-            acc += b; last = v; v += 1
+          if (last == s || (maxBytes.forall(accB + b <= _) &&
+            maxFiles.forall(accF + nf <= _))) {
+            accB += b; accF += nf; last = v; v += 1
             mPrev = mV; prevNames = null
           } else open = false
         }
         last
-      case _ => vCap
-    })
+      } else vCap)
   }
   override def deserializeOffset(json: String): Offset =
     GraftOffset.parse(json)

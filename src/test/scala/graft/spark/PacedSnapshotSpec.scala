@@ -65,6 +65,65 @@ class PacedSnapshotSpec extends SparkSpec {
       if (budget >= total) assert(slices.size == 1,
         s"budget=$budget covers the table: one batch, got ${slices.size}")
     }
+    // the FILE budget paces the same machine (Delta's primary knob):
+    // ceil(9 / n) slices of at most n files each, same exact partition
+    for (budget <- Seq(1, 2, 4, 9, 20)) {
+      val s = new GraftMicroBatchStream(root, "id", schema, schema,
+        Array.empty, Map("maxfilespertrigger" -> budget.toString))
+      val slices = walk(
+        o => s.latestOffset(o, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset],
+        (a, b) => s.planInputPartitions(a, b).toSeq
+          .map(_.asInstanceOf[GraftInputPartition].fileName))
+      assert(slices.flatten == order,
+        s"fileBudget=$budget: slices must partition the file list in order")
+      assert(slices.forall(sl => sl.nonEmpty && sl.size <= budget),
+        s"fileBudget=$budget: slice sizes ${slices.map(_.size)}")
+      assert(slices.size == (order.size + budget - 1) / budget,
+        s"fileBudget=$budget: slice count ${slices.size}")
+    }
+    // both budgets together: the tighter cap wins per slice
+    val s2 = new GraftMicroBatchStream(root, "id", schema, schema,
+      Array.empty, Map("maxfilespertrigger" -> "3",
+        "maxbytespertrigger" -> bytes.values.min.toString))
+    val slices2 = walk(
+      o => s2.latestOffset(o, ReadLimit.allAvailable())
+        .asInstanceOf[GraftOffset],
+      (a, b) => s2.planInputPartitions(a, b).toSeq
+        .map(_.asInstanceOf[GraftInputPartition].fileName))
+    assert(slices2.flatten == order && slices2.forall(_.size == 1),
+      s"a one-file byte budget must dominate the 3-file cap: " +
+        slices2.map(_.size))
+  }
+
+  test("tail: maxFilesPerTrigger paces versions and a real stream end to end") {
+    val root = Files.createTempDirectory("paced_files").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 400L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 4)
+    val out = Files.createTempDirectory("pf_out").toString
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2")
+      .load(root).writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("pf_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(out).count() === 400L)
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    assert(prog.length >= 2 && prog.map(_.numInputRows).max <= 200L,
+      s"2-file batches over a 4-file snapshot: " +
+        prog.map(_.numInputRows).toSeq)
+    // junk refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("maxFilesPerTrigger", "0")
+        .load(root).writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("pf_ck0").toString)
+        .start().processAllAvailable()
+    }
+    assert(e.getMessage != null)
   }
 
   test("cdf: row-budget grid partitions the snapshot; feed follows after") {
