@@ -56,10 +56,41 @@ object VacuumBench {
     val (tSer, nSer) = leg(serial = true)
     val (tPool, nPool) = leg(serial = false)
     sys.props.remove("graft.vacuum.serial")
+
+    // INJECTED-LATENCY leg (r15): local-FS unlinks are µs, so the two
+    // legs above show parity — the pool's width is the win only when
+    // each delete is a round-trip. Model that directly: the same
+    // deleteAll machine over a delete wrapper sleeping `latMs` (the
+    // object-store round-trip shape), serial vs pooled, and assert both
+    // modes hit the IDENTICAL victim set.
+    val latMs = 3L
+    val nLat = 1200
+    def latencyLeg(serial: Boolean): (Double, Set[String]) = {
+      val victims = (0 until nLat).map(i => Paths.get(s"dead-lat-$i"))
+      val hit = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      if (serial) sys.props("graft.vacuum.serial") = "true"
+      else sys.props.remove("graft.vacuum.serial")
+      val t0 = System.nanoTime()
+      ManifestStore.deleteAll(victims) { p =>
+        Thread.sleep(latMs); hit.add(p.toString); ()
+      }
+      ((System.nanoTime() - t0) / 1e9,
+        scala.jdk.CollectionConverters.SetHasAsScala(hit).asScala.toSet)
+    }
+    val (tLatSer, setSer) = latencyLeg(serial = true)
+    val (tLatPool, setPool) = latencyLeg(serial = false)
+    sys.props.remove("graft.vacuum.serial")
+    require(setSer == setPool && setSer.size == nLat,
+      s"latency legs must reap identical sets: ${setSer.size} vs ${setPool.size}")
+
     println(
       s"""{"bench":"vacuum_reclaim","dead_files":$nDead,""" +
       s""""serial_sec":${f"$tSer%.3f"},"pooled_sec":${f"$tPool%.3f"},""" +
-      s""""reaped_serial":$nSer,"reaped_pooled":$nPool}""")
+      s""""reaped_serial":$nSer,"reaped_pooled":$nPool,""" +
+      s""""lat_ms":$latMs,"lat_files":$nLat,""" +
+      s""""lat_serial_sec":${f"$tLatSer%.3f"},""" +
+      s""""lat_pooled_sec":${f"$tLatPool%.3f"},""" +
+      s""""lat_speedup":${f"${tLatSer / tLatPool}%.1f"}}""")
     spark.stop()
   }
 }

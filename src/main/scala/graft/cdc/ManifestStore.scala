@@ -562,7 +562,7 @@ object ManifestStore {
         t
       })
 
-  private[cdc] def deleteAll(paths: Seq[Path])(delete: Path => Unit): Unit =
+  private[graft] def deleteAll(paths: Seq[Path])(delete: Path => Unit): Unit =
     if (paths.sizeIs <= 2 ||
       sys.props.get("graft.vacuum.serial").exists(_.toBoolean))
       paths.foreach(delete)

@@ -681,8 +681,11 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     * append versions), so a consumer re-deriving state from a bursty
     * feed bounds its per-batch state-update work. Whole versions only,
     * always at least one; composes with `maxVersionsPerTrigger` (the
-    * tighter cap wins); the initial snapshot stays one batch. Admission
-    * is PURE METADATA through the manifest LRU.
+    * tighter cap wins). The row budget also PACES THE INITIAL SNAPSHOT
+    * ([[snapshotAdvance]]): sub-version offsets slice the pinned
+    * version's file list across batches by live-row weight, so a
+    * 100 TB bootstrap is bounded batches, not one table-sized one.
+    * Admission is PURE METADATA through the manifest LRU.
     */
   private val maxRows: Option[Long] = options.collectFirst {
     case (k, v) if k.equalsIgnoreCase("maxrowspertrigger") => v.toLong
@@ -703,14 +706,56 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     */
   private def snapshotAdvance(v: Long, from: Int, budget: Long)
       : GraftOffset = {
-    val files = GraftCdf.manifestOrExplain(store, root, v).files
+    val m = GraftCdf.manifestOrExplain(store, root, v)
+    val files = m.files
+    // snapshot rows are inserts at the pinned version: if the filter
+    // excludes inserts (or version v outright), every slice plans empty —
+    // drain the whole snapshot in ONE empty batch instead of one trigger
+    // round per slice
+    if (!GraftCdf.versionKeep(effPushed.toSeq)(v) ||
+      !GraftCdf.typePossible(effPushed.toSeq, ManifestStore.CdfInsert))
+      return GraftOffset(v)
+    val keep = snapKeepMask(v, m)
     var j = from
     var acc = 0L
-    while (j < files.size &&
-      (j == from || acc + files(j).liveRows <= budget)) {
-      acc += files(j).liveRows; j += 1
+    var any = false
+    // clamp: a manifest entry with dvRows > rows would drive acc
+    // negative and over-admit past the budget (same defensive clamp as
+    // the tail source's byte path)
+    while (j < files.size && (
+      (keep != null && !keep(j)) || // pruned file: rides along free
+      !any ||                       // at least one admitted file per batch
+      acc + math.max(0L, files(j).liveRows) <= budget)) {
+      if (keep == null || keep(j)) {
+        acc += math.max(0L, files(j).liveRows); any = true
+      }
+      j += 1
     }
     if (j >= files.size) GraftOffset(v) else GraftOffset(v, j.toLong)
+  }
+
+  /** SKIP-AHEAD under `pruneFilter` (r15), the tail source's mask
+    * ([[GraftMicroBatchStream.snapKeepMask]]) on the CDF bootstrap:
+    * zone-map-excluded files ride along free so a keyed bootstrap drains
+    * in O(matching files / budget) batches. One local zone-map job per
+    * pinned version, cached; offsets stay raw-indexed (restart-stable
+    * even under a changed pruneFilter).
+    */
+  private var snapMaskVersion = -2L
+  private var snapMask: Array[Boolean] = null
+  private def snapKeepMask(v: Long, m: ManifestStore.Manifest)
+      : Array[Boolean] = {
+    val conjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(effPushed.toSeq, dataSchema))
+    if (conjs.isEmpty || m.files.isEmpty) null
+    else {
+      if (snapMaskVersion != v) {
+        val kept = store.prunedFiles(m, conjs).iterator.map(_.name).toSet
+        snapMask = m.files.iterator.map(f => kept(f.name)).toArray
+        snapMaskVersion = v
+      }
+      snapMask
+    }
   }
 
   override def latestOffset(start: Offset,
@@ -761,7 +806,7 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
                 if (prevNames == null)
                   prevNames = mPrev.files.map(_.name).toSet
                 mV.files.iterator.filterNot(f => prevNames(f.name))
-                  .map(_.liveRows).sum
+                  .map(f => math.max(0L, f.liveRows)).sum
               }
           }
           if (last == s || acc + rows <= budget) {

@@ -139,15 +139,51 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     * over-budget file); admission is pure manifest metadata.
     */
   private def snapshotAdvance(v: Long, from: Int): GraftOffset = {
-    val files = manifestOrExplain(v).files
+    val m = manifestOrExplain(v)
+    val files = m.files
+    val keep = snapKeepMask(v, m)
     var j = from
     var acc = 0L
-    while (j < files.size && (j == from ||
+    var nf = 0L
+    var any = false
+    while (j < files.size && (
+      (keep != null && !keep(j)) || // pruned file: rides along free
+      !any ||                       // at least one admitted file per batch
       (maxBytes.forall(acc + math.max(0L, files(j).bytes) <= _) &&
-        maxFiles.forall(j - from + 1 <= _)))) {
-      acc += math.max(0L, files(j).bytes); j += 1
+        maxFiles.forall(nf + 1 <= _)))) {
+      if (keep == null || keep(j)) {
+        acc += math.max(0L, files(j).bytes); nf += 1; any = true
+      }
+      j += 1
     }
     if (j >= files.size) GraftOffset(v) else GraftOffset(v, j.toLong)
+  }
+
+  /** SKIP-AHEAD under `pruneFilter` (r15): admission walks the RAW file
+    * list — offsets must stay restart-stable against it — but files the
+    * zone-map cut excludes ride along FREE, so a keyed bootstrap of one
+    * key range of a huge table drains in O(matching files / budget)
+    * batches instead of burning a trigger round per fully-pruned slice.
+    * The mask costs ONE local zone-map job per pinned snapshot version
+    * (cached for the stream's lifetime); recorded offsets stay raw
+    * indices, so a restart — even with a CHANGED pruneFilter — replans
+    * every committed slice identically.
+    */
+  private var snapMaskVersion = -2L
+  private var snapMask: Array[Boolean] = null
+  private def snapKeepMask(v: Long, m: ManifestStore.Manifest)
+      : Array[Boolean] = {
+    val conjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(effPushed.toSeq, tableSchema))
+    if (conjs.isEmpty || m.files.isEmpty) null
+    else {
+      if (snapMaskVersion != v) {
+        val kept = store.prunedFiles(m, conjs).iterator.map(_.name).toSet
+        snapMask = m.files.iterator.map(f => kept(f.name)).toArray
+        snapMaskVersion = v
+      }
+      snapMask
+    }
   }
 
   override def latestOffset(start: Offset,
@@ -195,7 +231,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
               var bb = 0L
               var ff = 0L
               mV.files.iterator.filterNot(f => prevNames(f.name))
-                .foreach { f => bb += f.bytes; ff += 1 }
+                .foreach { f => bb += math.max(0L, f.bytes); ff += 1 }
               (bb, ff)
             }
           if (last == s || (maxBytes.forall(accB + b <= _) &&

@@ -126,6 +126,120 @@ class PacedSnapshotSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("tail: pruneFilter skip-ahead drains a keyed bootstrap in " +
+    "O(matching) rounds; offsets stay raw-indexed across a restart") {
+    val root = Files.createTempDirectory("paced_skip").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val m = st.currentManifest.get
+    val schema = spark.read.format("graft").load(root).schema
+    def drain(opts: Map[String, String])
+        : (Seq[GraftOffset], Seq[String]) = {
+      val s = new GraftMicroBatchStream(root, "id", schema, schema,
+        Array.empty, opts)
+      var off = GraftOffset(-1L)
+      val offs = Seq.newBuilder[GraftOffset]
+      val planned = Seq.newBuilder[String]
+      var done = false
+      var guard = 0
+      while (!done && guard < 100) {
+        guard += 1
+        val n = s.latestOffset(off, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset]
+        if (n == off) done = true
+        else {
+          offs += n
+          planned ++= s.planInputPartitions(off, n).toSeq
+            .map(_.asInstanceOf[GraftInputPartition].fileName)
+          off = n
+        }
+      }
+      assert(guard < 100, "walk must terminate")
+      (offs.result(), planned.result())
+    }
+    // control: no filter, 1-file budget -> one round per RAW file
+    val (ctlOffs, ctlPlanned) = drain(Map("maxfilespertrigger" -> "1"))
+    assert(ctlOffs.size == m.files.size &&
+      ctlPlanned == m.files.map(_.name))
+    // keyed bootstrap of two disjoint ranges: matching files only,
+    // one round each — the 6 fully-pruned slices ride along free
+    val filter = "id < 100 OR id >= 700"
+    val keptNames = st.prunedFiles(m,
+      Seq(("", "or", Seq(Seq(("id", "<", 100L)),
+        Seq(("id", ">=", 700L)))))).map(_.name)
+    assert(keptNames.size >= 1 && keptNames.size <= 3 &&
+      keptNames.size < m.files.size,
+      s"fixture: the cut must keep a small minority, got $keptNames")
+    val (offs, planned) = drain(Map("maxfilespertrigger" -> "1",
+      "prunefilter" -> filter))
+    assert(offs.size == keptNames.size,
+      s"skip-ahead must drain in ${keptNames.size} rounds, got $offs")
+    assert(planned == keptNames,
+      "planned files across the walk must be exactly the matching files")
+    // RAW indexing: every mid-snapshot offset's snap counts RAW files
+    // passed (pruned riders included), so a restarted stream with a
+    // DIFFERENT (here: absent) pruneFilter replans the committed slice
+    // over the same raw range
+    if (offs.size > 1) {
+      val firstEnd = offs.head
+      assert(firstEnd.snap > 1,
+        s"snap must be a raw index past the free riders: $firstEnd")
+      val bare = new GraftMicroBatchStream(root, "id", schema, schema,
+        Array.empty, Map.empty)
+      val replanned = bare.planInputPartitions(GraftOffset(-1L), firstEnd)
+        .toSeq.map(_.asInstanceOf[GraftInputPartition].fileName)
+      assert(replanned == m.files.map(_.name).take(firstEnd.snap.toInt),
+        "a committed slice must replan to the same raw range")
+    }
+  }
+
+  test("cdf: pruneFilter skip-ahead paces the bootstrap; an insert-free " +
+    "filter drains the snapshot in one empty batch") {
+    val root = Files.createTempDirectory("paced_cdf_skip").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.enableChangeFeed()
+    st.commit((0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val m0 = st.manifest(0L).get
+    val schema = spark.read.format("graft").load(root).schema
+    def drain(opts: Map[String, String]): (Int, Seq[String]) = {
+      val s = new GraftCdfMicroBatchStream(root, "id", schema, opts)
+      var off = GraftOffset(-1L)
+      var rounds = 0
+      val planned = Seq.newBuilder[String]
+      var done = false
+      while (!done && rounds < 100) {
+        val n = s.latestOffset(off, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset]
+        if (n == off) done = true
+        else {
+          rounds += 1
+          planned ++= s.planInputPartitions(off, n).toSeq.map { p =>
+            p.asInstanceOf[GraftCdfPartition].inner.fileName
+          }
+          off = n
+        }
+      }
+      assert(rounds < 100, "walk must terminate")
+      (rounds, planned.result())
+    }
+    // keyed bootstrap under a row budget: only the matching file's rows
+    // count, so the drain is one round, not eight
+    val kept = st.prunedFiles(m0, Seq(("id", "<", 100L))).map(_.name)
+    assert(kept.size >= 1 && kept.size <= 2 && kept.size < m0.files.size)
+    val (rounds, planned) = drain(Map("maxrowspertrigger" -> "150",
+      "prunefilter" -> "id < 100"))
+    assert(rounds == kept.size && planned == kept,
+      s"keyed CDF bootstrap: $rounds rounds, planned $planned, want $kept")
+    // a filter that excludes inserts empties every snapshot slice:
+    // drain in ONE batch with zero partitions, not one round per slice
+    val (r2, p2) = drain(Map("maxrowspertrigger" -> "150",
+      "prunefilter" -> "_change_type = 'delete'"))
+    assert(r2 == 1 && p2.isEmpty,
+      s"insert-free filter: one empty drain batch, got $r2 rounds / $p2")
+  }
+
   test("cdf: row-budget grid partitions the snapshot; feed follows after") {
     val root = Files.createTempDirectory("paced_cdf").toString
     val st = new ManifestStore(root, spark, "id")
