@@ -375,10 +375,19 @@ object ManifestStore {
   private var bloomCacheBytes = 0L
 
   private[cdc] def loadBloom(rootKey: String, dir: java.nio.file.Path,
-                             name: String): Option[Array[Byte]] = {
+                             name: String): Option[Array[Byte]] =
+    loadBloomBilled(rootKey, dir, name)._1
+
+  /** [[loadBloom]] plus the bytes actually READ — 0 on a cache hit — so
+    * work-budgeted callers (the oversized-IN fold) can bill cold sidecar
+    * I/O against the same budget as their probes.
+    */
+  private[cdc] def loadBloomBilled(rootKey: String, dir: java.nio.file.Path,
+                                   name: String)
+      : (Option[Array[Byte]], Long) = {
     val key = (rootKey, name)
     bloomCache.synchronized(Option(bloomCache.get(key))) match {
-      case hit @ Some(_) => hit
+      case hit @ Some(_) => (hit, 0L)
       case None =>
         val bytes =
           try Some(Files.readAllBytes(dir.resolve(name)))
@@ -396,8 +405,16 @@ object ManifestStore {
             }
           }
         }
-        bytes
+        (bytes, bytes.fold(0L)(_.length.toLong))
     }
+  }
+
+  /** Test hook: drop every cached sidecar blob so a spec can measure the
+    * CACHE-COLD path (the oversized-IN fold's I/O bill).
+    */
+  private[graft] def clearBloomCache(): Unit = bloomCache.synchronized {
+    bloomCache.clear()
+    bloomCacheBytes = 0L
   }
 
   private[cdc] def manifestCachePut(key: (String, Long), size: Long,
@@ -603,6 +620,12 @@ object ManifestStore {
       require(v.toLongOption.exists(_ >= 0L),
         s"table property clustering.foldfiles must be a non-negative " +
           s"integer, got '$v'"))
+    // internal measured-tightness debt (foldDebt accrual since the last
+    // full re-zorder) — non-negative number
+    props.get("clustering.folddebt").foreach(v =>
+      require(v.toDoubleOption.exists(_ >= 0.0),
+        s"table property clustering.folddebt must be a non-negative " +
+          s"number, got '$v'"))
     props.get("clustering.refreshratio").foreach(v => require(
       v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false") ||
         v.toDoubleOption.exists(_ > 0),
@@ -1243,12 +1266,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
     */
   private val NdvStatsMaxFiles = 8192
 
-  /** The oversized-IN Bloom fold's total per-value probe budget (phase 3
-    * of [[prunedFiles]]) — ~20M double-hash bit reads is a few hundred
-    * driver milliseconds; past it the remaining files keep conservatively
-    * on their phase-1 range envelope instead of stalling planning.
+  /** The oversized-IN Bloom fold's total WORK budget (phase 3 of
+    * [[prunedFiles]]): one unit per per-value probe AND per cache-cold
+    * sidecar byte loaded (both ~ns-scale driver work) — ~20M is a few
+    * hundred driver milliseconds; past it the remaining files keep
+    * conservatively on their phase-1 range envelope instead of stalling
+    * planning on either probing OR cold sidecar I/O.
+    * `-Dgraft.inprobe.budget` is a test seam (specs pin the spent-budget
+    * semantics without a 20M-unit fixture); junk falls back.
     */
-  private val InProbeBudget = 20000000L
+  private def InProbeBudget: Long =
+    sys.props.get("graft.inprobe.budget").flatMap(_.toLongOption)
+      .getOrElse(20000000L)
 
   /** Driver-side zone-map pruning for the DSv2 connector's pushed-down
     * predicates: the files of `m` that can hold a row satisfying ALL of
@@ -1508,6 +1537,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // never answers). A containing file exits on its FIRST hit
         // (`exists` short-circuits), so budget burns fastest exactly
         // where files don't contain the keys — the case worth capping.
+        // CACHE-COLD I/O bills the SAME budget (r15): each sidecar LOAD
+        // charges its byte size (1 byte = 1 probe unit — both ~ns-scale
+        // work; cache hits charge 0), so a cold pathological fold
+        // degrades to range-envelope keeps after ~InProbeBudget bytes of
+        // sidecar reads instead of paying O(survivors) loads before the
+        // probe cap can trip. Conservative keeps only — never a false
+        // negative.
         var budget = InProbeBudget
         oversized.foldLeft(bloomed) { case (files, (c, vs)) =>
           def blobOf(f: FileEntry): Option[String] =
@@ -1521,20 +1557,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
             if (probes.isEmpty) files
             else files.filter { f =>
               if (budget <= 0L) true // spent: keep, range envelope held
-              else blobOf(f).flatMap(loadBloomSidecar) match {
-                case Some(blob) =>
-                  var i = 0
-                  var hit = false
-                  while (i < probes.length && !hit && budget > 0L) {
-                    val (h1, h2) = probes(i)
-                    hit = graft.functions.BloomSketch
-                      .containsBlobHashed(blob, h1, h2)
-                    budget -= 1L
-                    i += 1
-                  }
-                  // an undecided file (budget died mid-probe) keeps
-                  hit || (i < probes.length && !hit)
+              else blobOf(f) match {
                 case None => true // blob-less file never Bloom-skips
+                case Some(name) =>
+                  val (blob, readBytes) = ManifestStore.loadBloomBilled(
+                    rootKey, java.nio.file.Paths.get(root, "files"), name)
+                  budget -= readBytes
+                  blob match {
+                    case Some(blob) =>
+                      var i = 0
+                      var hit = false
+                      while (i < probes.length && !hit && budget > 0L) {
+                        val (h1, h2) = probes(i)
+                        hit = graft.functions.BloomSketch
+                          .containsBlobHashed(blob, h1, h2)
+                        budget -= 1L
+                        i += 1
+                      }
+                      // an undecided file (budget died mid-probe, or the
+                      // load itself spent it) keeps
+                      hit || (i < probes.length && !hit)
+                    case None => true
+                  }
               }
             }
           }
@@ -4219,7 +4263,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
                   ManifestStore.readTableProps(root) +
                     ("clustering.cols" -> cols.mkString(","),
                       "clustering.bits" -> bits.toString,
-                      "clustering.foldfiles" -> "0"))
+                      "clustering.foldfiles" -> "0",
+                      "clustering.folddebt" -> "0.0"))
                 true
               }
             }
@@ -4243,6 +4288,66 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * quantile mass (empty input or an all-null dimension); nulls bin
     * as 0.
     */
+  /** A manifest stat string's position on [[zRankFrame]]'s DOUBLE rank
+    * axis for `dt` — the driver-side twin of its `norm()` (numerics
+    * parse, dates via epoch day, timestamps already serialize as micros,
+    * strings via the same 8-byte prefix rank). None when unparseable.
+    */
+  private def statRank(v: String,
+                       dt: org.apache.spark.sql.types.DataType)
+      : Option[Double] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => v.toLongOption.map(_.toDouble)
+      case DateType => scala.util.Try(
+        java.time.LocalDate.parse(v).toEpochDay.toDouble).toOption
+      case StringType => Some(graft.functions.StringPrefixRank.rank(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      case _: NumericType =>
+        v.toDoubleOption.orElse(scala.util.Try(
+          new java.math.BigDecimal(v).doubleValue()).toOption)
+      case _ => None
+    }
+  }
+
+  /** MEASURED drift debt of a clustered fold's output (r15): each new
+    * file's zone-map box width, averaged over the clustering dimensions
+    * RELATIVE to the table-wide span and clipped to [0,1]. A tight file
+    * (bin-width boxes) adds ~2^-bits; a file whose hull spans the table
+    * adds ~1 — so re-folding already-tight files accrues ~0 while
+    * dirty-subset boundary drift accrues ~1 per file, and
+    * `clustering.refreshratio` gates on TIGHTNESS DECAY, not fold work.
+    * Unknown/unparseable stats count 1.0 (unknown = loose, the direction
+    * that can only over-refresh, never miss decay). O(files x dims)
+    * driver arithmetic over stats the fold already wrote.
+    */
+  private def foldDebt(m: Manifest, schema: StructType, zc: Seq[String],
+                       all: Seq[FileEntry], newEntries: Seq[FileEntry])
+      : Double = {
+    val dims = zc.flatMap { c =>
+      ManifestStore.leafType(schema, c).map { dt =>
+        val ranks = all.flatMap(_.cols.get(m.phys(c)).toSeq.flatMap {
+          case (lo, hi) => Seq(statRank(lo, dt), statRank(hi, dt)).flatten
+        })
+        (c, dt, if (ranks.isEmpty) None else Some((ranks.min, ranks.max)))
+      }
+    }
+    if (dims.isEmpty) return newEntries.size.toDouble
+    newEntries.map { f =>
+      val rel = dims.map { case (c, dt, span) =>
+        (span, f.cols.get(m.phys(c))) match {
+          case (Some((lo, hi)), Some((flo, fhi))) if hi > lo =>
+            (for {a <- statRank(flo, dt); b <- statRank(fhi, dt)}
+              yield math.min(1.0, math.max(0.0, (b - a) / (hi - lo))))
+              .getOrElse(1.0)
+          case (Some(_), Some(_)) => 0.0 // degenerate span: all tight
+          case _ => 1.0
+        }
+      }
+      rel.sum / rel.size
+    }.sum
+  }
+
   private def zRankFrame(df: DataFrame, cols: Seq[String], bits: Int,
                          schema: StructType): Option[DataFrame] = {
     import org.apache.spark.sql.types._
@@ -4468,15 +4573,23 @@ final class ManifestStore(val root: String, spark: SparkSession,
             writeManifestAndSwap(m.version + 1, m.batchId, m.streamId,
               m.schemaDDL, carried ++ newEntries, newStats)
             // drift bookkeeping: the fold's bin boundaries came from the
-            // DIRTY subset only, so its output files accrue in
-            // clustering.foldfiles until a full re-zorder resets it —
-            // GraftMaintenance triggers that once the fold-written
-            // fraction passes clustering.refreshratio
+            // DIRTY subset only, so its output accrues DEBT until a full
+            // re-zorder resets it — clustering.foldfiles counts the fold
+            // work (observability + pre-r15 gate fallback), while
+            // clustering.folddebt accrues MEASURED tightness decay
+            // ([[foldDebt]]): GraftMaintenance triggers once the debt
+            // fraction passes clustering.refreshratio, so re-folding
+            // already-tight files never trips a spurious full rewrite
             val tp = ManifestStore.readTableProps(root)
             val prev = tp.get("clustering.foldfiles")
               .flatMap(_.toLongOption).getOrElse(0L)
+            val debtPrev = tp.get("clustering.folddebt")
+              .flatMap(_.toDoubleOption).getOrElse(0.0)
+            val debt = debtPrev +
+              foldDebt(m, schema, zCols, carried ++ newEntries, newEntries)
             ManifestStore.writeTableProps(root, tp +
-              ("clustering.foldfiles" -> (prev + newEntries.size).toString))
+              ("clustering.foldfiles" -> (prev + newEntries.size).toString) +
+              ("clustering.folddebt" -> debt.toString))
             true
           }
         }

@@ -851,29 +851,68 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     // the ordinary e<=s guard (a mid-snapshot batch has e == s). Slicing
     // indexes the RAW manifest list (restart-stable); pruning cuts the
     // planned slice after.
+    // record the planned live rows (pure metadata) for the small-batch
+    // row-mode demotion, exactly like the tail source
+    def emit(fs: Seq[ManifestStore.FileEntry], v: Long)
+        : Array[InputPartition] = {
+      plannedRows = fs.iterator.map(f => math.max(0L, f.liveRows)).sum
+      GraftPartitions.forFiles(root, fs)
+        .map(p => GraftCdfPartition(p, v, isCdc = false)).toArray
+    }
     if (so.snap >= 0 || (s < 0 && eo.snap >= 0)) {
-      if (!vKeep(e) || !insertOk) return Array.empty
+      if (!vKeep(e) || !insertOk) { plannedRows = 0L; return Array.empty }
       val m = GraftCdf.manifestOrExplain(st, root, e)
       val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
       val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
       val slice = m.files.slice(from, until)
       val kept = if (dataConjs.isEmpty) slice
         else st.prunedFiles(m.copy(files = slice), dataConjs)
-      return GraftPartitions.forFiles(root, kept)
-        .map(p => GraftCdfPartition(p, e, isCdc = false)).toArray
+      return emit(kept, e)
     }
-    if (e < 0 || e <= s) return Array.empty
+    if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
     if (s < 0) { // first batch: the whole snapshot, as inserts at version e
-      if (!vKeep(e) || !insertOk) return Array.empty
+      if (!vKeep(e) || !insertOk) { plannedRows = 0L; return Array.empty }
       val m = GraftCdf.manifestOrExplain(st, root, e)
       val kept = if (dataConjs.isEmpty) m.files
         else st.prunedFiles(m, dataConjs)
-      return GraftPartitions.forFiles(root, kept)
-        .map(p => GraftCdfPartition(p, e, isCdc = false)).toArray
+      return emit(kept, e)
+    }
+    // feed batch: estimate its rows with the same metadata walk the
+    // admission budget uses (captured feeds answer from cdcRows, append
+    // versions from added live rows, maintenance is free) — an ESTIMATE
+    // feeding only the columnar-vs-row mode choice, so over/under simply
+    // keeps the status-quo mode
+    plannedRows = {
+      var acc = 0L
+      var mPrev = GraftCdf.manifestOrExplain(st, root, s)
+      var v = s + 1
+      while (v <= e) {
+        val mV = GraftCdf.manifestOrExplain(st, root, v)
+        acc += (mV.cdcFile match {
+          case Some("") => 0L
+          case Some(_)  => math.max(0L, mV.cdcRows)
+          case None =>
+            if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
+              0L
+            else {
+              val prevNames = mPrev.files.map(_.name).toSet
+              mV.files.iterator.filterNot(f => prevNames(f.name))
+                .map(f => math.max(0L, f.liveRows)).sum
+            }
+        })
+        mPrev = mV; v += 1
+      }
+      acc
     }
     GraftCdf.planVersions(st, root, s, e, ignoreChanges, vKeep, insertOk,
       dataConjs).toArray
   }
+
+  /** Live rows planned by the LAST `planInputPartitions`; -1 before the
+    * first plan. Feeds the small-batch row-mode demotion
+    * ([[GraftMicroBatchStream.columnarWorthIt]]).
+    */
+  @volatile private var plannedRows: Long = -1L
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
@@ -891,7 +930,8 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       cur.map(_.schemaDDL).getOrElse(dataSchema.toDDL),
       colMap = cur.map(_.colMap).getOrElse(Map.empty),
       required = required,
-      columnarOk = GraftMicroBatchStream.streamColumnarOk(spark),
+      columnarOk = GraftMicroBatchStream.streamColumnarOk(spark) &&
+        GraftMicroBatchStream.columnarWorthIt(spark, plannedRows),
       pushed = effPushed)
   }
 }

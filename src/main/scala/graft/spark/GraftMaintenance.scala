@@ -154,9 +154,17 @@ object GraftMaintenance {
     val folded = props.get("clustering.foldfiles")
       .flatMap(_.toLongOption).getOrElse(0L)
     if (folded <= 0L) return
+    // r15: gate on MEASURED tightness decay when the fold recorded it
+    // (clustering.folddebt, [[ManifestStore]] foldDebt accrual) — N
+    // re-folds of the same already-tight files accrue ~0 debt and never
+    // trip a spurious full rewrite, while dirty-subset boundary drift
+    // (table-wide hulls) accrues ~1 per file and still does. Pre-r15
+    // tables (foldfiles > 0, no recorded debt) keep the count gate.
+    val staleness = props.get("clustering.folddebt")
+      .flatMap(_.toDoubleOption).getOrElse(folded.toDouble)
     val st = new ManifestStore(root, spark, key)
     val m = st.currentManifest.getOrElse(return)
-    if (folded.toDouble / math.max(1, m.files.size) < ratio) return
+    if (staleness / math.max(1, m.files.size) < ratio) return
     val zc = props("clustering.cols").split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq
     val bits = props.get("clustering.bits").flatMap(_.toIntOption)

@@ -272,19 +272,26 @@ final class GraftMicroBatchStream(root: String, keyField: String,
             fs: Seq[ManifestStore.FileEntry]): Seq[ManifestStore.FileEntry] =
       if (conjs.isEmpty || fs.isEmpty) fs
       else st.prunedFiles(m.copy(files = fs), conjs)
+    // record the batch's planned live rows (pure metadata) so
+    // createReaderFactory can demote a SMALL batch to row mode — the
+    // vectorized setup constant outweighs the per-row win below
+    // `streamColumnarMinRows` (see [[GraftMicroBatchStream.columnarWorthIt]])
+    def emit(fs: Seq[ManifestStore.FileEntry]): Array[InputPartition] = {
+      plannedRows = fs.iterator.map(f => math.max(0L, f.liveRows)).sum
+      GraftPartitions.forFiles(root, fs).toArray
+    }
     // paced-snapshot slices carry sub-version offsets — handle them
     // before the ordinary e<=s guard (a mid-snapshot batch has e == s)
     if (so.snap >= 0 || (s < 0 && eo.snap >= 0)) {
       val m = manifestOrExplain(e)
       val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
       val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
-      return GraftPartitions.forFiles(root,
-        cut(m, m.files.slice(from, until))).toArray
+      return emit(cut(m, m.files.slice(from, until)))
     }
-    if (e < 0 || e <= s) return Array.empty
+    if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
     if (s < 0) { // first batch: full snapshot of the end version
       val m = manifestOrExplain(e)
-      return GraftPartitions.forFiles(root, cut(m, m.files)).toArray
+      return emit(cut(m, m.files))
     }
     val perVersion = ((s + 1) to e).flatMap { v =>
       val mPrev = manifestOrExplain(v - 1)
@@ -311,9 +318,14 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // ONE cut over the whole range's adds (names are unique across
     // versions) — per-version prunedFiles calls cost one local planning
     // job each, which a long-range catch-up batch must not multiply
-    GraftPartitions.forFiles(root,
-      cut(manifestOrExplain(e), perVersion)).toArray
+    emit(cut(manifestOrExplain(e), perVersion))
   }
+
+  /** Live rows planned by the LAST `planInputPartitions` (Spark plans a
+    * micro-batch's partitions before it asks for its reader factory); -1
+    * before the first plan. Feeds the small-batch row-mode demotion.
+    */
+  @volatile private var plannedRows: Long = -1L
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest
@@ -326,11 +338,15 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // routes any future DV'd file through the masked columnar reader
     // instead of demoting the scan. Pre-r13 the masked path was row-only,
     // which is why this stream was row-mode.
+    // SMALL batches demote to row mode (r15): the vectorized setup
+    // constant (~0.1 s/epoch of extra planning + codegen) outweighs the
+    // ~44 ns/row iterator tax below ~2M rows — see `columnarWorthIt`.
     // `spark.graft.read.streamColumnar=false|off` is the escape hatch
     // (and the bench's A/B control); junk values must not throw.
     GraftPartitions.factory(spark, root, keyField, tableSchema, required,
       effPushed, options, ddl,
-      wantColumnar = GraftMicroBatchStream.streamColumnarOk(spark),
+      wantColumnar = GraftMicroBatchStream.streamColumnarOk(spark) &&
+        GraftMicroBatchStream.columnarWorthIt(spark, plannedRows),
       anyMasked = true,
       colMap = cur.map(_.colMap).getOrElse(Map.empty))
   }
@@ -345,6 +361,24 @@ object GraftMicroBatchStream {
   private[spark] def streamColumnarOk(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.read.streamColumnar")
       .exists(v => v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off"))
+
+  /** SMALL-BATCH row-mode demotion (r15): vectorized streaming pays a
+    * per-epoch setup constant — ~2x queryPlanning (~70 ms) plus columnar
+    * codegen — that the per-row iterator win (~44 ns/row measured on the
+    * 60M CdfBench drain, 5.47 -> 2.84 s) only amortizes past ~2M rows.
+    * A micro-batch planning fewer live rows than
+    * `spark.graft.read.streamColumnarMinRows` (default 2,000,000; 0 pins
+    * columnar always) reads row-mode; the mode is per-batch, decided
+    * from pure manifest metadata, so a backlog drain vectorizes while
+    * trickle epochs skip the setup bill. -1 (factory built before any
+    * plan) keeps columnar: the promise must be safe for unplanned files.
+    * Junk conf values fall back to the default, never throw at planning.
+    */
+  private[spark] def columnarWorthIt(spark: SparkSession,
+                                     planned: Long): Boolean =
+    planned < 0 || planned >= spark.conf
+      .getOption("spark.graft.read.streamColumnarMinRows")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
 }
 
 /** Stream offset: a manifest version, plus — during a PACED initial

@@ -524,6 +524,15 @@ final class GraftScan(root: String, tableSchema: StructType,
           java.time.LocalDate.parse(s).toEpochDay.toDouble)
         case _: DecimalType => Some(s =>
           new java.math.BigDecimal(s).doubleValue())
+        // StringType is REFUSED deliberately (r15, measured): projecting
+        // string stats onto a byte-prefix rank axis synthesizes fine, but
+        // Spark's FilterEstimation routes EVERY equality through
+        // computeEqualityPossibilityByHistogram the moment a histogram
+        // exists, and EstimationUtils.toDouble has no StringType case —
+        // `seg = 'X'` under CBO then DIES at planning with
+        // `MatchError: StringType` (reproduced on Spark 4.1.2), and the
+        // range path never consults non-numeric histograms at all. A
+        // string histogram is a planning crash, not an estimate.
         case _          => None
       }
       val hist: Option[colstats.Histogram] =

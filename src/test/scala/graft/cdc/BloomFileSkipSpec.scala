@@ -401,6 +401,63 @@ class BloomFileSkipSpec extends SparkSpec {
     }
   }
 
+  test("cache-cold oversized IN: sidecar LOADS bill the budget; " +
+    "conservative keeps, no false negatives") {
+    // r14's budget counted probes only — a cache-cold pathological fold
+    // still paid O(survivors) sidecar LOADS before it could trip. Loads
+    // now charge their byte size against the same budget. Pin it with a
+    // tiny injected budget: the FIRST cold load (~KB blob) spends it, so
+    // every file keeps on its range envelope — degraded pruning, exact
+    // answers, bounded wall.
+    val root = Files.createTempDirectory("bloomcold").toString
+    // 64 KiBit blooms: ~100 bits/key, so 40k absent probes per file see
+    // ~0 false hits and the control leg can assert real drops
+    ManifestStore.writeTableProps(root,
+      Map("buckets" -> "64", "bloomfilter" -> "65536"))
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(spark.range(40000L)
+      .selectExpr("id * 2 AS id", "concat('n', id) AS name"),
+      batchId = 0, nFiles = 64)
+    val m = st.currentManifest.get
+    val absent: Seq[Any] = (0L until 40000L).map(i => i * 2 + 1)
+    // control: default budget, cold cache — every file decided (all
+    // blobs say absent), the fold drops them all, still under the bound
+    ManifestStore.clearBloomCache()
+    val t0 = System.nanoTime()
+    val keptDefault = st.prunedFiles(m, Seq(("id", "in", absent)))
+    val secDefault = (System.nanoTime() - t0) / 1e9
+    assert(secDefault < 5.0,
+      f"cold oversized-IN must stay bounded, took $secDefault%.1f s")
+    assert(keptDefault.size <= 3, // ~0 expected Bloom false hits
+      s"absent keys must drop decided files, kept ${keptDefault.size}")
+    // injected 512-unit budget: the first cold load alone overspends it
+    sys.props("graft.inprobe.budget") = "512"
+    try {
+      ManifestStore.clearBloomCache()
+      val t1 = System.nanoTime()
+      val keptCold = st.prunedFiles(m, Seq(("id", "in", absent)))
+      val secCold = (System.nanoTime() - t1) / 1e9
+      assert(secCold < 5.0,
+        f"spent-on-load fold must stay bounded, took $secCold%.1f s")
+      assert(keptCold.size == m.files.size,
+        s"a load-spent budget must keep every undecided file " +
+          s"(range envelope held): ${keptCold.size} of ${m.files.size}")
+      // no false negatives through the load-billed fold: present keys
+      // keep their owning file and read back exactly
+      ManifestStore.clearBloomCache()
+      // 13,334 keys: still OVERSIZED, so this probe also rides phase 3
+      val present: Seq[Any] = (0L until 40000L by 3L).map(_ * 2)
+      val keptP = st.prunedFiles(m, Seq(("id", "in", present)))
+      assert(keptP.size == m.files.size) // undecided: all keep
+      import org.apache.spark.sql.functions.col
+      present.take(3).foreach { k =>
+        assert(spark.read.format("graft").load(root)
+          .filter(col("id") === k.asInstanceOf[Long]).count() == 1L,
+          s"load-billed fold lost key $k")
+      }
+    } finally { sys.props.remove("graft.inprobe.budget"); () }
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))

@@ -53,6 +53,63 @@ class ZorderFreshnessSpec extends SparkSpec {
       ("y", ">=", 2000L), ("y", "<=", 2100L))).size
   }
 
+  /** One TIGHT ingest epoch: every row inside the hot corner box
+    * ([0, 64)^2) — a fold of these lands narrow-hull output files, so
+    * measured tightness holds however often they re-fold.
+    */
+  private def tightEpoch(e: Int, n: Long = 256L) = (0L until n).map { j =>
+    val id = 2000000L + e * 100000L + j
+    (id.toString, "u", e.toLong, id, (id * 7L) % 64L, (id * 11L) % 64L,
+      s"t$e-$j")
+  }.toDF(Changelog.KeyCol, Changelog.OpCol, Changelog.TsCol,
+    "after_id", "after_x", "after_y", "after_name")
+
+  test("same-box re-folds accrue ~zero debt: no spurious re-zorder " +
+    "while measured tightness holds") {
+    val root = Files.createTempDirectory("zfresh_tight").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(base, batchId = 0, nFiles = 16, statsCols = Seq("x", "y"))
+    assert(st.reclusterZorderCols(Seq("x", "y"), nFiles = 16, bits = 6)
+      .isDefined)
+    val tight0 = plannedBox(st)
+    // trigger ARMED the whole time, at a ratio the pre-r15 COUNT gate
+    // would trip well before the last cycle
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) +
+        ("clustering.refreshratio" -> "0.1"))
+    val rez0 = GraftMaintenance.rezorders.get()
+    var batch = 1L
+    (1 to 4).foreach { _ =>
+      (1 to 4).foreach { _ =>
+        st.mergeOnReadLocked(tightEpoch(batch.toInt), fields,
+          batchId = batch, tsGuard = false)
+        batch += 1
+      }
+      st.optimize(targetFiles = 16)
+      GraftMaintenance.maybeSchedule(root, spark, "id")
+      ()
+    }
+    assert(GraftMaintenance.drain(), "maintenance window did not drain")
+    val props = ManifestStore.readTableProps(root)
+    val folded = props.get("clustering.foldfiles")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    val debt = props.get("clustering.folddebt")
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val files = st.currentManifest.get.files.size
+    assert(folded.toDouble / files >= 0.1,
+      s"fixture: fold WORK must exceed the ratio in count terms " +
+        s"(the pre-r15 gate would have tripped): $folded of $files")
+    assert(debt >= 0.0 && debt / files < 0.1,
+      s"tight same-box folds must accrue ~zero measured debt, " +
+        s"got $debt over $folded fold files")
+    assert(GraftMaintenance.rezorders.get() == rez0,
+      "no spurious full re-zorder while measured tightness holds")
+    // and tightness DID hold: the far-box probe plans no more files
+    assert(plannedBox(st) <= tight0,
+      s"corner-boxed folds must not widen the far-box probe: " +
+        s"$tight0 -> ${plannedBox(st)}")
+  }
+
   test("fold drift decays tightness; the maintenance trigger restores it") {
     val root = Files.createTempDirectory("zfresh").toString
     val st = new ManifestStore(root, spark, "id")

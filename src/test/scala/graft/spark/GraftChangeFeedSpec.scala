@@ -225,19 +225,34 @@ class GraftChangeFeedSpec extends SparkSpec {
         (rowsOf(spark.table(tbl)), lastBatchPlan(q))
       } finally q.stop()
     }
-    val (colRows, colPlan) = drain("cdf_vec_on")
+    // tiny fixture: pin minRows=0 to exercise the columnar machinery
+    // (the small-batch demotion default is asserted after)
+    spark.conf.set("spark.graft.read.streamColumnarMinRows", "0")
+    val (colRows, colPlan) = try drain("cdf_vec_on")
+    finally spark.conf.unset("spark.graft.read.streamColumnarMinRows")
     assert(colPlan.contains("ColumnarToRow"),
       s"streaming feed must read vectorized:\n$colPlan")
     // the escape hatch reverts to row-mode and the rows stay identical
     spark.conf.set("spark.graft.read.streamColumnar", "off")
+    spark.conf.set("spark.graft.read.streamColumnarMinRows", "0")
     val (rowRows, rowPlan) = try drain("cdf_vec_off")
-    finally spark.conf.unset("spark.graft.read.streamColumnar")
+    finally {
+      spark.conf.unset("spark.graft.read.streamColumnar")
+      spark.conf.unset("spark.graft.read.streamColumnarMinRows")
+    }
     assert(!rowPlan.contains("ColumnarToRow"),
       s"kill switch must revert the stream to row-mode:\n$rowPlan")
     assert(colRows.nonEmpty &&
       colRows.count(_._3 == "update_postimage") == 1)
     assert(colRows == rowRows,
       s"columnar vs row streaming rows diverge:\n$colRows\nvs\n$rowRows")
+    // SMALL-BATCH demotion is the default (r15): with no conf set, this
+    // few-hundred-row feed sits far under streamColumnarMinRows (2M) and
+    // reads row-mode — identical rows, none of the vectorized setup bill
+    val (defRows, defPlan) = drain("cdf_vec_def")
+    assert(!defPlan.contains("ColumnarToRow"),
+      s"a tiny feed batch must demote to row-mode by default:\n$defPlan")
+    assert(defRows == colRows)
   }
 
   test("feed captured before a RENAME COLUMN reads fully after it") {

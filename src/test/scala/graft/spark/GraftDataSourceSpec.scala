@@ -241,16 +241,35 @@ class GraftDataSourceSpec extends SparkSpec {
         (spark.table(tbl).count(), lastBatchPlan(q))
       } finally q.stop()
     }
-    val (colCount, colPlan) = drain("graft_tail_vec_on")
+    // this fixture is tiny, so pin minRows=0 to exercise the columnar
+    // machinery; the small-batch demotion default has its own test below
+    spark.conf.set("spark.graft.read.streamColumnarMinRows", "0")
+    val (colCount, colPlan) = try drain("graft_tail_vec_on")
+    finally spark.conf.unset("spark.graft.read.streamColumnarMinRows")
     assert(colPlan.contains("ColumnarToRow"),
       s"streaming tail must read vectorized:\n$colPlan")
     assert(colCount == 129L) // 100 - 1 masked + 30 tail adds
     spark.conf.set("spark.graft.read.streamColumnar", "false")
+    spark.conf.set("spark.graft.read.streamColumnarMinRows", "0")
     val (rowCount, rowPlan) = try drain("graft_tail_vec_off")
-    finally spark.conf.unset("spark.graft.read.streamColumnar")
+    finally {
+      spark.conf.unset("spark.graft.read.streamColumnar")
+      spark.conf.unset("spark.graft.read.streamColumnarMinRows")
+    }
     assert(!rowPlan.contains("ColumnarToRow"),
       s"kill switch must revert the stream to row-mode:\n$rowPlan")
     assert(rowCount == colCount)
+    // SMALL-BATCH demotion is the default: this 130-row lifecycle sits
+    // far under streamColumnarMinRows (2M), so with no conf at all the
+    // stream reads row-mode — the r15 fast path that refunds the
+    // vectorized setup constant on trickle epochs. Junk threshold values
+    // fall back to the default instead of throwing at planning.
+    spark.conf.set("spark.graft.read.streamColumnarMinRows", "junk")
+    val (defCount, defPlan) = try drain("graft_tail_vec_def")
+    finally spark.conf.unset("spark.graft.read.streamColumnarMinRows")
+    assert(!defPlan.contains("ColumnarToRow"),
+      s"a tiny batch must demote to row-mode by default:\n$defPlan")
+    assert(defCount == colCount)
   }
 
   test("_file metadata column gives per-row provenance") {

@@ -160,6 +160,11 @@ class HistogramStatsSpec extends SparkSpec {
       val byName = stats.map { case (a, cs) => a.name -> cs }.toMap
       assert(byName("id").histogram.isDefined)
       assert(byName("grp").histogram.isDefined)
+      // the refusal is a MEASURED crash guard, not a discipline choice:
+      // with a histogram present, FilterEstimation.evaluateEquality calls
+      // computeEqualityPossibilityByHistogram -> EstimationUtils.toDouble,
+      // which has no StringType case — a string equality under CBO threw
+      // `MatchError: StringType` at planning when this was tried (r15)
       assert(byName.get("name").forall(_.histogram.isEmpty),
         "string columns must not synthesize histograms")
       // DATE min/max land as exact epoch days, with a histogram
