@@ -1616,6 +1616,31 @@ final class ManifestStore(val root: String, spark: SparkSession,
       perFile.map(_(m.phys(c))))).toMap)
   }
 
+  /** Per-FILE KMV sketch blobs per LOGICAL column over `files` — the
+    * input the histogram's per-bin NDV needs: a bin's distinct count is
+    * the KMV UNION of exactly the files overlapping it (union dedupes
+    * values shared across files; summing per-file NDVs would not),
+    * scaled by span overlap. Same abstention contract and
+    * [[NdvStatsMaxFiles]] cap as [[ndvStats]]; blobs ride the same
+    * process-wide LRU, so a planning pass that computed table NDV pays
+    * no second I/O here.
+    */
+  private[graft] def perFileKmv(m: Manifest, files: Seq[FileEntry])
+      : Option[Seq[Map[String, Array[Byte]]]] = {
+    if (files.size > NdvStatsMaxFiles) return None
+    if (files.isEmpty) return Some(Nil)
+    val blobs = files.map(f => f.kmv.flatMap(loadBloomSidecar))
+    if (blobs.exists(_.isEmpty)) return None
+    val perFile: Seq[Map[String, Array[Byte]]] = blobs.map { b =>
+      try graft.functions.KmvSketch.decodeMulti(b.get)
+      catch { case _: Exception => return None }
+    }
+    val logical = (keyField +: m.statsCols).distinct.filter(_.nonEmpty)
+    Some(perFile.map { fm =>
+      logical.flatMap(c => fm.get(m.phys(c)).map(c -> _)).toMap
+    })
+  }
+
   /** The [[statSerialize]] renderings of an IN list's values, as
     * precomputed Bloom double-hash pairs — rendered through the SAME cast
     * expressions the Column-side probe uses (a driver-side

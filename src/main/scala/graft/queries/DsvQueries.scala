@@ -736,6 +736,57 @@ object DsvQueries {
             .as("uniform_underestimates"))
     }),
 
+    "dsv2_histogram_ndv" -> ((s, dir) => {
+      // PER-BIN NDV (round 15): each histogram bin's distinct count is
+      // the KMV UNION of the files overlapping it, scaled by span share
+      // — not the table NDV apportioned evenly. Fixture: the hot half of
+      // the custkeys carries v = custkey % 40 (every value repeated
+      // ~n/80 times), the far half v = 1000000 + custkey (all distinct)
+      // — a two-regime multiplicity skew. Gates: hot bins track their
+      // tiny value span (not the even-apportioned table NDV / bins),
+      // all-distinct tail bins track the bin mass within 2x, and the
+      // two regimes separate by >= 4x.
+      val root = scratch("histndv", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      val cust = customer(s, dir)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val half = maxK / 2
+      val withV = cust.select(col("c_custkey"),
+        when(col("c_custkey") <= half, col("c_custkey") % 40L)
+          .otherwise(col("c_custkey") + 1000000L).as("v"))
+      if (!st.exists)
+        st.commit(withV, batchId = 0, nFiles = 8, statsCols = Seq("v"))
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.graft.stats.histogramBins", "32")
+      val (hotOk, tailOk, sep) = try {
+        val stats = s.read.format("graft").load(root)
+          .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+        stats.collectFirst {
+          case (a, cs) if a.name == "v" && cs.histogram.isDefined =>
+            cs.histogram.get
+        } match {
+          case None => (false, false, false)
+          case Some(hg) =>
+            val h = hg.height
+            val hot = hg.bins.filter(_.hi <= 40.0)
+            val tail = hg.bins.filter(_.lo >= 1000000.0)
+            (hot.nonEmpty && hot.forall(b => b.ndv <=
+              math.ceil(2 * math.max(1.0, b.hi - b.lo + 1)).toLong),
+              tail.nonEmpty && tail.forall(b =>
+                b.ndv >= (h / 2).toLong && b.ndv <= math.ceil(h * 2).toLong),
+              hot.nonEmpty && tail.nonEmpty &&
+                tail.map(_.ndv).min >= 4 * hot.map(_.ndv).max)
+        }
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        s.conf.unset("spark.graft.stats.histogramBins")
+      }
+      s.read.format("graft").load(root).select(col("c_custkey"), col("v"),
+        lit(hotOk).as("hot_ndv_ok"), lit(tailOk).as("tail_ndv_ok"),
+        lit(sep).as("skew_separated"))
+    }),
+
     "dsv2_nested_stats" -> ((s, dir) => {
       // STRUCT-LEAF zone-map stats: statsCols name dotted paths
       // ("meta.band", "meta.seg" — the multimodal/text tables' shape),
@@ -1580,6 +1631,17 @@ object DsvQueries {
         |UNION ALL
         |SELECT c_custkey + 1000 * mk.m, c_acctbal, TRUE, TRUE, TRUE
         |FROM customer, mk WHERE c_custkey = mk.m""".stripMargin,
+
+    // the two-regime v column reproduces exactly, with the per-bin-NDV
+    // gates true
+    "dsv2_histogram_ndv" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT c_custkey,
+        |       CASE WHEN c_custkey <= mk.m // 2 THEN c_custkey % 40
+        |            ELSE 1000000 + c_custkey END AS v,
+        |       TRUE AS hot_ndv_ok, TRUE AS tail_ndv_ok,
+        |       TRUE AS skew_separated
+        |FROM customer, mk""".stripMargin,
 
     // the key-filtered feed must hold the three insert classes' rows under
     // the bound (version = the key's mod class) plus the MACHINERY delete

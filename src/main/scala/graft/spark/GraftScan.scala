@@ -453,6 +453,10 @@ final class GraftScan(root: String, tableSchema: StructType,
     val ndv: Map[String, (Long, Long)] =
       scala.util.Try(store.ndvStats(manifest, planned)).toOption.flatten
         .getOrElse(Map.empty)
+    // per-FILE KMV blobs (same sidecars, same LRU) feed the histogram's
+    // per-bin NDV unions; None degrades to even apportioning
+    val perFileKmv: Option[Seq[Map[String, Array[Byte]]]] =
+      scala.util.Try(store.perFileKmv(manifest, planned)).toOption.flatten
     val cols = ((if (keyField.nonEmpty) Seq(keyField) else Nil) ++
       manifest.statsCols).distinct.filter(tableSchema.fieldNames.contains)
     cols.foreach { c =>
@@ -552,12 +556,56 @@ final class GraftScan(root: String, tableSchema: StructType,
           if (per.exists(_.isEmpty)) None
           else GraftScan.equiHeightBins(per.flatten, histBins).map {
             case (h, cutBins) =>
-              // per-bin NDV: the merged KMV estimate apportioned evenly
-              // (bins hold equal masses); bounded by the bin mass itself
-              val binNdv = math.max(1L, math.min(math.ceil(h).toLong,
-                dc.map(d => d / cutBins.size).getOrElse(math.ceil(h).toLong)))
+              // per-bin NDV (r15): KMV-UNION the files whose ranges
+              // overlap the bin (union dedupes values shared across
+              // files — a sum of per-file NDVs would not), then scale by
+              // the bin's share of the union's span (within-span
+              // distinct-uniformity — the same contract as the bin
+              // masses). A hot range whose values repeat 100x and an
+              // all-distinct sparse tail then get their own per-bin
+              // distincts, which even apportioning of the table NDV
+              // (the r14 shape, kept as the fallback when any file lacks
+              // a sketch or a bin overlaps too many) erases. Bounded by
+              // the bin mass; CBO's equality-under-range estimator
+              // consumes exactly this.
+              val fileRanges: Seq[(Double, Double, Long)] = per.flatten
+              val blobsC: Option[Array[Array[Byte]]] =
+                perFileKmv.flatMap { s =>
+                  val vs = s.map(_.get(c))
+                  if (vs.nonEmpty && vs.forall(_.isDefined))
+                    Some(vs.flatten.toArray)
+                  else None
+                }
+              val maxMerge = 256 // per-bin sketch-merge work cap
               val arr: Array[colstats.HistogramBin] =
-                cutBins.map { case (bl, bh) =>
+                cutBins.zipWithIndex.map { case ((bl, bh), bi) =>
+                  val est: Option[Long] = blobsC.flatMap { blobs =>
+                    val idx = fileRanges.indices.filter { i =>
+                      val (flo, fhi, _) = fileRanges(i)
+                      if (fhi > flo)
+                        math.min(fhi, bh) - math.max(flo, bl) > 0
+                      else if (bi == cutBins.size - 1)
+                        flo >= bl && flo <= bh // last bin closes right
+                      else flo >= bl && flo < bh
+                    }
+                    if (idx.isEmpty) Some(1L)
+                    else if (idx.size > maxMerge) None // fallback: even
+                    else {
+                      val union = graft.functions.KmvSketch
+                        .estimateNdvBlobs(idx.map(blobs(_)))._1
+                      val uLo = idx.map(fileRanges(_)._1).min
+                      val uHi = idx.map(fileRanges(_)._2).max
+                      val frac =
+                        if (uHi > uLo) math.min(1.0, math.max(0.0,
+                          (math.min(uHi, bh) - math.max(uLo, bl)) /
+                            (uHi - uLo)))
+                        else 1.0 // point union: the bin owns it whole
+                      Some(math.round(union * frac))
+                    }
+                  }
+                  val binNdv = math.max(1L, math.min(math.ceil(h).toLong,
+                    est.orElse(dc.map(_ / cutBins.size))
+                      .getOrElse(math.ceil(h).toLong)))
                   new colstats.HistogramBin {
                     override def lo(): Double = bl
                     override def hi(): Double = bh

@@ -141,6 +141,54 @@ class HistogramStatsSpec extends SparkSpec {
         s"sort-merge:\n$withHist")
   }
 
+  test("per-bin NDV from KMV unions tracks a 100x multiplicity skew") {
+    val root = Files.createTempDirectory("histndv").toString
+    val st = new ManifestStore(root, spark, "id")
+    // hot value range: 8000 rows over only 80 distinct v (each ~100x);
+    // sparse tail: 8000 rows all-distinct v. The r14 even apportioning
+    // gave every bin ndv = (80 + 8000) / 64 ~ 126 — ~50x over for hot
+    // bins, 2x under for tail bins; the KMV-union estimate must track
+    // both within 2x.
+    val dense = (0L until 8000L).map(i => (i, i % 80L))
+    val sparse = (0L until 8000L).map(i => (8000L + i, 100000L + i))
+    st.commit((dense ++ sparse).toDF("id", "v"), batchId = 0, nFiles = 16,
+      statsCols = Seq("v"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      val hist = stats.collectFirst {
+        case (a, cs) if a.name == "v" && cs.histogram.isDefined =>
+          cs.histogram.get
+      }.getOrElse(fail("v must carry a histogram"))
+      val h = hist.height // 16000 / 64 = 250 rows per bin
+      // bins fully inside the hot value range [0, 80): true ndv ~ the
+      // bin's integer span (~2.5) — the union-scaled estimate must sit
+      // within 2x of it, nowhere near the even-apportioned ~126
+      val hot = hist.bins.filter(_.hi <= 80.0)
+      val tail = hist.bins.filter(_.lo >= 100000.0)
+      assert(hot.length >= 8 && tail.length >= 8,
+        s"fixture: both regimes need bins, got ${hot.length}/${tail.length}")
+      hot.foreach { b =>
+        val span = math.max(1.0, b.hi - b.lo + 1)
+        assert(b.ndv <= math.ceil(2 * span).toLong,
+          s"hot bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$span, " +
+            s"not the even-apportioned ${16080 / 64}")
+      }
+      // all-distinct tail: true ndv per bin = its mass (~250)
+      tail.foreach { b =>
+        assert(b.ndv >= (h / 2).toLong && b.ndv <= (h * 2).toLong,
+          s"tail bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$h")
+      }
+      // the skew itself is visible: tail bins hold >= 10x the hot bins'
+      // distincts
+      assert(tail.map(_.ndv).min >= 10 * hot.map(_.ndv).max,
+        s"per-bin ndv must separate the regimes: " +
+          s"hot max ${hot.map(_.ndv).max}, tail min ${tail.map(_.ndv).min}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("histogram skips columns without full stats coverage; ndv bounded") {
     val root = Files.createTempDirectory("histcov").toString
     val st = new ManifestStore(root, spark, "id")
