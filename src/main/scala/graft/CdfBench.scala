@@ -113,6 +113,10 @@ object CdfBench {
     def drainStream(tag: String, columnar: Boolean,
                     pruneFilter: Option[String] = None): Double = {
       spark.conf.set("spark.graft.read.streamColumnar", columnar.toString)
+      // pin minRows=0 so the A/B stays pure columnar-vs-row: the r15
+      // small-batch demotion would otherwise silently flip the pruned
+      // leg (sub-2M planned rows) to row mode on the "columnar" setting
+      spark.conf.set("spark.graft.read.streamColumnarMinRows", "0")
       try timed {
         var r = spark.readStream.format("graft")
           .option("readChangeFeed", "true")
@@ -124,7 +128,10 @@ object CdfBench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.unset("spark.graft.read.streamColumnar")
+      } finally {
+        spark.conf.unset("spark.graft.read.streamColumnar")
+        spark.conf.unset("spark.graft.read.streamColumnarMinRows")
+      }
     }
     val tStreamRow = drainStream("row", columnar = false)
     val tStreamCol = drainStream("col", columnar = true)

@@ -775,48 +775,61 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       case _ => ()
     }
     val s = so.version
-    val vCap = maxVersions match {
-      case Some(n) if s >= 0 => math.min(cur, s + n)
-      case _ => cur // snapshot batch (or no cap): everything available
-    }
-    GraftOffset(maxRows match {
-      case Some(budget) if s >= 0 && vCap > s =>
-        var last = s
-        var acc = 0L
-        var v = s + 1
-        var open = true
-        // the admission walk is sequential, so version v's manifest IS
-        // version v+1's parent: carry it (and its lazily-built name set)
-        // forward instead of re-deriving both per version — otherwise a
-        // byte/row-paced backlog over a large table pays
-        // O(admitted x #files) driver work per trigger. The name set
-        // builds only when an uncaptured non-maintenance version needs it
-        // (captured feeds answer from cdcRows alone).
-        var mPrev = GraftCdf.manifestOrExplain(store, root, s)
-        var prevNames: Set[String] = null
-        while (v <= vCap && open) {
-          val mV = GraftCdf.manifestOrExplain(store, root, v)
-          val rows = mV.cdcFile match {
-            case Some("") => 0L // guarded-empty capture
-            case Some(_)  => mV.cdcRows
-            case None =>
-              if (mV.batchId == mPrev.batchId &&
-                mV.streamId == mPrev.streamId) 0L
-              else {
-                if (prevNames == null)
-                  prevNames = mPrev.files.map(_.name).toSet
-                mV.files.iterator.filterNot(f => prevNames(f.name))
-                  .map(f => math.max(0L, f.liveRows)).sum
-              }
-          }
-          if (last == s || acc + rows <= budget) {
-            acc += rows; last = v; v += 1
-            mPrev = mV; prevNames = null
-          } else open = false
+    // snapshot batch (s < 0), caught up, or unpaced: everything available
+    if (s < 0 || cur <= s || (maxRows.isEmpty && maxVersions.isEmpty))
+      return GraftOffset(cur)
+    // PACED FEED WALK. The walk is sequential, so version v's manifest
+    // IS version v+1's parent: carry it (and its lazily-built name set)
+    // forward instead of re-deriving both per version — otherwise a
+    // row-paced backlog over a large table pays O(admitted x #files)
+    // driver work per trigger. The name set builds only when an
+    // uncaptured non-maintenance version needs it (captured feeds answer
+    // from cdcRows alone).
+    // FREE RIDERS (r15): versions that knowably plan EMPTY under the
+    // pushed filters — `_commit_version`-excluded, maintenance, or
+    // append-only when inserts are filtered out — consume NEITHER
+    // budget, so a keyed/version-filtered consumer catching up over a
+    // long feed drains in O(contributing versions / budget) rounds
+    // instead of burning a trigger round per excluded version. Offsets
+    // stay plain version numbers (restart-stable by construction).
+    val vk = GraftCdf.versionKeep(effPushed.toSeq)
+    val insOk = GraftCdf.typePossible(effPushed.toSeq,
+      ManifestStore.CdfInsert)
+    var last = s
+    var acc = 0L
+    var admitted = 0L
+    var v = s + 1
+    var open = true
+    var mPrev = GraftCdf.manifestOrExplain(store, root, s)
+    var prevNames: Set[String] = null
+    while (v <= cur && open) {
+      val mV = GraftCdf.manifestOrExplain(store, root, v)
+      val rows: Long =
+        if (!vk(v)) 0L // version-filtered out: plans empty
+        else mV.cdcFile match {
+          case Some("") => 0L // guarded-empty capture
+          case Some(_)  => math.max(0L, mV.cdcRows)
+          case None =>
+            if (mV.batchId == mPrev.batchId &&
+              mV.streamId == mPrev.streamId) 0L // maintenance
+            else if (!insOk) 0L // adds plan as inserts only: filtered out
+            else {
+              if (prevNames == null)
+                prevNames = mPrev.files.map(_.name).toSet
+              mV.files.iterator.filterNot(f => prevNames(f.name))
+                .map(f => math.max(0L, f.liveRows)).sum
+            }
         }
-        last
-      case _ => vCap
-    })
+      if (rows == 0L ||    // knowably-empty version: rides free
+        admitted == 0L ||  // always at least one contributing version
+        (maxRows.forall(acc + rows <= _) &&
+          maxVersions.forall(admitted + 1 <= _))) {
+        if (rows > 0L) { acc += rows; admitted += 1 }
+        last = v; v += 1
+        mPrev = mV; prevNames = null
+      } else open = false
+    }
+    GraftOffset(last)
   }
 
   override def initialOffset(): Offset =

@@ -486,6 +486,44 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filter-excluded versions ride free through paced admission") {
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2)
+    (1 to 8).foreach(i => st.merge(
+      netDf(Seq((i.toLong, "u", Some(s"e$i"), i * 10L))), fields,
+      batchId = i))
+    // a version-filtered catch-up: only versions > 6 match. With
+    // maxVersionsPerTrigger=1, the excluded versions 1..6 must ride
+    // free through admission (they plan EMPTY) instead of burning one
+    // trigger round each — the r15 feed sibling of the paced-snapshot
+    // skip-ahead.
+    val tbl = s"cdf_free_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .option("pruneFilter", "_commit_version > 6")
+      .load(st.root)
+      .filter(col("_commit_version") > 6L)
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdffree").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rowsOf(spark.table(tbl)) === Set(
+        (7L, "n7", "update_preimage", 7L), (7L, "e7", "update_postimage", 7L),
+        (8L, "n8", "update_preimage", 8L), (8L, "e8", "update_postimage", 8L)))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 2,
+        s"two contributing versions -> two paced batches, got $dataBatches " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      assert(q.recentProgress.length <= 4,
+        s"excluded versions must not burn trigger rounds: " +
+          s"${q.recentProgress.length} rounds for 2 contributing of 8")
+    } finally q.stop()
+  }
+
   test("maxRowsPerTrigger paces the feed by manifest row counts") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)
