@@ -4322,6 +4322,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
                        dt: org.apache.spark.sql.types.DataType)
       : Option[Double] = {
     import org.apache.spark.sql.types._
+    if (v == null || v.isEmpty) return None // all-null dim: no stat
     dt match {
       case TimestampType => v.toLongOption.map(_.toDouble)
       case DateType => scala.util.Try(

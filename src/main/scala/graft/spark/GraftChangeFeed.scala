@@ -877,10 +877,14 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       val m = GraftCdf.manifestOrExplain(st, root, e)
       val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
       val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
-      val slice = m.files.slice(from, until)
-      val kept = if (dataConjs.isEmpty) slice
-        else st.prunedFiles(m.copy(files = slice), dataConjs)
-      return emit(kept, e)
+      // reuse the admission mask (one cached zone-map job per pinned
+      // version) instead of a per-slice prunedFiles job — same as the
+      // tail source; per-file containment is independent
+      val keep = snapKeepMask(e, m)
+      return emit(
+        if (keep == null) m.files.slice(from, until)
+        else (from until until).collect { case i if keep(i) => m.files(i) },
+        e)
     }
     if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
     if (s < 0) { // first batch: the whole snapshot, as inserts at version e

@@ -286,7 +286,15 @@ final class GraftMicroBatchStream(root: String, keyField: String,
       val m = manifestOrExplain(e)
       val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
       val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
-      return emit(cut(m, m.files.slice(from, until)))
+      // reuse the admission mask (ONE cached zone-map job per pinned
+      // version) instead of a per-slice prunedFiles job — an F/B-slice
+      // bootstrap must not pay F/B local planning jobs. Per-file
+      // containment is independent, so masking the slice equals pruning
+      // it.
+      val keep = snapKeepMask(e, m)
+      return emit(
+        if (keep == null) m.files.slice(from, until)
+        else (from until until).collect { case i if keep(i) => m.files(i) })
     }
     if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
     if (s < 0) { // first batch: full snapshot of the end version

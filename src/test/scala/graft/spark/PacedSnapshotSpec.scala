@@ -171,8 +171,25 @@ class PacedSnapshotSpec extends SparkSpec {
     assert(keptNames.size >= 1 && keptNames.size <= 3 &&
       keptNames.size < m.files.size,
       s"fixture: the cut must keep a small minority, got $keptNames")
-    val (offs, planned) = drain(Map("maxfilespertrigger" -> "1",
+    // planning-bill receipt: the whole filtered drain — admission AND
+    // slice planning — runs ONE cached zone-map job, not one per slice
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (offs, planned) = try drain(Map("maxfilespertrigger" -> "1",
       "prunefilter" -> filter))
+    finally {
+      Thread.sleep(500) // listener bus drains async
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() <= 2,
+      s"pruned bootstrap planning must reuse the cached mask " +
+        s"(~1 zone-map job), ran ${jobs.get()} jobs")
     assert(offs.size == keptNames.size,
       s"skip-ahead must drain in ${keptNames.size} rounds, got $offs")
     assert(planned == keptNames,

@@ -4,6 +4,7 @@
 # gate (Bench.scala diffs BENCH_BASELINE.json, which intra-round runs
 # never overwrite). Run from anywhere; operates on the repo root.
 set -e
+set -o pipefail # a test failure must fail the close, not hide behind tee
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.1}" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench"
