@@ -140,6 +140,30 @@ object CdfBench {
     val tStreamPruned = drainStream("pruned", columnar = true,
       pruneFilter = Some(s"id < $hi"))
 
+    // PACED KEYED BOOTSTRAP (r15 skip-ahead): a byte-budgeted AvailableNow
+    // drain of ONE key range (1 of 64 key-clustered files). The budget
+    // admits ~one file per trigger round, so without the skip-ahead this
+    // is ~64 rounds (63 of them planning empty); with it, excluded files
+    // ride free and the drain is O(matching files) rounds. Reported:
+    // wall + trigger rounds + rows.
+    val (tPacedKeyed, pacedRounds, pacedRows) = {
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "0")
+        .option("pruneFilter", s"id < $hi")
+        .option("maxRowsPerTrigger", (n / 64 + batch).toString)
+        .load(capt.root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ck_paced_keyed")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      (sec, prog.length, prog.map(_.numInputRows).sum)
+    }
+
     println(
       s"""{"bench":"cdf_capture","rows":$n,"batch":$batch,"rounds":$rounds,""" +
       s""""mor_commit_sec_plain":[${tPlain.map(t => f"$t%.1f").mkString(",")}],""" +
@@ -151,7 +175,10 @@ object CdfBench {
       s""""pruned_feed_sec":${f"$tPruned%.2f"},""" +
       s""""stream_drain_sec_row":${f"$tStreamRow%.2f"},""" +
       s""""stream_drain_sec_columnar":${f"$tStreamCol%.2f"},""" +
-      s""""stream_drain_sec_pruned":${f"$tStreamPruned%.2f"}}""")
+      s""""stream_drain_sec_pruned":${f"$tStreamPruned%.2f"},""" +
+      s""""paced_keyed_sec":${f"$tPacedKeyed%.2f"},""" +
+      s""""paced_keyed_rounds":$pacedRounds,""" +
+      s""""paced_keyed_rows":$pacedRows}""")
     spark.stop()
   }
 }
