@@ -643,7 +643,8 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
                                      pushed: Array[Filter] = Array.empty)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
@@ -866,14 +867,20 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     // planned slice after.
     // record the planned live rows (pure metadata) for the small-batch
     // row-mode demotion, exactly like the tail source
-    def emit(fs: Seq[ManifestStore.FileEntry], v: Long)
+    def emit(fs: Seq[ManifestStore.FileEntry], v: Long, raw: Int)
         : Array[InputPartition] = {
       plannedRows = fs.iterator.map(f => math.max(0L, f.liveRows)).sum
+      plannedFiles = fs.size
+      prunedFiles = raw - fs.size
       GraftPartitions.forFiles(root, fs)
         .map(p => GraftCdfPartition(p, v, isCdc = false)).toArray
     }
+    def emitNone(): Array[InputPartition] = {
+      plannedRows = 0L; plannedFiles = 0; prunedFiles = 0
+      Array.empty
+    }
     if (so.snap >= 0 || (s < 0 && eo.snap >= 0)) {
-      if (!vKeep(e) || !insertOk) { plannedRows = 0L; return Array.empty }
+      if (!vKeep(e) || !insertOk) return emitNone()
       val m = GraftCdf.manifestOrExplain(st, root, e)
       val from = if (so.snap >= 0 && s == e) so.snap.toInt else 0
       val until = if (eo.snap >= 0) eo.snap.toInt else m.files.size
@@ -884,15 +891,15 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       return emit(
         if (keep == null) m.files.slice(from, until)
         else (from until until).collect { case i if keep(i) => m.files(i) },
-        e)
+        e, raw = until - from)
     }
-    if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
+    if (e < 0 || e <= s) return emitNone()
     if (s < 0) { // first batch: the whole snapshot, as inserts at version e
-      if (!vKeep(e) || !insertOk) { plannedRows = 0L; return Array.empty }
+      if (!vKeep(e) || !insertOk) return emitNone()
       val m = GraftCdf.manifestOrExplain(st, root, e)
       val kept = if (dataConjs.isEmpty) m.files
         else st.prunedFiles(m, dataConjs)
-      return emit(kept, e)
+      return emit(kept, e, raw = m.files.size)
     }
     // feed batch: estimate its rows with the same metadata walk the
     // admission budget uses (captured feeds answer from cdcRows, append
@@ -921,8 +928,11 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       }
       acc
     }
-    GraftCdf.planVersions(st, root, s, e, ignoreChanges, vKeep, insertOk,
-      dataConjs).toArray
+    val parts = GraftCdf.planVersions(st, root, s, e, ignoreChanges, vKeep,
+      insertOk, dataConjs).toArray
+    plannedFiles = parts.length
+    prunedFiles = -1 // feed batches: the cut happens inside planVersions
+    parts
   }
 
   /** Live rows planned by the LAST `planInputPartitions`; -1 before the
@@ -930,6 +940,39 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     * ([[GraftMicroBatchStream.columnarWorthIt]]).
     */
   @volatile private var plannedRows: Long = -1L
+  @volatile private var plannedFiles: Int = -1
+  @volatile private var prunedFiles: Int = -1
+
+  /** Source metrics in every `StreamingQueryProgress` — same surface as
+    * the tail source ([[GraftMicroBatchStream.metrics]]): version lag,
+    * paced-bootstrap progress, last batch's planned/pruned work. Pure
+    * manifest metadata; failures yield fewer metrics, never a failed
+    * progress event.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    try {
+      val cur = store.current.map(_._1).getOrElse(-1L)
+      m.put("latestVersion", cur.toString)
+      if (latestConsumedOffset.isPresent) {
+        val o = latestConsumedOffset.get.asInstanceOf[GraftOffset]
+        m.put("backlogVersions", math.max(0L, cur - o.version).toString)
+        val snapRemaining =
+          if (o.snap < 0) 0L
+          else scala.util.Try(GraftCdf.manifestOrExplain(store, root,
+            o.version).files.size - o.snap).getOrElse(0L)
+        m.put("snapshotFilesRemaining", snapRemaining.toString)
+      }
+      if (plannedFiles >= 0) {
+        m.put("lastBatchPlannedFiles", plannedFiles.toString)
+        m.put("lastBatchPlannedRows", plannedRows.toString)
+        if (prunedFiles >= 0)
+          m.put("lastBatchPrunedFiles", prunedFiles.toString)
+      }
+    } catch { case _: Exception => () }
+    m
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest

@@ -41,7 +41,8 @@ final class GraftMicroBatchStream(root: String, keyField: String,
                                   options: Map[String, String])
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   private def spark = SparkSession.active
   private def store = new ManifestStore(root, spark, keyField)
@@ -276,8 +277,11 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // createReaderFactory can demote a SMALL batch to row mode — the
     // vectorized setup constant outweighs the per-row win below
     // `streamColumnarMinRows` (see [[GraftMicroBatchStream.columnarWorthIt]])
-    def emit(fs: Seq[ManifestStore.FileEntry]): Array[InputPartition] = {
+    def emit(fs: Seq[ManifestStore.FileEntry], raw: Int)
+        : Array[InputPartition] = {
       plannedRows = fs.iterator.map(f => math.max(0L, f.liveRows)).sum
+      plannedFiles = fs.size
+      prunedFiles = raw - fs.size
       GraftPartitions.forFiles(root, fs).toArray
     }
     // paced-snapshot slices carry sub-version offsets — handle them
@@ -294,12 +298,16 @@ final class GraftMicroBatchStream(root: String, keyField: String,
       val keep = snapKeepMask(e, m)
       return emit(
         if (keep == null) m.files.slice(from, until)
-        else (from until until).collect { case i if keep(i) => m.files(i) })
+        else (from until until).collect { case i if keep(i) => m.files(i) },
+        raw = until - from)
     }
-    if (e < 0 || e <= s) { plannedRows = 0L; return Array.empty }
+    if (e < 0 || e <= s) {
+      plannedRows = 0L; plannedFiles = 0; prunedFiles = 0
+      return Array.empty
+    }
     if (s < 0) { // first batch: full snapshot of the end version
       val m = manifestOrExplain(e)
-      return emit(cut(m, m.files))
+      return emit(cut(m, m.files), raw = m.files.size)
     }
     val perVersion = ((s + 1) to e).flatMap { v =>
       val mPrev = manifestOrExplain(v - 1)
@@ -326,7 +334,7 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     // ONE cut over the whole range's adds (names are unique across
     // versions) — per-version prunedFiles calls cost one local planning
     // job each, which a long-range catch-up batch must not multiply
-    emit(cut(manifestOrExplain(e), perVersion))
+    emit(cut(manifestOrExplain(e), perVersion), raw = perVersion.size)
   }
 
   /** Live rows planned by the LAST `planInputPartitions` (Spark plans a
@@ -334,6 +342,38 @@ final class GraftMicroBatchStream(root: String, keyField: String,
     * before the first plan. Feeds the small-batch row-mode demotion.
     */
   @volatile private var plannedRows: Long = -1L
+  @volatile private var plannedFiles: Int = -1
+  @volatile private var prunedFiles: Int = -1
+
+  /** Source metrics in every `StreamingQueryProgress` — the numbers an
+    * operator of a 100 TB stream actually watches: commit-version lag,
+    * paced-bootstrap progress, and what the zone-map cut did to the
+    * last batch. Pure manifest metadata; failures yield fewer metrics,
+    * never a failed progress event.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    try {
+      val cur = store.current.map(_._1).getOrElse(-1L)
+      m.put("latestVersion", cur.toString)
+      if (latestConsumedOffset.isPresent) {
+        val o = latestConsumedOffset.get.asInstanceOf[GraftOffset]
+        m.put("backlogVersions", math.max(0L, cur - o.version).toString)
+        val snapRemaining =
+          if (o.snap < 0) 0L
+          else scala.util.Try(
+            manifestOrExplain(o.version).files.size - o.snap).getOrElse(0L)
+        m.put("snapshotFilesRemaining", snapRemaining.toString)
+      }
+      if (plannedFiles >= 0) {
+        m.put("lastBatchPlannedFiles", plannedFiles.toString)
+        m.put("lastBatchPrunedFiles", prunedFiles.toString)
+        m.put("lastBatchPlannedRows", plannedRows.toString)
+      }
+    } catch { case _: Exception => () }
+    m
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cur = store.currentManifest

@@ -257,6 +257,60 @@ class PacedSnapshotSpec extends SparkSpec {
       s"insert-free filter: one empty drain batch, got $r2 rounds / $p2")
   }
 
+  test("source metrics report lag, bootstrap progress, and pruning work") {
+    val root = Files.createTempDirectory("metrics").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val schema = spark.read.format("graft").load(root).schema
+    val s = new GraftMicroBatchStream(root, "id", schema, schema,
+      Array.empty, Map("maxfilespertrigger" -> "2",
+        "prunefilter" -> "id < 400"))
+    val o1 = s.latestOffset(GraftOffset(-1L), ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset]
+    s.planInputPartitions(GraftOffset(-1L), o1)
+    val m1 = s.metrics(java.util.Optional.of(o1:
+      org.apache.spark.sql.connector.read.streaming.Offset))
+    assert(m1.get("latestVersion") == "0")
+    assert(m1.get("backlogVersions") == "0")
+    assert(o1.snap >= 0, s"fixture: the first paced offset must be " +
+      s"mid-snapshot, got $o1")
+    assert(m1.get("snapshotFilesRemaining").toLong == 8 - o1.snap,
+      s"metrics=$m1")
+    // the slice holds the 2 admitted matching files plus any pruned
+    // free riders the skip-ahead let through (manifest order is not
+    // key order)
+    assert(m1.get("lastBatchPlannedFiles").toInt == 2 &&
+      m1.get("lastBatchPrunedFiles").toInt == o1.snap - 2 &&
+      m1.get("lastBatchPlannedRows").toLong == 200L, s"metrics=$m1")
+    // end-to-end: Spark surfaces the source metrics in every progress
+    val tbl = "graft_metrics_e2e"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("metck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val sm = q.lastProgress.sources(0).metrics
+      assert(sm.get("latestVersion") == "0" &&
+        sm.get("backlogVersions") == "0" &&
+        sm.get("snapshotFilesRemaining") == "0", s"progress metrics: $sm")
+    } finally q.stop()
+    // the CDF source reports the same surface
+    val c = new GraftCdfMicroBatchStream(root, "id", schema,
+      Map("maxrowspertrigger" -> "150"))
+    val co = c.latestOffset(GraftOffset(-1L), ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset]
+    c.planInputPartitions(GraftOffset(-1L), co)
+    val cm = c.metrics(java.util.Optional.of(co:
+      org.apache.spark.sql.connector.read.streaming.Offset))
+    assert(cm.get("latestVersion") == "0" &&
+      cm.get("backlogVersions") == "0" &&
+      cm.get("snapshotFilesRemaining").toLong == 8 - co.snap &&
+      cm.get("lastBatchPlannedFiles").toInt >= 1, s"cdf metrics: $cm")
+  }
+
   test("cdf: row-budget grid partitions the snapshot; feed follows after") {
     val root = Files.createTempDirectory("paced_cdf").toString
     val st = new ManifestStore(root, spark, "id")
