@@ -253,7 +253,32 @@ final class GraftTable(val root: String, tableSchema: StructType,
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
+
+  /** SINK metrics in every `StreamingQueryProgress` (Spark reads
+    * `ReportsSinkMetrics` off the sink TABLE) — the post-epoch store
+    * state an operator watches: committed version, file count, live vs
+    * masked rows. Pure manifest metadata through the LRU; failures
+    * yield fewer metrics, never a failed progress event.
+    */
+  override def metrics(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    try {
+      val key = scala.util.Try(GraftTable.resolve(root, options)._2)
+        .getOrElse(GraftTable.opt(options, "key").getOrElse(""))
+      new graft.cdc.ManifestStore(root, SparkSession.active, key)
+        .currentManifest.foreach { mf =>
+          m.put("tableVersion", mf.version.toString)
+          m.put("tableFiles", mf.files.size.toString)
+          m.put("tableLiveRows",
+            mf.files.iterator.map(f => math.max(0L, f.liveRows)).sum.toString)
+          m.put("tableMaskedRows",
+            mf.files.iterator.map(_.dvRows).sum.toString)
+        }
+    } catch { case _: Exception => () }
+    m
+  }
 
   /** Catalog-resolved tables (option set by [[GraftCatalog]]) surface the
     * store's `last_ts` CDC-version bookkeeping column as a METADATA column

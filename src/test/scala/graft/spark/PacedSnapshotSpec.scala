@@ -297,6 +297,22 @@ class PacedSnapshotSpec extends SparkSpec {
         sm.get("backlogVersions") == "0" &&
         sm.get("snapshotFilesRemaining") == "0", s"progress metrics: $sm")
     } finally q.stop()
+    // SINK metrics ride the sink table: a graft-to-graft pipe reports
+    // the post-epoch store state in progress.sink.metrics
+    val dst = Files.createTempDirectory("metdst").toString + "/t"
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.format("graft").option("key", "id")
+      .option("checkpointLocation",
+        Files.createTempDirectory("metck2").toString)
+      .start(dst)
+    try {
+      q2.processAllAvailable()
+      val km = q2.lastProgress.sink.metrics
+      assert(km.get("tableVersion") != null &&
+        km.get("tableFiles").toInt >= 1 &&
+        km.get("tableLiveRows").toLong == 800L &&
+        km.get("tableMaskedRows") == "0", s"sink metrics: $km")
+    } finally q2.stop()
     // the CDF source reports the same surface
     val c = new GraftCdfMicroBatchStream(root, "id", schema,
       Map("maxrowspertrigger" -> "150"))
