@@ -257,6 +257,53 @@ class PacedSnapshotSpec extends SparkSpec {
       s"insert-free filter: one empty drain batch, got $r2 rounds / $p2")
   }
 
+  test("tail: skip-ahead filter x budget grid — planned files always " +
+    "equal the zone-map cut, rounds track matches") {
+    val root = Files.createTempDirectory("paced_grid").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit((0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"),
+      batchId = 0, nFiles = 8)
+    val m = st.currentManifest.get
+    val schema = spark.read.format("graft").load(root).schema
+    val filters: Seq[(String, Seq[(String, String, Any)])] = Seq(
+      "id < 0" -> Seq(("id", "<", 0L)), // matches nothing
+      "id >= 0" -> Seq(("id", ">=", 0L)), // matches everything
+      "id < 100" -> Seq(("id", "<", 100L)),
+      "id >= 700" -> Seq(("id", ">=", 700L)),
+      "id >= 300 AND id < 500" ->
+        Seq(("id", ">=", 300L), ("id", "<", 500L)))
+    for ((sql, preds) <- filters; budget <- Seq(1, 3, 20)) {
+      val kept = st.prunedFiles(m, preds).map(_.name)
+      val s = new GraftMicroBatchStream(root, "id", schema, schema,
+        Array.empty, Map("maxfilespertrigger" -> budget.toString,
+          "prunefilter" -> sql))
+      var off = GraftOffset(-1L)
+      val planned = Seq.newBuilder[String]
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 100) {
+        val n = s.latestOffset(off, ReadLimit.allAvailable())
+          .asInstanceOf[GraftOffset]
+        if (n == off) done = true
+        else {
+          rounds += 1
+          planned ++= s.planInputPartitions(off, n).toSeq
+            .map(_.asInstanceOf[GraftInputPartition].fileName)
+          off = n
+        }
+      }
+      assert(rounds < 100, s"$sql/$budget: walk must terminate")
+      assert(off == GraftOffset(0L),
+        s"$sql/$budget: drain must land on the bare version offset, $off")
+      assert(planned.result() == kept,
+        s"$sql/$budget: planned files must equal the zone-map cut")
+      val want = math.max(1, (kept.size + budget - 1) / budget)
+      assert(rounds == want,
+        s"$sql/$budget: ${kept.size} matching files under a $budget-file " +
+          s"budget must drain in $want rounds, took $rounds")
+    }
+  }
+
   test("source metrics report lag, bootstrap progress, and pruning work") {
     val root = Files.createTempDirectory("metrics").toString
     val st = new ManifestStore(root, spark, "id")
