@@ -777,6 +777,154 @@ object ManifestStore {
       mapStruct(logical, "")
     }
 
+  /** Typed driver-side interpretation of ONE column's serialized zone-map
+    * stats, for [[ManifestStore.prunedFiles]]' no-job evaluation path:
+    * `parse` brings a recorded stat string into the column's comparison
+    * domain (the exact inverse of `statSerialize` — timestamps are epoch
+    * micros, dates epoch days, strings UTF8String so ordering is Spark's
+    * binary collation); `convert` brings a pushed predicate value into
+    * the SAME domain (mirroring `lit(v).cast(dt)` for the value shapes
+    * Spark's filter pushdown actually produces — anything else refuses
+    * with None and the caller falls back to the in-Spark path); `ord` is
+    * the comparison Spark itself would run (NaN-greatest total orders for
+    * floats); `render` maps a domain value to the exact string
+    * `statSerialize` would emit — the Bloom sidecars hashed that
+    * rendering at build time, so a divergence would silently mis-prune a
+    * file; values whose rendering we cannot guarantee byte-identical
+    * (e.g. dates outside year 1–9999) refuse per-value.
+    */
+  private[cdc] final case class PruneDomain(
+      parse: String => Any,
+      convert: Any => Option[Any],
+      ord: Ordering[Any],
+      render: Any => Option[String])
+
+  private[cdc] def pruneDomain(dt: org.apache.spark.sql.types.DataType)
+      : Option[PruneDomain] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def ordOf[T](o: Ordering[T]): Ordering[Any] = o.asInstanceOf[Ordering[Any]]
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(PruneDomain(
+          s => s.toLong,
+          {
+            case v: java.lang.Byte    => Some(v.longValue)
+            case v: java.lang.Short   => Some(v.longValue)
+            case v: java.lang.Integer => Some(v.longValue)
+            case v: java.lang.Long    => Some(v.longValue)
+            case _                    => None
+          },
+          ordOf(Ordering.Long),
+          v => Some(v.toString)))
+      case TimestampType =>
+        Some(PruneDomain(
+          s => s.toLong,
+          {
+            // the same micros Spark's fromJavaTimestamp / instantToMicros
+            // produce — getNanos carries the sub-milli tail for Timestamp
+            case t: java.sql.Timestamp =>
+              Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+            case i: java.time.Instant =>
+              Some(Math.addExact(
+                Math.multiplyExact(i.getEpochSecond, 1000000L),
+                (i.getNano / 1000).toLong))
+            case v: java.lang.Long => Some(v.longValue) // internal micros
+            case _                 => None
+          },
+          ordOf(Ordering.Long),
+          v => Some(v.toString)))
+      case FloatType =>
+        Some(PruneDomain(
+          s => s.toFloat,
+          {
+            case v: java.lang.Float   => Some(v.floatValue)
+            case v: java.lang.Double  => Some(v.floatValue)
+            case v: java.lang.Byte    => Some(v.floatValue)
+            case v: java.lang.Short   => Some(v.floatValue)
+            case v: java.lang.Integer => Some(v.floatValue)
+            case v: java.lang.Long    => Some(v.floatValue)
+            case _                    => None
+          },
+          ordOf(Ordering.Float.TotalOrdering),
+          v => Some(v.toString)))
+      case DoubleType =>
+        Some(PruneDomain(
+          s => s.toDouble,
+          {
+            case v: java.lang.Double  => Some(v.doubleValue)
+            case v: java.lang.Float   => Some(v.doubleValue)
+            case v: java.lang.Byte    => Some(v.doubleValue)
+            case v: java.lang.Short   => Some(v.doubleValue)
+            case v: java.lang.Integer => Some(v.doubleValue)
+            case v: java.lang.Long    => Some(v.doubleValue)
+            case _                    => None
+          },
+          ordOf(Ordering.Double.TotalOrdering),
+          v => Some(v.toString)))
+      case StringType =>
+        val utf8Ord: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+        }
+        Some(PruneDomain(
+          s => UTF8String.fromString(s),
+          {
+            case v: String => Some(UTF8String.fromString(v))
+            case _         => None
+          },
+          utf8Ord,
+          v => Some(v.toString)))
+      case DateType =>
+        Some(PruneDomain(
+          s => parseIsoDateToEpochDay(s),
+          {
+            case v: java.sql.Date       => Some(v.toLocalDate.toEpochDay)
+            case v: java.time.LocalDate => Some(v.toEpochDay)
+            case _                      => None
+          },
+          ordOf(Ordering.Long),
+          v => {
+            // cast(date as string) is plain ISO for years 1–9999; outside
+            // that the formatter's sign/width rules get subtle — refuse
+            // and let the caller fall back rather than hash a guess
+            val ld = java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])
+            if (ld.getYear >= 1 && ld.getYear <= 9999)
+              Some(f"${ld.getYear}%04d-${ld.getMonthValue}%02d-" +
+                f"${ld.getDayOfMonth}%02d")
+            else None
+          }))
+      case BooleanType =>
+        Some(PruneDomain(
+          s => s.toBoolean,
+          {
+            case v: java.lang.Boolean => Some(v.booleanValue)
+            case _                    => None
+          },
+          ordOf(Ordering.Boolean),
+          v => Some(v.toString)))
+      case d: DecimalType =>
+        Some(PruneDomain(
+          s => BigDecimal(s),
+          { v =>
+            val bd = v match {
+              case x: java.math.BigDecimal => Some(BigDecimal(x))
+              case x: BigDecimal           => Some(x)
+              case _                       => None
+            }
+            // exact fit only: cast-to-type rounding or precision overflow
+            // would need Spark's own semantics — refuse, fall back
+            bd.flatMap { x =>
+              scala.util.Try(x.setScale(d.scale)).toOption
+                .filter(_.precision <= d.precision)
+            }
+          },
+          ordOf(Ordering.BigDecimal),
+          v => Some(v.asInstanceOf[BigDecimal].underlying.toString)))
+      case _ => None
+    }
+  }
+
   /** The change-file column naming Delta's CDF established (public
     * contract): one row per changed-row image, tagged with how it changed.
     */
@@ -1374,6 +1522,215 @@ final class ManifestStore(val root: String, spark: SparkSession,
         case _ => Nil
       }
       val allEq = statted.flatMap(eqLeaves)
+      // ---- DRIVER-SIDE EVALUATION (r16): the same conjunction — ranges,
+      // prefix windows, IN membership AND Bloom probes — computed
+      // directly over the driver-held stat strings, NO Spark job. Every
+      // pruning surface (scan planning, feed planning, the skip-ahead
+      // mask, merge/delete candidate derivation) funnels through here,
+      // and the Column path below costs one LOCAL job per call (~0.5 s
+      // cold — at sf0.1 often more than the scan it saves). The typed
+      // interpretation mirrors statSerialize/statDeserialize exactly
+      // ([[ManifestStore.pruneDomain]]); three-valued logic mirrors
+      // Column null semantics (None = SQL null, and a null conjunction
+      // DROPS a file exactly like `statsDf.filter`); any (type, value,
+      // op) combination whose driver semantics we cannot GUARANTEE
+      // identical aborts WHOLESALE to the Spark-job path, so the two
+      // paths can never disagree on a set they both computed
+      // (property-pinned old-vs-new in DriverPruneSpec).
+      // `spark.graft.prune.driverEval=false` forces the old path for A/B.
+      // Bloom sidecars load LAZILY per file after its range test passes —
+      // strictly fewer loads than the Column path's phase-2 attach, same
+      // O(range survivors) bound. Oversized IN lists degrade to their
+      // range envelope here exactly like the Column path; phase 3 below
+      // restores their Bloom pruning driver-side either way.
+      def driverEval(candidates: Seq[FileEntry]): Option[Seq[FileEntry]] = {
+        if (!spark.conf.getOption("spark.graft.prune.driverEval")
+              .flatMap(_.toBooleanOption).getOrElse(true)) return None
+        def and3(parts: Seq[() => Option[Boolean]]): Option[Boolean] = {
+          var sawNull = false
+          val it = parts.iterator
+          while (it.hasNext) it.next()() match {
+            case Some(false) => return Some(false)
+            case None        => sawNull = true
+            case _           =>
+          }
+          if (sawNull) None else Some(true)
+        }
+        def or3(parts: Seq[FileEntry => Option[Boolean]], f: FileEntry)
+            : Option[Boolean] = {
+          var sawNull = false
+          val it = parts.iterator
+          while (it.hasNext) it.next()(f) match {
+            case Some(true) => return Some(true)
+            case None       => sawNull = true
+            case _          =>
+          }
+          if (sawNull) None else Some(false)
+        }
+        def compileLeaf(c: String, op: String, v: Any)
+            : Option[FileEntry => Option[Boolean]] = {
+          val dt = leafDt(c).get
+          val dom = ManifestStore.pruneDomain(dt).getOrElse(return None)
+          val phys = m.phys(c)
+          val mayBlob =
+            if (c == keyField) candidates.exists(_.bloom.isDefined)
+            else candidates.exists(_.colBlooms.contains(phys))
+          // None = the Column path's `_min.isNull ||` fast-keep (missing
+          // stat or null min); otherwise the parsed 3VL (min, max) pair —
+          // an unparseable stat is a null operand, like a failed cast
+          def stats(f: FileEntry): Option[(Option[Any], Option[Any])] =
+            colRange(m, f, c) match {
+              case None             => None
+              case Some((null, _))  => None
+              case Some((mnS, mxS)) => Some((
+                scala.util.Try(dom.parse(mnS)).toOption,
+                Option(mxS).flatMap(s =>
+                  scala.util.Try(dom.parse(s)).toOption)))
+            }
+          def blobOf(f: FileEntry): Option[Array[Byte]] =
+            (if (c == keyField) f.bloom else f.colBlooms.get(phys))
+              .flatMap(loadBloomSidecar)
+          def lt3(a: Option[Any], b: Any) = a.map(dom.ord.lt(_, b))
+          def le3(a: Option[Any], b: Any) = a.map(dom.ord.lteq(_, b))
+          def gt3(a: Option[Any], b: Any) = a.map(dom.ord.gt(_, b))
+          def ge3(a: Option[Any], b: Any) = a.map(dom.ord.gteq(_, b))
+          // probe hashes precomputed ONCE per value (not per file); None
+          // = the rendering can't be guaranteed byte-identical -> abort
+          def hashesFor(x: Any): Option[(Long, Long)] =
+            if (!mayBlob) Some((0L, 0L)) // never consulted
+            else dom.render(x).map(s =>
+              graft.functions.BloomSketch.probeHashes(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          def bloomOk(f: FileEntry, h: (Long, Long)): Boolean =
+            !mayBlob || (blobOf(f) match {
+              case Some(blob) => graft.functions.BloomSketch
+                .containsBlobHashed(blob, h._1, h._2)
+              case None => true
+            })
+          val keep: Option[Boolean] = Some(true)
+          op match {
+            case ">" | ">=" | "<" | "<=" =>
+              dom.convert(v).map { x =>
+                (f: FileEntry) => stats(f).fold(keep) { case (mn, mx) =>
+                  op match {
+                    case ">"  => gt3(mx, x)
+                    case ">=" => ge3(mx, x)
+                    case "<"  => lt3(mn, x)
+                    case _    => le3(mn, x)
+                  }
+                }
+              }
+            case "=" =>
+              for (x <- dom.convert(v); h <- hashesFor(x)) yield {
+                (f: FileEntry) => stats(f).fold(keep) { case (mn, mx) =>
+                  and3(Seq(() => le3(mn, x), () => ge3(mx, x),
+                    () => Some(bloomOk(f, h))))
+                }
+              }
+            case "!=" =>
+              dom.convert(v).map { x =>
+                (f: FileEntry) => stats(f).fold(keep) { case (mn, mx) =>
+                  Some(!(mn.exists(dom.ord.equiv(_, x)) &&
+                         mx.exists(dom.ord.equiv(_, x))))
+                }
+              }
+            case "startswith" =>
+              val p = v.asInstanceOf[String]
+              dom.convert(p).map { pv =>
+                ManifestStore.prefixSuccessor(p).flatMap(dom.convert) match {
+                  case Some(uv) =>
+                    (f: FileEntry) => stats(f).fold(keep) { case (mn, mx) =>
+                      and3(Seq(() => ge3(mx, pv), () => lt3(mn, uv)))
+                    }
+                  case None => // all-max prefix: no upper bound
+                    (f: FileEntry) =>
+                      stats(f).fold(keep)(s => ge3(s._2, pv))
+                }
+              }
+            case "in" =>
+              val vs = v.asInstanceOf[Seq[Any]]
+              if (vs.size <= InPruneMaxValues) {
+                val conv = vs.map(dom.convert)
+                if (conv.exists(_.isEmpty)) None
+                else {
+                  val hs = conv.map(x => hashesFor(x.get))
+                  if (hs.exists(_.isEmpty)) None
+                  else {
+                    val pairs = conv.map(_.get).zip(hs.map(_.get))
+                    Some { (f: FileEntry) =>
+                      stats(f).fold(keep) { case (mn, mx) =>
+                        // exists() 3VL: any true -> true, else any null
+                        // -> null, else false
+                        var sawNull = false
+                        var hit = false
+                        val it = pairs.iterator
+                        while (!hit && it.hasNext) {
+                          val (x, h) = it.next()
+                          and3(Seq(() => le3(mn, x), () => ge3(mx, x),
+                            () => Some(bloomOk(f, h)))) match {
+                            case Some(true) => hit = true
+                            case None       => sawNull = true
+                            case _          =>
+                          }
+                        }
+                        if (hit) Some(true)
+                        else if (sawNull) None else Some(false)
+                      }
+                    }
+                  }
+                }
+              } else {
+                // oversized: range envelope only, same as the Column path
+                val cmp = new Ordering[Any] {
+                  def compare(a: Any, b: Any): Int =
+                    a.asInstanceOf[Comparable[Any]].compareTo(b)
+                }
+                scala.util.Try((vs.min(cmp), vs.max(cmp))).toOption match {
+                  case Some((lo, hi)) =>
+                    for (lx <- dom.convert(lo); hx <- dom.convert(hi))
+                      yield { (f: FileEntry) =>
+                        stats(f).fold(keep) { case (mn, mx) =>
+                          and3(Seq(() => ge3(mx, lx), () => le3(mn, hx)))
+                        }
+                      }
+                  case None => // non-comparable: no pruning
+                    Some((_: FileEntry) => keep)
+                }
+              }
+            case _ => None
+          }
+        }
+        def compile(p: (String, String, Any))
+            : Option[FileEntry => Option[Boolean]] = p match {
+          case (_, "or", bs) =>
+            val branches = orBranches(bs).map { b =>
+              val ls = b.filter(canPrune)
+              if (ls.isEmpty)
+                Some((_: FileEntry) => (Some(true): Option[Boolean]))
+              else {
+                val cs = ls.map(compile)
+                if (cs.exists(_.isEmpty)) None
+                else {
+                  val fns = cs.map(_.get)
+                  Some((f: FileEntry) => and3(fns.map(c => () => c(f))))
+                }
+              }
+            }
+            if (branches.exists(_.isEmpty)) None
+            else {
+              val fns = branches.map(_.get)
+              Some((f: FileEntry) => or3(fns, f))
+            }
+          case (c, op, v) => compileLeaf(c, op, v)
+        }
+        val compiled = statted.map(compile)
+        if (compiled.exists(_.isEmpty)) None
+        else {
+          val conds = compiled.map(_.get)
+          Some(candidates.filter(f =>
+            and3(conds.map(c => () => c(f))).contains(true)))
+        }
+      }
       // One pruning pass over `files`; blob columns attach only when
       // `withBlooms` (phase 2). `bloomKey`/`bloomCols` say which blob
       // columns exist in this pass.
@@ -1495,8 +1852,11 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val keep = statsDf.filter(cond).collect().map(_.getString(0)).toSet
         files.filter(f => keep(f.name))
       }
+      // Phases 1+2 run driver-side when every leaf is typed-decidable
+      // there (the common case: low-ms instead of a ~0.5 s local job);
+      // otherwise the Column path computes the identical set in two
+      // passes:
       // PHASE 1: ranges only — stats already in memory, zero sidecar I/O.
-      val ranged = runPrune(nullPruned, withBlooms = false)
       // PHASE 2: Bloom probes over the range SURVIVORS only, so sidecar
       // loads are bounded by the files a scan would otherwise read, never
       // the table (a point lookup on a 100k-file clustered table loads ~1
@@ -1506,12 +1866,14 @@ final class ManifestStore(val root: String, spark: SparkSession,
       // value's range and another's bloom. False positives read a file;
       // false negatives are impossible (the build covers every key the
       // file ever held), so pruning stays sound.
-      val probeNeeded = ranged.exists(f =>
-        (f.bloom.isDefined && allEq.exists(_._1 == keyField)) ||
-        allEq.exists { case (c, _) =>
-          c != keyField && f.colBlooms.contains(m.phys(c)) })
-      val bloomed =
+      val bloomed = driverEval(nullPruned).getOrElse {
+        val ranged = runPrune(nullPruned, withBlooms = false)
+        val probeNeeded = ranged.exists(f =>
+          (f.bloom.isDefined && allEq.exists(_._1 == keyField)) ||
+          allEq.exists { case (c, _) =>
+            c != keyField && f.colBlooms.contains(m.phys(c)) })
         if (!probeNeeded) ranged else runPrune(ranged, withBlooms = true)
+      }
       // PHASE 3 (driver-side): IN lists past InPruneMaxValues degraded to
       // their range envelope in the Column pass — exactly the DPP /
       // runtime-filter case the sidecars were built for (on a

@@ -1,0 +1,211 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Driver-side zone-map pruning (r16): `ManifestStore.prunedFiles` now
+  * evaluates range / prefix / IN / Bloom containment directly over the
+  * driver-held stat strings — no local Spark job — and falls back to the
+  * legacy Column-expression path whenever any leaf's typed semantics
+  * can't be guaranteed identical. The contract this spec pins:
+  *
+  *   1. KEPT-SET EQUALITY: across a grid of every supported op on every
+  *      supported type (dotted struct leaves, nulls, NaN, truncated
+  *      string stats, OR trees, Bloom-backed = / IN included), the
+  *      driver path and the forced Spark-job path
+  *      (`spark.graft.prune.driverEval=false`) keep EXACTLY the same
+  *      files, in order.
+  *   2. JOBLESSNESS: the whole supported grid runs ZERO Spark jobs under
+  *      the driver path — the ~0.5 s per-plan constant is gone.
+  *   3. Fallback soundness: unsupported value shapes (e.g. a String
+  *      probe on a numeric column) quietly take the legacy path and the
+  *      two modes still agree.
+  */
+class DriverPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 800L
+
+  /** Mixed-type fixture: disjoint key ranges per file, per-type stats
+    * columns, nulls in `s`, NaN islands in `d`, scattered `meta.tag`
+    * with its own Bloom sidecar, and a key Bloom.
+    */
+  private def mkTyped(truncate: Option[Int]): (String, ManifestStore) = {
+    val root = Files.createTempDirectory("drvprune").toString
+    ManifestStore.writeTableProps(root,
+      Map("bloomfilter" -> "8192", "bloomfiltercols" -> "s,meta.tag") ++
+        truncate.map(n => "stats.truncate" -> n.toString))
+    val st = new ManifestStore(root, spark, "id")
+    val base = (0L until N).map { i =>
+      (i,
+        if (i % 17 == 0) null else f"str-$i%03d",
+        if (i % 97 == 0) Double.NaN else i / 7.0,
+        (i % 50).toFloat / 4.0f,
+        (i % 1000).toInt,
+        (i % 365).toInt,
+        i * 3600L,
+        i,
+        i % 2 == 0,
+        s"tag-${(i * 2654435761L) % 1000}",
+        i % 5)
+    }.toDF("id", "s", "d", "fl", "i32", "dayoff", "secoff", "cents", "b",
+      "tag", "n")
+    val df = base.select(col("id"), col("s"), col("d"), col("fl"),
+      col("i32"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("dayoff")).as("dt"),
+      timestamp_seconds(lit(1704067200L) + col("secoff")).as("ts"),
+      (col("cents").cast("decimal(12,2)") / 100)
+        .cast("decimal(10,2)").as("dec"),
+      col("b"),
+      struct(col("tag"), col("n").as("n")).as("meta"))
+    st.commit(df, batchId = 0, nFiles = 8,
+      statsCols = Seq("s", "d", "fl", "i32", "dt", "ts", "dec", "b",
+        "meta.tag", "meta.n"))
+    (root, st)
+  }
+
+  private def grid: Seq[(String, Seq[(String, String, Any)])] = {
+    def p(preds: (String, String, Any)*): Seq[(String, String, Any)] =
+      preds.toSeq
+    Seq(
+      "key eq" -> p(("id", "=", 123L)),
+      "key gt" -> p(("id", ">", 500L)),
+      "key le" -> p(("id", "<=", 250L)),
+      "key ne single" -> p(("id", "!=", 0L)),
+      "key in small" -> p(("id", "in", Seq(3L, 450L, 799L, 9999L))),
+      "string eq (bloomed)" -> p(("s", "=", "str-250")),
+      "string eq absent" -> p(("s", "=", "zzz-nope")),
+      "string prefix" -> p(("s", "startswith", "str-2")),
+      "string in" -> p(("s", "in", Seq("str-010", "str-777", "nope"))),
+      "string isnull" -> p(("s", "isnull", null)),
+      "string notnull + range" ->
+        p(("s", "notnull", null), ("id", "<", 400L)),
+      "double gt" -> p(("d", ">", 50.0d)),
+      "double eq" -> p(("d", "=", 14.0d)),
+      "double le NaN (NaN greatest)" -> p(("d", "<=", Double.NaN)),
+      "float eq" -> p(("fl", "=", 2.5f)),
+      "float gt all" -> p(("fl", ">", 100.0f)),
+      "int in" -> p(("i32", "in", Seq(5, 10, 700))),
+      "int ge" -> p(("i32", ">=", 500)),
+      "date eq (java.sql)" ->
+        p(("dt", "=", java.sql.Date.valueOf("2024-03-01"))),
+      "date lt (LocalDate)" ->
+        p(("dt", "<", java.time.LocalDate.of(2024, 2, 1))),
+      "ts gt (java.sql)" ->
+        p(("ts", ">", java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-20T00:00:00Z")))),
+      "ts le (Instant)" ->
+        p(("ts", "<=", java.time.Instant.parse("2024-01-05T12:00:00Z"))),
+      "decimal eq" -> p(("dec", "=", new java.math.BigDecimal("1.23"))),
+      "decimal lt" -> p(("dec", "<", new java.math.BigDecimal("4.00"))),
+      "bool eq" -> p(("b", "=", true)),
+      "struct leaf eq (bloomed)" ->
+        p(("meta.tag", "=", s"tag-${(123L * 2654435761L) % 1000}")),
+      "struct leaf in" ->
+        p(("meta.tag", "in",
+          Seq(s"tag-${(5L * 2654435761L) % 1000}", "tag-absent"))),
+      "struct leaf range" -> p(("meta.n", ">=", 3L)),
+      "conjunction mixed" ->
+        p(("id", ">", 100L), ("id", "<", 300L), ("b", "=", false),
+          ("s", "notnull", null)),
+      "or two ranges" ->
+        p(("", "or", Seq(Seq(("id", "<", 100L)),
+          Seq(("id", ">=", 700L))))),
+      "or with bloom branch" ->
+        p(("", "or", Seq(Seq(("id", "=", 42L)),
+          Seq(("s", "=", "str-650"))))),
+      "or nested" ->
+        p(("", "or", Seq(
+          Seq(("", "or", Seq(Seq(("id", "<", 50L)),
+            Seq(("id", ">", 760L)))), ("b", "=", true)),
+          Seq(("i32", "=", 400)))))
+    )
+  }
+
+  private def keptNames(st: ManifestStore, m: ManifestStore.Manifest,
+                        preds: Seq[(String, String, Any)],
+                        driver: Boolean): Seq[String] = {
+    spark.conf.set("spark.graft.prune.driverEval", driver.toString)
+    try st.prunedFiles(m, preds).map(_.name)
+    finally spark.conf.set("spark.graft.prune.driverEval", "true")
+  }
+
+  test("kept sets identical driver-vs-Spark across the typed grid; " +
+    "the driver path runs ZERO Spark jobs") {
+    val (_, st) = mkTyped(truncate = None)
+    val m = st.currentManifest.get
+    assert(m.files.size == 8)
+    // warm the Bloom sidecar cache OUTSIDE the job gate (loads are pure
+    // file I/O, no jobs — but keep the measurement clean anyway)
+    ManifestStore.clearBloomCache()
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val driverKept = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[String]]
+    spark.sparkContext.addSparkListener(listener)
+    try grid.foreach { case (name, preds) =>
+      driverKept(name) = keptNames(st, m, preds, driver = true)
+    } finally {
+      Thread.sleep(500) // listener bus drains async
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() == 0,
+      s"driver-side pruning must plan with ZERO Spark jobs, ran " +
+        s"${jobs.get()} across the grid")
+    grid.foreach { case (name, preds) =>
+      val slow = keptNames(st, m, preds, driver = false)
+      assert(driverKept(name) == slow,
+        s"[$name] kept-set mismatch: driver=${driverKept(name)} " +
+          s"spark=$slow")
+    }
+    // sanity: the grid actually prunes (not vacuously all-keep)
+    assert(driverKept("key eq").size == 1)
+    assert(driverKept("string eq absent").size <= 2) // bloom cut
+    assert(driverKept("or two ranges").size < m.files.size)
+  }
+
+  test("truncated string stats: both paths agree and stay sound") {
+    val (root, st) = mkTyped(truncate = Some(6))
+    val m = st.currentManifest.get
+    val preds = Seq(
+      Seq(("s", "=", "str-250"): (String, String, Any)),
+      Seq(("s", "startswith", "str-7"): (String, String, Any)),
+      Seq(("s", "<", "str-400"): (String, String, Any)),
+      Seq(("s", "in", Seq("str-001", "str-799")): (String, String, Any)))
+    preds.foreach { ps =>
+      assert(keptNames(st, m, ps, driver = true) ==
+        keptNames(st, m, ps, driver = false), s"mismatch on $ps")
+    }
+    // soundness through truncation: the hit row is still found
+    assert(spark.read.format("graft").load(root)
+      .filter(col("s") === "str-250").count() == 1)
+  }
+
+  test("unsupported value shapes fall back and still agree") {
+    val (_, st) = mkTyped(truncate = None)
+    val m = st.currentManifest.get
+    // a String probe on the Long key: driver conversion refuses, the
+    // legacy path computes — and both modes return the same set
+    val odd: Seq[(String, String, Any)] = Seq(("id", "=", "123"))
+    assert(keptNames(st, m, odd, driver = true) ==
+      keptNames(st, m, odd, driver = false))
+  }
+
+  test("oversized IN rides the shared phase-3 fold in both modes") {
+    val (_, st) = mkTyped(truncate = None)
+    val m = st.currentManifest.get
+    val vs: Seq[Any] = (0L until 10050L).map(i => i * 2 + 1) // mostly absent
+    val ps: Seq[(String, String, Any)] = Seq(("id", "in", vs))
+    assert(keptNames(st, m, ps, driver = true) ==
+      keptNames(st, m, ps, driver = false))
+  }
+}

@@ -172,7 +172,8 @@ class PacedSnapshotSpec extends SparkSpec {
       keptNames.size < m.files.size,
       s"fixture: the cut must keep a small minority, got $keptNames")
     // planning-bill receipt: the whole filtered drain — admission AND
-    // slice planning — runs ONE cached zone-map job, not one per slice
+    // slice planning — runs ZERO Spark jobs (r16: the zone-map cut
+    // evaluates driver-side; r15's one cached mask job is gone too)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -187,9 +188,9 @@ class PacedSnapshotSpec extends SparkSpec {
       Thread.sleep(500) // listener bus drains async
       spark.sparkContext.removeSparkListener(listener)
     }
-    assert(jobs.get() <= 2,
-      s"pruned bootstrap planning must reuse the cached mask " +
-        s"(~1 zone-map job), ran ${jobs.get()} jobs")
+    assert(jobs.get() == 0,
+      s"pruned bootstrap planning must run jobless (driver-side " +
+        s"zone-map cut), ran ${jobs.get()} jobs")
     assert(offs.size == keptNames.size,
       s"skip-ahead must drain in ${keptNames.size} rounds, got $offs")
     assert(planned == keptNames,
