@@ -4698,16 +4698,28 @@ final class ManifestStore(val root: String, spark: SparkSession,
     }
   }
 
-  /** MEASURED drift debt of a clustered fold's output (r15): each new
-    * file's zone-map box width, averaged over the clustering dimensions
-    * RELATIVE to the table-wide span and clipped to [0,1]. A tight file
-    * (bin-width boxes) adds ~2^-bits; a file whose hull spans the table
-    * adds ~1 — so re-folding already-tight files accrues ~0 while
-    * dirty-subset boundary drift accrues ~1 per file, and
-    * `clustering.refreshratio` gates on TIGHTNESS DECAY, not fold work.
-    * Unknown/unparseable stats count 1.0 (unknown = loose, the direction
-    * that can only over-refresh, never miss decay). O(files x dims)
-    * driver arithmetic over stats the fold already wrote.
+  /** MEASURED drift debt of a clustered fold's output (r15, size-aware
+    * since r16): each new file's zone-map box width per clustering
+    * dimension relative to the table-wide span, MINUS the footprint an
+    * IDEALLY clustered file of its (live) size would have — a file
+    * holding fraction p of the table's live rows legitimately spans up
+    * to 2·p^(1/dims) of a dimension even under a perfect z-order (a
+    * contiguous z-range allocates interleave bits to dimensions
+    * alternately, so one dimension always runs up to one bit — 2× —
+    * wider than the uniform p^(1/dims) footprint), so only the EXCESS
+    * over that ideal counts as drift (normalized by the possible excess,
+    * clipped to [0,1]). Without the size term a
+    * delete-heavy workload over-accrued with ZERO real drift: uniform
+    * deletes push whole z-files past `dvFold`, the fold merges their
+    * SURVIVORS into fewer, larger files whose boxes are big because the
+    * files are big (~0.45/file measured on a 70%-deleted fixture — two
+    * delete waves nearly tripped a full table rewrite the layout didn't
+    * need). Sizing by LIVE rows is what keeps the measure DV-honest:
+    * masked rows never justify footprint. A tight small file still adds
+    * ~0, a dirty-subset table-wide hull still adds ~1 (its ideal
+    * footprint is tiny). Unknown/unparseable stats count 1.0 (unknown =
+    * loose, the direction that can only over-refresh, never miss decay).
+    * O(files x dims) driver arithmetic over stats the fold already wrote.
     */
   private def foldDebt(m: Manifest, schema: StructType, zc: Seq[String],
                        all: Seq[FileEntry], newEntries: Seq[FileEntry])
@@ -4721,13 +4733,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }
     }
     if (dims.isEmpty) return newEntries.size.toDouble
+    val totalLive = math.max(1L, all.map(_.liveRows).sum)
     newEntries.map { f =>
+      val ideal = math.min(1.0,
+        2.0 * math.pow(f.liveRows.toDouble / totalLive, 1.0 / dims.size))
       val rel = dims.map { case (c, dt, span) =>
         (span, f.cols.get(m.phys(c))) match {
           case (Some((lo, hi)), Some((flo, fhi))) if hi > lo =>
-            (for {a <- statRank(flo, dt); b <- statRank(fhi, dt)}
-              yield math.min(1.0, math.max(0.0, (b - a) / (hi - lo))))
-              .getOrElse(1.0)
+            (for {a <- statRank(flo, dt); b <- statRank(fhi, dt)} yield {
+              val actual = math.min(1.0, math.max(0.0, (b - a) / (hi - lo)))
+              math.min(1.0, math.max(0.0, actual - ideal) /
+                math.max(1e-9, 1.0 - ideal))
+            }).getOrElse(1.0)
           case (Some(_), Some(_)) => 0.0 // degenerate span: all tight
           case _ => 1.0
         }
@@ -4971,8 +4988,13 @@ final class ManifestStore(val root: String, spark: SparkSession,
             val tp = ManifestStore.readTableProps(root)
             val prev = tp.get("clustering.foldfiles")
               .flatMap(_.toLongOption).getOrElse(0L)
+            // upgrade path: a pre-debt table (foldfiles > 0, folddebt
+            // absent) accrued staleness under the COUNT gate — seed the
+            // debt with that count (the old gate's measure) rather than
+            // 0.0, so drift accumulated before the upgrade can still
+            // trip the re-zorder it was already due for
             val debtPrev = tp.get("clustering.folddebt")
-              .flatMap(_.toDoubleOption).getOrElse(0.0)
+              .flatMap(_.toDoubleOption).getOrElse(prev.toDouble)
             val debt = debtPrev +
               foldDebt(m, schema, zCols, carried ++ newEntries, newEntries)
             ManifestStore.writeTableProps(root, tp +

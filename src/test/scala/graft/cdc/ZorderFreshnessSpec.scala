@@ -110,6 +110,79 @@ class ZorderFreshnessSpec extends SparkSpec {
         s"$tight0 -> ${plannedBox(st)}")
   }
 
+  test("delete-heavy, drift-free: DV folds accrue ~zero debt — masked " +
+    "rows never justify footprint, size-aware ideal absorbs big outputs") {
+    // uniform deletes push whole z-files past dvFold; the fold merges
+    // their SURVIVORS into fewer, larger z-range files. The layout never
+    // drifts (deletes are uniform over the z-order), yet the pre-r16
+    // span-relative measure accrued ~0.45/file here (two delete waves
+    // reached debt/files 0.44 — nearly a full table rewrite for nothing).
+    // The size-aware ideal (2·p^(1/dims) of live rows) absorbs the
+    // legitimate footprint; measured post-fix ratio ~0.07.
+    val root = Files.createTempDirectory("zfresh_dv").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(base, batchId = 0, nFiles = 16, statsCols = Seq("x", "y"))
+    assert(st.reclusterZorderCols(Seq("x", "y"), nFiles = 16, bits = 6)
+      .isDefined)
+    val tight0 = plannedBox(st)
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) +
+        ("clustering.refreshratio" -> "0.3"))
+    val rez0 = GraftMaintenance.rezorders.get()
+    (1 to 4).foreach { cyc =>
+      st.deleteWhere(col("id") % 10 < (cyc + 3), batchId = 1000 + cyc)
+      st.optimize(targetFiles = 16)
+      GraftMaintenance.maybeSchedule(root, spark, "id")
+      ()
+    }
+    assert(GraftMaintenance.drain(), "maintenance window did not drain")
+    val props = ManifestStore.readTableProps(root)
+    val folded = props.get("clustering.foldfiles")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    val debt = props.get("clustering.folddebt")
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val files = st.currentManifest.get.files.size
+    assert(folded > 0L, "fixture: the deletes must have triggered DV folds")
+    assert(debt >= 0.0 && debt / files < 0.15,
+      s"drift-free DV folds must accrue ~zero debt, got $debt over " +
+        s"$files files ($folded fold files)")
+    assert(GraftMaintenance.rezorders.get() == rez0,
+      "a delete-heavy but drift-free workload must not re-zorder")
+    // tightness really did hold (the claim the debt is a proxy for)
+    assert(plannedBox(st) <= tight0 + 2,
+      s"uniform deletes must not decay the box probe: " +
+        s"$tight0 -> ${plannedBox(st)}")
+  }
+
+  test("pre-debt upgrade: foldfiles staleness seeds the first r15+ fold") {
+    // a pre-r15 table accrued staleness only as a COUNT
+    // (clustering.foldfiles); the first debt-aware fold must seed the
+    // debt from that count, not 0.0, or pre-upgrade drift can never trip
+    // the re-zorder it was already due for
+    val root = Files.createTempDirectory("zfresh_up").toString
+    val st = new ManifestStore(root, spark, "id")
+    st.commit(base, batchId = 0, nFiles = 16, statsCols = Seq("x", "y"))
+    assert(st.reclusterZorderCols(Seq("x", "y"), nFiles = 16, bits = 6)
+      .isDefined)
+    // simulate the pre-r15 vintage: accrued count, no debt property
+    ManifestStore.writeTableProps(root,
+      (ManifestStore.readTableProps(root) - "clustering.folddebt") +
+        ("clustering.foldfiles" -> "9") +
+        ("clustering.refreshratio" -> "off"))
+    var batch = 1L
+    (1 to 4).foreach { _ =>
+      st.mergeOnReadLocked(epoch(batch.toInt), fields, batchId = batch,
+        tsGuard = false)
+      batch += 1
+    }
+    st.optimize(targetFiles = 16)
+    val debt = ManifestStore.readTableProps(root)
+      .get("clustering.folddebt").flatMap(_.toDoubleOption).getOrElse(-1.0)
+    assert(debt >= 9.0,
+      s"the first debt-aware fold must carry the pre-upgrade count " +
+        s"(9) into the seeded debt, got $debt")
+  }
+
   test("fold drift decays tightness; the maintenance trigger restores it") {
     val root = Files.createTempDirectory("zfresh").toString
     val st = new ManifestStore(root, spark, "id")

@@ -13,5 +13,9 @@ sbt -batch test 2>&1 | tee target/test_summary.log | tail -4
 # contract's paper trail; a stale dump is worse than none)
 sbt -batch "runMain graft.PlanDump"
 python3 tools/gen_readme.py
+# stamp the close run's numbers into STRESS.md VERBATIM so every STRESS
+# citation of the close bench resolves to the committed BENCH_FULL.json
+# (r15 verdict #4: a quoted close run must exist as an artifact)
+python3 tools/stamp_close.py
 cp BENCH_FULL.json BENCH_BASELINE.json
 echo "round_close: done"
