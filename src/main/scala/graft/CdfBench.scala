@@ -147,21 +147,44 @@ object CdfBench {
     // ride free and the drain is O(matching files) rounds. Reported:
     // wall + trigger rounds + rows.
     val (tPacedKeyed, pacedRounds, pacedRows) = {
-      val t0 = System.nanoTime()
-      val q = spark.readStream.format("graft")
-        .option("readChangeFeed", "true")
-        .option("startingTimestamp", "0")
-        .option("pruneFilter", s"id < $hi")
-        .option("maxRowsPerTrigger", (n / 64 + batch).toString)
-        .load(capt.root)
-        .writeStream.format("noop")
-        .option("checkpointLocation", s"$base/ck_paced_keyed")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress
-      (sec, prog.length, prog.map(_.numInputRows).sum)
+      // COUNT VIA LISTENER, not q.recentProgress: Spark caps the latter
+      // at spark.sql.streaming.numRecentProgressUpdates (default 100),
+      // and the regression this leg exists to catch — no skip-ahead =>
+      // ~64+ trigger rounds — is exactly where a capped array would
+      // silently under-report both rounds and rows
+      val roundsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+      val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var watchId: java.util.UUID = null
+      val listener =
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            if (e.progress.id == watchId) {
+              roundsSeen.incrementAndGet()
+              rowsSeen.addAndGet(e.progress.numInputRows); ()
+            }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        }
+      spark.streams.addListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingTimestamp", "0")
+          .option("pruneFilter", s"id < $hi")
+          .option("maxRowsPerTrigger", (n / 64 + batch).toString)
+          .load(capt.root)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ck_paced_keyed")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        watchId = q.id
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus delivers async
+        (sec, roundsSeen.get(), rowsSeen.get())
+      } finally spark.streams.removeListener(listener)
     }
 
     println(

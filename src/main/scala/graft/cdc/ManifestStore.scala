@@ -505,7 +505,9 @@ object ManifestStore {
                             colMap: Map[String, String] = Map.empty,
                             droppedPhys: Seq[String] = Nil,
                             cdcMinKey: Option[String] = None,
-                            cdcMaxKey: Option[String] = None) {
+                            cdcMaxKey: Option[String] = None,
+                            cdcCols: Map[String, (String, String)] =
+                              Map.empty) {
     /** The physical (on-disk) name of logical column `c`. */
     def phys(c: String): String = colMap.getOrElse(c, c)
   }
@@ -517,9 +519,15 @@ object ManifestStore {
     * time. None range on empty captures and pre-r14 vintages: readers
     * keep those conservatively.
     */
+  /** `cols` (r16): per-column min/max over the capture rows for the
+    * table's zone-map columns, keyed by PHYSICAL name exactly like
+    * [[FileEntry.cols]] — what lets a NON-key-filtered feed consumer
+    * prune (and the paced walk free-ride) whole captured versions.
+    */
   final case class CdcCapture(name: String, rows: Long,
                               minKey: Option[String] = None,
-                              maxKey: Option[String] = None)
+                              maxKey: Option[String] = None,
+                              cols: Map[String, (String, String)] = Map.empty)
 
   /** What [[ManifestStore.merge]] did, for observability and the pruning
     * gate in specs: `reusedFiles` moved to the new version with ZERO I/O.
@@ -925,6 +933,37 @@ object ManifestStore {
     }
   }
 
+  /** A serialized stat string back to the EXTERNAL JVM value Spark's
+    * own collect would produce for the type (java.sql.Timestamp from
+    * epoch micros, java.sql.Date from epoch days — both through Spark's
+    * DateTimeUtils so the conversion is literally Spark's; scaled
+    * java.math.BigDecimal for decimals) — what lets the stats-answered
+    * aggregate paths fold MIN/MAX driver-side instead of running a local
+    * Spark job per aggregate. None = no guaranteed-identical conversion;
+    * callers fall back to the in-Spark fold.
+    */
+  private[cdc] def statToExternal(dt: org.apache.spark.sql.types.DataType)
+      : Option[String => Any] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    dt match {
+      case ByteType      => Some(s => java.lang.Byte.valueOf(s.toByte))
+      case ShortType     => Some(s => java.lang.Short.valueOf(s.toShort))
+      case IntegerType   => Some(s => java.lang.Integer.valueOf(s.toInt))
+      case LongType      => Some(s => java.lang.Long.valueOf(s.toLong))
+      case TimestampType => Some(s => DateTimeUtils.toJavaTimestamp(s.toLong))
+      case FloatType     => Some(s => java.lang.Float.valueOf(s.toFloat))
+      case DoubleType    => Some(s => java.lang.Double.valueOf(s.toDouble))
+      case StringType    => Some(s => s)
+      case BooleanType   => Some(s => java.lang.Boolean.valueOf(s.toBoolean))
+      case DateType      => Some(s =>
+        DateTimeUtils.toJavaDate(parseIsoDateToEpochDay(s).toInt))
+      case d: DecimalType => Some(s =>
+        new java.math.BigDecimal(s).setScale(d.scale))
+      case _ => None
+    }
+  }
+
   /** The change-file column naming Delta's CDF established (public
     * contract): one row per changed-row image, tagged with how it changed.
     */
@@ -1194,7 +1233,12 @@ final class ManifestStore(val root: String, spark: SparkSession,
         Option(n.get("cdc")).filterNot(_.isNull).map(_.asText()),
         n.path("cdcRows").asLong(0L), colMap, droppedPhys,
         Option(n.get("cdcMin")).filterNot(_.isNull).map(_.asText()),
-        Option(n.get("cdcMax")).filterNot(_.isNull).map(_.asText()))
+        Option(n.get("cdcMax")).filterNot(_.isNull).map(_.asText()),
+        Option(n.get("cdcCols")).filterNot(_.isNull).map { cc =>
+          cc.fieldNames().asScala.map(f =>
+            f -> (cc.path(f).path("min").asText(),
+              cc.path(f).path("max").asText())).toMap
+        }.getOrElse(Map.empty))
     if (n.path("type").asText("checkpoint") == "delta")
       manifest(v - 1).map { parent =>
         val removed = n.path("remove").elements().asScala.map(_.asText()).toSet
@@ -2128,10 +2172,76 @@ final class ManifestStore(val root: String, spark: SparkSession,
     val pruning = preds.filterNot(_._2 == "notnull")
     val candidates = if (pruning.isEmpty) m.files else prunedFiles(m, pruning)
     val predCols = preds.map(_._1).distinct
+    // DRIVER-SIDE exactness (r16): the all-rows-satisfy check through
+    // the same typed domains as prunedFiles' driver path — a file is
+    // exact iff its condition evaluates TRUE (SQL 3VL: a null condition
+    // fails, mirroring the Column path's `!coalesce(cond, false)`).
+    // None = some (type, value) has no guaranteed-identical driver
+    // semantics -> the Column job below decides instead.
+    def driverExact(): Option[Boolean] = {
+      if (!spark.conf.getOption("spark.graft.prune.driverEval")
+            .flatMap(_.toBooleanOption).getOrElse(true)) return None
+      val tests: Seq[Option[FileEntry => Boolean]] =
+        pruning.map { case (c, op, v) =>
+          val dt = ManifestStore.leafType(schema, c).get
+          ManifestStore.pruneDomain(dt).flatMap { dom =>
+            // per-side 3VL operands: None = missing stat / null /
+            // unparseable (what a failed cast yields in the Column path)
+            def stat3(f: FileEntry): (Option[Any], Option[Any]) =
+              colRange(m, f, c) match {
+                case None => (None, None)
+                case Some((mnS, mxS)) =>
+                  (Option(mnS).flatMap(s =>
+                    scala.util.Try(dom.parse(s)).toOption),
+                    Option(mxS).flatMap(s =>
+                      scala.util.Try(dom.parse(s)).toOption))
+              }
+            op match {
+              case ">" | ">=" | "<" | "<=" | "=" | "!=" =>
+                dom.convert(v).map { x => (f: FileEntry) =>
+                  val (mn, mx) = stat3(f)
+                  op match {
+                    case ">"  => mn.exists(dom.ord.gt(_, x))
+                    case ">=" => mn.exists(dom.ord.gteq(_, x))
+                    case "<"  => mx.exists(dom.ord.lt(_, x))
+                    case "<=" => mx.exists(dom.ord.lteq(_, x))
+                    case "="  => mn.exists(dom.ord.equiv(_, x)) &&
+                      mx.exists(dom.ord.equiv(_, x))
+                    case _ => // "!=": null || true IS true in the Column OR
+                      mx.exists(dom.ord.lt(_, x)) ||
+                        mn.exists(dom.ord.gt(_, x))
+                  }
+                }
+              case "in" =>
+                val conv = v.asInstanceOf[Seq[Any]].map(dom.convert)
+                if (conv.exists(_.isEmpty)) None
+                else Some { (f: FileEntry) =>
+                  val (mn, mx) = stat3(f)
+                  mn.isDefined && mx.isDefined &&
+                    dom.ord.equiv(mn.get, mx.get) &&
+                    conv.exists(x => dom.ord.equiv(mn.get, x.get))
+                }
+              case "startswith" =>
+                val p = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(v.asInstanceOf[String])
+                Some { (f: FileEntry) =>
+                  val (mn, mx) = stat3(f)
+                  mn.exists(_.asInstanceOf[
+                    org.apache.spark.unsafe.types.UTF8String].startsWith(p)) &&
+                    mx.exists(_.asInstanceOf[
+                      org.apache.spark.unsafe.types.UTF8String].startsWith(p))
+                }
+              case _ => None
+            }
+          }
+        }
+      if (tests.exists(_.isEmpty)) None
+      else Some(candidates.forall(f => tests.forall(_.get(f))))
+    }
     val exact =
       candidates.forall(f =>
         predCols.forall(c => nullsOf(m, f, c).contains(0L))) &&
-        (candidates.isEmpty || pruning.isEmpty || {
+        (candidates.isEmpty || pruning.isEmpty || driverExact().getOrElse {
           val colsRef = pruning.map(_._1).distinct
           val rows: Seq[org.apache.spark.sql.Row] = candidates.map { f =>
             org.apache.spark.sql.Row.fromSeq(colsRef.flatMap { c =>
@@ -2214,10 +2324,30 @@ final class ManifestStore(val root: String, spark: SparkSession,
       if (strs.isEmpty) Some(null)
       else {
         val dt = schema(c).dataType
-        val v = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
-          .agg(if (isMin) min(statDeserialize(col("s"), dt))
-               else max(statDeserialize(col("s"), dt))).head().get(0)
-        Some(v)
+        // driver fold (r16): pick the extreme stat string in the
+        // column's own ordering and convert through Spark's own
+        // external-value conversions ([[ManifestStore.statToExternal]])
+        // — no local job per aggregate. The in-Spark fold remains for
+        // types without a guaranteed-identical driver domain and as the
+        // A/B path (`spark.graft.prune.driverEval=false`).
+        val folded: Option[Any] =
+          if (!spark.conf.getOption("spark.graft.prune.driverEval")
+                .flatMap(_.toBooleanOption).getOrElse(true)) None
+          else scala.util.Try {
+            for {
+              dom <- ManifestStore.pruneDomain(dt)
+              toExt <- ManifestStore.statToExternal(dt)
+            } yield {
+              val parsed = strs.map(s => (dom.parse(s), s))
+              toExt((if (isMin) parsed.minBy(_._1)(dom.ord)
+                     else parsed.maxBy(_._1)(dom.ord))._2)
+            }
+          }.toOption.flatten
+        Some(folded.getOrElse {
+          spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+            .agg(if (isMin) min(statDeserialize(col("s"), dt))
+                 else max(statDeserialize(col("s"), dt))).head().get(0)
+        })
       }
     }
     val values: Seq[Option[Any]] = aggs.map {
@@ -2305,6 +2435,94 @@ final class ManifestStore(val root: String, spark: SparkSession,
       case StatAgg.MinCol(c)   => c
       case StatAgg.MaxCol(c)   => c
     }.distinct
+    // DRIVER FOLD (r16): one pass over O(#files) metadata, no local job.
+    // Group keys parse through their typed domains (float/double ±0.0
+    // normalized like Spark's groupBy), counts are long sums, MIN/MAX
+    // fold in the column's own ordering with all-null files excluded by
+    // their null count; keys and extremes convert to external values
+    // through Spark's own conversions ([[ManifestStore.statToExternal]]).
+    // Falls back to the one-local-job Column fold when any involved type
+    // lacks a guaranteed-identical driver domain, or under
+    // `spark.graft.prune.driverEval=false` (the family A/B knob).
+    def driverGrouped(): Option[Seq[Seq[Any]]] = {
+      if (!spark.conf.getOption("spark.graft.prune.driverEval")
+            .flatMap(_.toBooleanOption).getOrElse(true)) return None
+      def domFor(c: String) = for {
+        dom <- ManifestStore.pruneDomain(schema(c).dataType)
+        ext <- ManifestStore.statToExternal(schema(c).dataType)
+      } yield (dom, ext)
+      val gDoms = groupCols.map(domFor)
+      if (gDoms.exists(_.isEmpty)) return None
+      val rangeCols = aggs.collect {
+        case StatAgg.MinCol(c) => c
+        case StatAgg.MaxCol(c) => c
+      }.distinct
+      val rDoms = rangeCols.map(c => c -> domFor(c)).toMap
+      if (rDoms.values.exists(_.isEmpty)) return None
+      def normKey(v: Any): Any = v match {
+        case d: java.lang.Double if d.doubleValue == 0.0 =>
+          java.lang.Double.valueOf(0.0)
+        case f: java.lang.Float if f.floatValue == 0.0f =>
+          java.lang.Float.valueOf(0.0f)
+        case other => other
+      }
+      scala.util.Try {
+        // per group: representative group-key stat strings (purity makes
+        // any file's min the group value), live rows, per-col
+        // (rows - nulls), per-col best (parsed, string) min/max
+        final case class GState(
+            keyStrs: Seq[String], var live: Long,
+            colCnt: scala.collection.mutable.Map[String, Long],
+            colMin: scala.collection.mutable.Map[String, (Any, String)],
+            colMax: scala.collection.mutable.Map[String, (Any, String)])
+        val groups = scala.collection.mutable
+          .LinkedHashMap.empty[Seq[Any], GState]
+        candidates.foreach { f =>
+          val keyStrs = groupCols.map(g => colRange(m, f, g).get._1)
+          val key = keyStrs.zip(gDoms).map { case (s, d) =>
+            normKey(d.get._1.parse(s))
+          }
+          val st = groups.getOrElseUpdate(key, GState(keyStrs, 0L,
+            scala.collection.mutable.Map.empty,
+            scala.collection.mutable.Map.empty,
+            scala.collection.mutable.Map.empty))
+          st.live += f.liveRows
+          aggCols.foreach { c =>
+            val n = nullsOf(m, f, c).getOrElse(0L)
+            st.colCnt(c) = st.colCnt.getOrElse(c, 0L) + (f.rows - n)
+            if (rangeCols.contains(c) && n < f.rows) {
+              val dom = rDoms(c).get._1
+              colRange(m, f, c).foreach { case (mnS, mxS) =>
+                val mn = dom.parse(mnS); val mx = dom.parse(mxS)
+                if (!st.colMin.get(c).exists(p => dom.ord.lteq(p._1, mn)))
+                  st.colMin(c) = (mn, mnS)
+                if (!st.colMax.get(c).exists(p => dom.ord.gteq(p._1, mx)))
+                  st.colMax(c) = (mx, mxS)
+              }
+            }
+          }
+        }
+        groups.iterator.map { case (_, st) =>
+          val gVals: Seq[Any] = st.keyStrs.zip(gDoms).map { case (s, d) =>
+            d.get._2(s)
+          }
+          val aVals: Seq[Any] = aggs.map {
+            case StatAgg.CountStar   => java.lang.Long.valueOf(st.live)
+            case StatAgg.CountCol(c) =>
+              java.lang.Long.valueOf(st.colCnt.getOrElse(c, 0L))
+            case StatAgg.MinCol(c) =>
+              st.colMin.get(c).map(p => rDoms(c).get._2(p._2)).orNull
+            case StatAgg.MaxCol(c) =>
+              st.colMax.get(c).map(p => rDoms(c).get._2(p._2)).orNull
+          }
+          gVals ++ aVals
+        }.toSeq
+      }.toOption
+    }
+    driverGrouped() match {
+      case Some(out) => return Some(out)
+      case None      => ()
+    }
     val rows: Seq[org.apache.spark.sql.Row] = candidates.map { f =>
       org.apache.spark.sql.Row.fromSeq(
         groupCols.map(g => colRange(m, f, g).get._1) ++
@@ -3133,7 +3351,17 @@ final class ManifestStore(val root: String, spark: SparkSession,
     cdc.foreach { c =>
       node.put("cdc", c.name); node.put("cdcRows", c.rows)
       c.minKey.foreach(node.put("cdcMin", _))
-      c.maxKey.foreach(node.put("cdcMax", _)); ()
+      c.maxKey.foreach(node.put("cdcMax", _))
+      if (c.cols.nonEmpty) {
+        val cn = mapper.createObjectNode()
+        c.cols.foreach { case (col, (mn, mx)) =>
+          val v = mapper.createObjectNode()
+          v.put("min", mn); v.put("max", mx)
+          cn.set[com.fasterxml.jackson.databind.node.ObjectNode](col, v)
+        }
+        node.set[com.fasterxml.jackson.databind.node.ObjectNode]("cdcCols", cn)
+      }
+      ()
     }
     // column mapping carries forward from the parent on EVERY commit (a
     // merge must not silently wipe a rename); only the DDL paths
@@ -4341,28 +4569,64 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }
     val cdcP = shaped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // row count + the captured KEY RANGE in ONE pass (min/max serialize
-      // through the same typed stat cast as every zone map, so a keyed
-      // feed consumer prunes whole captured versions in the key's native
-      // ordering); a shape without the key column still captures, just
-      // without the range (conservative keep at read)
+      // row count + the captured KEY RANGE + (r16) per-zone-map-column
+      // min/max in ONE pass (everything serializes through the same
+      // typed stat cast as every zone map): the key range lets a KEYED
+      // feed consumer prune whole captured versions in the key's native
+      // ordering, and the column stats extend that to NON-key data
+      // conjuncts — both at planning and in the paced walk's admission
+      // (a knowably-pruned capture rides free). A shape without the key
+      // column still captures, just without the range; a stat that
+      // fails to compute is simply absent (conservative keep at read).
       val physKey = colMap.getOrElse(keyField, keyField)
+      val tableProps = ManifestStore.readTableProps(root)
+      val statTrunc = ManifestStore.statsTruncate(tableProps)
+      val truncExempt: Set[String] = tableProps.get("partitioncol").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+      // the table's zone-map columns, resolved against the capture's
+      // LOGICAL shape and keyed by PHYSICAL name like FileEntry.cols
+      val sCols = currentManifest.map(_.statsCols).getOrElse(Nil)
+        .filter(c => c != keyField &&
+          ManifestStore.leafType(cdc.schema, c).isDefined)
+      def statDt(c: String) = ManifestStore.leafType(cdc.schema, c).get
+      def statCol(c: String): Column =
+        if (cdc.columns.contains(c)) col(s"`${colMap.getOrElse(c, c)}`")
+        else col(colMap.getOrElse(c, c))
+      def truncStat(c: String, mn: String, mx: String): (String, String) =
+        statTrunc match {
+          case Some(nT) if mn != null && !truncExempt.contains(c) &&
+              statDt(c) == org.apache.spark.sql.types.StringType =>
+            (ManifestStore.truncMin(mn, nT), ManifestStore.truncMax(mx, nT))
+          case _ => (mn, mx)
+        }
       val stats = scala.util.Try {
         val dt = shaped.schema(physKey).dataType
+        val extra = sCols.flatMap { c =>
+          val cdt = statDt(c)
+          Seq(statSerialize(min(statCol(c)), cdt),
+            statSerialize(max(statCol(c)), cdt))
+        }
         val r = cdcP.agg(count(lit(1)),
-          statSerialize(min(col(s"`$physKey`")), dt),
-          statSerialize(max(col(s"`$physKey`")), dt)).head()
+          (statSerialize(min(col(s"`$physKey`")), dt) +:
+            statSerialize(max(col(s"`$physKey`")), dt) +: extra): _*).head()
+        val colStats = sCols.zipWithIndex.flatMap { case (c, i) =>
+          val cmn = r.getString(3 + 2 * i); val cmx = r.getString(4 + 2 * i)
+          if (cmn == null || cmx == null) None
+          else Some(colMap.getOrElse(c, c) -> truncStat(c, cmn, cmx))
+        }.toMap
         (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getString(1)),
-          if (r.isNullAt(2)) None else Some(r.getString(2)))
-      }.getOrElse((cdcP.count(), None, None))
-      val (n, mn, mx) = stats
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          colStats)
+      }.getOrElse((cdcP.count(), None, None,
+        Map.empty[String, (String, String)]))
+      val (n, mn, mx, ccols) = stats
       if (n == 0L) Some(ManifestStore.CdcCapture("", 0L))
       else {
         val name = s"_cdc_${java.util.UUID.randomUUID()}"
         Files.createDirectories(Paths.get(root, "files"))
         cdcP.write.parquet(Paths.get(root, "files", name).toString)
-        Some(ManifestStore.CdcCapture(name, n, mn, mx))
+        Some(ManifestStore.CdcCapture(name, n, mn, mx, ccols))
       }
     } finally cdcP.unpersist()
   }

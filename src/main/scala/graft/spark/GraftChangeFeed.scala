@@ -271,9 +271,13 @@ object GraftCdf {
       mV.cdcFile match {
         case Some("") => None // captured feed, zero effective changes
         case Some(cdc) =>
+          // the synthetic entry carries the captured key range AND (r16)
+          // the capture's per-column min/max, so NON-key data conjuncts
+          // prune whole captured versions too
           val synth = (mV.cdcMinKey, mV.cdcMaxKey) match {
             case (Some(lo), Some(hi)) =>
-              Some(ManifestStore.FileEntry(cdc, lo, hi, mV.cdcRows))
+              Some(ManifestStore.FileEntry(cdc, lo, hi, mV.cdcRows,
+                cols = mV.cdcCols))
             case _ => None
           }
           Some(VPlan(v, Nil, Some((cdc, synth))))
@@ -759,6 +763,31 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     }
   }
 
+  /** Rows a CAPTURED version contributes under the pushed data
+    * conjuncts: 0 when the planner's zone-map cut would prune the
+    * capture's synthetic entry — captured key range plus (r16) the
+    * capture's per-column stats, so a NON-key-filtered consumer's
+    * catch-up free-rides knowably-irrelevant captures exactly like a
+    * keyed one. The cut evaluates driver-side (no Spark job), so
+    * admission can afford it per version; a divergence from planning
+    * only costs budget (an admitted-but-pruned version wastes a slot, a
+    * pruned-but-planned one overshoots by its rows), never rows.
+    */
+  private def capturedRows(mV: ManifestStore.Manifest,
+                           conjs: Seq[(String, String, Any)]): Long = {
+    val rows = math.max(0L, mV.cdcRows)
+    if (rows == 0L || conjs.isEmpty) return rows
+    (mV.cdcFile, mV.cdcMinKey, mV.cdcMaxKey) match {
+      case (Some(name), Some(lo), Some(hi)) if name.nonEmpty =>
+        val synth = ManifestStore.FileEntry(name, lo, hi, mV.cdcRows,
+          cols = mV.cdcCols)
+        if (store.prunedFiles(mV.copy(files = Seq(synth)), conjs).isEmpty)
+          0L
+        else rows
+      case _ => rows
+    }
+  }
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val live = store.current.map(_._1).getOrElse(-1L)
@@ -796,6 +825,8 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     val vk = GraftCdf.versionKeep(effPushed.toSeq)
     val insOk = GraftCdf.typePossible(effPushed.toSeq,
       ManifestStore.CdfInsert)
+    val admConjs = GraftScan.conjuncts(
+      GraftCdf.dataFilters(effPushed.toSeq, dataSchema))
     var last = s
     var acc = 0L
     var admitted = 0L
@@ -809,7 +840,9 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
         if (!vk(v)) 0L // version-filtered out: plans empty
         else mV.cdcFile match {
           case Some("") => 0L // guarded-empty capture
-          case Some(_)  => math.max(0L, mV.cdcRows)
+          // r16: a capture the planner's zone-map cut would prune rides
+          // admission free too (key range + per-column capture stats)
+          case Some(_)  => capturedRows(mV, admConjs)
           case None =>
             if (mV.batchId == mPrev.batchId &&
               mV.streamId == mPrev.streamId) 0L // maintenance
@@ -903,28 +936,38 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     }
     // feed batch: estimate its rows with the same metadata walk the
     // admission budget uses (captured feeds answer from cdcRows, append
-    // versions from added live rows, maintenance is free) — an ESTIMATE
-    // feeding only the columnar-vs-row mode choice, so over/under simply
-    // keeps the status-quo mode
+    // versions from added live rows, maintenance is free, and — like the
+    // admission walk — version-filtered and insert-filtered versions
+    // count ZERO, so a filtered trickle batch demotes to row mode
+    // instead of paying the vectorized setup constant on a near-empty
+    // plan). prevNames builds lazily, only when an uncaptured
+    // non-maintenance version needs it. An ESTIMATE feeding only the
+    // columnar-vs-row mode choice, so over/under simply keeps the
+    // status-quo mode.
     plannedRows = {
       var acc = 0L
       var mPrev = GraftCdf.manifestOrExplain(st, root, s)
+      var prevNames: Set[String] = null
       var v = s + 1
       while (v <= e) {
         val mV = GraftCdf.manifestOrExplain(st, root, v)
-        acc += (mV.cdcFile match {
-          case Some("") => 0L
-          case Some(_)  => math.max(0L, mV.cdcRows)
-          case None =>
-            if (mV.batchId == mPrev.batchId && mV.streamId == mPrev.streamId)
-              0L
-            else {
-              val prevNames = mPrev.files.map(_.name).toSet
-              mV.files.iterator.filterNot(f => prevNames(f.name))
-                .map(f => math.max(0L, f.liveRows)).sum
-            }
-        })
-        mPrev = mV; v += 1
+        acc += (
+          if (!vKeep(v)) 0L
+          else mV.cdcFile match {
+            case Some("") => 0L
+            case Some(_)  => capturedRows(mV, dataConjs)
+            case None =>
+              if (mV.batchId == mPrev.batchId &&
+                mV.streamId == mPrev.streamId) 0L
+              else if (!insertOk) 0L
+              else {
+                if (prevNames == null)
+                  prevNames = mPrev.files.map(_.name).toSet
+                mV.files.iterator.filterNot(f => prevNames(f.name))
+                  .map(f => math.max(0L, f.liveRows)).sum
+              }
+          })
+        mPrev = mV; prevNames = null; v += 1
       }
       acc
     }

@@ -577,30 +577,80 @@ final class GraftScan(root: String, tableSchema: StructType,
                   else None
                 }
               val maxMerge = 256 // per-bin sketch-merge work cap
+              // bins tile [lo, hi) with the last bin closing right; a
+              // range file whose hi EXACTLY equals a bin's lo holds that
+              // boundary value, which the bin owns — include it (r15
+              // used a strictly-positive overlap and dropped the value
+              // from both bins)
+              def overlapsBin(flo: Double, fhi: Double, bl: Double,
+                              bh: Double, lastBin: Boolean): Boolean =
+                if (fhi > flo)
+                  math.min(fhi, bh) - math.max(flo, bl) > 0 ||
+                    fhi == bl || (lastBin && flo == bh)
+                else if (lastBin) flo >= bl && flo <= bh
+                else flo >= bl && flo < bh
+              // COARSE PRE-MERGED GROUPS (r16) for bins overlapping more
+              // than maxMerge files — the merge-grown, un-clustered
+              // layout where every file's range spans the table and skew
+              // estimation matters most (r14's fallback erased it with
+              // even apportioning there). Files sort by range lo into
+              // <= maxMerge contiguous groups; each group's sketches
+              // union ONCE ([[graft.functions.KmvSketch.mergeBlobs]] is
+              // associative-exact), and a wide bin unions O(groups)
+              // pre-merged blobs. Planning-time only: the per-file blobs
+              // are already decoded in memory off the sidecar LRU, so
+              // the pre-merge is one O(files) union pass per column —
+              // persisting it at fold time would save only that pass.
+              lazy val coarse
+                  : Option[(Array[(Double, Double)], Array[Array[Byte]])] =
+                blobsC.map { blobs =>
+                  val order = fileRanges.indices
+                    .sortBy(i => fileRanges(i)._1).toArray
+                  val perG = math.max(1,
+                    math.ceil(order.length.toDouble / maxMerge).toInt)
+                  val gs = order.grouped(perG).toArray
+                  (gs.map(g => (g.map(fileRanges(_)._1).min,
+                    g.map(fileRanges(_)._2).max)),
+                    gs.map(g => graft.functions.KmvSketch
+                      .mergeBlobs(g.toSeq.map(blobs(_)))))
+                }
+              def spanScaled(union: Long, uLo: Double, uHi: Double,
+                             bl: Double, bh: Double): Long = {
+                val frac =
+                  if (uHi > uLo) math.min(1.0, math.max(0.0,
+                    (math.min(uHi, bh) - math.max(uLo, bl)) / (uHi - uLo)))
+                  else 1.0 // point union: the bin owns it whole
+                math.round(union * frac)
+              }
               val arr: Array[colstats.HistogramBin] =
                 cutBins.zipWithIndex.map { case ((bl, bh), bi) =>
+                  val lastBin = bi == cutBins.size - 1
                   val est: Option[Long] = blobsC.flatMap { blobs =>
                     val idx = fileRanges.indices.filter { i =>
                       val (flo, fhi, _) = fileRanges(i)
-                      if (fhi > flo)
-                        math.min(fhi, bh) - math.max(flo, bl) > 0
-                      else if (bi == cutBins.size - 1)
-                        flo >= bl && flo <= bh // last bin closes right
-                      else flo >= bl && flo < bh
+                      overlapsBin(flo, fhi, bl, bh, lastBin)
                     }
                     if (idx.isEmpty) Some(1L)
-                    else if (idx.size > maxMerge) None // fallback: even
+                    else if (idx.size > maxMerge)
+                      // wide bin: union the coarse pre-merged groups
+                      coarse.map { case (spans, merged) =>
+                        val gidx = spans.indices.filter { gi =>
+                          val (glo, ghi) = spans(gi)
+                          overlapsBin(glo, ghi, bl, bh, lastBin)
+                        }
+                        if (gidx.isEmpty) 1L
+                        else spanScaled(
+                          graft.functions.KmvSketch
+                            .estimateNdvBlobs(gidx.map(merged(_)))._1,
+                          gidx.map(spans(_)._1).min,
+                          gidx.map(spans(_)._2).max, bl, bh)
+                      }
                     else {
                       val union = graft.functions.KmvSketch
                         .estimateNdvBlobs(idx.map(blobs(_)))._1
-                      val uLo = idx.map(fileRanges(_)._1).min
-                      val uHi = idx.map(fileRanges(_)._2).max
-                      val frac =
-                        if (uHi > uLo) math.min(1.0, math.max(0.0,
-                          (math.min(uHi, bh) - math.max(uLo, bl)) /
-                            (uHi - uLo)))
-                        else 1.0 // point union: the bin owns it whole
-                      Some(math.round(union * frac))
+                      Some(spanScaled(union,
+                        idx.map(fileRanges(_)._1).min,
+                        idx.map(fileRanges(_)._2).max, bl, bh))
                     }
                   }
                   val binNdv = math.max(1L, math.min(math.ceil(h).toLong,

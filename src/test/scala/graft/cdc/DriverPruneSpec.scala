@@ -200,6 +200,103 @@ class DriverPruneSpec extends SparkSpec {
       keptNames(st, m, odd, driver = false))
   }
 
+  test("stats-answered aggregates fold driver-side: same answers as " +
+    "the Spark fold, zero jobs") {
+    import ManifestStore.StatAgg
+    val (_, st) = mkTyped(truncate = None)
+    val m = st.currentManifest.get
+    val cases: Seq[(Seq[(String, String, Any)], Seq[ManifestStore.StatAgg])] =
+      Seq(
+        (Nil, Seq(StatAgg.CountStar, StatAgg.MinCol("id"),
+          StatAgg.MaxCol("id"))),
+        (Nil, Seq(StatAgg.MinCol("dt"), StatAgg.MaxCol("ts"),
+          StatAgg.MinCol("dec"), StatAgg.MaxCol("fl"),
+          StatAgg.MinCol("d"), StatAgg.MaxCol("i32"))),
+        (Nil, Seq(StatAgg.CountCol("s"), StatAgg.MinCol("s"),
+          StatAgg.MaxCol("b"))),
+        // exactness fallback parity: a predicate no file is pure under
+        // must refuse in BOTH modes
+        (Seq(("b", "=", true)), Seq(StatAgg.CountStar)),
+        // a range predicate (file-aligned or not, both modes must agree)
+        (Seq(("id", "<", 400L)), Seq(StatAgg.CountStar)),
+        (Seq(("id", ">=", 100L), ("id", "<", 300L)),
+          Seq(StatAgg.CountStar, StatAgg.CountCol("s"))))
+    def run(driver: Boolean): Seq[Option[Seq[Any]]] = {
+      spark.conf.set("spark.graft.prune.driverEval", driver.toString)
+      try cases.map { case (preds, aggs) => st.aggFromStats(m, preds, aggs) }
+      finally spark.conf.set("spark.graft.prune.driverEval", "true")
+    }
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fast = try run(driver = true)
+    finally {
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() == 0,
+      s"driver-side agg answers must run ZERO Spark jobs, ran ${jobs.get()}")
+    val slow = run(driver = false)
+    cases.indices.foreach { i =>
+      assert(fast(i) == slow(i),
+        s"case $i answer mismatch: driver=${fast(i)} spark=${slow(i)}")
+    }
+    // sanity: the unfiltered answers actually computed (not all-None)
+    assert(fast(0).isDefined && fast(1).isDefined && fast(2).isDefined)
+    assert(fast(0).get.head == 800L)
+  }
+
+  test("grouped stats-answered aggregates fold driver-side: same rows, " +
+    "zero jobs") {
+    import ManifestStore.StatAgg
+    val root = Files.createTempDirectory("drvagg").toString
+    ManifestStore.writeTableProps(root, Map("partitioncol" -> "part"))
+    val st = new ManifestStore(root, spark, "id")
+    val df = (0L until 800L).map { i =>
+      (i, i / 200L,
+        if (i % 17 == 0) null else f"str-$i%03d",
+        i / 7.0, i * 3600L)
+    }.toDF("id", "part", "s", "d", "secoff")
+      .select(col("id"), col("part"), col("s"), col("d"),
+        timestamp_seconds(lit(1704067200L) + col("secoff")).as("ts"))
+    st.commit(df, batchId = 0, nFiles = 8,
+      statsCols = Seq("part", "s", "d", "ts"))
+    val m = st.currentManifest.get
+    val aggs = Seq(StatAgg.CountStar, StatAgg.CountCol("s"),
+      StatAgg.MinCol("d"), StatAgg.MaxCol("ts"), StatAgg.MinCol("s"))
+    def run(driver: Boolean): Option[Set[Seq[Any]]] = {
+      spark.conf.set("spark.graft.prune.driverEval", driver.toString)
+      try st.aggFromStatsGrouped(m, Nil, Seq("part"), aggs)
+        .map(_.map(_.toSeq).toSet)
+      finally spark.conf.set("spark.graft.prune.driverEval", "true")
+    }
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fast = try run(driver = true)
+    finally {
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() == 0,
+      s"driver-side grouped answers must run ZERO Spark jobs, " +
+        s"ran ${jobs.get()}")
+    val slow = run(driver = false)
+    assert(fast.isDefined, "partition-pure fixture must answer")
+    assert(fast == slow, s"grouped mismatch: driver=$fast spark=$slow")
+    assert(fast.get.size == 4) // part in 0..3
+  }
+
   test("oversized IN rides the shared phase-3 fold in both modes") {
     val (_, st) = mkTyped(truncate = None)
     val m = st.currentManifest.get

@@ -524,6 +524,55 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NON-key-filtered catch-up: captures with disjoint column stats " +
+    "ride admission free; 2 matching versions drain in 2 paced batches") {
+    // r16: captures record per-column min/max for the table's zone-map
+    // columns, so a consumer filtered on a NON-key column free-rides
+    // captured versions whose stats exclude the filter — previously
+    // only the captured KEY range could cut, and a non-key filter paid
+    // one trigger round per captured version under pacing.
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2, statsCols = Seq("name"))
+    (1 to 6).foreach { i =>
+      val nm = if (i % 3 == 0) s"zz$i" else s"e$i"
+      st.merge(netDf(Seq((i.toLong, "u", Some(nm), i * 10L))), fields,
+        batchId = i)
+    }
+    // fixture: the captures really carry non-key column stats, and the
+    // matching/non-matching split is what the admission cut will see
+    val m3 = st.manifest(3L).get
+    val m4 = st.manifest(4L).get
+    assert(m3.cdcCols.get("name").exists(_._2 >= "zz"),
+      s"v3's capture must record a zz-reaching name range: ${m3.cdcCols}")
+    assert(m4.cdcCols.get("name").exists(_._2 < "zz"),
+      s"v4's capture range must exclude zz: ${m4.cdcCols}")
+    val tbl = s"cdf_nonkey_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .option("pruneFilter", "name >= 'zz'")
+      .load(st.root)
+      .filter(col("name") >= "zz") // pruneFilter is advisory: re-filter
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfnonkey").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rowsOf(spark.table(tbl)) === Set(
+        (3L, "zz3", "update_postimage", 3L),
+        (6L, "zz6", "update_postimage", 6L)))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 2,
+        s"two matching captures -> two paced batches, got $dataBatches " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      assert(q.recentProgress.length <= 4,
+        s"stat-excluded captures must not burn trigger rounds: " +
+          s"${q.recentProgress.length} rounds for 2 matching of 6")
+    } finally q.stop()
+  }
+
   test("maxRowsPerTrigger paces the feed by manifest row counts") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)

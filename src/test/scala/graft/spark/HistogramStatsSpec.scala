@@ -189,6 +189,66 @@ class HistogramStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("1000-file wide-overlap layout: coarse pre-merged groups keep " +
+    "per-bin NDV tracking a 10x skew (no even-apportion fallback)") {
+    // the merge-grown, un-clustered shape: 500 files whose v-range each
+    // spans the WHOLE hot domain (every hot bin overlaps all 500 — past
+    // the 256 per-bin merge cap, where r15 fell back to even
+    // apportioning and erased the skew), plus 500 key-local tail files.
+    // The coarse path pre-merges range-sorted groups once and unions
+    // O(groups) per bin; estimates must still separate the regimes.
+    val root = Files.createTempDirectory("histcoarse").toString
+    val st = new ManifestStore(root, spark, "id")
+    // dense: 8000 rows, 80 distinct v, SCATTERED so every 16-row file
+    // spans ~the full hot range; tail: 8000 all-distinct, key-local
+    // stride 37 (coprime to 80, wraps ~7x per 16-row file) so each
+    // key-local file's v-range spans ~the whole hot domain
+    val dense = (0L until 8000L).map(i => (i, (i * 37L) % 80L))
+    val sparse = (0L until 8000L).map(i => (8000L + i, 100000L + i))
+    st.commit((dense ++ sparse).toDF("id", "v"), batchId = 0,
+      nFiles = 1000, statsCols = Seq("v"))
+    val m = st.currentManifest.get
+    assert(m.files.size >= 900, s"fixture: want ~1000 files, got " +
+      s"${m.files.size}")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      val hist = stats.collectFirst {
+        case (a, cs) if a.name == "v" && cs.histogram.isDefined =>
+          cs.histogram.get
+      }.getOrElse(fail("v must carry a histogram"))
+      val h = hist.height
+      val hot = hist.bins.filter(_.hi <= 80.0)
+      val tail = hist.bins.filter(_.lo >= 100000.0)
+      assert(hot.length >= 8 && tail.length >= 8,
+        s"fixture: both regimes need bins, got ${hot.length}/${tail.length}")
+      // fixture really exercises the coarse path: a hot bin overlaps
+      // every wide dense file, past the 256-sketch per-bin cap
+      val wideDense = m.files.count { f =>
+        f.cols.get("v").exists { case (lo, hi) =>
+          lo != null && hi != null && lo.toLong < 10L && hi.toLong > 70L }
+      }
+      assert(wideDense > 256,
+        s"fixture: hot bins must overlap >256 files, got $wideDense")
+      hot.foreach { b =>
+        val span = math.max(1.0, b.hi - b.lo + 1)
+        assert(b.ndv <= math.ceil(2 * span).toLong,
+          s"hot bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$span " +
+            s"through the coarse groups, not even-apportioned " +
+            s"${16080 / 64}")
+      }
+      tail.foreach { b =>
+        assert(b.ndv >= (h / 2).toLong && b.ndv <= (h * 2).toLong,
+          s"tail bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$h")
+      }
+      assert(tail.map(_.ndv).min >= 10 * hot.map(_.ndv).max,
+        s"per-bin ndv must separate the regimes at 1000 files: " +
+          s"hot max ${hot.map(_.ndv).max}, tail min ${tail.map(_.ndv).min}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("histogram skips columns without full stats coverage; ndv bounded") {
     val root = Files.createTempDirectory("histcov").toString
     val st = new ManifestStore(root, spark, "id")
