@@ -1415,23 +1415,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
   def readWhere(colName: String, lo: Any, hi: Any)
       : Option[(DataFrame, ManifestStore.SkipStats)] =
     currentManifest.map { m =>
-      val dt = ManifestStore.leafType(StructType.fromDDL(m.schemaDDL), colName)
+      ManifestStore.leafType(StructType.fromDDL(m.schemaDDL), colName)
         .getOrElse(throw new IllegalArgumentException(
           s"readWhere column '$colName' does not resolve to an atomic leaf"))
-      val (statted, statless) = m.files.partition(f =>
-        colRange(m, f, colName).isDefined)
-      val survivors: Set[String] =
-        if (statted.isEmpty) Set.empty
-        else {
-          val statsDf = spark.createDataFrame(statted.map { f =>
-            val (mn, mx) = colRange(m, f, colName).get
-            (f.name, mn, mx)
-          }).toDF("_f", "_min", "_max")
-          statsDf.filter(!(statDeserialize(col("_max"), dt) < lit(lo).cast(dt) ||
-              statDeserialize(col("_min"), dt) > lit(hi).cast(dt)))
-            .collect().map(_.getString(0)).toSet
-        }
-      val toRead = statless ++ statted.filter(f => survivors(f.name))
+      // the [lo, hi] intersection IS the (>= lo AND <= hi) conjunction —
+      // delegate to [[prunedFiles]] (driver-side since r16, no local
+      // job): files without stats for the column keep conservatively
+      // there exactly as the old intersection pass kept them
+      val toRead = prunedFiles(m,
+        Seq((colName, ">=", lo), (colName, "<=", hi)))
       val df = readFiles(m, toRead)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
       (df, ManifestStore.SkipStats(m.files.size, toRead.size,

@@ -204,39 +204,6 @@ object KmvSketch {
     (estimateNdv(decoded.map(d => (d._1, d._3))), decoded.map(_._2).sum)
   }
 
-  /** Merge single-column blobs into ONE blob representing their union.
-    * ASSOCIATIVE and exact w.r.t. the flat estimator: union completeness
-    * holds up to tau = the smallest saturation threshold among saturated
-    * inputs, so hashes past tau are dropped and the merged k set to the
-    * kept count — [[estimateNdvBlobs]] over merged blobs then computes
-    * the same kPrime/tau it would over the originals. With NO saturated
-    * input the union is the complete distinct set and k is set past it
-    * (unsaturated marker). `kCap` bounds a merged sketch's size when
-    * many unsaturated inputs union (a cap re-saturates at the kCap-th
-    * smallest hash — still a valid KMV, ~1/sqrt(kCap) relative error).
-    */
-  def mergeBlobs(blobs: Seq[Array[Byte]], kCap: Int = 4096): Array[Byte] = {
-    val decoded = blobs.map(decode)
-    val nulls = decoded.map(_._2).sum
-    val all = decoded.flatMap(_._3).distinct.toArray
-    sortUnsigned(all)
-    val taus = decoded.collect { case (k, _, a) if a.length >= k => a.last }
-    val kept0 =
-      if (taus.isEmpty) all
-      else {
-        val tau = taus.minBy(_ ^ Long.MinValue)
-        var n = 0
-        while (n < all.length &&
-          java.lang.Long.compareUnsigned(all(n), tau) <= 0) n += 1
-        java.util.Arrays.copyOf(all, n)
-      }
-    val kept =
-      if (kept0.length > kCap) java.util.Arrays.copyOf(kept0, kCap)
-      else kept0
-    val complete = taus.isEmpty && kept.length == kept0.length
-    encode(if (complete) kept.length + 1 else math.max(1, kept.length),
-      nulls, kept)
-  }
 }
 
 /** KMV build as a native Catalyst aggregate for the per-file stats pass:

@@ -556,102 +556,100 @@ final class GraftScan(root: String, tableSchema: StructType,
           if (per.exists(_.isEmpty)) None
           else GraftScan.equiHeightBins(per.flatten, histBins).map {
             case (h, cutBins) =>
-              // per-bin NDV (r15): KMV-UNION the files whose ranges
-              // overlap the bin (union dedupes values shared across
-              // files — a sum of per-file NDVs would not), then scale by
-              // the bin's share of the union's span (within-span
-              // distinct-uniformity — the same contract as the bin
-              // masses). A hot range whose values repeat 100x and an
-              // all-distinct sparse tail then get their own per-bin
-              // distincts, which even apportioning of the table NDV
-              // (the r14 shape, kept as the fallback when any file lacks
-              // a sketch or a bin overlaps too many) erases. Bounded by
-              // the bin mass; CBO's equality-under-range estimator
-              // consumes exactly this.
+              // per-bin NDV (r15, overlap-clustered r16): estimate each
+              // bin's distinct count from the per-file KMV sketches. A
+              // hot range whose values repeat 100x and an all-distinct
+              // sparse tail then get their own per-bin distincts, which
+              // even apportioning of the table NDV (the r14 shape, kept
+              // as the fallback when any file lacks a sketch) erases.
+              // Bounded by the bin mass; CBO's equality-under-range
+              // estimator consumes exactly this.
+              //
+              // The estimator: files whose value hulls SUBSTANTIALLY
+              // overlap (>= half the narrower hull, chained in lo
+              // order) can share values — their sketches union ONCE per
+              // column into a CLUSTER (dedup); essentially-disjoint
+              // hulls cannot share values, so per bin the overlapping
+              // clusters' NDVs scale by each cluster's own hull overlap
+              // and SUM. r15 scaled ONE union by the union-hull span
+              // share, which a single half-table straddler file broke
+              // both ways at sf0.1 (caught by the dsv2_histogram_ndv
+              // gate under the full-Verify layout): the straddler's
+              // hull dragged a pure tail bin's frac toward 0, and any
+              // row-mass frac instead polluted hot bins with the
+              // straddler's foreign distincts. Clustering quarantines
+              // it: the straddler unions with whatever it genuinely
+              // overlaps and contributes to a bin only its own hull
+              // share. Work: one sort + one O(files) union pass per
+              // column, O(clusters) arithmetic per bin, NO per-bin
+              // sketch merges — the r15 256-per-bin merge cap and its
+              // even-apportion fallback are gone. Partially-overlapping
+              // clusters (< half-hull) may double-count their shared
+              // sliver: over-estimate, bounded, never the erasure.
               val fileRanges: Seq[(Double, Double, Long)] = per.flatten
-              val blobsC: Option[Array[Array[Byte]]] =
-                perFileKmv.flatMap { s =>
-                  val vs = s.map(_.get(c))
-                  if (vs.nonEmpty && vs.forall(_.isDefined))
-                    Some(vs.flatten.toArray)
-                  else None
-                }
-              val maxMerge = 256 // per-bin sketch-merge work cap
-              // bins tile [lo, hi) with the last bin closing right; a
-              // range file whose hi EXACTLY equals a bin's lo holds that
-              // boundary value, which the bin owns — include it (r15
-              // used a strictly-positive overlap and dropped the value
-              // from both bins)
+              // bins tile [lo, hi) with the last bin closing right. A
+              // range file whose hi EXACTLY equals a bin's lo holds the
+              // boundary value the bin owns — but including it was
+              // TRIED (r16) and MEASURED WORSE (equi-height cuts land
+              // on file boundaries, so the toucher is typically a WIDE
+              // file that distorts the bin's estimate); the at-most-one
+              // distinct it contributes is already supplied by the
+              // empty-bin floor. Strict-positive overlap stays.
               def overlapsBin(flo: Double, fhi: Double, bl: Double,
                               bh: Double, lastBin: Boolean): Boolean =
                 if (fhi > flo)
-                  math.min(fhi, bh) - math.max(flo, bl) > 0 ||
-                    fhi == bl || (lastBin && flo == bh)
+                  math.min(fhi, bh) - math.max(flo, bl) > 0
                 else if (lastBin) flo >= bl && flo <= bh
                 else flo >= bl && flo < bh
-              // COARSE PRE-MERGED GROUPS (r16) for bins overlapping more
-              // than maxMerge files — the merge-grown, un-clustered
-              // layout where every file's range spans the table and skew
-              // estimation matters most (r14's fallback erased it with
-              // even apportioning there). Files sort by range lo into
-              // <= maxMerge contiguous groups; each group's sketches
-              // union ONCE ([[graft.functions.KmvSketch.mergeBlobs]] is
-              // associative-exact), and a wide bin unions O(groups)
-              // pre-merged blobs. Planning-time only: the per-file blobs
-              // are already decoded in memory off the sidecar LRU, so
-              // the pre-merge is one O(files) union pass per column —
-              // persisting it at fold time would save only that pass.
-              lazy val coarse
-                  : Option[(Array[(Double, Double)], Array[Array[Byte]])] =
-                blobsC.map { blobs =>
-                  val order = fileRanges.indices
-                    .sortBy(i => fileRanges(i)._1).toArray
-                  val perG = math.max(1,
-                    math.ceil(order.length.toDouble / maxMerge).toInt)
-                  val gs = order.grouped(perG).toArray
-                  (gs.map(g => (g.map(fileRanges(_)._1).min,
-                    g.map(fileRanges(_)._2).max)),
-                    gs.map(g => graft.functions.KmvSketch
-                      .mergeBlobs(g.toSeq.map(blobs(_)))))
+              val clusters: Option[Array[(Double, Double, Long)]] =
+                perFileKmv.flatMap { s =>
+                  val vs = s.map(_.get(c))
+                  if (vs.isEmpty || vs.exists(_.isEmpty)) None
+                  else {
+                    val blobs = vs.flatten.toArray
+                    val order = fileRanges.indices
+                      .sortBy(i => fileRanges(i)._1)
+                    val acc = scala.collection.mutable.ArrayBuffer
+                      .empty[(Double, Double,
+                        scala.collection.mutable.ArrayBuffer[Int])]
+                    order.foreach { i =>
+                      val (lo, hi, _) = fileRanges(i)
+                      val join = acc.lastOption.exists {
+                        case (cLo, cHi, _) =>
+                          val minW = math.min(hi - lo, cHi - cLo)
+                          if (minW <= 0) lo <= cHi // point: containment
+                          else (math.min(hi, cHi) - lo) / minW >= 0.5
+                      }
+                      if (join) {
+                        val (cLo, cHi, ms) = acc.last
+                        ms += i
+                        acc(acc.length - 1) =
+                          (cLo, math.max(cHi, hi), ms)
+                      } else acc += ((lo, hi,
+                        scala.collection.mutable.ArrayBuffer(i)))
+                    }
+                    Some(acc.iterator.map { case (cLo, cHi, ms) =>
+                      (cLo, cHi, graft.functions.KmvSketch
+                        .estimateNdvBlobs(ms.toSeq.map(blobs(_)))._1)
+                    }.toArray)
+                  }
                 }
-              def spanScaled(union: Long, uLo: Double, uHi: Double,
-                             bl: Double, bh: Double): Long = {
-                val frac =
-                  if (uHi > uLo) math.min(1.0, math.max(0.0,
-                    (math.min(uHi, bh) - math.max(uLo, bl)) / (uHi - uLo)))
-                  else 1.0 // point union: the bin owns it whole
-                math.round(union * frac)
-              }
               val arr: Array[colstats.HistogramBin] =
                 cutBins.zipWithIndex.map { case ((bl, bh), bi) =>
                   val lastBin = bi == cutBins.size - 1
-                  val est: Option[Long] = blobsC.flatMap { blobs =>
-                    val idx = fileRanges.indices.filter { i =>
-                      val (flo, fhi, _) = fileRanges(i)
-                      overlapsBin(flo, fhi, bl, bh, lastBin)
-                    }
-                    if (idx.isEmpty) Some(1L)
-                    else if (idx.size > maxMerge)
-                      // wide bin: union the coarse pre-merged groups
-                      coarse.map { case (spans, merged) =>
-                        val gidx = spans.indices.filter { gi =>
-                          val (glo, ghi) = spans(gi)
-                          overlapsBin(glo, ghi, bl, bh, lastBin)
-                        }
-                        if (gidx.isEmpty) 1L
-                        else spanScaled(
-                          graft.functions.KmvSketch
-                            .estimateNdvBlobs(gidx.map(merged(_)))._1,
-                          gidx.map(spans(_)._1).min,
-                          gidx.map(spans(_)._2).max, bl, bh)
+                  val est: Option[Long] = clusters.map { cs =>
+                    var sum = 0.0
+                    cs.foreach { case (lo, hi, ndv) =>
+                      if (overlapsBin(lo, hi, bl, bh, lastBin)) {
+                        val frac =
+                          if (hi > lo) math.min(1.0, math.max(0.0,
+                            (math.min(hi, bh) - math.max(lo, bl)) /
+                              (hi - lo)))
+                          else 1.0 // point cluster: the bin owns it whole
+                        sum += ndv * frac
                       }
-                    else {
-                      val union = graft.functions.KmvSketch
-                        .estimateNdvBlobs(idx.map(blobs(_)))._1
-                      Some(spanScaled(union,
-                        idx.map(fileRanges(_)._1).min,
-                        idx.map(fileRanges(_)._2).max, bl, bh))
                     }
+                    math.max(1L, math.round(sum)) // empty-overlap floor
                   }
                   val binNdv = math.max(1L, math.min(math.ceil(h).toLong,
                     est.orElse(dc.map(_ / cutBins.size))

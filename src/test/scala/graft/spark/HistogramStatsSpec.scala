@@ -189,14 +189,15 @@ class HistogramStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
-  test("1000-file wide-overlap layout: coarse pre-merged groups keep " +
-    "per-bin NDV tracking a 10x skew (no even-apportion fallback)") {
+  test("1000-file wide-overlap layout: overlap clusters keep per-bin " +
+    "NDV tracking a 10x skew (no even-apportion fallback)") {
     // the merge-grown, un-clustered shape: 500 files whose v-range each
     // spans the WHOLE hot domain (every hot bin overlaps all 500 — past
-    // the 256 per-bin merge cap, where r15 fell back to even
+    // the r15 256-per-bin merge cap, where it fell back to even
     // apportioning and erased the skew), plus 500 key-local tail files.
-    // The coarse path pre-merges range-sorted groups once and unions
-    // O(groups) per bin; estimates must still separate the regimes.
+    // The overlap-cluster estimator unions the 500 hull-sharing dense
+    // files ONCE and sums the disjoint tail clusters per bin; estimates
+    // must still separate the regimes.
     val root = Files.createTempDirectory("histcoarse").toString
     val st = new ManifestStore(root, spark, "id")
     // dense: 8000 rows, 80 distinct v, SCATTERED so every 16-row file
@@ -224,8 +225,9 @@ class HistogramStatsSpec extends SparkSpec {
       val tail = hist.bins.filter(_.lo >= 100000.0)
       assert(hot.length >= 8 && tail.length >= 8,
         s"fixture: both regimes need bins, got ${hot.length}/${tail.length}")
-      // fixture really exercises the coarse path: a hot bin overlaps
-      // every wide dense file, past the 256-sketch per-bin cap
+      // fixture really exercises the wide-overlap regime: a hot bin
+      // overlaps every wide dense file — past the r15 256-sketch
+      // per-bin cap that used to force even apportioning
       val wideDense = m.files.count { f =>
         f.cols.get("v").exists { case (lo, hi) =>
           lo != null && hi != null && lo.toLong < 10L && hi.toLong > 70L }
@@ -236,7 +238,7 @@ class HistogramStatsSpec extends SparkSpec {
         val span = math.max(1.0, b.hi - b.lo + 1)
         assert(b.ndv <= math.ceil(2 * span).toLong,
           s"hot bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$span " +
-            s"through the coarse groups, not even-apportioned " +
+            s"through the hull cluster, not even-apportioned " +
             s"${16080 / 64}")
       }
       tail.foreach { b =>
