@@ -251,6 +251,60 @@ class HistogramStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("straddler file: overlap clusters keep tail bins honest where " +
+    "union-hull scaling collapsed them") {
+    // the shape the sf0.1 full-session oracle stress caught (r16): a
+    // key-clustered commit whose file count doesn't align with the
+    // hot/tail key boundary leaves ONE file whose v-hull spans BOTH
+    // regimes ([0, ~10^6]). r15's single union-hull span scaling let
+    // that straddler drag every tail bin it unioned with toward zero
+    // (bin/10^6 hull fraction); clustering quarantines it — it unions
+    // with the hot files it genuinely overlaps and contributes to a
+    // tail bin only its own (negligible) hull share.
+    val root = Files.createTempDirectory("histstrad").toString
+    val st = new ManifestStore(root, spark, "id")
+    val dense = (0L until 8000L).map(i => (i, i % 80L))
+    val sparse = (0L until 8000L).map(i => (8000L + i, 1000000L + 8000L + i))
+    // 7 files over a boundary at key 8000 -> one file must straddle
+    st.commit((dense ++ sparse).toDF("id", "v"), batchId = 0, nFiles = 7,
+      statsCols = Seq("v"))
+    val m = st.currentManifest.get
+    val straddlers = m.files.count(_.cols.get("v").exists { case (lo, hi) =>
+      lo != null && hi != null && lo.toLong < 80L && hi.toLong > 1000000L
+    })
+    assert(straddlers >= 1,
+      s"fixture: a file must straddle both regimes, got " +
+        m.files.flatMap(_.cols.get("v")))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      val hist = stats.collectFirst {
+        case (a, cs) if a.name == "v" && cs.histogram.isDefined =>
+          cs.histogram.get
+      }.getOrElse(fail("v must carry a histogram"))
+      val h = hist.height
+      val hot = hist.bins.filter(_.hi <= 80.0)
+      val tail = hist.bins.filter(_.lo >= 1000000.0)
+      assert(hot.length >= 4 && tail.length >= 4,
+        s"fixture: both regimes need bins, got ${hot.length}/${tail.length}")
+      tail.foreach { b =>
+        assert(b.ndv >= (h / 2).toLong && b.ndv <= (h * 2).toLong,
+          s"tail bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$h — " +
+            s"the straddler must not collapse it")
+      }
+      hot.foreach { b =>
+        val span = math.max(1.0, b.hi - b.lo + 1)
+        assert(b.ndv <= math.ceil(2 * span).toLong,
+          s"hot bin [${b.lo},${b.hi}] ndv=${b.ndv} must track ~$span")
+      }
+      assert(tail.map(_.ndv).min >= 10 * hot.map(_.ndv).max,
+        s"regimes must separate through the straddler: " +
+          s"hot max ${hot.map(_.ndv).max}, tail min ${tail.map(_.ndv).min}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("histogram skips columns without full stats coverage; ndv bounded") {
     val root = Files.createTempDirectory("histcov").toString
     val st = new ManifestStore(root, spark, "id")
