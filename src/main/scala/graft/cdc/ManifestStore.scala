@@ -378,6 +378,29 @@ object ManifestStore {
                              name: String): Option[Array[Byte]] =
     loadBloomBilled(rootKey, dir, name)._1
 
+  /** [[loadBloomBilled]] that REFUSES a cache-miss load bigger than the
+    * caller's remaining budget instead of overshooting it (r16: the
+    * oversized-IN fold previously overspent by up to one sidecar): the
+    * size check is one file stat, cache hits still load free, and a
+    * refused load returns (None, 0) — the caller keeps the file on its
+    * range envelope, conservative as ever. A stat failure refuses too
+    * (the load would have failed the same way).
+    */
+  private[cdc] def loadBloomBilledCapped(rootKey: String,
+                                         dir: java.nio.file.Path,
+                                         name: String, maxBytes: Long)
+      : (Option[Array[Byte]], Long) = {
+    val cached = bloomCache.synchronized(
+      Option(bloomCache.get((rootKey, name))))
+    if (cached.isDefined) (cached, 0L)
+    else {
+      val fits =
+        try java.nio.file.Files.size(dir.resolve(name)) <= maxBytes
+        catch { case _: Exception => false }
+      if (!fits) (None, 0L) else loadBloomBilled(rootKey, dir, name)
+    }
+  }
+
   /** [[loadBloom]] plus the bytes actually READ — 0 on a cache hit — so
     * work-budgeted callers (the oversized-IN fold) can bill cold sidecar
     * I/O against the same budget as their probes.
@@ -1940,8 +1963,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
         // work; cache hits charge 0), so a cold pathological fold
         // degrades to range-envelope keeps after ~InProbeBudget bytes of
         // sidecar reads instead of paying O(survivors) loads before the
-        // probe cap can trip. Conservative keeps only — never a false
-        // negative.
+        // probe cap can trip. A cache-miss load BIGGER than the
+        // remaining budget is refused up front (one file stat, r16) —
+        // the budget can no longer overshoot by a final oversized load.
+        // Conservative keeps only — never a false negative.
         var budget = InProbeBudget
         oversized.foldLeft(bloomed) { case (files, (c, vs)) =>
           def blobOf(f: FileEntry): Option[String] =
@@ -1958,8 +1983,9 @@ final class ManifestStore(val root: String, spark: SparkSession,
               else blobOf(f) match {
                 case None => true // blob-less file never Bloom-skips
                 case Some(name) =>
-                  val (blob, readBytes) = ManifestStore.loadBloomBilled(
-                    rootKey, java.nio.file.Paths.get(root, "files"), name)
+                  val (blob, readBytes) = ManifestStore.loadBloomBilledCapped(
+                    rootKey, java.nio.file.Paths.get(root, "files"), name,
+                    maxBytes = budget)
                   budget -= readBytes
                   blob match {
                     case Some(blob) =>

@@ -458,6 +458,34 @@ class BloomFileSkipSpec extends SparkSpec {
     } finally { sys.props.remove("graft.inprobe.budget"); () }
   }
 
+  test("capped sidecar loads: a cache-miss bigger than the remaining " +
+    "budget is refused up front, never an overshoot") {
+    val (root, st) = mkBucketed(bloom = true)
+    val dir = java.nio.file.Paths.get(root, "files")
+    val name = st.currentManifest.get.files.head.bloom.get
+    val size = Files.size(dir.resolve(name))
+    val rootKey = java.nio.file.Paths.get(root)
+      .toAbsolutePath.normalize.toString
+    ManifestStore.clearBloomCache()
+    // budget below the blob: refused, zero bytes billed (r15 overshot
+    // here by the whole blob)
+    val (refused, paid0) =
+      ManifestStore.loadBloomBilledCapped(rootKey, dir, name, size - 1)
+    assert(refused.isEmpty && paid0 == 0L)
+    // budget at the blob: loads and bills exactly its size
+    val (loaded, paid) =
+      ManifestStore.loadBloomBilledCapped(rootKey, dir, name, size)
+    assert(loaded.isDefined && paid == size)
+    // cache hit: free regardless of the cap
+    val (hit, paidHit) =
+      ManifestStore.loadBloomBilledCapped(rootKey, dir, name, 0L)
+    assert(hit.isDefined && paidHit == 0L)
+    // missing sidecar: refused like a failed load
+    val (gone, paidGone) = ManifestStore.loadBloomBilledCapped(
+      rootKey, dir, "no_such_sidecar", Long.MaxValue)
+    assert(gone.isEmpty && paidGone == 0L)
+  }
+
   test("clustered (non-bucketed) table: blooms present, answers exact") {
     val root = Files.createTempDirectory("bloomc").toString
     ManifestStore.writeTableProps(root, Map("bloomfilter" -> "true"))
