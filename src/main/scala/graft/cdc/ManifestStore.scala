@@ -853,19 +853,34 @@ object ManifestStore {
           s => s.toLong,
           {
             // the same micros Spark's fromJavaTimestamp / instantToMicros
-            // produce — getNanos carries the sub-milli tail for Timestamp
+            // produce — getNanos carries the sub-milli tail for Timestamp.
+            // A raw Long is REFUSED: the Column path evaluates it as
+            // `lit(long).cast(timestamp)` = epoch SECONDS, and treating it
+            // as internal micros here made the two paths disagree by 10^6
+            // — fall back wholesale so they can never mis-prune apart.
             case t: java.sql.Timestamp =>
               Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
             case i: java.time.Instant =>
               Some(Math.addExact(
                 Math.multiplyExact(i.getEpochSecond, 1000000L),
                 (i.getNano / 1000).toLong))
-            case v: java.lang.Long => Some(v.longValue) // internal micros
-            case _                 => None
+            case _ => None
           },
           ordOf(Ordering.Long),
           v => Some(v.toString)))
       case FloatType =>
+        // NOT Ordering.Float.TotalOrdering: that orders -0.0 < 0.0, but
+        // Spark's comparisons (SQLOrderingUtil.compareFloats — what both
+        // the Column fallback and the actual row filter run) treat
+        // -0.0 == 0.0. TotalOrdering here silently over-pruned a file
+        // whose max stat was -0.0 against `>= 0.0f`. NaN-greatest is
+        // preserved (x == NaN is false, Float.compare puts NaN on top).
+        val sparkFloatOrd: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val x = a.asInstanceOf[Float]; val y = b.asInstanceOf[Float]
+            if (x == y) 0 else java.lang.Float.compare(x, y)
+          }
+        }
         Some(PruneDomain(
           s => s.toFloat,
           {
@@ -877,9 +892,21 @@ object ManifestStore {
             case v: java.lang.Long    => Some(v.floatValue)
             case _                    => None
           },
-          ordOf(Ordering.Float.TotalOrdering),
-          v => Some(v.toString)))
+          sparkFloatOrd,
+          v => {
+            // -0.0 renders as "0.0": statSerialize normalizes the sign at
+            // stat-write/Bloom-build time (Spark equality can't tell the
+            // zeros apart), so the probe rendering must match the build
+            val f = v.asInstanceOf[Float]
+            Some((if (f == 0.0f) 0.0f else f).toString)
+          }))
       case DoubleType =>
+        val sparkDoubleOrd: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+            if (x == y) 0 else java.lang.Double.compare(x, y)
+          }
+        }
         Some(PruneDomain(
           s => s.toDouble,
           {
@@ -891,8 +918,11 @@ object ManifestStore {
             case v: java.lang.Long    => Some(v.doubleValue)
             case _                    => None
           },
-          ordOf(Ordering.Double.TotalOrdering),
-          v => Some(v.toString)))
+          sparkDoubleOrd,
+          v => {
+            val d = v.asInstanceOf[Double]
+            Some((if (d == 0.0d) 0.0d else d).toString)
+          }))
       case StringType =>
         val utf8Ord: Ordering[Any] = new Ordering[Any] {
           def compare(a: Any, b: Any): Int =
@@ -954,6 +984,105 @@ object ManifestStore {
           v => Some(v.asInstanceOf[BigDecimal].underlying.toString)))
       case _ => None
     }
+  }
+
+  /** Decimal probe values canonicalized onto the column's (precision,
+    * scale) GRID before any pruning or exactness pass — every stored
+    * value of a `decimal(p,s)` column is an exact multiple of 10^-s, so
+    * a probe of a different scale rewrites to an equivalent predicate
+    * over on-grid values (`x > 1.225` on decimal(10,2) IS `x > 1.22`;
+    * `x >= 1.225` IS `x >= 1.23`), and a probe beyond the type's range
+    * collapses to a constant. This replaces what `lit(v).cast(dt)` used
+    * to do to such probes in the Column path — HALF_UP rounding, which
+    * OVER-PRUNED strict inequalities (`> 1.225` rounded to `> 1.23`
+    * drops a file whose max is 1.23 even though its 1.23 rows match) and
+    * nulled out-of-range probes (dropping every file under 3VL). Both
+    * prune paths consume the canonical form, so they agree AND are
+    * exact. Ops emitted beyond the input set: `alwaysfalse` (no row can
+    * satisfy — `= off-grid`, `> beyond-max`) and `notnull` (every
+    * NON-null row satisfies — `!= off-grid`, `< beyond-max`; null rows
+    * fail any comparison, which is exactly `IS NOT NULL` row semantics,
+    * and the existing notnull machinery already prunes/exacts it).
+    * Probes that aren't integral/BigDecimal (doubles, strings) pass
+    * through untouched to the legacy fallback behavior.
+    */
+  private[cdc] def canonDecimalPreds(schema: StructType,
+      preds: Seq[(String, String, Any)]): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.types._
+    import java.math.RoundingMode
+    def toBig(v: Any): Option[java.math.BigDecimal] = v match {
+      case x: java.math.BigDecimal => Some(x)
+      case x: scala.math.BigDecimal => Some(x.underlying)
+      case x: Decimal           => Some(x.toJavaBigDecimal)
+      case x: java.lang.Byte    => Some(java.math.BigDecimal.valueOf(x.longValue))
+      case x: java.lang.Short   => Some(java.math.BigDecimal.valueOf(x.longValue))
+      case x: java.lang.Integer => Some(java.math.BigDecimal.valueOf(x.longValue))
+      case x: java.lang.Long    => Some(java.math.BigDecimal.valueOf(x.longValue))
+      case _ => None
+    }
+    def fits(x: java.math.BigDecimal, d: DecimalType): Boolean =
+      x.precision <= d.precision
+    def exactFit(v: Any, d: DecimalType): Option[java.math.BigDecimal] =
+      toBig(v).flatMap(x => scala.util.Try(x.setScale(d.scale)).toOption)
+        .filter(fits(_, d))
+    def leaf(c: String, op: String, v: Any, d: DecimalType)
+        : (String, String, Any) = op match {
+      case "=" => exactFit(v, d) match {
+        case Some(x) => (c, "=", x)
+        case None if toBig(v).isDefined => (c, "alwaysfalse", null)
+        case None => (c, op, v)
+      }
+      case "!=" => exactFit(v, d) match {
+        case Some(x) => (c, "!=", x)
+        case None if toBig(v).isDefined => (c, "notnull", null)
+        case None => (c, op, v)
+      }
+      case ">" | ">=" | "<" | "<=" => toBig(v) match {
+        case Some(b) =>
+          // FLOOR keeps `>`/`<=` grid-equivalent (no grid point lies
+          // strictly between floor and ceiling of an off-grid value);
+          // CEILING keeps `>=`/`<`
+          val x = b.setScale(d.scale,
+            if (op == ">" || op == "<=") RoundingMode.FLOOR
+            else RoundingMode.CEILING)
+          if (fits(x, d)) (c, op, x)
+          else if (x.signum > 0) // beyond the type's +max
+            if (op == ">" || op == ">=") (c, "alwaysfalse", null)
+            else (c, "notnull", null)
+          else                   // beyond the type's -min
+            if (op == "<" || op == "<=") (c, "alwaysfalse", null)
+            else (c, "notnull", null)
+        case None => (c, op, v)
+      }
+      case "in" => v match {
+        case vs: Seq[_] if vs.nonEmpty && vs.forall(x => toBig(x).isDefined) =>
+          val kept = vs.flatMap(x => exactFit(x, d))
+          if (kept.isEmpty) (c, "alwaysfalse", null) else (c, "in", kept)
+        case _ => (c, op, v)
+      }
+      case _ => (c, op, v)
+    }
+    def go(p: (String, String, Any)): (String, String, Any) = p match {
+      case (n, "or", bs) =>
+        (n, "or",
+          bs.asInstanceOf[Seq[Seq[(String, String, Any)]]].map(_.map(go)))
+      case (c, op, v) => leafType(schema, c) match {
+        case Some(d: DecimalType) => leaf(c, op, v, d)
+        case _ => p
+      }
+    }
+    // cheap pre-scan: the common plan has no decimal leaves at all —
+    // skip the rewrite walk entirely. (A decimal-column IN list walks
+    // once per value — setScale arithmetic, ~ns each, bounded driver
+    // cost even at runtime-filter sizes.)
+    def hasDecimal(p: (String, String, Any)): Boolean = p match {
+      case (_, "or", bs) =>
+        bs.asInstanceOf[Seq[Seq[(String, String, Any)]]]
+          .exists(_.exists(hasDecimal))
+      case (c, _, _) =>
+        leafType(schema, c).exists(_.isInstanceOf[DecimalType])
+    }
+    if (preds.exists(hasDecimal)) preds.map(go) else preds
   }
 
   /** A serialized stat string back to the EXTERNAL JVM value Spark's
@@ -1306,14 +1435,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * renders in `spark.sql.session.timeZone`, so a manifest written under
     * one session zone and pruned under another would mis-interpret min/max
     * — pruning could then miss a hit file and silently duplicate keys.
-    * Every other atomic type's string cast is zone-free and its own
-    * inverse.
+    * Float/double normalize -0.0 to 0.0 FIRST (`x + 0.0` is the identity
+    * on every other value, NaN included): Spark's comparisons treat the
+    * two zeros as equal, so a min/max stat or a Bloom build hashing
+    * "-0.0" while an equality probe renders "0.0" would mis-prune a file
+    * whose rows match. Every other atomic type's string cast is zone-free
+    * and its own inverse.
     */
   private def statSerialize(c: Column,
                             dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
       case org.apache.spark.sql.types.TimestampType =>
         unix_micros(c).cast("string")
+      case org.apache.spark.sql.types.FloatType =>
+        (c + lit(0.0f)).cast("string")
+      case org.apache.spark.sql.types.DoubleType =>
+        (c + lit(0.0d)).cast("string")
       case _ => c.cast("string")
     }
 
@@ -1501,10 +1638,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * conjunctions.
     */
   private[graft] def prunedFiles(m: Manifest,
-                                 preds: Seq[(String, String, Any)])
+                                 preds0: Seq[(String, String, Any)])
       : Seq[FileEntry] = {
     import org.apache.spark.sql.types.{StringType, StructField}
     val schema = StructType.fromDDL(m.schemaDDL)
+    // decimal probes land on the column's scale grid FIRST (see
+    // [[ManifestStore.canonDecimalPreds]]) — both paths below consume the
+    // canonical form, so off-grid probes prune exactly instead of
+    // rounding (Column path) or falling back wholesale (driver path)
+    val preds = ManifestStore.canonDecimalPreds(schema, preds0)
     def litable(v: Any) = scala.util.Try(lit(v)).isSuccess
     // NULL-predicate pruning from the recorded per-file null counts —
     // pure driver-side metadata, no job: `c IS NULL` drops files whose
@@ -1538,6 +1680,7 @@ final class ManifestStore(val root: String, spark: SparkSession,
     def leafCanPrune(c: String, op: String, v: Any): Boolean =
       (c == keyField || m.statsCols.contains(c)) &&
         leafDt(c).isDefined && (op match {
+          case "alwaysfalse" => true // canonDecimalPreds: no row can match
           case ">" | ">=" | "<" | "<=" | "=" | "!=" => litable(v)
           case "startswith" =>
             leafDt(c).contains(StringType) && v.isInstanceOf[String]
@@ -1628,6 +1771,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
         }
         def compileLeaf(c: String, op: String, v: Any)
             : Option[FileEntry => Option[Boolean]] = {
+          if (op == "alwaysfalse") // constant-false leaf, stats irrelevant
+            return Some((_: FileEntry) => Some(false))
           val dt = leafDt(c).get
           val dom = ManifestStore.pruneDomain(dt).getOrElse(return None)
           val phys = m.phys(c)
@@ -1836,6 +1981,8 @@ final class ManifestStore(val root: String, spark: SparkSession,
             .getOrElse(lit(true))
         }
         def leafCond(c: String, op: String, v: Any): Column = {
+          if (op == "alwaysfalse") return lit(false) // not isNull-guarded:
+          // the predicate is false for EVERY row, stats or no stats
           val dt = leafDt(c).get
           val mn = statDeserialize(col(s"`_min_$c`"), dt)
           val mx = statDeserialize(col(s"`_max_$c`"), dt)
@@ -2163,11 +2310,18 @@ final class ManifestStore(val root: String, spark: SparkSession,
     * metadata job, same typed-compare discipline as [[prunedFiles]].
     */
   private[graft] def exactlyDecidedFiles(m: Manifest,
-                                         preds: Seq[(String, String, Any)])
+                                         preds1: Seq[(String, String, Any)])
       : Option[Seq[FileEntry]] = {
     import org.apache.spark.sql.types.{StringType => SStr, StructField}
-    if (preds.isEmpty) return Some(m.files)
+    if (preds1.isEmpty) return Some(m.files)
     val schema = StructType.fromDDL(m.schemaDDL)
+    // the same grid canonicalization as [[prunedFiles]] (idempotent — the
+    // nested prunedFiles call re-applies it): an off-grid decimal probe
+    // becomes exactly decidable (`>= 1.225` IS `>= 1.23` on the grid)
+    // instead of refusing driver-side; a canonical `alwaysfalse` fails
+    // the op allowlist below and the caller runs the real scan (rare,
+    // correct — the scan returns zero rows)
+    val preds = ManifestStore.canonDecimalPreds(schema, preds1)
     def litable(v: Any) = scala.util.Try(lit(v)).isSuccess
     // every predicate must be on a statted column with a recognized op
     val predsOk = preds.forall { case (c, op, v) =>
@@ -5006,11 +5160,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
   private def foldDebt(m: Manifest, schema: StructType, zc: Seq[String],
                        all: Seq[FileEntry], newEntries: Seq[FileEntry])
       : Double = {
+    // DV-HONEST TABLE SPAN (r17): the drift denominator skips files with
+    // ZERO live rows — a fully-masked file at the table's extreme (kept
+    // in the manifest by the merge-on-read commit paths until
+    // maintenance collects it) used to inflate the span with dead
+    // extent, shrinking every new file's relative width and DEFERRING a
+    // refresh the live layout needed. The rule is exact, not heuristic:
+    // a box with no live rows vouches for nothing; a box with ANY
+    // survivors is honored in full (the stats can't say where its
+    // survivors sit, and under-spanning would manufacture spurious
+    // debt — the uniform-delete fixture r16 fixed must stay fixed).
     val dims = zc.flatMap { c =>
       ManifestStore.leafType(schema, c).map { dt =>
-        val ranks = all.flatMap(_.cols.get(m.phys(c)).toSeq.flatMap {
-          case (lo, hi) => Seq(statRank(lo, dt), statRank(hi, dt)).flatten
-        })
+        val ranks = all.withFilter(_.liveRows > 0L)
+          .flatMap(_.cols.get(m.phys(c)).toSeq.flatMap {
+            case (lo, hi) => Seq(statRank(lo, dt), statRank(hi, dt)).flatten
+          })
         (c, dt, if (ranks.isEmpty) None else Some((ranks.min, ranks.max)))
       }
     }

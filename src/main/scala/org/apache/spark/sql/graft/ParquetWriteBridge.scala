@@ -113,9 +113,26 @@ object ParquetWriteBridge {
         val cast = Cast(BoundReference(0, dt, nullable = true),
           org.apache.spark.sql.types.StringType, Some("UTC"))
         val row = new GenericInternalRow(1)
+        // -0.0 normalizes to 0.0 BEFORE rendering, matching
+        // statSerialize's `x + 0.0`: Spark comparisons treat the zeros
+        // as equal, so a task-folded Bloom hashing "-0.0" against a
+        // probe rendering "0.0" would silently mis-prune the file
+        val norm: Any => Any = dt match {
+          case org.apache.spark.sql.types.FloatType => {
+            case f: java.lang.Float if f.floatValue == 0.0f =>
+              java.lang.Float.valueOf(0.0f)
+            case other => other
+          }
+          case org.apache.spark.sql.types.DoubleType => {
+            case d: java.lang.Double if d.doubleValue == 0.0d =>
+              java.lang.Double.valueOf(0.0d)
+            case other => other
+          }
+          case _ => identity[Any]
+        }
         v => if (v == null) null
           else {
-            row.update(0, v)
+            row.update(0, norm(v))
             cast.eval(row).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
           }
     }

@@ -36,7 +36,7 @@ class DriverPruneSpec extends SparkSpec {
   private def mkTyped(truncate: Option[Int]): (String, ManifestStore) = {
     val root = Files.createTempDirectory("drvprune").toString
     ManifestStore.writeTableProps(root,
-      Map("bloomfilter" -> "8192", "bloomfiltercols" -> "s,meta.tag") ++
+      Map("bloomfilter" -> "8192", "bloomfiltercols" -> "s,meta.tag,z") ++
         truncate.map(n => "stats.truncate" -> n.toString))
     val st = new ManifestStore(root, spark, "id")
     val base = (0L until N).map { i =>
@@ -44,6 +44,10 @@ class DriverPruneSpec extends SparkSpec {
         if (i % 17 == 0) null else f"str-$i%03d",
         if (i % 97 == 0) Double.NaN else i / 7.0,
         (i % 50).toFloat / 4.0f,
+        // NEGATIVE ZERO island: files 0-3 carry min == max == -0.0f —
+        // Spark's own comparisons say -0.0 == 0.0, so `z >= 0.0f` must
+        // KEEP these files (the pre-fix TotalOrdering dropped them)
+        if (i < N / 2) -0.0f else 1.0f,
         (i % 1000).toInt,
         (i % 365).toInt,
         i * 3600L,
@@ -51,9 +55,9 @@ class DriverPruneSpec extends SparkSpec {
         i % 2 == 0,
         s"tag-${(i * 2654435761L) % 1000}",
         i % 5)
-    }.toDF("id", "s", "d", "fl", "i32", "dayoff", "secoff", "cents", "b",
-      "tag", "n")
-    val df = base.select(col("id"), col("s"), col("d"), col("fl"),
+    }.toDF("id", "s", "d", "fl", "z", "i32", "dayoff", "secoff", "cents",
+      "b", "tag", "n")
+    val df = base.select(col("id"), col("s"), col("d"), col("fl"), col("z"),
       col("i32"),
       date_add(lit(java.sql.Date.valueOf("2024-01-01")),
         col("dayoff")).as("dt"),
@@ -63,7 +67,7 @@ class DriverPruneSpec extends SparkSpec {
       col("b"),
       struct(col("tag"), col("n").as("n")).as("meta"))
     st.commit(df, batchId = 0, nFiles = 8,
-      statsCols = Seq("s", "d", "fl", "i32", "dt", "ts", "dec", "b",
+      statsCols = Seq("s", "d", "fl", "z", "i32", "dt", "ts", "dec", "b",
         "meta.tag", "meta.n"))
     (root, st)
   }
@@ -102,6 +106,37 @@ class DriverPruneSpec extends SparkSpec {
         p(("ts", "<=", java.time.Instant.parse("2024-01-05T12:00:00Z"))),
       "decimal eq" -> p(("dec", "=", new java.math.BigDecimal("1.23"))),
       "decimal lt" -> p(("dec", "<", new java.math.BigDecimal("4.00"))),
+      // off-grid decimal probes: canonicalized onto the (10,2) grid so
+      // both paths prune EXACTLY (`> 1.225` ≡ `> 1.22` over scale-2
+      // values; the old Column-path HALF_UP cast would test `> 1.23`
+      // and over-prune a file whose max is 1.23)
+      "decimal gt off-grid" ->
+        p(("dec", ">", new java.math.BigDecimal("1.225"))),
+      "decimal ge off-grid" ->
+        p(("dec", ">=", new java.math.BigDecimal("1.225"))),
+      "decimal lt off-grid" ->
+        p(("dec", "<", new java.math.BigDecimal("3.745"))),
+      "decimal le off-grid" ->
+        p(("dec", "<=", new java.math.BigDecimal("3.745"))),
+      "decimal eq off-grid (no row can match)" ->
+        p(("dec", "=", new java.math.BigDecimal("1.225"))),
+      "decimal in mixed grid" ->
+        p(("dec", "in", Seq(new java.math.BigDecimal("1.23"),
+          new java.math.BigDecimal("1.225"),
+          new java.math.BigDecimal("7.99")))),
+      "decimal beyond max lt (keeps non-null)" ->
+        p(("dec", "<", new java.math.BigDecimal("99999999999"))),
+      "decimal beyond max gt (no row can match)" ->
+        p(("dec", ">", new java.math.BigDecimal("99999999999"))),
+      "decimal integral probe" -> p(("dec", "=", 3L)),
+      // ±0.0: stats serialize -0.0 as "0.0", the driver ordering treats
+      // the zeros as equal (Spark semantics), and Bloom probes render
+      // the normalized form — all four ops agree across paths
+      "float zero ge (+0 probe on -0 stats)" -> p(("z", ">=", 0.0f)),
+      "float zero le (-0 probe)" -> p(("z", "<=", -0.0f)),
+      "float zero eq (bloomed)" -> p(("z", "=", 0.0f)),
+      "float zero eq neg (bloomed)" -> p(("z", "=", -0.0f)),
+      "float zero in" -> p(("z", "in", Seq(-0.0f, 5.0f))),
       "bool eq" -> p(("b", "=", true)),
       "struct leaf eq (bloomed)" ->
         p(("meta.tag", "=", s"tag-${(123L * 2654435761L) % 1000}")),
@@ -171,6 +206,21 @@ class DriverPruneSpec extends SparkSpec {
     assert(driverKept("key eq").size == 1)
     assert(driverKept("string eq absent").size <= 2) // bloom cut
     assert(driverKept("or two ranges").size < m.files.size)
+    // ±0.0: the -0.0-statted files 0-3 are KEPT against a +0.0 probe
+    // (all 8 survive `>= 0.0`), and only they survive `<= -0.0` / `= 0.0`
+    assert(driverKept("float zero ge (+0 probe on -0 stats)").size == 8)
+    assert(driverKept("float zero le (-0 probe)").size == 4)
+    assert(driverKept("float zero eq (bloomed)").size == 4)
+    assert(driverKept("float zero eq neg (bloomed)").size == 4)
+    // off-grid decimals prune EXACTLY: `> 1.225` keeps the file whose
+    // max is on-grid 1.23+ (7 of 8), an off-grid `=` keeps nothing, a
+    // beyond-range `<` keeps everything, an integral probe lands on-grid
+    assert(driverKept("decimal gt off-grid").size == 7)
+    assert(driverKept("decimal lt off-grid").size == 4)
+    assert(driverKept("decimal eq off-grid (no row can match)").isEmpty)
+    assert(driverKept("decimal beyond max lt (keeps non-null)").size == 8)
+    assert(driverKept("decimal beyond max gt (no row can match)").isEmpty)
+    assert(driverKept("decimal integral probe").size == 1)
   }
 
   test("truncated string stats: both paths agree and stay sound") {
@@ -198,6 +248,15 @@ class DriverPruneSpec extends SparkSpec {
     val odd: Seq[(String, String, Any)] = Seq(("id", "=", "123"))
     assert(keptNames(st, m, odd, driver = true) ==
       keptNames(st, m, odd, driver = false))
+    // a raw Long probe on a TIMESTAMP column: the Column path evaluates
+    // `lit(long).cast(timestamp)` as epoch SECONDS — the driver domain
+    // REFUSES the Long (treating it as internal micros would disagree by
+    // 10^6) and both modes compute the identical, Column-decided set
+    val tsLong: Seq[(String, String, Any)] =
+      Seq(("ts", ">", java.lang.Long.valueOf(1704067200L + 400L * 3600L)))
+    assert(keptNames(st, m, tsLong, driver = true) ==
+      keptNames(st, m, tsLong, driver = false))
+    assert(keptNames(st, m, tsLong, driver = true).size == 4)
   }
 
   test("stats-answered aggregates fold driver-side: same answers as " +

@@ -160,6 +160,95 @@ class ZorderFreshnessSpec extends SparkSpec {
         s"(box probe $tight0 -> $boxAfter of ${st.currentManifest.get.files.size})")
   }
 
+  test("dead-extreme files don't defer a genuine-drift refresh: the " +
+    "span denominator skips zero-live boxes") {
+    // r17: the drift debt normalizes each fold file's box width by the
+    // TABLE span. A fully-masked file parked at the table's extreme
+    // (merge-on-read keeps zero-live entries until maintenance) used to
+    // vouch for dead extent — here a [3840, 4096)^2 island 16x the live
+    // range — shrinking every measured width ~16x and deferring the
+    // refresh the live layout genuinely needed.
+    // The shape needs SCOPED maintenance to persist: an unscoped
+    // optimize classifies zero-live files dirty and folds them away, but
+    // at 100 TB maintenance runs scoped to the hot range (the only
+    // affordable kind) and out-of-scope dead extremes carry by reference
+    // into the span fold — forever, until this fix.
+    val root = Files.createTempDirectory("zfresh_dead").toString
+    val st = new ManifestStore(root, spark, "id")
+    // live mass confined to [0, 256)^2
+    val confined = (0L until BaseN).map { i =>
+      (i, (i * 2654435761L) % 256L, (i * 40503L) % 256L, s"n$i")
+    }.toDF("id", "x", "y", "name")
+    st.commit(confined, batchId = 0, nFiles = 16, statsCols = Seq("x", "y"))
+    assert(st.reclusterZorderCols(Seq("x", "y"), nFiles = 16, bits = 6)
+      .isDefined)
+    // an extreme island at the far corner, appended AFTER the recluster
+    // so it lands in its own files — then deleted WHOLESALE: the files
+    // stay in the manifest as zero-live masked entries
+    val islandNet = (0L until 512L).map { j =>
+      val id = 9000000L + j
+      (id.toString, "u", 1L, id, 3840L + (id * 7L) % 256L,
+        3840L + (id * 11L) % 256L, s"x$j")
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, Changelog.TsCol,
+      "after_id", "after_x", "after_y", "after_name")
+    st.mergeOnReadLocked(islandNet, fields, batchId = 1, tsGuard = false)
+    // KEYED MoR deletes (not deleteWhere, which drops wholly-covered
+    // files outright): every island key masks via DV, the file entry
+    // stays at liveRows == 0 — the dead-extreme shape under test
+    val islandDel = (0L until 512L).map { j =>
+      val id = 9000000L + j
+      (id.toString, "d", 2L, id, 0L, 0L, "")
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, Changelog.TsCol,
+      "after_id", "after_x", "after_y", "after_name")
+    st.mergeOnReadLocked(islandDel, fields, batchId = 2, tsGuard = false)
+    assert(st.currentManifest.get.files.exists(_.liveRows == 0L),
+      s"fixture: the island delete must leave zero-live entries, got " +
+        st.currentManifest.get.files
+          .map(f => s"${f.liveRows}/${f.rows}").mkString(","))
+    // genuine drift over the LIVE range: skewed epochs (hot corner
+    // [0,64)^2 + tail scattered over the live [0,256) range only) fold
+    // with dirty-subset boundaries under SCOPED optimize (x = 32 admits
+    // the live-range files, never the island), exactly the decay the
+    // debt measure exists to catch
+    def liveEpoch(e: Int, n: Long = 256L) = (0L until n).map { j =>
+      val id = 1000000L + e * 100000L + j
+      val (x, y) =
+        if (j % 5 == 4) ((id * 2654435761L) % 256L, (id * 40503L) % 256L)
+        else ((id * 7L) % 64L, (id * 11L) % 64L)
+      (id.toString, "u", e.toLong + 1L, id, x, y, s"e$e-$j")
+    }.toDF(Changelog.KeyCol, Changelog.OpCol, Changelog.TsCol,
+      "after_id", "after_x", "after_y", "after_name")
+    ManifestStore.writeTableProps(root,
+      ManifestStore.readTableProps(root) +
+        ("clustering.refreshratio" -> "off"))
+    var batch = 3L
+    (1 to 4).foreach { _ =>
+      (1 to 4).foreach { _ =>
+        st.mergeOnReadLocked(liveEpoch(batch.toInt), fields,
+          batchId = batch, tsGuard = false)
+        batch += 1
+      }
+      st.optimize(targetFiles = 16, scope = Seq(("x", 32L)))
+      ()
+    }
+    // the dead island is still parked in the manifest (out of scope of
+    // every fold) — the deferral shape really persisted
+    assert(st.currentManifest.get.files.exists(_.liveRows == 0L),
+      "fixture: scoped folds must carry the dead island untouched")
+    val props = ManifestStore.readTableProps(root)
+    val folded = props.get("clustering.foldfiles")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    val debt = props.get("clustering.folddebt")
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    assert(folded > 0L, "fixture: the skewed epochs must have folded")
+    // with the dead island still vouching for [0, 4096) the same drift
+    // measured ~1/16th of this; the live-span measure must accrue a
+    // ratio a 0.3-ish refreshratio would act on
+    assert(debt / folded >= 0.2,
+      s"genuine drift over the live range must accrue against the LIVE " +
+        s"span, not the dead island's: debt $debt over $folded fold files")
+  }
+
   test("pre-debt upgrade: foldfiles staleness seeds the first r15+ fold") {
     // a pre-r15 table accrued staleness only as a COUNT
     // (clustering.foldfiles); the first debt-aware fold must seed the
