@@ -772,8 +772,21 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     * admission can afford it per version; a divergence from planning
     * only costs budget (an admitted-but-pruned version wastes a slot, a
     * pruned-but-planned one overshoots by its rows), never rows.
+    *
+    * RENAME-AWARE (r17): the cut evaluates under `mEval` — the WALK-END
+    * manifest (current schema, mapping, statsCols), the same manifest
+    * [[GraftCdf.planVersions]] prunes under — NOT the capture-time
+    * manifest. The consumer's conjuncts name CURRENT logical columns;
+    * capture stats are keyed by PHYSICAL name (stable across RENAME), so
+    * resolving logical→physical through the current mapping finds a
+    * pre-rename capture's stats where the capture-time schema lookup
+    * missed (conservative keep = no free ride over most of a long-lived
+    * feed's history). A column re-ADDED after DROP gets a fresh physical
+    * name, so old stats can never be misread — the lookup just misses
+    * and keeps conservatively.
     */
   private def capturedRows(mV: ManifestStore.Manifest,
+                           mEval: ManifestStore.Manifest,
                            conjs: Seq[(String, String, Any)]): Long = {
     val rows = math.max(0L, mV.cdcRows)
     if (rows == 0L || conjs.isEmpty) return rows
@@ -781,11 +794,55 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       case (Some(name), Some(lo), Some(hi)) if name.nonEmpty =>
         val synth = ManifestStore.FileEntry(name, lo, hi, mV.cdcRows,
           cols = mV.cdcCols)
-        if (store.prunedFiles(mV.copy(files = Seq(synth)), conjs).isEmpty)
+        GraftCdfMicroBatchStream.admissionPrunes.incrementAndGet()
+        if (store.prunedFiles(mEval.copy(files = Seq(synth)), conjs).isEmpty)
           0L
         else rows
       case _ => rows
     }
+  }
+
+  /** MEMOIZED per-version admission verdicts (r17): `latestOffset`
+    * re-walks the backlog from the same start every trigger, and each
+    * version's contributed-rows verdict costs a driver-side zone-map cut
+    * (~ms) or an added-file diff — a 10k-version filtered backlog paid
+    * ~30 s of planning PER TRIGGER until drained. Version manifests are
+    * immutable and the stream's filter shape is fixed at construction,
+    * so the verdict never changes — compute it once per stream instance.
+    * The memo keys on the walk-end manifest's (schema, mapping,
+    * statsCols) fingerprint: a mid-stream RENAME/ADD flips the
+    * fingerprint and drops the cache wholesale (rare, costs one re-walk).
+    */
+  private val admRowsMemo = new java.util.HashMap[Long, java.lang.Long]
+  private var admMemoShape: (String, Map[String, String], Seq[String]) = null
+  private def versionRows(v: Long, mEval: ManifestStore.Manifest,
+                          vk: Long => Boolean, insOk: Boolean,
+                          admConjs: Seq[(String, String, Any)]): Long = {
+    val shape = (mEval.schemaDDL, mEval.colMap, mEval.statsCols)
+    if (shape != admMemoShape) { admRowsMemo.clear(); admMemoShape = shape }
+    val hit = admRowsMemo.get(v)
+    if (hit != null) return hit.longValue
+    val mV = GraftCdf.manifestOrExplain(store, root, v)
+    val rows: Long =
+      if (!vk(v)) 0L // version-filtered out: plans empty
+      else mV.cdcFile match {
+        case Some("") => 0L // guarded-empty capture
+        // r16: a capture the planner's zone-map cut would prune rides
+        // admission free too (key range + per-column capture stats)
+        case Some(_)  => capturedRows(mV, mEval, admConjs)
+        case None =>
+          val mPrev = GraftCdf.manifestOrExplain(store, root, v - 1)
+          if (mV.batchId == mPrev.batchId &&
+            mV.streamId == mPrev.streamId) 0L // maintenance
+          else if (!insOk) 0L // adds plan as inserts only: filtered out
+          else {
+            val prevNames = mPrev.files.map(_.name).toSet
+            mV.files.iterator.filterNot(f => prevNames(f.name))
+              .map(f => math.max(0L, f.liveRows)).sum
+          }
+      }
+    admRowsMemo.put(v, java.lang.Long.valueOf(rows))
+    rows
   }
 
   override def latestOffset(start: Offset,
@@ -808,13 +865,13 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     // snapshot batch (s < 0), caught up, or unpaced: everything available
     if (s < 0 || cur <= s || (maxRows.isEmpty && maxVersions.isEmpty))
       return GraftOffset(cur)
-    // PACED FEED WALK. The walk is sequential, so version v's manifest
-    // IS version v+1's parent: carry it (and its lazily-built name set)
-    // forward instead of re-deriving both per version — otherwise a
-    // row-paced backlog over a large table pays O(admitted x #files)
-    // driver work per trigger. The name set builds only when an
-    // uncaptured non-maintenance version needs it (captured feeds answer
-    // from cdcRows alone).
+    // PACED FEED WALK. Per-version verdicts come from [[versionRows]]'s
+    // memo — version manifests are immutable and the filter shape is
+    // fixed, so across a WHOLE drain each version's zone-map cut / diff
+    // computes exactly once, and every later trigger's re-walk over the
+    // same backlog is O(versions) map hits (a 10k-version filtered
+    // backlog paid ~30 s of re-derived cuts per trigger before r17).
+    // Manifest loads on memo misses ride the store's manifest LRU.
     // FREE RIDERS (r15): versions that knowably plan EMPTY under the
     // pushed filters — `_commit_version`-excluded, maintenance, or
     // append-only when inserts are filtered out — consume NEITHER
@@ -827,40 +884,23 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
       ManifestStore.CdfInsert)
     val admConjs = GraftScan.conjuncts(
       GraftCdf.dataFilters(effPushed.toSeq, dataSchema))
+    // the WALK-END manifest: capture cuts resolve the consumer's
+    // current-logical conjunct names through the current mapping — the
+    // same manifest the subsequent planVersions pass prunes under
+    val mEval = GraftCdf.manifestOrExplain(store, root, cur)
     var last = s
     var acc = 0L
     var admitted = 0L
     var v = s + 1
     var open = true
-    var mPrev = GraftCdf.manifestOrExplain(store, root, s)
-    var prevNames: Set[String] = null
     while (v <= cur && open) {
-      val mV = GraftCdf.manifestOrExplain(store, root, v)
-      val rows: Long =
-        if (!vk(v)) 0L // version-filtered out: plans empty
-        else mV.cdcFile match {
-          case Some("") => 0L // guarded-empty capture
-          // r16: a capture the planner's zone-map cut would prune rides
-          // admission free too (key range + per-column capture stats)
-          case Some(_)  => capturedRows(mV, admConjs)
-          case None =>
-            if (mV.batchId == mPrev.batchId &&
-              mV.streamId == mPrev.streamId) 0L // maintenance
-            else if (!insOk) 0L // adds plan as inserts only: filtered out
-            else {
-              if (prevNames == null)
-                prevNames = mPrev.files.map(_.name).toSet
-              mV.files.iterator.filterNot(f => prevNames(f.name))
-                .map(f => math.max(0L, f.liveRows)).sum
-            }
-        }
+      val rows = versionRows(v, mEval, vk, insOk, admConjs)
       if (rows == 0L ||    // knowably-empty version: rides free
         admitted == 0L ||  // always at least one contributing version
         (maxRows.forall(acc + rows <= _) &&
           maxVersions.forall(admitted + 1 <= _))) {
         if (rows > 0L) { acc += rows; admitted += 1 }
         last = v; v += 1
-        mPrev = mV; prevNames = null
       } else open = false
     }
     GraftOffset(last)
@@ -934,40 +974,23 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
         else st.prunedFiles(m, dataConjs)
       return emit(kept, e, raw = m.files.size)
     }
-    // feed batch: estimate its rows with the same metadata walk the
-    // admission budget uses (captured feeds answer from cdcRows, append
-    // versions from added live rows, maintenance is free, and — like the
-    // admission walk — version-filtered and insert-filtered versions
-    // count ZERO, so a filtered trickle batch demotes to row mode
-    // instead of paying the vectorized setup constant on a near-empty
-    // plan). prevNames builds lazily, only when an uncaptured
-    // non-maintenance version needs it. An ESTIMATE feeding only the
-    // columnar-vs-row mode choice, so over/under simply keeps the
-    // status-quo mode.
+    // feed batch: estimate its rows with the same memoized per-version
+    // verdicts the admission budget uses ([[versionRows]] — captured
+    // feeds answer from cdcRows, append versions from added live rows,
+    // maintenance is free, and version-filtered / insert-filtered
+    // versions count ZERO, so a filtered trickle batch demotes to row
+    // mode instead of paying the vectorized setup constant on a
+    // near-empty plan). The admission walk already computed every one of
+    // these verdicts for the SAME (s, e] range this trigger, so the loop
+    // is pure map hits. An ESTIMATE feeding only the columnar-vs-row
+    // mode choice, so over/under simply keeps the status-quo mode.
     plannedRows = {
+      val mEvalP = GraftCdf.manifestOrExplain(st, root, e)
       var acc = 0L
-      var mPrev = GraftCdf.manifestOrExplain(st, root, s)
-      var prevNames: Set[String] = null
       var v = s + 1
       while (v <= e) {
-        val mV = GraftCdf.manifestOrExplain(st, root, v)
-        acc += (
-          if (!vKeep(v)) 0L
-          else mV.cdcFile match {
-            case Some("") => 0L
-            case Some(_)  => capturedRows(mV, dataConjs)
-            case None =>
-              if (mV.batchId == mPrev.batchId &&
-                mV.streamId == mPrev.streamId) 0L
-              else if (!insertOk) 0L
-              else {
-                if (prevNames == null)
-                  prevNames = mPrev.files.map(_.name).toSet
-                mV.files.iterator.filterNot(f => prevNames(f.name))
-                  .map(f => math.max(0L, f.liveRows)).sum
-              }
-          })
-        mPrev = mV; prevNames = null; v += 1
+        acc += versionRows(v, mEvalP, vKeep, insertOk, dataConjs)
+        v += 1
       }
       acc
     }
@@ -1037,4 +1060,15 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
         GraftMicroBatchStream.columnarWorthIt(spark, plannedRows),
       pushed = effPushed)
   }
+}
+
+object GraftCdfMicroBatchStream {
+  /** Test probe: cumulative count of admission-side capture zone-map
+    * cuts ([[GraftCdfMicroBatchStream.capturedRows]] evaluations). The
+    * r17 memo pins ONE cut per captured version across a WHOLE drain —
+    * specs read the delta around a drain to catch a re-derivation
+    * regression (a 10k-version backlog re-cutting per trigger).
+    */
+  private[graft] val admissionPrunes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -573,6 +573,93 @@ class GraftChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RENAME-aware capture stats: a filtered catch-up keeps its free " +
+    "ride over PRE-RENAME captures") {
+    // r17: capture column stats are keyed by PHYSICAL name (stable
+    // across RENAME), and the admission cut now resolves the consumer's
+    // current-logical conjuncts through the WALK-END manifest's mapping
+    // — so captures recorded under the old name still ride free. Before,
+    // the capture-time schema lookup missed the renamed column and every
+    // pre-rename capture burned a trigger round (on a long-lived feed
+    // that's most of the history).
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2, statsCols = Seq("name"))
+    (1 to 6).foreach { i =>
+      val nm = if (i % 3 == 0) s"zz$i" else s"e$i"
+      st.merge(netDf(Seq((i.toLong, "u", Some(nm), i * 10L))), fields,
+        batchId = i)
+    }
+    st.renameColumn("name", "label") // v7: metadata-only, rides free
+    val tbl = s"cdf_ren_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .option("pruneFilter", "label >= 'zz'")
+      .load(st.root)
+      .filter(col("label") >= "zz") // pruneFilter is advisory: re-filter
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfren").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(tbl)
+        .filter(col("_change_type") === "update_postimage")
+        .select(col("id"), col("label"), col("_commit_version"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === Set((3L, "zz3", 3L), (6L, "zz6", 6L)),
+        s"pre-rename captures must answer under the new name, got $got")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 2,
+        s"two matching captures -> two paced batches, got $dataBatches " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      assert(q.recentProgress.length <= 4,
+        s"pre-rename stat-excluded captures must not burn trigger " +
+          s"rounds: ${q.recentProgress.length} rounds for 2 matching of 6")
+    } finally q.stop()
+  }
+
+  test("admission verdicts memoize: ONE capture cut per version across " +
+    "a whole paced drain") {
+    // r17: latestOffset re-walks the remaining backlog every trigger;
+    // without the memo a k-version filtered backlog under 1-version
+    // pacing pays O(k^2/2) capture cuts across the drain (plus the
+    // planning estimate's re-walk). The memo pins exactly one cut per
+    // captured version for the stream's whole life.
+    val st = store()
+    st.commit(seedDf, batchId = 0, nFiles = 2, statsCols = Seq("name"))
+    (1 to 8).foreach { i =>
+      val nm = if (i % 3 == 0) s"zz$i" else s"e$i"
+      st.merge(netDf(Seq((i.toLong, "u", Some(nm), i * 10L))), fields,
+        batchId = i)
+    }
+    val before = GraftCdfMicroBatchStream.admissionPrunes.get()
+    val tbl = s"cdf_memo_${math.abs(st.root.hashCode)}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .option("pruneFilter", "name >= 'zz'")
+      .load(st.root)
+      .filter(col("name") >= "zz")
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfmemo").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val cuts = GraftCdfMicroBatchStream.admissionPrunes.get() - before
+      assert(cuts == 8L,
+        s"8 captured versions must cost exactly 8 admission cuts across " +
+          s"the whole drain (memoized), measured $cuts")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 2, // v3, v6 match ('zz3','zz6'; 8 % 3 != 0)
+        s"two matching captures -> two paced batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("maxRowsPerTrigger paces the feed by manifest row counts") {
     val st = store()
     st.commit(seedDf, batchId = 0, nFiles = 2)
