@@ -151,20 +151,31 @@ object CdfBench {
       // at spark.sql.streaming.numRecentProgressUpdates (default 100),
       // and the regression this leg exists to catch — no skip-ahead =>
       // ~64+ trigger rounds — is exactly where a capped array would
-      // silently under-report both rounds and rows
+      // silently under-report both rounds and rows.
+      // Matched by QUERY NAME, not q.id: the id is only known after
+      // `.start()` returns, and the first trigger's progress event can
+      // beat that assignment — an id-matched listener dropped those
+      // early rounds, undercounting the very signal this leg watches.
+      // The name is fixed BEFORE start; the terminated event (delivered
+      // in-order after every progress event for the run) gates the read
+      // of the counters, replacing a flaky fixed sleep.
+      val qName = "cdf_paced_keyed"
       val roundsSeen = new java.util.concurrent.atomic.AtomicLong(0)
       val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
-      @volatile var watchId: java.util.UUID = null
+      @volatile var watchedId: java.util.UUID = null
+      val drained = new java.util.concurrent.CountDownLatch(1)
       val listener =
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            if (e.name == qName) watchedId = e.id
           override def onQueryProgress(e: QueryProgressEvent): Unit =
-            if (e.progress.id == watchId) {
+            if (e.progress.name == qName) {
               roundsSeen.incrementAndGet()
               rowsSeen.addAndGet(e.progress.numInputRows); ()
             }
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (watchedId != null && e.id == watchedId) drained.countDown()
         }
       spark.streams.addListener(listener)
       try {
@@ -176,13 +187,13 @@ object CdfBench {
           .option("maxRowsPerTrigger", (n / 64 + batch).toString)
           .load(capt.root)
           .writeStream.format("noop")
+          .queryName(qName)
           .option("checkpointLocation", s"$base/ck_paced_keyed")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        watchId = q.id
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1000) // listener bus delivers async
+        drained.await(30, java.util.concurrent.TimeUnit.SECONDS)
         (sec, roundsSeen.get(), rowsSeen.get())
       } finally spark.streams.removeListener(listener)
     }

@@ -964,6 +964,28 @@ object ManifestStore {
           },
           ordOf(Ordering.Boolean),
           v => Some(v.toString)))
+      case TimestampNTZType =>
+        // zone-free: stats serialize via `cast(ntz as string)` and parse
+        // back through Spark's OWN parser (the literal function the
+        // Column path's statDeserialize cast runs), probe values convert
+        // through Spark's own localDateTimeToMicros — both guaranteed
+        // identical. Rendering is REFUSED per-value (fraction-trimming
+        // rules are subtle), so only Bloom-probed equality on an
+        // NTZ-sidecar'd column falls back to the Column job; ranges and
+        // plain equality stay jobless.
+        Some(PruneDomain(
+          s => org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestampWithoutTimeZone(UTF8String.fromString(s))
+            .getOrElse(throw new IllegalArgumentException(
+              s"unparseable timestamp_ntz stat '$s'")), // Try-guarded: null operand
+          {
+            case v: java.time.LocalDateTime =>
+              Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .localDateTimeToMicros(v))
+            case _ => None
+          },
+          ordOf(Ordering.Long),
+          _ => None))
       case d: DecimalType =>
         Some(PruneDomain(
           s => BigDecimal(s),
@@ -1110,6 +1132,12 @@ object ManifestStore {
       case BooleanType   => Some(s => java.lang.Boolean.valueOf(s.toBoolean))
       case DateType      => Some(s =>
         DateTimeUtils.toJavaDate(parseIsoDateToEpochDay(s).toInt))
+      case TimestampNTZType => Some(s =>
+        DateTimeUtils.microsToLocalDateTime(
+          DateTimeUtils.stringToTimestampWithoutTimeZone(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+            .getOrElse(throw new IllegalArgumentException(
+              s"unparseable timestamp_ntz stat '$s'"))))
       case d: DecimalType => Some(s =>
         new java.math.BigDecimal(s).setScale(d.scale))
       case _ => None

@@ -585,7 +585,13 @@ final class GraftScan(root: String, tableSchema: StructType,
               // sketch merges — the r15 256-per-bin merge cap and its
               // even-apportion fallback are gone. Partially-overlapping
               // clusters (< half-hull) may double-count their shared
-              // sliver: over-estimate, bounded, never the erasure.
+              // sliver: an over-estimate bounded at 2x for equal-width
+              // chains BY the join threshold itself (hulls shifted less
+              // than half their width JOIN, so a value lies in at most
+              // ceil(1/0.5) = 2 non-joining hulls) — the adversarial
+              // 40%-overlap staircase measures 1.51x
+              // (HistogramStatsSpec), and CBO consumes an NDV
+              // over-estimate conservatively. Never the erasure.
               val fileRanges: Seq[(Double, Double, Long)] = per.flatten
               // bins tile [lo, hi) with the last bin closing right. A
               // range file whose hi EXACTLY equals a bin's lo holds the

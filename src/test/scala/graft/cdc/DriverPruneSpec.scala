@@ -62,13 +62,15 @@ class DriverPruneSpec extends SparkSpec {
       date_add(lit(java.sql.Date.valueOf("2024-01-01")),
         col("dayoff")).as("dt"),
       timestamp_seconds(lit(1704067200L) + col("secoff")).as("ts"),
+      timestamp_seconds(lit(1704067200L) + col("secoff"))
+        .cast("timestamp_ntz").as("nt"),
       (col("cents").cast("decimal(12,2)") / 100)
         .cast("decimal(10,2)").as("dec"),
       col("b"),
       struct(col("tag"), col("n").as("n")).as("meta"))
     st.commit(df, batchId = 0, nFiles = 8,
-      statsCols = Seq("s", "d", "fl", "z", "i32", "dt", "ts", "dec", "b",
-        "meta.tag", "meta.n"))
+      statsCols = Seq("s", "d", "fl", "z", "i32", "dt", "ts", "nt", "dec",
+        "b", "meta.tag", "meta.n"))
     (root, st)
   }
 
@@ -104,6 +106,18 @@ class DriverPruneSpec extends SparkSpec {
           java.time.Instant.parse("2024-01-20T00:00:00Z")))),
       "ts le (Instant)" ->
         p(("ts", "<=", java.time.Instant.parse("2024-01-05T12:00:00Z"))),
+      // timestamp_ntz: Spark's own parse/convert make ranges and plain
+      // equality jobless (rendering refuses, so only a Bloomed NTZ
+      // column would fall back)
+      "ntz gt" -> p(("nt", ">", java.time.LocalDateTime
+        .ofEpochSecond(1704067200L + 400L * 3600L, 0,
+          java.time.ZoneOffset.UTC))),
+      "ntz le" -> p(("nt", "<=", java.time.LocalDateTime
+        .ofEpochSecond(1704067200L + 100L * 3600L, 0,
+          java.time.ZoneOffset.UTC))),
+      "ntz eq (no bloom)" -> p(("nt", "=", java.time.LocalDateTime
+        .ofEpochSecond(1704067200L + 250L * 3600L, 0,
+          java.time.ZoneOffset.UTC))),
       "decimal eq" -> p(("dec", "=", new java.math.BigDecimal("1.23"))),
       "decimal lt" -> p(("dec", "<", new java.math.BigDecimal("4.00"))),
       // off-grid decimal probes: canonicalized onto the (10,2) grid so

@@ -251,6 +251,89 @@ class HistogramStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("40%-overlap staircase: partial-overlap clusters double-count " +
+    "only their shared sliver — bounded under 2x, never an erasure") {
+    // ADVERSARIAL case for the >=half-hull join rule (the documented
+    // frontier): equal-width hulls shifted by 0.6·W never join (pairwise
+    // overlap 0.4·W < 0.5·W, and the chain check compares against the
+    // file width as the narrower hull), yet each neighbor pair SHARES
+    // the overlap's 400 distinct values — so per-bin sums count every
+    // shared sliver once per side. The join threshold itself bounds the
+    // staircase: a value can lie in at most ceil(1/0.6) = 2 hulls (any
+    // shift below 0.5·W would join the hulls instead), so the
+    // over-estimate is <= 2x BY CONSTRUCTION for equal-width chains;
+    // measured here: 1.51x global (22408 counted of 14800 true — the
+    // info() line re-measures it every run, the 2x assert pins the
+    // bound). Weighting cluster contributions by overlap mass was the
+    // fallback fix if this exceeded ~2x — it cannot, so the bounded
+    // over-estimate is documented instead (an over-estimate makes CBO
+    // UNDER-estimate equality selectivity benefit: conservative).
+    val root = Files.createTempDirectory("histstair").toString
+    val st = new ManifestStore(root, spark, "id")
+    val n = 24; val w = 1000; val shift = 600
+    // key-local layout: file i holds exactly v in [600i, 600i+999], all
+    // distinct within the file; overlap values appear in BOTH neighbors
+    val rows = (0L until (n * w).toLong).map { j =>
+      (j, (j / w) * shift + (j % w))
+    }
+    st.commit(rows.toDF("id", "v"), batchId = 0, nFiles = n,
+      statsCols = Seq("v"))
+    val m = st.currentManifest.get
+    assert(m.files.size == n, s"fixture: want $n files, got ${m.files.size}")
+    // the staircase really is the non-joining shape (the range
+    // partitioner's sampled boundaries jitter the exact cuts): every
+    // hull is ~w wide and every adjacent pair overlaps by LESS than
+    // half the narrower hull, so no two files cluster together
+    val hulls = m.files.flatMap(_.cols.get("v")).map {
+      case (lo, hi) => (lo.toLong, hi.toLong)
+    }.sortBy(_._1)
+    assert(hulls.forall { case (lo, hi) =>
+      hi - lo + 1 >= w * 3 / 5 && hi - lo + 1 <= w * 6 / 5 },
+      s"fixture: ~$w-wide staircase hulls expected, got $hulls")
+    hulls.sliding(2).foreach {
+      case Seq((lo1, hi1), (lo2, hi2)) =>
+        val ov = math.max(0L, math.min(hi1, hi2) - math.max(lo1, lo2) + 1)
+        val minW = math.min(hi1 - lo1 + 1, hi2 - lo2 + 1)
+        assert(ov.toDouble / minW < 0.5,
+          s"fixture: adjacent hulls must stay below the join threshold, " +
+            s"got $ov/$minW for ($lo1,$hi1)-($lo2,$hi2)")
+      case _ => ()
+    }
+    val trueNdv = shift.toLong * (n - 1) + w // 14800
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      val hist = stats.collectFirst {
+        case (a, cs) if a.name == "v" && cs.histogram.isDefined =>
+          cs.histogram.get
+      }.getOrElse(fail("v must carry a histogram"))
+      val est = hist.bins.map(_.ndv).sum
+      info(f"staircase measured: counted $est of $trueNdv true " +
+        f"distincts (${est.toDouble / trueNdv}%.2fx)")
+      assert(est <= 2L * trueNdv,
+        s"staircase double-count must stay under the 2x construction " +
+          s"bound: counted $est of $trueNdv true distincts")
+      assert(est >= (trueNdv * 8) / 10,
+        s"the sliver double-count must never become an ERASURE: " +
+          s"counted $est of $trueNdv")
+      // per-bin: an interior bin's true ndv is ~its integer span (all
+      // values distinct, multiplicity 1-2); the estimate may double the
+      // shared slivers but never runs away past the 2x bound (+KMV
+      // slack)
+      val interior = hist.bins.filter(b =>
+        b.lo > w && b.hi < shift.toLong * (n - 1))
+      assert(interior.length >= 8, s"fixture: want interior bins")
+      interior.foreach { b =>
+        val span = math.max(1.0, b.hi - b.lo + 1)
+        assert(b.ndv <= math.ceil(2.5 * span).toLong,
+          s"interior bin [${b.lo},${b.hi}] ndv=${b.ndv} must stay near " +
+            s"its ~$span true distincts (2x sliver bound + KMV slack)")
+      }
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("straddler file: overlap clusters keep tail bins honest where " +
     "union-hull scaling collapsed them") {
     // the shape the sf0.1 full-session oracle stress caught (r16): a
