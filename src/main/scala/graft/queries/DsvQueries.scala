@@ -548,6 +548,48 @@ object DsvQueries {
         lit(files >= 1 && files <= 2).as("prefix_pruned"))
     }),
 
+    "dsv2_decimal_prune" -> ((s, dir) => {
+      // off-grid decimal probes prune EXACTLY (r17): a probe of finer
+      // scale canonicalizes onto the column's (12,2) grid before BOTH
+      // prune paths — `> 7.505` IS `> 7.50` over grid values, `= 7.505`
+      // IS false — so a money-keyed filter plans jobless, can never
+      // over-prune the boundary file (the old HALF_UP cast tested
+      // `> 7.51` and dropped the file holding the 7.51 rows), and both
+      // modes keep identical sets. Row answers flow through the scan and
+      // are oracle-checked; the file-cut gates probe the store directly
+      // (decimal comparisons reach pruning via readWhere/merge scopes
+      // and pushdown alike — the canonicalization is shared).
+      val root = scratch("decp", dir)
+      val st = new ManifestStore(root, s, "c_custkey")
+      if (!st.exists)
+        st.commit(customer(s, dir).withColumn("dec_key",
+          (col("c_custkey").cast("decimal(14,2)") / 100)
+            .cast("decimal(12,2)")),
+          batchId = 0, nFiles = 8, statsCols = Seq("dec_key"))
+      val m = st.currentManifest.get
+      val probe = new java.math.BigDecimal("7.505")
+      def kept(driver: Boolean, op: String): Seq[String] = {
+        s.conf.set("spark.graft.prune.driverEval", driver.toString)
+        try st.prunedFiles(m, Seq(("dec_key", op, probe))).map(_.name)
+        finally s.conf.set("spark.graft.prune.driverEval", "true")
+      }
+      val keptGtD = kept(driver = true, ">")
+      val pruned = keptGtD.size < m.files.size &&
+        keptGtD == kept(driver = false, ">") &&
+        kept(driver = true, "=").isEmpty &&
+        kept(driver = false, "=").isEmpty
+      val t = s.read.format("graft").load(root)
+      val gt = t.filter(col("dec_key") > lit(probe))
+        .agg(count(lit(1)).as("cnt_gt"),
+          min(col("c_custkey")).as("min_key_gt"))
+      val le = t.filter(col("dec_key") <= lit(probe))
+        .agg(count(lit(1)).as("cnt_le"))
+      val eq = t.filter(col("dec_key") === lit(probe))
+        .agg(count(lit(1)).as("cnt_eq"))
+      gt.crossJoin(le).crossJoin(eq)
+        .withColumn("decimal_pruned", lit(pruned))
+    }),
+
     "dsv2_prefix_count" -> ((s, dir) => {
       // filtered COUNT under `LIKE 'prefix%'` answered from manifest
       // stats: when min and max share the prefix, every row between them
@@ -1511,6 +1553,21 @@ object DsvQueries {
     "dsv2_prefix_prune" ->
       """SELECT c_custkey, c_name, c_acctbal, TRUE AS prefix_pruned
         |FROM customer WHERE c_name LIKE 'Customer#0000000%'""".stripMargin,
+
+    // off-grid decimal probes: counts must be EXACT across the grid
+    // boundary (`> 7.505` keeps the 7.51 rows the old HALF_UP prune
+    // rounding dropped; `= 7.505` matches nothing), with the file-cut +
+    // mode-equality gate true
+    "dsv2_decimal_prune" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST(c_custkey / 100.0 AS DECIMAL(12,2)) AS dec_key
+        |  FROM customer)
+        |SELECT (SELECT count(*) FROM c WHERE dec_key > 7.505) AS cnt_gt,
+        |       (SELECT min(c_custkey) FROM c WHERE dec_key > 7.505)
+        |         AS min_key_gt,
+        |       (SELECT count(*) FROM c WHERE dec_key <= 7.505) AS cnt_le,
+        |       (SELECT count(*) FROM c WHERE dec_key = 7.505) AS cnt_eq,
+        |       TRUE AS decimal_pruned""".stripMargin,
 
     // the prefix-filtered count must be exact, with the no-scan gate true
     // (every file whole-file decided by its shared-prefix name bounds)

@@ -284,7 +284,8 @@ class DriverPruneSpec extends SparkSpec {
           StatAgg.MaxCol("id"))),
         (Nil, Seq(StatAgg.MinCol("dt"), StatAgg.MaxCol("ts"),
           StatAgg.MinCol("dec"), StatAgg.MaxCol("fl"),
-          StatAgg.MinCol("d"), StatAgg.MaxCol("i32"))),
+          StatAgg.MinCol("d"), StatAgg.MaxCol("i32"),
+          StatAgg.MinCol("nt"), StatAgg.MaxCol("nt"))),
         (Nil, Seq(StatAgg.CountCol("s"), StatAgg.MinCol("s"),
           StatAgg.MaxCol("b"))),
         // exactness fallback parity: a predicate no file is pure under
