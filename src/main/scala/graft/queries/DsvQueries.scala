@@ -567,7 +567,14 @@ object DsvQueries {
             .cast("decimal(12,2)")),
           batchId = 0, nFiles = 8, statsCols = Seq("dec_key"))
       val m = st.currentManifest.get
-      val probe = new java.math.BigDecimal("7.505")
+      // SCALE-RELATIVE probe (the sf0.1 oracle stress caught a fixed
+      // 7.505 pruning nothing at 10x data): mid-key/100 + 0.005 —
+      // off-grid at scale 3 at every sf, cuts ~half the key-clustered
+      // files. The oracle derives the identical decimal from max(key).
+      val maxK = customer(s, dir).agg(max(col("c_custkey")))
+        .head().getLong(0)
+      val probe = new java.math.BigDecimal(maxK / 2).movePointLeft(2)
+        .add(new java.math.BigDecimal("0.005"))
       def kept(driver: Boolean, op: String): Seq[String] = {
         s.conf.set("spark.graft.prune.driverEval", driver.toString)
         try st.prunedFiles(m, Seq(("dec_key", op, probe))).map(_.name)
@@ -1561,12 +1568,14 @@ object DsvQueries {
     "dsv2_decimal_prune" ->
       """WITH c AS (SELECT c_custkey,
         |  CAST(c_custkey / 100.0 AS DECIMAL(12,2)) AS dec_key
-        |  FROM customer)
-        |SELECT (SELECT count(*) FROM c WHERE dec_key > 7.505) AS cnt_gt,
-        |       (SELECT min(c_custkey) FROM c WHERE dec_key > 7.505)
+        |  FROM customer),
+        |p AS (SELECT CAST((SELECT max(c_custkey) FROM customer) // 2
+        |  AS DECIMAL(14,2)) / 100 + 0.005 AS probe)
+        |SELECT (SELECT count(*) FROM c, p WHERE dec_key > probe) AS cnt_gt,
+        |       (SELECT min(c_custkey) FROM c, p WHERE dec_key > probe)
         |         AS min_key_gt,
-        |       (SELECT count(*) FROM c WHERE dec_key <= 7.505) AS cnt_le,
-        |       (SELECT count(*) FROM c WHERE dec_key = 7.505) AS cnt_eq,
+        |       (SELECT count(*) FROM c, p WHERE dec_key <= probe) AS cnt_le,
+        |       (SELECT count(*) FROM c, p WHERE dec_key = probe) AS cnt_eq,
         |       TRUE AS decimal_pruned""".stripMargin,
 
     // the prefix-filtered count must be exact, with the no-scan gate true

@@ -371,6 +371,56 @@ class DriverPruneSpec extends SparkSpec {
     assert(fast.get.size == 4) // part in 0..3
   }
 
+  test("canonDecimalPreds rewrite table: grid-exact ops, constants, " +
+    "pass-throughs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("dec", DecimalType(10, 2)),
+      StructField("s", StringType),
+      StructField("d", DoubleType)))
+    def canon(p: (String, String, Any)): (String, String, Any) =
+      ManifestStore.canonDecimalPreds(schema, Seq(p)).head
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // off-grid strict/non-strict: FLOOR for >/<=, CEILING for >=/<
+    assert(canon(("dec", ">", bd("1.225"))) == (("dec", ">", bd("1.22"))))
+    assert(canon(("dec", "<=", bd("1.225"))) == (("dec", "<=", bd("1.22"))))
+    assert(canon(("dec", ">=", bd("1.225"))) == (("dec", ">=", bd("1.23"))))
+    assert(canon(("dec", "<", bd("1.225"))) == (("dec", "<", bd("1.23"))))
+    // on-grid values rescale only (scale 2), ops unchanged
+    assert(canon(("dec", ">", bd("1.2"))) == (("dec", ">", bd("1.20"))))
+    // equality off the grid can match nothing; != off the grid matches
+    // every NON-null row
+    assert(canon(("dec", "=", bd("1.225"))) == (("dec", "alwaysfalse", null)))
+    assert(canon(("dec", "!=", bd("1.225"))) == (("dec", "notnull", null)))
+    assert(canon(("dec", "=", bd("1.23"))) == (("dec", "=", bd("1.23"))))
+    // beyond the type's range: constants by sign and op direction
+    val huge = bd("99999999999"); val nhuge = bd("-99999999999")
+    assert(canon(("dec", ">", huge)) == (("dec", "alwaysfalse", null)))
+    assert(canon(("dec", ">=", huge)) == (("dec", "alwaysfalse", null)))
+    assert(canon(("dec", "<", huge)) == (("dec", "notnull", null)))
+    assert(canon(("dec", "<=", huge)) == (("dec", "notnull", null)))
+    assert(canon(("dec", "<", nhuge)) == (("dec", "alwaysfalse", null)))
+    assert(canon(("dec", ">", nhuge)) == (("dec", "notnull", null)))
+    // integral probes land on the grid; IN lists keep only exact fits
+    assert(canon(("dec", "=", java.lang.Long.valueOf(3L))) ==
+      (("dec", "=", bd("3.00"))))
+    assert(canon(("dec", "in", Seq(bd("1.23"), bd("1.225"), bd("7.99")))) ==
+      (("dec", "in", Seq(bd("1.23"), bd("7.99")))))
+    assert(canon(("dec", "in", Seq(bd("1.225")))) ==
+      (("dec", "alwaysfalse", null)))
+    // pass-throughs: non-decimal leaves, non-numeric probes (today's
+    // fallback behavior), and OR trees rewrite inside branches only
+    assert(canon(("s", ">", "x")) == (("s", ">", "x")))
+    assert(canon(("dec", ">", java.lang.Double.valueOf(1.225))) ==
+      (("dec", ">", java.lang.Double.valueOf(1.225))))
+    val or = ("", "or", Seq(
+      Seq(("dec", ">", bd("1.225")): (String, String, Any)),
+      Seq(("s", "=", "x"): (String, String, Any))))
+    assert(canon(or) == (("", "or", Seq(
+      Seq(("dec", ">", bd("1.22")): (String, String, Any)),
+      Seq(("s", "=", "x"): (String, String, Any))))))
+  }
+
   test("oversized IN rides the shared phase-3 fold in both modes") {
     val (_, st) = mkTyped(truncate = None)
     val m = st.currentManifest.get
