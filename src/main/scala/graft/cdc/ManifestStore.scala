@@ -937,6 +937,12 @@ object ManifestStore {
           utf8Ord,
           v => Some(v.toString)))
       case DateType =>
+        // Spark's OWN DateFormatter — the literal renderer behind
+        // `cast(date as string)` — so the rendering is byte-identical by
+        // construction at ANY year (probe-verified across year 0,
+        // negative years, and the "+10000-01-01" post-9999 sign form
+        // that a hand-rolled ISO writer used to refuse)
+        val dateFmt = org.apache.spark.sql.catalyst.util.DateFormatter()
         Some(PruneDomain(
           s => parseIsoDateToEpochDay(s),
           {
@@ -946,14 +952,10 @@ object ManifestStore {
           },
           ordOf(Ordering.Long),
           v => {
-            // cast(date as string) is plain ISO for years 1–9999; outside
-            // that the formatter's sign/width rules get subtle — refuse
-            // and let the caller fall back rather than hash a guess
-            val ld = java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])
-            if (ld.getYear >= 1 && ld.getYear <= 9999)
-              Some(f"${ld.getYear}%04d-${ld.getMonthValue}%02d-" +
-                f"${ld.getDayOfMonth}%02d")
-            else None
+            val d = v.asInstanceOf[Long]
+            // DateType is Int days internally; a probe beyond that range
+            // cannot be a column value — refuse, callers fall back
+            if (d == d.toInt.toLong) Some(dateFmt.format(d.toInt)) else None
           }))
       case BooleanType =>
         Some(PruneDomain(
@@ -968,11 +970,14 @@ object ManifestStore {
         // zone-free: stats serialize via `cast(ntz as string)` and parse
         // back through Spark's OWN parser (the literal function the
         // Column path's statDeserialize cast runs), probe values convert
-        // through Spark's own localDateTimeToMicros — both guaranteed
-        // identical. Rendering is REFUSED per-value (fraction-trimming
-        // rules are subtle), so only Bloom-probed equality on an
-        // NTZ-sidecar'd column falls back to the Column job; ranges and
-        // plain equality stay jobless.
+        // through Spark's own localDateTimeToMicros, and renderings come
+        // from Spark's own fraction formatter (the renderer behind the
+        // NTZ string cast — probe-verified byte-identical across whole
+        // seconds, trimmed fractions like ".12", full ".123456" micros,
+        // and the year-1/9999 extremes), so Bloom probes stay jobless
+        // too. All guaranteed identical by construction.
+        val ntzFmt = org.apache.spark.sql.catalyst.util.TimestampFormatter
+          .getFractionFormatter(java.time.ZoneOffset.UTC)
         Some(PruneDomain(
           s => org.apache.spark.sql.catalyst.util.DateTimeUtils
             .stringToTimestampWithoutTimeZone(UTF8String.fromString(s))
@@ -985,7 +990,7 @@ object ManifestStore {
             case _ => None
           },
           ordOf(Ordering.Long),
-          _ => None))
+          v => Some(ntzFmt.format(v.asInstanceOf[Long]))))
       case d: DecimalType =>
         Some(PruneDomain(
           s => BigDecimal(s),

@@ -36,7 +36,8 @@ class DriverPruneSpec extends SparkSpec {
   private def mkTyped(truncate: Option[Int]): (String, ManifestStore) = {
     val root = Files.createTempDirectory("drvprune").toString
     ManifestStore.writeTableProps(root,
-      Map("bloomfilter" -> "8192", "bloomfiltercols" -> "s,meta.tag,z") ++
+      Map("bloomfilter" -> "8192",
+        "bloomfiltercols" -> "s,meta.tag,z,nt,dy") ++
         truncate.map(n => "stats.truncate" -> n.toString))
     val st = new ManifestStore(root, spark, "id")
     val base = (0L until N).map { i =>
@@ -64,13 +65,20 @@ class DriverPruneSpec extends SparkSpec {
       timestamp_seconds(lit(1704067200L) + col("secoff")).as("ts"),
       timestamp_seconds(lit(1704067200L) + col("secoff"))
         .cast("timestamp_ntz").as("nt"),
+      // EXTREME years: files 0-3 sit around year -0768, files 4-7 around
+      // year +10000 — the renderings ("-0768-…", "+10000-…") a
+      // hand-rolled ISO writer refused; Spark's own DateFormatter
+      // renders and Bloom-probes them driver-side since r17
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        when(col("id") < N / 2, lit(-1000000) + col("dayoff"))
+          .otherwise(lit(2932897) + col("dayoff"))).as("dy"),
       (col("cents").cast("decimal(12,2)") / 100)
         .cast("decimal(10,2)").as("dec"),
       col("b"),
       struct(col("tag"), col("n").as("n")).as("meta"))
     st.commit(df, batchId = 0, nFiles = 8,
-      statsCols = Seq("s", "d", "fl", "z", "i32", "dt", "ts", "nt", "dec",
-        "b", "meta.tag", "meta.n"))
+      statsCols = Seq("s", "d", "fl", "z", "i32", "dt", "ts", "nt", "dy",
+        "dec", "b", "meta.tag", "meta.n"))
     (root, st)
   }
 
@@ -106,18 +114,32 @@ class DriverPruneSpec extends SparkSpec {
           java.time.Instant.parse("2024-01-20T00:00:00Z")))),
       "ts le (Instant)" ->
         p(("ts", "<=", java.time.Instant.parse("2024-01-05T12:00:00Z"))),
-      // timestamp_ntz: Spark's own parse/convert make ranges and plain
-      // equality jobless (rendering refuses, so only a Bloomed NTZ
-      // column would fall back)
+      // timestamp_ntz: Spark's own parse/convert/format functions make
+      // ranges AND Bloomed equality jobless — including the trimmed
+      // fraction renderings (".123456" probes against whole-second
+      // builds must MISS, identically in both modes)
       "ntz gt" -> p(("nt", ">", java.time.LocalDateTime
         .ofEpochSecond(1704067200L + 400L * 3600L, 0,
           java.time.ZoneOffset.UTC))),
       "ntz le" -> p(("nt", "<=", java.time.LocalDateTime
         .ofEpochSecond(1704067200L + 100L * 3600L, 0,
           java.time.ZoneOffset.UTC))),
-      "ntz eq (no bloom)" -> p(("nt", "=", java.time.LocalDateTime
+      "ntz eq (bloomed)" -> p(("nt", "=", java.time.LocalDateTime
         .ofEpochSecond(1704067200L + 250L * 3600L, 0,
           java.time.ZoneOffset.UTC))),
+      "ntz eq fractional absent (bloomed)" ->
+        p(("nt", "=", java.time.LocalDateTime.ofEpochSecond(
+          1704067200L + 250L * 3600L, 123456000,
+          java.time.ZoneOffset.UTC))),
+      // extreme-year dates: ranges AND Bloom probes through the exotic
+      // sign/width renderings, kept-set-equal at zero jobs
+      "extreme date eq (bloomed)" ->
+        p(("dy", "=", java.time.LocalDate.ofEpochDay(-999850L))),
+      "extreme date gt" ->
+        p(("dy", ">", java.time.LocalDate.ofEpochDay(0L))),
+      "extreme date in (bloomed)" ->
+        p(("dy", "in", Seq(java.time.LocalDate.ofEpochDay(2932897L + 50L),
+          java.time.LocalDate.ofEpochDay(12345L)))),
       "decimal eq" -> p(("dec", "=", new java.math.BigDecimal("1.23"))),
       "decimal lt" -> p(("dec", "<", new java.math.BigDecimal("4.00"))),
       // off-grid decimal probes: canonicalized onto the (10,2) grid so
@@ -235,6 +257,10 @@ class DriverPruneSpec extends SparkSpec {
     assert(driverKept("decimal beyond max lt (keeps non-null)").size == 8)
     assert(driverKept("decimal beyond max gt (no row can match)").isEmpty)
     assert(driverKept("decimal integral probe").size == 1)
+    // extreme-year date renderings really probe (not vacuous keeps)
+    assert(driverKept("extreme date eq (bloomed)").size == 1)
+    assert(driverKept("extreme date gt").size == 4)
+    assert(driverKept("ntz eq fractional absent (bloomed)").size <= 1)
   }
 
   test("truncated string stats: both paths agree and stay sound") {
