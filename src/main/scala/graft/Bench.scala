@@ -166,11 +166,16 @@ object Bench {
     // timestamp of the run that produced each query's reported time (the
     // re-time pass updates it when its rerun wins min-of-passes)
     val queryTs = collection.mutable.Map.empty[String, Double]
+    // the FIRST pass's own instant, frozen: queryTs moves to the re-time
+    // pass when its rerun wins, but the `unstable` comparison below must
+    // normalize f0 by the drift at the instant f0 was MEASURED
+    val firstTs = collection.mutable.Map.empty[String, Double]
     var sinceProbe = 0
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
       if (sinceProbe >= 15) { sampleControl(bestOf = 1); sinceProbe = 0 }
       sinceProbe += 1
       queryTs(name) = elapsed()
+      firstTs(name) = queryTs(name)
       name -> bestOf3(name, fn)
     }
     // Session-degradation self-defense: best-of-3 inside one JVM window
@@ -262,8 +267,14 @@ object Bench {
           moved(p, t / driftAt(queryTs.getOrElse(n, 0.0)))) =>
         val p = prior(n)
         val norm = t / driftAt(queryTs.getOrElse(n, 0.0))
-        val unstable = firstRun.get(n).exists(f0 =>
-          f0 >= 0.0 && (f0 > p) != (norm > p))
+        // f0 normalized by the drift AT ITS OWN INSTANT: the raw first
+        // pass and the normalized best-of-N sit on different scales when
+        // the control drift is away from 1.0, and comparing them raw
+        // could mis-report stability in either direction (r17 ADVICE)
+        val unstable = firstRun.get(n).exists { f0 =>
+          val f0n = f0 / driftAt(firstTs.getOrElse(n, 0.0))
+          f0 >= 0.0 && (f0n > p) != (norm > p)
+        }
         (n, p, t, norm, math.max(norm / p, p / norm),
           runPasses.getOrElse(n, 3), unstable)
     }

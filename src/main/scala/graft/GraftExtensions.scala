@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomBuild, BloomMaybeContains, BsonNormalize, CosineSimilarity, MisraGries}
+import graft.functions.{BloomBuild, BloomMaybeContains, BsonNormalize, CosineSimilarity, DotProduct, MisraGries}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       children => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      children => DotProduct(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("bson_normalize"),
       new ExpressionInfo(classOf[BsonNormalize].getName, "bson_normalize"),

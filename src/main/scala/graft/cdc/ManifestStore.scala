@@ -830,6 +830,27 @@ object ManifestStore {
       ord: Ordering[Any],
       render: Any => Option[String])
 
+  /** The pre-r17 rendering of a zero-valued float/double DOMAIN value,
+    * when it differs from today's normalized one. Sidecars built before
+    * the -0.0 normalization hashed the raw sign ("-0.0"); equality/IN
+    * probes of a (Spark-equal) zero must test that legacy rendering TOO,
+    * or a pre-r17 Bloom blob over -0.0 rows over-prunes its file. For
+    * new sidecars the extra probe is a guaranteed miss — one wasted bit
+    * test on the rare zero probe, never a wrong keep (Bloom keeps are
+    * verified by the actual row filter anyway).
+    */
+  private[cdc] def legacyZeroRender(
+      dt: org.apache.spark.sql.types.DataType, x: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => x match {
+        case n: java.lang.Number if n.doubleValue() == 0.0d => Some("-0.0")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private[cdc] def pruneDomain(dt: org.apache.spark.sql.types.DataType)
       : Option[PruneDomain] = {
     import org.apache.spark.sql.types._
@@ -1846,16 +1867,22 @@ final class ManifestStore(val root: String, spark: SparkSession,
           def gt3(a: Option[Any], b: Any) = a.map(dom.ord.gt(_, b))
           def ge3(a: Option[Any], b: Any) = a.map(dom.ord.gteq(_, b))
           // probe hashes precomputed ONCE per value (not per file); None
-          // = the rendering can't be guaranteed byte-identical -> abort
-          def hashesFor(x: Any): Option[(Long, Long)] =
-            if (!mayBlob) Some((0L, 0L)) // never consulted
-            else dom.render(x).map(s =>
-              graft.functions.BloomSketch.probeHashes(
-                org.apache.spark.unsafe.types.UTF8String.fromString(s)))
-          def bloomOk(f: FileEntry, h: (Long, Long)): Boolean =
+          // = the rendering can't be guaranteed byte-identical -> abort.
+          // A zero-valued float/double probes BOTH "0.0" and "-0.0":
+          // sidecars built before the r17 -0.0 normalization hashed the
+          // raw sign, so a pre-r17 blob over -0.0 rows would otherwise
+          // miss a (Spark-equal) zero probe and over-prune the file.
+          def hashesFor(x: Any): Option[Seq[(Long, Long)]] =
+            if (!mayBlob) Some(Seq((0L, 0L))) // never consulted
+            else dom.render(x).map { s =>
+              val renders = s +: ManifestStore.legacyZeroRender(dt, x).toSeq
+              renders.map(r => graft.functions.BloomSketch.probeHashes(
+                org.apache.spark.unsafe.types.UTF8String.fromString(r)))
+            }
+          def bloomOk(f: FileEntry, hs: Seq[(Long, Long)]): Boolean =
             !mayBlob || (blobOf(f) match {
-              case Some(blob) => graft.functions.BloomSketch
-                .containsBlobHashed(blob, h._1, h._2)
+              case Some(blob) => hs.exists(h => graft.functions.BloomSketch
+                .containsBlobHashed(blob, h._1, h._2))
               case None => true
             })
           val keep: Option[Boolean] = Some(true)
@@ -2024,12 +2051,15 @@ final class ManifestStore(val root: String, spark: SparkSession,
         val statsDf = spark.createDataFrame(rows.asJava, st)
         // true iff this file's Bloom admits the probe (or it has no Bloom
         // / the predicate column carries none in this pass)
-        def bloomOk(c: String, probeStr: Column): Column = {
+        def bloomOk(c: String, probeStr: Column,
+                    extraProbes: Seq[Column] = Nil): Column = {
           val blobCol =
             if (c == keyField && bloomKey) Some(col("_bloom"))
             else if (bloomCols.contains(c)) Some(col(s"`_bloomc_$c`"))
             else None
-          blobCol.map(b => b.isNull || bloomMayContain(b, probeStr))
+          blobCol.map(b => b.isNull ||
+              (probeStr +: extraProbes).map(bloomMayContain(b, _))
+                .reduce(_ || _))
             .getOrElse(lit(true))
         }
         def leafCond(c: String, op: String, v: Any): Column = {
@@ -2045,7 +2075,10 @@ final class ManifestStore(val root: String, spark: SparkSession,
             case "<"  => mn < value
             case "<=" => mn <= value
             case "="  => mn <= value && mx >= value &&
-              bloomOk(c, statSerialize(value, dt))
+              // pre-r17 sidecars hashed "-0.0" raw: a zero probe tests
+              // the legacy rendering too (see legacyZeroRender)
+              bloomOk(c, statSerialize(value, dt),
+                ManifestStore.legacyZeroRender(dt, v).map(lit(_)).toSeq)
             case "!=" =>
               // only a SINGLE-VALUE file at exactly v prunes — its
               // non-null rows are all v (excluded) and its null rows fail
@@ -2075,11 +2108,21 @@ final class ManifestStore(val root: String, spark: SparkSession,
               // bounded at ANY key count — phase 3 below restores Bloom
               // pruning for that case driver-side.
               val vs = v.asInstanceOf[Seq[Any]]
-              if (vs.size <= InPruneMaxValues)
-                org.apache.spark.sql.functions.exists(
+              if (vs.size <= InPruneMaxValues) {
+                val base = org.apache.spark.sql.functions.exists(
                   array(vs.map(x => lit(x).cast(dt)): _*),
                   x => mn <= x && mx >= x && bloomOk(c, statSerialize(x, dt)))
-              else {
+                // a zero-valued float/double in the list also probes the
+                // pre-r17 "-0.0" rendering (see legacyZeroRender)
+                vs.find(x => ManifestStore.legacyZeroRender(dt, x).isDefined)
+                  match {
+                    case Some(z) =>
+                      val zc = lit(z).cast(dt)
+                      base || (mn <= zc && mx >= zc &&
+                        bloomOk(c, lit("-0.0")))
+                    case None => base
+                  }
+              } else {
                 val cmp = new Ordering[Any] {
                   def compare(a: Any, b: Any): Int =
                     a.asInstanceOf[Comparable[Any]].compareTo(b)
@@ -2282,12 +2325,20 @@ final class ManifestStore(val root: String, spark: SparkSession,
       }.toArray
     val nonNull = vs.filterNot(_ == null) // NULL never IN-matches
     if (nonNull.isEmpty) return Array.empty
+    // a zero-valued float/double in the list also probes the pre-r17
+    // "-0.0" rendering (see legacyZeroRender) — appended to whichever
+    // path below computed the normalized probes
+    val legacyZero: Array[(Long, Long)] =
+      if (nonNull.exists(x => ManifestStore.legacyZeroRender(dt, x).isDefined))
+        Array(graft.functions.BloomSketch.probeHashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString("-0.0")))
+      else Array.empty
     // FAST path: the values ride as ROWS of one local single-column
     // relation, so the plan is O(1) wide however many join keys a runtime
     // filter hands over — the previous chunked-literal form paid seconds
     // of ANALYSIS on ten 10k-literal trees for a 100k-key IN (the r13 #7
     // driver-bill finding). Same statSerialize cast as every other probe.
-    scala.util.Try {
+    legacyZero ++ scala.util.Try {
       val litT = org.apache.spark.sql.catalyst.expressions.Literal(nonNull.head).dataType
       val df = spark.createDataFrame(
         nonNull.map(org.apache.spark.sql.Row(_)).asJava,

@@ -48,15 +48,28 @@ object Dedup {
     * minhash (lexicographic min over hex = min over the 32-bit value).
     */
   def minHashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .withColumn("_h1", md5(col("s")))
-      .withColumn("_h2", md5(concat(lit("x"), col("s"))))
-    val aggs = (0 until MinHashK).map { i =>
-      val src = if (i < 4) col("_h1") else col("_h2")
-      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"m$i")
+    // per-ROW array fold, not explode + groupBy: the signature is a pure
+    // function of one document's shingle set, so it needs no exchange at
+    // all — the old groupBy(doc_id) formulation shuffled a (partial-agg'd)
+    // row per doc and paid the explode/hash-agg machinery per shingle.
+    // Docs with NO shingles (< 3 tokens — wordNgramsAll is empty exactly
+    // then, and distinct preserves non-emptiness) drop here exactly as the
+    // explode dropped them; the gate tests the TOKEN count, not the built
+    // shingle array, so the filter pass never constructs grams. The two
+    // md5s land in ONE array of structs (`_hs`) evaluated once per row;
+    // the 8 substring-min passes read it (CollapseProject keeps the
+    // non-cheap `_hs` alias in its own projection, so it is not re-inlined
+    // per signature column).
+    val hs = transform(shingles(col("text")), s =>
+      struct(md5(s).as("h1"), md5(concat(lit("x"), s)).as("h2")))
+    val sigCols = (0 until MinHashK).map { i =>
+      val f = if (i < 4) "h1" else "h2"
+      array_min(transform(col("_hs"),
+        h => substring(h.getField(f), (i % 4) * 8 + 1, 8))).as(s"m$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    docs.filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), hs.as("_hs"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** Hot-band guard shared by every banded-LSH candidate join: drops
@@ -119,12 +132,15 @@ object Dedup {
     * plus 4 8-bit band keys for hamming-neighbor candidate joins.
     */
   def simHash(docs: DataFrame): DataFrame = {
-    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // high-bit test per hex digit: md5 hex is lowercase [0-9a-f], whose
+    // high-half chars {8,9,a..f} are EXACTLY the code points >= '8' (56)
+    // — one substring + int compare per bit instead of the previous
+    // 8-literal isin (256 single-char string compares per token)
     val bitAggs = (1 to 32).map { b =>
-      sum(when(substring(col("h"), b, 1).isin(hi.map(lit(_)): _*), 1).otherwise(-1))
+      sum(when(ascii(substring(col("h"), b, 1)) >= 56, 1).otherwise(-1))
         .as(s"c$b")
     }
     val counted = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)

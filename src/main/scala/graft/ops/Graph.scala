@@ -87,25 +87,39 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, nPartitions: Int = 0): DataFrame = {
     val parts = if (nPartitions > 0) nPartitions
       else edges.sparkSession.sparkContext.defaultParallelism
+    // out-degree rides ON the persisted edge rows (one static window over
+    // the same src partitioning the repartition just established), so the
+    // per-iteration edges-to-degree join of the old formulation — a whole
+    // extra shuffle-join per round over O(edges) rows — disappears; each
+    // round joins ranks to edges exactly once.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(parts, col("src")).persist()
+      .repartition(parts, col("src"))
+      .withColumn("_deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
     try {
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
         .localCheckpoint(true)
       val n = nodes.count()
       val base = (Scale * 15L) / (100L * n) // (1-d)/n, floored once
       val pr0 = Scale / n
+      // zero-contribution rows for EVERY node, unioned into each round's
+      // aggregation: the groupBy then emits every node (dangling included,
+      // at sum 0), which replaces the old per-round nodes-left-join —
+      // integer sums are unchanged by added zeros, so ranks stay
+      // bit-identical while each round drops from three joins + an
+      // aggregate to one join + one aggregate.
+      val zeros = nodes.select(col("id").as("dst"), lit(0L).as("_c"))
+        .localCheckpoint(true)
       var pr = nodes.withColumn("pr", lit(pr0))
       for (_ <- 1 to iters) {
         val contrib = e.join(pr, e("src") === pr("id"))
-          .join(outdeg, "src")
           .select(col("dst"), expr("pr DIV _deg").as("_c"))
-        val sums = contrib.groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
-        pr = nodes.join(sums, nodes("id") === sums("dst"), "left")
-          .select(nodes("id"),
-            (lit(base) + expr("85 * coalesce(_s, 0L) DIV 100")).as("pr"))
+        pr = contrib.union(zeros)
+          .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+          .select(col("dst").as("id"),
+            (lit(base) + expr("85 * _s DIV 100")).as("pr"))
           .localCheckpoint(true) // truncate lineage: O(1) plan per round
       }
       pr

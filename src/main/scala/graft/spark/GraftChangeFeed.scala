@@ -879,6 +879,11 @@ final class GraftCdfMicroBatchStream(root: String, keyField: String,
     // long feed drains in O(contributing versions / budget) rounds
     // instead of burning a trigger round per excluded version. Offsets
     // stay plain version numbers (restart-stable by construction).
+    // memo hygiene: verdicts at or below the committed start can never be
+    // requested again (offsets are monotonic), so a perpetual stream's
+    // memo stays bounded by the open backlog instead of growing one boxed
+    // entry per version ever walked (~60 B/version of driver heap).
+    admRowsMemo.keySet.removeIf(k => k.longValue <= s)
     val vk = GraftCdf.versionKeep(effPushed.toSeq)
     val insOk = GraftCdf.typePossible(effPushed.toSeq,
       ManifestStore.CdfInsert)
