@@ -4690,41 +4690,45 @@ final class ManifestStore(val root: String, spark: SparkSession,
                            keyType: org.apache.spark.sql.types.DataType): Set[String] =
     if (files.isEmpty) Set.empty
     else {
-      // PHASE 1 — range intersection over stats already in memory: a file
-      // survives iff some batch key lands in its [min,max].
-      def rangeJoin(fs: Seq[FileEntry], withBloom: Boolean): Set[String] = {
-        val statsDf = spark.createDataFrame(
-          fs.map(f => (f.name, f.minKey, f.maxKey,
-            if (withBloom) f.bloom.flatMap(loadBloomSidecar).orNull
-            else null)))
-          .toDF("_f", "_min", "_max", "_b")
-        val rangeCond = col("_k") >= statDeserialize(col("_min"), keyType) &&
-          col("_k") <= statDeserialize(col("_max"), keyType)
-        val cond = if (!withBloom) rangeCond
-          else rangeCond && (col("_b").isNull ||
-            bloomMayContain(col("_b"), statSerialize(col("_k"), keyType)))
-        broadcast(if (withBloom) statsDf else statsDf.drop("_b"))
-          .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k"))
-            .distinct(), cond, "left_semi")
-          .collect().map(_.getString(0)).toSet
-      }
-      val rangeHits = rangeJoin(files, withBloom = false)
-      // PHASE 2 — per-file key Blooms sharpen the intersection where zone
-      // maps are blind (bucketed layouts, merge-grown overlap): a
-      // RANGE-SURVIVING file is kept only if its Bloom also says maybe.
-      // Probing only survivors keeps sidecar I/O bounded by the files a
-      // scan would otherwise READ, never the table (a 100k-file clustered
-      // table's point merge loads ~1 blob, not 100k). No false negatives
-      // (the filter covers every key the file ever held, DV-masked
-      // included), so pruning stays sound; files without a filter (older
-      // vintage, property off, vacuumed sidecar) keep their range verdict.
-      val probeable = files.filter(f =>
-        rangeHits(f.name) && f.bloom.isDefined)
-      if (probeable.isEmpty) rangeHits
-      else {
-        val probed = rangeJoin(probeable, withBloom = true)
-        (rangeHits -- probeable.map(_.name)) ++ probed
-      }
+      // ONE probe pass (r18; guide §1.2/§2.4 — this used to be two
+      // sequential passes, each re-scanning and re-distincting the batch
+      // keys; 6 -> 3 scheduler jobs per intersection, pinned in
+      // BloomFileSkipSpec): range intersection over stats already in
+      // memory — a file
+      // survives iff some batch key lands in its [min,max] — AND, where
+      // zone maps are blind (bucketed layouts, merge-grown overlap), the
+      // per-file key Bloom sharpening, in a single left-semi probe.
+      //
+      // The Bloom blob is NOT in the broadcast row: [[BloomSidecarContains]]
+      // loads it lazily through the process-wide byte-bounded LRU, and the
+      // CASE chain below guarantees the probe only evaluates for (file,
+      // key) pairs that already passed the range test (CaseWhen branch
+      // order is evaluation order — Catalyst cannot reorder it the way it
+      // may reorder conjuncts), so sidecar I/O stays bounded by the files
+      // a scan would otherwise READ, never the table (a 100k-file
+      // clustered table's point merge loads ~1 blob, not 100k) — now per
+      // PAIR, strictly tighter than the old per-phase bound. No false
+      // negatives (the filter covers every key the file ever held,
+      // DV-masked included), so pruning stays sound; files without a
+      // loadable filter (older vintage, property off, vacuumed sidecar)
+      // keep their range verdict via the `true` branches.
+      val statsDf = spark.createDataFrame(
+        files.map(f => (f.name, f.minKey, f.maxKey, f.bloom.orNull)))
+        .toDF("_f", "_min", "_max", "_bn")
+      // coalesce(false): a null range verdict (null stat or null key) must
+      // stay "no hit", exactly as the old `rangeCond && ...` conjunction
+      // treated it under three-valued logic.
+      val rangeOk = coalesce(
+        col("_k") >= statDeserialize(col("_min"), keyType) &&
+          col("_k") <= statDeserialize(col("_max"), keyType), lit(false))
+      val cond = when(!rangeOk, lit(false))
+        .when(col("_bn").isNull, lit(true))
+        .otherwise(sidecarMayContain(col("_bn"),
+          statSerialize(col("_k"), keyType)))
+      broadcast(statsDf)
+        .join(netP.select(col(Changelog.KeyCol).cast(keyType).as("_k"))
+          .distinct(), cond, "left_semi")
+        .collect().map(_.getString(0)).toSet
     }
 
   /** Eagerly reclaim a lost-race attempt's data file AND its Bloom
@@ -4751,6 +4755,16 @@ final class ManifestStore(val root: String, spark: SparkSession,
     import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
     column(graft.functions.BloomBlobContains(
       expression(blob), expression(probeStr)))
+  }
+
+  /** [[BloomSidecarContains]] over a per-file sidecar-NAME column: the blob
+    * loads lazily (LRU) at evaluation, so planning joins don't ship blob
+    * bytes in their broadcast.
+    */
+  private def sidecarMayContain(name: Column, probeStr: Column): Column = {
+    import org.apache.spark.sql.graft.ParquetWriteBridge.{column, expression}
+    column(BloomSidecarContains(rootKey, Paths.get(root, "files").toString,
+      expression(name), expression(probeStr)))
   }
 
   /** Grow `snap` with typed-null columns for any field the net carries

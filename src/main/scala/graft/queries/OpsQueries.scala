@@ -147,15 +147,13 @@ object OpsQueries {
       // queries): MinHash-estimated Jaccard (matching signature fraction)
       // against the exact shingle Jaccard, per verified pair
       val d = docs(s, dir)
-      // materialized once: both self-join sides read the signature frame
-      // (the shingle explode + two md5s per shingle) — to a scratch
-      // parquet, not .persist(): a cached frame would outlive the query
-      // across bench re-runs and accumulate in the CacheManager (same
-      // discipline as dsv2_colocated_join)
-      val sigPath = QueryUtil.scratchDir(
-        s"minhash_est_sigs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-      Dedup.minHashSignatures(d).write.mode("overwrite").parquet(sigPath)
-      val sigs = s.read.parquet(sigPath)
+      // NOT materialized: the signature is a per-row array fold with no
+      // exchange since r18, so re-evaluating it under each join side is
+      // two cheap map passes — the scratch-parquet staging this used to
+      // do (from when signatures cost an explode + groupBy exchange) paid
+      // a write plus two reads per run and measured SLOWER (two A/B
+      // best-of-3 pairs: staged 2.16/2.75 s vs recomputed 1.79/1.21 s, r18)
+      val sigs = Dedup.minHashSignatures(d)
       val k = Dedup.MinHashK
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until k).map(i => col(s"m$i").as(s"_a$i")): _*)

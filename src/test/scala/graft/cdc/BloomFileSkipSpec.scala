@@ -73,6 +73,65 @@ class BloomFileSkipSpec extends SparkSpec {
     }
   }
 
+  test("sidecar probe loads lazily and agrees with the blob probe; " +
+    "a missing sidecar never prunes") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val bits = 1024; val hashes = 6
+    val words = new Array[Long](bits / 64)
+    val members = (0 until 300).map(i => s"sk-$i-${i * 17}")
+    members.foreach(m =>
+      BloomSketch.add(words, bits, hashes, UTF8String.fromString(m)))
+    val blob = BloomSketch.encode(words, bits, hashes)
+    val dir = Files.createTempDirectory("sidecarprobe")
+    Files.write(dir.resolve("probe.bloom"), blob)
+    def probe(name: String, v: String): Boolean =
+      BloomSidecarContains(s"sidecarprobe-spec-$dir", dir.toString,
+        Literal(UTF8String.fromString(name), StringType),
+        Literal(UTF8String.fromString(v), StringType))
+        .eval(null).asInstanceOf[Boolean]
+    members.foreach(m =>
+      assert(probe("probe.bloom", m), s"false negative on $m"))
+    (0 until 2000).foreach { i =>
+      val v = s"absent-$i-${i * 53}"
+      assert(probe("probe.bloom", v) ==
+        BloomSketch.containsBlob(blob, UTF8String.fromString(v)),
+        s"lazy/blob probe divergence on $v")
+    }
+    // missing / vacuumed / unreadable sidecar: "maybe contains" — the file
+    // keeps its range verdict, never a false negative
+    assert(probe("no-such.bloom", "anything"))
+  }
+
+  test("merge-planning file intersection runs range AND bloom in ONE pass") {
+    val (_, st) = mkBucketed(bloom = true)
+    ManifestStore.clearBloomCache() // sidecar loads are file I/O, not jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val planned =
+      try st.lookup(Seq(17L)) // hitFileNames runs eagerly inside
+      finally {
+        Thread.sleep(500) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // one probe PASS = 3 scheduler jobs under AQE (keys distinct, probe
+    // join, collect); the pre-r18 two-phase intersection ran the same
+    // pipeline twice = 6 (measured on this exact test before the change).
+    // A regression back to per-phase probing trips this.
+    assert(jobs.get() <= 3,
+      s"range+bloom intersection must plan in ONE pass (<= 3 AQE stage " +
+        s"jobs; the old two-phase path ran 6), ran ${jobs.get()}")
+    // and the single pass still prunes to ~1 bucket file
+    assert(plannedFiles(planned.get) <= 2,
+      "bloom sharpening lost its pruning power in the fused pass")
+  }
+
   test("bucketed point lookup plans ~1 file with blooms, all without") {
     val (rootB, _) = mkBucketed(bloom = true)
     val (rootP, _) = mkBucketed(bloom = false)
